@@ -1,0 +1,75 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Panel (long-format) frame conventions.
+  *
+  * The reference (functime) treats every frame as positional:
+  * columns(0)=entity, columns(1)=time, columns(2)=target
+  * (reference: base/transformer.py:56, base/forecaster.py:178-205).
+  * We make the roles explicit instead — a [[Panel]] names the entity
+  * key, the ordering columns (time plus an optional tiebreaker for
+  * deterministic ordering, which Polars gets implicitly from row
+  * order), and the value column under analysis.
+  *
+  * Scale notes: every per-entity operation here hash-partitions on the
+  * entity key (one shuffle); all windows reuse the same
+  * partitionBy(entity).orderBy(order) spec so Catalyst collapses them
+  * into a single sort per stage. At 100 TB the entity key is the unit
+  * of parallelism — operators never collect per-entity data to the
+  * driver.
+  */
+final case class Panel(
+    df: DataFrame,
+    entity: Seq[String],
+    order: Seq[String],
+    value: String) {
+
+  def x: Column = col(value)
+  def entityCols: Seq[Column] = entity.map(col)
+  def orderCols: Seq[Column] = order.map(col)
+
+  /** The canonical per-entity ordered window. */
+  def w: WindowSpec = Window.partitionBy(entityCols: _*).orderBy(orderCols: _*)
+
+  /** Per-entity window without ordering (whole-group frame). */
+  def we: WindowSpec = Window.partitionBy(entityCols: _*)
+
+  /** groupBy entity, apply aggregate expressions. */
+  def agg(first: Column, rest: Column*): DataFrame =
+    df.groupBy(entityCols: _*).agg(first, rest: _*)
+
+  def withColumn(name: String, c: Column): Panel =
+    copy(df = df.withColumn(name, c))
+
+  /** Row index 0..n-1 per entity in time order. */
+  def withRowIdx(name: String = "__rn"): Panel =
+    copy(df = df.withColumn(name, row_number().over(w) - lit(1)))
+}
+
+object Panel {
+  /** events table as a panel: user_id / ts / value. event_id breaks
+    * timestamp ties so ordering is deterministic (Spark has no stable
+    * row order — SURVEY.md §7.5(2)). */
+  def events(spark: SparkSession, dir: String): Panel =
+    Panel(Tables(spark, dir, "events"), Seq("user_id"), Seq("ts", "event_id"), "value")
+}
+
+/** Parquet table loader for the driver's testdata layout.
+  *
+  * Spark 4 has no TIMESTAMP(NANOS) type; the events table's ns
+  * timestamps are read as long (legacy.parquet.nanosAsLong) and
+  * converted to microsecond TimestampType — lossless on this data
+  * (µs-resolution values) and order-preserving in general. */
+object Tables {
+  /** Sessions must set spark.sql.legacy.parquet.nanosAsLong=true at
+    * BUILD time (runtime set does not reach the parquet reader). */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale document pipelines.
+  *
+  * Scale design: exact dedup is a single hash-groupBy; MinHash/SimHash
+  * fan out to (doc × band) rows and self-join on band buckets — the
+  * classic LSH trick that turns an O(n²) pairwise problem into a
+  * bucket-local join, which shuffles on bucket key and parallelizes
+  * across the cluster. Candidate verification is then a cheap equi-join
+  * on the candidate pairs only.
+  */
+object Dedup {
+
+  /** Keep the lowest-id row per exact text; report group size. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Word shingles of size n as a distinct array column. */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(trim(text), "\\s+")
+    // sequence() counts DOWN when end < start — guard short docs
+    val idx = when(size(words) < n, array().cast("array<int>"))
+      .otherwise(sequence(lit(1), size(words) - (n - 1)))
+    array_distinct(transform(idx,
+      i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j)): _*)))
+  }
+
+  /** MinHash signatures: k independent hash permutations approximated
+    * by seeded xxhash64 over each shingle; signature j = min over
+    * shingles. Returns one row per doc with `minhash` array. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int, numHashes: Int): DataFrame = {
+    val sh = docs.select(col(idCol), explode(shingles(col(textCol), shingleSize)).as("__sh"))
+    val hashCols = (0 until numHashes).map(j => min(xxhash64(lit(j), col("__sh"))).as(s"__h$j"))
+    sh.groupBy(col(idCol)).agg(hashCols.head, hashCols.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(j => col(s"__h$j")): _*).as("minhash"))
+  }
+
+  /** LSH banding: split the signature into bands of `rowsPerBand`,
+    * bucket-join docs sharing any band value, emit candidate pairs
+    * (a < b) with their estimated jaccard (signature agreement). */
+  def minhashCandidatePairs(signatures: DataFrame, idCol: String,
+                            numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val nBands = numHashes / rowsPerBand
+    val withBands = signatures.select(
+      col(idCol).as("a"),
+      col("minhash"),
+      posexplode(transform(
+        sequence(lit(0), lit(nBands - 1)),
+        b => struct(b.as("band"), slice(col("minhash"), b * rowsPerBand + 1, lit(rowsPerBand)).as("key")))))
+      .select(col("a"), col("minhash").as("sig_a"), col("col.band"), col("col.key"))
+    val left = withBands
+    val right = withBands.select(col("a").as("b"), col("sig_a").as("sig_b"), col("band"), col("key"))
+    left.join(right, Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / size(col("sig_a"))).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard for a pair frame (a, b) — verification step
+    * after LSH candidate generation. */
+  def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
+                    textCol: String, shingleSize: Int): DataFrame = {
+    val sh = docs.select(col(idCol), shingles(col(textCol), shingleSize).as("__sh"))
+    pairs
+      .join(sh.select(col(idCol).as("a"), col("__sh").as("__sa")), Seq("a"))
+      .join(sh.select(col(idCol).as("b"), col("__sh").as("__sb")), Seq("b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
+          size(array_union(col("__sa"), col("__sb"))))
+      .drop("__sa", "__sb")
+  }
+
+  /** 64-bit SimHash over word unigrams: per bit, sign of Σ±1 weighted
+    * by each word's hash bit. Near-dups = small hamming distance. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = docs.select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("__w"))
+      .withColumn("__h", xxhash64(col("__w")))
+    val bitCols = (0 until 64).map { b =>
+      sum(when(shiftright(col("__h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__b$b")
+    }
+    val agg = words.groupBy(col(idCol)).agg(bitCols.head, bitCols.tail: _*)
+    val sim = (0 until 64).map { b =>
+      when(col(s"__b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    agg.select(col(idCol), sim.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Embedding-cosine near-duplicate pairs above a similarity
+    * threshold, bucketed by LSH to avoid the full cross join at scale
+    * (see [[Similarity.randomHyperplaneBuckets]]). Brute-force within
+    * bucket. */
+  def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
+                        planes: Int, threshold: Double, seed: Long = 42L): DataFrame = {
+    val bucketed = Similarity.randomHyperplaneBuckets(emb, vecCol, planes, seed)
+    val l = bucketed.select(col(idCol).as("a"), col(vecCol).as("__va"), col("bucket"))
+    val r = bucketed.select(col(idCol).as("b"), col(vecCol).as("__vb"), col("bucket"))
+    l.join(r, Seq("bucket")).filter(col("a") < col("b"))
+      .withColumn("cosine", Similarity.cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select("a", "b", "cosine").distinct()
+  }
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.core.Panel
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Forecasters (reference: functime/forecasting/).
+  *
+  * The reference's fit/predict splits into: build per-entity state
+  * (cutoffs, last values / lag tails) → produce fh future rows per
+  * entity. Everything here is DataFrame-only; the ML-backed linear
+  * forecaster lives in [[LinearForecaster]].
+  */
+object Forecasters {
+
+  /** Naive: last value per entity repeated fh steps —
+    * forecasting/naive.py:9. `freq` semantics as in
+    * [[Seasonality.futureRanges]]. */
+  def naive(p: Panel, timeCol: String, fh: Int, freq: String): DataFrame = {
+    val state = p.df.groupBy(p.entityCols: _*).agg(
+      max_by(p.x, struct(p.orderCols: _*)).as("__last"),
+      max(col(timeCol)).as("__cutoff"))
+    explodeHorizon(state, p, timeCol, fh, freq)
+      .withColumn(p.value, col("__last"))
+      .select((p.entityCols ++ Seq(col(timeCol), col(p.value))): _*)
+  }
+
+  /** Seasonal naive: cycle the last sp values —
+    * forecasting/snaive.py:9: ŷ(cutoff+h) = y(cutoff − sp + ((h−1) mod sp)). */
+  def snaive(p: Panel, timeCol: String, fh: Int, sp: Int, freq: String): DataFrame = {
+    val tail = p.df
+      .withColumn("__rn_desc", row_number().over(
+        Window.partitionBy(p.entityCols: _*).orderBy(p.orderCols.map(_.desc): _*)))
+      .filter(col("__rn_desc") <= sp)
+    val state = tail.groupBy(p.entityCols: _*).agg(
+      // collect_list order is nondeterministic — sort by rn_desc DESC
+      // so the array runs oldest→newest among the last sp values
+      sort_array(collect_list(struct(col("__rn_desc"), p.x)), asc = false).as("__tailS"),
+      max(col(timeCol)).as("__cutoff"))
+      .withColumn("__tail", col("__tailS").getField(p.value))
+      .drop("__tailS")
+    explodeHorizon(state, p, timeCol, fh, freq)
+      .withColumn(p.value,
+        element_at(col("__tail"), ((col("__h") - 1) % size(col("__tail"))).cast("int") + 1))
+      .select((p.entityCols ++ Seq(col(timeCol), col(p.value))): _*)
+  }
+
+  /** Shared scaffold: one row per (entity, horizon step) with the
+    * future timestamp materialized from the cutoff. */
+  private def explodeHorizon(state: DataFrame, p: Panel, timeCol: String,
+                             fh: Int, freq: String): DataFrame = {
+    val stepped = state.withColumn("__h", explode(sequence(lit(1), lit(fh))))
+    stepped.withColumn(timeCol, futureTime(freq))
+  }
+
+  /** Future timestamp = cutoff advanced h steps; timestampadd keeps
+    * time-of-day (the reference's datetime_ranges, ranges.py:21-46).
+    * Calendar months/quarters/years are not fixed-width — month
+    * arithmetic, never interval seconds (SURVEY.md §7.5(5)). */
+  private[operators] def futureTime(freq: String): org.apache.spark.sql.Column = freq match {
+    case "1i"  => col("__cutoff") + col("__h")
+    case "1d"  => expr("timestampadd(DAY, __h, __cutoff)")
+    case "1w"  => expr("timestampadd(WEEK, __h, __cutoff)")
+    case "1mo" => expr("timestampadd(MONTH, __h, __cutoff)")
+    case "3mo" => expr("timestampadd(QUARTER, __h, __cutoff)")
+    case "1y"  => expr("timestampadd(YEAR, __h, __cutoff)")
+    case other => throw new IllegalArgumentException(s"unknown freq $other")
+  }
+
+  /** AR reduction matrix — forecasting/_reduction.py:21: lag-transform
+    * y (lags 1..L) joined back onto y → flat supervised frame with
+    * label = current value, features = the L lags. */
+  def makeReduction(p: Panel, lags: Int): DataFrame =
+    Preprocess.lag(p, 1 to lags)
+
+  /** Per-entity recursive linear AR predict with broadcast
+    * coefficients: the whole fh loop runs as one expression chain on
+    * the per-entity lag-tail state — no per-step Spark job (SURVEY.md
+    * §7.5(1) plan A). Coefficients: intercept + one weight per lag
+    * (index 0 = lag 1). */
+  def predictRecursiveLinear(p: Panel, timeCol: String, fh: Int, freq: String,
+                             intercept: Double, weights: Array[Double]): DataFrame = {
+    val lags = weights.length
+    val tail = p.df
+      .withColumn("__rn_desc", row_number().over(
+        Window.partitionBy(p.entityCols: _*).orderBy(p.orderCols.map(_.desc): _*)))
+      .filter(col("__rn_desc") <= lags)
+    // state array ordered newest-first: state(0) = lag 1
+    val state0 = tail.groupBy(p.entityCols: _*).agg(
+      collect_list(struct(col("__rn_desc"), p.x)).as("__s"),
+      max(col(timeCol)).as("__cutoff"))
+      .withColumn("__state", sort_array(col("__s")).getField(p.value))
+      .drop("__s")
+    // unrolled driver-side loop building fh prediction columns; each
+    // step is pure column algebra over the state array
+    val (_, preds) = (1 to fh).foldLeft((col("__state"), List.empty[org.apache.spark.sql.Column])) {
+      case ((state, acc), _) =>
+        val yhat = weights.zipWithIndex.map { case (wc, i) =>
+          lit(wc) * element_at(state, i + 1)
+        }.reduce(_ + _) + lit(intercept)
+        (concat(array(yhat), slice(state, 1, lags - 1)), yhat :: acc)
+    }
+    state0.withColumn("__preds", array(preds.reverse: _*))
+      .withColumn("__h", explode(sequence(lit(1), lit(fh))))
+      .withColumn(p.value, element_at(col("__preds"), col("__h").cast("int")))
+      .withColumn(timeCol, futureTime(freq))
+      .select((p.entityCols ++ Seq(col(timeCol), col(p.value))): _*)
+  }
+}

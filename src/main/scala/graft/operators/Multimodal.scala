@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque binary
+  * columns with typed metadata structs.
+  *
+  * The decode kernels (actual JPEG/audio decoding) are STUBBED with a
+  * deterministic fake — the container ships no media libs — but the
+  * Spark-side contract is real: schemas, partition-sized batch shapes,
+  * and the transform pipeline are what a production decode-UDF plugs
+  * into.
+  */
+object Multimodal {
+
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_bytes", LongType)))
+
+  /** Wrap a binary payload column with extracted metadata. The fake
+    * "header parse" derives deterministic dimensions from the payload
+    * hash — replace with a real header sniffer in production. */
+  def withMediaMeta(df: DataFrame, binCol: String): DataFrame = {
+    val h = abs(xxhash64(col(binCol)))
+    df.withColumn("media_meta", struct(
+      lit("image/fake").as("media_type"),
+      (pmod(h, lit(1920)) + 1).cast("int").as("width"),
+      (pmod(shiftright(h, 16), lit(1080)) + 1).cast("int").as("height"),
+      length(col(binCol)).cast("long").as("n_bytes")))
+  }
+
+  /** STUB decode → fixed-size feature vector. Deterministic fake:
+    * seeded pseudo-features from the payload hash. A real
+    * implementation would decode + pool pixels per partition batch;
+    * the signature (binary → Array[Float]) and the per-partition
+    * batching pattern are the production contract. */
+  def decodeToFeatures(df: DataFrame, binCol: String, dim: Int = 8): DataFrame = {
+    val feats = array((0 until dim).map { i =>
+      (pmod(xxhash64(col(binCol), lit(i)), lit(1000)).cast("double") / 1000.0).cast("float")
+    }: _*)
+    df.withColumn("features", feats)
+  }
+
+  /** Frame sampling plumbing for "video" payloads: split the payload
+    * into n equal byte-range "frames" (stub for keyframe extraction),
+    * exploded one row per frame — the partition-parallel shape a real
+    * extractor uses. */
+  def sampleFrames(df: DataFrame, binCol: String, n: Int): DataFrame = {
+    val total = length(col(binCol))
+    val frames = transform(sequence(lit(0), lit(n - 1)), i =>
+      struct(i.as("frame_idx"),
+        substring(col(binCol), (i * (total / n) + 1).cast("int"), (total / n).cast("int"))
+          .as("frame_bytes")))
+    df.withColumn("frame", explode(frames))
+      .withColumn("frame_idx", col("frame.frame_idx"))
+      .withColumn("frame_bytes", col("frame.frame_bytes"))
+      .drop("frame")
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over embedding
+  * columns (Array[Float]).
+  *
+  * Baseline: brute-force cosine top-k (query-set × corpus join —
+  * correct at any scale when the query set is small and broadcast).
+  * Scale path: random-hyperplane LSH buckets (deterministic seeded
+  * planes) restricting candidates to same-bucket vectors; the classic
+  * recall/cost trade. Dot products use `aggregate`/`zip_with` higher-
+  * order functions: codegen-friendly, no UDF.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ over two array columns, computed in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query vector, the k most
+    * similar corpus vectors (excluding itself). The query side is
+    * broadcast — the corpus never moves. */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                 vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("__qv")))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("__cv"))
+    val scored = q.join(c, col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "n_id", "sim")
+  }
+
+  /** Deterministic random-hyperplane LSH: `planes` seeded unit
+    * directions; bucket = sign bits packed into a long. Planes are
+    * generated driver-side from the seed and inlined as literals —
+    * identical across executors, no shuffle of the plane matrix. */
+  def randomHyperplaneBuckets(emb: DataFrame, vecCol: String, planes: Int,
+                              seed: Long): DataFrame = {
+    val dim = emb.select(size(col(vecCol))).first().getInt(0)
+    val rnd = new scala.util.Random(seed)
+    val planeLits = (0 until planes).map { _ =>
+      array((0 until dim).map(_ => lit(rnd.nextGaussian())): _*)
+    }
+    val bucket = planeLits.zipWithIndex.map { case (pl, i) =>
+      when(dot(col(vecCol), pl) >= 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    emb.withColumn("bucket", bucket)
+  }
+
+  /** IVF-style ANN: assign each vector to its nearest of `nCells`
+    * sampled centroids (deterministic sample), then search only the
+    * query's cell — one broadcast join + per-cell brute force. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCells: Int, seed: Long = 42L): DataFrame = {
+    val centroids = corpus.select(col(idCol), col(vecCol))
+      .orderBy(pmod(xxhash64(col(idCol)), lit(1000000)), col(idCol))
+      .limit(nCells)
+      .select(col(idCol).as("c_id"), col(vecCol).as("__centroid"))
+    val assign = (df: DataFrame, id: String, v: String) =>
+      df.crossJoin(broadcast(centroids))
+        .withColumn("__d", dot(col(v), col("__centroid")))
+        .withColumn("__r", row_number().over(
+          Window.partitionBy(col(id)).orderBy(col("__d").desc, col("c_id"))))
+        .filter(col("__r") === 1)
+        .drop("__d", "__r", "__centroid")
+    val qa = assign(queries.select(col(idCol).as("q_id"), col(vecCol).as("__qv")), "q_id", "__qv")
+    val ca = assign(corpus.select(col(idCol).as("n_id"), col(vecCol).as("__cv")), "n_id", "__cv")
+    val scored = qa.join(ca, Seq("c_id")).filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+    scored.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "n_id", "sim")
+  }
+}

@@ -1,0 +1,260 @@
+package graft.queries
+
+import graft.operators.{CrossValidation, Forecasters, LinearForecaster, Metrics}
+import org.apache.spark.sql.functions._
+import Q._
+
+/** SparkEntry registrations for forecasters, CV splitters, metrics and
+  * evaluation (SURVEY.md §2.4-§2.7). Metric fixtures use the one-step
+  * naive in-sample prediction (pred_t = value_{t-1}) so the oracle is
+  * pure SQL. */
+object ForecastQueries {
+
+  /** yPred = lag(value) joined back on (user_id, event_id). */
+  private def naivePred(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val p = ev(s, dir)
+    val pred = p.df.withColumn("pred", lag(col("value"), 1).over(p.w))
+      .select("user_id", "event_id", "pred")
+    Metrics.aligned(p.df, pred, Seq("user_id", "event_id"), "value", "pred")
+  }
+
+  private val alignedSql =
+    s"""SELECT user_id, value AS a, lag(value) OVER ($W) AS p FROM events"""
+
+  val all: Map[String, Q] = Map(
+    "m_mae" -> Q(
+      s"""SELECT user_id, round(avg(abs(p - a)),6) AS mae FROM ($alignedSql) GROUP BY user_id""") {
+      (s, dir) => r6(Metrics.mae(naivePred(s, dir), Seq("user_id")))
+    },
+
+    "m_mfe" -> Q(
+      s"""SELECT user_id, round(avg(p - a),6) AS mfe FROM ($alignedSql) GROUP BY user_id""") {
+      (s, dir) => r6(Metrics.mfe(naivePred(s, dir), Seq("user_id")))
+    },
+
+    "m_mape" -> Q(
+      s"""SELECT user_id, round(avg(abs(a - p)/abs(a)),6) AS mape FROM ($alignedSql) GROUP BY user_id""") {
+      (s, dir) => r6(Metrics.mape(naivePred(s, dir), Seq("user_id")))
+    },
+
+    "m_mse" -> Q(
+      s"""SELECT user_id, round(avg(pow(p - a, 2)),6) AS mse FROM ($alignedSql) GROUP BY user_id""") {
+      (s, dir) => r6(Metrics.mse(naivePred(s, dir), Seq("user_id")))
+    },
+
+    "m_rmse" -> Q(
+      s"""SELECT user_id, round(sqrt(avg(pow(p - a, 2))),6) AS rmse FROM ($alignedSql) GROUP BY user_id""") {
+      (s, dir) => r6(Metrics.rmse(naivePred(s, dir), Seq("user_id")))
+    },
+
+    "m_smape" -> Q(
+      s"""SELECT user_id, round(sum(abs(p - a))/sum(p + a),6) AS smape FROM ($alignedSql) GROUP BY user_id""") {
+      (s, dir) => r6(Metrics.smape(naivePred(s, dir), Seq("user_id")))
+    },
+
+    "m_smape_original" -> Q(
+      s"""SELECT user_id, round(avg(CAST(200 AS DOUBLE) * abs(p - a) / (1e-15 + abs(a) + abs(p))),6)
+            AS smape_original FROM ($alignedSql) GROUP BY user_id""") {
+      (s, dir) => r6(Metrics.smapeOriginal(naivePred(s, dir), Seq("user_id")))
+    },
+
+    "m_overforecast" -> Q(
+      s"""SELECT user_id, round(sum(CASE WHEN p > a THEN p ELSE CAST(0 AS DOUBLE) END),6)
+            AS overforecast FROM ($alignedSql) GROUP BY user_id""") {
+      (s, dir) => r6(Metrics.overforecast(naivePred(s, dir), Seq("user_id")))
+    },
+
+    "m_underforecast" -> Q(
+      s"""SELECT user_id, round(sum(CASE WHEN p < a THEN p ELSE CAST(0 AS DOUBLE) END),6)
+            AS underforecast FROM ($alignedSql) GROUP BY user_id""") {
+      (s, dir) => r6(Metrics.underforecast(naivePred(s, dir), Seq("user_id")))
+    },
+
+    "m_mase" -> Q(
+      s"""WITH mae AS (SELECT user_id, avg(abs(p - a)) AS mae FROM ($alignedSql) GROUP BY user_id),
+              nv AS (SELECT user_id, value - lag(value, 7) OVER ($W) AS nd FROM events),
+              den AS (SELECT user_id, avg(abs(nd)) AS den FROM nv GROUP BY user_id)
+          SELECT mae.user_id, round(mae.mae / den.den,6) AS mase
+          FROM mae LEFT JOIN den ON mae.user_id = den.user_id""") {
+      (s, dir) =>
+        val p = ev(s, dir)
+        r6(Metrics.mase(naivePred(s, dir), p.df, Seq("user_id"), Seq("ts", "event_id"), "value", 7))
+    },
+
+    "m_rmsse" -> Q(
+      s"""WITH mse AS (SELECT user_id, avg(pow(p - a, 2)) AS mse FROM ($alignedSql) GROUP BY user_id),
+              nv AS (SELECT user_id, value - lag(value, 7) OVER ($W) AS nd FROM events),
+              den AS (SELECT user_id, avg(pow(nd, 2)) AS den FROM nv GROUP BY user_id)
+          SELECT mse.user_id, round(sqrt(mse.mse / den.den),6) AS rmsse
+          FROM mse LEFT JOIN den ON mse.user_id = den.user_id""") {
+      (s, dir) =>
+        val p = ev(s, dir)
+        r6(Metrics.rmsse(naivePred(s, dir), p.df, Seq("user_id"), Seq("ts", "event_id"), "value", 7))
+    },
+
+    "m_summarize_scores" -> Q(
+      s"""WITH mae AS (SELECT user_id, avg(abs(p - a)) AS mae FROM ($alignedSql) GROUP BY user_id)
+          SELECT round(avg(mae),6) AS mean, round(quantile_cont(mae, 0.5),6) AS median,
+                 round(stddev_samp(mae),6) AS std, count(mae) AS n_entities
+          FROM mae""") {
+      (s, dir) => r6(Metrics.summarizeScores(Metrics.mae(naivePred(s, dir), Seq("user_id")), "mae"))
+    },
+
+    "cv_train_test_split" -> Q(
+      s"""SELECT event_id,
+            CASE WHEN row_number() OVER ($W) <= count(*) OVER ($WE) - 10 THEN 'train' ELSE 'test' END AS part
+          FROM events""") {
+      (s, dir) =>
+        val (train, test) = CrossValidation.trainTestSplit(ev(s, dir), 10)
+        train.select(col("event_id"), lit("train").as("part"))
+          .unionByName(test.select(col("event_id"), lit("test").as("part")))
+    },
+
+    "cv_expanding_window" -> Q(
+      s"""WITH b AS (SELECT user_id, event_id, row_number() OVER ($W) AS rn,
+                            count(*) OVER ($WE) AS cnt FROM events),
+              s AS (SELECT i AS split FROM unnest([0, 1, 2]) AS t(i))
+          SELECT b.user_id, s.split,
+                 CAST(sum(CASE WHEN rn <= cnt - (10 + (2 - split) * 5) THEN 1 ELSE 0 END) AS BIGINT) AS train_n,
+                 CAST(sum(CASE WHEN rn > cnt - (10 + (2 - split) * 5)
+                           AND rn <= cnt - (10 + (2 - split) * 5) + 10 THEN 1 ELSE 0 END) AS BIGINT) AS test_n
+          FROM b CROSS JOIN s GROUP BY b.user_id, s.split""") {
+      (s, dir) =>
+        val splits = CrossValidation.expandingWindowSplit(ev(s, dir), testSize = 10, nSplits = 3, stepSize = 5)
+        splits.zipWithIndex.map { case ((train, test), i) =>
+          val t = train.groupBy("user_id").agg(count(lit(1)).as("train_n"))
+          val v = test.groupBy("user_id").agg(count(lit(1)).as("test_n"))
+          t.join(v, Seq("user_id"), "full")
+            .select(col("user_id"), lit(i).as("split"),
+              coalesce(col("train_n"), lit(0L)).as("train_n"),
+              coalesce(col("test_n"), lit(0L)).as("test_n"))
+        }.reduce(_ unionByName _)
+    },
+
+    "cv_sliding_window" -> Q(
+      s"""WITH b AS (SELECT user_id, event_id, row_number() OVER ($W) AS rn,
+                            count(*) OVER ($WE) AS cnt FROM events),
+              s AS (SELECT i AS split FROM unnest([0, 1, 2]) AS t(i))
+          SELECT b.user_id, s.split,
+                 CAST(sum(CASE WHEN rn > cnt - (10 + (2 - split) * 5) - 20
+                           AND rn <= cnt - (10 + (2 - split) * 5) THEN 1 ELSE 0 END) AS BIGINT) AS train_n
+          FROM b CROSS JOIN s GROUP BY b.user_id, s.split""") {
+      (s, dir) =>
+        val splits = CrossValidation.slidingWindowSplit(ev(s, dir), testSize = 10, nSplits = 3, stepSize = 5, windowSize = 20)
+        splits.zipWithIndex.map { case ((train, _), i) =>
+          train.groupBy("user_id").agg(count(lit(1)).as("train_n"))
+            .select(col("user_id"), lit(i).as("split"), col("train_n"))
+        }.reduce(_ unionByName _)
+    },
+
+    "fc_naive" -> Q(
+      """WITH state AS (SELECT user_id, arg_max(value, ts) AS lastv, max(ts) AS cutoff
+                        FROM events GROUP BY user_id),
+              h AS (SELECT i AS h FROM unnest([1, 2, 3]) AS t(i))
+         SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts, lastv AS value
+         FROM state CROSS JOIN h""") {
+      (s, dir) => Forecasters.naive(ev(s, dir), "ts", fh = 3, freq = "1d")
+    },
+
+    "fc_snaive" -> Q(
+      s"""WITH tail AS (SELECT user_id, ts, value,
+                               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rnd
+                        FROM events),
+              state AS (SELECT user_id, list(value ORDER BY ts) AS tail7, max(ts) AS cutoff
+                        FROM tail WHERE rnd <= 7 GROUP BY user_id),
+              h AS (SELECT i AS h FROM unnest([1, 2, 3, 4]) AS t(i))
+          SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                 tail7[((h - 1) % len(tail7)) + 1] AS value
+          FROM state CROSS JOIN h""") {
+      (s, dir) => Forecasters.snaive(ev(s, dir), "ts", fh = 4, sp = 7, freq = "1d")
+    },
+
+    // MLlib fit is not SQL-expressible — rows-only smoke; accuracy is
+    // asserted in the ScalaTest suite instead.
+    "fc_linear" -> Q.rowsOnly { (s, dir) =>
+      val p = ev(s, dir)
+      val model = LinearForecaster.fit(p, lags = 7, freq = "1d")
+      model.predict(p, "ts", fh = 3)
+    },
+
+    "e_acf" -> Q(
+      s"""WITH b AS (SELECT user_id, value,
+                            lag(value, 1) OVER ($W) AS l1,
+                            lag(value, 2) OVER ($W) AS l2,
+                            lag(value, 3) OVER ($W) AS l3 FROM events)
+          SELECT user_id, round(corr(value, l1),6) AS acf_1,
+                 round(corr(value, l2),6) AS acf_2,
+                 round(corr(value, l3),6) AS acf_3
+          FROM b GROUP BY user_id""") {
+      (s, dir) =>
+        val p = ev(s, dir)
+        val d = p.df
+          .withColumn("__l1", lag(col("value"), 1).over(p.w))
+          .withColumn("__l2", lag(col("value"), 2).over(p.w))
+          .withColumn("__l3", lag(col("value"), 3).over(p.w))
+        r6(d.groupBy("user_id").agg(
+          corr(col("value"), col("__l1")).as("acf_1"),
+          corr(col("value"), col("__l2")).as("acf_2"),
+          corr(col("value"), col("__l3")).as("acf_3")))
+    },
+
+    "e_normality" -> Q(
+      s"""WITH b AS (SELECT user_id, value, avg(value) OVER ($WE) AS mu FROM events),
+              m AS (SELECT user_id,
+                      avg(pow(value - mu, 2)) AS m2,
+                      avg(pow(value - mu, 3)) AS m3,
+                      avg(pow(value - mu, 4)) AS m4
+                    FROM b GROUP BY user_id)
+          SELECT user_id, round(m3 / pow(m2, 1.5),6) AS skew,
+                 round(m4 / pow(m2, 2) - 3,6) AS kurtosis
+          FROM m""") {
+      (s, dir) =>
+        val p = ev(s, dir)
+        val d = p.df.withColumn("__mu", avg(col("value")).over(p.we))
+        r6(d.groupBy("user_id")
+          .agg(avg(pow(col("value") - col("__mu"), 2)).as("m2"),
+            avg(pow(col("value") - col("__mu"), 3)).as("m3"),
+            avg(pow(col("value") - col("__mu"), 4)).as("m4"))
+          .select(col("user_id"),
+            (col("m3") / pow(col("m2"), 1.5)).as("skew"),
+            (col("m4") / pow(col("m2"), 2) - 3).as("kurtosis")))
+    },
+
+    "e_rank_point_forecasts" -> Q(
+      """WITH s AS (SELECT user_id, round(avg(value),6) AS mean_value FROM events GROUP BY user_id)
+         SELECT user_id, mean_value,
+                CAST(row_number() OVER (ORDER BY mean_value DESC, user_id) AS BIGINT) AS rnk
+         FROM s""") {
+      (s, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val sdf = r6(tbl(s, dir, "events").groupBy("user_id").agg(avg("value").as("mean_value")))
+        sdf.withColumn("rnk",
+          row_number().over(Window.orderBy(col("mean_value").desc, col("user_id"))).cast("long"))
+    },
+
+    "e_ljung_box" -> Q(
+      s"""WITH b AS (SELECT user_id, value,
+                            lag(value, 1) OVER ($W) AS l1,
+                            lag(value, 2) OVER ($W) AS l2 FROM events),
+              r AS (SELECT user_id, count(value) AS n,
+                           corr(value, l1) AS r1, corr(value, l2) AS r2
+                    FROM b GROUP BY user_id)
+          SELECT user_id,
+                 round(n * (n + CAST(2 AS DOUBLE)) * (r1*r1/(n-1) + r2*r2/(n-2)),6) AS q_stat
+          FROM r""") {
+      (s, dir) =>
+        val p = ev(s, dir)
+        val d = p.df
+          .withColumn("__l1", lag(col("value"), 1).over(p.w))
+          .withColumn("__l2", lag(col("value"), 2).over(p.w))
+        r6(d.groupBy("user_id")
+          .agg(count(col("value")).as("n"),
+            corr(col("value"), col("__l1")).as("r1"),
+            corr(col("value"), col("__l2")).as("r2"))
+          .select(col("user_id"),
+            (col("n") * (col("n") + lit(2.0)) *
+              (col("r1") * col("r1") / (col("n") - 1) + col("r2") * col("r2") / (col("n") - 2)))
+              .as("q_stat")))
+    }
+  )
+}

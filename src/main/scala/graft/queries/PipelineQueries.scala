@@ -1,0 +1,207 @@
+package graft.queries
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import Q._
+
+/** SparkEntry registrations for the training-data pipeline operators:
+  * dedup, text analysis, similarity search, multimodal plumbing, plus
+  * the relational headline queries. */
+object PipelineQueries {
+
+  /** 64-dim dot product expanded term-by-term for the DuckDB oracle —
+    * identical summation order to Spark's aggregate() fold. */
+  private def dotSql(a: String, b: String, dim: Int = 64): String =
+    (1 to dim).map(i => s"$a[$i]::DOUBLE * $b[$i]::DOUBLE").mkString("(", " + ", ")")
+
+  
+
+  val all: Map[String, Q] = Map(
+    // ----- relational headline -----
+    "q1_agg" -> Q(
+      """SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity),6) AS sum_qty,
+           round(sum(l_extendedprice),6) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)),6) AS sum_disc_price,
+           round(avg(l_quantity),6) AS avg_qty,
+           round(avg(l_discount),6) AS avg_disc,
+           count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""") {
+      (s, dir) =>
+        r6(tbl(s, dir, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum("l_quantity").as("sum_qty"),
+            sum("l_extendedprice").as("sum_base_price"),
+            sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+            avg("l_quantity").as("avg_qty"),
+            avg("l_discount").as("avg_disc"),
+            count(lit(1)).as("count_order")))
+    },
+
+    "q2_join_agg" -> Q(
+      """SELECT n_name, round(sum(o_totalprice),6) AS revenue, count(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+                     JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""") {
+      (s, dir) =>
+        r6(tbl(s, dir, "orders")
+          .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(tbl(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(sum("o_totalprice").as("revenue"), count(lit(1)).as("n_orders")))
+    },
+
+    "q3_window_topk" -> Q(
+      """SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+           FROM orders) WHERE rnk <= 3""") {
+      (s, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        tbl(s, dir, "orders")
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select("o_orderpriority", "rnk", "o_orderkey", "o_totalprice")
+    },
+
+    // ----- dedup -----
+    "d_exact_dedup" -> Q(
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY text""") {
+      (s, dir) => Dedup.exactDedup(tbl(s, dir, "documents"), "doc_id", "text")
+    },
+
+    "d_shingle_stats" -> Q(
+      """SELECT doc_id,
+           CAST(len(list_distinct(list_transform(
+             range(1, len(regexp_split_to_array(trim(text), '\s+')) - 1),
+             i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+                  regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
+                  regexp_split_to_array(trim(text), '\s+')[i+2]))) AS BIGINT) AS n_shingles
+         FROM documents""") {
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .select(col("doc_id"),
+            size(Dedup.shingles(col("text"), 3)).cast("long").as("n_shingles"))
+    },
+
+    // MinHash/SimHash use xxhash64 (not available in DuckDB) — rows-only;
+    // jaccard fidelity is asserted in the ScalaTest suite.
+    "d_minhash_lsh" -> Q.rowsOnly { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", shingleSize = 3, numHashes = 16)
+      val pairs = Dedup.minhashCandidatePairs(sigs, "doc_id", numHashes = 16, rowsPerBand = 4)
+      pairs.agg(count(lit(1)).as("n_candidate_pairs"),
+        coalesce(round(avg(col("est_jaccard")), 6), lit(0.0)).as("mean_est_jaccard"))
+    },
+
+    "d_simhash" -> Q.rowsOnly { (s, dir) =>
+      Dedup.simhash(tbl(s, dir, "documents"), "doc_id", "text")
+    },
+
+    "d_embedding_neardup" -> Q.rowsOnly { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      Dedup.embeddingNearDups(emb, "vec_id", "embedding", planes = 8, threshold = 0.9)
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+
+    // ----- text analysis -----
+    "t_token_count" -> Q(
+      """SELECT doc_id,
+           CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subwords
+         FROM documents""") {
+      (s, dir) =>
+        tbl(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextAnalysis.bpeishCount(col("text")).cast("long").as("n_subwords"))
+    },
+
+    "t_quality_score" -> Q(
+      s"""SELECT doc_id,
+            round((length(text) - length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')))::DOUBLE / length(text), 6) AS punct_ratio,
+            round(len(regexp_extract_all(lower(text), '${TextAnalysis.stopwordPattern("en")}'))::DOUBLE /
+                  greatest(CASE WHEN len(trim(text)) = 0 THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1), 6) AS stopword_ratio,
+            round(length(regexp_replace(trim(text), '\\s+', '', 'g'))::DOUBLE /
+                  (CASE WHEN len(trim(text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END), 6) AS mean_word_len
+          FROM documents""") {
+      (s, dir) =>
+        r6(tbl(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+          TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+          TextAnalysis.meanWordLen(col("text")).as("mean_word_len")))
+    },
+
+    "t_langid" -> Q(
+      s"""SELECT doc_id,
+            CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
+                 WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                 WHEN de >= fr AND de >= es THEN 'de'
+                 WHEN fr >= es THEN 'fr'
+                 ELSE 'es' END AS lang_pred
+          FROM (SELECT doc_id, text,
+                  len(regexp_extract_all(lower(text), '${TextAnalysis.stopwordPattern("en")}')) AS en,
+                  len(regexp_extract_all(lower(text), '${TextAnalysis.stopwordPattern("de")}')) AS de,
+                  len(regexp_extract_all(lower(text), '${TextAnalysis.stopwordPattern("fr")}')) AS fr,
+                  len(regexp_extract_all(lower(text), '${TextAnalysis.stopwordPattern("es")}')) AS es
+                FROM documents)""") {
+      (s, dir) =>
+        tbl(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.langId(col("text")).as("lang_pred"))
+    },
+
+    "t_fingerprint" -> Q(
+      """SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+         FROM documents""") {
+      (s, dir) =>
+        tbl(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    },
+
+    // ----- similarity search -----
+    "s_cosine_topk" -> Q(
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+              c AS (SELECT vec_id AS n_id, embedding AS cv FROM embeddings),
+              s AS (SELECT q_id, n_id,
+                      ${dotSql("qv", "cv")} /
+                      (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("cv", "cv")})) AS sim
+                    FROM q JOIN c ON q_id <> n_id)
+          SELECT q_id, rnk, n_id, round(sim, 6) AS sim FROM (
+            SELECT q_id, n_id, sim,
+                   row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk
+            FROM s) WHERE rnk <= 5""") {
+      (s, dir) =>
+        val emb = tbl(s, dir, "embeddings")
+        r6(Similarity.cosineTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 5))
+    },
+
+    "s_ann_ivf" -> Q.rowsOnly { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+        k = 5, nCells = 16)
+    },
+
+    // ----- multimodal plumbing (decode stubbed; see Multimodal docs) -----
+    "mm_media_meta" -> Q.rowsOnly { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+      Multimodal.withMediaMeta(docs, "payload")
+        .select(col("doc_id"), col("media_meta.width"), col("media_meta.height"),
+          col("media_meta.n_bytes"))
+    },
+
+    "mm_decode_features" -> Q.rowsOnly { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+      Multimodal.decodeToFeatures(docs, "payload").select("doc_id", "features")
+    }
+  )
+}

@@ -1,0 +1,231 @@
+package graft.queries
+
+import graft.core.Panel
+import graft.operators.{Preprocess, Seasonality}
+import org.apache.spark.sql.functions._
+import Q._
+
+/** SparkEntry registrations for preprocessing transformers
+  * (SURVEY.md §2.1/§2.2). Per-row outputs key on event_id (unique)
+  * rather than raw timestamps to sidestep ns/us parquet width
+  * differences between engines. */
+object PreprocessQueries {
+
+  /** events with value nulled on 'error' rows — the impute fixtures. */
+  private def evNulled(s: org.apache.spark.sql.SparkSession, dir: String): Panel = {
+    val d = tbl(s, dir, "events")
+      .withColumn("value", when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+    Panel(d, Seq("user_id"), Seq("ts", "event_id"), "value")
+  }
+  private val nulledSql =
+    "SELECT user_id, ts, event_id, CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value FROM events"
+
+  val all: Map[String, Q] = Map(
+    "p_lag" -> Q(
+      s"""SELECT event_id,
+            lag(value, 1) OVER ($W) AS value__lag_1,
+            lag(value, 2) OVER ($W) AS value__lag_2,
+            lag(value, 3) OVER ($W) AS value__lag_3
+          FROM events QUALIFY row_number() OVER ($W) > 3""") {
+      (s, dir) =>
+        Preprocess.lag(ev(s, dir), Seq(1, 2, 3))
+          .select("event_id", "value__lag_1", "value__lag_2", "value__lag_3")
+    },
+
+    "p_diff" -> Q(
+      s"""SELECT event_id, value - lag(value) OVER ($W) AS value FROM events""") {
+      (s, dir) =>
+        val (out, _) = Preprocess.diff(ev(s, dir), order = 1, sp = 1)
+        out.select("event_id", "value")
+    },
+
+    "p_scale" -> Q(
+      s"""SELECT event_id,
+            round((value - avg(value) OVER ($WE)) / stddev_samp(value) OVER ($WE), 6) AS value
+          FROM events""") {
+      (s, dir) =>
+        val (out, _) = Preprocess.scale(ev(s, dir))
+        r6(out.select("event_id", "value"))
+    },
+
+    "p_roll" -> Q(
+      s"""SELECT event_id,
+            round(avg(value) OVER ($W ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING), 6) AS value__rolling_mean_5,
+            round(sum(value) OVER ($W ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING), 6) AS value__rolling_sum_5,
+            min(value) OVER ($W ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS value__rolling_min_5,
+            max(value) OVER ($W ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS value__rolling_max_5
+          FROM events""") {
+      (s, dir) =>
+        r6(Preprocess.roll(ev(s, dir), Seq(5), Seq("mean", "sum", "min", "max"))
+          .select("event_id", "value__rolling_mean_5", "value__rolling_sum_5",
+            "value__rolling_min_5", "value__rolling_max_5"))
+    },
+
+    "p_time_to_arange" -> Q(
+      s"""SELECT event_id, CAST(row_number() OVER ($W) - 1 AS INT) AS time FROM events""") {
+      (s, dir) => Preprocess.timeToArange(ev(s, dir)).select("event_id", "time")
+    },
+
+    "p_resample" -> Q(
+      """SELECT user_id, CAST(ts AS DATE) AS time, round(sum(value),6) AS value
+         FROM events GROUP BY user_id, CAST(ts AS DATE)""") {
+      (s, dir) =>
+        val p = ev(s, dir)
+        r6(p.df.groupBy(col("user_id"), to_date(col("ts")).as("time"))
+          .agg(sum(col("value")).as("value")))
+    },
+
+    "p_reindex" -> Q(
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day, round(sum(value),6) AS value
+                        FROM events GROUP BY 1, 2),
+              grid AS (SELECT u.user_id, d.day
+                       FROM (SELECT DISTINCT user_id FROM daily) u
+                       CROSS JOIN (SELECT DISTINCT day FROM daily) d)
+         SELECT g.user_id, g.day, daily.value
+         FROM grid g LEFT JOIN daily ON g.user_id = daily.user_id AND g.day = daily.day""") {
+      (s, dir) =>
+        val daily = r6(tbl(s, dir, "events")
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(sum(col("value")).as("value")))
+        Preprocess.reindex(Panel(daily, Seq("user_id"), Seq("day"), "value"), "day")
+    },
+
+    "p_trim" -> Q(
+      """WITH bounds AS (SELECT max(lo) AS lo, min(hi) AS hi FROM (
+              SELECT user_id, min(ts) AS lo, max(ts) AS hi FROM events GROUP BY user_id))
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n
+         FROM events, bounds WHERE ts >= bounds.lo AND ts <= bounds.hi
+         GROUP BY user_id""") {
+      (s, dir) =>
+        Preprocess.trim(ev(s, dir), "ts")
+          .groupBy("user_id").agg(count(lit(1)).as("n"))
+    },
+
+    "p_impute_mean" -> Q(
+      s"""WITH n AS ($nulledSql)
+          SELECT event_id, round(coalesce(value, avg(value) OVER ($WE)), 6) AS value FROM n""") {
+      (s, dir) =>
+        r6(Preprocess.impute(evNulled(s, dir), Preprocess.ImputeMean)
+          .select("event_id", "value"))
+    },
+
+    "p_impute_ffill" -> Q(
+      s"""WITH n AS ($nulledSql)
+          SELECT event_id,
+            coalesce(value, last_value(value IGNORE NULLS)
+              OVER ($W ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) AS value
+          FROM n""") {
+      (s, dir) =>
+        Preprocess.impute(evNulled(s, dir), Preprocess.ImputeForward)
+          .select("event_id", "value")
+    },
+
+    "p_interpolate" -> Q(
+      s"""WITH n AS ($nulledSql),
+              r AS (SELECT *, row_number() OVER ($W) AS rn FROM n),
+              b AS (SELECT event_id, value, rn,
+                last_value(value IGNORE NULLS) OVER ($W ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+                first_value(value IGNORE NULLS) OVER ($W ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+                last_value(CASE WHEN value IS NOT NULL THEN rn END IGNORE NULLS)
+                  OVER ($W ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pi,
+                first_value(CASE WHEN value IS NOT NULL THEN rn END IGNORE NULLS)
+                  OVER ($W ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ni
+                FROM r)
+          SELECT event_id,
+            round(CASE WHEN value IS NOT NULL THEN value
+                 WHEN pv IS NULL THEN nv
+                 WHEN nv IS NULL THEN pv
+                 ELSE pv + (nv - pv) * (rn - pi) / (ni - pi) END, 6) AS value
+          FROM b""") {
+      (s, dir) =>
+        r6(Preprocess.interpolate(evNulled(s, dir)).select("event_id", "value"))
+    },
+
+    "p_log1p" -> Q(
+      "SELECT event_id, round(ln(1 + value),6) AS value FROM events") {
+      (s, dir) => r6(Preprocess.log1pTransform(ev(s, dir)).select("event_id", "value"))
+    },
+
+    "p_boxcox" -> Q(
+      "SELECT event_id, round((pow(value, 0.5) - 1) / 0.5, 6) AS value FROM events") {
+      (s, dir) =>
+        val p = ev(s, dir)
+        r6(p.df.withColumn("value", Preprocess.boxcox(col("value"), lit(0.5)))
+          .select("event_id", "value"))
+    },
+
+    "p_yeojohnson" -> Q(
+      """SELECT event_id, round(CASE
+           WHEN value >= 0 THEN (pow(value + 1, 1.5) - 1) / 1.5
+           ELSE -(pow(-value + 1, 0.5) - 1) / 0.5 END, 6) AS value
+         FROM events""") {
+      (s, dir) =>
+        val p = ev(s, dir)
+        r6(p.df.withColumn("value", Preprocess.yeojohnson(col("value"), lit(1.5)))
+          .select("event_id", "value"))
+    },
+
+    "p_detrend_linear" -> Q(
+      s"""WITH b AS (SELECT user_id, event_id, value, (row_number() OVER ($W) - 1)::DOUBLE AS i FROM events),
+              art AS (SELECT user_id,
+                        covar_samp(value, i)/var_samp(i) AS beta,
+                        avg(value) - covar_samp(value, i)/var_samp(i)*avg(i) AS alpha
+                      FROM b GROUP BY user_id)
+          SELECT b.event_id, round(b.value - (art.beta * b.i + art.alpha),6) AS value
+          FROM b JOIN art ON b.user_id = art.user_id""") {
+      (s, dir) =>
+        val (out, _) = Preprocess.detrendLinear(ev(s, dir))
+        r6(out.select("event_id", "value"))
+    },
+
+    "p_fracdiff" -> Q({
+      val ws = Preprocess.fracDiffWeights(0.5, 1e-5, 10)
+      val terms = ws.zipWithIndex.map { case (w, k) =>
+        if (k == 0) s"$w * value" else s"$w * lag(value, $k) OVER ($W)"
+      }.mkString(" + ")
+      s"SELECT event_id, round($terms, 6) AS frac_diff FROM events"
+    }) {
+      (s, dir) =>
+        r6(Preprocess.fracDiff(ev(s, dir), 0.5, 1e-5, 10).select("event_id", "frac_diff"))
+    },
+
+    "p_onehot" -> Q(
+      """SELECT event_id,
+           CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS event_type__click,
+           CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS event_type__error,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS event_type__purchase,
+           CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS event_type__signup,
+           CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS event_type__view
+         FROM events""") {
+      (s, dir) =>
+        Preprocess.oneHotEncode(tbl(s, dir, "events"), "event_type")
+          .select("event_id", "event_type__click", "event_type__error",
+            "event_type__purchase", "event_type__signup", "event_type__view")
+    },
+
+    "p_fourier_terms" -> Q(
+      s"""WITH b AS (SELECT event_id, ((row_number() OVER ($W) - 1) % 24)::DOUBLE / 24 AS coef FROM events)
+          SELECT event_id,
+            round(cos(2 * pi() * 1 * coef),6) AS cos_24_1, round(sin(2 * pi() * 1 * coef),6) AS sin_24_1,
+            round(cos(2 * pi() * 2 * coef),6) AS cos_24_2, round(sin(2 * pi() * 2 * coef),6) AS sin_24_2
+          FROM b""") {
+      (s, dir) =>
+        r6(Seasonality.addFourierTerms(ev(s, dir), sp = 24, k = 2)
+          .select("event_id", "cos_24_1", "sin_24_1", "cos_24_2", "sin_24_2"))
+    },
+
+    "p_calendar_effects" -> Q(
+      """SELECT event_id,
+           CAST(hour(ts) AS VARCHAR) AS hour,
+           CAST(dayofmonth(ts) AS VARCHAR) AS day,
+           CAST(dayofweek(ts) + 1 AS VARCHAR) AS weekday,
+           CAST(month(ts) AS VARCHAR) AS month
+         FROM events""") {
+      // DuckDB dayofweek: 0=Sunday..6; Spark dayofweek: 1=Sunday..7 — oracle shifts.
+      (s, dir) =>
+        Seasonality.addCalendarEffects(tbl(s, dir, "events"), "ts",
+          Seq("hour", "day", "weekday", "month"))
+          .select("event_id", "hour", "day", "weekday", "month")
+    }
+  )
+}

@@ -1,0 +1,50 @@
+package graft.queries
+
+import graft.core.Panel
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, FloatType}
+
+/** One registered operator query: the Spark program plus (when the
+  * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle.
+  * Column names must match exactly between the two (the driver's
+  * compare sorts columns by name before hashing). */
+final case class Q(
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Q {
+  def apply(oracle: String)(fn: (SparkSession, String) => DataFrame): Q =
+    Q(fn, Some(oracle))
+  def rowsOnly(fn: (SparkSession, String) => DataFrame): Q = Q(fn, None)
+
+  def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.core.Tables(s, dir, name)
+
+  /** events as panel: entity=user_id, time=(ts, event_id), x=value. */
+  def ev(s: SparkSession, dir: String): Panel = Panel.events(s, dir)
+
+  /** DuckDB-compatible 6-dp rounding: round-half-away-from-zero on the
+    * RAW double (std::round(x·10⁶)/10⁶), not Spark's decimal-string
+    * round() — the two disagree on values whose shortest decimal repr
+    * is a tie but whose double sits off it. Applied to all float
+    * columns so both engines hash identical values. */
+  def rd6(c: Column): Column = {
+    val y = c.cast("double") * 1e6
+    (when(y >= 0, floor(y + 0.5)).otherwise(ceil(y - 0.5)).cast("double") / 1e6)
+  }
+
+  def r6(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case DoubleType | FloatType => rd6(col(f.name)).as(f.name)
+        case _ => col(f.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** Shared DuckDB window-spec fragments (events panel). */
+  val W = "PARTITION BY user_id ORDER BY ts, event_id"
+  val WE = "PARTITION BY user_id"
+}

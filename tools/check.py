@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: read Verify output
+parquet per query, run the dumped oracle SQL in DuckDB over the same
+testdata parquets, compare (columns sorted by name, rows sorted, values
+compared with exact-after-round semantics)."""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
+sfdir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sfdir}/*.parquet"):
+    name = os.path.basename(p).replace(".parquet", "")
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+fails, passes = [], []
+for q, sql in sorted(oracle.items()):
+    try:
+        got_files = glob.glob(f"{outdir}/{q}/*.parquet")
+        if not got_files:
+            fails.append((q, "no spark output")); continue
+        got = canon(pd.concat([pd.read_parquet(f) for f in got_files]))
+        want = canon(con.sql(sql).df())
+        if list(got.columns) != list(want.columns):
+            fails.append((q, f"cols {list(got.columns)} vs {list(want.columns)}")); continue
+        if len(got) != len(want):
+            fails.append((q, f"rows {len(got)} vs {len(want)}")); continue
+        ok = True
+        for c in got.columns:
+            g, w = got[c], want[c]
+            if g.dtype.kind == 'f' or w.dtype.kind == 'f':
+                if not np.allclose(g.astype(float), w.astype(float), rtol=0, atol=1e-9, equal_nan=True):
+                    bad = ~np.isclose(g.astype(float), w.astype(float), rtol=0, atol=1e-9, equal_nan=True)
+                    i = int(np.argmax(bad))
+                    fails.append((q, f"col {c} differs, e.g. row {i}: {g.iloc[i]} vs {w.iloc[i]}")); ok = False; break
+            else:
+                if not g.astype(str).equals(w.astype(str)):
+                    neq = g.astype(str) != w.astype(str)
+                    i = int(np.argmax(neq.to_numpy()))
+                    fails.append((q, f"col {c} differs, e.g. row {i}: {g.iloc[i]!r} vs {w.iloc[i]!r}")); ok = False; break
+        if ok:
+            passes.append(q)
+    except Exception as e:
+        fails.append((q, f"EXC {type(e).__name__}: {e}"))
+
+# rows-only queries
+rows_only = [d for d in os.listdir(outdir)
+             if os.path.isdir(f"{outdir}/{d}") and d not in oracle]
+for q in sorted(rows_only):
+    files = glob.glob(f"{outdir}/{q}/*.parquet")
+    n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
+    print(f"[rows-only] {q}: {n} rows" + ("  <-- EMPTY" if n == 0 else ""))
+
+print(f"\nPASS {len(passes)}/{len(oracle)}")
+for q, why in fails:
+    print(f"FAIL {q}: {why}")
+sys.exit(1 if fails else 0)
