@@ -26,17 +26,46 @@ object Preprocess {
   }
 
   /** Order-k seasonal differencing applied `order` times —
-    * preprocessing.py:491. Returns (diffed, artifacts) where artifacts
-    * hold the per-entity head rows needed for exact inversion. */
-  def diff(p: Panel, order: Int, sp: Int): (DataFrame, DataFrame) = {
-    val heads = p.df.withColumn("__rn", row_number().over(p.w))
-      .filter(col("__rn") <= order * sp)
-      .select((p.entityCols ++ p.orderCols :+ p.x): _*)
-    val out = (1 to order).foldLeft(p.df) { (d, _) =>
-      d.withColumn(p.value, p.x - org.apache.spark.sql.functions.lag(p.x, sp).over(
-        Window.partitionBy(p.entityCols: _*).orderBy(p.orderCols: _*)))
+    * preprocessing.py:491. Returns (diffed, headsPerIteration): the
+    * sp head rows of each intermediate series, exactly the artifacts
+    * needed for inversion (the reference's X_first frames,
+    * preprocessing.py:510-515). */
+  def diff(p: Panel, order: Int, sp: Int): (DataFrame, Seq[DataFrame]) = {
+    var cur = p.df
+    val heads = (1 to order).map { i =>
+      // heads of iteration i = first i·sp rows of its INPUT series
+      // (rows 1..(i−1)·sp are that input's own warmup nulls)
+      val h = cur.withColumn("__rn", row_number().over(p.w))
+        .filter(col("__rn") <= sp * i)
+        .select((p.entityCols ++ p.orderCols :+ p.x.as("__head")): _*)
+      cur = cur.withColumn(p.value,
+        p.x - org.apache.spark.sql.functions.lag(p.x, sp).over(
+          Window.partitionBy(p.entityCols: _*).orderBy(p.orderCols: _*)))
+      h
     }
-    (out, heads)
+    (cur, heads)
+  }
+
+  /** Invert [[diff]]: per iteration (reversed), seed the first i·sp
+    * rows from the stored heads, then cumulative-sum within each
+    * (entity, phase = row mod sp) lane — the seasonal analog of the
+    * reference's cum_sum().over(entity) (preprocessing.py:534-571).
+    * Warmup nulls stay null (sum over an all-null prefix is null). */
+  def diffInvert(diffed: DataFrame, heads: Seq[DataFrame], entity: Seq[String],
+                 order: Seq[String], value: String, sp: Int): DataFrame = {
+    val e = entity.map(col)
+    val w = Window.partitionBy(e: _*).orderBy(order.map(col): _*)
+    heads.zipWithIndex.reverse.foldLeft(diffed) { case (d, (h, idx)) =>
+      val cutoff = sp * (idx + 1)
+      val seeded = d
+        .withColumn("__rn", row_number().over(w))
+        .join(broadcast(h), entity ++ order, "left")
+        .withColumn("__v", when(col("__rn") <= cutoff, col("__head")).otherwise(col(value)))
+        .withColumn("__phase", (col("__rn") - 1) % sp)
+      val lane = Window.partitionBy((e :+ col("__phase")): _*).orderBy(order.map(col): _*)
+      seeded.withColumn(value, sum(col("__v")).over(lane.rowsBetween(Window.unboundedPreceding, 0)))
+        .drop("__rn", "__head", "__v", "__phase")
+    }
   }
 
   /** Per-entity standardization (z-score) — preprocessing.py:340.

@@ -1,0 +1,79 @@
+package graft
+
+import graft.core.Panel
+import graft.operators.{CrossValidation, Forecasters, LinearForecaster, Metrics}
+import org.apache.spark.sql.functions._
+
+/** Forecasters, splitters, metrics — semantics vs the reference
+  * (forecasting/naive.py, snaive.py, cross_validation.py, metrics/). */
+class ForecastSpec extends SparkSpec {
+
+  private def intPanel(series: Seq[Double]*): Panel = panel(series: _*)
+
+  test("naive repeats the last value fh times (naive.py:28-35)") {
+    val p = intPanel(Seq(1, 2, 3), Seq(9, 8, 7))
+    val out = Forecasters.naive(p, "t", fh = 3, freq = "1i").orderBy("entity", "t").collect()
+    assert(out.length == 6)
+    assert(out.filter(_.getInt(0) == 0).forall(_.getDouble(2) == 3.0))
+    assert(out.filter(_.getInt(0) == 1).forall(_.getDouble(2) == 7.0))
+    // future times continue the integer axis
+    assert(out.filter(_.getInt(0) == 0).map(_.getInt(1)).toSeq == Seq(3, 4, 5))
+  }
+
+  test("snaive cycles the last sp values (snaive.py:52-59)") {
+    val p = intPanel(Seq(10, 20, 30, 1, 2, 3))
+    val out = Forecasters.snaive(p, "t", fh = 5, sp = 3, freq = "1i")
+      .orderBy("entity", "t").collect().map(_.getDouble(2)).toSeq
+    assert(out == Seq(1.0, 2.0, 3.0, 1.0, 2.0))
+  }
+
+  test("train_test_split slices per entity (cross_validation.py:118-157)") {
+    val p = intPanel(Seq(1, 2, 3, 4, 5), Seq(9, 8, 7, 6, 5))
+    val (train, test) = CrossValidation.trainTestSplit(p, 2)
+    assert(train.count() == 6 && test.count() == 4)
+    assert(test.filter(col("entity") === 0).orderBy("t").collect().map(_.getDouble(2)).toSeq == Seq(4.0, 5.0))
+  }
+
+  test("expanding window split sizes (cross_validation.py:253-289)") {
+    val p = intPanel((1 to 20).map(_.toDouble))
+    val splits = CrossValidation.expandingWindowSplit(p, testSize = 3, nSplits = 3, stepSize = 2)
+    val sizes = splits.map { case (tr, te) => (tr.count(), te.count()) }
+    // cutoffs: 3+2*2=7, 3+2=5, 3 → train 13,15,17; test 3 each
+    assert(sizes == Seq((13L, 3L), (15L, 3L), (17L, 3L)))
+  }
+
+  test("metrics formulas on a hand-computed pair") {
+    import spark.implicits._
+    val yTrue = Seq((0, 0, 10.0), (0, 1, 20.0), (0, 2, 30.0)).toDF("entity", "t", "actual")
+    val yPred = Seq((0, 0, 12.0), (0, 1, 18.0), (0, 2, 33.0)).toDF("entity", "t", "pred")
+    val j = Metrics.aligned(yTrue, yPred, Seq("entity", "t"), "actual", "pred")
+    assertClose(featVal(Metrics.mae(j, Seq("entity")), "mae"), (2 + 2 + 3) / 3.0)
+    assertClose(featVal(Metrics.mse(j, Seq("entity")), "mse"), (4 + 4 + 9) / 3.0)
+    assertClose(featVal(Metrics.rmse(j, Seq("entity")), "rmse"), math.sqrt(17 / 3.0))
+    assertClose(featVal(Metrics.smape(j, Seq("entity")), "smape"), 7.0 / 123.0)
+    assertClose(featVal(Metrics.mfe(j, Seq("entity")), "mfe"), (2 - 2 + 3) / 3.0)
+    assertClose(featVal(Metrics.mape(j, Seq("entity")), "mape"), (0.2 + 0.1 + 0.1) / 3.0)
+  }
+
+  test("linear AR forecaster recovers an exact AR(2) process") {
+    // sin(ωt) satisfies x_t = 2cos(ω)·x_{t-1} − x_{t-2} exactly
+    val omega = 0.3
+    val s = (0 until 60).map(i => math.sin(omega * i))
+    val p = panel(s)
+    val m = LinearForecaster.fit(p, lags = 2, freq = "1i")
+    assertClose(m.weights(0), 2 * math.cos(omega), 1e-5)
+    assertClose(m.weights(1), -1.0, 1e-5)
+    assertClose(m.intercept, 0.0, 1e-5)
+    val preds = m.predict(p, "t", fh = 2).orderBy("t").collect().map(_.getDouble(2))
+    assertClose(preds(0), math.sin(omega * 60), 1e-4)
+    assertClose(preds(1), math.sin(omega * 61), 1e-4)
+  }
+
+  test("interval coverage and winkler") {
+    import spark.implicits._
+    val df = Seq((0, 5.0, 0.0, 10.0), (0, 15.0, 0.0, 10.0)).toDF("entity", "actual", "lo", "hi")
+    assertClose(featVal(Metrics.intervalCoverage(df, Seq("entity"), "actual", "lo", "hi"), "interval_coverage"), 0.5)
+    // winkler: width 10 each; second point 5 above upper → + 2/0.2*5 = 50
+    assertClose(featVal(Metrics.winklerScore(df, Seq("entity"), "actual", "lo", "hi", 0.2), "winkler_score"), (10 + 60) / 2.0)
+  }
+}

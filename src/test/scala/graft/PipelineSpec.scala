@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators: dedup fidelity, similarity
+  * search correctness, text heuristics. */
+class PipelineSpec extends SparkSpec {
+
+  import SparkSpec.session.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+    (1L, "the quick brown fox jumps over the lazy dog and runs away quickly"), // near-dup of 0
+    (2L, "completely different content about spark query engines and optimizers"),
+    (3L, "the quick brown fox jumps over the lazy dog and runs away fast") // exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exactDedup(docs, "doc_id", "text").collect()
+    assert(out.length == 3)
+    val dup = out.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) == 0L) // keep lowest id
+  }
+
+  test("minhash est_jaccard tracks true jaccard for near-dups") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", shingleSize = 3, numHashes = 64)
+    val pairs = Dedup.minhashCandidatePairs(sigs, "doc_id", numHashes = 64, rowsPerBand = 4)
+    val verified = Dedup.jaccardVerify(pairs, docs, "doc_id", "text", 3)
+      .select("a", "b", "est_jaccard", "jaccard").collect()
+    // exact dup pair (0,3) must be found with jaccard 1.0
+    val exact = verified.find(r => r.getLong(0) == 0L && r.getLong(1) == 3L)
+    assert(exact.isDefined, "exact-dup pair not in candidates")
+    assertClose(exact.get.getDouble(3), 1.0)
+    assertClose(exact.get.getDouble(2), 1.0)
+    // near-dup pair (0,1): true jaccard high, estimate within 0.25
+    val near = verified.find(r => r.getLong(0) == 0L && r.getLong(1) == 1L)
+    assert(near.isDefined, "near-dup pair not in candidates")
+    assert(math.abs(near.get.getDouble(2) - near.get.getDouble(3)) < 0.25)
+  }
+
+  test("simhash hamming distance: near-dups closer than unrelated docs") {
+    val sh = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(3L)) == 0)
+    assert(ham(sh(0L), sh(1L)) < ham(sh(0L), sh(2L)))
+  }
+
+  test("cosine top-k finds the nearest vector") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.cosineTopK(emb.filter($"vec_id" === 0), emb, "vec_id", "embedding", 2)
+      .orderBy("rnk").collect()
+    assert(out(0).getLong(2) == 1L) // nearest
+    assert(out(0).getDouble(3) > 0.99 * out(1).getDouble(3))
+  }
+
+  test("IVF ANN returns same top-1 as brute force when cells are coarse") {
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 7)
+    val brute = Similarity.cosineTopK(q, vecs, "vec_id", "embedding", 1).collect()(0).getLong(2)
+    val ivf = Similarity.ivfTopK(q, vecs, "vec_id", "embedding", k = 1, nCells = 1).collect()(0).getLong(2)
+    assert(brute == ivf)
+  }
+
+  test("langId picks the stopword-dominant language") {
+    val d = Seq(
+      (0L, "the cat and the dog sat in the garden of the house"),
+      (1L, "der Hund und die Katze sind nicht mit der Maus"),
+      (2L, "le chat et les chiens sont dans le jardin et les arbres"),
+      (3L, "这是一个中文文档 关于数据处理")
+    ).toDF("doc_id", "text")
+    val got = d.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) == "en" && got(1L) == "de" && got(2L) == "fr" && got(3L) == "zh")
+  }
+
+  test("token count and fingerprint invariance to formatting") {
+    val d = Seq((0L, "Hello,  World! This is   a test."), (1L, "hello world this is a test")).toDF("doc_id", "text")
+    val fp = d.select(TextAnalysis.fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fp(0) == fp(1)) // punctuation/casing/whitespace-insensitive
+    val tc = d.select(TextAnalysis.tokenCount(col("text"))).collect().map(_.getInt(0))
+    assert(tc.toSeq == Seq(6, 6))
+  }
+
+  test("shingles of short docs are empty, not an error") {
+    val d = Seq((0L, "one two")).toDF("doc_id", "text")
+    assert(d.select(size(Dedup.shingles(col("text"), 3))).collect()(0).getInt(0) == 0)
+  }
+}
