@@ -15,7 +15,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   val registry: Map[String, Q] =
-    FeatureQueries.all ++ PreprocessQueries.all ++ ForecastQueries.all ++ PipelineQueries.all
+    FeatureQueries.all ++ PreprocessQueries.all ++ ForecastQueries.all ++
+      PipelineQueries.all ++ AggQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

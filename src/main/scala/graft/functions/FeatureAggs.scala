@@ -1,0 +1,155 @@
+package graft.functions
+
+import graft.core.Panel
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Ordered-series typed aggregators for the ~12 collect-based features
+  * (SURVEY.md §2.3/§7.4): the value arrays are gathered per entity
+  * with an explicit order key (nondeterministic shuffle order is
+  * sorted away in finish()), then handed to the pure [[Kernels]].
+  *
+  * Scale: buffers hold one series per entity — the same memory shape
+  * as the reference's per-series NumPy arrays; partial aggregation
+  * merges across partitions without a separate shuffle stage.
+  */
+object FeatureAggs {
+
+  final case class Pt(i: Long, v: Double)
+
+  abstract class SeriesAgg[OUT](implicit outEnc: Encoder[OUT])
+      extends Aggregator[Pt, Seq[Pt], OUT] with Serializable {
+    def compute(xs: Array[Double]): OUT
+    override def zero: Seq[Pt] = Vector.empty
+    override def reduce(b: Seq[Pt], a: Pt): Seq[Pt] = b :+ a
+    override def merge(a: Seq[Pt], b: Seq[Pt]): Seq[Pt] = a ++ b
+    override def finish(b: Seq[Pt]): OUT = compute(b.sortBy(_.i).map(_.v).toArray)
+    override def bufferEncoder: Encoder[Seq[Pt]] = Encoders.kryo[Seq[Pt]]
+    override def outputEncoder: Encoder[OUT] = outEnc
+  }
+
+  private implicit val doubleEnc: Encoder[Double] = Encoders.scalaDouble
+
+  private def mk[OUT: Encoder](f: Array[Double] => OUT) = new SeriesAgg[OUT] {
+    def compute(xs: Array[Double]): OUT = f(xs)
+  }
+
+  private def u[OUT](agg: SeriesAgg[OUT]) = udaf(agg, Encoders.product[Pt])
+
+  /** LZ76 complexity of (x > threshold), optionally ÷ n —
+    * feature_extractors.py:918 + the Rust kernel. */
+  def lempelZivComplexity(threshold: Double, asRatio: Boolean): (Column, Column) => Column = {
+    val f = u(mk { xs =>
+      val c = Kernels.lempelZiv(xs.map(_ > threshold))
+      if (asRatio) c.toDouble / xs.length else c.toDouble
+    })
+    (i, v) => f(i, v)
+  }
+
+  /** CUSUM changepoint events array (time order) —
+    * feature_extractors.py:2761 + cusum.rs. */
+  def cusumEvents(threshold: Double, warmup: Int, drift: Double): (Column, Column) => Column = {
+    implicit val enc: Encoder[Seq[Int]] = Encoders.kryo[Seq[Int]]
+    val agg = new Aggregator[Pt, Seq[Pt], Seq[Int]] with Serializable {
+      override def zero: Seq[Pt] = Vector.empty
+      override def reduce(b: Seq[Pt], a: Pt): Seq[Pt] = b :+ a
+      override def merge(a: Seq[Pt], b: Seq[Pt]): Seq[Pt] = a ++ b
+      override def finish(b: Seq[Pt]): Seq[Int] =
+        Kernels.cusum(b.sortBy(_.i).map(_.v).toArray, threshold, warmup, drift).toSeq
+      override def bufferEncoder: Encoder[Seq[Pt]] = Encoders.kryo[Seq[Pt]]
+      override def outputEncoder: Encoder[Seq[Int]] = ExpressionEncoders.seqInt
+    }
+    val f = udaf(agg, Encoders.product[Pt])
+    (i, v) => f(i, v)
+  }
+
+  /** Number of CUSUM changepoints — scalar convenience. */
+  def cusumCount(threshold: Double, warmup: Int, drift: Double): (Column, Column) => Column = {
+    val f = u(mk { xs => Kernels.cusum(xs, threshold, warmup, drift).sum.toDouble })
+    (i, v) => f(i, v)
+  }
+
+  def approximateEntropy(m: Int, r: Double): (Column, Column) => Column = {
+    val f = u(mk(xs => Kernels.approximateEntropy(xs, m, r)))
+    (i, v) => f(i, v)
+  }
+
+  def sampleEntropy(ratio: Double, m: Int): (Column, Column) => Column = {
+    val f = u(mk(xs => Kernels.sampleEntropy(xs, ratio, m)))
+    (i, v) => f(i, v)
+  }
+
+  def augmentedDickeyFuller(nLags: Int): (Column, Column) => Column = {
+    val f = u(mk(xs => Kernels.adfStat(xs, nLags)))
+    (i, v) => f(i, v)
+  }
+
+  private implicit val seqDoubleEnc: Encoder[Seq[Double]] = ExpressionEncoders.seqDouble
+
+  def autoregressiveCoefficients(nLags: Int): (Column, Column) => Column = {
+    val f = u(mk[Seq[Double]](xs => Kernels.arCoefficients(xs, nLags).toSeq))
+    (i, v) => f(i, v)
+  }
+
+  def spktWelchDensity(nCoeffs: Int): (Column, Column) => Column = {
+    val f = u(mk[Seq[Double]](xs => Kernels.welchPsd(xs).take(nCoeffs).toSeq))
+    (i, v) => f(i, v)
+  }
+
+  def fourierEntropy(bins: Int): (Column, Column) => Column = {
+    val f = u(mk(xs => Kernels.fourierEntropy(xs, bins)))
+    (i, v) => f(i, v)
+  }
+
+  /** rFFT real parts (first nCoeffs) — fft_coefficients
+    * (feature_extractors.py:1911; full struct via fftStruct). */
+  def fftStruct(nCoeffs: Int): (Column, Column) => Column = {
+    implicit val enc: Encoder[FftOut] = Encoders.product[FftOut]
+    val f = u(mk[FftOut] { xs =>
+      val (re, im) = Kernels.rfft(xs)
+      val ang = re.zip(im).map { case (r, i2) => math.atan2(r, i2) * 180 / math.Pi }
+      FftOut(re.take(nCoeffs).toSeq, im.take(nCoeffs).toSeq, ang.take(nCoeffs).toSeq)
+    })
+    (i, v) => f(i, v)
+  }
+
+  def cwtCoefficients(widths: Seq[Int], nCoeffs: Int): (Column, Column) => Column = {
+    val f = u(mk[Seq[Double]](xs => Kernels.cwtCoefficients(xs, widths, nCoeffs).toSeq))
+    (i, v) => f(i, v)
+  }
+
+  def friedrichCoefficients(polyOrder: Int, nQuantiles: Int): (Column, Column) => Column = {
+    val f = u(mk[Seq[Double]](xs => Kernels.friedrichCoefficients(xs, polyOrder, nQuantiles).toSeq))
+    (i, v) => f(i, v)
+  }
+
+  /** Per-entity Box-Cox MLE λ — the preprocessing.py:604-612 artifact. */
+  def boxcoxLambda: (Column, Column) => Column = {
+    val f = u(mk(xs => Kernels.boxcoxLambdaMle(xs)))
+    (i, v) => f(i, v)
+  }
+
+  /** Helper: run an aggregator over a panel (adds the order index). */
+  def over(p: Panel, agg: (Column, Column) => Column, out: String): DataFrame = {
+    val pr = p.withRowIdx("__i")
+    pr.df.groupBy(p.entityCols: _*).agg(agg(col("__i"), p.x).as(out))
+  }
+
+  final case class FftOut(real: Seq[Double], imag: Seq[Double], angle: Seq[Double])
+}
+
+/** Concrete encoders for Seq types (kryo would write opaque binary —
+  * these keep ArrayType columns readable/parquet-writable). */
+object ExpressionEncoders {
+  import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+  import org.apache.spark.sql.catalyst.encoders.AgnosticEncoders._
+  val seqDouble: Encoder[Seq[Double]] =
+    ExpressionEncoder(IterableEncoder(
+      classTag[Seq[Double]], BoxedDoubleEncoder, containsNull = false, lenientSerialization = false))
+  val seqInt: Encoder[Seq[Int]] =
+    ExpressionEncoder(IterableEncoder(
+      classTag[Seq[Int]], BoxedIntEncoder, containsNull = false, lenientSerialization = false))
+  private def classTag[T]: scala.reflect.ClassTag[T] =
+    scala.reflect.ClassTag.AnyRef.asInstanceOf[scala.reflect.ClassTag[T]]
+}

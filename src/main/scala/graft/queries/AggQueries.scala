@@ -1,0 +1,48 @@
+package graft.queries
+
+import graft.functions.FeatureAggs
+import org.apache.spark.sql.functions._
+import Q._
+
+/** SparkEntry registrations for the collect-based (typed Aggregator)
+  * features — the reference's Rust/SciPy kernels (SURVEY.md §2.3).
+  * DuckDB cannot express these → rows-only driver check; numeric
+  * parity is asserted against NumPy/SciPy goldens in KernelsSpec. */
+object AggQueries {
+
+  private def over(name: String, agg: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column) =
+    Q.rowsOnly { (s, dir) => r6(FeatureAggs.over(ev(s, dir), agg, name)) }
+
+  val all: Map[String, Q] = Map(
+    "f_lempel_ziv_complexity" -> over("lempel_ziv_complexity",
+      FeatureAggs.lempelZivComplexity(threshold = 100.0, asRatio = true)),
+    "f_cusum" -> over("n_changepoints",
+      FeatureAggs.cusumCount(threshold = 5.0, warmup = 20, drift = 0.0)),
+    "f_approximate_entropy" -> over("approximate_entropy",
+      FeatureAggs.approximateEntropy(m = 2, r = 0.5)),
+    "f_sample_entropy" -> over("sample_entropy",
+      FeatureAggs.sampleEntropy(ratio = 0.2, m = 2)),
+    "f_augmented_dickey_fuller" -> over("adf_stat",
+      FeatureAggs.augmentedDickeyFuller(nLags = 2)),
+    "f_fourier_entropy" -> over("fourier_entropy",
+      FeatureAggs.fourierEntropy(bins = 10)),
+    "f_ar_coefficients" -> Q.rowsOnly { (s, dir) =>
+      FeatureAggs.over(ev(s, dir), FeatureAggs.autoregressiveCoefficients(3), "ar_coefficients")
+    },
+    "f_spkt_welch_density" -> Q.rowsOnly { (s, dir) =>
+      FeatureAggs.over(ev(s, dir), FeatureAggs.spktWelchDensity(5), "welch_density")
+    },
+    "f_fft_coefficients" -> Q.rowsOnly { (s, dir) =>
+      FeatureAggs.over(ev(s, dir), FeatureAggs.fftStruct(4), "fft")
+        .select(col("user_id"), col("fft.real").as("real"), col("fft.imag").as("imag"),
+          col("fft.angle").as("angle"))
+    },
+    "f_cwt_coefficients" -> Q.rowsOnly { (s, dir) =>
+      FeatureAggs.over(ev(s, dir), FeatureAggs.cwtCoefficients(Seq(2, 5, 10, 20), 3), "cwt_coefficients")
+    },
+    "f_friedrich_coefficients" -> Q.rowsOnly { (s, dir) =>
+      FeatureAggs.over(ev(s, dir), FeatureAggs.friedrichCoefficients(3, 30), "friedrich_coefficients")
+    },
+    "p_boxcox_lambda" -> over("boxcox_lambda", FeatureAggs.boxcoxLambda)
+  )
+}
