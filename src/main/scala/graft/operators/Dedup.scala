@@ -30,12 +30,31 @@ object Dedup {
       i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j)): _*)))
   }
 
+  /** One row per (doc, shingle position). Built word-row-wise
+    * (posexplode + lead window) rather than via an array lambda: a
+    * lambda over `split(text)` re-evaluates the regex split per
+    * element (no subexpression elimination inside higher-order
+    * functions), turning shingling O(words²) per doc. */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val words = docs.select(col(idCol),
+      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("__pos", "__w")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val leads = (1 until n).map(j => lead(col("__w"), j).over(w))
+    val parts = col("__w") +: leads
+    words
+      .withColumn("__sh", concat_ws(" ", parts: _*))
+      .withColumn("__full", if (n > 1) leads.last.isNotNull else lit(true))
+      .filter(col("__full"))
+      .select(col(idCol), col("__sh"))
+  }
+
   /** MinHash signatures: k independent hash permutations approximated
     * by seeded xxhash64 over each shingle; signature j = min over
-    * shingles. Returns one row per doc with `minhash` array. */
+    * shingles (duplicates don't affect min — no distinct needed).
+    * Returns one row per doc with `minhash` array. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int, numHashes: Int): DataFrame = {
-    val sh = docs.select(col(idCol), explode(shingles(col(textCol), shingleSize)).as("__sh"))
+    val sh = shingleRows(docs, idCol, textCol, shingleSize)
     val hashCols = (0 until numHashes).map(j => min(xxhash64(lit(j), col("__sh"))).as(s"__h$j"))
     sh.groupBy(col(idCol)).agg(hashCols.head, hashCols.tail: _*)
       .select(col(idCol), array((0 until numHashes).map(j => col(s"__h$j")): _*).as("minhash"))
@@ -47,28 +66,33 @@ object Dedup {
   def minhashCandidatePairs(signatures: DataFrame, idCol: String,
                             numHashes: Int, rowsPerBand: Int): DataFrame = {
     val nBands = numHashes / rowsPerBand
-    val withBands = signatures.select(
+    // slim (id, band, key) rows for the bucket self-join — the wide
+    // signature arrays stay out of the shuffle; they're joined back
+    // once per DISTINCT candidate pair, not per band collision
+    val bands = signatures.select(
       col(idCol).as("a"),
-      col("minhash"),
       posexplode(transform(
         sequence(lit(0), lit(nBands - 1)),
         b => struct(b.as("band"), slice(col("minhash"), b * rowsPerBand + 1, lit(rowsPerBand)).as("key")))))
-      .select(col("a"), col("minhash").as("sig_a"), col("col.band"), col("col.key"))
-    val left = withBands
-    val right = withBands.select(col("a").as("b"), col("sig_a").as("sig_b"), col("band"), col("key"))
-    left.join(right, Seq("band", "key"))
+      .select(col("a"), col("col.band"), col("col.key"))
+    val pairs = bands.join(bands.select(col("a").as("b"), col("band"), col("key")), Seq("band", "key"))
       .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val sig = signatures.select(col(idCol), col("minhash"))
+    pairs
+      .join(sig.select(col(idCol).as("a"), col("minhash").as("__sa")), Seq("a"))
+      .join(sig.select(col(idCol).as("b"), col("minhash").as("__sb")), Seq("b"))
       .select(col("a"), col("b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-          .cast("double") / size(col("sig_a"))).as("est_jaccard"))
-      .distinct()
+        (size(filter(zip_with(col("__sa"), col("__sb"), (x, y) => x === y), eq => eq))
+          .cast("double") / size(col("__sa"))).as("est_jaccard"))
   }
 
   /** Exact n-gram Jaccard for a pair frame (a, b) — verification step
     * after LSH candidate generation. */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
                     textCol: String, shingleSize: Int): DataFrame = {
-    val sh = docs.select(col(idCol), shingles(col(textCol), shingleSize).as("__sh"))
+    val sh = shingleRows(docs, idCol, textCol, shingleSize)
+      .groupBy(col(idCol)).agg(collect_set(col("__sh")).as("__sh"))
     pairs
       .join(sh.select(col(idCol).as("a"), col("__sh").as("__sa")), Seq("a"))
       .join(sh.select(col(idCol).as("b"), col("__sh").as("__sb")), Seq("b"))

@@ -105,9 +105,10 @@ object ForecastQueries {
             CASE WHEN row_number() OVER ($W) <= count(*) OVER ($WE) - 10 THEN 'train' ELSE 'test' END AS part
           FROM events""") {
       (s, dir) =>
-        val (train, test) = CrossValidation.trainTestSplit(ev(s, dir), 10)
-        train.select(col("event_id"), lit("train").as("part"))
-          .unionByName(test.select(col("event_id"), lit("test").as("part")))
+        // single-pass form of trainTestSplit: one window scan, no union
+        val d = CrossValidation.withPosition(ev(s, dir))
+        d.select(col("event_id"),
+          when(col("__rn") <= col("__cnt") - 10, "train").otherwise("test").as("part"))
     },
 
     "cv_expanding_window" -> Q(
@@ -120,15 +121,20 @@ object ForecastQueries {
                            AND rn <= cnt - (10 + (2 - split) * 5) + 10 THEN 1 ELSE 0 END) AS BIGINT) AS test_n
           FROM b CROSS JOIN s GROUP BY b.user_id, s.split""") {
       (s, dir) =>
-        val splits = CrossValidation.expandingWindowSplit(ev(s, dir), testSize = 10, nSplits = 3, stepSize = 5)
-        splits.zipWithIndex.map { case ((train, test), i) =>
-          val t = train.groupBy("user_id").agg(count(lit(1)).as("train_n"))
-          val v = test.groupBy("user_id").agg(count(lit(1)).as("test_n"))
-          t.join(v, Seq("user_id"), "full")
-            .select(col("user_id"), lit(i).as("split"),
-              coalesce(col("train_n"), lit(0L)).as("train_n"),
-              coalesce(col("test_n"), lit(0L)).as("test_n"))
-        }.reduce(_ unionByName _)
+        // one scan: conditional sums per split, stacked — the splits
+        // are filters over the same (rn, cnt) frame, so a 3× re-scan
+        // (and 3 sorts) collapses into a single window + aggregate
+        val d = CrossValidation.withPosition(ev(s, dir))
+        val aggs = (0 until 3).flatMap { i =>
+          val trainEnd = col("__cnt") - (10 + (2 - i) * 5)
+          Seq(
+            sum(when(col("__rn") <= trainEnd, 1).otherwise(0)).cast("long").as(s"tr$i"),
+            sum(when(col("__rn") > trainEnd && col("__rn") <= trainEnd + 10, 1).otherwise(0))
+              .cast("long").as(s"te$i"))
+        }
+        d.groupBy("user_id").agg(aggs.head, aggs.tail: _*)
+          .selectExpr("user_id",
+            "stack(3, 0, tr0, te0, 1, tr1, te1, 2, tr2, te2) AS (split, train_n, test_n)")
     },
 
     "cv_sliding_window" -> Q(
@@ -140,11 +146,14 @@ object ForecastQueries {
                            AND rn <= cnt - (10 + (2 - split) * 5) THEN 1 ELSE 0 END) AS BIGINT) AS train_n
           FROM b CROSS JOIN s GROUP BY b.user_id, s.split""") {
       (s, dir) =>
-        val splits = CrossValidation.slidingWindowSplit(ev(s, dir), testSize = 10, nSplits = 3, stepSize = 5, windowSize = 20)
-        splits.zipWithIndex.map { case ((train, _), i) =>
-          train.groupBy("user_id").agg(count(lit(1)).as("train_n"))
-            .select(col("user_id"), lit(i).as("split"), col("train_n"))
-        }.reduce(_ unionByName _)
+        val d = CrossValidation.withPosition(ev(s, dir))
+        val aggs = (0 until 3).map { i =>
+          val trainEnd = col("__cnt") - (10 + (2 - i) * 5)
+          sum(when(col("__rn") > trainEnd - 20 && col("__rn") <= trainEnd, 1).otherwise(0))
+            .cast("long").as(s"tr$i")
+        }
+        d.groupBy("user_id").agg(aggs.head, aggs.tail: _*)
+          .selectExpr("user_id", "stack(3, 0, tr0, 1, tr1, 2, tr2) AS (split, train_n)")
     },
 
     "fc_naive" -> Q(

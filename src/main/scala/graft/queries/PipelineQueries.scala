@@ -84,9 +84,13 @@ object PipelineQueries {
                   regexp_split_to_array(trim(text), '\s+')[i+2]))) AS BIGINT) AS n_shingles
          FROM documents""") {
       (s, dir) =>
-        tbl(s, dir, "documents")
-          .select(col("doc_id"),
-            size(Dedup.shingles(col("text"), 3)).cast("long").as("n_shingles"))
+        // distinct-shingle counts from shingle ROWS (split once per
+        // doc); left join keeps <3-word docs at 0 like the oracle
+        val docs = tbl(s, dir, "documents")
+        val counts = Dedup.shingleRows(docs, "doc_id", "text", 3)
+          .groupBy("doc_id").agg(count_distinct(col("__sh")).as("n_shingles"))
+        docs.select("doc_id").join(counts, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("n_shingles"), lit(0L)).as("n_shingles"))
     },
 
     // MinHash/SimHash use xxhash64 (not available in DuckDB) — rows-only;
