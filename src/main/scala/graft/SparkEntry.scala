@@ -16,7 +16,7 @@ object SparkEntry {
 
   val registry: Map[String, Q] =
     FeatureQueries.all ++ PreprocessQueries.all ++ ForecastQueries.all ++
-      PipelineQueries.all ++ AggQueries.all
+      PipelineQueries.all ++ AggQueries.all ++ ConformalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

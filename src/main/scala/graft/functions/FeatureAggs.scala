@@ -124,6 +124,12 @@ object FeatureAggs {
     (i, v) => f(i, v)
   }
 
+  /** Ridge-line CWT peak count — feature_extractors.py:1187. */
+  def numberCwtPeaks(maxWidth: Int): (Column, Column) => Column = {
+    val f = u(mk(xs => Kernels.numberCwtPeaks(xs, maxWidth).toDouble))
+    (i, v) => f(i, v)
+  }
+
   /** Per-entity Box-Cox MLE λ — the preprocessing.py:604-612 artifact. */
   def boxcoxLambda: (Column, Column) => Column = {
     val f = u(mk(xs => Kernels.boxcoxLambdaMle(xs)))

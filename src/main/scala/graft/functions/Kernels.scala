@@ -217,7 +217,7 @@ object Kernels {
     solve(xtx, xty)
   }
 
-  private def solve(m: Array[Array[Double]], v: Array[Double]): Array[Double] = {
+  private[graft] def solve(m: Array[Array[Double]], v: Array[Double]): Array[Double] = {
     val p = v.length
     val a = m.map(_.clone())
     val b = v.clone()
@@ -397,6 +397,64 @@ object Kernels {
       -((lmb - 1) * sumLog - n / 2.0 * math.log(v))
     }
     goldenMin(negLl, -5.0, 5.0, 1e-9)
+  }
+
+  /** Number of CWT-ridge peaks — feature_extractors.py:1187-1222
+    * (scipy.signal.find_peaks_cwt semantics, re-derived): smooth with
+    * Ricker wavelets for widths 1..maxWidth, link per-width relative
+    * maxima into ridge lines (nearest column within width/4, gaps ≤ 2
+    * rows), keep ridges spanning ≥ ¼ of the width scales whose
+    * smallest-width SNR ≥ 1 vs the 10th percentile local noise floor. */
+  def numberCwtPeaks(xs: Array[Double], maxWidth: Int): Int = {
+    val n = xs.length
+    if (n < 3) return 0
+    val widths = (1 to maxWidth).toArray
+    // cwt matrix: one smoothed row per width
+    val cwt = widths.map { w =>
+      val points = math.min(10 * w, n)
+      convolveSame(xs, ricker(points, w).reverse)
+    }
+    def relMaxCols(row: Array[Double]): Array[Int] =
+      (1 until n - 1).filter(i => row(i) > row(i - 1) && row(i) > row(i + 1)).toArray
+    val gapThresh = 2
+    // walk from the largest width down, linking maxima into ridges
+    final case class Ridge(var rows: List[Int], var cols: List[Int], var gap: Int)
+    var active = relMaxCols(cwt(widths.length - 1)).map(c =>
+      Ridge(List(widths.length - 1), List(c), 0)).toBuffer
+    val finished = scala.collection.mutable.ArrayBuffer.empty[Ridge]
+    var r = widths.length - 2
+    while (r >= 0) {
+      active.foreach(_.gap += 1)
+      val maxDist = math.max(widths(r) / 4.0, 1.0)
+      relMaxCols(cwt(r)).foreach { c =>
+        val cand = active.filter(l => math.abs(c - l.cols.head) <= maxDist)
+        if (cand.nonEmpty) {
+          val best = cand.minBy(l => math.abs(c - l.cols.head))
+          best.rows ::= r; best.cols ::= c; best.gap = 0
+        } else active += Ridge(List(r), List(c), 0)
+      }
+      val (dead, alive) = active.partition(_.gap > gapThresh)
+      finished ++= dead; active = alive
+      r -= 1
+    }
+    finished ++= active
+    // filter: length and SNR at the ridge's smallest-width endpoint
+    val minLength = math.ceil(widths.length / 4.0).toInt
+    val noiseWindow = math.ceil(n / 20.0).toInt
+    val row0 = cwt(0).map(math.abs)
+    finished.count { ridge =>
+      if (ridge.rows.size < minLength) false
+      else {
+        val col = ridge.cols.head
+        val lo = math.max(0, col - noiseWindow)
+        val hi = math.min(n, col + noiseWindow + 1)
+        val window = row0.slice(lo, hi).sorted
+        val noise = window(math.min(window.length - 1,
+          math.max(0, math.round(0.10 * (window.length - 1)).toInt)))
+        val snr = math.abs(cwt(ridge.rows.head)(col)) / math.max(noise, 1e-12)
+        snr >= 1.0
+      }
+    }
   }
 
   private def goldenMin(f: Double => Double, lo0: Double, hi0: Double, tol: Double): Double = {

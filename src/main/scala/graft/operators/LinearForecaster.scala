@@ -39,4 +39,54 @@ object LinearForecaster {
     val m = lr.fit(assembled)
     LinearForecasterModel(m.intercept, m.coefficients.toArray, lags, freq)
   }
+
+  /** Direct multi-horizon strategy — _ar.py:53-73: one model per
+    * horizon h, trained on the lag window shifted by h (features
+    * y_{t−h}..y_{t−h−L+1} → label y_t). At predict time every model
+    * scores the same per-entity tail [y_cutoff..y_{cutoff−L+1}], so
+    * the whole fh-horizon prediction is broadcast column algebra —
+    * one job, no recursion error compounding. */
+  def fitDirect(p: Panel, lags: Int, fh: Int, freq: String): DirectLinearModel = {
+    val reduction = Forecasters.makeReduction(p, lags + fh - 1)
+    val models = (1 to fh).map { h =>
+      val featureCols = (h until h + lags).map(l => s"${p.value}__lag_$l").toArray
+      val assembled = new VectorAssembler()
+        .setInputCols(featureCols).setOutputCol("__features")
+        .transform(reduction.na.drop(featureCols :+ p.value))
+      val m = new LinearRegression()
+        .setFeaturesCol("__features").setLabelCol(p.value)
+        .fit(assembled)
+      (m.intercept, m.coefficients.toArray)
+    }
+    DirectLinearModel(models, lags, freq)
+  }
+}
+
+/** One (intercept, weights-over-tail) pair per horizon step. */
+final case class DirectLinearModel(
+    models: Seq[(Double, Array[Double])], lags: Int, freq: String) {
+  import org.apache.spark.sql.expressions.Window
+  import org.apache.spark.sql.functions._
+
+  def predict(p: Panel, timeCol: String, fh: Int): DataFrame = {
+    require(fh <= models.length, s"fitted for ${models.length} horizons")
+    val tail = p.df
+      .withColumn("__rn_desc", row_number().over(
+        Window.partitionBy(p.entityCols: _*).orderBy(p.orderCols.map(_.desc): _*)))
+      .filter(col("__rn_desc") <= lags)
+    val state0 = tail.groupBy(p.entityCols: _*).agg(
+      collect_list(struct(col("__rn_desc"), p.x)).as("__s"),
+      max(col(timeCol)).as("__cutoff"))
+      .withColumn("__state", sort_array(col("__s")).getField(p.value))
+      .drop("__s")
+    val preds = models.take(fh).map { case (b0, w) =>
+      w.zipWithIndex.map { case (wc, i) => lit(wc) * element_at(col("__state"), i + 1) }
+        .reduce(_ + _) + lit(b0)
+    }
+    state0.withColumn("__preds", array(preds: _*))
+      .withColumn("__h", explode(sequence(lit(1), lit(fh))))
+      .withColumn(p.value, element_at(col("__preds"), col("__h").cast("int")))
+      .withColumn(timeCol, Forecasters.futureTime(freq))
+      .select((p.entityCols ++ Seq(col(timeCol), col(p.value))): _*)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Forecast metrics — per-entity scoring via left-join + groupBy(entity)
@@ -131,6 +132,30 @@ object Metrics {
       .when(col(actual) > col(upper), (col(actual) - col(upper)) * (2.0 / alpha))
       .otherwise(0.0)
     df.groupBy(entity.map(col): _*).agg(avg(width + pen).as("winkler_score"))
+  }
+
+  /** All point metrics left-join-reduced into one frame per entity —
+    * metrics/multi_objective.py:61-107. One pass computes the six
+    * joint-frame metrics (single shuffle); mase/rmsse join their
+    * in-sample naive denominators on entity. */
+  def scoreForecast(j: DataFrame, yTrain: DataFrame, entity: Seq[String],
+                    order: Seq[String], value: String, sp: Int): DataFrame = {
+    val base = j.groupBy(entity.map(col): _*).agg(
+      avg(abs(col("__p") - col("__a"))).as("mae"),
+      avg(abs(col("__a") - col("__p")) / abs(col("__a"))).as("mape"),
+      avg(pow(col("__p") - col("__a"), 2)).as("mse"),
+      sqrt(avg(pow(col("__p") - col("__a"), 2))).as("rmse"),
+      (sum(abs(col("__p") - col("__a"))) / sum(col("__p") + col("__a"))).as("smape"),
+      avg(lit(200.0) * abs(col("__p") - col("__a")) /
+        (lit(1e-15) + abs(col("__a")) + abs(col("__p")))).as("smape_original"))
+    val w = Window.partitionBy(entity.map(col): _*).orderBy(order.map(col): _*)
+    val nd = yTrain.withColumn("__nd", col(value) - lag(col(value), sp).over(w))
+      .groupBy(entity.map(col): _*)
+      .agg(avg(abs(col("__nd"))).as("__mad"), avg(pow(col("__nd"), 2)).as("__msd"))
+    base.join(nd, entity, "left")
+      .withColumn("mase", col("mae") / col("__mad"))
+      .withColumn("rmsse", sqrt(col("mse") / col("__msd")))
+      .drop("__mad", "__msd")
   }
 
   /** Mean/median of a per-entity score column across entities —

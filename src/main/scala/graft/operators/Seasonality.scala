@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.core.Panel
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Seasonality / calendar features (reference: functime/seasonality/). */
@@ -43,6 +43,66 @@ object Seasonality {
     df.join(broadcast(holidays),
       to_date(df(timeCol)) === holidays(dateCol), "left")
       .drop(dateCol)
+
+  /** Fourier deseasonalization — preprocessing.py:941-1027, Spark-first:
+    * instead of the reference's per-entity sklearn fit inside
+    * `map_elements` (pickled regressor stored in a column), the OLS of
+    * y on [1, cos_k, sin_k] is solved from per-entity normal-equation
+    * moments: Σxᵢxⱼ / Σxᵢy are plain `sum` aggregates (map-side
+    * partials, one shuffle on entity, O(p²) state per entity regardless
+    * of series length), then the (2K+1)-dim system is solved row-wise.
+    * Artifacts are plain coefficient arrays — broadcast-joinable at
+    * invert time, no pickles.
+    *
+    * Returns (residual frame with `value` replaced by y − seasonal,
+    * artifact (entity..., coef array)). */
+  def deseasonalizeFourier(p: Panel, sp: Int, k: Int): (DataFrame, DataFrame) = {
+    val d0 = addFourierTerms(p, sp, k)
+    val featNames = (1 to k).flatMap(ki => Seq(s"cos_${sp}_$ki", s"sin_${sp}_$ki"))
+    val feats: Seq[Column] = lit(1.0) +: featNames.map(col)
+    val nP = feats.length
+    val pairs = for { i <- 0 until nP; j <- i until nP } yield (i, j)
+    val moments =
+      pairs.map { case (i, j) => sum(feats(i) * feats(j)).as(s"__xtx_${i}_$j") } ++
+        (0 until nP).map(i => sum(feats(i) * p.x).as(s"__xty_$i"))
+    val mom = d0.groupBy(p.entityCols: _*).agg(moments.head, moments.tail: _*)
+      .select(p.entityCols ++ Seq(
+        array(pairs.map { case (i, j) => col(s"__xtx_${i}_$j") }: _*).as("__xtx"),
+        array((0 until nP).map(i => col(s"__xty_$i")): _*).as("__xty")): _*)
+    val solveUdf = udf { (xtx: Seq[Double], xty: Seq[Double]) =>
+      val m = Array.ofDim[Double](nP, nP)
+      var idx = 0
+      var i = 0
+      while (i < nP) {
+        var j = i
+        while (j < nP) { m(i)(j) = xtx(idx); m(j)(i) = xtx(idx); idx += 1; j += 1 }
+        i += 1
+      }
+      graft.functions.Kernels.solve(m, xty.toArray).toSeq
+    }
+    val artifact = mom.select(p.entityCols :+ solveUdf(col("__xtx"), col("__xty")).as("coef"): _*)
+    val seasonal = feats.zipWithIndex
+      .map { case (f, i) => f * element_at(col("coef"), i + 1) }
+      .reduce(_ + _)
+    val resid = d0.join(broadcast(artifact), p.entity)
+      .withColumn(p.value, p.x - seasonal)
+      .drop((featNames :+ "coef"): _*)
+    (resid, artifact)
+  }
+
+  /** Invert: re-add the fitted seasonal term (preprocessing.py:1029). */
+  def deseasonalizeFourierInvert(residuals: Panel, artifact: DataFrame,
+                                 sp: Int, k: Int): DataFrame = {
+    val d0 = addFourierTerms(residuals, sp, k)
+    val featNames = (1 to k).flatMap(ki => Seq(s"cos_${sp}_$ki", s"sin_${sp}_$ki"))
+    val feats: Seq[Column] = lit(1.0) +: featNames.map(col)
+    val seasonal = feats.zipWithIndex
+      .map { case (f, i) => f * element_at(col("coef"), i + 1) }
+      .reduce(_ + _)
+    d0.join(broadcast(artifact), residuals.entity)
+      .withColumn(residuals.value, residuals.x + seasonal)
+      .drop((featNames :+ "coef"): _*)
+  }
 
   /** Per-entity future time scaffold — ranges.py:9-46: fh steps past
     * each entity's cutoff (max time). Integer frequency ("1i") uses

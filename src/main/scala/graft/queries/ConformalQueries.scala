@@ -1,0 +1,317 @@
+package graft.queries
+
+import graft.core.Panel
+import graft.operators._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q._
+
+/** SparkEntry registrations for conformal intervals, probabilistic
+  * metrics, forecast scoring/ranking, holiday effects, wide↔long
+  * conversion, thresholded streaks, and the tree/censored/direct
+  * forecaster family (SURVEY.md §2.1/§2.2/§2.5-§2.7).
+  *
+  * Interval fixtures: the naive in-sample prediction (lag 1) with a
+  * ± entity-stddev band — pure SQL on both engines.
+  */
+object ConformalQueries {
+
+  /** (user_id, event_id, a, p, lower, upper) with per-entity std band. */
+  private def intervalFrame(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val p = Panel.events(s, dir)
+    p.df
+      .withColumn("p", lag(col("value"), 1).over(p.w))
+      .withColumn("__sd", stddev_samp(col("value")).over(p.we))
+      .select(col("user_id"), col("event_id"), col("value").as("a"),
+        col("p"), (col("p") - col("__sd")).as("lower"), (col("p") + col("__sd")).as("upper"))
+      .filter(col("p").isNotNull)
+  }
+
+  private val intervalSql =
+    s"""SELECT user_id, event_id, value AS a, p, p - sd AS lower, p + sd AS upper
+        FROM (SELECT user_id, event_id, value, lag(value) OVER ($W) AS p,
+                     stddev_samp(value) OVER ($WE) AS sd FROM events)
+        WHERE p IS NOT NULL"""
+
+  val all: Map[String, Q] = Map(
+    "m_interval_coverage" -> Q(
+      s"""SELECT user_id, round(avg(CASE WHEN a BETWEEN lower AND upper
+              THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END),6) AS interval_coverage
+          FROM ($intervalSql) GROUP BY user_id""") {
+      (s, dir) =>
+        r6(Metrics.intervalCoverage(intervalFrame(s, dir), Seq("user_id"), "a", "lower", "upper"))
+    },
+
+    "m_winkler_score" -> Q(
+      s"""SELECT user_id, round(avg(upper - lower +
+              CASE WHEN a < lower THEN (lower - a) * 2 / 0.1
+                   WHEN a > upper THEN (a - upper) * 2 / 0.1
+                   ELSE CAST(0 AS DOUBLE) END),6) AS winkler_score
+          FROM ($intervalSql) GROUP BY user_id""") {
+      (s, dir) =>
+        r6(Metrics.winklerScore(intervalFrame(s, dir), Seq("user_id"), "a", "lower", "upper", 0.1))
+    },
+
+    // erf has no DuckDB equivalent → rows-only; numeric parity with the
+    // closed-form Gaussian CRPS is asserted in MetricsSpec.
+    "m_crps_gaussian" -> Q.rowsOnly { (s, dir) =>
+      val f = intervalFrame(s, dir).withColumn("__sigma", (col("upper") - col("p")))
+      r6(Metrics.crpsGaussian(f.filter(col("__sigma") > 0), Seq("user_id"), "a", "p", "__sigma"))
+    },
+
+    "m_score_forecast" -> Q(
+      s"""WITH j AS (SELECT user_id, value AS a, lag(value) OVER ($W) AS p FROM events),
+              base AS (SELECT user_id,
+                avg(abs(p - a)) AS mae,
+                avg(abs(a - p)/abs(a)) AS mape,
+                avg(pow(p - a, 2)) AS mse,
+                sqrt(avg(pow(p - a, 2))) AS rmse,
+                sum(abs(p - a))/sum(p + a) AS smape,
+                avg(CAST(200 AS DOUBLE) * abs(p - a) / (1e-15 + abs(a) + abs(p))) AS smape_original
+                FROM j GROUP BY user_id),
+              nd AS (SELECT user_id, avg(abs(d)) AS mad, avg(pow(d, 2)) AS msd
+                     FROM (SELECT user_id, value - lag(value, 7) OVER ($W) AS d FROM events)
+                     GROUP BY user_id)
+          SELECT base.user_id, round(mae,6) AS mae, round(mape,6) AS mape,
+                 round(mse,6) AS mse, round(rmse,6) AS rmse, round(smape,6) AS smape,
+                 round(smape_original,6) AS smape_original,
+                 round(mae / mad,6) AS mase, round(sqrt(mse / msd),6) AS rmsse
+          FROM base LEFT JOIN nd ON base.user_id = nd.user_id""") {
+      (s, dir) =>
+        val p = Panel.events(s, dir)
+        val j = Metrics.aligned(p.df,
+          p.df.withColumn("pred", lag(col("value"), 1).over(p.w))
+            .select("user_id", "event_id", "pred"),
+          Seq("user_id", "event_id"), "value", "pred")
+        r6(Metrics.scoreForecast(j, p.df, Seq("user_id"), Seq("ts", "event_id"), "value", 7))
+    },
+
+    "c_enbpi" -> Q(
+      s"""WITH state AS (SELECT user_id, arg_max(value, ts) AS lastv, max(ts) AS cutoff
+                         FROM events GROUP BY user_id),
+              h AS (SELECT i AS h FROM unnest([1, 2, 3]) AS t(i)),
+              pred AS (SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                              lastv AS value FROM state CROSS JOIN h),
+              r AS (SELECT user_id, value - lag(value) OVER ($W) AS r FROM events),
+              sc AS (SELECT user_id, quantile_cont(r, 0.1) AS score, 0.1 AS quantile
+                     FROM r WHERE r IS NOT NULL GROUP BY user_id
+                     UNION ALL
+                     SELECT user_id, quantile_cont(r, 0.9) AS score, 0.9 AS quantile
+                     FROM r WHERE r IS NOT NULL GROUP BY user_id)
+          SELECT p.user_id, p.ts, round(p.value + sc.score,6) AS value, sc.quantile
+          FROM pred p LEFT JOIN sc ON p.user_id = sc.user_id""") {
+      (s, dir) =>
+        val p = Panel.events(s, dir)
+        val yPred = Forecasters.naive(p, "ts", fh = 3, freq = "1d")
+        val yResid = p.df
+          .withColumn("residual", col("value") - lag(col("value"), 1).over(p.w))
+          .filter(col("residual").isNotNull)
+        r6(Conformal.enbpi(yPred, yResid, Seq("user_id"), "ts", "value", "residual",
+          Seq(0.1, 0.9)))
+    },
+
+    "c_conformalize" -> Q(
+      s"""WITH state AS (SELECT user_id, arg_max(value, ts) AS lastv, max(ts) AS cutoff
+                         FROM events GROUP BY user_id),
+              h AS (SELECT i AS h FROM unnest([1, 2, 3]) AS t(i)),
+              pred AS (SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                              lastv AS value FROM state CROSS JOIN h),
+              bt AS (SELECT user_id, ts, lag(value) OVER ($W) AS value FROM events
+                     QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) <= 5
+                        AND value IS NOT NULL),
+              preds AS (SELECT user_id, ts, value FROM pred
+                        UNION ALL SELECT user_id, ts, value FROM bt),
+              r AS (SELECT user_id, value - lag(value) OVER ($W) AS r FROM events),
+              sc AS (SELECT user_id, quantile_cont(r, 0.1) AS score, 10 AS quantile
+                     FROM r WHERE r IS NOT NULL GROUP BY user_id
+                     UNION ALL
+                     SELECT user_id, quantile_cont(r, 0.9) AS score, 90 AS quantile
+                     FROM r WHERE r IS NOT NULL GROUP BY user_id)
+          SELECT p.user_id, p.ts, round(p.value + sc.score,6) AS value,
+                 CAST(sc.quantile AS INT) AS quantile
+          FROM preds p LEFT JOIN sc ON p.user_id = sc.user_id""") {
+      (s, dir) =>
+        val p = Panel.events(s, dir)
+        val yPred = Forecasters.naive(p, "ts", fh = 3, freq = "1d")
+        // backtest stand-in: last 5 in-sample naive predictions
+        val bt = p.df
+          .withColumn("value", lag(col("value"), 1).over(p.w))
+          .withColumn("__rnd", row_number().over(
+            Window.partitionBy(col("user_id")).orderBy(col("ts").desc)))
+          .filter(col("__rnd") <= 5 && col("value").isNotNull)
+          .select("user_id", "ts", "value")
+        val yResid = p.df
+          .withColumn("residual", col("value") - lag(col("value"), 1).over(p.w))
+          .filter(col("residual").isNotNull)
+        r6(Conformal.conformalize(yPred, bt, yResid, Seq("user_id"), "ts", "value", "residual"))
+    },
+
+    "e_rank_residuals" -> Q(
+      s"""WITH r AS (SELECT user_id, value - lag(value) OVER ($W) AS r FROM events)
+          SELECT user_id, round(abs(avg(r)),6) AS abs_bias
+          FROM r WHERE r IS NOT NULL GROUP BY user_id""") {
+      (s, dir) =>
+        val p = Panel.events(s, dir)
+        val resid = p.df
+          .withColumn("r", col("value") - lag(col("value"), 1).over(p.w))
+          .filter(col("r").isNotNull)
+        r6(resid.groupBy("user_id").agg(abs(avg(col("r"))).as("abs_bias")))
+    },
+
+    "e_rank_fva" -> Q(
+      s"""WITH j AS (SELECT user_id, value AS a, lag(value) OVER ($W) AS p,
+                            lag(value, 7) OVER ($W) AS pb FROM events),
+              s AS (SELECT user_id, sum(abs(p - a))/sum(p + a) AS m FROM j
+                    WHERE p IS NOT NULL GROUP BY user_id),
+              sb AS (SELECT user_id, sum(abs(pb - a))/sum(pb + a) AS mb FROM j
+                     WHERE pb IS NOT NULL GROUP BY user_id)
+          SELECT s.user_id, round(sb.mb - s.m,6) AS uplift, (sb.mb - s.m) > 0 AS has_uplift
+          FROM s LEFT JOIN sb ON s.user_id = sb.user_id""") {
+      (s, dir) =>
+        val p = Panel.events(s, dir)
+        def score(lagN: Int) = {
+          val d = p.df.withColumn("p", lag(col("value"), lagN).over(p.w))
+            .filter(col("p").isNotNull)
+          d.groupBy("user_id")
+            .agg((sum(abs(col("p") - col("value"))) / sum(col("p") + col("value"))).as("m"))
+        }
+        val uplift = score(1).join(
+          score(7).withColumnRenamed("m", "mb"), Seq("user_id"), "left")
+        r6(uplift.select(col("user_id"), (col("mb") - col("m")).as("uplift"),
+          (col("mb") - col("m") > 0).as("has_uplift")))
+    },
+
+    // ----- seasonality: holidays (fixed-date set, SQL-expressible) -----
+    "s_holiday_effects" -> Q(
+      """SELECT event_id,
+           CASE WHEN month(ts) = 1 AND day(ts) = 1 THEN 'new_years_day'
+                WHEN month(ts) = 7 AND day(ts) = 4 THEN 'independence_day'
+                WHEN month(ts) = 12 AND day(ts) = 25 THEN 'christmas_day'
+           END AS holiday
+         FROM events""") {
+      (s, dir) =>
+        import s.implicits._
+        val ev = tbl(s, dir, "events")
+        // driver-generated fixed-date holiday table (calendar.py:57
+        // semantics: a (date,label) lookup broadcast-joined on date)
+        val years = 2015 to 2030
+        val holidays = years.flatMap { y =>
+          Seq((s"$y-01-01", "new_years_day"), (s"$y-07-04", "independence_day"),
+            (s"$y-12-25", "christmas_day"))
+        }.toDF("date_str", "holiday")
+          .select(to_date(col("date_str")).as("date"), col("holiday"))
+        Seasonality.addHolidayEffects(ev, "ts", holidays)
+          .select("event_id", "holiday")
+    },
+
+    // ----- conversion: long↔wide (conversion.py:7-93) -----
+    "conv_long_to_wide" -> Q(
+      """SELECT user_id,
+           round(sum(CASE WHEN dayofweek(ts) = 1 THEN value ELSE CAST(0 AS DOUBLE) END),6) AS mon,
+           round(sum(CASE WHEN dayofweek(ts) = 2 THEN value ELSE CAST(0 AS DOUBLE) END),6) AS tue,
+           round(sum(CASE WHEN dayofweek(ts) = 3 THEN value ELSE CAST(0 AS DOUBLE) END),6) AS wed
+         FROM events GROUP BY user_id""") {
+      (s, dir) =>
+        // groupBy().pivot() with explicit category list (the fit
+        // artifact in one_hot_encode terms) → no extra distinct scan
+        val d = tbl(s, dir, "events")
+          .withColumn("__dow", dayofweek(col("ts")))  // Spark: 1=Sunday
+          .withColumn("__dn",
+            when(col("__dow") === 2, "mon").when(col("__dow") === 3, "tue")
+              .when(col("__dow") === 4, "wed"))
+          .filter(col("__dn").isNotNull)
+        val wide = d.groupBy("user_id").pivot("__dn", Seq("mon", "tue", "wed"))
+          .agg(sum(col("value")))
+        r6(tbl(s, dir, "events").select("user_id").distinct()
+          .join(wide, Seq("user_id"), "left")
+          .na.fill(0.0, Seq("mon", "tue", "wed")))
+    },
+
+    "conv_wide_to_long" -> Q(
+      """SELECT o_orderkey AS key, 'price' AS variable, round(o_totalprice,6) AS value FROM orders
+         UNION ALL
+         SELECT o_orderkey AS key, 'cust' AS variable, CAST(o_custkey AS DOUBLE) AS value
+         FROM orders""") {
+      (s, dir) =>
+        val o = tbl(s, dir, "orders")
+          .select(col("o_orderkey").as("key"), col("o_totalprice").cast("double").as("price"),
+            col("o_custkey").cast("double").as("cust"))
+        r6(o.unpivot(Array(col("key")), Array(col("price"), col("cust")), "variable", "value"))
+    },
+
+    // ----- thresholded streaks (feature_extractors.py:1805-1871) -----
+    "f_longest_streak_above" -> Q(
+      s"""WITH d AS (SELECT user_id, value - lag(value) OVER ($W) AS d,
+                            row_number() OVER ($W) AS rn FROM events),
+              c AS (SELECT user_id, rn, CASE WHEN d >= 0.5 THEN 1 ELSE 0 END AS cond FROM d
+                    WHERE d IS NOT NULL),
+              s AS (SELECT user_id, cond, rn - row_number()
+                      OVER (PARTITION BY user_id, cond ORDER BY rn) AS grp FROM c)
+          SELECT user_id, CAST(coalesce(max(CASE WHEN cond = 1 THEN cnt END), 0) AS BIGINT)
+                   AS longest_streak_above
+          FROM (SELECT user_id, cond, grp, count(*) AS cnt FROM s GROUP BY user_id, cond, grp)
+          GROUP BY user_id""") {
+      (s, dir) => streakQuery(s, dir, above = true, threshold = 0.5, "longest_streak_above")
+    },
+
+    "f_longest_streak_below" -> Q(
+      s"""WITH d AS (SELECT user_id, value - lag(value) OVER ($W) AS d,
+                            row_number() OVER ($W) AS rn FROM events),
+              c AS (SELECT user_id, rn, CASE WHEN d <= -0.5 THEN 1 ELSE 0 END AS cond FROM d
+                    WHERE d IS NOT NULL),
+              s AS (SELECT user_id, cond, rn - row_number()
+                      OVER (PARTITION BY user_id, cond ORDER BY rn) AS grp FROM c)
+          SELECT user_id, CAST(coalesce(max(CASE WHEN cond = 1 THEN cnt END), 0) AS BIGINT)
+                   AS longest_streak_below
+          FROM (SELECT user_id, cond, grp, count(*) AS cnt FROM s GROUP BY user_id, cond, grp)
+          GROUP BY user_id""") {
+      (s, dir) => streakQuery(s, dir, above = false, threshold = -0.5, "longest_streak_below")
+    },
+
+    // ----- aggregator features without SQL equivalents -----
+    "f_number_cwt_peaks" -> Q.rowsOnly { (s, dir) =>
+      graft.functions.FeatureAggs.over(ev(s, dir),
+        graft.functions.FeatureAggs.numberCwtPeaks(5), "number_cwt_peaks")
+    },
+
+    "p_deseasonalize_fourier" -> Q.rowsOnly { (s, dir) =>
+      val (resid, _) = Seasonality.deseasonalizeFourier(ev(s, dir), sp = 7, k = 2)
+      r6(resid.select(col("user_id"), col("event_id"), col("value")))
+    },
+
+    // ----- forecasters: trees / censored / direct (MLlib fits) -----
+    "fc_gbt" -> Q.rowsOnly { (s, dir) =>
+      val p = ev(s, dir)
+      GbtForecaster.fit(p, lags = 7, freq = "1d", maxIter = 5).predict(p, "ts", fh = 3)
+    },
+
+    "fc_censored" -> Q.rowsOnly { (s, dir) =>
+      val p = ev(s, dir)
+      CensoredForecaster.fit(p, lags = 7, freq = "1d", threshold = 100.0).predict(p, "ts", fh = 3)
+    },
+
+    "fc_linear_direct" -> Q.rowsOnly { (s, dir) =>
+      val p = ev(s, dir)
+      LinearForecaster.fitDirect(p, lags = 7, fh = 3, freq = "1d").predict(p, "ts", fh = 3)
+    }
+  )
+
+  /** Longest run where diff ≥ t (above) / ≤ t (below) — the streak-id
+    * window idiom standing in for Polars `.rle()` (SURVEY.md §2.0). */
+  private def streakQuery(s: org.apache.spark.sql.SparkSession, dir: String,
+                          above: Boolean, threshold: Double, out: String) = {
+    val p = ev(s, dir)
+    val d = p.df
+      .withColumn("__d", p.x - lag(p.x, 1).over(p.w))
+      .withColumn("__rn", row_number().over(p.w))
+      .filter(col("__d").isNotNull)
+      .withColumn("__cond",
+        if (above) (col("__d") >= threshold).cast("int") else (col("__d") <= threshold).cast("int"))
+    val grouped = d.withColumn("__grp", col("__rn") - row_number().over(
+      Window.partitionBy(col("user_id"), col("__cond")).orderBy(col("__rn"))))
+      .groupBy(col("user_id"), col("__cond"), col("__grp"))
+      .agg(count(lit(1)).as("__cnt"))
+    grouped.groupBy("user_id")
+      .agg(coalesce(max(when(col("__cond") === 1, col("__cnt"))), lit(0L)).cast("long").as(out))
+  }
+}
