@@ -1,0 +1,77 @@
+package graft
+
+import graft.core.Panel
+import graft.operators.{LinearForecaster, Metrics}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Reproduce the reference's M4 accuracy floor (BASELINE.md target 1):
+  * mean per-entity SMAPE < 0.30 for the linear forecaster on each M4
+  * frequency (tests/test_forecasting.py:115-117, conftest.py:74-121).
+  *
+  * Config per frequency mirrors the reference fixtures: integer time
+  * axis ("1i"), lags from m4_freq_to_lags, fh from the m4_dataset
+  * params; test times are per-entity cutoff + relative index.
+  *
+  * Usage: runMain graft.M4Accuracy [dataDir]  (default /root/reference/data)
+  */
+object M4Accuracy {
+
+  def main(args: Array[String]): Unit = {
+    val dataDir = args.headOption.getOrElse("/root/reference/data")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+      .appName("graft-m4")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // (freq label, fh, lags, train path, test path)
+    val configs = Seq(
+      ("1d", 14, 30, s"$dataDir/m4_1d_train.parquet", s"$dataDir/m4_1d_test.parquet"),
+      ("1w", 13, 14, s"$dataDir/m4_1w_train.parquet", s"$dataDir/m4_1w_test.parquet"),
+      ("1mo", 18, 12, s"$dataDir/m4_1mo_train.parquet", s"$dataDir/m4_1mo_test.parquet"),
+      ("3mo", 8, 6, s"$dataDir/m4_3mo_train.parquet", s"$dataDir/m4_3mo_test.parquet"),
+      ("1y", 6, 3, s"$dataDir/m4_1y_train.parquet", s"$dataDir/m4_1y_test.parquet"))
+
+    val results = configs.filter { case (_, _, _, trainPath, testPath) =>
+      val ok = new java.io.File(trainPath).exists() && new java.io.File(testPath).exists()
+      if (!ok) println(s"[m4] skipping $trainPath / $testPath (not present in reference data)")
+      ok
+    }.map { case (freq, fh, lags, trainPath, testPath) =>
+      val t0 = System.nanoTime()
+      def load(path: String) = {
+        val raw = spark.read.parquet(path)
+        val target = raw.columns.filterNot(c => c == "series" || c == "time" || c == "partition_id").head
+        raw.select(regexp_replace(col("series"), " ", "").as("series"),
+          col("time").cast("long").as("time"),
+          col(target).cast("double").as("y"))
+      }
+      val yTrain = load(trainPath)
+      val p = Panel(yTrain, Seq("series"), Seq("time"), "y")
+      // drop series shorter than lags+1 (check_backtest_lengths analog)
+      val long = yTrain.groupBy("series").count().filter(col("count") > lags + 1).select("series")
+      val pf = Panel(yTrain.join(long, "series"), Seq("series"), Seq("time"), "y")
+      val model = LinearForecaster.fit(pf, lags, "1i")
+      val yPred = model.predict(pf, "time", fh)
+      // test times = train cutoff + relative time (conftest.py:97-108)
+      val cutoffs = yTrain.groupBy("series").agg(max("time").as("__cutoff"))
+      val yTest = load(testPath).join(cutoffs, "series")
+        .select(col("series"), (col("time") + col("__cutoff")).as("time"), col("y"))
+      val j = Metrics.aligned(yTest, yPred.withColumnRenamed("y", "pred"),
+        Seq("series", "time"), "y", "pred")
+      val smape = Metrics.smape(j.filter(col("__p").isNotNull), Seq("series"))
+      val mean = smape.agg(avg("smape")).collect()(0).getDouble(0)
+      val n = smape.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[m4] freq=$freq%-4s lags=$lags%-3d fh=$fh%-3d entities=$n%-6d " +
+        f"mean_smape=$mean%.4f pass=${mean < 0.30} fit_predict_score_s=$secs%.1f")
+      (freq, mean, n, secs)
+    }
+    val overall = results.map(_._2).sum / results.size
+    println(f"""{"m4_mean_smape_across_freqs":$overall%.4f,"all_below_0.30":${results.forall(_._2 < 0.30)}}""")
+    spark.stop()
+  }
+}

@@ -54,4 +54,40 @@ object Conformal {
     * produced by [[Metrics.aligned]]: (entity..., keys..., a, p). */
   def residuals(aligned: DataFrame, out: String = "residual"): DataFrame =
     aligned.withColumn(out, col("a") - col("p"))
+
+  /** Backtest — backtesting.py:108-250: per expanding-window split,
+    * fit on the train slice and predict the next `testSize` steps; tag
+    * each prediction with its split id and join the held-out actuals
+    * on (entity, time) — replacing the reference's positional sort-zip
+    * (:152-155) with an explicit key join (SURVEY.md §7.5(2)).
+    *
+    * `fitPredict(train, fh)` is any forecaster closure. The split
+    * frames are filters over one cached position frame, so the driver
+    * loop reuses a single scan; each fit is an independent Spark job
+    * (parallelizable across splits by the caller if desired). */
+  def backtest(p: graft.core.Panel, timeCol: String,
+               testSize: Int, nSplits: Int, stepSize: Int,
+               fitPredict: (graft.core.Panel, Int) => DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val splits = CrossValidation.expandingWindowSplit(p, testSize, nSplits, stepSize)
+    val tagged = splits.zipWithIndex.map { case ((train, test), i) =>
+      val trainPanel = p.copy(df = train)
+      // join pred↔actual on (entity, horizon step): the explicit-key
+      // form of the reference's timestamp-overwriting sort-zip
+      // (backtesting.py:152-155) — robust to irregular time axes
+      val pred = fitPredict(trainPanel, testSize)
+        .withColumn("__h", row_number().over(
+          Window.partitionBy(p.entityCols: _*).orderBy(col(timeCol))))
+        .select((p.entityCols :+ col("__h") :+ col(p.value).as("__pred")): _*)
+      val actual = test
+        .withColumn("__h", row_number().over(
+          Window.partitionBy(p.entityCols: _*).orderBy(p.orderCols: _*)))
+        .select((p.entityCols ++ Seq(col("__h"), col(timeCol), p.x.as("__actual"))): _*)
+      actual.join(pred, p.entity :+ "__h", "inner")
+        .withColumn("split", lit(i))
+    }
+    tagged.reduce(_ unionByName _)
+      .select((p.entityCols ++ Seq(col(timeCol), col("split"),
+        col("__actual").as("actual"), col("__pred").as("pred"))): _*)
+  }
 }

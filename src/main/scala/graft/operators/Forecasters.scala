@@ -75,10 +75,13 @@ object Forecasters {
     Preprocess.lag(p, 1 to lags)
 
   /** Per-entity recursive linear AR predict with broadcast
-    * coefficients: the whole fh loop runs as one expression chain on
-    * the per-entity lag-tail state — no per-step Spark job (SURVEY.md
-    * §7.5(1) plan A). Coefficients: intercept + one weight per lag
-    * (index 0 = lag 1). */
+    * coefficients — SURVEY.md §7.5(1) plan A, in closed form: the
+    * recursion ŷ_{h} = b + w·state_{h-1} with state shift is affine in
+    * the INITIAL state, so the per-horizon coefficients (a_h, b_h) are
+    * iterated driver-side (O(fh·lags²) doubles — the companion-matrix
+    * power) and every horizon becomes one flat codegen-able expression
+    * over the lag-tail array. No recursive expression substitution
+    * (which would grow the plan exponentially in fh), no per-step job. */
   def predictRecursiveLinear(p: Panel, timeCol: String, fh: Int, freq: String,
                              intercept: Double, weights: Array[Double]): DataFrame = {
     val lags = weights.length
@@ -92,16 +95,21 @@ object Forecasters {
       max(col(timeCol)).as("__cutoff"))
       .withColumn("__state", sort_array(col("__s")).getField(p.value))
       .drop("__s")
-    // unrolled driver-side loop building fh prediction columns; each
-    // step is pure column algebra over the state array
-    val (_, preds) = (1 to fh).foldLeft((col("__state"), List.empty[org.apache.spark.sql.Column])) {
-      case ((state, acc), _) =>
-        val yhat = weights.zipWithIndex.map { case (wc, i) =>
-          lit(wc) * element_at(state, i + 1)
-        }.reduce(_ + _) + lit(intercept)
-        (concat(array(yhat), slice(state, 1, lags - 1)), yhat :: acc)
+    // affine representation: state_h = A·state_0 + c, row 0 = newest
+    var a = Array.tabulate(lags, lags)((i, j) => if (i == j) 1.0 else 0.0)
+    var c = new Array[Double](lags)
+    val horizons = (1 to fh).map { _ =>
+      val ah = Array.tabulate(lags)(j => weights.zipWithIndex.map { case (w, i) => w * a(i)(j) }.sum)
+      val bh = intercept + weights.zipWithIndex.map { case (w, i) => w * c(i) }.sum
+      a = ah +: a.dropRight(1)
+      c = bh +: c.dropRight(1)
+      (ah, bh)
     }
-    state0.withColumn("__preds", array(preds.reverse: _*))
+    val preds = horizons.map { case (ah, bh) =>
+      ah.zipWithIndex.collect { case (w, i) if w != 0.0 => lit(w) * element_at(col("__state"), i + 1) }
+        .foldLeft(lit(bh): org.apache.spark.sql.Column)(_ + _)
+    }
+    state0.withColumn("__preds", array(preds: _*))
       .withColumn("__h", explode(sequence(lit(1), lit(fh))))
       .withColumn(p.value, element_at(col("__preds"), col("__h").cast("int")))
       .withColumn(timeCol, futureTime(freq))

@@ -109,19 +109,9 @@ object Seasonality {
     * unit steps; calendar frequencies use day/month arithmetic. */
   def futureRanges(p: Panel, timeCol: String, fh: Int, freq: String): DataFrame = {
     val cutoffs = p.df.groupBy(p.entityCols: _*).agg(max(col(timeCol)).as("__cutoff"))
-    val steps = explode(sequence(lit(1), lit(fh))).as("__h")
-    val future = freq match {
-      case "1i" => col("__cutoff") + col("__h")
-      case "1d" => date_add(col("__cutoff"), col("__h"))
-      case "1w" => date_add(col("__cutoff"), col("__h") * 7)
-      case "1mo" => add_months(col("__cutoff"), col("__h"))
-      case "3mo" => add_months(col("__cutoff"), col("__h") * 3)
-      case "1y" => add_months(col("__cutoff"), col("__h") * 12)
-      case other => throw new IllegalArgumentException(s"unknown freq $other")
-    }
-    cutoffs.select((p.entityCols :+ steps): _*)
-      .join(cutoffs, p.entity)
-      .withColumn(timeCol, future)
+    cutoffs
+      .withColumn("__h", explode(sequence(lit(1), lit(fh))))
+      .withColumn(timeCol, Forecasters.futureTime(freq))
       .select((p.entityCols ++ Seq(col(timeCol), col("__h"))): _*)
   }
 }

@@ -293,6 +293,57 @@ object ConformalQueries {
     "fc_linear_direct" -> Q.rowsOnly { (s, dir) =>
       val p = ev(s, dir)
       LinearForecaster.fitDirect(p, lags = 7, fh = 3, freq = "1d").predict(p, "ts", fh = 3)
+    },
+
+    "fc_backtest_naive" -> Q(
+      s"""WITH b AS (SELECT user_id, ts, value, row_number() OVER ($W) AS rn,
+                            count(*) OVER ($WE) AS cnt FROM events),
+              s AS (SELECT i AS split FROM unnest([0, 1, 2]) AS t(i)),
+              j AS (SELECT b.*, s.split, b.cnt - (10 + (2 - s.split) * 5) AS te
+                    FROM b CROSS JOIN s),
+              lastv AS (SELECT user_id, split, value AS pred FROM j WHERE rn = te),
+              test AS (SELECT user_id, split, ts, value AS actual FROM j
+                       WHERE rn > te AND rn <= te + 10)
+          SELECT t.user_id, t.ts, t.split, round(t.actual,6) AS actual, round(l.pred,6) AS pred
+          FROM test t JOIN lastv l ON t.user_id = l.user_id AND t.split = l.split""") {
+      (s, dir) =>
+        r6(Conformal.backtest(ev(s, dir), "ts", testSize = 10, nSplits = 3, stepSize = 5,
+          (train, fh) => Forecasters.naive(train, "ts", fh, "1d")))
+    },
+
+    // auto/elite/knn: model selection + MLlib/LSH fits — rows-only;
+    // selection semantics asserted in AutoForecastSpec.
+    "fc_auto_linear" -> Q.rowsOnly { (s, dir) =>
+      val p = ev(s, dir)
+      val (lags, _, model) = AutoForecast.autoLinear(p, "ts", "1d", lagGrid = Seq(3, 7))
+      model.predict(p, "ts", fh = 3).withColumn("chosen_lags", lit(lags))
+    },
+
+    "fc_elite" -> Q.rowsOnly { (s, dir) =>
+      AutoForecast.elite(ev(s, dir), "ts", "1d", fh = 3, topK = 2)
+    },
+
+    "fc_knn" -> Q.rowsOnly { (s, dir) =>
+      KnnForecaster.predictOneStep(ev(s, dir), "ts", "1d", lags = 7, k = 5)
+    },
+
+    "s_future_calendar" -> Q(
+      """WITH state AS (SELECT user_id, max(ts) AS cutoff FROM events GROUP BY user_id),
+             h AS (SELECT i AS h FROM unnest([1, 2, 3]) AS t(i)),
+             f AS (SELECT user_id, CAST(h AS BIGINT) AS h,
+                          CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts
+                   FROM state CROSS JOIN h)
+         SELECT user_id, ts, h,
+                CAST(dayofweek(ts) + 1 AS VARCHAR) AS weekday,
+                CAST(month(ts) AS VARCHAR) AS month
+         FROM f""") {
+      // make_future_calendar_effects (calendar.py:119): future ranges
+      // composed with calendar extraction; DuckDB weekday base shifted.
+      (s, dir) =>
+        val fut = Seasonality.futureRanges(ev(s, dir), "ts", fh = 3, freq = "1d")
+          .withColumn("h", col("__h").cast("long")).drop("__h")
+        Seasonality.addCalendarEffects(fut, "ts", Seq("weekday", "month"))
+          .select("user_id", "ts", "h", "weekday", "month")
     }
   )
 

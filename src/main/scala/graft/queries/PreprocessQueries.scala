@@ -120,6 +120,27 @@ object PreprocessQueries {
           .select("event_id", "value")
     },
 
+    "p_impute_bfill" -> Q(
+      s"""WITH n AS ($nulledSql)
+          SELECT event_id,
+            coalesce(value, first_value(value IGNORE NULLS)
+              OVER ($W ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)) AS value
+          FROM n""") {
+      (s, dir) =>
+        Preprocess.impute(evNulled(s, dir), Preprocess.ImputeBackward)
+          .select("event_id", "value")
+    },
+
+    "p_impute_median" -> Q(
+      s"""WITH n AS ($nulledSql)
+          SELECT event_id,
+            round(coalesce(value, quantile_cont(value, 0.5) OVER ($WE)), 6) AS value
+          FROM n""") {
+      (s, dir) =>
+        r6(Preprocess.impute(evNulled(s, dir), Preprocess.ImputeMedian)
+          .select("event_id", "value"))
+    },
+
     "p_interpolate" -> Q(
       s"""WITH n AS ($nulledSql),
               r AS (SELECT *, row_number() OVER ($W) AS rn FROM n),

@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Backtest orchestration, auto lag selection, elite ensemble, KNN. */
+class AutoForecastSpec extends SparkSpec {
+
+  test("backtest tags splits and aligns pred/actual by horizon (backtesting.py:108)") {
+    val p = panel((1 to 30).map(_.toDouble))
+    val bt = Conformal.backtest(p, "t", testSize = 3, nSplits = 2, stepSize = 2,
+      (train, fh) => Forecasters.naive(train, "t", fh, "1i"))
+    val rows = bt.orderBy("split", "t").collect()
+    assert(rows.length == 6) // 2 splits × 3 test steps
+    // split 0: train = rows 1..25 (cutoff 3+2=5 from end), naive pred = 25
+    assert(rows.filter(_.getAs[Int]("split") == 0).forall(_.getAs[Double]("pred") == 25.0))
+    assert(rows.filter(_.getAs[Int]("split") == 1).forall(_.getAs[Double]("pred") == 27.0))
+    // actuals line up with the true series values
+    assert(rows.filter(_.getAs[Int]("split") == 0).map(_.getAs[Double]("actual")).toSeq
+      == Seq(26.0, 27.0, 28.0))
+  }
+
+  test("autoLinear picks the lag that models the process (fit_cv, _ar.py:117)") {
+    // AR(2) via sin: needs ≥2 lags; lag grid {1, 3} → 3 must win
+    val signal = (0 until 60).map(t => 50 + 20 * math.sin(0.3 * t))
+    val p = panel(signal)
+    val (bestLags, bestScore, model) =
+      AutoForecast.autoLinear(p, "t", "1i", lagGrid = Seq(1, 3), testSize = 5, nSplits = 2, stepSize = 3)
+    assert(bestLags == 3, s"chose $bestLags (score $bestScore)")
+    val preds = model.predict(p, "t", fh = 3).orderBy("t").collect().map(_.getAs[Double]("value"))
+    val want = (60 until 63).map(t => 50 + 20 * math.sin(0.3 * t))
+    preds.zip(want).foreach { case (g, w) => assertClose(g, w, 1e-3) }
+  }
+
+  test("elite blends per-entity top-k models (elite.py:269-308)") {
+    // entity 0: pure AR — linear wins; entity 1: constant — all equal
+    val s0 = (0 until 60).map(t => 50 + 20 * math.sin(0.3 * t))
+    val s1 = Seq.fill(60)(5.0)
+    val out = AutoForecast.elite(panel(s0, s1), "t", "1i", fh = 3, topK = 1)
+    assert(out.count() == 6)
+    // constant entity: every model predicts 5 → blend is 5
+    out.filter(col("entity") === 1).collect()
+      .foreach(r => assertClose(r.getAs[Double]("value"), 5.0, 1e-6))
+    // sinusoid entity: top-1 should be a linear model, near the true next values
+    val got = out.filter(col("entity") === 0).orderBy("t").collect().map(_.getAs[Double]("value"))
+    val want = (60 until 63).map(t => 50 + 20 * math.sin(0.3 * t))
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 2.0, s"$g vs $w") }
+  }
+
+  test("KNN predicts the mean label of matching neighborhoods (knn.py:22)") {
+    // periodic series: the query tail recurs exactly in training → the
+    // nearest neighbors' labels are the true next value
+    val signal = (0 until 64).map(t => Seq(1.0, 5.0, 9.0, 5.0)(t % 4))
+    val p = panel(signal)
+    val out = KnnForecaster.predictOneStep(p, "t", "1i", lags = 4, k = 3).collect()
+    assert(out.length == 1)
+    // last 4 values are [1,5,9,5] (t=60..63), next value = signal(64 % 4) = 1
+    assertClose(out(0).getAs[Double]("value"), 1.0, 1e-9)
+  }
+}
