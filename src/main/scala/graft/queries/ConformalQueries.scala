@@ -315,16 +315,89 @@ object ConformalQueries {
     // selection semantics asserted in AutoForecastSpec.
     "fc_auto_linear" -> Q.rowsOnly { (s, dir) =>
       val p = ev(s, dir)
-      val (lags, _, model) = AutoForecast.autoLinear(p, "ts", "1d", lagGrid = Seq(3, 7))
+      val (lags, _, model) =
+        AutoForecast.autoLinear(p, "ts", "1d", lagGrid = Seq(3, 7), nSplits = 2)
       model.predict(p, "ts", fh = 3).withColumn("chosen_lags", lit(lags))
     },
 
     "fc_elite" -> Q.rowsOnly { (s, dir) =>
-      AutoForecast.elite(ev(s, dir), "ts", "1d", fh = 3, topK = 2)
+      AutoForecast.elite(ev(s, dir), "ts", "1d", fh = 3, topK = 2, nSplits = 2)
     },
 
     "fc_knn" -> Q.rowsOnly { (s, dir) =>
       KnnForecaster.predictOneStep(ev(s, dir), "ts", "1d", lags = 7, k = 5)
+    },
+
+    "p_coerce_dtypes" -> Q(
+      """SELECT event_id, CAST(value AS FLOAT) AS value_f32,
+                CAST(floor(value) AS BIGINT) AS value_i64
+         FROM events""") {
+      // coerce_dtypes (preprocessing.py:51): cast per provided schema
+      (s, dir) =>
+        tbl(s, dir, "events").select(col("event_id"),
+          col("value").cast("float").as("value_f32"),
+          floor(col("value")).cast("long").as("value_i64"))
+    },
+
+    "cv_filter_short" -> Q(
+      s"""SELECT user_id, event_id FROM
+            (SELECT user_id, event_id, count(*) OVER ($WE) AS cnt FROM events)
+          WHERE cnt >= 67""") {
+      // check_backtest_lengths (base/forecaster.py:40-77): drop series
+      // shorter than the lag/backtest requirement
+      (s, dir) =>
+        CrossValidation.filterShortSeries(ev(s, dir), minLength = 67L)
+          .select("user_id", "event_id")
+    },
+
+    "m_score_backtest" -> Q(
+      s"""WITH b AS (SELECT user_id, ts, value, row_number() OVER ($W) AS rn,
+                            count(*) OVER ($WE) AS cnt FROM events),
+              s AS (SELECT i AS split FROM unnest([0, 1, 2]) AS t(i)),
+              j AS (SELECT b.*, s.split, b.cnt - (10 + (2 - s.split) * 5) AS te
+                    FROM b CROSS JOIN s),
+              lastv AS (SELECT user_id, split, value AS pred FROM j WHERE rn = te),
+              test AS (SELECT user_id, split, ts, value AS actual FROM j
+                       WHERE rn > te AND rn <= te + 10),
+              bt AS (SELECT t.user_id, t.split, t.actual, l.pred
+                     FROM test t JOIN lastv l ON t.user_id = l.user_id AND t.split = l.split)
+          SELECT user_id, split, round(sum(abs(pred - actual))/sum(pred + actual),6) AS smape
+          FROM bt GROUP BY user_id, split""") {
+      // score_backtest (multi_objective.py:110-166): per-(entity, split) score
+      (s, dir) =>
+        val bt = Conformal.backtest(ev(s, dir), "ts", testSize = 10, nSplits = 3, stepSize = 5,
+          (train, fh) => Forecasters.naive(train, "ts", fh, "1d"))
+        r6(bt.groupBy("user_id", "split")
+          .agg((sum(abs(col("pred") - col("actual"))) / sum(col("pred") + col("actual")))
+            .as("smape")))
+    },
+
+    "s_future_holiday" -> Q(
+      """WITH state AS (SELECT user_id, max(ts) AS cutoff FROM events GROUP BY user_id),
+             h AS (SELECT i AS h FROM unnest([1, 2, 3]) AS t(i)),
+             f AS (SELECT user_id, CAST(h AS BIGINT) AS h,
+                          CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts
+                   FROM state CROSS JOIN h)
+         SELECT user_id, ts, h,
+                CASE WHEN month(ts) = 1 AND day(ts) = 1 THEN 'new_years_day'
+                     WHEN month(ts) = 7 AND day(ts) = 4 THEN 'independence_day'
+                     WHEN month(ts) = 12 AND day(ts) = 25 THEN 'christmas_day'
+                END AS holiday
+         FROM f""") {
+      // make_future_holiday_effects (calendar.py:137)
+      (s, dir) =>
+        val years = 2015 to 2035
+        val holidays = years.flatMap { y =>
+          Seq((s"$y-01-01", "new_years_day"), (s"$y-07-04", "independence_day"),
+            (s"$y-12-25", "christmas_day"))
+        }.toList
+        import s.implicits._
+        val htbl = holidays.toDF("date_str", "holiday")
+          .select(to_date(col("date_str")).as("date"), col("holiday"))
+        val fut = Seasonality.futureRanges(ev(s, dir), "ts", fh = 3, freq = "1d")
+          .withColumn("h", col("__h").cast("long")).drop("__h")
+        Seasonality.addHolidayEffects(fut, "ts", htbl)
+          .select("user_id", "ts", "h", "holiday")
     },
 
     "s_future_calendar" -> Q(
