@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming extension (beyond the reference's batch-only
+  * surface — SURVEY.md §2.0 notes streaming is absent upstream; this
+  * module makes the same per-entity operators run incrementally).
+  *
+  * Design: the SQL-composed feature extractors are plain aggregate
+  * `Column`s, so they drop unchanged into
+  * `stream.withWatermark(...).groupBy(entity, window(...)).agg(...)` —
+  * one code path for batch and stream. Stateful sequential operators
+  * (the CUSUM changepoint filter) use `flatMapGroupsWithState` with a
+  * bounded per-entity state (warmup buffer ≤ warmupPeriod values), the
+  * Spark-native equivalent of the reference's Rust state machine
+  * (src/changepoint_detection/cusum.rs:33-93).
+  */
+object StreamingPanel {
+
+  /** Watermarked sliding-window feature aggregation. `aggs` are any
+    * aggregate Columns (e.g. Features.absoluteEnergy(col)) — identical
+    * semantics batch or stream. */
+  def windowedFeatures(stream: DataFrame, entityCol: String, timeCol: String,
+                       watermark: String, windowDuration: String, slideDuration: String,
+                       aggs: Seq[Column]): DataFrame =
+    stream
+      .withWatermark(timeCol, watermark)
+      .groupBy(col(entityCol), window(col(timeCol), windowDuration, slideDuration))
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Per-entity CUSUM state, bounded: warmup buffer never exceeds
+    * `warmupPeriod` elements. */
+  final case class CusumState(t: Int, obs: Seq[Double], mu: Double, sigma: Double,
+                              sPos: Double, sNeg: Double)
+
+  final case class CusumEvent(entity: Long, eventTime: java.sql.Timestamp, value: Double)
+
+  final case class In(entity: Long, eventTime: java.sql.Timestamp, value: Double)
+
+  /** Online CUSUM changepoints — incremental form of Kernels.cusum
+    * (same warmup-estimate / standardized-accumulate / fire-and-reset
+    * machine), emitting one row per detected changepoint. Input rows
+    * are processed in event-time order within each micro-batch; state
+    * carries across batches. */
+  def streamingCusum(events: Dataset[In], threshold: Double, warmupPeriod: Int,
+                     drift: Double): Dataset[CusumEvent] = {
+    implicit val stateEnc: Encoder[CusumState] = Encoders.product[CusumState]
+    implicit val outEnc: Encoder[CusumEvent] = Encoders.product[CusumEvent]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    events.groupByKey(_.entity)
+      .flatMapGroupsWithState[CusumState, CusumEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (entity: Long, rows: Iterator[In], state: GroupState[CusumState]) =>
+          var s = state.getOption.getOrElse(CusumState(0, Vector.empty, 0.0, 0.0, 0.0, 0.0))
+          val out = scala.collection.mutable.ArrayBuffer.empty[CusumEvent]
+          rows.toSeq.sortBy(_.eventTime.getTime).foreach { r =>
+            if (s.t < warmupPeriod) {
+              s = s.copy(t = s.t + 1, obs = s.obs :+ r.value)
+            } else {
+              var (mu, sigma, t) = (s.mu, s.sigma, s.t)
+              if (t == warmupPeriod) {
+                mu = s.obs.sum / s.obs.length
+                sigma = math.sqrt(s.obs.map(x => (x - mu) * (x - mu)).sum / s.obs.length)
+                t += 1
+              }
+              val z = (r.value - mu) / sigma
+              val sPos = math.max(s.sPos + z - drift, 0.0)
+              val sNeg = math.min(s.sNeg + z + drift, 0.0)
+              if (sPos > threshold || sNeg < -threshold) {
+                out += CusumEvent(entity, r.eventTime, r.value)
+                s = CusumState(0, Vector.empty, 0.0, 0.0, 0.0, 0.0)
+              } else {
+                s = CusumState(t, s.obs, mu, sigma, sPos, sNeg)
+              }
+            }
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+}

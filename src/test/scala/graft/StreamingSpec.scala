@@ -1,0 +1,74 @@
+package graft
+
+import graft.streaming.StreamingPanel
+import graft.streaming.StreamingPanel.In
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming extension: windowed features and online CUSUM
+  * vs their batch equivalents. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+
+  test("windowed feature agg over a stream matches the batch computation") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val rows = (0 until 30).map(i => (i % 2L, ts(i), (i + 1).toDouble))
+    mem.addData(rows: _*)
+    val stream = mem.toDF.toDF("entity", "event_time", "value")
+    val out = StreamingPanel.windowedFeatures(stream, "entity", "event_time",
+      watermark = "5 minutes", windowDuration = "10 minutes", slideDuration = "10 minutes",
+      aggs = Seq(sum(col("value") * col("value")).as("absolute_energy"),
+        sqrt(avg(col("value") * col("value"))).as("rms")))
+    val q = out.writeStream.format("memory").queryName("wf").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("wf")
+    val want = stream.isStreaming // just for clarity; batch equivalent below
+    val batch = rows.toDF("entity", "event_time", "value")
+      .groupBy(col("entity"), window(col("event_time"), "10 minutes"))
+      .agg(sum(col("value") * col("value")).as("absolute_energy"),
+        sqrt(avg(col("value") * col("value"))).as("rms"))
+    assert(got.count() == batch.count())
+    val g = got.select("entity", "absolute_energy").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val b = batch.select("entity", "absolute_energy").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(g == b)
+  }
+
+  test("streaming CUSUM fires at the same points as the batch kernel") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // level shift at index 20: warmup 10 on N(0)-ish flat, jump to 50
+    val vals = (0 until 20).map(i => Seq(1.0, 2.0, 1.5, 0.5)(i % 4)) ++ Seq.fill(10)(50.0)
+    val batchEvents = graft.functions.Kernels.cusum(vals.toArray, 5.0, 10, 0.0)
+    val mem = MemoryStream[In]
+    mem.addData(vals.zipWithIndex.map { case (v, i) => In(0L, ts(i), v) }: _*)
+    val out = StreamingPanel.streamingCusum(mem.toDS(), threshold = 5.0, warmupPeriod = 10, drift = 0.0)
+    val q = out.writeStream.format("memory").queryName("cp").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val gotTimes = spark.table("cp").collect().map(_.getAs[java.sql.Timestamp]("eventTime")).toSet
+    val wantTimes = batchEvents.zipWithIndex.collect { case (1, i) => ts(i) }.toSet
+    assert(wantTimes.nonEmpty, "fixture should contain a changepoint")
+    assert(gotTimes == wantTimes)
+  }
+
+  test("streaming CUSUM carries state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val vals = (0 until 20).map(i => Seq(1.0, 2.0, 1.5, 0.5)(i % 4)) ++ Seq.fill(10)(50.0)
+    val batchEvents = graft.functions.Kernels.cusum(vals.toArray, 5.0, 10, 0.0)
+    val mem = MemoryStream[In]
+    val out = StreamingPanel.streamingCusum(mem.toDS(), threshold = 5.0, warmupPeriod = 10, drift = 0.0)
+    val q = out.writeStream.format("memory").queryName("cp2").outputMode("append").start()
+    // feed in three micro-batches
+    val data = vals.zipWithIndex.map { case (v, i) => In(0L, ts(i), v) }
+    data.grouped(10).foreach { batch => mem.addData(batch: _*); q.processAllAvailable() }
+    q.stop()
+    val gotTimes = spark.table("cp2").collect().map(_.getAs[java.sql.Timestamp]("eventTime")).toSet
+    val wantTimes = batchEvents.zipWithIndex.collect { case (1, i) => ts(i) }.toSet
+    assert(gotTimes == wantTimes)
+  }
+}
