@@ -2,25 +2,87 @@ package graft.operators
 
 import graft.core.Panel
 import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, VectorAssembler}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** KNN forecaster — forecasting/knn.py:22 (sklearn KNeighborsRegressor
-  * over the AR-reduction matrix), re-expressed for a cluster: MLlib has
-  * no exact KNN, so neighbor search runs as a bucketed random-projection
-  * LSH similarity join (`approxSimilarityJoin`) between the per-entity
-  * query tails and the training reduction matrix — the classic
-  * distributed ANN trick (shuffles on hash bucket, no driver loop; cf.
-  * SURVEY.md §7.5(8)). Prediction = mean label of the k nearest
-  * neighbors, one-step; multi-step via the recursive roll is possible
-  * but the reference's KNN is one-shot per horizon frame too.
+  * over the AR-reduction matrix), re-expressed for a cluster.
+  *
+  * Two physical strategies (SURVEY.md §7.5(8)):
+  *
+  *  - [[predictOneStep]] (default): exact broadcast-KNN. The per-entity
+  *    query tails are small (one row per entity); they broadcast to
+  *    every partition of the distributed reduction matrix, each
+  *    partition keeps a bounded k-heap per query (mapPartitions — the
+  *    genuine per-partition imperative case), and the partial top-k
+  *    rows (numPartitions × entities × k) merge in one final
+  *    grouped top-k. Exact neighbors, matching the reference's sklearn
+  *    semantics; one narrow shuffle.
+  *
+  *  - [[predictOneStepLsh]]: bucketed random-projection LSH similarity
+  *    join for when the entity count itself is huge (query side too
+  *    big to broadcast) — the classic distributed ANN path.
   */
 object KnnForecaster {
 
-  /** One-step-ahead KNN prediction per entity. */
-  def predictOneStep(p: Panel, timeCol: String, freq: String, lags: Int, k: Int,
-                     bucketLength: Double = 2.0): DataFrame = {
+  /** Exact one-step-ahead KNN prediction per entity (broadcast path). */
+  def predictOneStep(p: Panel, timeCol: String, freq: String, lags: Int, k: Int): DataFrame = {
+    val spark = p.df.sparkSession
+    val featureCols = (1 to lags).map(l => s"${p.value}__lag_$l").toArray
+    val reduction = Forecasters.makeReduction(p, lags).na.drop(featureCols :+ p.value)
+      .select((featureCols.map(c => col(c).cast("double")) :+ col(p.value).cast("double").as("__label")): _*)
+    val queries = queryTails(p, timeCol, lags)
+    // broadcast the per-entity query matrix (one row per entity)
+    val qRows = queries.select((col("__qid") +: (1 to lags).map(l => col(s"${p.value}__lag_$l").cast("double"))): _*)
+      .collect().map(r => (r.getLong(0), Array.tabulate(lags)(i => r.getDouble(i + 1))))
+    val bq = spark.sparkContext.broadcast(qRows)
+    val nq = qRows.length
+    // per-partition bounded heaps: local top-k per query
+    val partials = reduction.rdd.mapPartitions { it =>
+      val qs = bq.value
+      // max-heaps of size k on distance
+      val heaps = Array.fill(qs.length)(
+        scala.collection.mutable.PriorityQueue.empty[(Double, Double)](Ordering.by(_._1)))
+      val feats = new Array[Double](lags)
+      it.foreach { row =>
+        var i = 0
+        while (i < lags) { feats(i) = row.getDouble(i); i += 1 }
+        val label = row.getDouble(lags)
+        var qi = 0
+        while (qi < qs.length) {
+          val q = qs(qi)._2
+          var d = 0.0; var j = 0
+          while (j < lags) { val t = feats(j) - q(j); d += t * t; j += 1 }
+          val h = heaps(qi)
+          if (h.size < k) h.enqueue((d, label))
+          else if (d < h.head._1) { h.dequeue(); h.enqueue((d, label)) }
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.iterator.map { case (d, label) => Row(qs(qi)._1, d, label) }
+      }
+    }
+    val partialDf = spark.createDataFrame(partials, StructType(Seq(
+      StructField("__qid", LongType), StructField("__dist", DoubleType),
+      StructField("__label", DoubleType))))
+    // global top-k merge per query (tiny: partitions × entities × k rows)
+    val topk = partialDf
+      .withColumn("__nn", row_number().over(Window.partitionBy("__qid").orderBy(col("__dist"))))
+      .filter(col("__nn") <= k)
+      .groupBy("__qid").agg(avg(col("__label")).as(p.value))
+    queries.select((p.entityCols :+ col("__qid") :+ col("__cutoff")): _*)
+      .join(topk, "__qid")
+      .withColumn("__h", lit(1))
+      .withColumn(timeCol, Forecasters.futureTime(freq))
+      .select((p.entityCols ++ Seq(col(timeCol), col(p.value))): _*)
+  }
+
+  /** LSH-join variant for huge entity counts. */
+  def predictOneStepLsh(p: Panel, timeCol: String, freq: String, lags: Int, k: Int,
+                        bucketLength: Double = 2.0): DataFrame = {
     val featureCols = (1 to lags).map(l => s"${p.value}__lag_$l").toArray
     val reduction = Forecasters.makeReduction(p, lags).na.drop(featureCols :+ p.value)
     val assembler = new VectorAssembler().setInputCols(featureCols).setOutputCol("__features")
@@ -30,27 +92,14 @@ object KnnForecaster {
     val train = assembler.transform(reduction)
       .select(col("__features").as("__tf"), col(p.value).as("__label"),
         monotonically_increasing_id().as("__rid"))
-    // query = the newest lag-tail per entity (the state the next step
-    // would be predicted from)
-    val tail = p.df
-      .withColumn("__rn_desc", row_number().over(
-        Window.partitionBy(p.entityCols: _*).orderBy(p.orderCols.map(_.desc): _*)))
-      .filter(col("__rn_desc") <= lags)
-    val state = tail.groupBy(p.entityCols: _*).agg(
-      collect_list(struct(col("__rn_desc"), p.x)).as("__s"),
-      max(col(timeCol)).as("__cutoff"))
-      .withColumn("__state", sort_array(col("__s")).getField(p.value))
-    val queries = (1 to lags).foldLeft(state) { (d, l) =>
-      d.withColumn(s"${p.value}__lag_$l", element_at(col("__state"), l))
-    }
+    val queries = queryTails(p, timeCol, lags)
     val queryVec = assembler.transform(queries)
-      .select((p.entityCols :+ col("__cutoff") :+ col("__features").as("__qf")): _*)
+      .select((p.entityCols :+ col("__cutoff") :+ col("__features").as("__tf")): _*)
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("__tf").setOutputCol("__hashes")
       .setBucketLength(bucketLength).setNumHashTables(3).setSeed(42L)
     val model = lsh.fit(train)
-    val joined = model.approxSimilarityJoin(
-        train, queryVec.withColumnRenamed("__qf", "__tf"), Double.MaxValue, "__dist")
+    val joined = model.approxSimilarityJoin(train, queryVec, Double.MaxValue, "__dist")
       .select(col("datasetB.*"), col("datasetA.__label").as("__label"), col("__dist"))
     val ranked = joined
       .withColumn("__nn", row_number().over(
@@ -61,5 +110,23 @@ object KnnForecaster {
       .withColumn("__h", lit(1))
       .withColumn(timeCol, Forecasters.futureTime(freq))
       .select((p.entityCols ++ Seq(col(timeCol), col(p.value))): _*)
+  }
+
+  /** One row per entity: the newest lag-tail as lag columns + cutoff +
+    * a dense query id. */
+  private def queryTails(p: Panel, timeCol: String, lags: Int): DataFrame = {
+    val tail = p.df
+      .withColumn("__rn_desc", row_number().over(
+        Window.partitionBy(p.entityCols: _*).orderBy(p.orderCols.map(_.desc): _*)))
+      .filter(col("__rn_desc") <= lags)
+    val state = tail.groupBy(p.entityCols: _*).agg(
+      collect_list(struct(col("__rn_desc"), p.x)).as("__s"),
+      max(col(timeCol)).as("__cutoff"))
+      .withColumn("__state", sort_array(col("__s")).getField(p.value))
+      .filter(size(col("__state")) >= lags)
+      .withColumn("__qid", row_number().over(Window.orderBy(p.entityCols.map(_.asc): _*)).cast("long"))
+    (1 to lags).foldLeft(state) { (d, l) =>
+      d.withColumn(s"${p.value}__lag_$l", element_at(col("__state"), l))
+    }
   }
 }
