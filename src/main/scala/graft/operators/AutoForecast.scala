@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.core.Panel
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** AutoML-style model selection and the elite ensemble.
@@ -27,6 +27,66 @@ object AutoForecast {
       .agg((sum(abs(col("pred") - col("actual"))) / sum(col("pred") + col("actual")))
         .as("smape"))
 
+  /** Expanding-window backtest of the linear AR forecaster sharing ONE
+    * window pass across all splits: because each train slice is a row
+    * PREFIX per entity, its lag matrix is exactly the full-data lag
+    * matrix filtered to `__rn ≤ trainEnd` — so the lag windows, row
+    * positions, and feature assembly are computed once and cached, and
+    * each split is a filter + one closed-form MLlib fit + flat
+    * per-horizon expressions (no per-split reduction recompute).
+    * Returns the same schema as [[Conformal.backtest]]. */
+  def backtestLinearPrefix(p: Panel, timeCol: String, lags: Int,
+                           testSize: Int, nSplits: Int, stepSize: Int): DataFrame = {
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.regression.LinearRegression
+    val featureCols = (1 to lags).map(l => s"${p.value}__lag_$l").toArray
+    val positioned = CrossValidation.withPosition(p.copy(df = Preprocess.lagKeepAll(p, 1 to lags)))
+    val assembled = new VectorAssembler()
+      .setInputCols(featureCols).setOutputCol("__features").setHandleInvalid("keep")
+      .transform(positioned)
+      .cache()
+    val splits = (0 until nSplits).map { i =>
+      val cutoff = testSize + (nSplits - 1 - i) * stepSize
+      val trainEnd = col("__cnt") - cutoff
+      val m = new LinearRegression()
+        .setSolver("normal").setFeaturesCol("__features").setLabelCol(p.value)
+        .fit(assembled.filter(col("__rn") <= trainEnd && col("__rn") > lags))
+      // per-entity state at the split cutoff: values trainEnd..trainEnd−lags+1
+      val tailRows = assembled
+        .filter(col("__rn") > trainEnd - lags && col("__rn") <= trainEnd)
+        .withColumn("__rn_desc", trainEnd - col("__rn") + 1)
+      val state = tailRows.groupBy(p.entityCols: _*).agg(
+        collect_list(struct(col("__rn_desc"), p.x)).as("__s"))
+        .withColumn("__state", sort_array(col("__s")).getField(p.value))
+      // closed-form per-horizon affine coefficients (as in
+      // Forecasters.predictRecursiveLinear)
+      val weights = m.coefficients.toArray
+      var a = Array.tabulate(lags, lags)((r, c) => if (r == c) 1.0 else 0.0)
+      var cvec = new Array[Double](lags)
+      val horizons = (1 to testSize).map { _ =>
+        val ah = Array.tabulate(lags)(j => weights.zipWithIndex.map { case (w, r) => w * a(r)(j) }.sum)
+        val bh = m.intercept + weights.zipWithIndex.map { case (w, r) => w * cvec(r) }.sum
+        a = ah +: a.dropRight(1); cvec = bh +: cvec.dropRight(1)
+        (ah, bh)
+      }
+      val predCols = horizons.map { case (ah, bh) =>
+        ah.zipWithIndex.collect { case (w, j) if w != 0.0 => lit(w) * element_at(col("__state"), j + 1) }
+          .foldLeft(lit(bh): Column)(_ + _)
+      }
+      val pred = state.withColumn("__h", explode(sequence(lit(1), lit(testSize))))
+        .withColumn("__pred", element_at(array(predCols: _*), col("__h").cast("int")))
+        .select((p.entityCols :+ col("__h") :+ col("__pred")): _*)
+      val actual = assembled
+        .filter(col("__rn") > trainEnd && col("__rn") <= trainEnd + testSize)
+        .withColumn("__h", (col("__rn") - trainEnd).cast("int"))
+        .select((p.entityCols ++ Seq(col("__h"), col(timeCol), p.x.as("__actual"))): _*)
+      actual.join(pred, p.entity :+ "__h", "inner").withColumn("split", lit(i))
+    }
+    splits.reduce(_ unionByName _)
+      .select((p.entityCols ++ Seq(col(timeCol), col("split"),
+        col("__actual").as("actual"), col("__pred").as("pred"))): _*)
+  }
+
   /** Lag sweep with expanding-window CV — _ar.py:117-209: backtest the
     * linear forecaster per candidate lag count, pick the lag grid
     * point with the lowest mean SMAPE, refit on all data. */
@@ -35,8 +95,7 @@ object AutoForecast {
       : (Int, Double, LinearForecasterModel) = {
     val cached = p.copy(df = p.df.cache())
     val scored = lagGrid.map { lags =>
-      val bt = Conformal.backtest(cached, timeCol, testSize, nSplits, stepSize,
-        (train, fh) => LinearForecaster.fit(train, lags, freq).predict(train, timeCol, fh))
+      val bt = backtestLinearPrefix(cached, timeCol, lags, testSize, nSplits, stepSize)
       val mean = backtestScore(bt, p.entity).agg(avg("smape")).collect()(0).getDouble(0)
       (lags, mean)
     }
@@ -57,10 +116,15 @@ object AutoForecast {
       "snaive" -> ((tr, h) => Forecasters.snaive(tr, timeCol, h, sp = 7, freq = freq)),
       "linear_7" -> ((tr, h) => LinearForecaster.fit(tr, 7, freq).predict(tr, timeCol, h)),
       "linear_14" -> ((tr, h) => LinearForecaster.fit(tr, 14, freq).predict(tr, timeCol, h)))
-    // per-(entity, model) CV score
+    // per-(entity, model) CV score; linear candidates share one cached
+    // lag/position pass across splits (prefix property)
     val scores = base.map { case (name, f) =>
-      backtestScore(Conformal.backtest(cached, timeCol, testSize, nSplits, stepSize, f), p.entity)
-        .withColumn("model", lit(name))
+      val bt =
+        if (name.startsWith("linear_"))
+          backtestLinearPrefix(cached, timeCol, name.stripPrefix("linear_").toInt,
+            testSize, nSplits, stepSize)
+        else Conformal.backtest(cached, timeCol, testSize, nSplits, stepSize, f)
+      backtestScore(bt, p.entity).withColumn("model", lit(name))
     }.reduce(_ unionByName _)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(p.entityCols: _*).orderBy(col("smape").asc_nulls_last)

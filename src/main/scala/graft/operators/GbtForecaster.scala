@@ -117,6 +117,7 @@ object CensoredForecaster {
       .setFeaturesCol("__features").setLabelCol("__above")
       .fit(assembled)
     val reg = new org.apache.spark.ml.regression.LinearRegression()
+      .setSolver("normal")
       .setFeaturesCol("__features").setLabelCol(p.value)
       .fit(assembled.filter(col(p.value) > threshold))
     Model(clf.interceptVector(0), clf.coefficientMatrix.rowIter.next().toArray,

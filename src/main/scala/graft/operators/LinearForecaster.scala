@@ -34,6 +34,9 @@ object LinearForecaster {
       .setInputCols(featureCols).setOutputCol("__features")
       .transform(reduction.na.drop(featureCols :+ p.value))
     val lr = new LinearRegression()
+      // closed-form: lags << rows, one distributed pass; L1 needs the
+      // iterative solver, so only pure-L2/OLS takes the normal path
+      .setSolver(if (elasticNetParam == 0.0) "normal" else "auto")
       .setFeaturesCol("__features").setLabelCol(p.value)
       .setRegParam(regParam).setElasticNetParam(elasticNetParam)
     val m = lr.fit(assembled)
@@ -54,6 +57,7 @@ object LinearForecaster {
         .setInputCols(featureCols).setOutputCol("__features")
         .transform(reduction.na.drop(featureCols :+ p.value))
       val m = new LinearRegression()
+        .setSolver("normal")
         .setFeaturesCol("__features").setLabelCol(p.value)
         .fit(assembled)
       (m.intercept, m.coefficients.toArray)

@@ -25,6 +25,14 @@ object Preprocess {
       .filter(col("__rn") > maxLag).drop("__rn")
   }
 
+  /** Lag columns WITHOUT dropping warmup rows (nulls in the first
+    * max-lag positions) — for callers that filter by row position
+    * themselves (e.g. prefix-sharing CV backtests). */
+  def lagKeepAll(p: Panel, lags: Seq[Int]): DataFrame =
+    lags.foldLeft(p.df) { (d, l) =>
+      d.withColumn(s"${p.value}__lag_$l", org.apache.spark.sql.functions.lag(p.x, l).over(p.w))
+    }
+
   /** Order-k seasonal differencing applied `order` times —
     * preprocessing.py:491. Returns (diffed, headsPerIteration): the
     * sp head rows of each intermediate series, exactly the artifacts
