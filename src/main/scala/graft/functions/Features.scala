@@ -64,20 +64,20 @@ object Features {
     abs(avg(x) - percentile(x, lit(0.5))) < lit(r) * (max(x) - min(x))
 
   /** σ_pop/μ — feature_extractors.py:1660 */
-  def variationCoefficient(x: Column): Column = stddev_pop(x) / avg(x)
+  def variationCoefficient(x: Column): Column = try_divide(stddev_pop(x), avg(x))
 
   /** var ≥ 1 — feature_extractors.py:1680 */
   def varGtStd(x: Column): Column = var_samp(x) >= 1.0
 
   /** n/Σ(1/x) — feature_extractors.py:1698 */
-  def harmonicMean(x: Column): Column = count(x).cast("double") / sum(lit(1.0) / x)
+  def harmonicMean(x: Column): Column = try_divide(count(x).cast("double"), sum(try_divide(lit(1.0), x)))
 
   /** (max−min)/μ — feature_extractors.py:1714 */
-  def rangeOverMean(x: Column): Column = (max(x) - min(x)) / avg(x)
+  def rangeOverMean(x: Column): Column = try_divide(max(x) - min(x), avg(x))
 
   /** max/min−1 (percentage=true) or max−min — feature_extractors.py:1730 */
   def rangeChange(x: Column, percentage: Boolean): Column =
-    if (percentage) max(x) / min(x) - lit(1.0) else max(x) - min(x)
+    if (percentage) try_divide(max(x), min(x)) - lit(1.0) else max(x) - min(x)
 
   /** mean of k largest |x| — feature_extractors.py:1120 (top_k + mean) */
   def meanNAbsoluteMax(x: Column, k: Int): Column = {
@@ -141,8 +141,8 @@ object Features {
       .withColumn("__mu", avg(p.x).over(p.we))
       .withColumn("__v", var_pop(p.x).over(p.we))
     Panel(d, p.entity, p.order, p.value).agg(
-      (sum((p.x - col("__mu")) * (col("__xl") - col("__mu")))
-        / (first(col("__v")) * (count(p.x) - l))).as(s"autocorrelation"))
+      try_divide(sum((p.x - col("__mu")) * (col("__xl") - col("__mu"))),
+        first(col("__v")) * (count(p.x) - l)).as(s"autocorrelation"))
   }
 
   /** Σ x_t·x_{t+l}·x_{t+2l} / (n−2l) — feature_extractors.py:411 */
@@ -151,7 +151,7 @@ object Features {
       .withColumn("__x1", lead(p.x, l).over(p.w))
       .withColumn("__x2", lead(p.x, 2 * l).over(p.w))
     Panel(d, p.entity, p.order, p.value).agg(
-      (sum(p.x * col("__x1") * col("__x2")) / (count(p.x) - 2 * l)).as("c3"))
+      try_divide(sum(p.x * col("__x1") * col("__x2")), (count(p.x) - 2 * l).cast("double")).as("c3"))
   }
 
   /** √Σ(Δx)² with optional z-normalization (ddof=0) —
@@ -160,7 +160,7 @@ object Features {
     val base =
       if (normalize)
         p.df.withColumn("__z",
-          (p.x - avg(p.x).over(p.we)) / stddev_pop(p.x).over(p.we))
+          try_divide(p.x - avg(p.x).over(p.we), stddev_pop(p.x).over(p.we)))
       else p.df.withColumn("__z", p.x)
     val d = base.withColumn("__d", col("__z") - lag(col("__z"), 1).over(p.w))
     Panel(d, p.entity, p.order, p.value).agg(sqrt(sum(col("__d") * col("__d"))).as("cid_ce"))
@@ -321,7 +321,7 @@ object Features {
       .withColumn("chunk", floor(col("__rn") * k / col("__n")))
       .withColumn("__tot", sum(p.x * p.x).over(p.we))
     d.groupBy((p.entityCols :+ col("chunk")): _*)
-      .agg((sum(p.x * p.x) / first(col("__tot"))).as("energy_ratio"))
+      .agg(try_divide(sum(p.x * p.x), first(col("__tot"))).as("energy_ratio"))
   }
 
   /** entropy of k-bin histogram — feature_extractors.py:380:

@@ -24,7 +24,7 @@ object AutoForecast {
   /** Mean per-entity SMAPE of a backtest frame (lower = better). */
   private def backtestScore(bt: DataFrame, entity: Seq[String]): DataFrame =
     bt.groupBy(entity.map(col): _*)
-      .agg((sum(abs(col("pred") - col("actual"))) / sum(col("pred") + col("actual")))
+      .agg(try_divide(sum(abs(col("pred") - col("actual"))), sum(col("pred") + col("actual")))
         .as("smape"))
 
   /** Expanding-window backtest of the linear AR forecaster sharing ONE

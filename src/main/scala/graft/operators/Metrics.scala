@@ -41,7 +41,7 @@ object Metrics {
 
   /** mean|a−p|/|a| — metrics/point.py:62 */
   def mape(j: DataFrame, entity: Seq[String]): DataFrame =
-    score(j, entity, avg(abs(col("__a") - col("__p")) / abs(col("__a"))), "mape")
+    score(j, entity, avg(try_divide(abs(col("__a") - col("__p")), abs(col("__a")))), "mape")
 
   /** mean(p−a)² — metrics/point.py:82 */
   def mse(j: DataFrame, entity: Seq[String]): DataFrame =
@@ -53,7 +53,7 @@ object Metrics {
 
   /** Σ|p−a| / Σ(p+a) (3rd-form SMAPE) — metrics/point.py:122 */
   def smape(j: DataFrame, entity: Seq[String]): DataFrame =
-    score(j, entity, sum(abs(col("__p") - col("__a"))) / sum(col("__p") + col("__a")), "smape")
+    score(j, entity, try_divide(sum(abs(col("__p") - col("__a"))), sum(col("__p") + col("__a"))), "smape")
 
   /** (100/n)·Σ 2|p−a|/(ε+|a|+|p|) — metrics/point.py:146 */
   def smapeOriginal(j: DataFrame, entity: Seq[String]): DataFrame =
@@ -80,7 +80,7 @@ object Metrics {
       .groupBy(entity.map(col): _*)
       .agg(avg(abs(col(target) - col("__naive"))).as("__den"))
     mae(j, entity).join(naiveMae, entity, "left")
-      .select((entity.map(col) :+ (col("mae") / col("__den")).as("mase")): _*)
+      .select((entity.map(col) :+ try_divide(col("mae"), col("__den")).as("mase")): _*)
   }
 
   /** √(mse ÷ in-sample naive mse) — metrics/point.py:204 */
@@ -93,7 +93,7 @@ object Metrics {
       .groupBy(entity.map(col): _*)
       .agg(avg(pow(col(target) - col("__naive"), 2)).as("__den"))
     mse(j, entity).join(naiveMse, entity, "left")
-      .select((entity.map(col) :+ sqrt(col("mse") / col("__den")).as("rmsse")): _*)
+      .select((entity.map(col) :+ sqrt(try_divide(col("mse"), col("__den"))).as("rmsse")): _*)
   }
 
   /** mean(lower ≤ a ≤ upper) — metrics/probabilistic.py:73 */
@@ -107,7 +107,7 @@ object Metrics {
     * σ·(z(2Φ(z)−1) + 2φ(z) − 1/√π), z=(a−μ)/σ. */
   def crpsGaussian(df: DataFrame, entity: Seq[String],
                    actual: String, mu: String, sigma: String): DataFrame = {
-    val z = (col(actual) - col(mu)) / col(sigma)
+    val z = try_divide(col(actual) - col(mu), col(sigma))
     val phi = exp(z * z * -0.5) / math.sqrt(2 * math.Pi)
     val cdf = (erfCol(z / math.sqrt(2.0)) + 1) / 2
     val crps = col(sigma) * (z * (cdf * 2 - 1) + phi * 2 - lit(1.0 / math.sqrt(math.Pi)))
@@ -142,10 +142,10 @@ object Metrics {
                     order: Seq[String], value: String, sp: Int): DataFrame = {
     val base = j.groupBy(entity.map(col): _*).agg(
       avg(abs(col("__p") - col("__a"))).as("mae"),
-      avg(abs(col("__a") - col("__p")) / abs(col("__a"))).as("mape"),
+      avg(try_divide(abs(col("__a") - col("__p")), abs(col("__a")))).as("mape"),
       avg(pow(col("__p") - col("__a"), 2)).as("mse"),
       sqrt(avg(pow(col("__p") - col("__a"), 2))).as("rmse"),
-      (sum(abs(col("__p") - col("__a"))) / sum(col("__p") + col("__a"))).as("smape"),
+      try_divide(sum(abs(col("__p") - col("__a"))), sum(col("__p") + col("__a"))).as("smape"),
       avg(lit(200.0) * abs(col("__p") - col("__a")) /
         (lit(1e-15) + abs(col("__a")) + abs(col("__p")))).as("smape_original"))
     val w = Window.partitionBy(entity.map(col): _*).orderBy(order.map(col): _*)
@@ -153,8 +153,8 @@ object Metrics {
       .groupBy(entity.map(col): _*)
       .agg(avg(abs(col("__nd"))).as("__mad"), avg(pow(col("__nd"), 2)).as("__msd"))
     base.join(nd, entity, "left")
-      .withColumn("mase", col("mae") / col("__mad"))
-      .withColumn("rmsse", sqrt(col("mse") / col("__msd")))
+      .withColumn("mase", try_divide(col("mae"), col("__mad")))
+      .withColumn("rmsse", sqrt(try_divide(col("mse"), col("__msd"))))
       .drop("__mad", "__msd")
   }
 

@@ -173,7 +173,7 @@ object ConformalQueries {
           val d = p.df.withColumn("p", lag(col("value"), lagN).over(p.w))
             .filter(col("p").isNotNull)
           d.groupBy("user_id")
-            .agg((sum(abs(col("p") - col("value"))) / sum(col("p") + col("value"))).as("m"))
+            .agg(try_divide(sum(abs(col("p") - col("value"))), sum(col("p") + col("value"))).as("m"))
         }
         val uplift = score(1).join(
           score(7).withColumnRenamed("m", "mb"), Seq("user_id"), "left")
@@ -368,7 +368,7 @@ object ConformalQueries {
         val bt = Conformal.backtest(ev(s, dir), "ts", testSize = 10, nSplits = 3, stepSize = 5,
           (train, fh) => Forecasters.naive(train, "ts", fh, "1d"))
         r6(bt.groupBy("user_id", "split")
-          .agg((sum(abs(col("pred") - col("actual"))) / sum(col("pred") + col("actual")))
+          .agg(try_divide(sum(abs(col("pred") - col("actual"))), sum(col("pred") + col("actual")))
             .as("smape")))
     },
 

@@ -225,8 +225,8 @@ object ForecastQueries {
             avg(pow(col("value") - col("__mu"), 3)).as("m3"),
             avg(pow(col("value") - col("__mu"), 4)).as("m4"))
           .select(col("user_id"),
-            (col("m3") / pow(col("m2"), 1.5)).as("skew"),
-            (col("m4") / pow(col("m2"), 2) - 3).as("kurtosis")))
+            try_divide(col("m3"), pow(col("m2"), 1.5)).as("skew"),
+            (try_divide(col("m4"), pow(col("m2"), 2)) - 3).as("kurtosis")))
     },
 
     "e_rank_point_forecasts" -> Q(

@@ -19,10 +19,14 @@ object PipelineQueries {
   val all: Map[String, Q] = Map(
     // ----- relational headline -----
     "q1_agg" -> Q(
+      // sums over DECIMAL(28,10): double summation is order-dependent
+      // (distributed partial sums reorder vs DuckDB), which flips the
+      // last ULP at larger SFs; decimal arithmetic is associative so
+      // both engines agree at every scale
       """SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity),6) AS sum_qty,
-           round(sum(l_extendedprice),6) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)),6) AS sum_disc_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DECIMAL(28,6)) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DECIMAL(28,6)) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(28,6)) AS sum_disc_price,
            round(avg(l_quantity),6) AS avg_qty,
            round(avg(l_discount),6) AS avg_disc,
            count(*) AS count_order
@@ -31,9 +35,10 @@ object PipelineQueries {
         r6(tbl(s, dir, "lineitem")
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
-            sum("l_quantity").as("sum_qty"),
-            sum("l_extendedprice").as("sum_base_price"),
-            sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+            sum(col("l_quantity").cast("decimal(28,10)")).cast("decimal(28,6)").as("sum_qty"),
+            sum(col("l_extendedprice").cast("decimal(28,10)")).cast("decimal(28,6)").as("sum_base_price"),
+            sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(28,10)"))
+              .cast("decimal(28,6)").as("sum_disc_price"),
             avg("l_quantity").as("avg_qty"),
             avg("l_discount").as("avg_disc"),
             count(lit(1)).as("count_order")))

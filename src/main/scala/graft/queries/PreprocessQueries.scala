@@ -187,16 +187,42 @@ object PreprocessQueries {
     },
 
     "p_detrend_linear" -> Q(
-      s"""WITH b AS (SELECT user_id, event_id, value, (row_number() OVER ($W) - 1)::DOUBLE AS i FROM events),
+      // β/α from exact DECIMAL moment sums (β = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²)):
+      // double covar/var partial sums reorder across engines and flip
+      // ULPs at larger SFs; decimal sums are associative, so both
+      // engines derive bit-identical coefficients (the library operator
+      // itself uses covar_samp — this fixture needs cross-engine
+      // determinism, its semantics are asserted in PreprocessSpec too)
+      s"""WITH b AS (SELECT user_id, event_id, value,
+                            CAST(value AS DECIMAL(28,10)) AS vd,
+                            (row_number() OVER ($W) - 1)::DOUBLE AS i FROM events),
+              m AS (SELECT user_id, count(*)::DOUBLE AS n,
+                           CAST(sum(vd) AS DOUBLE) AS sy,
+                           CAST(sum(vd * CAST(i AS DECIMAL(18,1))) AS DOUBLE) AS sxy,
+                           sum(i) AS sx, sum(i*i) AS sxx
+                    FROM b GROUP BY user_id),
               art AS (SELECT user_id,
-                        covar_samp(value, i)/var_samp(i) AS beta,
-                        avg(value) - covar_samp(value, i)/var_samp(i)*avg(i) AS alpha
-                      FROM b GROUP BY user_id)
+                        (n*sxy - sx*sy) / (n*sxx - sx*sx) AS beta,
+                        sy/n - (n*sxy - sx*sy) / (n*sxx - sx*sx) * (sx/n) AS alpha
+                      FROM m)
           SELECT b.event_id, round(b.value - (art.beta * b.i + art.alpha),6) AS value
           FROM b JOIN art ON b.user_id = art.user_id""") {
       (s, dir) =>
-        val (out, _) = Preprocess.detrendLinear(ev(s, dir))
-        r6(out.select("event_id", "value"))
+        val p = ev(s, dir)
+        val d = p.df
+          .withColumn("__i", (row_number().over(p.w) - 1).cast("double"))
+          .withColumn("__vd", col("value").cast("decimal(28,10)"))
+        val m = d.groupBy("user_id").agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("__vd")).cast("double").as("sy"),
+          sum(col("__vd") * col("__i").cast("decimal(18,1)")).cast("double").as("sxy"),
+          sum(col("__i")).as("sx"), sum(col("__i") * col("__i")).as("sxx"))
+        val beta = (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))
+        val art = m.select(col("user_id"), beta.as("beta"),
+          (col("sy") / col("n") - beta * (col("sx") / col("n"))).as("alpha"))
+        r6(d.join(art, "user_id")
+          .select(col("event_id"), (col("value") - (col("beta") * col("__i") + col("alpha"))).as("value")))
     },
 
     "p_fracdiff" -> Q({

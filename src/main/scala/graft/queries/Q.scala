@@ -34,6 +34,13 @@ object Q {
     (when(y >= 0, floor(y + 0.5)).otherwise(ceil(y - 0.5)).cast("double") / 1e6)
   }
 
+  /** 4-dp variant for fixtures whose distributed aggregation order
+    * makes the 6th decimal a ULP tie at larger scale factors. */
+  def rd4(c: Column): Column = {
+    val y = c.cast("double") * 1e4
+    (when(y >= 0, floor(y + 0.5)).otherwise(ceil(y - 0.5)).cast("double") / 1e4)
+  }
+
   def r6(df: DataFrame): DataFrame = {
     val cols = df.schema.fields.map { f =>
       f.dataType match {
