@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.core.Panel
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Residual evaluation statistics (reference: functime/evaluation.py).
+  *
+  * The normality test is the full D'Agostino-Pearson K² from scipy
+  * `normaltest` (evaluation.py:171-182 delegates to scipy) — both the
+  * skewness and kurtosis Z-transforms are closed-form algebra over the
+  * first four central moments, so the whole test (statistic AND
+  * p-value: chi²(2df) survival = exp(−K²/2)) runs as one codegen'd
+  * aggregation per entity. No SciPy, no UDF.
+  */
+object Evaluation {
+
+  /** Per-entity D'Agostino-Pearson normality test: (skew, kurtosis,
+    * k2_stat, p_value). Formulas follow the published test
+    * (D'Agostino 1971; Anscombe & Glynn 1983). */
+  def normalityTest(p: Panel): DataFrame = {
+    val d = p.df.withColumn("__mu", avg(p.x).over(p.we))
+    val m = d.groupBy(p.entityCols: _*).agg(
+      count(p.x).cast("double").as("n"),
+      avg(pow(p.x - col("__mu"), 2)).as("m2"),
+      avg(pow(p.x - col("__mu"), 3)).as("m3"),
+      avg(pow(p.x - col("__mu"), 4)).as("m4"))
+    val n = col("n")
+    val skew = try_divide(col("m3"), pow(col("m2"), 1.5))
+    val kurt = try_divide(col("m4"), pow(col("m2"), 2))
+    // skewtest (D'Agostino 1971)
+    val y = skew * sqrt((n + 1) * (n + 3) / (lit(6.0) * (n - 2)))
+    val beta2 = lit(3.0) * (n * n + lit(27.0) * n - 70) * (n + 1) * (n + 3) /
+      ((n - 2) * (n + 5) * (n + 7) * (n + 9))
+    val w2 = sqrt(lit(2.0) * (beta2 - 1)) - 1
+    val delta = lit(1.0) / sqrt(lit(0.5) * log(w2))
+    val alpha = sqrt(lit(2.0) / (w2 - 1))
+    val ya = try_divide(y, alpha)
+    val z1 = delta * log(ya + sqrt(ya * ya + 1))
+    // kurtosistest (Anscombe & Glynn 1983)
+    val e = lit(3.0) * (n - 1) / (n + 1)
+    val varb2 = lit(24.0) * n * (n - 2) * (n - 3) / ((n + 1) * (n + 1) * (n + 3) * (n + 5))
+    val x = (kurt - e) / sqrt(varb2)
+    val sqrtbeta1 = lit(6.0) * (n * n - lit(5.0) * n + 2) / ((n + 7) * (n + 9)) *
+      sqrt(lit(6.0) * (n + 3) * (n + 5) / (n * (n - 2) * (n - 3)))
+    val aa = lit(6.0) + lit(8.0) / sqrtbeta1 *
+      (lit(2.0) / sqrtbeta1 + sqrt(lit(1.0) + lit(4.0) / (sqrtbeta1 * sqrtbeta1)))
+    val term = (lit(1.0) - lit(2.0) / aa) /
+      (lit(1.0) + x * sqrt(lit(2.0) / (aa - 4)))
+    val z2 = ((lit(1.0) - lit(2.0) / (lit(9.0) * aa)) -
+      signum(term) * pow(abs(term), lit(1.0) / 3)) / sqrt(lit(2.0) / (lit(9.0) * aa))
+    val k2 = z1 * z1 + z2 * z2
+    m.select((p.entityCols ++ Seq(
+      skew.as("skew"), (kurt - 3).as("kurtosis"),
+      k2.as("k2_stat"), exp(k2 * -0.5).as("p_value"))): _*)
+  }
+
+  /** Per-entity ACF for lags 1..maxLags with Bartlett ±1.96·√((1+2Σr²)/n)
+    * confidence bounds — evaluation.py:62-78. */
+  def acf(p: Panel, maxLags: Int): DataFrame = {
+    val withLags = (1 to maxLags).foldLeft(p.df) { (d, l) =>
+      d.withColumn(s"__l$l", lag(p.x, l).over(p.w))
+    }
+    val aggs = count(p.x).cast("double").as("n") +:
+      (1 to maxLags).map(l => corr(p.x, col(s"__l$l")).as(s"acf_$l"))
+    val base = withLags.groupBy(p.entityCols: _*).agg(aggs.head, aggs.tail: _*)
+    // Bartlett: CI for lag k uses Σ_{i<k} r_i²
+    val withCis = (1 to maxLags).foldLeft(base) { (d, k) =>
+      val priorSq = (1 until k).map(i => col(s"acf_$i") * col(s"acf_$i"))
+        .foldLeft(lit(0.0): Column)(_ + _)
+      d.withColumn(s"ci_$k", lit(1.96) * sqrt((lit(1.0) + priorSq * 2) / col("n")))
+    }
+    withCis.drop("n")
+  }
+}

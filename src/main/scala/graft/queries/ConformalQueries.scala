@@ -146,6 +146,91 @@ object ConformalQueries {
         r6(Conformal.conformalize(yPred, bt, yResid, Seq("user_id"), "ts", "value", "residual"))
     },
 
+    // ----- invert round-trips: transform → invert == identity, so the
+    // oracle is simply the original column (the strongest driver-gate
+    // form of the reference's round-trip tests, test_preprocessing.py)
+    "rt_scale_invert" -> Q(
+      "SELECT event_id, round(value,6) AS value FROM events") {
+      (s, dir) =>
+        val p = ev(s, dir)
+        val (scaled, art) = Preprocess.scale(p)
+        r6(Preprocess.scaleInvert(scaled, art, Seq("user_id"), "value")
+          .select("event_id", "value"))
+    },
+
+    "rt_diff_invert" -> Q(
+      "SELECT event_id, round(value,6) AS value FROM events") {
+      (s, dir) =>
+        val p = ev(s, dir)
+        val (diffed, heads) = Preprocess.diff(p, order = 1, sp = 1)
+        r6(Preprocess.diffInvert(diffed, heads, Seq("user_id"), Seq("ts", "event_id"),
+          "value", sp = 1).select("event_id", "value"))
+    },
+
+    "rt_boxcox_invert" -> Q(
+      "SELECT event_id, round(value,6) AS value FROM events") {
+      (s, dir) =>
+        val p = ev(s, dir)
+        val f = p.df.withColumn("value", Preprocess.boxcox(col("value"), lit(0.5)))
+        r6(f.withColumn("value", Preprocess.boxcoxInvert(col("value"), lit(0.5)))
+          .select("event_id", "value"))
+    },
+
+    "e_normality_test" -> Q(
+      s"""WITH b AS (SELECT user_id, value, avg(value) OVER ($WE) AS mu FROM events),
+              m AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS n,
+                      avg(pow(value - mu, 2)) AS m2,
+                      avg(pow(value - mu, 3)) AS m3,
+                      avg(pow(value - mu, 4)) AS m4
+                    FROM b GROUP BY user_id),
+              s AS (SELECT user_id, n, m3 / pow(m2, 1.5) AS skew, m4 / pow(m2, 2) AS b2 FROM m),
+              z1c AS (SELECT *,
+                        skew * sqrt((n+1)*(n+3)/(6*(n-2))) AS y,
+                        3.0*(n*n + 27*n - 70)*(n+1)*(n+3) / ((n-2)*(n+5)*(n+7)*(n+9)) AS beta2
+                      FROM s),
+              z1 AS (SELECT *,
+                       (1.0/sqrt(0.5*ln(sqrt(2*(beta2-1))-1)))
+                         * ln(y/sqrt(2.0/((sqrt(2*(beta2-1))-1)-1))
+                              + sqrt(pow(y/sqrt(2.0/((sqrt(2*(beta2-1))-1)-1)),2)+1)) AS zs
+                     FROM z1c),
+              z2c AS (SELECT *,
+                        (b2 - 3.0*(n-1)/(n+1))
+                          / sqrt(24.0*n*(n-2)*(n-3)/((n+1)*(n+1)*(n+3)*(n+5))) AS xk,
+                        6.0*(n*n-5*n+2)/((n+7)*(n+9))
+                          * sqrt(6.0*(n+3)*(n+5)/(n*(n-2)*(n-3))) AS sb1
+                      FROM z1),
+              z2a AS (SELECT *, 6.0 + 8.0/sb1 * (2.0/sb1 + sqrt(1.0+4.0/(sb1*sb1))) AS aa FROM z2c),
+              z2 AS (SELECT *,
+                       ((1.0 - 2.0/(9.0*aa)) -
+                        sign((1.0-2.0/aa)/(1.0+xk*sqrt(2.0/(aa-4))))
+                          * pow(abs((1.0-2.0/aa)/(1.0+xk*sqrt(2.0/(aa-4)))), 1.0/3.0))
+                         / sqrt(2.0/(9.0*aa)) AS zk
+                     FROM z2a)
+          SELECT user_id, round(skew,6) AS skew, round(b2 - 3,6) AS kurtosis,
+                 round(zs*zs + zk*zk,6) AS k2_stat,
+                 round(exp(-(zs*zs + zk*zk)/2),6) AS p_value
+          FROM z2""") {
+      // full D'Agostino-Pearson normaltest (scipy semantics) as one
+      // codegen'd aggregation — closed-form Z-transforms, p = chi²(2df)
+      // survival = exp(−K²/2)
+      (s, dir) => r6(Evaluation.normalityTest(ev(s, dir)))
+    },
+
+    "e_acf_bartlett" -> Q(
+      s"""WITH b AS (SELECT user_id, value,
+                            lag(value, 1) OVER ($W) AS l1,
+                            lag(value, 2) OVER ($W) AS l2 FROM events),
+              r AS (SELECT user_id, CAST(count(value) AS DOUBLE) AS n,
+                           corr(value, l1) AS acf_1, corr(value, l2) AS acf_2
+                    FROM b GROUP BY user_id)
+          SELECT user_id, round(acf_1,6) AS acf_1, round(acf_2,6) AS acf_2,
+                 round(1.96 * sqrt(1.0/n),6) AS ci_1,
+                 round(1.96 * sqrt((1.0 + 2*acf_1*acf_1)/n),6) AS ci_2
+          FROM r""") {
+      // ACF with Bartlett confidence bounds (evaluation.py:74-78)
+      (s, dir) => r6(Evaluation.acf(ev(s, dir), maxLags = 2))
+    },
+
     "e_rank_residuals" -> Q(
       s"""WITH r AS (SELECT user_id, value - lag(value) OVER ($W) AS r FROM events)
           SELECT user_id, round(abs(avg(r)),6) AS abs_bias
