@@ -55,6 +55,21 @@ object Evaluation {
       k2.as("k2_stat"), exp(k2 * -0.5).as("p_value"))): _*)
   }
 
+  /** Ljung-Box Q statistic over lags 1..maxLags —
+    * evaluation.py:139-168: Q = n(n+2)·Σ_k r_k²/(n−k). */
+  def ljungBox(p: Panel, maxLags: Int): DataFrame = {
+    val withLags = (1 to maxLags).foldLeft(p.df) { (d, l) =>
+      d.withColumn(s"__l$l", lag(p.x, l).over(p.w))
+    }
+    val aggs = count(p.x).cast("double").as("n") +:
+      (1 to maxLags).map(l => corr(p.x, col(s"__l$l")).as(s"__r$l"))
+    val base = withLags.groupBy(p.entityCols: _*).agg(aggs.head, aggs.tail: _*)
+    val q = (1 to maxLags).map { k =>
+      col(s"__r$k") * col(s"__r$k") / (col("n") - k)
+    }.reduce(_ + _) * col("n") * (col("n") + 2)
+    base.select((p.entityCols :+ q.as("q_stat")): _*)
+  }
+
   /** Per-entity ACF for lags 1..maxLags with Bartlett ±1.96·√((1+2Σr²)/n)
     * confidence bounds — evaluation.py:62-78. */
   def acf(p: Panel, maxLags: Int): DataFrame = {

@@ -242,6 +242,15 @@ object Preprocess {
       .when(x < 0 && lambda =!= 2.0, -(pow(-x + 1, lit(2.0) - lambda) - 1) / (lit(2.0) - lambda))
       .otherwise(-log1p(-x))
 
+  /** Invert [[yeojohnson]] — preprocessing.py:708-733: y≥0 ↔ x≥0, so
+    * the branch is chosen on the transformed sign. */
+  def yeojohnsonInvert(y: Column, lambda: Column): Column =
+    when(y >= 0 && lambda =!= 0.0, pow(y * lambda + 1, lit(1.0) / lambda) - 1)
+      .when(y >= 0 && lambda === 0.0, expm1(y))
+      .when(y < 0 && lambda =!= 2.0,
+        lit(1.0) - pow(-(lit(2.0) - lambda) * y + 1, lit(1.0) / (lit(2.0) - lambda)))
+      .otherwise(-expm1(-y))
+
   /** Fractional differencing Σ w_k·x_{t−k} — preprocessing.py:1083.
     * Binomial weights w_k = −w_{k−1}·(d−k+1)/k are a pure function of
     * d (reference src/preprocessing/fractional_differencing.rs:7-21),

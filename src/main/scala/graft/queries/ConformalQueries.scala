@@ -176,6 +176,24 @@ object ConformalQueries {
           .select("event_id", "value"))
     },
 
+    "rt_yeojohnson_invert" -> Q(
+      "SELECT event_id, round(value,6) AS value FROM events") {
+      (s, dir) =>
+        val p = ev(s, dir)
+        val f = p.df.withColumn("value", Preprocess.yeojohnson(col("value"), lit(1.5)))
+        r6(f.withColumn("value", Preprocess.yeojohnsonInvert(col("value"), lit(1.5)))
+          .select("event_id", "value"))
+    },
+
+    "mm_frame_sample" -> Q.rowsOnly { (s, dir) =>
+      // video-frame sampling plumbing: payload → n byte-range frames,
+      // one row each (Multimodal.sampleFrames)
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.sampleFrames(docs, "payload", n = 4)
+        .select(col("doc_id"), col("frame_idx"), length(col("frame_bytes")).as("frame_len"))
+    },
+
     "e_normality_test" -> Q(
       s"""WITH b AS (SELECT user_id, value, avg(value) OVER ($WE) AS mu FROM events),
               m AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS n,

@@ -251,19 +251,7 @@ object ForecastQueries {
           SELECT user_id,
                  round(n * (n + CAST(2 AS DOUBLE)) * (r1*r1/(n-1) + r2*r2/(n-2)),6) AS q_stat
           FROM r""") {
-      (s, dir) =>
-        val p = ev(s, dir)
-        val d = p.df
-          .withColumn("__l1", lag(col("value"), 1).over(p.w))
-          .withColumn("__l2", lag(col("value"), 2).over(p.w))
-        r6(d.groupBy("user_id")
-          .agg(count(col("value")).as("n"),
-            corr(col("value"), col("__l1")).as("r1"),
-            corr(col("value"), col("__l2")).as("r2"))
-          .select(col("user_id"),
-            (col("n") * (col("n") + lit(2.0)) *
-              (col("r1") * col("r1") / (col("n") - 1) + col("r2") * col("r2") / (col("n") - 2)))
-              .as("q_stat")))
+      (s, dir) => r6(graft.operators.Evaluation.ljungBox(ev(s, dir), maxLags = 2))
     }
   )
 }
