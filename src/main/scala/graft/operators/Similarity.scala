@@ -16,8 +16,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ over two array columns, computed in double. */
+  /** Σ aᵢ·bᵢ over two array columns, computed in double — a native
+    * codegen'd Expression (single fused loop, no intermediate product
+    * array; see [[graft.functions.ArrayDotProduct]]). */
   def dot(a: Column, b: Column): Column =
+    graft.functions.ArrayDotProduct.dot(a, b)
+
+  /** Higher-order-function formulation kept for reference/fallback. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
