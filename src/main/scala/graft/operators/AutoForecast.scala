@@ -87,6 +87,32 @@ object AutoForecast {
         col("__actual").as("actual"), col("__pred").as("pred"))): _*)
   }
 
+  /** Expanding-window backtest of the (seasonal-)naive forecaster with
+    * ONE window pass for all splits: the prediction for horizon h is
+    * the train-slice value at position trainEnd − sp + ((h−1) mod sp)
+    * + 1 — a pure position lookup, so every split is two filters and a
+    * join on the same positioned frame. sp = 1 gives plain naive.
+    * Returns the [[Conformal.backtest]] schema. */
+  def backtestNaivePrefix(p: Panel, timeCol: String, sp: Int,
+                          testSize: Int, nSplits: Int, stepSize: Int): DataFrame = {
+    val d = CrossValidation.withPosition(p)
+    val splits = (0 until nSplits).map { i =>
+      val cutoff = testSize + (nSplits - 1 - i) * stepSize
+      val trainEnd = col("__cnt") - cutoff
+      val actual = d.filter(col("__rn") > trainEnd && col("__rn") <= trainEnd + testSize)
+        .withColumn("__h", (col("__rn") - trainEnd).cast("int"))
+        .withColumn("__j", ((col("__h") - 1) % sp + 1).cast("int"))
+        .select((p.entityCols ++ Seq(col("__h"), col("__j"), col(timeCol), p.x.as("__actual"))): _*)
+      val predSrc = d.filter(col("__rn") > trainEnd - sp && col("__rn") <= trainEnd)
+        .withColumn("__j", (col("__rn") - (trainEnd - sp)).cast("int"))
+        .select((p.entityCols :+ col("__j") :+ p.x.as("__pred")): _*)
+      actual.join(predSrc, p.entity :+ "__j", "inner").withColumn("split", lit(i))
+    }
+    splits.reduce(_ unionByName _)
+      .select((p.entityCols ++ Seq(col(timeCol), col("split"),
+        col("__actual").as("actual"), col("__pred").as("pred"))): _*)
+  }
+
   /** Lag sweep with expanding-window CV — _ar.py:117-209: backtest the
     * linear forecaster per candidate lag count, pick the lag grid
     * point with the lowest mean SMAPE, refit on all data. */
@@ -116,14 +142,18 @@ object AutoForecast {
       "snaive" -> ((tr, h) => Forecasters.snaive(tr, timeCol, h, sp = 7, freq = freq)),
       "linear_7" -> ((tr, h) => LinearForecaster.fit(tr, 7, freq).predict(tr, timeCol, h)),
       "linear_14" -> ((tr, h) => LinearForecaster.fit(tr, 14, freq).predict(tr, timeCol, h)))
-    // per-(entity, model) CV score; linear candidates share one cached
-    // lag/position pass across splits (prefix property)
+    // per-(entity, model) CV score; every candidate family shares one
+    // positioned/lag pass across its splits (prefix property) — naive
+    // and snaive backtests involve no fit at all, just position joins
     val scores = base.map { case (name, f) =>
-      val bt =
-        if (name.startsWith("linear_"))
-          backtestLinearPrefix(cached, timeCol, name.stripPrefix("linear_").toInt,
+      val bt = name match {
+        case "naive" => backtestNaivePrefix(cached, timeCol, 1, testSize, nSplits, stepSize)
+        case "snaive" => backtestNaivePrefix(cached, timeCol, 7, testSize, nSplits, stepSize)
+        case n if n.startsWith("linear_") =>
+          backtestLinearPrefix(cached, timeCol, n.stripPrefix("linear_").toInt,
             testSize, nSplits, stepSize)
-        else Conformal.backtest(cached, timeCol, testSize, nSplits, stepSize, f)
+        case _ => Conformal.backtest(cached, timeCol, testSize, nSplits, stepSize, f)
+      }
       backtestScore(bt, p.entity).withColumn("model", lit(name))
     }.reduce(_ unionByName _)
     val w = org.apache.spark.sql.expressions.Window

@@ -410,8 +410,8 @@ object ConformalQueries {
           SELECT t.user_id, t.ts, t.split, round(t.actual,6) AS actual, round(l.pred,6) AS pred
           FROM test t JOIN lastv l ON t.user_id = l.user_id AND t.split = l.split""") {
       (s, dir) =>
-        r6(Conformal.backtest(ev(s, dir), "ts", testSize = 10, nSplits = 3, stepSize = 5,
-          (train, fh) => Forecasters.naive(train, "ts", fh, "1d")))
+        r6(AutoForecast.backtestNaivePrefix(ev(s, dir), "ts", sp = 1,
+          testSize = 10, nSplits = 3, stepSize = 5))
     },
 
     // auto/elite/knn: model selection + MLlib/LSH fits — rows-only;

@@ -20,6 +20,19 @@ class AutoForecastSpec extends SparkSpec {
       == Seq(26.0, 27.0, 28.0))
   }
 
+  test("backtestNaivePrefix equals the generic naive backtest (sp=1 and sp=3)") {
+    val p = panel((1 to 40).map(t => (t % 5).toDouble * 3 + t), (1 to 40).map(_ * 2.0))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("entity", "t", "split", "actual", "pred")
+        .collect().map(_.toSeq).toSet
+    val generic1 = Conformal.backtest(p, "t", 4, 2, 3,
+      (tr, h) => Forecasters.naive(tr, "t", h, "1i"))
+    assert(canon(AutoForecast.backtestNaivePrefix(p, "t", 1, 4, 2, 3)) == canon(generic1))
+    val generic3 = Conformal.backtest(p, "t", 4, 2, 3,
+      (tr, h) => Forecasters.snaive(tr, "t", h, sp = 3, freq = "1i"))
+    assert(canon(AutoForecast.backtestNaivePrefix(p, "t", 3, 4, 2, 3)) == canon(generic3))
+  }
+
   test("autoLinear picks the lag that models the process (fit_cv, _ar.py:117)") {
     // AR(2) via sin: needs ≥2 lags; lag grid {1, 3} → 3 must win
     val signal = (0 until 60).map(t => 50 + 20 * math.sin(0.3 * t))
