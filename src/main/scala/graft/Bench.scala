@@ -25,10 +25,21 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // full per-query timings to a side file; STDOUT gets one COMPACT
+    // line (top-20 slowest only) so the driver's captured output tail
+    // always contains a complete, parseable JSON object — round 1's
+    // 157-entry map overflowed the tail and the driver recorded
+    // "parsed": null
+    def fmt(kvs: Iterable[(String, Double)]) = kvs
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    try {
+      val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"sf":"$sfDir"}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench_full.json"),
+        full.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    val top = results.toSeq.sortBy(-_._2).take(20)
     spark.stop()
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"queries":${fmt(top)},"sf":"$sfDir"}""")
   }
 }

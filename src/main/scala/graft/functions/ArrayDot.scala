@@ -22,6 +22,12 @@ case class ArrayDotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // null on length mismatch or any null element — same contract as the
+  // documented-equivalent HOF fallback (zip_with pads the shorter array
+  // with null and aggregate propagates it), so the two paths agree
+  // instead of this one silently returning a partial dot product
+  override def nullable: Boolean = true
+
   override def prettyName: String = "array_dot"
 
   private def elemIsFloat(e: Expression): Boolean =
@@ -41,16 +47,16 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     val lf = elemIsFloat(left); val rf = elemIsFloat(right)
     var acc = 0.0
     var i = 0
     while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i)) {
-        val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-        val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
-        acc += xv * yv
-      }
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
       i += 1
     }
     acc
@@ -64,14 +70,17 @@ case class ArrayDotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
          |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }

@@ -58,6 +58,9 @@ object AutoForecast {
       val state = tailRows.groupBy(p.entityCols: _*).agg(
         collect_list(struct(col("__rn_desc"), p.x)).as("__s"))
         .withColumn("__state", sort_array(col("__s")).getField(p.value))
+        // entities too short for this split's tail are dropped (ANSI
+        // element_at would throw on a short __state)
+        .filter(size(col("__state")) >= lags)
       // closed-form per-horizon affine coefficients (as in
       // Forecasters.predictRecursiveLinear)
       val weights = m.coefficients.toArray

@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   * = in-sample actual − predicted per CV split).
   *
   * Scale design: residual quantiles are a per-entity aggregate
-  * (single shuffle on entity, map-side partial percentile); the join
-  * back onto predictions broadcasts when the entity dimension is
-  * small. Quantiles use linear interpolation (Spark `percentile`),
-  * matching DuckDB `quantile_cont` for the oracle.
+  * (single shuffle on entity); the join back onto predictions
+  * broadcasts when the entity dimension is small. Quantiles use
+  * NEAREST-RANK interpolation — index round(α·(n−1)) into the sorted
+  * residuals — matching the reference's polars `quantile(alpha)`
+  * default ('nearest'), not linear interpolation. The sorted-residual
+  * array is per-entity (series-length bounded), never global.
   */
 object Conformal {
 
@@ -28,12 +30,15 @@ object Conformal {
   def enbpi(yPred: DataFrame, yResid: DataFrame, entity: Seq[String],
             timeCol: String, predCol: String, residCol: String,
             alphas: Seq[Double]): DataFrame = {
+    // nearest-rank: element round(α·(n−1))+1 (1-based) of the
+    // ascending-sorted residuals — polars' default interpolation,
+    // round half-away-from-zero
     val scores = yResid.groupBy(entity.map(col): _*)
-      .agg(percentile(col(residCol), typedLit(alphas)).as("__scores"))
-      .select(entity.map(col) :+
-        posexplode(col("__scores")).as(Seq("__ai", "__score")): _*)
-      .withColumn("quantile", element_at(typedLit(alphas), col("__ai") + 1))
-      .drop("__ai")
+      .agg(sort_array(collect_list(col(residCol))).as("__sorted"))
+      .withColumn("quantile", explode(typedLit(alphas)))
+      .withColumn("__score", element_at(col("__sorted"),
+        floor(col("quantile") * (size(col("__sorted")) - 1) + 0.5).cast("int") + 1))
+      .drop("__sorted")
     yPred.join(scores, entity, "left")
       .select(entity.map(col) ++ Seq(col(timeCol),
         (col(predCol) + col("__score")).as(predCol), col("quantile")): _*)

@@ -79,9 +79,11 @@ object Evaluation {
     val aggs = count(p.x).cast("double").as("n") +:
       (1 to maxLags).map(l => corr(p.x, col(s"__l$l")).as(s"acf_$l"))
     val base = withLags.groupBy(p.entityCols: _*).agg(aggs.head, aggs.tail: _*)
-    // Bartlett: CI for lag k uses Σ_{i<k} r_i²
+    // Bartlett: CI for lag k uses the reference's cum_sum convention
+    // (acf_confint_formula, evaluation.py:74-78) — Σ_{i≤k} r_i²
+    // INCLUDING lag k's own term (statsmodels would use i<k)
     val withCis = (1 to maxLags).foldLeft(base) { (d, k) =>
-      val priorSq = (1 until k).map(i => col(s"acf_$i") * col(s"acf_$i"))
+      val priorSq = (1 to k).map(i => col(s"acf_$i") * col(s"acf_$i"))
         .foldLeft(lit(0.0): Column)(_ + _)
       d.withColumn(s"ci_$k", lit(1.96) * sqrt((lit(1.0) + priorSq * 2) / col("n")))
     }

@@ -89,11 +89,15 @@ object Forecasters {
       .withColumn("__rn_desc", row_number().over(
         Window.partitionBy(p.entityCols: _*).orderBy(p.orderCols.map(_.desc): _*)))
       .filter(col("__rn_desc") <= lags)
-    // state array ordered newest-first: state(0) = lag 1
+    // state array ordered newest-first: state(0) = lag 1. Entities with
+    // fewer than `lags` observations are DROPPED (like the reference's
+    // check_backtest_lengths): a short __state would make
+    // element_at(__state, j) throw under ANSI / go null otherwise.
     val state0 = tail.groupBy(p.entityCols: _*).agg(
       collect_list(struct(col("__rn_desc"), p.x)).as("__s"),
       max(col(timeCol)).as("__cutoff"))
       .withColumn("__state", sort_array(col("__s")).getField(p.value))
+      .filter(size(col("__state")) >= lags)
       .drop("__s")
     // affine representation: state_h = A·state_0 + c, row 0 = newest
     var a = Array.tabulate(lags, lags)((i, j) => if (i == j) 1.0 else 0.0)

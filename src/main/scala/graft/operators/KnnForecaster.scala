@@ -33,7 +33,13 @@ object KnnForecaster {
     val featureCols = (1 to lags).map(l => s"${p.value}__lag_$l").toArray
     val reduction = Forecasters.makeReduction(p, lags).na.drop(featureCols :+ p.value)
       .select((featureCols.map(c => col(c).cast("double")) :+ col(p.value).cast("double").as("__label")): _*)
-    val queries = queryTails(p, timeCol, lags)
+    // dense query ids via zipWithIndex (one extra count pass, no
+    // single-partition global window) — the id only needs to be stable
+    // between this collect and the topk join below
+    val tails = queryTails(p, timeCol, lags)
+    val queries = spark.createDataFrame(
+      tails.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+      tails.schema.add(StructField("__qid", LongType)))
     // broadcast the per-entity query matrix (one row per entity)
     val qRows = queries.select((col("__qid") +: (1 to lags).map(l => col(s"${p.value}__lag_$l").cast("double"))): _*)
       .collect().map(r => (r.getLong(0), Array.tabulate(lags)(i => r.getDouble(i + 1))))
@@ -112,8 +118,11 @@ object KnnForecaster {
       .select((p.entityCols ++ Seq(col(timeCol), col(p.value))): _*)
   }
 
-  /** One row per entity: the newest lag-tail as lag columns + cutoff +
-    * a dense query id. */
+  /** One row per entity: the newest lag-tail as lag columns + cutoff.
+    * No query id here — the broadcast path assigns one via
+    * zipWithIndex after the fact; a global row_number window would
+    * funnel the whole frame through a single partition, which the LSH
+    * (huge-entity) path must never do. */
   private def queryTails(p: Panel, timeCol: String, lags: Int): DataFrame = {
     val tail = p.df
       .withColumn("__rn_desc", row_number().over(
@@ -124,7 +133,6 @@ object KnnForecaster {
       max(col(timeCol)).as("__cutoff"))
       .withColumn("__state", sort_array(col("__s")).getField(p.value))
       .filter(size(col("__state")) >= lags)
-      .withColumn("__qid", row_number().over(Window.orderBy(p.entityCols.map(_.asc): _*)).cast("long"))
     (1 to lags).foldLeft(state) { (d, l) =>
       d.withColumn(s"${p.value}__lag_$l", element_at(col("__state"), l))
     }

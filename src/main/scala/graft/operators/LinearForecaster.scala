@@ -78,10 +78,14 @@ final case class DirectLinearModel(
       .withColumn("__rn_desc", row_number().over(
         Window.partitionBy(p.entityCols: _*).orderBy(p.orderCols.map(_.desc): _*)))
       .filter(col("__rn_desc") <= lags)
+    // entities with < lags observations are dropped (short __state
+    // would make element_at throw under ANSI), mirroring the
+    // reference's check_backtest_lengths
     val state0 = tail.groupBy(p.entityCols: _*).agg(
       collect_list(struct(col("__rn_desc"), p.x)).as("__s"),
       max(col(timeCol)).as("__cutoff"))
       .withColumn("__state", sort_array(col("__s")).getField(p.value))
+      .filter(size(col("__state")) >= lags)
       .drop("__s")
     val preds = models.take(fh).map { case (b0, w) =>
       w.zipWithIndex.map { case (wc, i) => lit(wc) * element_at(col("__state"), i + 1) }

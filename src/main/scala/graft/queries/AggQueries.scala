@@ -26,22 +26,32 @@ object AggQueries {
       FeatureAggs.augmentedDickeyFuller(nLags = 2)),
     "f_fourier_entropy" -> over("fourier_entropy",
       FeatureAggs.fourierEntropy(bins = 10)),
+    // array-valued outputs are flattened to (entity, idx, value) rows:
+    // the driver canonicalizes every dumped frame with a pandas sort,
+    // which cannot hash ndarray cells (round-1 compare errors)
     "f_ar_coefficients" -> Q.rowsOnly { (s, dir) =>
-      FeatureAggs.over(ev(s, dir), FeatureAggs.autoregressiveCoefficients(3), "ar_coefficients")
+      r6(FeatureAggs.over(ev(s, dir), FeatureAggs.autoregressiveCoefficients(3), "__a")
+        .select(col("user_id"), posexplode(col("__a")).as(Seq("coef_idx", "coef"))))
     },
     "f_spkt_welch_density" -> Q.rowsOnly { (s, dir) =>
-      FeatureAggs.over(ev(s, dir), FeatureAggs.spktWelchDensity(5), "welch_density")
+      r6(FeatureAggs.over(ev(s, dir), FeatureAggs.spktWelchDensity(5), "__a")
+        .select(col("user_id"), posexplode(col("__a")).as(Seq("freq_idx", "density"))))
     },
     "f_fft_coefficients" -> Q.rowsOnly { (s, dir) =>
-      FeatureAggs.over(ev(s, dir), FeatureAggs.fftStruct(4), "fft")
-        .select(col("user_id"), col("fft.real").as("real"), col("fft.imag").as("imag"),
-          col("fft.angle").as("angle"))
+      r6(FeatureAggs.over(ev(s, dir), FeatureAggs.fftStruct(4), "fft")
+        .select(col("user_id"),
+          posexplode(arrays_zip(col("fft.real"), col("fft.imag"), col("fft.angle")))
+            .as(Seq("coef_idx", "__z")))
+        .select(col("user_id"), col("coef_idx"), col("__z.real").as("real"),
+          col("__z.imag").as("imag"), col("__z.angle").as("angle")))
     },
     "f_cwt_coefficients" -> Q.rowsOnly { (s, dir) =>
-      FeatureAggs.over(ev(s, dir), FeatureAggs.cwtCoefficients(Seq(2, 5, 10, 20), 3), "cwt_coefficients")
+      r6(FeatureAggs.over(ev(s, dir), FeatureAggs.cwtCoefficients(Seq(2, 5, 10, 20), 3), "__a")
+        .select(col("user_id"), posexplode(col("__a")).as(Seq("coef_idx", "coef"))))
     },
     "f_friedrich_coefficients" -> Q.rowsOnly { (s, dir) =>
-      FeatureAggs.over(ev(s, dir), FeatureAggs.friedrichCoefficients(3, 30), "friedrich_coefficients")
+      r6(FeatureAggs.over(ev(s, dir), FeatureAggs.friedrichCoefficients(3, 30), "__a")
+        .select(col("user_id"), posexplode(col("__a")).as(Seq("coef_idx", "coef"))))
     },
     "p_boxcox_lambda" -> over("boxcox_lambda", FeatureAggs.boxcoxLambda)
   )

@@ -93,10 +93,14 @@ object ConformalQueries {
               pred AS (SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
                               lastv AS value FROM state CROSS JOIN h),
               r AS (SELECT user_id, value - lag(value) OVER ($W) AS r FROM events),
-              sc AS (SELECT user_id, quantile_cont(r, 0.1) AS score, 0.1 AS quantile
+              sc AS (SELECT user_id,
+                            list_sort(list(r))[CAST(round(0.1 * (count(*) - 1)) AS BIGINT) + 1] AS score,
+                            0.1 AS quantile
                      FROM r WHERE r IS NOT NULL GROUP BY user_id
                      UNION ALL
-                     SELECT user_id, quantile_cont(r, 0.9) AS score, 0.9 AS quantile
+                     SELECT user_id,
+                            list_sort(list(r))[CAST(round(0.9 * (count(*) - 1)) AS BIGINT) + 1] AS score,
+                            0.9 AS quantile
                      FROM r WHERE r IS NOT NULL GROUP BY user_id)
           SELECT p.user_id, p.ts, round(p.value + sc.score,6) AS value, sc.quantile
           FROM pred p LEFT JOIN sc ON p.user_id = sc.user_id""") {
@@ -122,10 +126,14 @@ object ConformalQueries {
               preds AS (SELECT user_id, ts, value FROM pred
                         UNION ALL SELECT user_id, ts, value FROM bt),
               r AS (SELECT user_id, value - lag(value) OVER ($W) AS r FROM events),
-              sc AS (SELECT user_id, quantile_cont(r, 0.1) AS score, 10 AS quantile
+              sc AS (SELECT user_id,
+                            list_sort(list(r))[CAST(round(0.1 * (count(*) - 1)) AS BIGINT) + 1] AS score,
+                            10 AS quantile
                      FROM r WHERE r IS NOT NULL GROUP BY user_id
                      UNION ALL
-                     SELECT user_id, quantile_cont(r, 0.9) AS score, 90 AS quantile
+                     SELECT user_id,
+                            list_sort(list(r))[CAST(round(0.9 * (count(*) - 1)) AS BIGINT) + 1] AS score,
+                            90 AS quantile
                      FROM r WHERE r IS NOT NULL GROUP BY user_id)
           SELECT p.user_id, p.ts, round(p.value + sc.score,6) AS value,
                  CAST(sc.quantile AS INT) AS quantile
@@ -242,10 +250,12 @@ object ConformalQueries {
                            corr(value, l1) AS acf_1, corr(value, l2) AS acf_2
                     FROM b GROUP BY user_id)
           SELECT user_id, round(acf_1,6) AS acf_1, round(acf_2,6) AS acf_2,
-                 round(1.96 * sqrt(1.0/n),6) AS ci_1,
-                 round(1.96 * sqrt((1.0 + 2*acf_1*acf_1)/n),6) AS ci_2
+                 round(1.96 * sqrt((1.0 + 2*acf_1*acf_1)/n),6) AS ci_1,
+                 round(1.96 * sqrt((1.0 + 2*(acf_1*acf_1 + acf_2*acf_2))/n),6) AS ci_2
           FROM r""") {
-      // ACF with Bartlett confidence bounds (evaluation.py:74-78)
+      // ACF with Bartlett bounds using the reference's cum_sum
+      // convention — CI for lag k includes lag k's own r_k²
+      // (acf_confint_formula, evaluation.py:74-78)
       (s, dir) => r6(Evaluation.acf(ev(s, dir), maxLags = 2))
     },
 

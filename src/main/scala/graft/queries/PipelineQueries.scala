@@ -22,25 +22,29 @@ object PipelineQueries {
       // sums over DECIMAL(28,10): double summation is order-dependent
       // (distributed partial sums reorder vs DuckDB), which flips the
       // last ULP at larger SFs; decimal arithmetic is associative so
-      // both engines agree at every scale
+      // both engines agree at every scale. Final cast to DOUBLE — the
+      // engines render decimal scale differently ("x.080000" vs
+      // "x.08"), which breaks the driver's value hash even when the
+      // numbers are identical. Averages divide the deterministic
+      // decimal sum (as double) by the count, never avg() over doubles.
       """SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DECIMAL(28,6)) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DECIMAL(28,6)) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(28,6)) AS sum_disc_price,
-           round(avg(l_quantity),6) AS avg_qty,
-           round(avg(l_discount),6) AS avg_disc,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE), 6) AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE), 6) AS sum_base_price,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE), 6) AS sum_disc_price,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS avg_qty,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS avg_disc,
            count(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus""") {
       (s, dir) =>
         r6(tbl(s, dir, "lineitem")
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
-            sum(col("l_quantity").cast("decimal(28,10)")).cast("decimal(28,6)").as("sum_qty"),
-            sum(col("l_extendedprice").cast("decimal(28,10)")).cast("decimal(28,6)").as("sum_base_price"),
+            sum(col("l_quantity").cast("decimal(28,10)")).cast("double").as("sum_qty"),
+            sum(col("l_extendedprice").cast("decimal(28,10)")).cast("double").as("sum_base_price"),
             sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(28,10)"))
-              .cast("decimal(28,6)").as("sum_disc_price"),
-            avg("l_quantity").as("avg_qty"),
-            avg("l_discount").as("avg_disc"),
+              .cast("double").as("sum_disc_price"),
+            (sum(col("l_quantity").cast("decimal(28,10)")).cast("double") / count(lit(1))).as("avg_qty"),
+            (sum(col("l_discount").cast("decimal(28,10)")).cast("double") / count(lit(1))).as("avg_disc"),
             count(lit(1)).as("count_order")))
     },
 
@@ -208,9 +212,12 @@ object PipelineQueries {
     },
 
     "mm_decode_features" -> Q.rowsOnly { (s, dir) =>
+      // flattened to scalar rows: the driver's pandas canonicalizer
+      // cannot sort/hash array cells
       val docs = tbl(s, dir, "documents")
         .withColumn("payload", col("text").cast("binary"))
-      Multimodal.decodeToFeatures(docs, "payload").select("doc_id", "features")
+      Multimodal.decodeToFeatures(docs, "payload")
+        .select(col("doc_id"), posexplode(col("features")).as(Seq("feat_idx", "feat")))
     }
   )
 }

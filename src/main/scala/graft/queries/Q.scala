@@ -30,15 +30,19 @@ object Q {
     * is a tie but whose double sits off it. Applied to all float
     * columns so both engines hash identical values. */
   def rd6(c: Column): Column = {
+    // signum·floor(|y|+0.5) IS std::round, including the sign of zero:
+    // DuckDB round(-1e-16, 6) = -0.0, and the driver hash is bitwise —
+    // Spark floor/ceil return LONG and would collapse -0.0 to 0.0
+    // (round-1 p_fourier_terms hash mismatch)
     val y = c.cast("double") * 1e6
-    (when(y >= 0, floor(y + 0.5)).otherwise(ceil(y - 0.5)).cast("double") / 1e6)
+    signum(y) * floor(abs(y) + 0.5) / 1e6
   }
 
   /** 4-dp variant for fixtures whose distributed aggregation order
     * makes the 6th decimal a ULP tie at larger scale factors. */
   def rd4(c: Column): Column = {
     val y = c.cast("double") * 1e4
-    (when(y >= 0, floor(y + 0.5)).otherwise(ceil(y - 0.5)).cast("double") / 1e4)
+    signum(y) * floor(abs(y) + 0.5) / 1e4
   }
 
   def r6(df: DataFrame): DataFrame = {

@@ -24,12 +24,12 @@ class ArrayDotSpec extends SparkSpec {
     import spark.implicits._
     val d = Seq(
       (Some(Seq(1.0, 2.0, 3.0)), Some(Seq(4.0, 5.0, 6.0))),   // 32
-      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0, 99.0))),        // min-length: 11
-      (None, Some(Seq(1.0)))                                    // null → null
+      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0, 99.0))),        // length mismatch → null (like dotHof)
+      (None, Some(Seq(1.0)))                                    // null input → null
     ).toDF("a", "b")
     val out = d.select(ArrayDotProduct.dot(col("a"), col("b")).as("d")).collect()
     assert(out(0).getDouble(0) == 32.0)
-    assert(out(1).getDouble(0) == 11.0)
+    assert(out(1).isNullAt(0))
     assert(out(2).isNullAt(0))
   }
 

@@ -39,10 +39,13 @@ for q, sql in sorted(oracle.items()):
         for c in got.columns:
             g, w = got[c], want[c]
             if g.dtype.kind == 'f' or w.dtype.kind == 'f':
-                if not np.allclose(g.astype(float), w.astype(float), rtol=0, atol=1e-9, equal_nan=True):
-                    bad = ~np.isclose(g.astype(float), w.astype(float), rtol=0, atol=1e-9, equal_nan=True)
+                # BITWISE equality (incl. -0.0 vs 0.0): the driver hashes
+                # exact values — allclose previously hid real failures
+                ga = g.astype(float).to_numpy(); wa = w.astype(float).to_numpy()
+                bad = (ga.view('int64') != wa.view('int64')) & ~(np.isnan(ga) & np.isnan(wa))
+                if bad.any():
                     i = int(np.argmax(bad))
-                    fails.append((q, f"col {c} differs, e.g. row {i}: {g.iloc[i]} vs {w.iloc[i]}")); ok = False; break
+                    fails.append((q, f"col {c} differs, e.g. row {i}: {g.iloc[i]!r} vs {w.iloc[i]!r}")); ok = False; break
             else:
                 if not g.astype(str).equals(w.astype(str)):
                     neq = g.astype(str) != w.astype(str)
