@@ -102,6 +102,31 @@ object PipelineQueries {
           .select(col("doc_id"), coalesce(col("n_shingles"), lit(0L)).as("n_shingles"))
     },
 
+    // exact 3-gram Jaccard over all pairs of a doc subset — the
+    // LSH-candidate VERIFY step, fully oracle-checked (set counts are
+    // integers, so the division is deterministic on both engines)
+    "d_ngram_jaccard" -> Q(
+      """WITH sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, len(regexp_split_to_array(trim(text), '\s+')) - 1),
+             i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+                  regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' ||
+                  regexp_split_to_array(trim(text), '\s+')[i+2])) AS s
+           FROM documents WHERE doc_id < 30
+             AND len(regexp_split_to_array(trim(text), '\s+')) >= 3)
+         SELECT a.doc_id AS a, b.doc_id AS b,
+                round(len(list_intersect(a.s, b.s))::DOUBLE /
+                      len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id""") {
+      (s, dir) =>
+        val docs = tbl(s, dir, "documents").filter(col("doc_id") < 30)
+        val ids = docs.select(col("doc_id"))
+        val pairs = ids.select(col("doc_id").as("a"))
+          .join(ids.select(col("doc_id").as("b")), col("a") < col("b"))
+        r6(Dedup.jaccardVerify(pairs, docs, "doc_id", "text", shingleSize = 3)
+          .select("a", "b", "jaccard"))
+    },
+
     // MinHash/SimHash use xxhash64 (not available in DuckDB) — rows-only;
     // jaccard fidelity is asserted in the ScalaTest suite.
     "d_minhash_lsh" -> Q.rowsOnly { (s, dir) =>
@@ -120,6 +145,26 @@ object PipelineQueries {
       val emb = tbl(s, dir, "embeddings")
       Dedup.embeddingNearDups(emb, "vec_id", "embedding", planes = 8, threshold = 0.9)
         .agg(count(lit(1)).as("n_pairs"))
+    },
+
+    // exact pairwise cosine over a vec subset — oracle-checked
+    // ground truth for the LSH-bucketed near-dup path above (dotSql
+    // expands the dot term-by-term in the same fold order as the
+    // native array_dot expression, so the doubles match bitwise)
+    "d_embedding_neardup_exact" -> Q(
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 40)
+          SELECT a.vec_id AS a, b.vec_id AS b,
+                 round(${dotSql("a.embedding", "b.embedding")} /
+                       (sqrt(${dotSql("a.embedding", "a.embedding")}) *
+                        sqrt(${dotSql("b.embedding", "b.embedding")})), 6) AS cosine
+          FROM e a JOIN e b ON a.vec_id < b.vec_id""") {
+      (s, dir) =>
+        val emb = tbl(s, dir, "embeddings").filter(col("vec_id") < 40)
+        val l = emb.select(col("vec_id").as("a"), col("embedding").as("__va"))
+        val rr = emb.select(col("vec_id").as("b"), col("embedding").as("__vb"))
+        r6(l.join(rr, col("a") < col("b"))
+          .select(col("a"), col("b"),
+            Similarity.cosine(col("__va"), col("__vb")).as("cosine")))
     },
 
     // ----- text analysis -----
