@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** One-pass closed-form ordinary least squares.
+  *
+  * The reference fits its linear forecasters with a closed-form
+  * Cholesky solve, arguing the normal matrix is tiny relative to the
+  * data (reference: src/linalg/mod.rs:9-14). The Spark-native
+  * equivalent: accumulate X^T X (upper triangle) and X^T y in ONE
+  * `treeAggregate` pass over the reduction matrix — associative
+  * partial sums, map-side combine, no shuffle of row data — then
+  * solve the (p+1)×(p+1) system on the driver. Replaces MLlib
+  * `LinearRegression` on the pure-OLS paths, which costs several
+  * passes (VectorAssembler materialization, label/feature summaries,
+  * then the solve) for the same coefficients.
+  *
+  * At 100 TB the single pass is the floor for any exact fit; the
+  * aggregate buffer is O(p²) doubles per partition, independent of
+  * row count.
+  */
+object Ols {
+
+  /** Fit y ~ intercept + w·x over `featureCols`. Rows with any null
+    * are dropped. Returns (intercept, weights). */
+  def fit(df: DataFrame, featureCols: Seq[String], labelCol: String): (Double, Array[Double]) = {
+    val p = featureCols.length
+    val d = p + 1 // column 0 is the implicit intercept regressor 1.0
+    val tri = d * (d + 1) / 2
+    val rows = df.na.drop(featureCols :+ labelCol)
+      .select((labelCol +: featureCols).map(c => col(c).cast("double")): _*)
+    val zero = (new Array[Double](tri), new Array[Double](d))
+    val (xtx, xty) = rows.rdd.treeAggregate(zero)(
+      seqOp = { case ((m, v), row) =>
+        val y = row.getDouble(0)
+        var k = 0
+        var a = 0
+        while (a < d) {
+          val xa = if (a == 0) 1.0 else row.getDouble(a)
+          var b = a
+          while (b < d) {
+            val xb = if (b == 0) 1.0 else row.getDouble(b)
+            m(k) += xa * xb
+            k += 1
+            b += 1
+          }
+          v(a) += xa * y
+          a += 1
+        }
+        (m, v)
+      },
+      combOp = { case ((m1, v1), (m2, v2)) =>
+        var i = 0
+        while (i < tri) { m1(i) += m2(i); i += 1 }
+        i = 0
+        while (i < d) { v1(i) += v2(i); i += 1 }
+        (m1, v1)
+      })
+    val w = choleskySolve(expand(xtx, d), xty)
+    (w(0), w.drop(1))
+  }
+
+  private def expand(tri: Array[Double], d: Int): Array[Array[Double]] = {
+    val a = Array.ofDim[Double](d, d)
+    var k = 0
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) { a(i)(j) = tri(k); a(j)(i) = tri(k); k += 1; j += 1 }
+      i += 1
+    }
+    a
+  }
+
+  /** Cholesky solve of the SPD normal system; retries once with a
+    * trace-scaled ridge jitter if a pivot collapses (collinear lags). */
+  private[graft] def choleskySolve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+    val d = b.length
+    def attempt(jitter: Double): Option[Array[Double]] = {
+      val l = Array.ofDim[Double](d, d)
+      var i = 0
+      while (i < d) {
+        var j = 0
+        while (j <= i) {
+          var s = a(i)(j) + (if (i == j) jitter else 0.0)
+          var k = 0
+          while (k < j) { s -= l(i)(k) * l(j)(k); k += 1 }
+          if (i == j) {
+            if (s <= 0.0) return None
+            l(i)(i) = math.sqrt(s)
+          } else l(i)(j) = s / l(j)(j)
+          j += 1
+        }
+        i += 1
+      }
+      // forward then back substitution
+      val y = new Array[Double](d)
+      i = 0
+      while (i < d) {
+        var s = b(i)
+        var k = 0
+        while (k < i) { s -= l(i)(k) * y(k); k += 1 }
+        y(i) = s / l(i)(i)
+        i += 1
+      }
+      val x = new Array[Double](d)
+      i = d - 1
+      while (i >= 0) {
+        var s = y(i)
+        var k = i + 1
+        while (k < d) { s -= l(k)(i) * x(k); k += 1 }
+        x(i) = s / l(i)(i)
+        i -= 1
+      }
+      Some(x)
+    }
+    val trace = (0 until d).map(i => a(i)(i)).sum
+    attempt(0.0)
+      .orElse(attempt(1e-10 * math.max(trace, 1.0)))
+      .getOrElse(new Array[Double](d))
+  }
+}

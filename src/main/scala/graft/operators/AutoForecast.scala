@@ -37,20 +37,17 @@ object AutoForecast {
     * Returns the same schema as [[Conformal.backtest]]. */
   def backtestLinearPrefix(p: Panel, timeCol: String, lags: Int,
                            testSize: Int, nSplits: Int, stepSize: Int): DataFrame = {
-    import org.apache.spark.ml.feature.VectorAssembler
-    import org.apache.spark.ml.regression.LinearRegression
-    val featureCols = (1 to lags).map(l => s"${p.value}__lag_$l").toArray
-    val positioned = CrossValidation.withPosition(p.copy(df = Preprocess.lagKeepAll(p, 1 to lags)))
-    val assembled = new VectorAssembler()
-      .setInputCols(featureCols).setOutputCol("__features").setHandleInvalid("keep")
-      .transform(positioned)
+    val featureCols = (1 to lags).map(l => s"${p.value}__lag_$l")
+    val assembled = CrossValidation
+      .withPosition(p.copy(df = Preprocess.lagKeepAll(p, 1 to lags)))
       .cache()
     val splits = (0 until nSplits).map { i =>
       val cutoff = testSize + (nSplits - 1 - i) * stepSize
       val trainEnd = col("__cnt") - cutoff
-      val m = new LinearRegression()
-        .setSolver("normal").setFeaturesCol("__features").setLabelCol(p.value)
-        .fit(assembled.filter(col("__rn") <= trainEnd && col("__rn") > lags))
+      // closed-form one-pass OLS per split over the shared cached frame
+      val (mIntercept, mWeights) = graft.functions.Ols.fit(
+        assembled.filter(col("__rn") <= trainEnd && col("__rn") > lags),
+        featureCols, p.value)
       // per-entity state at the split cutoff: values trainEnd..trainEnd−lags+1
       val tailRows = assembled
         .filter(col("__rn") > trainEnd - lags && col("__rn") <= trainEnd)
@@ -63,12 +60,12 @@ object AutoForecast {
         .filter(size(col("__state")) >= lags)
       // closed-form per-horizon affine coefficients (as in
       // Forecasters.predictRecursiveLinear)
-      val weights = m.coefficients.toArray
+      val weights = mWeights
       var a = Array.tabulate(lags, lags)((r, c) => if (r == c) 1.0 else 0.0)
       var cvec = new Array[Double](lags)
       val horizons = (1 to testSize).map { _ =>
         val ah = Array.tabulate(lags)(j => weights.zipWithIndex.map { case (w, r) => w * a(r)(j) }.sum)
-        val bh = m.intercept + weights.zipWithIndex.map { case (w, r) => w * cvec(r) }.sum
+        val bh = mIntercept + weights.zipWithIndex.map { case (w, r) => w * cvec(r) }.sum
         a = ah +: a.dropRight(1); cvec = bh +: cvec.dropRight(1)
         (ah, bh)
       }

@@ -30,17 +30,25 @@ object LinearForecaster {
           regParam: Double = 0.0, elasticNetParam: Double = 0.0): LinearForecasterModel = {
     val reduction = Forecasters.makeReduction(p, lags)
     val featureCols = (1 to lags).map(l => s"${p.value}__lag_$l").toArray
-    val assembled = new VectorAssembler()
-      .setInputCols(featureCols).setOutputCol("__features")
-      .transform(reduction.na.drop(featureCols :+ p.value))
-    val lr = new LinearRegression()
-      // closed-form: lags << rows, one distributed pass; L1 needs the
-      // iterative solver, so only pure-L2/OLS takes the normal path
-      .setSolver(if (elasticNetParam == 0.0) "normal" else "auto")
-      .setFeaturesCol("__features").setLabelCol(p.value)
-      .setRegParam(regParam).setElasticNetParam(elasticNetParam)
-    val m = lr.fit(assembled)
-    LinearForecasterModel(m.intercept, m.coefficients.toArray, lags, freq)
+    if (regParam == 0.0) {
+      // pure OLS: one-pass closed-form normal equations
+      // (graft.functions.Ols) — no VectorAssembler materialization, no
+      // MLlib summary passes
+      val (b0, w) = graft.functions.Ols.fit(reduction, featureCols.toSeq, p.value)
+      LinearForecasterModel(b0, w, lags, freq)
+    } else {
+      val assembled = new VectorAssembler()
+        .setInputCols(featureCols).setOutputCol("__features")
+        .transform(reduction.na.drop(featureCols :+ p.value))
+      val lr = new LinearRegression()
+        // L1 needs the iterative solver, so only pure-L2 takes the
+        // closed-form normal path
+        .setSolver(if (elasticNetParam == 0.0) "normal" else "auto")
+        .setFeaturesCol("__features").setLabelCol(p.value)
+        .setRegParam(regParam).setElasticNetParam(elasticNetParam)
+      val m = lr.fit(assembled)
+      LinearForecasterModel(m.intercept, m.coefficients.toArray, lags, freq)
+    }
   }
 
   /** Direct multi-horizon strategy — _ar.py:53-73: one model per
@@ -50,18 +58,15 @@ object LinearForecaster {
     * the whole fh-horizon prediction is broadcast column algebra —
     * one job, no recursion error compounding. */
   def fitDirect(p: Panel, lags: Int, fh: Int, freq: String): DirectLinearModel = {
-    val reduction = Forecasters.makeReduction(p, lags + fh - 1)
+    // one cached wide reduction; each horizon is a single closed-form
+    // aggregation pass over its shifted lag window (per-horizon NA-drop
+    // keeps the reference's per-model training rows)
+    val reduction = Forecasters.makeReduction(p, lags + fh - 1).cache()
     val models = (1 to fh).map { h =>
-      val featureCols = (h until h + lags).map(l => s"${p.value}__lag_$l").toArray
-      val assembled = new VectorAssembler()
-        .setInputCols(featureCols).setOutputCol("__features")
-        .transform(reduction.na.drop(featureCols :+ p.value))
-      val m = new LinearRegression()
-        .setSolver("normal")
-        .setFeaturesCol("__features").setLabelCol(p.value)
-        .fit(assembled)
-      (m.intercept, m.coefficients.toArray)
+      val featureCols = (h until h + lags).map(l => s"${p.value}__lag_$l")
+      graft.functions.Ols.fit(reduction, featureCols, p.value)
     }
+    reduction.unpersist(blocking = false)
     DirectLinearModel(models, lags, freq)
   }
 }
