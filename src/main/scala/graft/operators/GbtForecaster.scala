@@ -113,14 +113,16 @@ object CensoredForecaster {
       .setInputCols(featureCols).setOutputCol("__features")
       .transform(reduction.na.drop(featureCols :+ p.value))
       .withColumn("__above", (col(p.value) > threshold).cast("double"))
+      .cache()
+    // the classifier is genuinely iterative (logistic loss) — MLlib;
+    // the above-threshold regression is pure OLS — one closed-form pass
     val clf = new LogisticRegression()
       .setFeaturesCol("__features").setLabelCol("__above")
       .fit(assembled)
-    val reg = new org.apache.spark.ml.regression.LinearRegression()
-      .setSolver("normal")
-      .setFeaturesCol("__features").setLabelCol(p.value)
-      .fit(assembled.filter(col(p.value) > threshold))
+    val (rIntercept, rWeights) = graft.functions.Ols.fit(
+      assembled.filter(col(p.value) > threshold), featureCols.toSeq, p.value)
+    assembled.unpersist(blocking = false)
     Model(clf.interceptVector(0), clf.coefficientMatrix.rowIter.next().toArray,
-      reg.intercept, reg.coefficients.toArray, lags, freq)
+      rIntercept, rWeights, lags, freq)
   }
 }
