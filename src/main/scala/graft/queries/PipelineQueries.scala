@@ -27,25 +27,33 @@ object PipelineQueries {
       // "x.08"), which breaks the driver's value hash even when the
       // numbers are identical. Averages divide the deterministic
       // decimal sum (as double) by the count, never avg() over doubles.
+      // the big sums travel as fixed-scale DECIMAL(28,6) rendered to
+      // VARCHAR: decimal sums are associative (identical at any SF and
+      // partitioning) and both engines print decimals at full scale,
+      // while every double path here is ULP-unstable — decimal→double
+      // double-rounds differently across engines, and round(x,6) above
+      // x·10⁶ > 2^52 diverges too (round-1/round-2 lessons)
       """SELECT l_returnflag, l_linestatus,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE), 6) AS sum_qty,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE), 6) AS sum_base_price,
-           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE), 6) AS sum_disc_price,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DECIMAL(28,6)) AS VARCHAR) AS sum_qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DECIMAL(28,6)) AS VARCHAR) AS sum_base_price,
+           CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(28,6)) AS VARCHAR) AS sum_disc_price,
            round(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS avg_qty,
            round(CAST(sum(CAST(l_discount AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS avg_disc,
            count(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus""") {
       (s, dir) =>
-        r6(tbl(s, dir, "lineitem")
+        tbl(s, dir, "lineitem")
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
-            sum(col("l_quantity").cast("decimal(28,10)")).cast("double").as("sum_qty"),
-            sum(col("l_extendedprice").cast("decimal(28,10)")).cast("double").as("sum_base_price"),
+            sum(col("l_quantity").cast("decimal(28,10)")).cast("decimal(28,6)")
+              .cast("string").as("sum_qty"),
+            sum(col("l_extendedprice").cast("decimal(28,10)")).cast("decimal(28,6)")
+              .cast("string").as("sum_base_price"),
             sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(28,10)"))
-              .cast("double").as("sum_disc_price"),
-            (sum(col("l_quantity").cast("decimal(28,10)")).cast("double") / count(lit(1))).as("avg_qty"),
-            (sum(col("l_discount").cast("decimal(28,10)")).cast("double") / count(lit(1))).as("avg_disc"),
-            count(lit(1)).as("count_order")))
+              .cast("decimal(28,6)").cast("string").as("sum_disc_price"),
+            rd6(sum(col("l_quantity").cast("decimal(28,10)")).cast("double") / count(lit(1))).as("avg_qty"),
+            rd6(sum(col("l_discount").cast("decimal(28,10)")).cast("double") / count(lit(1))).as("avg_disc"),
+            count(lit(1)).as("count_order"))
     },
 
     "q2_join_agg" -> Q(
