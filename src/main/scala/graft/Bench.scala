@@ -35,7 +35,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     try {
       val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"sf":"$sfDir"}"""
-      java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_bench_full.json"),
+      java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_full.json"),
         full.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     val top = results.toSeq.sortBy(-_._2).take(20)
