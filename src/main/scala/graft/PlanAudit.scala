@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Physical-plan audit: prints `explain(formatted)` for representative
+  * queries and greps the properties that matter at 100 TB — pushed
+  * filters, pruned read schemas, broadcast vs shuffle joins, and
+  * whole-stage-codegen coverage. Run: `runMain graft.PlanAudit [sfDir]`.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE off HERE ONLY: an unexecuted AdaptiveSparkPlan hides the
+      // codegen-id annotations this audit wants to count (Bench and the
+      // driver contract keep AQE on)
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val picks = Seq(
+      "q1_agg", "q2_join_agg", "q3_window_topk", // relational: pushdown + broadcast
+      "f_linear_trend", "p_roll",                // window/agg features
+      "s_cosine_topk", "d_minhash_lsh",          // pipeline extensions
+      "fc_naive", "m_score_backtest")            // forecast scaffolds
+    picks.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      println(s"\n===== $name =====")
+      // headline properties only; full text available via explain(true)
+      val interesting = plan.linesIterator.filter { l =>
+        l.contains("PushedFilters") || l.contains("ReadSchema") ||
+        l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin") ||
+        l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct") ||
+        l.contains("Exchange")
+      }
+      interesting.foreach(l => println("  " + l.trim.take(200)))
+      val nExchanges = plan.linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("ReusedExchange"))
+      val codegenIds = "codegen id : (\\d+)".r.findAllMatchIn(plan).map(_.group(1)).toSet
+      println(s"  [summary] exchanges=$nExchanges wholeStageCodegenSpans=${codegenIds.size}")
+    }
+    spark.stop()
+  }
+}

@@ -62,7 +62,12 @@ object Dedup {
 
   /** LSH banding: split the signature into bands of `rowsPerBand`,
     * bucket-join docs sharing any band value, emit candidate pairs
-    * (a < b) with their estimated jaccard (signature agreement). */
+    * (a < b) with their estimated jaccard (signature agreement).
+    *
+    * Callers should `persist()` `signatures` first: this plan
+    * references it four times (band self-join + two join-backs), and
+    * Spark will otherwise recompute the shingle+hash pipeline per
+    * reference — at corpus scale that is 4 full scans. */
   def minhashCandidatePairs(signatures: DataFrame, idCol: String,
                             numHashes: Int, rowsPerBand: Int): DataFrame = {
     val nBands = numHashes / rowsPerBand

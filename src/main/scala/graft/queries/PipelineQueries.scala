@@ -139,7 +139,11 @@ object PipelineQueries {
     // jaccard fidelity is asserted in the ScalaTest suite.
     "d_minhash_lsh" -> Q.rowsOnly { (s, dir) =>
       val docs = tbl(s, dir, "documents")
+      // persist the signatures: the band self-join + two signature
+      // join-backs otherwise re-shingle and re-hash the corpus four
+      // times (plan audit showed 4 separate document scans)
       val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", shingleSize = 3, numHashes = 16)
+        .persist()
       val pairs = Dedup.minhashCandidatePairs(sigs, "doc_id", numHashes = 16, rowsPerBand = 4)
       pairs.agg(count(lit(1)).as("n_candidate_pairs"),
         coalesce(round(avg(col("est_jaccard")), 6), lit(0.0)).as("mean_est_jaccard"))
