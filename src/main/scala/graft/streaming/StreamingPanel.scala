@@ -30,6 +30,19 @@ object StreamingPanel {
       .groupBy(col(entityCol), window(col(timeCol), windowDuration, slideDuration))
       .agg(aggs.head, aggs.tail: _*)
 
+  /** Streaming exact dedup: keep the FIRST document per content hash,
+    * drop later copies. State = one row per distinct hash inside the
+    * watermark horizon (`dropDuplicatesWithinWatermark`), so memory is
+    * bounded by distinct-docs-per-horizon, not stream length — the
+    * incremental form of [[graft.operators.Dedup.exactDedup]] for
+    * ingest-time pipelines. */
+  def streamingExactDedup(stream: DataFrame, textCol: String, timeCol: String,
+                          watermark: String): DataFrame =
+    stream
+      .withColumn("text_hash", md5(col(textCol).cast("binary")))
+      .withWatermark(timeCol, watermark)
+      .dropDuplicatesWithinWatermark("text_hash")
+
   /** Per-entity CUSUM state, bounded: warmup buffer never exceeds
     * `warmupPeriod` elements. */
   final case class CusumState(t: Int, obs: Seq[Double], mu: Double, sigma: Double,

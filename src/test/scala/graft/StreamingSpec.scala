@@ -71,4 +71,20 @@ class StreamingSpec extends SparkSpec {
     val wantTimes = batchEvents.zipWithIndex.collect { case (1, i) => ts(i) }.toSet
     assert(gotTimes == wantTimes)
   }
+
+  test("streaming exact dedup keeps the first copy per content hash") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val stream = mem.toDF.toDF("doc_id", "event_time", "text")
+    val out = StreamingPanel.streamingExactDedup(stream, "text", "event_time", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dd").outputMode("append").start()
+    // batch 1: two distinct texts + one dup; batch 2: a cross-batch dup + one new
+    mem.addData((1L, ts(0), "alpha beta"), (2L, ts(1), "gamma"), (3L, ts(2), "alpha beta"))
+    q.processAllAvailable()
+    mem.addData((4L, ts(3), "gamma"), (5L, ts(4), "delta"))
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("dd").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 5L), s"kept $kept")
+  }
 }
