@@ -33,16 +33,23 @@ object Q {
     // signum·floor(|y|+0.5) IS std::round, including the sign of zero:
     // DuckDB round(-1e-16, 6) = -0.0, and the driver hash is bitwise —
     // Spark floor/ceil return LONG and would collapse -0.0 to 0.0
-    // (round-1 p_fourier_terms hash mismatch)
-    val y = c.cast("double") * 1e6
-    signum(y) * floor(abs(y) + 0.5) / 1e6
+    // (round-1 p_fourier_terms hash mismatch). NaN/±Inf pass through
+    // unchanged (Spark floor(NaN|Inf) collapses to Long.MaxValue);
+    // |y| ≥ 2^52 passes through too — 6-dp rounding is ULP-ambiguous
+    // there and such magnitudes must use the decimal-string path.
+    val cd = c.cast("double")
+    val y = cd * 1e6
+    when(isnan(cd) || abs(y) >= 4.503599627370496e15, cd)
+      .otherwise(signum(y) * floor(abs(y) + 0.5) / 1e6)
   }
 
   /** 4-dp variant for fixtures whose distributed aggregation order
     * makes the 6th decimal a ULP tie at larger scale factors. */
   def rd4(c: Column): Column = {
-    val y = c.cast("double") * 1e4
-    signum(y) * floor(abs(y) + 0.5) / 1e4
+    val cd = c.cast("double")
+    val y = cd * 1e4
+    when(isnan(cd) || abs(y) >= 4.503599627370496e15, cd)
+      .otherwise(signum(y) * floor(abs(y) + 0.5) / 1e4)
   }
 
   def r6(df: DataFrame): DataFrame = {
