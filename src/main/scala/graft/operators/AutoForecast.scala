@@ -37,11 +37,18 @@ object AutoForecast {
     * Returns the same schema as [[Conformal.backtest]]. */
   def backtestLinearPrefix(p: Panel, timeCol: String, lags: Int,
                            testSize: Int, nSplits: Int, stepSize: Int): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val featureCols = (1 to lags).map(l => s"${p.value}__lag_$l")
     val assembled = CrossValidation
       .withPosition(p.copy(df = Preprocess.lagKeepAll(p, 1 to lags)))
       .cache()
-    val splits = (0 until nSplits).map { i =>
+    // the per-split OLS fits are independent actions over the shared
+    // cached frame — run them as CONCURRENT Spark jobs (the scheduler
+    // interleaves their stages; per-partition cache locks dedupe the
+    // first materialization) instead of serial driver turns
+    val splitFutures = (0 until nSplits).map { i => Future {
       val cutoff = testSize + (nSplits - 1 - i) * stepSize
       val trainEnd = col("__cnt") - cutoff
       // closed-form one-pass OLS per split over the shared cached frame
@@ -81,7 +88,8 @@ object AutoForecast {
         .withColumn("__h", (col("__rn") - trainEnd).cast("int"))
         .select((p.entityCols ++ Seq(col("__h"), col(timeCol), p.x.as("__actual"))): _*)
       actual.join(pred, p.entity :+ "__h", "inner").withColumn("split", lit(i))
-    }
+    } }
+    val splits = Await.result(Future.sequence(splitFutures), Duration.Inf)
     splits.reduce(_ unionByName _)
       .select((p.entityCols ++ Seq(col(timeCol), col("split"),
         col("__actual").as("actual"), col("__pred").as("pred"))): _*)
@@ -119,12 +127,17 @@ object AutoForecast {
   def autoLinear(p: Panel, timeCol: String, freq: String, lagGrid: Seq[Int],
                  testSize: Int = 10, nSplits: Int = 3, stepSize: Int = 5)
       : (Int, Double, LinearForecasterModel) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val cached = p.copy(df = p.df.cache())
-    val scored = lagGrid.map { lags =>
+    // score the lag candidates concurrently — independent job groups
+    // over the same cached panel
+    val scored = Await.result(Future.sequence(lagGrid.map { lags => Future {
       val bt = backtestLinearPrefix(cached, timeCol, lags, testSize, nSplits, stepSize)
       val mean = backtestScore(bt, p.entity).agg(avg("smape")).collect()(0).getDouble(0)
       (lags, mean)
-    }
+    } }), Duration.Inf)
     val (bestLags, bestScore) = scored.minBy(_._2)
     (bestLags, bestScore, LinearForecaster.fit(cached, bestLags, freq))
   }
@@ -145,7 +158,12 @@ object AutoForecast {
     // per-(entity, model) CV score; every candidate family shares one
     // positioned/lag pass across its splits (prefix property) — naive
     // and snaive backtests involve no fit at all, just position joins
-    val scores = base.map { case (name, f) =>
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // candidate backtests are independent — overlap their jobs (the
+    // linear ones fit inside; naive/snaive are pure position joins)
+    val scores = Await.result(Future.sequence(base.map { case (name, f) => Future {
       val bt = name match {
         case "naive" => backtestNaivePrefix(cached, timeCol, 1, testSize, nSplits, stepSize)
         case "snaive" => backtestNaivePrefix(cached, timeCol, 7, testSize, nSplits, stepSize)
@@ -155,16 +173,17 @@ object AutoForecast {
         case _ => Conformal.backtest(cached, timeCol, testSize, nSplits, stepSize, f)
       }
       backtestScore(bt, p.entity).withColumn("model", lit(name))
-    }.reduce(_ unionByName _)
+    } }), Duration.Inf).reduce(_ unionByName _)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(p.entityCols: _*).orderBy(col("smape").asc_nulls_last)
     val winners = scores.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= topK)
       .select((p.entityCols :+ col("model")): _*)
     // full-data predictions per model, filtered to each entity's top-k
-    val preds = base.map { case (name, f) =>
+    // (the linear entries fit eagerly inside f — overlap those jobs too)
+    val preds = Await.result(Future.sequence(base.map { case (name, f) => Future {
       f(cached, fh).withColumn("model", lit(name))
-    }.reduce(_ unionByName _)
+    } }), Duration.Inf).reduce(_ unionByName _)
     preds.join(winners, p.entity :+ "model")
       .groupBy((p.entityCols :+ col(timeCol)): _*)
       .agg(avg(col(p.value)).as(p.value))

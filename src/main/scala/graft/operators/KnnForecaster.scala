@@ -33,18 +33,27 @@ object KnnForecaster {
     val featureCols = (1 to lags).map(l => s"${p.value}__lag_$l").toArray
     val reduction = Forecasters.makeReduction(p, lags).na.drop(featureCols :+ p.value)
       .select((featureCols.map(c => col(c).cast("double")) :+ col(p.value).cast("double").as("__label")): _*)
-    // dense query ids via zipWithIndex (one extra count pass, no
-    // single-partition global window) — the id only needs to be stable
-    // between this collect and the topk join below
+    // ONE collect of the per-entity tails (this path already assumes
+    // they fit on the driver); the dense query id is simply the index
+    // in the collected array — no extra distributed pass, no global
+    // window. Entity + cutoff come back out of the same rows via a
+    // driver-built (entity, cutoff, qid) frame joined to the top-k.
     val tails = queryTails(p, timeCol, lags)
-    val queries = spark.createDataFrame(
-      tails.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
-      tails.schema.add(StructField("__qid", LongType)))
-    // broadcast the per-entity query matrix (one row per entity)
-    val qRows = queries.select((col("__qid") +: (1 to lags).map(l => col(s"${p.value}__lag_$l").cast("double"))): _*)
-      .collect().map(r => (r.getLong(0), Array.tabulate(lags)(i => r.getDouble(i + 1))))
+    val keep = p.entityCols ++ (col("__cutoff") +:
+      (1 to lags).map(l => col(s"${p.value}__lag_$l").cast("double")))
+    val nEntity = p.entityCols.length
+    val sel = tails.select(keep: _*)
+    val collected = sel.collect()
+    val qRows = collected.zipWithIndex.map { case (r, i) =>
+      (i.toLong, Array.tabulate(lags)(j => r.getDouble(nEntity + 1 + j)))
+    }
+    val qMeta = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        collected.zipWithIndex.map { case (r, i) =>
+          Row.fromSeq(r.toSeq.take(nEntity + 1) :+ i.toLong)
+        }.toIndexedSeq, 1),
+      StructType(sel.schema.fields.take(nEntity + 1) :+ StructField("__qid", LongType)))
     val bq = spark.sparkContext.broadcast(qRows)
-    val nq = qRows.length
     // per-partition bounded heaps: local top-k per query
     val partials = reduction.rdd.mapPartitions { it =>
       val qs = bq.value
@@ -79,7 +88,7 @@ object KnnForecaster {
       .withColumn("__nn", row_number().over(Window.partitionBy("__qid").orderBy(col("__dist"))))
       .filter(col("__nn") <= k)
       .groupBy("__qid").agg(avg(col("__label")).as(p.value))
-    queries.select((p.entityCols :+ col("__qid") :+ col("__cutoff")): _*)
+    broadcast(qMeta)
       .join(topk, "__qid")
       .withColumn("__h", lit(1))
       .withColumn(timeCol, Forecasters.futureTime(freq))
