@@ -70,4 +70,19 @@ class AutoForecastSpec extends SparkSpec {
     // last 4 values are [1,5,9,5] (t=60..63), next value = signal(64 % 4) = 1
     assertClose(out(0).getAs[Double]("value"), 1.0, 1e-9)
   }
+
+  test("LSH KNN path agrees with the exact broadcast path on recurring tails") {
+    val signal = (0 until 64).map(t => Seq(1.0, 5.0, 9.0, 5.0)(t % 4))
+    val flat = Seq.fill(64)(7.0)
+    val p = panel(signal, flat)
+    val exact = KnnForecaster.predictOneStep(p, "t", "1i", lags = 4, k = 3)
+      .collect().map(r => r.getAs[Number]("entity").longValue -> r.getAs[Double]("value")).toMap
+    // generous bucket length → every candidate lands in the query's
+    // bucket, so the approximate join degenerates to exact
+    val lsh = KnnForecaster.predictOneStepLsh(p, "t", "1i", lags = 4, k = 3,
+      bucketLength = 1e6)
+      .collect().map(r => r.getAs[Number]("entity").longValue -> r.getAs[Double]("value")).toMap
+    assert(lsh.keySet == exact.keySet)
+    exact.foreach { case (e, v) => assertClose(lsh(e), v, 1e-9) }
+  }
 }
