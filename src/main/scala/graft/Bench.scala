@@ -20,6 +20,16 @@ object Bench {
         try graft.core.Tables(spark, sfDir, t).count()
         catch { case _: Throwable => () }
       }
+    // ...and JIT the window + partial-agg machinery the panel queries
+    // share (the first windowed query otherwise pays it alone)
+    try {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      graft.core.Tables(spark, sfDir, "events")
+        .withColumn("__l", lag(col("value"), 1).over(
+          Window.partitionBy("user_id").orderBy("ts", "event_id")))
+        .groupBy("user_id").agg(avg(col("__l"))).count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
