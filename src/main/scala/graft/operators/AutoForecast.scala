@@ -142,6 +142,62 @@ object AutoForecast {
     (bestLags, bestScore, LinearForecaster.fit(cached, bestLags, freq))
   }
 
+  /** Generic hyperparameter sweep over expanding-window CV — the
+    * automl.py pattern for ALL auto_* forecasters: backtest a
+    * fit-predict closure per candidate, pick the lowest mean SMAPE.
+    * Candidates are scored as concurrent Spark job groups over the
+    * shared cached panel. */
+  def autoModel[C](p: Panel, timeCol: String, candidates: Seq[C],
+                   testSize: Int, nSplits: Int, stepSize: Int)
+                  (fitPredict: C => (Panel, Int) => DataFrame): (C, Double) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val cached = p.copy(df = p.df.cache())
+    val scored = Await.result(Future.sequence(candidates.map { c => Future {
+      val bt = Conformal.backtest(cached, timeCol, testSize, nSplits, stepSize, fitPredict(c))
+      val mean = backtestScore(bt, p.entity).agg(avg("smape")).collect()(0).getDouble(0)
+      (c, mean)
+    } }), Duration.Inf)
+    scored.minBy(_._2)
+  }
+
+  /** auto_ridge / auto_lasso / auto_elastic_net (automl.py:64-96):
+    * lag sweep with the matching regularization; refit on all data. */
+  def autoRegularized(p: Panel, timeCol: String, freq: String, lagGrid: Seq[Int],
+                      regParam: Double, elasticNetParam: Double,
+                      testSize: Int = 10, nSplits: Int = 3, stepSize: Int = 5)
+      : (Int, Double, LinearForecasterModel) = {
+    val (bestLags, bestScore) = autoModel(p, timeCol, lagGrid, testSize, nSplits, stepSize) {
+      lags => (tr, fh) =>
+        LinearForecaster.fit(tr, lags, freq, regParam, elasticNetParam).predict(tr, timeCol, fh)
+    }
+    (bestLags, bestScore, LinearForecaster.fit(p, bestLags, freq, regParam, elasticNetParam))
+  }
+
+  def autoRidge(p: Panel, timeCol: String, freq: String, lagGrid: Seq[Int],
+                regParam: Double = 0.1): (Int, Double, LinearForecasterModel) =
+    autoRegularized(p, timeCol, freq, lagGrid, regParam, elasticNetParam = 0.0)
+
+  def autoLasso(p: Panel, timeCol: String, freq: String, lagGrid: Seq[Int],
+                regParam: Double = 0.1): (Int, Double, LinearForecasterModel) =
+    autoRegularized(p, timeCol, freq, lagGrid, regParam, elasticNetParam = 1.0)
+
+  def autoElasticNet(p: Panel, timeCol: String, freq: String, lagGrid: Seq[Int],
+                     regParam: Double = 0.1, l1Ratio: Double = 0.5)
+      : (Int, Double, LinearForecasterModel) =
+    autoRegularized(p, timeCol, freq, lagGrid, regParam, elasticNetParam = l1Ratio)
+
+  /** auto_knn (automl.py): sweep k over CV with the exact KNN path.
+    * Our KNN forecaster is one-step-ahead by design, so each split
+    * scores horizon 1 only (the pred↔actual join keeps matching
+    * horizons) — still a per-k ranking signal across all entities. */
+  def autoKnn(p: Panel, timeCol: String, freq: String, lags: Int, kGrid: Seq[Int],
+              testSize: Int = 10, nSplits: Int = 3, stepSize: Int = 5): (Int, Double) =
+    autoModel(p, timeCol, kGrid, testSize, nSplits, stepSize) {
+      k => (tr, fh) => KnnForecaster.predictOneStep(tr, timeCol, freq, lags, k)
+    }
+
   /** Elite ensemble — elite.py: backtest each named base forecaster,
     * rank per entity by mean CV SMAPE, average the predictions of the
     * per-entity top-k models (mean stacking, elite.py:303-308), with

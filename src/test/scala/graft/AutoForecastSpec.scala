@@ -45,6 +45,30 @@ class AutoForecastSpec extends SparkSpec {
     preds.zip(want).foreach { case (g, w) => assertClose(g, w, 1e-3) }
   }
 
+  test("autoRidge/autoLasso sweep lags like auto_ridge/auto_lasso (automl.py)") {
+    val signal = (0 until 60).map(t => 50 + 20 * math.sin(0.3 * t))
+    val p = panel(signal)
+    val (ridgeLags, _, ridgeModel) =
+      AutoForecast.autoRidge(p, "t", "1i", lagGrid = Seq(1, 3), regParam = 0.01)
+    assert(ridgeLags == 3, s"ridge chose $ridgeLags")
+    val preds = ridgeModel.predict(p, "t", fh = 2).orderBy("t").collect()
+      .map(_.getAs[Double]("value"))
+    val want = (60 until 62).map(t => 50 + 20 * math.sin(0.3 * t))
+    preds.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 2.0, s"$g vs $w") }
+    val (lassoLags, _, _) =
+      AutoForecast.autoLasso(p, "t", "1i", lagGrid = Seq(1, 3), regParam = 0.01)
+    assert(lassoLags == 3, s"lasso chose $lassoLags")
+  }
+
+  test("autoKnn picks a k that scores the recurring pattern (auto_knn, automl.py)") {
+    val signal = (0 until 64).map(t => Seq(1.0, 5.0, 9.0, 5.0)(t % 4))
+    val p = panel(signal)
+    val (bestK, score) = AutoForecast.autoKnn(p, "t", "1i", lags = 4,
+      kGrid = Seq(1, 3), testSize = 2, nSplits = 2, stepSize = 2)
+    assert(Seq(1, 3).contains(bestK))
+    assert(score < 0.05, s"smape $score") // exact recurrence → near-zero error
+  }
+
   test("elite blends per-entity top-k models (elite.py:269-308)") {
     // entity 0: pure AR — linear wins; entity 1: constant — all equal
     val s0 = (0 until 60).map(t => 50 + 20 * math.sin(0.3 * t))
