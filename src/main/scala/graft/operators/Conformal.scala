@@ -74,8 +74,15 @@ object Conformal {
                testSize: Int, nSplits: Int, stepSize: Int,
                fitPredict: (graft.core.Panel, Int) => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val splits = CrossValidation.expandingWindowSplit(p, testSize, nSplits, stepSize)
-    val tagged = splits.zipWithIndex.map { case ((train, test), i) =>
+    // fitPredict may run Spark actions (model fits) — overlap the
+    // independent splits as concurrent jobs; lazy closures (naive)
+    // finish instantly either way
+    val tagged = Await.result(Future.sequence(splits.zipWithIndex.map {
+      case ((train, test), i) => Future {
       val trainPanel = p.copy(df = train)
       // join pred↔actual on (entity, horizon step): the explicit-key
       // form of the reference's timestamp-overwriting sort-zip
@@ -90,7 +97,7 @@ object Conformal {
         .select((p.entityCols ++ Seq(col("__h"), col(timeCol), p.x.as("__actual"))): _*)
       actual.join(pred, p.entity :+ "__h", "inner")
         .withColumn("split", lit(i))
-    }
+    } }), Duration.Inf)
     tagged.reduce(_ unionByName _)
       .select((p.entityCols ++ Seq(col(timeCol), col("split"),
         col("__actual").as("actual"), col("__pred").as("pred"))): _*)

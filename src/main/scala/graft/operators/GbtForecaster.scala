@@ -118,6 +118,10 @@ object CensoredForecaster {
     // the above-threshold regression is pure OLS — one closed-form pass
     val clf = new LogisticRegression()
       .setFeaturesCol("__features").setLabelCol("__above")
+      // sklearn LogisticRegression defaults (censored.py's classifier):
+      // tol=1e-4 — MLlib's 1e-6 default buys no accuracy the reference
+      // doesn't have and costs extra lbfgs passes
+      .setTol(1e-4)
       .fit(assembled)
     val (rIntercept, rWeights) = graft.functions.Ols.fit(
       assembled.filter(col(p.value) > threshold), featureCols.toSeq, p.value)
