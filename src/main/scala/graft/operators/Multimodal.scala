@@ -45,6 +45,19 @@ object Multimodal {
     df.withColumn("features", feats)
   }
 
+  /** STUB resize: a real implementation decodes, resamples pixels to
+    * (w,h) and re-encodes per partition batch; the stub keeps the
+    * contract — binary in, binary out, target dims recorded in the
+    * metadata struct — by byte-range scaling the payload to the
+    * target "pixel count" deterministically. */
+  def resizeMedia(df: DataFrame, binCol: String, width: Int, height: Int): DataFrame =
+    df.withColumn("resized",
+        expr(s"substring($binCol, 1, int(greatest(least(length($binCol), ${width * height}), 1)))"))
+      .withColumn("resized_meta", struct(
+        lit("image/fake").as("media_type"),
+        lit(width).as("width"), lit(height).as("height"),
+        length(col("resized")).cast("long").as("n_bytes")))
+
   /** Frame sampling plumbing for "video" payloads: split the payload
     * into n equal byte-range "frames" (stub for keyframe extraction),
     * exploded one row per frame — the partition-parallel shape a real

@@ -268,6 +268,15 @@ object PipelineQueries {
           col("media_meta.n_bytes"))
     },
 
+    "mm_resize" -> Q.rowsOnly { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+      Multimodal.resizeMedia(docs, "payload", width = 64, height = 64)
+        .select(col("doc_id"), col("resized_meta.width").as("width"),
+          col("resized_meta.height").as("height"),
+          col("resized_meta.n_bytes").as("n_bytes"))
+    },
+
     "mm_decode_features" -> Q.rowsOnly { (s, dir) =>
       // flattened to scalar rows: the driver's pandas canonicalizer
       // cannot sort/hash array cells
