@@ -72,4 +72,22 @@ object Tables {
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else df
   }
+
+  /** Persist a panel bucketed by its entity key: every later
+    * groupBy/window/join on that key reads the buckets' existing
+    * HashPartitioning and skips the entity shuffle entirely — the
+    * co-location strategy for a 100 TB panel that is re-analyzed many
+    * times (amortize ONE shuffle at ingest across every query).
+    * Requires a session with catalog support (default local session
+    * works: spark-warehouse dir). */
+  def bucketizeByEntity(df: DataFrame, tableName: String,
+                        entityCols: Seq[String], numBuckets: Int): DataFrame = {
+    df.write
+      .bucketBy(numBuckets, entityCols.head, entityCols.tail: _*)
+      .sortBy(entityCols.head, entityCols.tail: _*)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(tableName)
+    df.sparkSession.table(tableName)
+  }
 }
