@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Pipeline-extension soak: ~1M synthetic documents (with a planted
+  * duplicate rate) and ~200k synthetic 64-d embeddings driven through
+  * the dedup / text-analysis / similarity operators, reporting
+  * wall-clock and docs/sec. Supports SCALE.md with measured numbers
+  * for the training-data pipeline axis.
+  *
+  * Usage: runMain graft.PipelineSoak [nDocs] [nVecs]
+  */
+object PipelineSoak {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toInt).getOrElse(1000000)
+    val nVecs = args.drop(1).headOption.map(_.toInt).getOrElse(200000)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+      .appName("graft-pipeline-soak")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ~20-word docs; 10% planted duplicates (doc i copies doc i-1 when
+    // i % 10 == 0) so dedup has real work to find
+    val srcId = when(col("id") % 10 === 0 && col("id") > 0, col("id") - 1).otherwise(col("id"))
+    val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 20).map(w =>
+        concat(lit("w"), pmod(xxhash64(srcId, lit(w)), lit(5000)))): _*).as("text"))
+      .repartition(64)
+      .cache()
+    println(s"[psoak] docs=${docs.count()}")
+
+    def time(label: String, rows: Long)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val out = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[psoak] $label: $s%.1f s  (${rows / s / 1e3}%.0f K rows/s, out=$out)")
+    }
+
+    time("exact dedup (hash groupBy)", nDocs) {
+      Dedup.exactDedup(docs, "doc_id", "text").filter(col("n_copies") > 1).count()
+    }
+    time("token count + quality + langid (per-row algebra)", nDocs) {
+      docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n"),
+        TextAnalysis.punctRatio(col("text")).as("p"),
+        TextAnalysis.langId(col("text")).as("l")).count()
+    }
+    time("simhash (64-bit bit-vote)", nDocs) {
+      Dedup.simhash(docs, "doc_id", "text").count()
+    }
+    time("minhash signatures + LSH candidate pairs", nDocs) {
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 16).persist()
+      val pairs = Dedup.minhashCandidatePairs(sigs, "doc_id",
+        numHashes = 16, rowsPerBand = 4).count()
+      sigs.unpersist(blocking = false)
+      pairs
+    }
+
+    val vecs = spark.range(nVecs).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(64)),
+        i => (pmod(xxhash64(col("id"), i), lit(997)).cast("double") / 997).cast("float"))
+        .as("embedding"))
+      .repartition(64)
+      .cache()
+    println(s"[psoak] vecs=${vecs.count()}")
+    time("brute-force cosine top-10 for 32 queries", nVecs.toLong * 32) {
+      Similarity.cosineTopK(vecs.filter(col("vec_id") < 32), vecs,
+        "vec_id", "embedding", k = 10).count()
+    }
+    time("IVF top-10 for 32 queries (16 cells)", nVecs.toLong * 32) {
+      Similarity.ivfTopK(vecs.filter(col("vec_id") < 32), vecs,
+        "vec_id", "embedding", k = 10, nCells = 16).count()
+    }
+    spark.stop()
+  }
+}
