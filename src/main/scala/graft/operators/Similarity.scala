@@ -65,22 +65,29 @@ object Similarity {
 
   /** IVF-style ANN: assign each vector to its nearest of `nCells`
     * sampled centroids (deterministic sample), then search only the
-    * query's cell — one broadcast join + per-cell brute force. */
+    * query's cell. The centroid matrix is tiny (nCells × dim), so it
+    * collects once and inlines as LITERALS — cell assignment is then a
+    * pure per-row argmax projection (array_max over (dot, cell)
+    * structs): no crossJoin row blowup, no shuffle, no per-vector
+    * window. The only shuffles left are the cell-key join and the
+    * final per-query top-k. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int, seed: Long = 42L): DataFrame = {
     val centroids = corpus.select(col(idCol), col(vecCol))
       .orderBy(pmod(xxhash64(col(idCol)), lit(1000000)), col(idCol))
       .limit(nCells)
-      .select(col(idCol).as("c_id"), col(vecCol).as("__centroid"))
-    val assign = (df: DataFrame, id: String, v: String) =>
-      df.crossJoin(broadcast(centroids))
-        .withColumn("__d", dot(col(v), col("__centroid")))
-        .withColumn("__r", row_number().over(
-          Window.partitionBy(col(id)).orderBy(col("__d").desc, col("c_id"))))
-        .filter(col("__r") === 1)
-        .drop("__d", "__r", "__centroid")
-    val qa = assign(queries.select(col(idCol).as("q_id"), col(vecCol).as("__qv")), "q_id", "__qv")
-    val ca = assign(corpus.select(col(idCol).as("n_id"), col(vecCol).as("__cv")), "n_id", "__cv")
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
+    val assign = (df: DataFrame, v: String) => {
+      // argmax over (dot, -cell) structs = highest dot, ties → lowest cell
+      val scoredCells = array(centroids.map { case (cell, vec) =>
+        struct(dot(col(v), lit(vec)).as("d"), lit(-cell).as("negc"))
+      }: _*)
+      df.withColumn("c_id", -array_max(scoredCells).getField("negc"))
+    }
+    val qa = assign(queries.select(col(idCol).as("q_id"), col(vecCol).as("__qv")), "__qv")
+    val ca = assign(corpus.select(col(idCol).as("n_id"), col(vecCol).as("__cv")), "__cv")
     val scored = qa.join(ca, Seq("c_id")).filter(col("q_id") =!= col("n_id"))
       .withColumn("sim", cosine(col("__qv"), col("__cv")))
     scored.withColumn("rnk", row_number().over(
