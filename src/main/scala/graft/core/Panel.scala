@@ -82,6 +82,15 @@ object Tables {
     * works: spark-warehouse dir). */
   def bucketizeByEntity(df: DataFrame, tableName: String,
                         entityCols: Seq[String], numBuckets: Int): DataFrame = {
+    val spark = df.sparkSession
+    // the default session catalog is in-memory: after a restart it no
+    // longer knows the table but its warehouse directory persists, and
+    // saveAsTable refuses the "orphaned" location — drop both first
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath, tableName)
+    val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(warehouse)) fs.delete(warehouse, true)
     df.write
       .bucketBy(numBuckets, entityCols.head, entityCols.tail: _*)
       .sortBy(entityCols.head, entityCols.tail: _*)
