@@ -132,10 +132,12 @@ object Dedup {
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
                         planes: Int, threshold: Double, seed: Long = 42L): DataFrame = {
     val bucketed = Similarity.randomHyperplaneBuckets(emb, vecCol, planes, seed)
-    val l = bucketed.select(col(idCol).as("a"), col(vecCol).as("__va"), col("bucket"))
-    val r = bucketed.select(col(idCol).as("b"), col(vecCol).as("__vb"), col("bucket"))
+      .withColumn("__n", Similarity.norm(col(vecCol)))
+    val l = bucketed.select(col(idCol).as("a"), col(vecCol).as("__va"), col("__n").as("__na"), col("bucket"))
+    val r = bucketed.select(col(idCol).as("b"), col(vecCol).as("__vb"), col("__n").as("__nb"), col("bucket"))
     l.join(r, Seq("bucket")).filter(col("a") < col("b"))
-      .withColumn("cosine", Similarity.cosine(col("__va"), col("__vb")))
+      // norms precomputed per vector (same doubles, 1 pass per pair)
+      .withColumn("cosine", Similarity.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .filter(col("cosine") >= threshold)
       .select("a", "b", "cosine").distinct()
   }

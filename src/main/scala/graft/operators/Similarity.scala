@@ -33,13 +33,17 @@ object Similarity {
 
   /** Brute-force cosine top-k: for each query vector, the k most
     * similar corpus vectors (excluding itself). The query side is
-    * broadcast — the corpus never moves. */
+    * broadcast — the corpus never moves. Norms are computed ONCE per
+    * vector before the pair join (identical doubles — the same
+    * array's norm — but 1 array pass per pair instead of 3). */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                  vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("__qv")))
+    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("__qv"))
+      .withColumn("__qn", norm(col("__qv"))))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
     val scored = q.join(c, col("q_id") =!= col("n_id"))
-      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+      .withColumn("sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
@@ -87,9 +91,11 @@ object Similarity {
       df.withColumn("c_id", -array_max(scoredCells).getField("negc"))
     }
     val qa = assign(queries.select(col(idCol).as("q_id"), col(vecCol).as("__qv")), "__qv")
+      .withColumn("__qn", norm(col("__qv")))
     val ca = assign(corpus.select(col(idCol).as("n_id"), col(vecCol).as("__cv")), "__cv")
+      .withColumn("__cn", norm(col("__cv")))
     val scored = qa.join(ca, Seq("c_id")).filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+      .withColumn("sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
     scored.withColumn("rnk", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))))
       .filter(col("rnk") <= k)
