@@ -39,10 +39,15 @@ object GbtForecaster {
     val assembled = new VectorAssembler()
       .setInputCols(featureCols).setOutputCol("__features")
       .transform(reduction.na.drop(featureCols :+ p.value))
+      .cache()
+    // GBT runs maxIter × depth findBestSplits passes over this matrix
+    // — cache it so every iteration reads memory, not the lag-window
+    // recompute
     val m = new GBTRegressor()
       .setFeaturesCol("__features").setLabelCol(p.value)
       .setMaxIter(maxIter).setMaxDepth(maxDepth).setSeed(seed)
       .fit(assembled)
+    assembled.unpersist(blocking = false)
     Model(m, lags, freq)
   }
 
