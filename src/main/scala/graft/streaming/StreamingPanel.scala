@@ -43,6 +43,50 @@ object StreamingPanel {
       .withWatermark(timeCol, watermark)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** One emitted forecast row: entity, horizon step, future event
+    * time, predicted value. */
+  final case class ForecastRow(entity: Long, h: Int,
+                               eventTime: java.sql.Timestamp, value: Double)
+
+  /** Online (seasonal-)naive forecasting: per entity, keep the last
+    * `sp` observed values + the latest cutoff (bounded state); every
+    * micro-batch that touches an entity re-emits its fh-step forecast
+    * from the fresh state — the incremental form of
+    * [[graft.operators.Forecasters.snaive]] (sp = 1 gives plain
+    * naive). State is O(sp) doubles per entity: checkpointable and
+    * independent of stream length. */
+  /** Bounded per-entity forecast state: last ≤ sp values + cutoff. */
+  final case class NaiveState(tail: Seq[Double], cutoff: Long)
+
+  def streamingNaiveForecast(events: Dataset[In], fh: Int, sp: Int,
+                             stepMillis: Long): Dataset[ForecastRow] = {
+    implicit val stateEnc: Encoder[NaiveState] = Encoders.product[NaiveState]
+    implicit val outEnc: Encoder[ForecastRow] = Encoders.product[ForecastRow]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    events.groupByKey(_.entity)
+      .flatMapGroupsWithState[NaiveState, ForecastRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (entity: Long, rows: Iterator[In], state: GroupState[NaiveState]) =>
+          var s = state.getOption.getOrElse(NaiveState(Vector.empty, Long.MinValue))
+          rows.toSeq.sortBy(_.eventTime.getTime).foreach { r =>
+            if (r.eventTime.getTime > s.cutoff) {
+              s = NaiveState((s.tail :+ r.value).takeRight(sp), r.eventTime.getTime)
+            }
+          }
+          state.update(s)
+          if (s.tail.isEmpty) Iterator.empty
+          else (1 to fh).iterator.map { h =>
+            // oldest-first tail of the last sp values, cycled —
+            // identical to batch snaive's element_at(tail,
+            // ((h−1) mod size)+1) (snaive.py:9; short series cycle
+            // whatever tail exists)
+            val v = s.tail((h - 1) % s.tail.size)
+            ForecastRow(entity, h,
+              new java.sql.Timestamp(s.cutoff + h * stepMillis), v)
+          }
+      }
+  }
+
   /** Per-entity CUSUM state, bounded: warmup buffer never exceeds
     * `warmupPeriod` elements. */
   final case class CusumState(t: Int, obs: Seq[Double], mu: Double, sigma: Double,

@@ -72,6 +72,32 @@ class StreamingSpec extends SparkSpec {
     assert(gotTimes == wantTimes)
   }
 
+  test("streaming naive forecast converges to the batch snaive forecast") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val vals = (0 until 20).map(i => Seq(3.0, 7.0, 11.0)(i % 3))
+    val mem = MemoryStream[In]
+    val out = StreamingPanel.streamingNaiveForecast(mem.toDS(), fh = 4, sp = 3,
+      stepMillis = 60000L)
+    val q = out.writeStream.format("memory").queryName("nf").outputMode("append").start()
+    val data = vals.zipWithIndex.map { case (v, i) => In(0L, ts(i), v) }
+    data.grouped(8).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    // latest emission per horizon = the forecast from the full series
+    val latest = spark.table("nf").collect()
+      .map(r => (r.getAs[Int]("h"), r.getAs[java.sql.Timestamp]("eventTime"), r.getAs[Double]("value")))
+      .groupBy(_._1).map { case (h, rows) => h -> rows.maxBy(_._2.getTime)._3 }
+    // batch equivalent over the full series
+    val p = graft.core.Panel(
+      vals.zipWithIndex.map { case (v, i) => (0L, i.toLong, v) }
+        .toDF("entity", "t", "value"), Seq("entity"), Seq("t"), "value")
+    val batch = graft.operators.Forecasters.snaive(p, "t", fh = 4, sp = 3, freq = "1i")
+      .orderBy("t").collect().map(_.getAs[Double]("value"))
+    (1 to 4).foreach { h =>
+      assert(latest(h) == batch(h - 1), s"h=$h: ${latest(h)} vs ${batch(h - 1)}")
+    }
+  }
+
   test("streaming exact dedup keeps the first copy per content hash") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
