@@ -107,6 +107,42 @@ object Dedup {
       .drop("__sa", "__sb")
   }
 
+  /** Near-duplicate GROUPS from a candidate-pair frame (a, b):
+    * connected components by iterative minimum-label propagation —
+    * each round joins every node's current label against its
+    * neighbors' and keeps the min, until no label changes. Rounds are
+    * O(diameter) — near-dup clusters are small and dense, so a
+    * handful of distributed join+agg rounds; no driver-side graph.
+    * Returns (id, group) where group = the smallest doc id in the
+    * component; "keep" policy = keep id == group. */
+  def nearDupGroups(pairs: DataFrame, idColA: String = "a", idColB: String = "b",
+                    maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idColA).as("src"), col(idColB).as("dst"))
+      .unionByName(pairs.select(col(idColB).as("src"), col(idColA).as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("group", col("id")).cache()
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("group")).as("__ng"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("group"), coalesce(col("__ng"), col("group"))).as("group"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("group", "__old"), Seq("id"))
+        .filter(col("group") < col("__old")).limit(1).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
   /** 64-bit SimHash over word unigrams: per bit, sign of Σ±1 weighted
     * by each word's hash bit. Near-dups = small hamming distance. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -16,6 +16,17 @@ class PipelineSpec extends SparkSpec {
     (3L, "the quick brown fox jumps over the lazy dog and runs away fast") // exact dup of 0
   ).toDF("doc_id", "text")
 
+  test("nearDupGroups finds connected components of candidate pairs") {
+    // components: {1,2,3,9} (chain 1-2, 2-3, 3-9), {5,7}, singleton via no edges
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 7L)).toDF("a", "b")
+    val groups = Dedup.nearDupGroups(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups(1L) == 1L && groups(2L) == 1L && groups(3L) == 1L && groups(9L) == 1L)
+    assert(groups(5L) == 5L && groups(7L) == 5L)
+    // keep policy: exactly one kept doc per component
+    assert(groups.count { case (id, g) => id == g } == 2)
+  }
+
   test("exact dedup groups identical texts") {
     val out = Dedup.exactDedup(docs, "doc_id", "text").collect()
     assert(out.length == 3)
