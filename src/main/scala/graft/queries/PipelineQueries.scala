@@ -153,6 +153,21 @@ object PipelineQueries {
       Dedup.simhash(tbl(s, dir, "documents"), "doc_id", "text")
     },
 
+    // end-to-end near-dup pipeline: LSH candidates → connected
+    // components → per-doc keep decision (docs in no component keep
+    // themselves)
+    "d_neardup_groups" -> Q.rowsOnly { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 16).persist()
+      val pairs = Dedup.minhashCandidatePairs(sigs, "doc_id", numHashes = 16, rowsPerBand = 4)
+      val groups = Dedup.nearDupGroups(pairs.select("a", "b"))
+      docs.select(col("doc_id"))
+        .join(groups.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("group"), col("doc_id")).as("group"))
+        .withColumn("keep", col("doc_id") === col("group"))
+    },
+
     "d_embedding_neardup" -> Q.rowsOnly { (s, dir) =>
       val emb = tbl(s, dir, "embeddings")
       Dedup.embeddingNearDups(emb, "vec_id", "embedding", planes = 8, threshold = 0.9)
