@@ -7,6 +7,35 @@ import org.apache.spark.sql.functions._
 /** Seasonality / calendar features (reference: functime/seasonality/). */
 object Seasonality {
 
+  /** Split a frequency alias into (count, unit) — offsets.py:6-16
+    * (`_strip_freq_alias`): "3mo" → (3, "mo"). */
+  def stripFreqAlias(freq: String): (Int, String) = {
+    val f = freq.toLowerCase
+    // longest suffix first so "mo" wins over "m" ("o" is not an alias)
+    val aliases = Seq("mo", "s", "m", "h", "d", "w", "q", "y", "i")
+    aliases.collectFirst {
+      case a if f.endsWith(a) && f.dropRight(a.length).forall(_.isDigit)
+        && f.length > a.length =>
+        (f.dropRight(a.length).toInt, a)
+    }.getOrElse(throw new IllegalArgumentException(s"unknown freq alias $freq"))
+  }
+
+  /** Candidate seasonal periods per sampling frequency —
+    * offsets.py:19-62 (`freq_to_sp`, after Hyndman's seasonal-period
+    * table). */
+  def freqToSp(freq: String): Seq[Int] = freq.toLowerCase match {
+    case "1s"  => Seq(60, 3600, 86400, 604800, 31557600)
+    case "1m"  => Seq(60, 1440, 10080, 525960)
+    case "30m" => Seq(48, 336, 17532)
+    case "1h"  => Seq(24, 168, 8766)
+    case "1d"  => Seq(7, 365)
+    case "1w"  => Seq(52)
+    case "1mo" => Seq(12)
+    case "1q" | "3mo" => Seq(4)
+    case "1y"  => Seq(1)
+    case other => throw new IllegalArgumentException(s"Offset '$other' not supported")
+  }
+
   /** Fourier terms — seasonality/fourier.py:10: per entity,
     * coef = ((row position) mod sp)/sp; add cos/sin_{sp}_{k}, k=1..K. */
   def addFourierTerms(p: Panel, sp: Int, k: Int): DataFrame = {

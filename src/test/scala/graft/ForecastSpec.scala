@@ -76,4 +76,16 @@ class ForecastSpec extends SparkSpec {
     // winkler: width 10 each; second point 5 above upper → + 2/0.2*5 = 50
     assertClose(featVal(Metrics.winklerScore(df, Seq("entity"), "actual", "lo", "hi", 0.2), "winkler_score"), (10 + 60) / 2.0)
   }
+
+  test("freqToSp / stripFreqAlias mirror the reference offset table (offsets.py)") {
+    import graft.operators.Seasonality
+    assert(Seasonality.freqToSp("1d") == Seq(7, 365))
+    assert(Seasonality.freqToSp("1w") == Seq(52))
+    assert(Seasonality.freqToSp("3mo") == Seq(4))
+    assert(Seasonality.freqToSp("1q") == Seq(4))
+    assert(Seasonality.stripFreqAlias("3mo") == ((3, "mo")))
+    assert(Seasonality.stripFreqAlias("30m") == ((30, "m")))
+    assert(Seasonality.stripFreqAlias("1y") == ((1, "y")))
+    intercept[IllegalArgumentException](Seasonality.freqToSp("2fortnights"))
+  }
 }
