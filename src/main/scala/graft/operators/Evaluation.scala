@@ -70,6 +70,40 @@ object Evaluation {
     base.select((p.entityCols :+ q.as("q_stat")): _*)
   }
 
+  /** Rank entities by a per-entity forecast score — evaluation.py
+    * `rank_point_forecasts`: score each entity with `metric` over the
+    * aligned (actual, pred) frame, return the frame SORTED by score
+    * (worst-first when descending). A distributed sort, no global
+    * window. */
+  def rankPointForecasts(aligned: DataFrame, entity: Seq[String],
+                         metric: (DataFrame, Seq[String]) => DataFrame,
+                         scoreCol: String, descending: Boolean = true): DataFrame = {
+    val scored = metric(aligned, entity)
+    scored.orderBy(if (descending) col(scoreCol).desc_nulls_last else col(scoreCol).asc_nulls_last)
+  }
+
+  /** Rank entities by residual bias — evaluation.py `rank_residuals`:
+    * per-entity |mean residual|, sorted worst-first. */
+  def rankResiduals(resids: DataFrame, entity: Seq[String],
+                    residCol: String): DataFrame =
+    resids.groupBy(entity.map(col): _*)
+      .agg(abs(avg(col(residCol))).as("abs_bias"))
+      .orderBy(col("abs_bias").desc_nulls_last)
+
+  /** Forecast value added vs a benchmark — evaluation.py `rank_fva`:
+    * per-entity uplift = score(benchmark) − score(forecast) under a
+    * shared metric; positive = the forecast beats the benchmark. */
+  def rankFva(aligned: DataFrame, alignedBench: DataFrame, entity: Seq[String],
+              metric: (DataFrame, Seq[String]) => DataFrame,
+              scoreCol: String): DataFrame = {
+    val m = metric(aligned, entity)
+    val mb = metric(alignedBench, entity).withColumnRenamed(scoreCol, "__bench")
+    m.join(mb, entity, "left")
+      .select(entity.map(col) :+ (col("__bench") - col(scoreCol)).as("uplift")
+        :+ (col("__bench") - col(scoreCol) > 0).as("has_uplift"): _*)
+      .orderBy(col("uplift").desc_nulls_last)
+  }
+
   /** Per-entity ACF for lags 1..maxLags with Bartlett ±1.96·√((1+2Σr²)/n)
     * confidence bounds — evaluation.py:62-78. */
   def acf(p: Panel, maxLags: Int): DataFrame = {

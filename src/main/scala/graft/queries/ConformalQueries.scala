@@ -268,7 +268,7 @@ object ConformalQueries {
         val resid = p.df
           .withColumn("r", col("value") - lag(col("value"), 1).over(p.w))
           .filter(col("r").isNotNull)
-        r6(resid.groupBy("user_id").agg(abs(avg(col("r"))).as("abs_bias")))
+        r6(Evaluation.rankResiduals(resid, Seq("user_id"), "r"))
     },
 
     "e_rank_fva" -> Q(
@@ -282,16 +282,15 @@ object ConformalQueries {
           FROM s LEFT JOIN sb ON s.user_id = sb.user_id""") {
       (s, dir) =>
         val p = Panel.events(s, dir)
-        def score(lagN: Int) = {
-          val d = p.df.withColumn("p", lag(col("value"), lagN).over(p.w))
-            .filter(col("p").isNotNull)
-          d.groupBy("user_id")
-            .agg(try_divide(sum(abs(col("p") - col("value"))), sum(col("p") + col("value"))).as("m"))
-        }
-        val uplift = score(1).join(
-          score(7).withColumnRenamed("m", "mb"), Seq("user_id"), "left")
-        r6(uplift.select(col("user_id"), (col("mb") - col("m")).as("uplift"),
-          (col("mb") - col("m") > 0).as("has_uplift")))
+        def aligned(lagN: Int) = p.df
+          .withColumn("p", lag(col("value"), lagN).over(p.w))
+          .filter(col("p").isNotNull)
+          .withColumn("a", col("value"))
+        val smape = (df: org.apache.spark.sql.DataFrame, e: Seq[String]) =>
+          df.groupBy(e.map(col): _*)
+            .agg(try_divide(sum(abs(col("p") - col("a"))), sum(col("p") + col("a"))).as("m"))
+        r6(Evaluation.rankFva(aligned(1), aligned(7), Seq("user_id"), smape, "m")
+          .select("user_id", "uplift", "has_uplift"))
     },
 
     // ----- seasonality: holidays (fixed-date set, SQL-expressible) -----
