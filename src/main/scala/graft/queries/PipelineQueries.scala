@@ -85,6 +85,23 @@ object PipelineQueries {
           .select("o_orderpriority", "rnk", "o_orderkey", "o_totalprice")
     },
 
+    // as-of join (the custom time-series join; union + carry-forward
+    // window, never a range join) — oracle = DuckDB's native ASOF JOIN
+    "j_asof_backward" -> Q(
+      """WITH h AS (SELECT user_id, date_trunc('hour', ts) AS h, avg(value) AS hourly_mean
+                    FROM events GROUP BY 1, 2)
+         SELECT e.user_id, e.event_id, round(h.hourly_mean, 6) AS hourly_mean
+         FROM events e ASOF JOIN h ON e.user_id = h.user_id AND e.ts >= h.h""") {
+      (s, dir) =>
+        val evts = tbl(s, dir, "events").select("user_id", "ts", "event_id", "value")
+        val hourly = evts
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+          .agg(avg(col("value")).as("hourly_mean"))
+        r6(graft.operators.AsOfJoin.asofBackward(
+          evts, hourly, Seq("user_id"), "ts", "h", Seq("hourly_mean"))
+          .select("user_id", "event_id", "hourly_mean"))
+    },
+
     // ----- dedup -----
     "d_exact_dedup" -> Q(
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
