@@ -102,6 +102,22 @@ object PipelineQueries {
           .select("user_id", "event_id", "hourly_mean"))
     },
 
+    // banded range join (bucketize + bin-adjacency equi-join, never a
+    // theta join): events in the same user's trailing hour — oracle =
+    // DuckDB inequality join on floor-epoch seconds
+    "j_range_band" -> Q(
+      """WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events)
+         SELECT l.user_id, l.event_id, count(r.t) AS n_in_band
+         FROM e l LEFT JOIN e r
+           ON l.user_id = r.user_id AND r.t >= l.t - 3600 AND r.t < l.t
+         GROUP BY l.user_id, l.event_id""") {
+      (s, dir) =>
+        val evts = tbl(s, dir, "events").select("user_id", "ts", "event_id")
+        graft.operators.RangeJoin.countInBand(evts, evts, Seq("user_id"),
+          "ts", "ts", Seq("event_id"), widthSeconds = 3600L)
+          .select("user_id", "event_id", "n_in_band")
+    },
+
     // ----- dedup -----
     "d_exact_dedup" -> Q(
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
