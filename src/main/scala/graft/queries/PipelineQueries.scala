@@ -275,6 +275,20 @@ object PipelineQueries {
           TextAnalysis.langId(col("text")).as("lang_pred"))
     },
 
+    // corpus vocabulary size (exact distinct tokens; the HLL-sketch
+    // path for 100 TB is approx_count_distinct — parity asserted in
+    // PipelineSpec, not oracle-comparable across engines)
+    "t_vocab" -> Q(
+      """SELECT CAST(count(DISTINCT w) AS BIGINT) AS n_vocab
+         FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+               FROM documents WHERE len(trim(text)) > 0)""") {
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .filter(length(trim(col("text"))) > 0)
+          .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+          .agg(count_distinct(col("w")).as("n_vocab"))
+    },
+
     "t_fingerprint" -> Q(
       """SELECT doc_id,
            md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint

@@ -16,6 +16,16 @@ class PipelineSpec extends SparkSpec {
     (3L, "the quick brown fox jumps over the lazy dog and runs away fast") // exact dup of 0
   ).toDF("doc_id", "text")
 
+  test("HLL sketch distinct-count tracks the exact vocabulary within 5%") {
+    val tokens = SparkSpec.session.range(200000)
+      .select(concat(lit("tok"), pmod(xxhash64(col("id")), lit(50000))).as("w"))
+    val row = tokens.agg(
+      count_distinct(col("w")).as("exact"),
+      approx_count_distinct(col("w"), 0.02).as("approx")).collect()(0)
+    val (exact, approx) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"$approx vs $exact")
+  }
+
   test("nearDupGroups finds connected components of candidate pairs") {
     // components: {1,2,3,9} (chain 1-2, 2-3, 3-9), {5,7}, singleton via no edges
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 7L)).toDF("a", "b")
