@@ -32,7 +32,7 @@ object KnnForecaster {
     val spark = p.df.sparkSession
     val featureCols = (1 to lags).map(l => s"${p.value}__lag_$l").toArray
     val reduction = Forecasters.makeReduction(p, lags).na.drop(featureCols :+ p.value)
-      .select((featureCols.map(c => col(c).cast("double")) :+ col(p.value).cast("double").as("__label")): _*)
+      .select((featureCols.map(c => col(c).cast("double")).toIndexedSeq :+ col(p.value).cast("double").as("__label")): _*)
     // ONE collect of the per-entity tails (this path already assumes
     // they fit on the driver); the dense query id is simply the index
     // in the collected array — no extra distributed pass, no global

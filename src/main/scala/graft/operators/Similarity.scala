@@ -85,7 +85,7 @@ object Similarity {
       .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
     val assign = (df: DataFrame, v: String) => {
       // argmax over (dot, -cell) structs = highest dot, ties → lowest cell
-      val scoredCells = array(centroids.map { case (cell, vec) =>
+      val scoredCells = array(centroids.toIndexedSeq.map { case (cell, vec) =>
         struct(dot(col(v), lit(vec)).as("d"), lit(-cell).as("negc"))
       }: _*)
       df.withColumn("c_id", -array_max(scoredCells).getField("negc"))
