@@ -55,6 +55,23 @@ object StreamingPanel {
     * [[graft.operators.Forecasters.snaive]] (sp = 1 gives plain
     * naive). State is O(sp) doubles per entity: checkpointable and
     * independent of stream length. */
+  /** Streaming banded range join — the incremental form of
+    * [[graft.operators.RangeJoin.joinBand]]: pair each left event
+    * with same-entity right events in its trailing `bandSeconds`
+    * window, as a native watermarked stream-stream interval join
+    * (state expires once the watermark passes the band — bounded by
+    * band width × arrival rate, not stream length). Column names must
+    * be disjoint apart from the entity key. */
+  def streamBandJoin(left: DataFrame, right: DataFrame,
+                     leftEntity: String, rightEntity: String,
+                     leftTime: String, rightTime: String,
+                     watermark: String, bandSeconds: Long): DataFrame =
+    left.withWatermark(leftTime, watermark)
+      .join(right.withWatermark(rightTime, watermark),
+        expr(s"""$leftEntity = $rightEntity AND
+                 $rightTime >= $leftTime - INTERVAL $bandSeconds seconds AND
+                 $rightTime < $leftTime"""))
+
   /** Bounded per-entity forecast state: last ≤ sp values + cutoff. */
   final case class NaiveState(tail: Seq[Double], cutoff: Long)
 

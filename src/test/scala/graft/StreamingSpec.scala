@@ -98,6 +98,30 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming band join matches the batch banded range join") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val events = (0 until 12).map(i => (i % 2L, ts(i * 2), i.toLong)) // every 2 min
+    val lmem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val rmem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    lmem.addData(events: _*); rmem.addData(events: _*)
+    val out = StreamingPanel.streamBandJoin(
+      lmem.toDF.toDF("entity", "lt", "lid"),
+      rmem.toDF.toDF("r_entity", "rt", "rid"),
+      "entity", "r_entity", "lt", "rt",
+      watermark = "30 minutes", bandSeconds = 300L) // 5-minute trailing band
+    val q = out.writeStream.format("memory").queryName("bj").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("bj").select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.operators.RangeJoin.joinBand(
+      events.toDF("entity", "lt", "lid"),
+      events.toDF("entity", "rt", "rid"),
+      Seq("entity"), "lt", "rt", Seq("rid"), widthSeconds = 300L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty && got == batch, s"stream $got vs batch $batch")
+  }
+
   test("streaming exact dedup keeps the first copy per content hash") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
