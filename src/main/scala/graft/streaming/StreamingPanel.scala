@@ -72,6 +72,51 @@ object StreamingPanel {
                  $rightTime >= $leftTime - INTERVAL $bandSeconds seconds AND
                  $rightTime < $leftTime"""))
 
+  /** One as-of-enriched event: the left event plus the latest
+    * right-side value at or before it (null value + MinValue time when
+    * nothing preceded). */
+  final case class EnrichedEvent(entity: Long, eventTime: java.sql.Timestamp,
+                                 value: Double, asofValue: Option[Double],
+                                 asofTime: Long)
+
+  /** Mark a row as left (event to enrich) or right (reference value). */
+  final case class TaggedIn(entity: Long, eventTime: java.sql.Timestamp,
+                            value: Double, isRight: Boolean)
+
+  /** Bounded as-of state: latest right value + its time. */
+  final case class AsOfState(v: Double, t: Long, set: Boolean)
+
+  /** Streaming backward as-of enrichment — the incremental form of
+    * [[graft.operators.AsOfJoin.asofBackward]]: per entity, keep ONLY
+    * the latest right-side (time, value) — O(1) state — and stamp it
+    * onto every left event with eventTime ≥ that time. Within a
+    * micro-batch rows are processed in event-time order with right
+    * rows before left on ties (the inclusive ≤ match of the batch
+    * operator). */
+  def streamingAsOfEnrich(events: Dataset[TaggedIn]): Dataset[EnrichedEvent] = {
+    implicit val stateEnc: Encoder[AsOfState] = Encoders.product[AsOfState]
+    implicit val outEnc: Encoder[EnrichedEvent] = Encoders.product[EnrichedEvent]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    events.groupByKey(_.entity)
+      .flatMapGroupsWithState[AsOfState, EnrichedEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (entity: Long, rows: Iterator[TaggedIn], state: GroupState[AsOfState]) =>
+          var s = state.getOption.getOrElse(AsOfState(0.0, Long.MinValue, set = false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[EnrichedEvent]
+          // right rows first on equal timestamps → inclusive match
+          rows.toSeq.sortBy(r => (r.eventTime.getTime, !r.isRight)).foreach { r =>
+            if (r.isRight) {
+              if (r.eventTime.getTime >= s.t) s = AsOfState(r.value, r.eventTime.getTime, set = true)
+            } else {
+              out += EnrichedEvent(entity, r.eventTime, r.value,
+                if (s.set) Some(s.v) else None, s.t)
+            }
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   /** Bounded per-entity forecast state: last ≤ sp values + cutoff. */
   final case class NaiveState(tail: Seq[Double], cutoff: Long)
 

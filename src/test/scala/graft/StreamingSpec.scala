@@ -122,6 +122,32 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got == batch, s"stream $got vs batch $batch")
   }
 
+  test("streaming as-of enrichment attaches the latest preceding right value") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import StreamingPanel.TaggedIn
+    val mem = MemoryStream[TaggedIn]
+    val out = StreamingPanel.streamingAsOfEnrich(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("ae").outputMode("append").start()
+    // batch 1: right@2=20, left@1, left@3; batch 2 (state carries): left@5, right@5=50, left@6
+    mem.addData(
+      TaggedIn(0L, ts(2), 20.0, isRight = true),
+      TaggedIn(0L, ts(1), 1.0, isRight = false),
+      TaggedIn(0L, ts(3), 3.0, isRight = false))
+    q.processAllAvailable()
+    mem.addData(
+      TaggedIn(0L, ts(5), 5.0, isRight = false),
+      TaggedIn(0L, ts(5), 50.0, isRight = true),
+      TaggedIn(0L, ts(6), 6.0, isRight = false))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ae").collect()
+      .map(r => r.getAs[Double]("value") -> Option(r.getAs[Any]("asofValue"))).toMap
+    assert(got(1.0).isEmpty)          // nothing at or before t=1
+    assert(got(3.0) == Some(20.0))    // right@2 carried
+    assert(got(5.0) == Some(50.0))    // inclusive tie: right@5 before left@5
+    assert(got(6.0) == Some(50.0))    // state persists across the batch
+  }
+
   test("streaming exact dedup keeps the first copy per content hash") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
