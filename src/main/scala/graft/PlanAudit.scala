@@ -27,6 +27,7 @@ object PlanAudit {
       "q1_agg", "q2_join_agg", "q3_window_topk", // relational: pushdown + broadcast
       "f_linear_trend", "p_roll",                // window/agg features
       "s_cosine_topk", "d_minhash_lsh",          // pipeline extensions
+      "j_asof_backward", "j_range_band",         // custom joins
       "fc_naive", "m_score_backtest")            // forecast scaffolds
     picks.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
