@@ -237,6 +237,9 @@ object ForecastQueries {
       (s, dir) =>
         import org.apache.spark.sql.expressions.Window
         val sdf = r6(tbl(s, dir, "events").groupBy("user_id").agg(avg("value").as("mean_value")))
+        // a global leaderboard rank is inherently a global sort; the
+        // input here is one row PER ENTITY (entity-count bounded), not
+        // row-scale — the only partition-less window in the library
         sdf.withColumn("rnk",
           row_number().over(Window.orderBy(col("mean_value").desc, col("user_id"))).cast("long"))
     },
