@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sessionize, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 import Q._
 
@@ -116,6 +116,32 @@ object PipelineQueries {
         graft.operators.RangeJoin.countInBand(evts, evts, Seq("user_id"),
           "ts", "ts", Seq("event_id"), widthSeconds = 3600L)
           .select("user_id", "event_id", "n_in_band")
+    },
+
+    // gap-based sessionization (30-min timeout) + per-session stats —
+    // pure window algebra, one entity shuffle; floor-epoch seconds on
+    // both sides (DuckDB CAST rounds, Spark truncates)
+    "j_sessionize" -> Q(
+      """WITH f AS (
+           SELECT user_id, ts,
+                  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                         OR CAST(floor(epoch(ts)) AS BIGINT)
+                            - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) AS BIGINT)
+                            > 1800
+                       THEN 1 ELSE 0 END AS nw
+           FROM events),
+         s AS (
+           SELECT user_id, ts,
+                  sum(nw) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM f)
+         SELECT user_id, session_id, count(*) AS n_events,
+                CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s
+         FROM s GROUP BY user_id, session_id""") {
+      (s, dir) =>
+        val evts = tbl(s, dir, "events").select("user_id", "ts")
+        Sessionize.sessionStats(evts, Seq("user_id"), "ts", gapSeconds = 1800L)
+          .select("user_id", "session_id", "n_events", "duration_s")
     },
 
     // ----- dedup -----
