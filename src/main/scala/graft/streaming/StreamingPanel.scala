@@ -72,6 +72,19 @@ object StreamingPanel {
                  $rightTime >= $leftTime - INTERVAL $bandSeconds seconds AND
                  $rightTime < $leftTime"""))
 
+  /** Streaming sessionization — the incremental form of
+    * [[graft.operators.Sessionize.sessionStats]] using Spark's native
+    * `session_window` (gap-merged windows, state expires at the
+    * watermark). */
+  def streamingSessionStats(stream: DataFrame, entityCol: String, timeCol: String,
+                            watermark: String, gap: String): DataFrame =
+    stream
+      .withWatermark(timeCol, watermark)
+      .groupBy(col(entityCol), session_window(col(timeCol), gap))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(timeCol)).as("session_start"),
+        max(col(timeCol)).as("session_end"))
+
   /** One as-of-enriched event: the left event plus the latest
     * right-side value at or before it (null value + MinValue time when
     * nothing preceded). */

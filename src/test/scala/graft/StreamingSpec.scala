@@ -148,6 +148,30 @@ class StreamingSpec extends SparkSpec {
     assert(got(6.0) == Some(50.0))    // state persists across the batch
   }
 
+  test("streaming session windows match the batch sessionization") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // user 0: bursts at minutes 0-2 and 40-41 (gap 38min > 30min)
+    val times = Seq(0, 1, 2, 40, 41)
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    mem.addData(times.map(m => (0L, ts(m))): _*)
+    val out = StreamingPanel.streamingSessionStats(
+      mem.toDF.toDF("entity", "event_time"), "entity", "event_time",
+      watermark = "1 minute", gap = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("ss").outputMode("append").start()
+    q.processAllAvailable()
+    // a far-future event advances the watermark past both sessions,
+    // forcing append-mode to emit them closed
+    mem.addData((0L, java.sql.Timestamp.valueOf("2024-01-01 05:00:00")))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ss").collect().map(_.getAs[Long]("n_events")).sorted.toSeq
+    val batch = graft.operators.Sessionize.sessionStats(
+      times.map(m => (0L, ts(m))).toDF("entity", "ts"),
+      Seq("entity"), "ts", gapSeconds = 1800L)
+      .collect().map(_.getAs[Long]("n_events")).sorted.toSeq
+    assert(got == batch, s"stream $got vs batch $batch") // Seq(2, 3)
+  }
+
   test("streaming exact dedup keeps the first copy per content hash") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
