@@ -54,7 +54,27 @@ object ConformalQueries {
 
     // erf has no DuckDB equivalent → rows-only; numeric parity with the
     // closed-form Gaussian CRPS is asserted in MetricsSpec.
-    "m_crps_gaussian" -> Q.rowsOnly { (s, dir) =>
+    // the erf inside is the SAME Abramowitz-Stegun 7.1.26 rational
+    // approximation on both engines (pure arithmetic on bitwise-equal
+    // inputs — the sd window already hash-matches via the interval
+    // queries), so the closed-form Gaussian CRPS is oracle-checkable
+    "m_crps_gaussian" -> Q(
+      s"""WITH f AS (SELECT user_id, a, p, upper - p AS sigma FROM ($intervalSql)
+                     WHERE upper - p > 0),
+              zrow AS (SELECT user_id, sigma, (a - p) / sigma AS z FROM f),
+              e AS (SELECT user_id, sigma, z, z / sqrt(2) AS x,
+                           1.0 / (1.0 + 0.3275911 * abs(z / sqrt(2))) AS t
+                    FROM zrow),
+              erf AS (SELECT user_id, sigma, z,
+                        CASE WHEN x >= 0 THEN 1 ELSE -1 END *
+                        (1.0 - t * (0.254829592 + t * (-0.284496736 + t *
+                           (1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+                           * exp(-abs(x) * abs(x))) AS ef
+                      FROM e)
+         SELECT user_id,
+                round(avg(sigma * (z * ((ef + 1) - 1) +
+                      2 * exp(z * z * -0.5) / sqrt(2 * pi()) - 1.0 / sqrt(pi()))), 6) AS crps
+         FROM erf GROUP BY user_id""") { (s, dir) =>
       val f = intervalFrame(s, dir).withColumn("__sigma", (col("upper") - col("p")))
       r6(Metrics.crpsGaussian(f.filter(col("__sigma") > 0), Seq("user_id"), "a", "p", "__sigma"))
     },
