@@ -185,6 +185,80 @@ object AggQueries {
       r6(FeatureAggs.over(ev(s, dir), FeatureAggs.friedrichCoefficients(3, 30), "__a")
         .select(col("user_id"), posexplode(col("__a")).as(Seq("coef_idx", "coef"))))
     },
-    "p_boxcox_lambda" -> over("boxcox_lambda", FeatureAggs.boxcoxLambda)
+    "p_boxcox_lambda" -> {
+      // golden-section MLE replicated in a recursive CTE: the interval
+      // shrinks by the same factor on both engines, and each negLl
+      // evaluation is a sequential list fold matching the kernel — the
+      // SQL fragment is generated from one helper to keep the four
+      // usages identical
+      // lnj(x) replicates Java Math.log on the full domain (DuckDB ln
+      // ERRORS on 0 and negatives; Java gives -Inf / NaN), and the
+      // branch comparison is made NaN-IEEE (any NaN -> false) since
+      // DuckDB orders NaN greatest while Java's < is IEEE
+      def lnj(x: String): String =
+        s"""CASE WHEN isnan($x) THEN 'nan'::DOUBLE
+                 WHEN $x < 0 THEN 'nan'::DOUBLE
+                 WHEN $x = 0 THEN '-infinity'::DOUBLE
+                 ELSE ln($x) END"""
+      def nll(l: String): String = {
+        val y = s"""CASE WHEN abs($l) < 1e-12
+                      THEN list_transform(v, x -> ${lnj("x")})
+                      ELSE list_transform(v, x -> (pow(x, $l) - 1) / ($l)) END"""
+        // bind y then mu via single-element-list lambdas (DuckDB has no
+        // let): each is evaluated ONCE per negLl call, keeping the
+        // evaluation O(n) — the inlined form re-derived y per element
+        // and timed out at sf0.1
+        val variance = s"""list_transform([$y], yy ->
+              list_transform([list_sum(yy)/n], mu ->
+                list_sum(list_transform(yy, t -> (t - mu) * (t - mu))) / n)[1])[1]"""
+        s"""(-( (($l) - 1) * slog - n / 2.0 * ${lnj(s"($variance)")} ))"""
+      }
+      val phi = "((sqrt(5.0) - 1) / 2)"
+      Q(
+        s"""WITH RECURSIVE xs AS (
+              SELECT user_id, list(value ORDER BY ts, event_id) AS v,
+                     CAST(len(list(value)) AS DOUBLE) AS n,
+                     list_sum(list_transform(list(value ORDER BY ts, event_id),
+                       x -> CASE WHEN x < 0 THEN 'nan'::DOUBLE
+                                 WHEN x = 0 THEN '-infinity'::DOUBLE
+                                 ELSE ln(x) END)) AS slog
+              FROM events GROUP BY user_id),
+            init AS (
+              SELECT user_id, v, n, slog,
+                     CAST(-5.0 AS DOUBLE) AS lo, CAST(5.0 AS DOUBLE) AS hi,
+                     5.0 - $phi * (5.0 - (-5.0)) AS c, -5.0 + $phi * (5.0 - (-5.0)) AS d
+              FROM xs),
+            st AS (
+              SELECT user_id, v, n, slog, lo, hi, c, d,
+                     ${nll("c")} AS fc, ${nll("d")} AS fd
+              FROM init
+              UNION ALL
+              SELECT user_id, v, n, slog,
+                CASE WHEN (NOT isnan(fc) AND NOT isnan(fd) AND fc < fd) THEN lo ELSE c END,
+                CASE WHEN (NOT isnan(fc) AND NOT isnan(fd) AND fc < fd) THEN d ELSE hi END,
+                CASE WHEN (NOT isnan(fc) AND NOT isnan(fd) AND fc < fd) THEN (CASE WHEN (NOT isnan(fc) AND NOT isnan(fd) AND fc < fd) THEN d ELSE hi END)
+                       - $phi * ((CASE WHEN (NOT isnan(fc) AND NOT isnan(fd) AND fc < fd) THEN d ELSE hi END)
+                                 - (CASE WHEN (NOT isnan(fc) AND NOT isnan(fd) AND fc < fd) THEN lo ELSE c END))
+                     ELSE d END,
+                CASE WHEN (NOT isnan(fc) AND NOT isnan(fd) AND fc < fd) THEN c
+                     ELSE (CASE WHEN (NOT isnan(fc) AND NOT isnan(fd) AND fc < fd) THEN lo ELSE c END)
+                       + $phi * ((CASE WHEN (NOT isnan(fc) AND NOT isnan(fd) AND fc < fd) THEN d ELSE hi END)
+                                 - (CASE WHEN (NOT isnan(fc) AND NOT isnan(fd) AND fc < fd) THEN lo ELSE c END)) END,
+                CASE WHEN (NOT isnan(fc) AND NOT isnan(fd) AND fc < fd) THEN ${nll(
+          s"""((CASE WHEN (NOT isnan(fc) AND NOT isnan(fd) AND fc < fd) THEN d ELSE hi END)
+               - $phi * ((CASE WHEN (NOT isnan(fc) AND NOT isnan(fd) AND fc < fd) THEN d ELSE hi END)
+                         - (CASE WHEN (NOT isnan(fc) AND NOT isnan(fd) AND fc < fd) THEN lo ELSE c END)))""")}
+                     ELSE fd END,
+                CASE WHEN (NOT isnan(fc) AND NOT isnan(fd) AND fc < fd) THEN fc
+                     ELSE ${nll(
+          s"""((CASE WHEN (NOT isnan(fc) AND NOT isnan(fd) AND fc < fd) THEN lo ELSE c END)
+               + $phi * ((CASE WHEN (NOT isnan(fc) AND NOT isnan(fd) AND fc < fd) THEN d ELSE hi END)
+                         - (CASE WHEN (NOT isnan(fc) AND NOT isnan(fd) AND fc < fd) THEN lo ELSE c END)))""")} END
+              FROM st WHERE hi - lo > 1e-9)
+            SELECT user_id, round((lo + hi) / 2, 6) AS boxcox_lambda
+            FROM st WHERE hi - lo <= 1e-9""") { (s, dir) =>
+        r6(FeatureAggs.over(ev(s, dir), FeatureAggs.boxcoxLambda, "boxcox_lambda"))
+      }
+    }
   )
 }
