@@ -73,8 +73,10 @@ object Ols {
     a
   }
 
-  /** Cholesky solve of the SPD normal system; retries once with a
-    * trace-scaled ridge jitter if a pivot collapses (collinear lags). */
+  /** Cholesky solve of the SPD normal system; retries with escalating
+    * trace-scaled ridge jitter if a pivot collapses (collinear lags),
+    * and THROWS if the jittered attempts also fail (non-finite normal
+    * matrix) — a bad fit must surface, not silently predict zeros. */
   private[graft] def choleskySolve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
     val d = b.length
     def attempt(jitter: Double): Option[Array[Double]] = {
@@ -118,6 +120,11 @@ object Ols {
     val trace = (0 until d).map(i => a(i)(i)).sum
     attempt(0.0)
       .orElse(attempt(1e-10 * math.max(trace, 1.0)))
-      .getOrElse(new Array[Double](d))
+      .orElse(attempt(1e-6 * math.max(trace, 1.0)))
+      .getOrElse(throw new IllegalStateException(
+        s"OLS normal system not factorizable (trace=$trace" +
+          s", finite=${a.forall(_.forall(x => !x.isNaN && !x.isInfinite))})" +
+          " — non-finite or degenerate inputs; refusing to return a silent" +
+          " zero fit"))
   }
 }

@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   * Physical strategy: NOT a range join (whose candidate set explodes
   * quadratically in dense regions). Both sides are tagged and
   * UNIONED, then one per-entity time-ordered window carries the last
-  * non-null right-side values forward onto each left row
-  * (`last(col, ignoreNulls) over rowsBetween(-inf, 0)`). Cost = one
+  * right ROW — a single struct of (time, values), so null value columns
+  * in the matched row are attached verbatim — forward onto each left
+  * row (`last(struct, ignoreNulls) over rowsBetween(-inf, 0)`). Cost = one
   * entity shuffle + one sorted pass, the same shape as every other
   * per-entity operator here — scales to any density skew, and AQE
   * handles hot entities. Right rows sort BEFORE left rows on equal
@@ -28,35 +29,37 @@ object AsOfJoin {
                    leftTime: String, rightTime: String,
                    valueCols: Seq[String], tolerance: Option[Long] = None): DataFrame = {
     val lCols = left.columns.toSeq
-    // right side reduced to (entity, time, values); left keeps all cols
+    // right side reduced to (entity, time, values); the time + ALL value
+    // columns ride in ONE struct so the carried match is a single right
+    // ROW (a null in one value column must be attached verbatim, not
+    // replaced by an older row's non-null — polars/DuckDB semantics)
     val r = right.select((entity.map(col) :+ col(rightTime).as("__t")) ++
       valueCols.map(col): _*)
       .withColumn("__side", lit(0))
+      .withColumn("__row", struct(col("__t").as("__mt") +: valueCols.map(col): _*))
+      .select((entity.map(col) :+ col("__t") :+ col("__side") :+ col("__row")): _*)
+    val rowType = r.schema("__row").dataType
     val l = left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
-    val lAligned = valueCols.foldLeft(l)((d, c) => d.withColumn(c, lit(null).cast(
-      r.schema(c).dataType)))
-    val unioned = lAligned.select((entity.map(col) :+ col("__t") :+ col("__side")) ++
-      valueCols.map(col) ++ lCols.filterNot(c => entity.contains(c) || valueCols.contains(c)).map(col): _*)
-      .unionByName(
-        r.select((entity.map(col) :+ col("__t") :+ col("__side")) ++ valueCols.map(col): _*),
-        allowMissingColumns = true)
+      .withColumn("__row", lit(null).cast(rowType))
+    val unioned = l.select((entity.map(col) :+ col("__t") :+ col("__side") :+ col("__row")) ++
+      lCols.filterNot(entity.contains).map(col): _*)
+      .unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(entity.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(unioned) { (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    val withMatchTime = carried.withColumn("__rt",
-      last(when(col("__side") === 0, col("__t")), ignoreNulls = true).over(w))
-    val filtered = withMatchTime.filter(col("__side") === 1)
-    val tolApplied = tolerance match {
+    val carried = unioned
+      .withColumn("__row", last(col("__row"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val matched = tolerance match {
       case Some(tol) =>
-        val stale = col("__rt").isNull ||
-          (col("__t").cast("long") - col("__rt").cast("long")) > tol
-        valueCols.foldLeft(filtered)((d, c) =>
-          d.withColumn(c, when(stale, lit(null)).otherwise(col(c))))
-      case None => filtered
+        val stale = col("__row").isNull ||
+          (col("__t").cast("long") - col("__row.__mt").cast("long")) > tol
+        carried.withColumn("__row", when(stale, lit(null).cast(rowType))
+          .otherwise(col("__row")))
+      case None => carried
     }
-    tolApplied.select((lCols ++ valueCols).map(col): _*)
+    val unpacked = valueCols.foldLeft(matched)((d, c) =>
+      d.withColumn(c, col(s"__row.$c")))
+    unpacked.select((lCols ++ valueCols).map(col): _*)
   }
 }

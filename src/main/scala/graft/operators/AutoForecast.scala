@@ -44,6 +44,7 @@ object AutoForecast {
     val assembled = CrossValidation
       .withPosition(p.copy(df = Preprocess.lagKeepAll(p, 1 to lags)))
       .cache()
+    try {
     // the per-split OLS fits are independent actions over the shared
     // cached frame — run them as CONCURRENT Spark jobs (the scheduler
     // interleaves their stages; per-partition cache locks dedupe the
@@ -90,9 +91,16 @@ object AutoForecast {
       actual.join(pred, p.entity :+ "__h", "inner").withColumn("split", lit(i))
     } }
     val splits = Await.result(Future.sequence(splitFutures), Duration.Inf)
+    // eagerly materialize the (small: entities × testSize × nSplits)
+    // result so the big lag-matrix cache can be dropped NOW — a lag-grid
+    // sweep runs this once per candidate concurrently, and without the
+    // unpersist the caches for the whole sweep pile up. localCheckpoint
+    // blocks are reclaimed by the ContextCleaner when the frame is GC'd.
     splits.reduce(_ unionByName _)
       .select((p.entityCols ++ Seq(col(timeCol), col("split"),
         col("__actual").as("actual"), col("__pred").as("pred"))): _*)
+      .localCheckpoint(eager = true)
+    } finally assembled.unpersist(blocking = false)
   }
 
   /** Expanding-window backtest of the (seasonal-)naive forecaster with
@@ -131,15 +139,18 @@ object AutoForecast {
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val cached = p.copy(df = p.df.cache())
-    // score the lag candidates concurrently — independent job groups
-    // over the same cached panel
-    val scored = Await.result(Future.sequence(lagGrid.map { lags => Future {
-      val bt = backtestLinearPrefix(cached, timeCol, lags, testSize, nSplits, stepSize)
-      val mean = backtestScore(bt, p.entity).agg(avg("smape")).collect()(0).getDouble(0)
-      (lags, mean)
-    } }), Duration.Inf)
-    val (bestLags, bestScore) = scored.minBy(_._2)
-    (bestLags, bestScore, LinearForecaster.fit(cached, bestLags, freq))
+    try {
+      // score the lag candidates concurrently — independent job groups
+      // over the same cached panel
+      val scored = Await.result(Future.sequence(lagGrid.map { lags => Future {
+        val bt = backtestLinearPrefix(cached, timeCol, lags, testSize, nSplits, stepSize)
+        val mean = backtestScore(bt, p.entity).agg(avg("smape")).collect()(0).getDouble(0)
+        (lags, mean)
+      } }), Duration.Inf)
+      val (bestLags, bestScore) = scored.minBy(_._2)
+      // the refit is eager (one-pass OLS collect), so the cache is done
+      (bestLags, bestScore, LinearForecaster.fit(cached, bestLags, freq))
+    } finally cached.df.unpersist(blocking = false)
   }
 
   /** Generic hyperparameter sweep over expanding-window CV — the
@@ -154,12 +165,14 @@ object AutoForecast {
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val cached = p.copy(df = p.df.cache())
-    val scored = Await.result(Future.sequence(candidates.map { c => Future {
-      val bt = Conformal.backtest(cached, timeCol, testSize, nSplits, stepSize, fitPredict(c))
-      val mean = backtestScore(bt, p.entity).agg(avg("smape")).collect()(0).getDouble(0)
-      (c, mean)
-    } }), Duration.Inf)
-    scored.minBy(_._2)
+    try {
+      val scored = Await.result(Future.sequence(candidates.map { c => Future {
+        val bt = Conformal.backtest(cached, timeCol, testSize, nSplits, stepSize, fitPredict(c))
+        val mean = backtestScore(bt, p.entity).agg(avg("smape")).collect()(0).getDouble(0)
+        (c, mean)
+      } }), Duration.Inf)
+      scored.minBy(_._2)
+    } finally cached.df.unpersist(blocking = false)
   }
 
   /** auto_ridge / auto_lasso / auto_elastic_net (automl.py:64-96):
@@ -206,6 +219,7 @@ object AutoForecast {
   def elite(p: Panel, timeCol: String, freq: String, fh: Int, topK: Int = 2,
             testSize: Int = 10, nSplits: Int = 3, stepSize: Int = 5): DataFrame = {
     val cached = p.copy(df = p.df.cache())
+    try {
     val base: Seq[(String, (Panel, Int) => DataFrame)] = Seq(
       "naive" -> ((tr, h) => Forecasters.naive(tr, timeCol, h, freq)),
       "snaive" -> ((tr, h) => Forecasters.snaive(tr, timeCol, h, sp = 7, freq = freq)),
@@ -240,8 +254,12 @@ object AutoForecast {
     val preds = Await.result(Future.sequence(base.map { case (name, f) => Future {
       f(cached, fh).withColumn("model", lit(name))
     } }), Duration.Inf).reduce(_ unionByName _)
+    // eager materialization (entities × fh rows) so the panel cache can
+    // be released here rather than leaking past the call
     preds.join(winners, p.entity :+ "model")
       .groupBy((p.entityCols :+ col(timeCol)): _*)
       .agg(avg(col(p.value)).as(p.value))
+      .localCheckpoint(eager = true)
+    } finally cached.df.unpersist(blocking = false)
   }
 }

@@ -28,12 +28,17 @@ object RangeJoin {
   def joinBand(left: DataFrame, right: DataFrame, entity: Seq[String],
                leftTime: String, rightTime: String, valueCols: Seq[String],
                widthSeconds: Long): DataFrame = {
+    // exact integral floor-division: subtract the non-negative pmod
+    // remainder, then `div` (all-long arithmetic). Double division +
+    // cast loses precision above 2^53 (nanosecond epochs) and truncates
+    // toward zero for negative times — both silently misbin rows.
+    def floorDiv(c: String): Column =
+      expr(s"($c - pmod($c, ${widthSeconds}L)) div ${widthSeconds}L")
     val l = left.withColumn("__lt", col(leftTime).cast("long"))
-      .withColumn("__bin", explode(array((col("__lt") / widthSeconds).cast("long"),
-        (col("__lt") / widthSeconds).cast("long") - 1)))
+      .withColumn("__bin", explode(array(floorDiv("__lt"), floorDiv("__lt") - 1)))
     val r = right.select((entity.map(col) :+ col(rightTime).cast("long").as("__rt")) ++
       valueCols.map(col): _*)
-      .withColumn("__bin", (col("__rt") / widthSeconds).cast("long"))
+      .withColumn("__bin", floorDiv("__rt"))
     l.join(r, entity :+ "__bin")
       .filter(col("__rt") >= col("__lt") - widthSeconds && col("__rt") < col("__lt"))
       .drop("__bin", "__lt")

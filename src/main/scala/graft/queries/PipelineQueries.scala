@@ -132,8 +132,8 @@ object PipelineQueries {
            FROM events),
          s AS (
            SELECT user_id, ts,
-                  sum(nw) OVER (PARTITION BY user_id ORDER BY ts
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                  CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
            FROM f)
          SELECT user_id, session_id, count(*) AS n_events,
                 CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s

@@ -96,17 +96,24 @@ object StreamingPanel {
   final case class TaggedIn(entity: Long, eventTime: java.sql.Timestamp,
                             value: Double, isRight: Boolean)
 
-  /** Bounded as-of state: latest right value + its time. */
-  final case class AsOfState(v: Double, t: Long, set: Boolean)
+  /** Bounded as-of state: the last `maxHistory` right (time, value)
+    * pairs, time-ascending. */
+  final case class AsOfState(times: Seq[Long], vals: Seq[Double])
 
   /** Streaming backward as-of enrichment — the incremental form of
-    * [[graft.operators.AsOfJoin.asofBackward]]: per entity, keep ONLY
-    * the latest right-side (time, value) — O(1) state — and stamp it
-    * onto every left event with eventTime ≥ that time. Within a
-    * micro-batch rows are processed in event-time order with right
-    * rows before left on ties (the inclusive ≤ match of the batch
-    * operator). */
-  def streamingAsOfEnrich(events: Dataset[TaggedIn]): Dataset[EnrichedEvent] = {
+    * [[graft.operators.AsOfJoin.asofBackward]]: per entity, keep the
+    * last `maxHistory` right-side (time, value) pairs — O(maxHistory)
+    * state — and stamp each left event with the latest right value at
+    * or before ITS event time (never a future one), so out-of-order
+    * left events arriving in a later micro-batch still get backward
+    * as-of semantics. A left event older than the oldest retained
+    * right entry gets null (`asofTime = Long.MinValue`): the true
+    * match was evicted, and a null beats silently attaching a wrong
+    * value. Within a micro-batch rows are processed in event-time
+    * order with right rows before left on ties (the inclusive ≤ match
+    * of the batch operator). */
+  def streamingAsOfEnrich(events: Dataset[TaggedIn],
+                          maxHistory: Int = 32): Dataset[EnrichedEvent] = {
     implicit val stateEnc: Encoder[AsOfState] = Encoders.product[AsOfState]
     implicit val outEnc: Encoder[EnrichedEvent] = Encoders.product[EnrichedEvent]
     implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
@@ -114,18 +121,29 @@ object StreamingPanel {
       .flatMapGroupsWithState[AsOfState, EnrichedEvent](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (entity: Long, rows: Iterator[TaggedIn], state: GroupState[AsOfState]) =>
-          var s = state.getOption.getOrElse(AsOfState(0.0, Long.MinValue, set = false))
+          var s = state.getOption.getOrElse(AsOfState(Vector.empty, Vector.empty))
+          var times = s.times.toVector
+          var vals = s.vals.toVector
           val out = scala.collection.mutable.ArrayBuffer.empty[EnrichedEvent]
           // right rows first on equal timestamps → inclusive match
           rows.toSeq.sortBy(r => (r.eventTime.getTime, !r.isRight)).foreach { r =>
+            val t = r.eventTime.getTime
             if (r.isRight) {
-              if (r.eventTime.getTime >= s.t) s = AsOfState(r.value, r.eventTime.getTime, set = true)
+              // insert in time order (out-of-order right rows land
+              // mid-history), then trim to the newest maxHistory
+              val i = times.lastIndexWhere(_ <= t) + 1
+              times = (times.take(i) :+ t) ++ times.drop(i)
+              vals = (vals.take(i) :+ r.value) ++ vals.drop(i)
+              if (times.length > maxHistory) { times = times.tail; vals = vals.tail }
             } else {
+              val i = times.lastIndexWhere(_ <= t)
+              val evicted = i < 0 && times.nonEmpty && t < times.head
               out += EnrichedEvent(entity, r.eventTime, r.value,
-                if (s.set) Some(s.v) else None, s.t)
+                if (i >= 0 && !evicted) Some(vals(i)) else None,
+                if (i >= 0) times(i) else Long.MinValue)
             }
           }
-          state.update(s)
+          state.update(AsOfState(times, vals))
           out.iterator
       }
   }

@@ -43,4 +43,36 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.count() == left.count())
     assert(out.columns.toSet == Set("entity", "t", "tag", "quote"))
   }
+
+  test("a null in the matched row is attached verbatim, not an older non-null") {
+    // polars join_asof / DuckDB ASOF JOIN attach the matched right ROW;
+    // per-column carry-forward would leak 40.0/"a" from t=4 into the
+    // t=10 match whose quote is null
+    val r2 = Seq(
+      (1L, 4L, Option(40.0), Option("a")),
+      (1L, 10L, Option.empty[Double], Option("b"))
+    ).toDF("entity", "rt", "quote", "grade")
+    val out = AsOfJoin.asofBackward(left, r2, Seq("entity"), "t", "rt",
+      Seq("quote", "grade"))
+      .collect().map(r => (r.getAs[String]("tag"),
+        (Option(r.getAs[Any]("quote")), Option(r.getAs[Any]("grade"))))).toMap
+    assert(out("l5") == ((Some(40.0), Some("a"))))
+    assert(out("l10") == ((None, Some("b"))))  // matched row's null survives
+    assert(out("l15") == ((None, Some("b"))))
+  }
+
+  test("tolerance pairs the age check with the matched row's own time") {
+    // right value at t=4 is null, t=2 is non-null: the match at left
+    // t=5 is the t=4 ROW (null), and its age (1) is what tolerance
+    // sees — not the older non-null row's age
+    val r3 = Seq(
+      (1L, 2L, Option(20.0)),
+      (1L, 4L, Option.empty[Double])
+    ).toDF("entity", "rt", "quote")
+    val out = AsOfJoin.asofBackward(left, r3, Seq("entity"), "t", "rt",
+      Seq("quote"), tolerance = Some(1L))
+      .collect().map(r => (r.getAs[String]("tag"), Option(r.getAs[Any]("quote")))).toMap
+    assert(out("l5").isEmpty)   // matched row (t=4, null) within tolerance: stays null
+    assert(out("l10").isEmpty)  // age 6 > 1: nulled
+  }
 }

@@ -148,6 +148,30 @@ class StreamingSpec extends SparkSpec {
     assert(got(6.0) == Some(50.0))    // state persists across the batch
   }
 
+  test("streaming as-of never attaches a FUTURE right value to a late left event") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import StreamingPanel.TaggedIn
+    val mem = MemoryStream[TaggedIn]
+    val out = StreamingPanel.streamingAsOfEnrich(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("ae2").outputMode("append").start()
+    // batch 1 advances the right state to t=10
+    mem.addData(
+      TaggedIn(0L, ts(2), 20.0, isRight = true),
+      TaggedIn(0L, ts(10), 100.0, isRight = true))
+    q.processAllAvailable()
+    // batch 2: an out-of-order left event at t=5 — its backward match
+    // is right@2 (20.0), NOT the newer right@10
+    mem.addData(
+      TaggedIn(0L, ts(5), 5.0, isRight = false),
+      TaggedIn(0L, ts(11), 11.0, isRight = false))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ae2").collect()
+      .map(r => r.getAs[Double]("value") -> Option(r.getAs[Any]("asofValue"))).toMap
+    assert(got(5.0) == Some(20.0))    // bounded history serves the late event
+    assert(got(11.0) == Some(100.0))  // in-order event gets the latest
+  }
+
   test("streaming session windows match the batch sessionization") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
