@@ -108,39 +108,75 @@ object Dedup {
   }
 
   /** Near-duplicate GROUPS from a candidate-pair frame (a, b):
-    * connected components by iterative minimum-label propagation —
-    * each round joins every node's current label against its
-    * neighbors' and keeps the min, until no label changes. Rounds are
-    * O(diameter) — near-dup clusters are small and dense, so a
-    * handful of distributed join+agg rounds; no driver-side graph.
-    * Returns (id, group) where group = the smallest doc id in the
-    * component; "keep" policy = keep id == group. */
+    * connected components, adaptive. Candidate edges (near-dup pairs
+    * surviving LSH banding) are a vanishing fraction of corpus size,
+    * so below `driverUnionFindThreshold` edges the components are
+    * solved with a driver union-find — one collect, no shuffle
+    * rounds. Above it (pathological corpora), falls back to iterative
+    * minimum-label propagation: each round joins every node's label
+    * against its neighbors' and keeps the min until no label changes,
+    * O(diameter) distributed join+agg rounds. Returns (id, group)
+    * where group = the smallest doc id in the component; "keep"
+    * policy = keep id == group. */
   def nearDupGroups(pairs: DataFrame, idColA: String = "a", idColB: String = "b",
-                    maxRounds: Int = 20): DataFrame = {
+                    maxRounds: Int = 20,
+                    driverUnionFindThreshold: Long = 2_000_000L): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs.select(col(idColA).as("src"), col(idColB).as("dst"))
       .unionByName(pairs.select(col(idColB).as("src"), col(idColA).as("dst")))
       .distinct().cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("group", col("id")).cache()
-    var round = 0
-    var converged = false
-    while (round < maxRounds && !converged) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("group")).as("__ng"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("group"), coalesce(col("__ng"), col("group"))).as("group"))
-        .cache()
-      val changed = next.join(labels.withColumnRenamed("group", "__old"), Seq("id"))
-        .filter(col("group") < col("__old")).limit(1).count()
-      labels.unpersist(blocking = false)
-      labels = next
-      converged = changed == 0
-      round += 1
+    val nEdges = edges.count()
+    if (nEdges <= driverUnionFindThreshold) {
+      // LSH-candidate edge sets are a vanishing fraction of the corpus
+      // (only near-dup pairs survive banding) — below the threshold a
+      // driver union-find replaces O(diameter) shuffle rounds with one
+      // collect + one broadcast-sized result. Above it, fall through to
+      // the fully distributed label-propagation loop.
+      val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist(blocking = false)
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val rows = parent.keysIterator.map(id => (id, find(id))).toSeq
+      import spark.implicits._
+      rows.toDF("id", "group")
+    } else {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("group", col("id")).cache()
+      var round = 0
+      var converged = false
+      while (round < maxRounds && !converged) {
+        val neighborMin = edges
+          .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+          .groupBy(col("src").as("id"))
+          .agg(min(col("group")).as("__ng"))
+        // fold the convergence flag into the same cached pass — no
+        // second join against the previous labels per round
+        val next = labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("group"), coalesce(col("__ng"), col("group"))).as("group"),
+            (coalesce(col("__ng"), col("group")) < col("group")).as("__chg"))
+          .cache()
+        val changed = next.filter(col("__chg")).limit(1).count()
+        labels.unpersist(blocking = false)
+        labels = next.select("id", "group")
+        converged = changed == 0
+        round += 1
+      }
+      edges.unpersist(blocking = false)
+      labels
     }
-    edges.unpersist(blocking = false)
-    labels
   }
 
   /** 64-bit SimHash over word unigrams: per bit, sign of Σ±1 weighted

@@ -35,6 +35,11 @@ class PipelineSpec extends SparkSpec {
     assert(groups(5L) == 5L && groups(7L) == 5L)
     // keep policy: exactly one kept doc per component
     assert(groups.count { case (id, g) => id == g } == 2)
+    // the distributed label-propagation fallback (threshold 0 forces
+    // it) must produce the identical components
+    val dist = Dedup.nearDupGroups(pairs, driverUnionFindThreshold = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == groups)
   }
 
   test("exact dedup groups identical texts") {
