@@ -48,14 +48,28 @@ object Dedup {
       .select(col(idCol), col("__sh"))
   }
 
+  /** Seeded shingle hash families. `xxhash` (default) is the
+    * production path — one 64-bit codegen'd hash per (seed, shingle).
+    * `md5Hex` yields the full md5 hex string (seed-prefixed); ~3×
+    * costlier but computable by any engine (lexicographic min on
+    * fixed-length hex = unsigned numeric min), which is what the
+    * DuckDB correctness oracle runs. */
+  object HashFamily {
+    val xxhash: (Int, Column) => Column = (j, sh) => xxhash64(lit(j), sh)
+    val md5Hex: (Int, Column) => Column =
+      (j, sh) => md5(concat(lit(s"$j "), sh).cast("binary"))
+  }
+
   /** MinHash signatures: k independent hash permutations approximated
-    * by seeded xxhash64 over each shingle; signature j = min over
+    * by a seeded hash family over each shingle; signature j = min over
     * shingles (duplicates don't affect min — no distinct needed).
-    * Returns one row per doc with `minhash` array. */
+    * Returns one row per doc with `minhash` array (element type follows
+    * the hash family). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        shingleSize: Int, numHashes: Int): DataFrame = {
+                        shingleSize: Int, numHashes: Int,
+                        hashFn: (Int, Column) => Column = HashFamily.xxhash): DataFrame = {
     val sh = shingleRows(docs, idCol, textCol, shingleSize)
-    val hashCols = (0 until numHashes).map(j => min(xxhash64(lit(j), col("__sh"))).as(s"__h$j"))
+    val hashCols = (0 until numHashes).map(j => min(hashFn(j, col("__sh"))).as(s"__h$j"))
     sh.groupBy(col(idCol)).agg(hashCols.head, hashCols.tail: _*)
       .select(col(idCol), array((0 until numHashes).map(j => col(s"__h$j")): _*).as("minhash"))
   }
@@ -192,6 +206,30 @@ object Dedup {
       when(col(s"__b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
     agg.select(col(idCol), sim.as("simhash"))
+  }
+
+  /** SimHash with md5-derived bits, emitted as a 16-char hex string —
+    * the engine-portable form (any engine with md5 + substring computes
+    * the identical value; used by the DuckDB oracle). Bit b of a word
+    * lives in hex char b/4 of md5(word) at position b%4; output char i
+    * packs result bits 4i..4i+3. Same sign rule as [[simhash]]
+    * (Σ±1 > 0, ties → 0). */
+  def simhashHex(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hexChars = "0123456789abcdef"
+    val words = docs.select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("__w"))
+      .withColumn("__md5", md5(col("__w").cast("binary")))
+    val bitCols = (0 until 64).map { b =>
+      val nib = conv(substring(col("__md5"), b / 4 + 1, 1), 16, 10).cast("int")
+      sum(when(shiftright(nib, b % 4).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__b$b")
+    }
+    val agg = words.groupBy(col(idCol)).agg(bitCols.head, bitCols.tail: _*)
+    val outChars = (0 until 16).map { ci =>
+      val nib = (0 until 4).map { p =>
+        when(col(s"__b${4 * ci + p}") > 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+      lit(hexChars).substr(nib + 1, lit(1))
+    }
+    agg.select(col(idCol), concat(outChars: _*).as("simhash"))
   }
 
   /** Hamming distance between two 64-bit simhashes. */

@@ -194,31 +194,106 @@ object PipelineQueries {
           .select("a", "b", "jaccard"))
     },
 
-    // MinHash/SimHash use xxhash64 (not available in DuckDB) — rows-only;
-    // jaccard fidelity is asserted in the ScalaTest suite.
-    "d_minhash_lsh" -> Q.rowsOnly { (s, dir) =>
+    // MinHash over the engine-portable md5 hash family (production
+    // default stays xxhash64 — Dedup.HashFamily): lexicographic min on
+    // fixed-length hex strings = unsigned numeric min, so the whole
+    // shingle → signature → band → candidate-pair pipeline replicates
+    // in DuckDB verbatim
+    "d_minhash_lsh" -> Q(
+      s"""WITH sh AS (
+            SELECT doc_id, list_transform(
+              range(1, len(regexp_split_to_array(trim(text), '\\s+')) - 1),
+              i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
+                   regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
+                   regexp_split_to_array(trim(text), '\\s+')[i+2]) AS s
+            FROM documents
+            WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3),
+          sigs AS (
+            SELECT doc_id, list_transform(range(0, 16), j ->
+              list_min(list_transform(s, t -> md5(j::VARCHAR || ' ' || t)))) AS sig
+            FROM sh),
+          bands AS (
+            SELECT doc_id, b, sig[b*4+1 : b*4+4] AS key
+            FROM sigs CROSS JOIN range(0, 4) t(b)),
+          pairs AS (
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
+          est AS (
+            SELECT p.a, p.b,
+              list_sum(list_transform(range(1, 17),
+                i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / CAST(16 AS DOUBLE) AS est_jaccard
+            FROM pairs p JOIN sigs sa ON p.a = sa.doc_id JOIN sigs sb ON p.b = sb.doc_id)
+          SELECT count(*) AS n_candidate_pairs,
+                 coalesce(round(avg(est_jaccard), 6), CAST(0.0 AS DOUBLE)) AS mean_est_jaccard
+          FROM est""") { (s, dir) =>
       val docs = tbl(s, dir, "documents")
       // persist the signatures: the band self-join + two signature
       // join-backs otherwise re-shingle and re-hash the corpus four
       // times (plan audit showed 4 separate document scans)
-      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", shingleSize = 3, numHashes = 16)
-        .persist()
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", shingleSize = 3,
+        numHashes = 16, hashFn = Dedup.HashFamily.md5Hex).persist()
       val pairs = Dedup.minhashCandidatePairs(sigs, "doc_id", numHashes = 16, rowsPerBand = 4)
       pairs.agg(count(lit(1)).as("n_candidate_pairs"),
         coalesce(round(avg(col("est_jaccard")), 6), lit(0.0)).as("mean_est_jaccard"))
     },
 
-    "d_simhash" -> Q.rowsOnly { (s, dir) =>
-      Dedup.simhash(tbl(s, dir, "documents"), "doc_id", "text")
+    // engine-portable simhash (md5-derived bits, hex-string output);
+    // the xxhash64/long production variant is covered in PipelineSpec
+    "d_simhash" -> Q(
+      """WITH words AS (
+           SELECT doc_id, md5(unnest(regexp_split_to_array(trim(text), '\s+'))) AS h
+           FROM documents),
+         bitrows AS (
+           SELECT doc_id, b,
+             CASE WHEN ((strpos('0123456789abcdef', h[b//4 + 1]) - 1) >> (b % 4)) & 1 = 1
+                  THEN 1 ELSE -1 END AS pm
+           FROM words CROSS JOIN range(0, 64) t(b)),
+         bitsum AS (
+           SELECT doc_id, b, CASE WHEN sum(pm) > 0 THEN 1 ELSE 0 END AS bit
+           FROM bitrows GROUP BY doc_id, b),
+         nib AS (
+           SELECT doc_id, b // 4 AS ci, sum(bit * (1 << (b % 4))) AS nv
+           FROM bitsum GROUP BY doc_id, b // 4)
+         SELECT doc_id, string_agg('0123456789abcdef'[CAST(nv AS INT) + 1], '' ORDER BY ci) AS simhash
+         FROM nib GROUP BY doc_id""") { (s, dir) =>
+      Dedup.simhashHex(tbl(s, dir, "documents"), "doc_id", "text")
     },
 
     // end-to-end near-dup pipeline: LSH candidates → connected
     // components → per-doc keep decision (docs in no component keep
-    // themselves)
-    "d_neardup_groups" -> Q.rowsOnly { (s, dir) =>
+    // themselves); oracle = same md5 banding + recursive-CTE transitive
+    // closure (components are tiny, so the closure stays small)
+    "d_neardup_groups" -> Q(
+      s"""WITH RECURSIVE sh AS (
+            SELECT doc_id, list_transform(
+              range(1, len(regexp_split_to_array(trim(text), '\\s+')) - 1),
+              i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
+                   regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
+                   regexp_split_to_array(trim(text), '\\s+')[i+2]) AS s
+            FROM documents
+            WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3),
+          sigs AS (
+            SELECT doc_id, list_transform(range(0, 16), j ->
+              list_min(list_transform(s, t -> md5(j::VARCHAR || ' ' || t)))) AS sig
+            FROM sh),
+          bands AS (
+            SELECT doc_id, b, sig[b*4+1 : b*4+4] AS key
+            FROM sigs CROSS JOIN range(0, 4) t(b)),
+          pairs AS (
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
+          edges AS (SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs),
+          reach AS (
+            SELECT s AS id, s AS lab FROM edges
+            UNION
+            SELECT e.s, r.lab FROM edges e JOIN reach r ON e.d = r.id),
+          groups AS (SELECT id, min(lab) AS grp FROM reach GROUP BY id)
+          SELECT d.doc_id, coalesce(g.grp, d.doc_id) AS "group",
+                 d.doc_id = coalesce(g.grp, d.doc_id) AS keep
+          FROM documents d LEFT JOIN groups g ON d.doc_id = g.id""") { (s, dir) =>
       val docs = tbl(s, dir, "documents")
       val sigs = Dedup.minhashSignatures(docs, "doc_id", "text",
-        shingleSize = 3, numHashes = 16).persist()
+        shingleSize = 3, numHashes = 16, hashFn = Dedup.HashFamily.md5Hex).persist()
       val pairs = Dedup.minhashCandidatePairs(sigs, "doc_id", numHashes = 16, rowsPerBand = 4)
       val groups = Dedup.nearDupGroups(pairs.select("a", "b"))
       docs.select(col("doc_id"))
