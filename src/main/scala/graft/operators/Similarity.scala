@@ -77,8 +77,11 @@ object Similarity {
     * final per-query top-k. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int, seed: Long = 42L): DataFrame = {
+    // pseudo-random but ENGINE-PORTABLE deterministic sample: order by
+    // md5 of the id rendered as a string (any engine computes the same
+    // hex, so the DuckDB oracle picks identical centroids)
     val centroids = corpus.select(col(idCol), col(vecCol))
-      .orderBy(pmod(xxhash64(col(idCol)), lit(1000000)), col(idCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
       .limit(nCells)
       .collect()
       .zipWithIndex

@@ -302,7 +302,27 @@ object PipelineQueries {
         .withColumn("keep", col("doc_id") === col("group"))
     },
 
-    "d_embedding_neardup" -> Q.rowsOnly { (s, dir) =>
+    // the operator's hyperplanes are drawn driver-side from a fixed
+    // seed and inlined as literals — so the oracle inlines the SAME
+    // doubles (Double.toString round-trips exactly through DuckDB's
+    // strtod) and replicates bucket assignment + in-bucket cosine
+    // bitwise
+    "d_embedding_neardup" -> Q({
+      val rnd = new scala.util.Random(42L)
+      val planes = Array.fill(8, 64)(rnd.nextGaussian())
+      def planeDot(j: Int) = (0 until 64)
+        .map(i => s"embedding[${i + 1}]::DOUBLE * (${planes(j)(i)})")
+        .mkString("(", " + ", ")")
+      val bucket = (0 until 8)
+        .map(j => s"(CASE WHEN ${planeDot(j)} >= 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH b AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+            p AS (SELECT ${dotSql("x.embedding", "y.embedding")} /
+                    (sqrt(${dotSql("x.embedding", "x.embedding")}) *
+                     sqrt(${dotSql("y.embedding", "y.embedding")})) AS cosine
+                  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+          SELECT count(*) AS n_pairs FROM p WHERE cosine >= 0.9"""
+    }) { (s, dir) =>
       val emb = tbl(s, dir, "embeddings")
       Dedup.embeddingNearDups(emb, "vec_id", "embedding", planes = 8, threshold = 0.9)
         .agg(count(lit(1)).as("n_pairs"))
@@ -416,10 +436,35 @@ object PipelineQueries {
         r6(Similarity.cosineTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 5))
     },
 
-    "s_ann_ivf" -> Q.rowsOnly { (s, dir) =>
+    // IVF replicated end-to-end: portable md5-ordered centroid sample,
+    // per-vector argmax cell assignment (ties -> lowest cell), within-
+    // cell cosine top-k — every double computed in the same fold order
+    "s_ann_ivf" -> Q(
+      s"""WITH cent AS (
+            SELECT rn - 1 AS cell, cv FROM (
+              SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS rn,
+                     embedding AS cv
+              FROM embeddings) WHERE rn <= 16),
+          ca AS (
+            SELECT vec_id, embedding, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS cr
+            FROM (SELECT e.vec_id, e.embedding, c.cell,
+                         ${dotSql("e.embedding", "c.cv")} AS d
+                  FROM embeddings e CROSS JOIN cent c)),
+          asg AS (SELECT vec_id, embedding, cell FROM ca WHERE cr = 1),
+          s AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+                       ${dotSql("q.embedding", "n.embedding")} /
+                       (sqrt(${dotSql("q.embedding", "q.embedding")}) *
+                        sqrt(${dotSql("n.embedding", "n.embedding")})) AS sim
+                FROM asg q JOIN asg n ON q.cell = n.cell AND q.vec_id <> n.vec_id
+                WHERE q.vec_id < 10)
+          SELECT q_id, rnk, n_id, round(sim, 6) AS sim FROM (
+            SELECT q_id, n_id, sim,
+                   row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk
+            FROM s) WHERE rnk <= 5""") { (s, dir) =>
       val emb = tbl(s, dir, "embeddings")
-      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
-        k = 5, nCells = 16)
+      r6(Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+        k = 5, nCells = 16))
     },
 
     // ----- multimodal plumbing (decode stubbed; see Multimodal docs) -----
