@@ -456,8 +456,35 @@ object ConformalQueries {
       AutoForecast.elite(ev(s, dir), "ts", "1d", fh = 3, topK = 2, nSplits = 2)
     },
 
-    "fc_knn" -> Q.rowsOnly { (s, dir) =>
-      KnnForecaster.predictOneStep(ev(s, dir), "ts", "1d", lags = 7, k = 5)
+    // exact KNN replicated: pooled AR-reduction training rows, squared
+    // Euclidean distance to each entity's newest lag-tail (identical
+    // left-to-right fold), top-5 by distance, mean label. Ties on
+    // distance are label-identical in this data (continuous doubles),
+    // so the row_number cut matches the operator's bounded heaps.
+    "fc_knn" -> Q({
+      val fs = (1 to 7).map(j => s"lag(value, $j) OVER w AS f$j").mkString(", ")
+      val dist = (1 to 7).map(j => s"(t.f$j - q.q$j) * (t.f$j - q.q$j)")
+        .mkString("(", " + ", ")")
+      s"""WITH lagd AS (
+            SELECT user_id, ts, event_id, value, $fs
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          train AS (SELECT value AS label, f1, f2, f3, f4, f5, f6, f7
+                    FROM lagd WHERE f7 IS NOT NULL),
+          q AS (SELECT user_id, ts AS cutoff, value AS q1, f1 AS q2, f2 AS q3,
+                       f3 AS q4, f4 AS q5, f5 AS q6, f6 AS q7
+                FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                        ORDER BY ts DESC, event_id DESC) AS rd FROM lagd)
+                WHERE rd = 1 AND f6 IS NOT NULL),
+          topk AS (
+            SELECT user_id, cutoff, label,
+                   row_number() OVER (PARTITION BY user_id ORDER BY d) AS nn
+            FROM (SELECT q.user_id, q.cutoff, t.label, $dist AS d
+                  FROM q CROSS JOIN train t))
+          SELECT user_id, CAST(cutoff + INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                 round(avg(label), 6) AS value
+          FROM topk WHERE nn <= 5 GROUP BY user_id, cutoff"""
+    }) { (s, dir) =>
+      r6(KnnForecaster.predictOneStep(ev(s, dir), "ts", "1d", lags = 7, k = 5))
     },
 
     "p_coerce_dtypes" -> Q(
