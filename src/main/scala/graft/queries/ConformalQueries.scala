@@ -419,33 +419,12 @@ object ConformalQueries {
                          ((row_number() OVER ($W) - 1) % 7)::DOUBLE / 7 AS coef
                   FROM events)),
           mom AS (
-            SELECT user_id,
-              sum(1.0) AS m00, sum(c1) AS m01, sum(s1) AS m02, sum(c2) AS m03, sum(s2) AS m04,
-              sum(c1*c1) AS m11, sum(c1*s1) AS m12, sum(c1*c2) AS m13, sum(c1*s2) AS m14,
-              sum(s1*s1) AS m22, sum(s1*c2) AS m23, sum(s1*s2) AS m24,
-              sum(c2*c2) AS m33, sum(c2*s2) AS m34, sum(s2*s2) AS m44,
-              sum(value) AS b0, sum(c1*value) AS b1, sum(s1*value) AS b2,
-              sum(c2*value) AS b3, sum(s2*value) AS b4
+            SELECT user_id, ${olsMomentsSql(Seq("1.0", "c1", "s1", "c2", "s2"), "value")}
             FROM f GROUP BY user_id),
-          sol AS (
-            SELECT user_id,
-              sqrt(m00) AS l00, m01/l00 AS l10, m02/l00 AS l20, m03/l00 AS l30, m04/l00 AS l40,
-              sqrt(m11 - l10*l10) AS l11,
-              (m12 - l20*l10)/l11 AS l21, (m13 - l30*l10)/l11 AS l31, (m14 - l40*l10)/l11 AS l41,
-              sqrt(m22 - l20*l20 - l21*l21) AS l22,
-              (m23 - l30*l20 - l31*l21)/l22 AS l32, (m24 - l40*l20 - l41*l21)/l22 AS l42,
-              sqrt(m33 - l30*l30 - l31*l31 - l32*l32) AS l33,
-              (m34 - l40*l30 - l41*l31 - l42*l32)/l33 AS l43,
-              sqrt(m44 - l40*l40 - l41*l41 - l42*l42 - l43*l43) AS l44,
-              b0/l00 AS y0, (b1 - l10*y0)/l11 AS y1, (b2 - l20*y0 - l21*y1)/l22 AS y2,
-              (b3 - l30*y0 - l31*y1 - l32*y2)/l33 AS y3,
-              (b4 - l40*y0 - l41*y1 - l42*y2 - l43*y3)/l44 AS y4,
-              y4/l44 AS a4, (y3 - l43*a4)/l33 AS a3, (y2 - l32*a3 - l42*a4)/l22 AS a2,
-              (y1 - l21*a2 - l31*a3 - l41*a4)/l11 AS a1,
-              (y0 - l10*a1 - l20*a2 - l30*a3 - l40*a4)/l00 AS a0
-            FROM mom)
+          ${cholSolveSql(5, "mom")},
+          sol AS (SELECT * FROM ${cholSolveLast(5)})
           SELECT f.user_id, f.event_id,
-                 round(value - (1.0*a0 + c1*a1 + s1*a2 + c2*a3 + s2*a4), 6) AS value
+                 round(value - (1.0*a_0 + c1*a_1 + s1*a_2 + c2*a_3 + s2*a_4), 6) AS value
           FROM f JOIN sol ON f.user_id = sol.user_id""") { (s, dir) =>
       val (resid, _) = Seasonality.deseasonalizeFourier(ev(s, dir), sp = 7, k = 2)
       r6(resid.select(col("user_id"), col("event_id"), col("value")))

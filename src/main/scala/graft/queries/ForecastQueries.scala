@@ -178,12 +178,40 @@ object ForecastQueries {
       (s, dir) => Forecasters.snaive(ev(s, dir), "ts", fh = 4, sp = 7, freq = "1d")
     },
 
-    // MLlib fit is not SQL-expressible — rows-only smoke; accuracy is
-    // asserted in the ScalaTest suite instead.
-    "fc_linear" -> Q.rowsOnly { (s, dir) =>
+    // closed-form OLS replicated end-to-end: pooled normal-equation
+    // moments over the AR(7) reduction, unrolled 8x8 Cholesky, then
+    // the 3-step recursive prediction per entity tail. rd6 absorbs
+    // the engines' sub-ULP sum-order drift through the solve.
+    "fc_linear" -> Q({
+      val fs = (1 to 7).map(j => s"lag(value, $j) OVER w AS f$j").mkString(", ")
+      val xs = "1.0" +: (1 to 7).map(j => s"f$j")
+      def pred(h: Int) = {
+        // state newest-first: [p_{h-1}.. p_1, t1.. t_{7-h+1}]
+        val state = (h - 1 to 1 by -1).map(i => s"p$i") ++ (1 to 7 - h + 1).map(i => s"t$i")
+        (s"a_0" +: state.zipWithIndex.map { case (t, i) => s"a_${i + 1} * $t" })
+          .mkString("(", " + ", s") AS p$h")
+      }
+      s"""WITH lagd AS (
+            SELECT user_id, ts, event_id, value, $fs
+            FROM events WINDOW w AS ($W)),
+          mom AS (SELECT ${olsMomentsSql(xs, "value")}
+                  FROM lagd WHERE f7 IS NOT NULL),
+          ${cholSolveSql(8, "mom")},
+          sol AS (SELECT * FROM ${cholSolveLast(8)}),
+          tail AS (SELECT user_id, ts AS cutoff, value AS t1, f1 AS t2, f2 AS t3,
+                          f3 AS t4, f4 AS t5, f5 AS t6, f6 AS t7
+                   FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rd FROM lagd)
+                   WHERE rd = 1 AND f6 IS NOT NULL),
+          pr AS (SELECT user_id, cutoff, ${pred(1)}, ${pred(2)}, ${pred(3)}
+                 FROM tail CROSS JOIN sol)
+          SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                 round(CASE h WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END, 6) AS value
+          FROM pr CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)"""
+    }) { (s, dir) =>
       val p = ev(s, dir)
       val model = LinearForecaster.fit(p, lags = 7, freq = "1d")
-      model.predict(p, "ts", fh = 3)
+      r6(model.predict(p, "ts", fh = 3))
     },
 
     "e_acf" -> Q(

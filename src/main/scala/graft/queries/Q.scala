@@ -65,4 +65,52 @@ object Q {
   /** Shared DuckDB window-spec fragments (events panel). */
   val W = "PARTITION BY user_id ORDER BY ts, event_id"
   val WE = "PARTITION BY user_id"
+
+  /** Unrolled Cholesky solve of a d-dim SPD system as a chain of
+    * MATERIALIZED CTE stages (DuckDB substitutes lateral aliases
+    * textually, so a single-SELECT unroll blows up exponentially in d
+    * — the 8-dim variant hung the oracle). Input CTE `from0` must have
+    * columns `m_<i>_<j>` (upper triangle, i ≤ j) and `b_<i>`; the
+    * returned fragment defines CTEs `<p>0.. <p>N`, the last of which
+    * carries the solution `a_0..a_{d-1}`. Append it inside WITH and
+    * select from [[cholSolveLast]]. Mirrors
+    * [[graft.functions.Ols.choleskySolve]]'s arithmetic so the engines
+    * agree to well under the rd6 rounding grain. */
+  def cholSolveSql(d: Int, from0: String, p: String = "ch"): String = {
+    val stages = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (j <- 0 until d) {
+      val diag = (s"m_${j}_$j" +: (0 until j).map(k => s"- l_${j}_$k * l_${j}_$k")).mkString(" ")
+      val cols = s"sqrt($diag) AS l_${j}_$j" +: (j + 1 until d).map { i =>
+        val num = (s"m_${j}_$i" +: (0 until j).map(k => s"- l_${i}_$k * l_${j}_$k")).mkString(" ")
+        s"($num) / sqrt($diag) AS l_${i}_$j"
+      }
+      stages += cols.mkString(", ")
+    }
+    for (i <- 0 until d) {
+      val num = (s"b_$i" +: (0 until i).map(k => s"- l_${i}_$k * y_$k")).mkString(" ")
+      stages += s"($num) / l_${i}_$i AS y_$i"
+    }
+    for (i <- d - 1 to 0 by -1) {
+      val num = (s"y_$i" +: (i + 1 until d).map(k => s"- l_${k}_$i * a_$k")).mkString(" ")
+      stages += s"($num) / l_${i}_$i AS a_$i"
+    }
+    stages.zipWithIndex.map { case (cols, n) =>
+      val src = if (n == 0) from0 else s"$p${n - 1}"
+      s"$p$n AS MATERIALIZED (SELECT *, $cols FROM $src)"
+    }.mkString(", ")
+  }
+
+  /** Name of the final CTE emitted by [[cholSolveSql]]. */
+  def cholSolveLast(d: Int, p: String = "ch"): String = s"$p${3 * d - 1}"
+
+  /** Normal-equation moment aggregates for regressors `xs` (index 0 is
+    * the literal intercept "1.0") against label `y`: `m_<i>_<j>` =
+    * Σ xᵢxⱼ (upper triangle) and `b_<i>` = Σ xᵢ·y. */
+  def olsMomentsSql(xs: Seq[String], y: String): String = {
+    val d = xs.length
+    val ms = for (i <- 0 until d; j <- i until d)
+      yield s"sum(${xs(i)} * ${xs(j)}) AS m_${i}_$j"
+    val bs = (0 until d).map(i => s"sum(${xs(i)} * $y) AS b_$i")
+    (ms ++ bs).mkString(", ")
+  }
 }
