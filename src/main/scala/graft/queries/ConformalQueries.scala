@@ -441,9 +441,46 @@ object ConformalQueries {
       CensoredForecaster.fit(p, lags = 7, freq = "1d", threshold = 100.0).predict(p, "ts", fh = 3)
     },
 
-    "fc_linear_direct" -> Q.rowsOnly { (s, dir) =>
+    // direct multi-horizon OLS: one pooled fit per horizon h over the
+    // lag window shifted by h (features f_h..f_{h+6}), each solved by
+    // the staged-Cholesky generator; every model then scores the same
+    // per-entity tail
+    "fc_linear_direct" -> Q({
+      val fs = (1 to 9).map(j => s"lag(value, $j) OVER w AS f$j").mkString(", ")
+      val moms = (1 to 3).map { h =>
+        val xs = "1.0" +: (h until h + 7).map(j => s"f$j")
+        // the shared reduction drops the first max-lag (9) warmup rows
+        // for EVERY horizon's model, not just the horizon's own window
+        s"""mom$h AS (SELECT ${olsMomentsSql(xs, "value")}
+                      FROM lagd WHERE f9 IS NOT NULL)"""
+      }
+      val chains = (1 to 3).map(h => cholSolveSql(8, s"mom$h", s"c$h"))
+      val sols = (1 to 3).map { h =>
+        val renames = (0 to 7).map(i => s"a_$i AS w${h}_$i").mkString(", ")
+        s"sol$h AS (SELECT $renames FROM ${cholSolveLast(8, s"c$h")})"
+      }
+      def pred(h: Int) =
+        ((1 to 7).map(i => s"w${h}_$i * t$i").mkString("(", " + ", ")") +
+          s" + w${h}_0").mkString
+      s"""WITH lagd AS (
+            SELECT user_id, ts, event_id, value, $fs
+            FROM events WINDOW w AS ($W)),
+          ${moms.mkString(", ")},
+          ${chains.mkString(", ")},
+          ${sols.mkString(", ")},
+          tail AS (SELECT user_id, ts AS cutoff, value AS t1, f1 AS t2, f2 AS t3,
+                          f3 AS t4, f4 AS t5, f5 AS t6, f6 AS t7
+                   FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rd FROM lagd)
+                   WHERE rd = 1 AND f6 IS NOT NULL),
+          pr AS (SELECT user_id, cutoff, ${pred(1)} AS p1, ${pred(2)} AS p2, ${pred(3)} AS p3
+                 FROM tail CROSS JOIN sol1 CROSS JOIN sol2 CROSS JOIN sol3)
+          SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                 round(CASE h WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END, 6) AS value
+          FROM pr CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)"""
+    }) { (s, dir) =>
       val p = ev(s, dir)
-      LinearForecaster.fitDirect(p, lags = 7, fh = 3, freq = "1d").predict(p, "ts", fh = 3)
+      r6(LinearForecaster.fitDirect(p, lags = 7, fh = 3, freq = "1d").predict(p, "ts", fh = 3))
     },
 
     "fc_backtest_naive" -> Q(
