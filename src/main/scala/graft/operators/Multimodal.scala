@@ -21,11 +21,20 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("n_bytes", LongType)))
 
+  /** 48-bit positive hash of a binary payload: the leading 12 hex
+    * nibbles of md5, as a long. Engine-portable (any engine with md5 +
+    * substring reproduces it), which is what lets the stubbed fakes
+    * below be oracle-checked. */
+  private def md5Bits48(c: Column, salt: String = ""): Column = {
+    val salted = if (salt.isEmpty) c else concat(c, lit(salt).cast("binary"))
+    conv(substring(md5(salted), 1, 12), 16, 10).cast("long")
+  }
+
   /** Wrap a binary payload column with extracted metadata. The fake
-    * "header parse" derives deterministic dimensions from the payload
-    * hash — replace with a real header sniffer in production. */
+    * "header parse" derives deterministic dimensions from a portable
+    * payload hash — replace with a real header sniffer in production. */
   def withMediaMeta(df: DataFrame, binCol: String): DataFrame = {
-    val h = abs(xxhash64(col(binCol)))
+    val h = md5Bits48(col(binCol))
     df.withColumn("media_meta", struct(
       lit("image/fake").as("media_type"),
       (pmod(h, lit(1920)) + 1).cast("int").as("width"),
@@ -34,13 +43,13 @@ object Multimodal {
   }
 
   /** STUB decode → fixed-size feature vector. Deterministic fake:
-    * seeded pseudo-features from the payload hash. A real
+    * seeded pseudo-features from the portable payload hash. A real
     * implementation would decode + pool pixels per partition batch;
     * the signature (binary → Array[Float]) and the per-partition
     * batching pattern are the production contract. */
   def decodeToFeatures(df: DataFrame, binCol: String, dim: Int = 8): DataFrame = {
     val feats = array((0 until dim).map { i =>
-      (pmod(xxhash64(col(binCol), lit(i)), lit(1000)).cast("double") / 1000.0).cast("float")
+      (pmod(md5Bits48(col(binCol), s" $i"), lit(1000)).cast("double") / 1000.0).cast("float")
     }: _*)
     df.withColumn("features", feats)
   }

@@ -213,13 +213,20 @@ object ConformalQueries {
           .select("event_id", "value"))
     },
 
-    "mm_frame_sample" -> Q.rowsOnly { (s, dir) =>
-      // video-frame sampling plumbing: payload → n byte-range frames,
-      // one row each (Multimodal.sampleFrames)
+    // video-frame sampling plumbing: payload → n equal byte-range
+    // frames, one row each (Multimodal.sampleFrames); frame length =
+    // min(total/4, bytes remaining past the frame's start)
+    "mm_frame_sample" -> Q(
+      """WITH b AS (SELECT doc_id, octet_length(encode(text))::BIGINT AS total FROM documents),
+            f AS (SELECT doc_id, i, total, total // 4 AS fl
+                  FROM b CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i))
+         SELECT doc_id, i::BIGINT AS frame_idx,
+                LEAST(fl, total - i * fl)::BIGINT AS frame_len FROM f""") { (s, dir) =>
       val docs = tbl(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
       Multimodal.sampleFrames(docs, "payload", n = 4)
-        .select(col("doc_id"), col("frame_idx"), length(col("frame_bytes")).as("frame_len"))
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          length(col("frame_bytes")).cast("long").as("frame_len"))
     },
 
     "e_normality_test" -> Q(

@@ -468,30 +468,50 @@ object PipelineQueries {
     },
 
     // ----- multimodal plumbing (decode stubbed; see Multimodal docs) -----
-    "mm_media_meta" -> Q.rowsOnly { (s, dir) =>
+    // the stub "header parse" derives dims from the portable md5-based
+    // 48-bit payload hash, so the whole fake is oracle-checkable
+    "mm_media_meta" -> Q(
+      s"""WITH b AS (SELECT doc_id, md5(text) AS h,
+                            octet_length(encode(text))::BIGINT AS nb FROM documents),
+            v AS (SELECT doc_id, ${hex12ToLongSql("h")} AS hv, nb FROM b)
+          SELECT doc_id, hv % 1920 + 1 AS width, (hv // 65536) % 1080 + 1 AS height,
+                 nb AS n_bytes FROM v""") { (s, dir) =>
       val docs = tbl(s, dir, "documents")
         .withColumn("payload", col("text").cast("binary"))
       Multimodal.withMediaMeta(docs, "payload")
-        .select(col("doc_id"), col("media_meta.width"), col("media_meta.height"),
+        .select(col("doc_id"), col("media_meta.width").cast("long").as("width"),
+          col("media_meta.height").cast("long").as("height"),
           col("media_meta.n_bytes"))
     },
 
-    "mm_resize" -> Q.rowsOnly { (s, dir) =>
+    "mm_resize" -> Q(
+      """SELECT doc_id, CAST(64 AS BIGINT) AS width, CAST(64 AS BIGINT) AS height,
+                LEAST(octet_length(encode(text)),
+                      GREATEST(LEAST(octet_length(encode(text)), 4096), 1))::BIGINT AS n_bytes
+         FROM documents""") { (s, dir) =>
       val docs = tbl(s, dir, "documents")
         .withColumn("payload", col("text").cast("binary"))
       Multimodal.resizeMedia(docs, "payload", width = 64, height = 64)
-        .select(col("doc_id"), col("resized_meta.width").as("width"),
-          col("resized_meta.height").as("height"),
+        .select(col("doc_id"), col("resized_meta.width").cast("long").as("width"),
+          col("resized_meta.height").cast("long").as("height"),
           col("resized_meta.n_bytes").as("n_bytes"))
     },
 
-    "mm_decode_features" -> Q.rowsOnly { (s, dir) =>
+    "mm_decode_features" -> Q(
+      s"""WITH f AS (SELECT doc_id, i, md5(text || ' ' || i::VARCHAR) AS h
+                     FROM documents CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7]) AS i))
+          SELECT doc_id, i::BIGINT AS feat_idx,
+                 CAST(CAST((${hex12ToLongSql("h")} % 1000) / 1000.0 AS REAL) AS DOUBLE) AS feat
+          FROM f""") { (s, dir) =>
       // flattened to scalar rows: the driver's pandas canonicalizer
-      // cannot sort/hash array cells
+      // cannot sort/hash array cells. feat goes float→double on BOTH
+      // sides (the stub's contract type is float) so the bits agree.
       val docs = tbl(s, dir, "documents")
         .withColumn("payload", col("text").cast("binary"))
       Multimodal.decodeToFeatures(docs, "payload")
         .select(col("doc_id"), posexplode(col("features")).as(Seq("feat_idx", "feat")))
+        .select(col("doc_id"), col("feat_idx").cast("long").as("feat_idx"),
+          col("feat").cast("double").as("feat"))
     }
   )
 }

@@ -103,6 +103,13 @@ object Q {
   /** Name of the final CTE emitted by [[cholSolveSql]]. */
   def cholSolveLast(d: Int, p: String = "ch"): String = s"$p${3 * d - 1}"
 
+  /** DuckDB fragment: leading 12 hex nibbles of hex-string column `h`
+    * as a BIGINT — the oracle side of Multimodal's portable 48-bit
+    * payload hash (Spark: conv(substring(md5(x),1,12),16,10)). */
+  def hex12ToLongSql(h: String): String = (0 until 12)
+    .map(i => s"(strpos('0123456789abcdef', substring($h, ${i + 1}, 1)) - 1) * ${1L << (4 * (11 - i))}")
+    .mkString("(", " + ", ")")
+
   /** Normal-equation moment aggregates for regressors `xs` (index 0 is
     * the literal intercept "1.0") against label `y`: `m_<i>_<j>` =
     * Σ xᵢxⱼ (upper triangle) and `b_<i>` = Σ xᵢ·y. */
