@@ -244,8 +244,10 @@ object AutoForecast {
       }
       backtestScore(bt, p.entity).withColumn("model", lit(name))
     } }), Duration.Inf).reduce(_ unionByName _)
+    // model name as tie-break: equal scores (e.g. constant series, where
+    // every candidate backtests identically) must rank deterministically
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(p.entityCols: _*).orderBy(col("smape").asc_nulls_last)
+      .partitionBy(p.entityCols: _*).orderBy(col("smape").asc_nulls_last, col("model"))
     val winners = scores.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= topK)
       .select((p.entityCols :+ col("model")): _*)

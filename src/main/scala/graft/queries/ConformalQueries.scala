@@ -506,17 +506,94 @@ object ConformalQueries {
           testSize = 10, nSplits = 3, stepSize = 5))
     },
 
-    // auto/elite/knn: model selection + MLlib/LSH fits — rows-only;
-    // selection semantics asserted in AutoForecastSpec.
-    "fc_auto_linear" -> Q.rowsOnly { (s, dir) =>
+    // lag-grid sweep replicated: each candidate's expanding-window
+    // backtest (pooled per-split OLS + 10-step recursion) scores a
+    // mean per-entity SMAPE; argmin (first-wins on ties, hence <=)
+    // selects which full-data fit's predictions to emit
+    "fc_auto_linear" -> Q({
+      val bts = Seq(3, 7).map(l =>
+        OlsBacktestSql.backtestLinear(s"l$l", l, testSize = 10, nSplits = 2, stepSize = 5))
+      val scores = Seq(3, 7).map(l =>
+        s"""s_l$l AS (SELECT avg(smape) AS s FROM (
+              SELECT user_id, sum(abs(pred - actual)) / sum(pred + actual) AS smape
+              FROM bt_l$l GROUP BY user_id))""")
+      val fulls = Seq(3, 7).map(l => OlsBacktestSql.fullLinear(s"f$l", l, fh = 3))
+      s"""WITH ${OlsBacktestSql.lagdCte(7)},
+          ${bts.mkString(", ")},
+          ${scores.mkString(", ")},
+          ${fulls.mkString(", ")},
+          pick AS (SELECT CASE WHEN s_l3.s <= s_l7.s THEN 3 ELSE 7 END AS chosen
+                   FROM s_l3 CROSS JOIN s_l7),
+          pr AS (SELECT coalesce(a.user_id, b.user_id) AS user_id,
+                        coalesce(a.cutoff, b.cutoff) AS cutoff,
+                        a.p1 AS a1, a.p2 AS a2, a.p3 AS a3,
+                        b.p1 AS b1, b.p2 AS b2, b.p3 AS b3
+                 FROM fp_f3 a FULL OUTER JOIN fp_f7 b ON a.user_id = b.user_id)
+          SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                 round(CASE WHEN chosen = 3
+                            THEN (CASE h WHEN 1 THEN a1 WHEN 2 THEN a2 ELSE a3 END)
+                            ELSE (CASE h WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END) END, 6) AS value,
+                 chosen::BIGINT AS chosen_lags
+          FROM pr CROSS JOIN pick CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)
+          WHERE (chosen = 3 AND a1 IS NOT NULL) OR (chosen = 7 AND b1 IS NOT NULL)"""
+    }) { (s, dir) =>
       val p = ev(s, dir)
       val (lags, _, model) =
         AutoForecast.autoLinear(p, "ts", "1d", lagGrid = Seq(3, 7), nSplits = 2)
-      model.predict(p, "ts", fh = 3).withColumn("chosen_lags", lit(lags))
+      r6(model.predict(p, "ts", fh = 3).withColumn("chosen_lags", lit(lags).cast("long")))
     },
 
-    "fc_elite" -> Q.rowsOnly { (s, dir) =>
-      AutoForecast.elite(ev(s, dir), "ts", "1d", fh = 3, topK = 2, nSplits = 2)
+    // elite mean-stacking replicated: all four base-model backtests
+    // (naive/snaive position lookups, linear_7/14 pooled OLS), per-
+    // entity SMAPE rank (model name as tie-break), top-2 blend of the
+    // full-data predictions
+    "fc_elite" -> Q({
+      val btLin = Seq(7, 14).map(l =>
+        OlsBacktestSql.backtestLinear(s"lin$l", l, testSize = 10, nSplits = 2, stepSize = 5))
+      val btNv = Seq("nv" -> 1, "snv" -> 7).map { case (t, sp) =>
+        OlsBacktestSql.backtestNaive(t, sp, testSize = 10, nSplits = 2, stepSize = 5)
+      }
+      val scs = Seq("lin7", "lin14", "nv", "snv").map(OlsBacktestSql.entityScore)
+      val fulls = Seq(7, 14).map(l => OlsBacktestSql.fullLinear(s"f$l", l, fh = 3))
+      def linPred(tag: String, name: String) =
+        s"""SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                   CASE h WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END AS value,
+                   '$name' AS model
+            FROM fp_$tag CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)"""
+      s"""WITH ${OlsBacktestSql.lagdCte(14)},
+          ${btLin.mkString(", ")},
+          ${btNv.mkString(", ")},
+          ${scs.mkString(", ")},
+          allsc AS (SELECT user_id, smape, 'naive' AS model FROM sc_nv
+                    UNION ALL SELECT user_id, smape, 'snaive' FROM sc_snv
+                    UNION ALL SELECT user_id, smape, 'linear_7' FROM sc_lin7
+                    UNION ALL SELECT user_id, smape, 'linear_14' FROM sc_lin14),
+          winners AS (SELECT user_id, model FROM (
+              SELECT user_id, model, row_number() OVER (PARTITION BY user_id
+                       ORDER BY smape ASC NULLS LAST, model) AS rk
+              FROM allsc) WHERE rk <= 2),
+          ${fulls.mkString(", ")},
+          state AS (SELECT user_id, arg_max(value, ts) AS lastv, max(ts) AS cutoff
+                    FROM events GROUP BY user_id),
+          sntail AS (SELECT user_id, list(value ORDER BY ts) AS tail7, max(ts) AS cutoff
+                     FROM (SELECT user_id, ts, value, row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) AS rnd FROM events)
+                     WHERE rnd <= 7 GROUP BY user_id),
+          preds AS (
+            SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                   lastv AS value, 'naive' AS model
+            FROM state CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)
+            UNION ALL
+            SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                   tail7[((h - 1) % len(tail7)) + 1] AS value, 'snaive' AS model
+            FROM sntail CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)
+            UNION ALL ${linPred("f7", "linear_7")}
+            UNION ALL ${linPred("f14", "linear_14")})
+          SELECT p.user_id, p.ts, round(avg(p.value), 6) AS value
+          FROM preds p JOIN winners w ON p.user_id = w.user_id AND p.model = w.model
+          GROUP BY p.user_id, p.ts"""
+    }) { (s, dir) =>
+      r6(AutoForecast.elite(ev(s, dir), "ts", "1d", fh = 3, topK = 2, nSplits = 2))
     },
 
     // exact KNN replicated: pooled AR-reduction training rows, squared
