@@ -48,28 +48,44 @@ object Dedup {
       .select(col(idCol), col("__sh"))
   }
 
-  /** Seeded shingle hash families. `xxhash` (default) is the
-    * production path — one 64-bit codegen'd hash per (seed, shingle).
-    * `md5Hex` yields the full md5 hex string (seed-prefixed); ~3×
-    * costlier but computable by any engine (lexicographic min on
-    * fixed-length hex = unsigned numeric min), which is what the
-    * DuckDB correctness oracle runs. */
+  /** Shingle hash families for MinHash. Both use Kirsch-Mitzenmacher
+    * double hashing — TWO base hashes per shingle, permutation j =
+    * h1 + j·h2 — so the k permutations cost O(1) hash invocations per
+    * shingle instead of O(k).
+    *  - `Xxhash` (default production path): codegen'd xxhash64, full
+    *    64-bit wrapping arithmetic.
+    *  - `Md5` (oracle path): the two 48-bit halves of one md5; values
+    *    stay < 2^53, so the arithmetic is exact in any engine and the
+    *    DuckDB oracle reproduces it verbatim. */
+  sealed trait HashFamily
   object HashFamily {
-    val xxhash: (Int, Column) => Column = (j, sh) => xxhash64(lit(j), sh)
-    val md5Hex: (Int, Column) => Column =
-      (j, sh) => md5(concat(lit(s"$j "), sh).cast("binary"))
+    case object Xxhash extends HashFamily
+    case object Md5 extends HashFamily
   }
 
   /** MinHash signatures: k independent hash permutations approximated
-    * by a seeded hash family over each shingle; signature j = min over
+    * by double hashing over each shingle; signature j = min over
     * shingles (duplicates don't affect min — no distinct needed).
-    * Returns one row per doc with `minhash` array (element type follows
-    * the hash family). */
+    * Returns one row per doc with `minhash` long array. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int, numHashes: Int,
-                        hashFn: (Int, Column) => Column = HashFamily.xxhash): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, shingleSize)
-    val hashCols = (0 until numHashes).map(j => min(hashFn(j, col("__sh"))).as(s"__h$j"))
+                        family: HashFamily = HashFamily.Xxhash): DataFrame = {
+    val sh0 = shingleRows(docs, idCol, textCol, shingleSize)
+    // the two base hashes are computed ONCE per shingle row, before the
+    // aggregation; each permutation is then pure long arithmetic
+    val sh = family match {
+      case HashFamily.Xxhash =>
+        // 48-bit halves: j·h2 must not overflow a signed long under
+        // ANSI (full-range xxhash64 would); 15·2^48 + 2^48 < 2^53
+        sh0.withColumn("__h1", shiftrightunsigned(xxhash64(col("__sh")), 16))
+          .withColumn("__h2", shiftrightunsigned(xxhash64(lit("salt"), col("__sh")), 16))
+      case HashFamily.Md5 =>
+        sh0.withColumn("__m", md5(col("__sh").cast("binary")))
+          .withColumn("__h1", conv(substring(col("__m"), 1, 12), 16, 10).cast("long"))
+          .withColumn("__h2", conv(substring(col("__m"), 13, 12), 16, 10).cast("long"))
+    }
+    val hashCols = (0 until numHashes)
+      .map(j => min(col("__h1") + lit(j.toLong) * col("__h2")).as(s"__h$j"))
     sh.groupBy(col(idCol)).agg(hashCols.head, hashCols.tail: _*)
       .select(col(idCol), array((0 until numHashes).map(j => col(s"__h$j")): _*).as("minhash"))
   }

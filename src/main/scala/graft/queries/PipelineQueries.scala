@@ -14,6 +14,32 @@ object PipelineQueries {
   private def dotSql(a: String, b: String, dim: Int = 64): String =
     (1 to dim).map(i => s"$a[$i]::DOUBLE * $b[$i]::DOUBLE").mkString("(", " + ", ")")
 
+  /** Shingle + MinHash signature CTEs over `documents`: 3-shingles
+    * from a once-per-doc word split (inlining the regexp split into
+    * the shingle lambda re-splits per shingle — O(words²), ~11 s at
+    * sf0.1), then Kirsch-Mitzenmacher double hashing over the two
+    * 48-bit halves of ONE md5 per shingle — exactly
+    * Dedup.minhashSignatures' Md5 family (values < 2^53, so the
+    * arithmetic is exact in both engines). MATERIALIZED: DuckDB
+    * otherwise re-inlines the chain into each consumer. */
+  private val minhashSigsSql: String =
+    s"""w AS MATERIALIZED (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+          FROM documents
+          WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3),
+        sh AS MATERIALIZED (
+          SELECT doc_id, list_transform(range(1, len(ws) - 1),
+            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS s
+          FROM w),
+        hs0 AS MATERIALIZED (
+          SELECT doc_id, list_transform(s, t -> list_transform([md5(t)],
+                   m -> [${Q.hex12ToLongSql("m")}, ${Q.hex12ToLongSql("m", 12)}])[1]) AS hs
+          FROM sh),
+        sigs AS MATERIALIZED (
+          SELECT doc_id, list_transform(range(0, 16), j ->
+            list_min(list_transform(hs, h -> h[1] + j * h[2]))) AS sig
+          FROM hs0)"""
+
   
 
   val all: Map[String, Q] = Map(
@@ -194,24 +220,12 @@ object PipelineQueries {
           .select("a", "b", "jaccard"))
     },
 
-    // MinHash over the engine-portable md5 hash family (production
-    // default stays xxhash64 — Dedup.HashFamily): lexicographic min on
-    // fixed-length hex strings = unsigned numeric min, so the whole
+    // MinHash over the engine-portable md5 double-hash family
+    // (production default stays xxhash64 — Dedup.HashFamily): the whole
     // shingle → signature → band → candidate-pair pipeline replicates
     // in DuckDB verbatim
     "d_minhash_lsh" -> Q(
-      s"""WITH sh AS (
-            SELECT doc_id, list_transform(
-              range(1, len(regexp_split_to_array(trim(text), '\\s+')) - 1),
-              i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
-                   regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
-                   regexp_split_to_array(trim(text), '\\s+')[i+2]) AS s
-            FROM documents
-            WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3),
-          sigs AS (
-            SELECT doc_id, list_transform(range(0, 16), j ->
-              list_min(list_transform(s, t -> md5(j::VARCHAR || ' ' || t)))) AS sig
-            FROM sh),
+      s"""WITH $minhashSigsSql,
           bands AS (
             SELECT doc_id, b, sig[b*4+1 : b*4+4] AS key
             FROM sigs CROSS JOIN range(0, 4) t(b)),
@@ -231,7 +245,7 @@ object PipelineQueries {
       // join-backs otherwise re-shingle and re-hash the corpus four
       // times (plan audit showed 4 separate document scans)
       val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", shingleSize = 3,
-        numHashes = 16, hashFn = Dedup.HashFamily.md5Hex).persist()
+        numHashes = 16, family = Dedup.HashFamily.Md5).persist()
       val pairs = Dedup.minhashCandidatePairs(sigs, "doc_id", numHashes = 16, rowsPerBand = 4)
       pairs.agg(count(lit(1)).as("n_candidate_pairs"),
         coalesce(round(avg(col("est_jaccard")), 6), lit(0.0)).as("mean_est_jaccard"))
@@ -264,18 +278,7 @@ object PipelineQueries {
     // themselves); oracle = same md5 banding + recursive-CTE transitive
     // closure (components are tiny, so the closure stays small)
     "d_neardup_groups" -> Q(
-      s"""WITH RECURSIVE sh AS (
-            SELECT doc_id, list_transform(
-              range(1, len(regexp_split_to_array(trim(text), '\\s+')) - 1),
-              i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
-                   regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
-                   regexp_split_to_array(trim(text), '\\s+')[i+2]) AS s
-            FROM documents
-            WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3),
-          sigs AS (
-            SELECT doc_id, list_transform(range(0, 16), j ->
-              list_min(list_transform(s, t -> md5(j::VARCHAR || ' ' || t)))) AS sig
-            FROM sh),
+      s"""WITH RECURSIVE $minhashSigsSql,
           bands AS (
             SELECT doc_id, b, sig[b*4+1 : b*4+4] AS key
             FROM sigs CROSS JOIN range(0, 4) t(b)),
@@ -293,7 +296,7 @@ object PipelineQueries {
           FROM documents d LEFT JOIN groups g ON d.doc_id = g.id""") { (s, dir) =>
       val docs = tbl(s, dir, "documents")
       val sigs = Dedup.minhashSignatures(docs, "doc_id", "text",
-        shingleSize = 3, numHashes = 16, hashFn = Dedup.HashFamily.md5Hex).persist()
+        shingleSize = 3, numHashes = 16, family = Dedup.HashFamily.Md5).persist()
       val pairs = Dedup.minhashCandidatePairs(sigs, "doc_id", numHashes = 16, rowsPerBand = 4)
       val groups = Dedup.nearDupGroups(pairs.select("a", "b"))
       docs.select(col("doc_id"))

@@ -103,11 +103,12 @@ object Q {
   /** Name of the final CTE emitted by [[cholSolveSql]]. */
   def cholSolveLast(d: Int, p: String = "ch"): String = s"$p${3 * d - 1}"
 
-  /** DuckDB fragment: leading 12 hex nibbles of hex-string column `h`
-    * as a BIGINT — the oracle side of Multimodal's portable 48-bit
-    * payload hash (Spark: conv(substring(md5(x),1,12),16,10)). */
-  def hex12ToLongSql(h: String): String = (0 until 12)
-    .map(i => s"(strpos('0123456789abcdef', substring($h, ${i + 1}, 1)) - 1) * ${1L << (4 * (11 - i))}")
+  /** DuckDB fragment: 12 hex nibbles of hex-string expression `h`
+    * starting at 1-based position `off+1`, as a BIGINT — the oracle
+    * side of the portable 48-bit md5-half hashes
+    * (Spark: conv(substring(md5(x),off+1,12),16,10)). */
+  def hex12ToLongSql(h: String, off: Int = 0): String = (0 until 12)
+    .map(i => s"(strpos('0123456789abcdef', substring($h, ${off + i + 1}, 1)) - 1) * ${1L << (4 * (11 - i))}")
     .mkString("(", " + ", ")")
 
   /** Normal-equation moment aggregates for regressors `xs` (index 0 is
