@@ -48,15 +48,15 @@ object Dedup {
       .select(col(idCol), col("__sh"))
   }
 
-  /** Shingle hash families for MinHash. Both use Kirsch-Mitzenmacher
-    * double hashing — TWO base hashes per shingle, permutation j =
-    * h1 + j·h2 — so the k permutations cost O(1) hash invocations per
-    * shingle instead of O(k).
-    *  - `Xxhash` (default production path): codegen'd xxhash64, full
-    *    64-bit wrapping arithmetic.
-    *  - `Md5` (oracle path): the two 48-bit halves of one md5; values
-    *    stay < 2^53, so the arithmetic is exact in any engine and the
-    *    DuckDB oracle reproduces it verbatim. */
+  /** Shingle hash families for MinHash. Both use double hashing —
+    * TWO base hashes per shingle, permutation j = h1 XOR (j·h2) — so
+    * the k permutations cost O(1) hash invocations per shingle instead
+    * of O(k). h2 is truncated to 48 bits so j·h2 stays inside a signed
+    * long under ANSI; XOR (not +) then preserves h1's full range, so
+    * collision behavior matches k independent hashes.
+    *  - `Xxhash` (default production path): codegen'd xxhash64.
+    *  - `Md5` (oracle path): the two 48-bit halves of one md5 —
+    *    exact integer arithmetic any engine reproduces. */
   sealed trait HashFamily
   object HashFamily {
     case object Xxhash extends HashFamily
@@ -75,9 +75,7 @@ object Dedup {
     // aggregation; each permutation is then pure long arithmetic
     val sh = family match {
       case HashFamily.Xxhash =>
-        // 48-bit halves: j·h2 must not overflow a signed long under
-        // ANSI (full-range xxhash64 would); 15·2^48 + 2^48 < 2^53
-        sh0.withColumn("__h1", shiftrightunsigned(xxhash64(col("__sh")), 16))
+        sh0.withColumn("__h1", xxhash64(col("__sh")))
           .withColumn("__h2", shiftrightunsigned(xxhash64(lit("salt"), col("__sh")), 16))
       case HashFamily.Md5 =>
         sh0.withColumn("__m", md5(col("__sh").cast("binary")))
@@ -85,7 +83,7 @@ object Dedup {
           .withColumn("__h2", conv(substring(col("__m"), 13, 12), 16, 10).cast("long"))
     }
     val hashCols = (0 until numHashes)
-      .map(j => min(col("__h1") + lit(j.toLong) * col("__h2")).as(s"__h$j"))
+      .map(j => min(col("__h1").bitwiseXOR(lit(j.toLong) * col("__h2"))).as(s"__h$j"))
     sh.groupBy(col(idCol)).agg(hashCols.head, hashCols.tail: _*)
       .select(col(idCol), array((0 until numHashes).map(j => col(s"__h$j")): _*).as("minhash"))
   }

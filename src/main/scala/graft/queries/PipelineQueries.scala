@@ -37,7 +37,7 @@ object PipelineQueries {
           FROM sh),
         sigs AS MATERIALIZED (
           SELECT doc_id, list_transform(range(0, 16), j ->
-            list_min(list_transform(hs, h -> h[1] + j * h[2]))) AS sig
+            list_min(list_transform(hs, h -> xor(h[1], j * h[2])))) AS sig
           FROM hs0)"""
 
   
