@@ -506,6 +506,20 @@ object ConformalQueries {
           testSize = 10, nSplits = 3, stepSize = 5))
     },
 
+    // regularized sweep: MLlib's standardized ridge solve is not
+    // SQL-expressible (internal feature/label rescaling) — rows-only;
+    // selection + shrinkage semantics asserted in AutoForecastSpec
+    "fc_auto_ridge" -> Q.rowsOnly { (s, dir) =>
+      val p = ev(s, dir)
+      val (lags, _, model) =
+        AutoForecast.autoRidge(p, "ts", "1d", lagGrid = Seq(3, 7), regParam = 0.1)
+      model.predict(p, "ts", fh = 3).withColumn("chosen_lags", lit(lags).cast("long"))
+    },
+
+    // (auto_knn's k-sweep is spec-covered in AutoForecastSpec; each
+    // candidate costs a full exact-KNN backtest pass, too heavy for
+    // the per-round bench registry)
+
     // lag-grid sweep replicated: each candidate's expanding-window
     // backtest (pooled per-split OLS + 10-step recursion) scores a
     // mean per-entity SMAPE; argmin (first-wins on ties, hence <=)
