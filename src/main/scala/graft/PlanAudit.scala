@@ -27,8 +27,10 @@ object PlanAudit {
       "q1_agg", "q2_join_agg", "q3_window_topk", // relational: pushdown + broadcast
       "f_linear_trend", "p_roll",                // window/agg features
       "s_cosine_topk", "d_minhash_lsh",          // pipeline extensions
+      "s_ann_ivf", "d_neardup_groups",           // round 3: IVF argmax projection; LSH→components
       "j_asof_backward", "j_range_band",         // custom joins
-      "fc_naive", "m_score_backtest")            // forecast scaffolds
+      "j_sessionize",                            // gap sessionization window algebra
+      "fc_naive", "fc_knn", "m_score_backtest")  // forecast scaffolds + broadcast KNN
     picks.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(
