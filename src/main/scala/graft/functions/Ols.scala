@@ -23,8 +23,16 @@ import org.apache.spark.sql.functions.col
 object Ols {
 
   /** Fit y ~ intercept + w·x over `featureCols`. Rows with any null
-    * are dropped. Returns (intercept, weights). */
-  def fit(df: DataFrame, featureCols: Seq[String], labelCol: String): (Double, Array[Double]) = {
+    * are dropped. Returns (intercept, weights).
+    *
+    * `ridge` > 0 adds the L2 penalty λ‖w‖² (intercept unpenalized) by
+    * adding λ to the non-intercept diagonal of the normal matrix —
+    * algebraically identical to scikit-learn's `Ridge(alpha=λ,
+    * fit_intercept=True)` (the reference's ridge backend,
+    * reference: functime/forecasting/linear.py:34-39), which penalizes
+    * the sum-of-squares objective without standardization. */
+  def fit(df: DataFrame, featureCols: Seq[String], labelCol: String,
+          ridge: Double = 0.0): (Double, Array[Double]) = {
     val p = featureCols.length
     val d = p + 1 // column 0 is the implicit intercept regressor 1.0
     val tri = d * (d + 1) / 2
@@ -57,7 +65,12 @@ object Ols {
         while (i < d) { v1(i) += v2(i); i += 1 }
         (m1, v1)
       })
-    val w = choleskySolve(expand(xtx, d), xty)
+    val a = expand(xtx, d)
+    if (ridge != 0.0) {
+      var i = 1 // column 0 is the intercept — never penalized
+      while (i < d) { a(i)(i) += ridge; i += 1 }
+    }
+    val w = choleskySolve(a, xty)
     (w(0), w.drop(1))
   }
 

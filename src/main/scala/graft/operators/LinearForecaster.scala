@@ -30,11 +30,15 @@ object LinearForecaster {
           regParam: Double = 0.0, elasticNetParam: Double = 0.0): LinearForecasterModel = {
     val reduction = Forecasters.makeReduction(p, lags)
     val featureCols = (1 to lags).map(l => s"${p.value}__lag_$l").toArray
-    if (regParam == 0.0) {
-      // pure OLS: one-pass closed-form normal equations
-      // (graft.functions.Ols) — no VectorAssembler materialization, no
-      // MLlib summary passes
-      val (b0, w) = graft.functions.Ols.fit(reduction, featureCols.toSeq, p.value)
+    if (elasticNetParam == 0.0) {
+      // pure OLS and pure-L2 ridge are both one-pass closed-form
+      // normal equations (graft.functions.Ols; ridge = λ on the
+      // non-intercept diagonal, sklearn-Ridge semantics — the
+      // reference's backend) — no VectorAssembler materialization, no
+      // MLlib summary passes. Only L1/elastic-net needs the iterative
+      // solver below.
+      val (b0, w) = graft.functions.Ols.fit(reduction, featureCols.toSeq, p.value,
+        ridge = regParam)
       LinearForecasterModel(b0, w, lags, freq)
     } else {
       val assembled = new VectorAssembler()

@@ -506,14 +506,44 @@ object ConformalQueries {
           testSize = 10, nSplits = 3, stepSize = 5))
     },
 
-    // regularized sweep: MLlib's standardized ridge solve is not
-    // SQL-expressible (internal feature/label rescaling) — rows-only;
-    // selection + shrinkage semantics asserted in AutoForecastSpec
-    "fc_auto_ridge" -> Q.rowsOnly { (s, dir) =>
+    // ridge lag-sweep: pure-L2 fits are closed-form (sklearn-Ridge
+    // semantics — λ on the non-intercept diagonal of the normal
+    // matrix, the reference's backend), so the whole sweep replicates
+    // like fc_auto_linear with the penalized moments; shrinkage
+    // semantics additionally asserted in AutoForecastSpec
+    "fc_auto_ridge" -> Q({
+      val bts = Seq(3, 7).map(l =>
+        OlsBacktestSql.backtestLinear(s"r$l", l, testSize = 10, nSplits = 3,
+          stepSize = 5, ridge = 0.1))
+      val scores = Seq(3, 7).map(l =>
+        s"""s_r$l AS (SELECT avg(smape) AS s FROM (
+              SELECT user_id, sum(abs(pred - actual)) / sum(pred + actual) AS smape
+              FROM bt_r$l GROUP BY user_id))""")
+      val fulls = Seq(3, 7).map(l =>
+        OlsBacktestSql.fullLinear(s"g$l", l, fh = 3, ridge = 0.1))
+      s"""WITH ${OlsBacktestSql.lagdCte(7)},
+          ${bts.mkString(", ")},
+          ${scores.mkString(", ")},
+          ${fulls.mkString(", ")},
+          pick AS (SELECT CASE WHEN s_r3.s <= s_r7.s THEN 3 ELSE 7 END AS chosen
+                   FROM s_r3 CROSS JOIN s_r7),
+          pr AS (SELECT coalesce(a.user_id, b.user_id) AS user_id,
+                        coalesce(a.cutoff, b.cutoff) AS cutoff,
+                        a.p1 AS a1, a.p2 AS a2, a.p3 AS a3,
+                        b.p1 AS b1, b.p2 AS b2, b.p3 AS b3
+                 FROM fp_g3 a FULL OUTER JOIN fp_g7 b ON a.user_id = b.user_id)
+          SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                 round(CASE WHEN chosen = 3
+                            THEN (CASE h WHEN 1 THEN a1 WHEN 2 THEN a2 ELSE a3 END)
+                            ELSE (CASE h WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END) END, 6) AS value,
+                 chosen::BIGINT AS chosen_lags
+          FROM pr CROSS JOIN pick CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)
+          WHERE (chosen = 3 AND a1 IS NOT NULL) OR (chosen = 7 AND b1 IS NOT NULL)"""
+    }) { (s, dir) =>
       val p = ev(s, dir)
       val (lags, _, model) =
         AutoForecast.autoRidge(p, "ts", "1d", lagGrid = Seq(3, 7), regParam = 0.1)
-      model.predict(p, "ts", fh = 3).withColumn("chosen_lags", lit(lags).cast("long"))
+      r6(model.predict(p, "ts", fh = 3).withColumn("chosen_lags", lit(lags).cast("long")))
     },
 
     // (auto_knn's k-sweep is spec-covered in AutoForecastSpec; each

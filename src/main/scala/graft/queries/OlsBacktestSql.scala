@@ -53,14 +53,14 @@ object OlsBacktestSql {
     * predictions for h = 1..testSize, inner-joined to actuals.
     * Emits `bt_<tag>` with (user_id, h, split, actual, pred). */
   def backtestLinear(tag: String, lags: Int, testSize: Int, nSplits: Int,
-                     stepSize: Int): String = {
+                     stepSize: Int, ridge: Double = 0.0): String = {
     val xs = "1.0" +: (1 to lags).map(j => s"f$j")
     val splits = (0 until nSplits).map { i =>
       val cutoff = testSize + (nSplits - 1 - i) * stepSize
       val t = s"${tag}_s$i"
       val predCases = (1 to testSize)
         .map(h => s"WHEN $h THEN p.p$h").mkString(" ")
-      s"""${t}_mom AS (SELECT ${Q.olsMomentsSql(xs, "value")}
+      s"""${t}_mom AS (SELECT ${Q.olsMomentsSql(xs, "value", ridge)}
             FROM lagd WHERE rn > $lags AND rn <= cnt - $cutoff),
           ${Q.cholSolveSql(lags + 1, s"${t}_mom", s"${t}_ch")},
           ${tailCte(s"$t", lags, s"cnt - $cutoff")},
@@ -108,9 +108,9 @@ object OlsBacktestSql {
 
   /** Full-data fit + fh-step recursive prediction for one lag count.
     * Emits `fp_<tag>` with (user_id, cutoff, p1..p<fh>). */
-  def fullLinear(tag: String, lags: Int, fh: Int): String = {
+  def fullLinear(tag: String, lags: Int, fh: Int, ridge: Double = 0.0): String = {
     val xs = "1.0" +: (1 to lags).map(j => s"f$j")
-    s"""${tag}_mom AS (SELECT ${Q.olsMomentsSql(xs, "value")}
+    s"""${tag}_mom AS (SELECT ${Q.olsMomentsSql(xs, "value", ridge)}
           FROM lagd WHERE rn > $lags),
         ${Q.cholSolveSql(lags + 1, s"${tag}_mom", s"${tag}_ch")},
         ${tailCte(tag, lags, "cnt")},

@@ -113,11 +113,15 @@ object Q {
 
   /** Normal-equation moment aggregates for regressors `xs` (index 0 is
     * the literal intercept "1.0") against label `y`: `m_<i>_<j>` =
-    * Σ xᵢxⱼ (upper triangle) and `b_<i>` = Σ xᵢ·y. */
-  def olsMomentsSql(xs: Seq[String], y: String): String = {
+    * Σ xᵢxⱼ (upper triangle) and `b_<i>` = Σ xᵢ·y. `ridge` > 0 adds λ
+    * to the non-intercept diagonal (sklearn-Ridge semantics, matching
+    * Ols.fit). */
+  def olsMomentsSql(xs: Seq[String], y: String, ridge: Double = 0.0): String = {
     val d = xs.length
-    val ms = for (i <- 0 until d; j <- i until d)
-      yield s"sum(${xs(i)} * ${xs(j)}) AS m_${i}_$j"
+    val ms = for (i <- 0 until d; j <- i until d) yield {
+      val pen = if (ridge != 0.0 && i == j && i > 0) s" + $ridge" else ""
+      s"sum(${xs(i)} * ${xs(j)})$pen AS m_${i}_$j"
+    }
     val bs = (0 until d).map(i => s"sum(${xs(i)} * $y) AS b_$i")
     (ms ++ bs).mkString(", ")
   }
