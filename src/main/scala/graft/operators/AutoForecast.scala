@@ -36,7 +36,8 @@ object AutoForecast {
     * per-horizon expressions (no per-split reduction recompute).
     * Returns the same schema as [[Conformal.backtest]]. */
   def backtestLinearPrefix(p: Panel, timeCol: String, lags: Int,
-                           testSize: Int, nSplits: Int, stepSize: Int): DataFrame = {
+                           testSize: Int, nSplits: Int, stepSize: Int,
+                           ridge: Double = 0.0): DataFrame = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -55,7 +56,7 @@ object AutoForecast {
       // closed-form one-pass OLS per split over the shared cached frame
       val (mIntercept, mWeights) = graft.functions.Ols.fit(
         assembled.filter(col("__rn") <= trainEnd && col("__rn") > lags),
-        featureCols, p.value)
+        featureCols, p.value, ridge)
       // per-entity state at the split cutoff: values trainEnd..trainEnd−lags+1
       val tailRows = assembled
         .filter(col("__rn") > trainEnd - lags && col("__rn") <= trainEnd)
@@ -181,7 +182,26 @@ object AutoForecast {
                       regParam: Double, elasticNetParam: Double,
                       testSize: Int = 10, nSplits: Int = 3, stepSize: Int = 5)
       : (Int, Double, LinearForecasterModel) = {
-    val (bestLags, bestScore) = autoModel(p, timeCol, lagGrid, testSize, nSplits, stepSize) {
+    val (bestLags, bestScore) = if (elasticNetParam == 0.0) {
+      // pure L2 is closed-form — take the prefix-shared backtest path
+      // (one cached lag matrix per candidate, per-split filters), the
+      // same shape autoLinear uses; semantically identical to the
+      // generic slice backtest (the slice's lag matrix IS the prefix
+      // filter of the full one)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val cached = p.copy(df = p.df.cache())
+      try {
+        val scored = Await.result(Future.sequence(lagGrid.map { lags => Future {
+          val bt = backtestLinearPrefix(cached, timeCol, lags, testSize, nSplits,
+            stepSize, ridge = regParam)
+          val mean = backtestScore(bt, p.entity).agg(avg("smape")).collect()(0).getDouble(0)
+          (lags, mean)
+        } }), Duration.Inf)
+        scored.minBy(_._2)
+      } finally cached.df.unpersist(blocking = false)
+    } else autoModel(p, timeCol, lagGrid, testSize, nSplits, stepSize) {
       lags => (tr, fh) =>
         LinearForecaster.fit(tr, lags, freq, regParam, elasticNetParam).predict(tr, timeCol, fh)
     }
