@@ -230,4 +230,81 @@ object StreamingPanel {
           out.iterator
       }
   }
+
+  /** One streaming document. */
+  final case class DocIn(docId: Long, text: String)
+
+  /** One incrementally-detected LSH candidate pair (a < b), tagged
+    * with the band that collided. The same pair can surface from
+    * several bands — downstream dedupes, exactly like the batch
+    * operator's DISTINCT. */
+  final case class NearDupCandidate(a: Long, b: Long, band: Int)
+
+  /** Bounded bucket state: retained doc ids + count of evictions. */
+  final case class BucketState(ids: Seq[Long], overflow: Long)
+
+  /** Streaming MinHash-LSH near-duplicate candidates — the incremental
+    * form of [[graft.operators.Dedup.minhashCandidatePairs]] for
+    * ingest-time dedup: each arriving document's signature is computed
+    * per-row (word split → shingles → the same h1 XOR j·h2 double-hash
+    * family as the batch operator — no window, so it runs on an
+    * unbounded stream), banded, and matched against a bounded per-
+    * (band, key) bucket of previously seen doc ids. State is
+    * O(maxBucket) ids per OCCUPIED bucket; past the cap new ids still
+    * pair against the retained sample but are not themselves retained
+    * (overflow counted), so one degenerate bucket (e.g. boilerplate
+    * shingles) cannot grow state without bound. */
+  def streamingNearDupCandidates(docs: Dataset[DocIn], shingleSize: Int,
+                                 numHashes: Int, rowsPerBand: Int,
+                                 maxBucket: Int = 64): Dataset[NearDupCandidate] = {
+    implicit val stateEnc: Encoder[BucketState] = Encoders.product[BucketState]
+    implicit val outEnc: Encoder[NearDupCandidate] = Encoders.product[NearDupCandidate]
+    implicit val keyEnc: Encoder[(Int, String)] =
+      Encoders.tuple(Encoders.scalaInt, Encoders.STRING)
+    implicit val rowEnc: Encoder[(Int, String, Long)] =
+      Encoders.tuple(Encoders.scalaInt, Encoders.STRING, Encoders.scalaLong)
+    val nBands = numHashes / rowsPerBand
+    // identical bits to Dedup.minhashSignatures(HashFamily.Xxhash):
+    // same shingle strings (words joined by single spaces), same base
+    // hashes, same XOR combine
+    val withHs = docs.toDF()
+      .withColumn("__ws", split(trim(col("text")), "\\s+"))
+      .filter(size(col("__ws")) >= shingleSize)
+      .withColumn("__hs", expr(
+        s"""transform(sequence(0, size(__ws) - $shingleSize),
+              i -> named_struct(
+                'h1', xxhash64(concat_ws(' ', slice(__ws, i + 1, $shingleSize))),
+                'h2', shiftrightunsigned(
+                  xxhash64('salt', concat_ws(' ', slice(__ws, i + 1, $shingleSize))), 16)))"""))
+    val sigCols = (0 until numHashes).map(j =>
+      expr(s"array_min(transform(__hs, h -> h.h1 ^ (${j}L * h.h2)))"))
+    val bandCol = explode(array((0 until nBands).map { b =>
+      val key = concat_ws(",",
+        (0 until rowsPerBand).map(r => sigCols(b * rowsPerBand + r).cast("string")): _*)
+      struct(lit(b).as("band"), key.as("key"))
+    }: _*))
+    withHs.withColumn("__band", bandCol)
+      .select(col("__band.band"), col("__band.key"), col("docId"))
+      .as[(Int, String, Long)]
+      .groupByKey { case (band, key, _) => (band, key) }
+      .flatMapGroupsWithState[BucketState, NearDupCandidate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (bucket: (Int, String), rows: Iterator[(Int, String, Long)],
+         state: GroupState[BucketState]) =>
+          var s = state.getOption.getOrElse(BucketState(Vector.empty, 0L))
+          var ids = s.ids.toVector
+          var overflow = s.overflow
+          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupCandidate]
+          rows.foreach { case (band, _, id) =>
+            if (!ids.contains(id)) {
+              ids.foreach { prev =>
+                out += NearDupCandidate(math.min(prev, id), math.max(prev, id), band)
+              }
+              if (ids.length < maxBucket) ids = ids :+ id else overflow += 1
+            }
+          }
+          state.update(BucketState(ids, overflow))
+          out.iterator
+      }
+  }
 }

@@ -211,4 +211,35 @@ class StreamingSpec extends SparkSpec {
     val kept = spark.table("dd").select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 2L, 5L), s"kept $kept")
   }
+
+  test("streaming LSH near-dup candidates match the batch operator's pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      1L -> base,
+      2L -> base,                                    // exact dup of 1
+      3L -> base.replace("lazy", "sleepy"),          // near-dup of 1
+      4L -> "completely different words about spark structured streaming state",
+      5L -> "yet another unrelated document mentioning minhash banding buckets",
+      6L -> base.replace("today", "tomorrow"))       // near-dup of 1
+    val mem = MemoryStream[StreamingPanel.DocIn]
+    val out = StreamingPanel.streamingNearDupCandidates(
+      mem.toDS(), shingleSize = 3, numHashes = 16, rowsPerBand = 4)
+    val q = out.writeStream.format("memory").queryName("nd").outputMode("append").start()
+    // split across micro-batches: cross-batch pairs must still surface
+    mem.addData(docs.take(3).map { case (id, t) => StreamingPanel.DocIn(id, t) }: _*)
+    q.processAllAvailable()
+    mem.addData(docs.drop(3).map { case (id, t) => StreamingPanel.DocIn(id, t) }: _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("nd").select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sigs = graft.operators.Dedup.minhashSignatures(
+      docs.toDF("doc_id", "text"), "doc_id", "text", shingleSize = 3, numHashes = 16)
+    val batch = graft.operators.Dedup
+      .minhashCandidatePairs(sigs, "doc_id", numHashes = 16, rowsPerBand = 4)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == batch, s"stream $got vs batch $batch")
+    assert(batch.contains((1L, 2L)), "exact dup must collide")
+  }
 }
