@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.core.Panel
 import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, VectorAssembler}
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -90,6 +90,76 @@ object KnnForecaster {
       .groupBy("__qid").agg(avg(col("__label")).as(p.value))
     broadcast(qMeta)
       .join(topk, "__qid")
+      .withColumn("__h", lit(1))
+      .withColumn(timeCol, Forecasters.futureTime(freq))
+      .select((p.entityCols ++ Seq(col(timeCol), col(p.value))): _*)
+  }
+
+  /** IVF-cell variant — the Spark-first analog of the reference's
+    * Lance IVF ANN regressor (forecasting/lance.py:40-101): assign
+    * every training row and every query tail to its nearest of
+    * `nCells` sampled centroid rows (squared L2, ties → lowest cell),
+    * then search ONLY the query's cell. The centroid matrix is tiny
+    * (nCells × lags): collected once and inlined as literals, so cell
+    * assignment is a pure per-row argmin projection — no shuffle, no
+    * per-row join against the centroid set. The only shuffles left are
+    * the cell-key join and the per-query top-k. The centroid sample is
+    * pseudo-random but ENGINE-PORTABLE (ordered by md5 of the row's
+    * (entity, position) tag), which is what lets the DuckDB oracle
+    * reproduce the whole path. */
+  def predictOneStepIvf(p: Panel, timeCol: String, freq: String, lags: Int, k: Int,
+                        nCells: Int): DataFrame = {
+    val featureCols = (1 to lags).map(l => s"${p.value}__lag_$l")
+    // reduction WITH per-entity position (the deterministic row tag the
+    // portable centroid sample orders by)
+    val red = CrossValidation
+      .withPosition(p.copy(df = Preprocess.lagKeepAll(p, 1 to lags)))
+      .filter(col("__rn") > lags)
+    val tag = md5(concat_ws("_",
+      (p.entityCols :+ col("__rn")).map(_.cast("string")): _*).cast("binary"))
+    val centroids = red
+      .select((p.entityCols :+ col("__rn") :+ tag.as("__tag")) ++
+        featureCols.map(c => col(c).cast("double")): _*)
+      .orderBy((col("__tag") +: (p.entityCols :+ col("__rn"))): _*)
+      .limit(nCells)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) =>
+        (i, Array.tabulate(lags)(j => r.getDouble(p.entity.length + 2 + j)))
+      }
+    def dist(xs: Seq[Column], c: Array[Double]): Column =
+      xs.zip(c).map { case (x, cj) => (x - lit(cj)) * (x - lit(cj)) }
+        .reduce(_ + _)
+    // argmin over (distance, cell) structs = smallest distance, ties →
+    // lowest cell
+    def assign(df: DataFrame, xs: Seq[Column]): DataFrame = {
+      val scored = array(centroids.toIndexedSeq.map { case (cell, c) =>
+        struct(dist(xs, c).as("d"), lit(cell).as("c"))
+      }: _*)
+      df.withColumn("__cell", array_min(scored).getField("c"))
+    }
+    val corpus = assign(
+      red.select((p.entityCols :+ col("__rn") :+ col(p.value).cast("double").as("__label")) ++
+        featureCols.map(c => col(c).cast("double").as(c)): _*),
+      featureCols.map(col))
+    val queries = assign(queryTails(p, timeCol, lags)
+      .select((p.entityCols :+ col("__cutoff")) ++
+        (1 to lags).map(l => col(s"${p.value}__lag_$l").cast("double").as(s"__q$l")): _*),
+      (1 to lags).map(l => col(s"__q$l")))
+    val qRenamed = queries.select((p.entity.map(c => col(c).as(s"__qe_$c")) :+
+      col("__cutoff") :+ col("__cell")) ++ (1 to lags).map(l => col(s"__q$l")): _*)
+    val d = featureCols.zipWithIndex
+      .map { case (f, i) => (col(f) - col(s"__q${i + 1}")) * (col(f) - col(s"__q${i + 1}")) }
+      .reduce(_ + _)
+    val scored = broadcast(qRenamed).join(corpus, Seq("__cell"))
+      .withColumn("__d", d)
+    // deterministic top-k: distance, then the corpus row's identity
+    val w = Window.partitionBy(p.entity.map(c => col(s"__qe_$c")): _*)
+      .orderBy((col("__d") +: (p.entityCols :+ col("__rn"))): _*)
+    scored.withColumn("__nn", row_number().over(w))
+      .filter(col("__nn") <= k)
+      .groupBy(p.entity.map(c => col(s"__qe_$c").as(c)): _*)
+      .agg(avg(col("__label")).as(p.value), max(col("__cutoff")).as("__cutoff"))
       .withColumn("__h", lit(1))
       .withColumn(timeCol, Forecasters.futureTime(freq))
       .select((p.entityCols ++ Seq(col(timeCol), col(p.value))): _*)

@@ -640,6 +640,51 @@ object ConformalQueries {
       r6(AutoForecast.elite(ev(s, dir), "ts", "1d", fh = 3, topK = 2, nSplits = 2))
     },
 
+    // IVF ANN forecaster (the reference's Lance IVF regressor analog,
+    // forecasting/lance.py): portable md5-ordered centroid row sample,
+    // per-row argmin cell assignment, within-cell L2 top-5, mean label
+    "fc_ann" -> Q({
+      val cs = (1 to 7).map(j => s"f$j AS c$j").mkString(", ")
+      def dsql(a: String, b: String) =
+        (1 to 7).map(j => s"($a$j - $b$j) * ($a$j - $b$j)").mkString("(", " + ", ")")
+      s"""WITH ${OlsBacktestSql.lagdCte(7)},
+          red AS MATERIALIZED (SELECT * FROM lagd WHERE rn > 7),
+          cent AS MATERIALIZED (
+            SELECT rn2 - 1 AS cell, $cs FROM (
+              SELECT row_number() OVER (ORDER BY
+                       md5(user_id::VARCHAR || '_' || rn::VARCHAR), user_id, rn) AS rn2, *
+              FROM red) WHERE rn2 <= 8),
+          ca AS MATERIALIZED (
+            SELECT user_id, rn, label, f1, f2, f3, f4, f5, f6, f7, cell FROM (
+              SELECT r.user_id, r.rn, r.value AS label,
+                     r.f1, r.f2, r.f3, r.f4, r.f5, r.f6, r.f7, c.cell,
+                     row_number() OVER (PARTITION BY r.user_id, r.rn
+                       ORDER BY ${dsql("r.f", "c.c")}, c.cell) AS cr
+              FROM red r CROSS JOIN cent c) WHERE cr = 1),
+          tail AS (SELECT user_id, ts AS cutoff, value AS q1, f1 AS q2, f2 AS q3,
+                          f3 AS q4, f4 AS q5, f5 AS q6, f6 AS q7
+                   FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rd FROM lagd)
+                   WHERE rd = 1 AND f6 IS NOT NULL),
+          qa AS (SELECT user_id, cutoff, q1, q2, q3, q4, q5, q6, q7, cell FROM (
+              SELECT t.*, c.cell,
+                     row_number() OVER (PARTITION BY t.user_id
+                       ORDER BY ${dsql("t.q", "c.c")}, c.cell) AS cr
+              FROM tail t CROSS JOIN cent c) WHERE cr = 1),
+          topk AS (SELECT q_user, cutoff, label,
+                     row_number() OVER (PARTITION BY q_user ORDER BY d, n_user, n_rn) AS nn
+                   FROM (SELECT q.user_id AS q_user, q.cutoff, a.label,
+                                a.user_id AS n_user, a.rn AS n_rn,
+                                ${dsql("a.f", "q.q")} AS d
+                         FROM qa q JOIN ca a ON q.cell = a.cell))
+          SELECT q_user AS user_id, CAST(cutoff + INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                 round(avg(label), 6) AS value
+          FROM topk WHERE nn <= 5 GROUP BY q_user, cutoff"""
+    }) { (s, dir) =>
+      r6(KnnForecaster.predictOneStepIvf(ev(s, dir), "ts", "1d",
+        lags = 7, k = 5, nCells = 8))
+    },
+
     // exact KNN replicated: pooled AR-reduction training rows, squared
     // Euclidean distance to each entity's newest lag-tail (identical
     // left-to-right fold), top-5 by distance, mean label. Ties on
