@@ -37,14 +37,18 @@ object AutoForecast {
     * Returns the same schema as [[Conformal.backtest]]. */
   def backtestLinearPrefix(p: Panel, timeCol: String, lags: Int,
                            testSize: Int, nSplits: Int, stepSize: Int,
-                           ridge: Double = 0.0): DataFrame = {
+                           ridge: Double = 0.0,
+                           preAssembled: Option[DataFrame] = None): DataFrame = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val featureCols = (1 to lags).map(l => s"${p.value}__lag_$l")
-    val assembled = CrossValidation
+    // callers sweeping several lag counts can pass ONE positioned
+    // >=max-lag frame (caller owns its cache lifecycle) — the smaller
+    // candidates read their lag_1..lag_n columns from it unchanged
+    val assembled = preAssembled.getOrElse(CrossValidation
       .withPosition(p.copy(df = Preprocess.lagKeepAll(p, 1 to lags)))
-      .cache()
+      .cache())
     try {
     // the per-split OLS fits are independent actions over the shared
     // cached frame — run them as CONCURRENT Spark jobs (the scheduler
@@ -101,7 +105,7 @@ object AutoForecast {
       .select((p.entityCols ++ Seq(col(timeCol), col("split"),
         col("__actual").as("actual"), col("__pred").as("pred"))): _*)
       .localCheckpoint(eager = true)
-    } finally assembled.unpersist(blocking = false)
+    } finally if (preAssembled.isEmpty) assembled.unpersist(blocking = false)
   }
 
   /** Expanding-window backtest of the (seasonal-)naive forecaster with
@@ -239,12 +243,26 @@ object AutoForecast {
   def elite(p: Panel, timeCol: String, freq: String, fh: Int, topK: Int = 2,
             testSize: Int = 10, nSplits: Int = 3, stepSize: Int = 5): DataFrame = {
     val cached = p.copy(df = p.df.cache())
+    // ONE positioned 14-lag frame serves both linear candidates'
+    // backtests AND their full-data fits (lag_1..lag_7 of the 7-lag
+    // model are the same columns; its training rows are the same
+    // rn > lags filter) — was four separately built+cached lag frames
+    val maxLinLags = 14
+    val sharedLag = CrossValidation
+      .withPosition(cached.copy(df = Preprocess.lagKeepAll(cached, 1 to maxLinLags)))
+      .cache()
+    def fitLinearShared(lags: Int): LinearForecasterModel = {
+      val featureCols = (1 to lags).map(l => s"${p.value}__lag_$l")
+      val (b0, w) = graft.functions.Ols.fit(
+        sharedLag.filter(col("__rn") > lags), featureCols, p.value)
+      LinearForecasterModel(b0, w, lags, freq)
+    }
     try {
     val base: Seq[(String, (Panel, Int) => DataFrame)] = Seq(
       "naive" -> ((tr, h) => Forecasters.naive(tr, timeCol, h, freq)),
       "snaive" -> ((tr, h) => Forecasters.snaive(tr, timeCol, h, sp = 7, freq = freq)),
-      "linear_7" -> ((tr, h) => LinearForecaster.fit(tr, 7, freq).predict(tr, timeCol, h)),
-      "linear_14" -> ((tr, h) => LinearForecaster.fit(tr, 14, freq).predict(tr, timeCol, h)))
+      "linear_7" -> ((tr, h) => fitLinearShared(7).predict(tr, timeCol, h)),
+      "linear_14" -> ((tr, h) => fitLinearShared(14).predict(tr, timeCol, h)))
     // per-(entity, model) CV score; every candidate family shares one
     // positioned/lag pass across its splits (prefix property) — naive
     // and snaive backtests involve no fit at all, just position joins
@@ -259,7 +277,7 @@ object AutoForecast {
         case "snaive" => backtestNaivePrefix(cached, timeCol, 7, testSize, nSplits, stepSize)
         case n if n.startsWith("linear_") =>
           backtestLinearPrefix(cached, timeCol, n.stripPrefix("linear_").toInt,
-            testSize, nSplits, stepSize)
+            testSize, nSplits, stepSize, preAssembled = Some(sharedLag))
         case _ => Conformal.backtest(cached, timeCol, testSize, nSplits, stepSize, f)
       }
       backtestScore(bt, p.entity).withColumn("model", lit(name))
@@ -282,6 +300,9 @@ object AutoForecast {
       .groupBy((p.entityCols :+ col(timeCol)): _*)
       .agg(avg(col(p.value)).as(p.value))
       .localCheckpoint(eager = true)
-    } finally cached.df.unpersist(blocking = false)
+    } finally {
+      sharedLag.unpersist(blocking = false)
+      cached.df.unpersist(blocking = false)
+    }
   }
 }
