@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis operators for training-data pipelines: language ID,
@@ -75,6 +76,118 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))
       .cast("binary"))
+
+  /** Lowercased alphanumeric word tokens, one row per occurrence:
+    * (idCol, term). Pure flatMap — no shuffle; downstream aggregations
+    * choose the partitioning. */
+  def tokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("term"))
+      .filter(col("term") =!= "")
+
+  /** Per-document top-k terms by TF-IDF with sklearn TfidfTransformer
+    * smooth-idf semantics: idf = ln((1+N)/(1+df)) + 1 (reference has
+    * no retrieval surface; this is a training-data-pipeline extension
+    * — keyword extraction / doc representation).
+    *
+    * Scale shape: one shuffle on (doc, term) for tf (map-side combine
+    * bounds volume by distinct doc-terms), one vocab-bounded shuffle
+    * for df, then a broadcast of the df table (vocab-sized — for an
+    * unbounded 100 TB vocab swap the broadcast for a shuffle join on
+    * term) and a per-doc window for the top-k. tf/df/N are integers,
+    * so the score is a deterministic double on both engines and the
+    * (score desc, term asc) rank is cross-engine stable. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val tf = tokens(docs, idCol, textCol)
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(broadcast(dfT), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf") * (log((lit(1.0) + col("__n")) / (lit(1.0) + col("df"))) + 1.0))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("rnk"), col("term"), col("tfidf"))
+  }
+
+  /** BM25 ranked retrieval: score every document against a fixed term
+    * query (Robertson/Sparck-Jones idf, k1/b defaults per the
+    * classic Okapi setting), return the top-k docs.
+    *
+    * Determinism: per-term tf is a conditional count in ONE per-doc
+    * aggregation and the score is a FIXED-ORDER sum of per-term
+    * contributions (not a float sum over join rows, whose order an
+    * engine may permute) — all inputs are integers, so both engines
+    * produce bitwise-identical doubles and the (score desc, id asc)
+    * ranking is stable. Scale shape: one token shuffle on doc id, a
+    * scalar corpus-stats broadcast, and a global top-k (TakeOrdered —
+    * no full sort). Documents with zero alphanumeric tokens have no
+    * defined length and are excluded (they can't match any term). */
+  def bm25TopDocs(docs: DataFrame, idCol: String, textCol: String,
+                  query: Seq[String], k: Int,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val perDoc = tokens(docs, idCol, textCol).groupBy(col(idCol)).agg(
+      count(lit(1)).as("dl"),
+      query.map(t => sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$t")): _*)
+    val stats = perDoc.agg(avg(col("dl")).as("avgdl"),
+      (count(lit(1)).as("__n") +:
+        query.map(t => count_if(col(s"tf_$t") > 0).as(s"df_$t"))): _*)
+    val contribs = query.map { t =>
+      val tf = col(s"tf_$t").cast("double")
+      val idf = log(lit(1.0) + (col("__n") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5))
+      idf * tf * (k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    }
+    perDoc.crossJoin(broadcast(stats))
+      .withColumn("score", contribs.reduce(_ + _))
+      .filter(col("score") > 0.0)
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Casefolded, punctuation-stripped, space-collapsed text — the
+    * normalization shared by the trigram LM (and close to
+    * [[fingerprint]]'s, which additionally hashes). */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Character trigrams of the normalized text, one row per position:
+    * (idCol, tri). Docs shorter than 3 normalized chars are dropped. */
+  def charTrigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), normalized(col(textCol)).as("__c"))
+      .filter(length(col("__c")) >= 3)
+      .select(col(idCol),
+        explode(expr("transform(sequence(1, length(__c) - 2), i -> substr(__c, i, 3))")).as("tri"))
+
+  /** CCNet-style LM quality score: train an add-one-smoothed character
+    * trigram model ON the corpus itself, then score each document by
+    * its cross-entropy under that model (nats per trigram; lower =
+    * more "typical" text — the standard cheap proxy for LM perplexity
+    * filtering when no external model is available).
+    *
+    * logp(c|ab) = ln((C(abc)+1) / (C(ab·)+V)) with V=37 (a-z, 0-9,
+    * space). Scale shape: the model is bounded by alphabet³ ≈ 50k rows
+    * regardless of corpus size — counted with two vocab-bounded
+    * aggregations and then BROADCAST to the per-occurrence scoring
+    * join, so scoring is shuffle-free per row; the per-doc mean is one
+    * shuffle on doc id. */
+  def trigramCrossEntropy(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val tris = charTrigrams(docs, idCol, textCol)
+    val c3 = tris.groupBy("tri").agg(count(lit(1)).as("c3"))
+    val model = c3
+      .withColumn("__ctx", substring(col("tri"), 1, 2))
+      .withColumn("c2", sum(col("c3")).over(Window.partitionBy(col("__ctx"))))
+      .withColumn("logp", log((col("c3") + 1.0) / (col("c2") + 37.0)))
+      .select(col("tri"), col("logp"))
+    tris.join(broadcast(model), "tri")
+      .groupBy(col(idCol))
+      .agg((-avg(col("logp"))).as("cross_entropy"))
+  }
 
   /** All text-quality columns at once over a documents frame. */
   def analyze(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -422,6 +422,68 @@ object PipelineQueries {
           TextAnalysis.fingerprint(col("text")).as("fingerprint"))
     },
 
+    // per-doc top-3 TF-IDF terms (sklearn smooth-idf). tf/df/N are
+    // integers so the score doubles are bitwise cross-engine and the
+    // (score desc, term asc) rank is stable.
+    "t_tfidf" -> Q(
+      """WITH toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2),
+         dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         scored AS (SELECT tf.doc_id, tf.term,
+             tf.tf * (ln((1.0 + n.n) / (1.0 + dft.df)) + 1.0) AS tfidf
+           FROM tf JOIN dft USING (term) CROSS JOIN n),
+         ranked AS (SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rnk, term, tfidf FROM scored)
+         SELECT doc_id, rnk, term, round(tfidf, 6) AS tfidf FROM ranked WHERE rnk <= 3""") {
+      (s, dir) =>
+        r6(TextAnalysis.tfidfTopTerms(tbl(s, dir, "documents"), "doc_id", "text", 3))
+    },
+
+    // BM25 top-10 docs for the fixed query {join, hash, scan}. The
+    // score is a FIXED-ORDER sum of per-term contributions over
+    // integer tf/df/dl — bitwise identical on both engines, so the
+    // global top-k (TakeOrdered, no full sort) is stable.
+    "t_bm25" -> Q(
+      """WITH toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term FROM documents),
+         perdoc AS (SELECT doc_id, count(*) AS dl,
+             sum(CASE WHEN term = 'join' THEN 1 ELSE 0 END) AS tf_join,
+             sum(CASE WHEN term = 'hash' THEN 1 ELSE 0 END) AS tf_hash,
+             sum(CASE WHEN term = 'scan' THEN 1 ELSE 0 END) AS tf_scan
+           FROM toks WHERE term <> '' GROUP BY 1),
+         stats AS (SELECT avg(dl) AS avgdl, count(*) AS n,
+             sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+             sum(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS df_hash,
+             sum(CASE WHEN tf_scan > 0 THEN 1 ELSE 0 END) AS df_scan
+           FROM perdoc),
+         scored AS (SELECT doc_id,
+             ln(1.0 + (n - df_join + 0.5) / (df_join + 0.5)) * CAST(tf_join AS DOUBLE) * (1.2 + 1.0) / (CAST(tf_join AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+           + ln(1.0 + (n - df_hash + 0.5) / (df_hash + 0.5)) * CAST(tf_hash AS DOUBLE) * (1.2 + 1.0) / (CAST(tf_hash AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+           + ln(1.0 + (n - df_scan + 0.5) / (df_scan + 0.5)) * CAST(tf_scan AS DOUBLE) * (1.2 + 1.0) / (CAST(tf_scan AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) AS score
+           FROM perdoc CROSS JOIN stats)
+         SELECT doc_id, round(score, 6) AS score FROM scored
+         WHERE score > 0.0 ORDER BY score DESC, doc_id ASC LIMIT 10""") {
+      (s, dir) =>
+        r6(TextAnalysis.bm25TopDocs(tbl(s, dir, "documents"), "doc_id", "text",
+          Seq("join", "hash", "scan"), 10))
+    },
+
+    // CCNet-style trigram-LM cross-entropy quality score, model
+    // trained on the corpus itself (alphabet³-bounded → broadcast).
+    "t_ngram_lm" -> Q(
+      """WITH cleaned AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS c FROM documents),
+         tris AS (SELECT doc_id, substring(c, CAST(i AS INTEGER), 3) AS tri
+                  FROM cleaned, unnest(generate_series(1, len(c) - 2)) AS t(i)
+                  WHERE len(c) >= 3),
+         c3 AS (SELECT tri, count(*) AS c3 FROM tris GROUP BY 1),
+         model AS (SELECT tri, ln((c3 + 1.0) / (sum(c3) OVER (PARTITION BY substring(tri, 1, 2)) + 37.0)) AS logp FROM c3)
+         SELECT doc_id, round(-avg(logp), 6) AS cross_entropy
+         FROM tris JOIN model USING (tri) GROUP BY 1""") {
+      (s, dir) =>
+        r6(TextAnalysis.trigramCrossEntropy(tbl(s, dir, "documents"), "doc_id", "text"))
+    },
+
     // ----- similarity search -----
     "s_cosine_topk" -> Q(
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

@@ -116,6 +116,55 @@ class PipelineSpec extends SparkSpec {
     assert(tc.toSeq == Seq(6, 6))
   }
 
+  test("tfidf ranks a doc-specific rare term above corpus-wide terms") {
+    val d = Seq(
+      (0L, "spark spark spark zebra"),
+      (1L, "spark engine engine"),
+      (2L, "spark engine query")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(d, "doc_id", "text", 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    // doc 0: "zebra" df=1 idf=ln(4/2)+1; "spark" df=3 idf=ln(4/4)+1=1, tf=3
+    // tfidf(zebra)=1.693 < tfidf(spark)=3 -> spark first, zebra second
+    assert(top((0L, 1)) == "spark" && top((0L, 2)) == "zebra")
+    // doc 1: engine tf=2 idf=ln(4/3)+1 ≈ 2.575 beats spark tf=1 idf=1
+    assert(top((1L, 1)) == "engine")
+    // sklearn smooth-idf value check: tf * (ln((1+N)/(1+df)) + 1)
+    val z = TextAnalysis.tfidfTopTerms(d, "doc_id", "text", 2)
+      .filter(col("term") === "zebra").select("tfidf").collect()(0).getDouble(0)
+    assert(math.abs(z - (math.log(4.0 / 2.0) + 1.0)) < 1e-12)
+  }
+
+  test("bm25 ranks by query-term relevance with length normalization") {
+    val d = Seq(
+      (0L, "join join join hash scan sort sort sort sort sort sort sort sort"), // long, 3 hits of join
+      (1L, "join hash scan"), // short, one of each
+      (2L, "sort merge exchange broadcast"), // no query terms
+      (3L, "join join hash")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopDocs(d, "doc_id", "text",
+      Seq("join", "hash", "scan"), 10).collect().map(_.getLong(0))
+    // doc 2 has no query terms -> excluded; short all-terms doc 1 wins
+    // (length normalization beats raw tf)
+    assert(!got.contains(2L))
+    assert(got.head == 1L && got.length == 3)
+  }
+
+  test("trigram-LM cross-entropy separates typical from atypical docs") {
+    val common = "the cat sat on the mat near the hat"
+    val d = (0L to 7L).map(i => (i, common)) :+ (8L, "zxqj vwkp qqzz xjvw") :+
+      (9L, common)
+    val ce = TextAnalysis.trigramCrossEntropy(d.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // gibberish doc draws rare trigrams -> higher cross-entropy
+    assert(ce(8L) > ce(0L) + 0.5, s"gibberish ${ce(8L)} vs typical ${ce(0L)}")
+    assert(ce(0L) == ce(9L)) // identical docs score identically
+    // docs shorter than 3 normalized chars are dropped, not errors
+    val tiny = TextAnalysis.trigramCrossEntropy(
+      Seq((0L, "ab"), (1L, common)).toDF("doc_id", "text"), "doc_id", "text")
+    assert(tiny.count() == 1L)
+  }
+
   test("shingles of short docs are empty, not an error") {
     val d = Seq((0L, "one two")).toDF("doc_id", "text")
     assert(d.select(size(Dedup.shingles(col("text"), 3))).collect()(0).getInt(0) == 0)
