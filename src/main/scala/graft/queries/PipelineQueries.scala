@@ -144,6 +144,24 @@ object PipelineQueries {
           .select("user_id", "event_id", "n_in_band")
     },
 
+    // salted equi-join (hot-key mitigation: probe side salted on
+    // event_id, per-user dim replicated 8x, join on key+salt) —
+    // row-identical to the plain join, so the oracle IS the plain join
+    "j_salted_join" -> Q(
+      """WITH ua AS (SELECT user_id, avg(value) AS user_avg FROM events GROUP BY 1)
+         SELECT e.user_id, count(*) AS n_events,
+                round(max(abs(e.value - ua.user_avg)), 6) AS max_dev
+         FROM events e JOIN ua USING (user_id)
+         GROUP BY e.user_id""") {
+      (s, dir) =>
+        val evts = tbl(s, dir, "events").select("user_id", "event_id", "value")
+        val ua = evts.groupBy("user_id").agg(avg(col("value")).as("user_avg"))
+        r6(graft.operators.Skew.saltedJoin(evts, ua, Seq("user_id"), 8, col("event_id"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            max(abs(col("value") - col("user_avg"))).as("max_dev")))
+    },
+
     // gap-based sessionization (30-min timeout) + per-session stats —
     // pure window algebra, one entity shuffle; floor-epoch seconds on
     // both sides (DuckDB CAST rounds, Spark truncates)
