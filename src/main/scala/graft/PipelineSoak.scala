@@ -62,6 +62,17 @@ object PipelineSoak {
       pairs
     }
 
+    time("tfidf top-3 terms per doc", nDocs) {
+      TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 3).count()
+    }
+    time("bm25 top-10 docs (3-term query)", nDocs) {
+      TextAnalysis.bm25TopDocs(docs, "doc_id", "text",
+        Seq("w1", "w42", "w999"), 10).count()
+    }
+    time("trigram-LM cross-entropy (corpus-trained)", nDocs) {
+      TextAnalysis.trigramCrossEntropy(docs, "doc_id", "text").count()
+    }
+
     val vecs = spark.range(nVecs).select(col("id").as("vec_id"),
       transform(sequence(lit(1), lit(64)),
         i => (pmod(xxhash64(col("id"), i), lit(997)).cast("double") / 997).cast("float"))

@@ -30,6 +30,8 @@ object PlanAudit {
       "s_ann_ivf", "d_neardup_groups",           // round 3: IVF argmax projection; LSH→components
       "j_asof_backward", "j_range_band",         // custom joins
       "j_sessionize",                            // gap sessionization window algebra
+      "j_salted_join",                           // hot-key salted join
+      "t_tfidf", "t_bm25", "t_ngram_lm",         // retrieval / LM scoring
       "fc_naive", "fc_knn", "m_score_backtest")  // forecast scaffolds + broadcast KNN
     picks.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)

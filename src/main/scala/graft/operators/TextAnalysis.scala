@@ -77,11 +77,23 @@ object TextAnalysis {
     md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))
       .cast("binary"))
 
+  /** Spread a small-file scan across the cluster before a row-
+    * multiplying explode: a corpus that fits one parquet row group
+    * arrives as ONE partition, serializing the explode on a single
+    * core. Only fires when the scan under-partitions (at 100 TB the
+    * input already has thousands of splits and this is a no-op). */
+  private def parallelized(docs: DataFrame, idCol: String): DataFrame = {
+    val target = docs.sparkSession.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions < target) docs.repartition(target, col(idCol))
+    else docs
+  }
+
   /** Lowercased alphanumeric word tokens, one row per occurrence:
     * (idCol, term). Pure flatMap — no shuffle; downstream aggregations
     * choose the partitioning. */
   def tokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("term"))
+    parallelized(docs, idCol)
+      .select(col(idCol), explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("term"))
       .filter(col("term") =!= "")
 
   /** Per-document top-k terms by TF-IDF with sklearn TfidfTransformer
@@ -158,7 +170,8 @@ object TextAnalysis {
   /** Character trigrams of the normalized text, one row per position:
     * (idCol, tri). Docs shorter than 3 normalized chars are dropped. */
   def charTrigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), normalized(col(textCol)).as("__c"))
+    parallelized(docs, idCol)
+      .select(col(idCol), normalized(col(textCol)).as("__c"))
       .filter(length(col("__c")) >= 3)
       .select(col(idCol),
         explode(expr("transform(sequence(1, length(__c) - 2), i -> substr(__c, i, 3))")).as("tri"))
