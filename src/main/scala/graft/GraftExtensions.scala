@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.ArrayDotProduct
+import graft.functions.{ArrayDotProduct, CharNGrams}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -24,6 +24,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "array_dot takes exactly 2 arguments")
         ArrayDotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("char_ngrams"),
+      new ExpressionInfo(classOf[CharNGrams].getName, "char_ngrams"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "char_ngrams takes exactly 2 arguments")
+        CharNGrams(children.head, children(1))
       }))
   }
 }

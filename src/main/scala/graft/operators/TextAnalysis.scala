@@ -174,7 +174,7 @@ object TextAnalysis {
       .select(col(idCol), normalized(col(textCol)).as("__c"))
       .filter(length(col("__c")) >= 3)
       .select(col(idCol),
-        explode(expr("transform(sequence(1, length(__c) - 2), i -> substr(__c, i, 3))")).as("tri"))
+        explode(graft.functions.CharNGrams.ngrams(col("__c"), 3)).as("tri"))
 
   /** CCNet-style LM quality score: train an add-one-smoothed character
     * trigram model ON the corpus itself, then score each document by
