@@ -88,6 +88,10 @@ object PipelineSoak {
       Similarity.ivfTopK(vecs.filter(col("vec_id") < 32), vecs,
         "vec_id", "embedding", k = 10, nCells = 16).count()
     }
+    time("PQ compress (4x16d, 8 cents) + ADC top-10 for 32 queries", nVecs.toLong * 32) {
+      Similarity.pqTopK(vecs.filter(col("vec_id") < 32), vecs,
+        "vec_id", "embedding", k = 10, m = 4, kCent = 8).count()
+    }
     spark.stop()
   }
 }

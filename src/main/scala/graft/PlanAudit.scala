@@ -28,6 +28,7 @@ object PlanAudit {
       "f_linear_trend", "p_roll",                // window/agg features
       "s_cosine_topk", "d_minhash_lsh",          // pipeline extensions
       "s_ann_ivf", "d_neardup_groups",           // round 3: IVF argmax projection; LSH→components
+      "s_ann_pq",                                // PQ compress + ADC lookup ranking
       "j_asof_backward", "j_range_band",         // custom joins
       "j_sessionize",                            // gap sessionization window algebra
       "j_salted_join",                           // hot-key salted join

@@ -104,4 +104,85 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select("q_id", "rnk", "n_id", "sim")
   }
+
+  // ----- product quantization (the 100 TB embedding-compression path) -----
+
+  /** PQ codebooks [subspace][centroid][subDim]: `k` whole vectors
+    * drawn by the same engine-portable md5-ordered sample as
+    * [[ivfTopK]], sliced into `m` contiguous subspaces. A sampled
+    * codebook (no Lloyd refinement) keeps the construction
+    * deterministic and oracle-replicable; swap in per-subspace k-means
+    * when fidelity matters more than replayability. */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                  m: Int, k: Int): Array[Array[Array[Double]]] = {
+    val sample = corpus.select(col(idCol), col(vecCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+      .limit(k)
+      .collect()
+    require(sample.length == k, s"corpus smaller than $k codebook entries")
+    val dim = sample.head.getSeq[Float](1).length
+    require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
+    val sub = dim / m
+    Array.tabulate(m, k) { (mi, j) =>
+      sample(j).getSeq[Float](1).slice(mi * sub, (mi + 1) * sub)
+        .map(_.toDouble).toArray
+    }
+  }
+
+  /** Compress each vector to `m` small codes: per subspace, the argmin
+    * centroid under L2 (ties → lowest index). 64 f32 dims at m=4
+    * become 4 bytes — 64× smaller — and compression is a pure per-row
+    * argmin projection over inlined centroid literals: no shuffle, no
+    * join, scales linearly over a 100 TB embedding scan. The xᵀx term
+    * is constant per (row, subspace) so the argmin metric is
+    * -2·x·c + cᵀc. */
+  def pqCompress(corpus: DataFrame, idCol: String, vecCol: String,
+                 cb: Array[Array[Array[Double]]]): DataFrame = {
+    val m = cb.length
+    val k = cb(0).length
+    val sub = cb(0)(0).length
+    val codes = (0 until m).map { mi =>
+      val xsub = slice(col(vecCol), mi * sub + 1, sub)
+      val scored = array((0 until k).map { j =>
+        val c = cb(mi)(j)
+        val cnorm = c.map(x => x * x).sum
+        struct((dot(xsub, lit(c)) * -2.0 + cnorm).as("d"), lit(j).as("j"))
+      }: _*)
+      array_min(scored).getField("j").as(s"code_$mi")
+    }
+    corpus.select((col(idCol).as("n_id")) +: codes: _*)
+  }
+
+  /** PQ ANN top-k via asymmetric distance computation (ADC): each
+    * query precomputes ONE m×k distance table (query-sub to every
+    * centroid, full L2²), then every query-code pair costs just m
+    * table lookups + m-1 adds — never touching the original corpus
+    * floats. The compressed code table is the only corpus-sized input:
+    * the scan that feeds the ranking is 64× narrower than the raw
+    * embedding column. Approximation = distance to the RECONSTRUCTED
+    * corpus vector; ranked ascending (ties → lowest neighbor id). */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int = 4, kCent: Int = 8): DataFrame = {
+    val cb = pqCodebooks(corpus, idCol, vecCol, m, kCent)
+    val sub = cb(0)(0).length
+    val codes = pqCompress(corpus, idCol, vecCol, cb)
+    val qt = (0 until m).foldLeft(
+      queries.select(col(idCol).as("q_id"), col(vecCol).as("__qv"))) { (d, mi) =>
+      val qsub = slice(col("__qv"), mi * sub + 1, sub)
+      d.withColumn(s"__t_$mi", array((0 until kCent).map { j =>
+        val c = cb(mi)(j)
+        val cnorm = c.map(x => x * x).sum
+        dot(qsub, qsub) + cnorm - dot(qsub, lit(c)) * 2.0
+      }: _*))
+    }.drop("__qv")
+    val adist = (0 until m)
+      .map(mi => element_at(col(s"__t_$mi"), col(s"code_$mi") + 1))
+      .reduce(_ + _)
+    codes.join(broadcast(qt), col("q_id") =!= col("n_id"))
+      .withColumn("adist", adist)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("n_id"))))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "n_id", "adist")
+  }
 }

@@ -14,6 +14,13 @@ object PipelineQueries {
   private def dotSql(a: String, b: String, dim: Int = 64): String =
     (1 to dim).map(i => s"$a[$i]::DOUBLE * $b[$i]::DOUBLE").mkString("(", " + ", ")")
 
+  /** Subspace-mi slice dot (dims mi·sub+1 .. (mi+1)·sub), unrolled in
+    * the same sequential fold order as the native ArrayDotProduct on
+    * a Spark `slice()` — the PQ oracle building block. */
+  private def subDotSql(a: String, b: String, mi: Int, sub: Int = 16): String =
+    (mi * sub + 1 to (mi + 1) * sub)
+      .map(i => s"$a[$i]::DOUBLE * $b[$i]::DOUBLE").mkString("(", " + ", ")")
+
   /** Shingle + MinHash signature CTEs over `documents`: 3-shingles
     * from a once-per-doc word split (inlining the regexp split into
     * the shingle lambda re-splits per shingle — O(words²), ~11 s at
@@ -548,6 +555,48 @@ object PipelineQueries {
       val emb = tbl(s, dir, "embeddings")
       r6(Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
         k = 5, nCells = 16))
+    },
+
+    // PQ ANN replicated end-to-end: md5-ordered 8-vector codebook
+    // sample sliced into 4×16-dim subspaces, per-subspace argmin code
+    // assignment (metric -2·x·c + cᵀc, ties → lowest index), ADC
+    // distance to the reconstruction — every double in the same fold
+    // order as the native ArrayDotProduct loop, so ranks are stable
+    "s_ann_pq" -> Q({
+      val asgs = (0 until 4).map { mi =>
+        s"""asg$mi AS (SELECT vec_id, j AS code_$mi FROM (
+              SELECT e.vec_id, c.j,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY ${subDotSql("e.embedding", "c.cv", mi)} * -2 + ${subDotSql("c.cv", "c.cv", mi)}, c.j) AS r
+              FROM embeddings e CROSS JOIN cent c) WHERE r = 1)"""
+      }
+      val terms = (0 until 4).map { mi =>
+        s"""((${subDotSql("q.qv", "q.qv", mi)} + ${subDotSql(s"c$mi.cv", s"c$mi.cv", mi)}) - 2 * ${subDotSql("q.qv", s"c$mi.cv", mi)})"""
+      }
+      val centJoins = (0 until 4)
+        .map(mi => s"JOIN cent c$mi ON c$mi.j = n.code_$mi").mkString(" ")
+      s"""WITH cent AS (
+            SELECT rn - 1 AS j, cv FROM (
+              SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS rn,
+                     embedding AS cv
+              FROM embeddings) WHERE rn <= 8),
+          ${asgs.mkString(", ")},
+          codes AS (SELECT a0.vec_id AS n_id, code_0, code_1, code_2, code_3
+                    FROM asg0 a0 JOIN asg1 a1 ON a0.vec_id = a1.vec_id
+                         JOIN asg2 a2 ON a0.vec_id = a2.vec_id
+                         JOIN asg3 a3 ON a0.vec_id = a3.vec_id),
+          q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+          pairs AS (SELECT q.q_id, n.n_id,
+                      ${terms.mkString(" + ")} AS adist
+                    FROM q JOIN codes n ON q.q_id <> n.n_id $centJoins)
+          SELECT q_id, rnk, n_id, round(adist, 6) AS adist FROM (
+            SELECT q_id, n_id, adist,
+                   row_number() OVER (PARTITION BY q_id ORDER BY adist, n_id) AS rnk
+            FROM pairs) WHERE rnk <= 5"""
+    }) { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      r6(Similarity.pqTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+        k = 5, m = 4, kCent = 8))
     },
 
     // ----- multimodal plumbing (decode stubbed; see Multimodal docs) -----

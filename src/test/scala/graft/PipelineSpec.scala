@@ -116,6 +116,30 @@ class PipelineSpec extends SparkSpec {
     assert(tc.toSeq == Seq(6, 6))
   }
 
+  test("PQ codes are m small ints; ADC ranking finds the planted cluster") {
+    // 40 vectors in 4 tight clusters of 10 (cluster centers far apart,
+    // small deterministic jitter): PQ with a sampled codebook must
+    // put a query's own-cluster members ahead of other clusters
+    val vecs = SparkSpec.session.range(40).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(64)), i =>
+        ((col("id") % 4) * 100.0 +
+          pmod(xxhash64(col("id"), i), lit(17)).cast("double") / 17.0).cast("float"))
+        .as("embedding"))
+    val cb = Similarity.pqCodebooks(vecs, "vec_id", "embedding", m = 4, k = 8)
+    assert(cb.length == 4 && cb(0).length == 8 && cb(0)(0).length == 16)
+    val codes = Similarity.pqCompress(vecs, "vec_id", "embedding", cb).collect()
+    assert(codes.forall(r => (0 until 4).forall { mi =>
+      val c = r.getInt(mi + 1); c >= 0 && c < 8 }))
+    val top = Similarity.pqTopK(vecs.filter(col("vec_id") < 4), vecs,
+      "vec_id", "embedding", k = 9, m = 4, kCent = 8).collect()
+    // every retrieved neighbor of query q is from q's own cluster
+    // (vec_id % 4 == q % 4) — reconstruction error is far smaller than
+    // the inter-cluster distance
+    assert(top.length == 4 * 9)
+    assert(top.forall(r => r.getLong(2) % 4 == r.getLong(0) % 4),
+      "PQ retrieved a cross-cluster neighbor")
+  }
+
   test("tfidf ranks a doc-specific rare term above corpus-wide terms") {
     val d = Seq(
       (0L, "spark spark spark zebra"),
