@@ -253,6 +253,36 @@ object Dedup {
     * threshold, bucketed by LSH to avoid the full cross join at scale
     * (see [[Similarity.randomHyperplaneBuckets]]). Brute-force within
     * bucket. */
+  /** Cross-document duplicated-substring signal (the per-doc scoring
+    * face of exact substring dedup, Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better"): slide a `span`-char
+    * window over the normalized text and report, per doc, the fraction
+    * of window occurrences whose window also appears in ANOTHER doc.
+    *
+    * Windows shuffle as portable 48-bit md5 halves (8 bytes, not
+    * `span` chars — 4-8× narrower shuffle; the same hash family the
+    * MinHash/multimodal oracles replicate in SQL). The groupBy over
+    * distinct windows is the scale cost — the classic exact approach;
+    * production substring dedup at 100 TB swaps it for suffix-array /
+    * Bloom prefiltering, which changes recall, not this signal's
+    * semantics. */
+  def duplicatedSpanRatio(docs: DataFrame, idCol: String, textCol: String,
+                          span: Int = 32): DataFrame = {
+    val wins = TextAnalysis.parallelized(docs, idCol)
+      .select(col(idCol), TextAnalysis.normalized(col(textCol)).as("__c"))
+      .filter(length(col("__c")) >= span)
+      .select(col(idCol),
+        explode(graft.functions.CharNGrams.ngrams(col("__c"), span)).as("__w"))
+      .select(col(idCol),
+        conv(substring(md5(col("__w").cast("binary")), 1, 12), 16, 10)
+          .cast("long").as("__h"))
+    val dfw = wins.groupBy("__h").agg(count_distinct(col(idCol)).as("__nd"))
+    wins.join(dfw, "__h")
+      .groupBy(col(idCol))
+      .agg((sum(when(col("__nd") >= 2, 1L).otherwise(0L)).cast("double") /
+        count(lit(1)).cast("double")).as("dup_span_frac"))
+  }
+
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
                         planes: Int, threshold: Double, seed: Long = 42L): DataFrame = {
     val bucketed = Similarity.randomHyperplaneBuckets(emb, vecCol, planes, seed)

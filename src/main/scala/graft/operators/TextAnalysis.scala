@@ -82,7 +82,7 @@ object TextAnalysis {
     * arrives as ONE partition, serializing the explode on a single
     * core. Only fires when the scan under-partitions (at 100 TB the
     * input already has thousands of splits and this is a no-op). */
-  private def parallelized(docs: DataFrame, idCol: String): DataFrame = {
+  private[operators] def parallelized(docs: DataFrame, idCol: String): DataFrame = {
     val target = docs.sparkSession.sparkContext.defaultParallelism
     if (docs.rdd.getNumPartitions < target) docs.repartition(target, col(idCol))
     else docs
@@ -200,6 +200,31 @@ object TextAnalysis {
     tris.join(broadcast(model), "tri")
       .groupBy(col(idCol))
       .agg((-avg(col("logp"))).as("cross_entropy"))
+  }
+
+  /** Gopher-style within-document repetition signals (Rae et al. 2021
+    * §A1.1: "duplicate n-gram fraction" quality filters): per doc, the
+    * fraction of word-bigram occurrences that are repeats
+    * (1 − distinct/total) and the share of the single most frequent
+    * bigram. Docs with < 2 tokens have no bigrams and are dropped.
+    * All-integer inputs → deterministic ratios on any engine. Shape:
+    * one (doc, bigram) shuffle with map-side combine, then a per-doc
+    * aggregation — no joins. */
+  def repetitionSignals(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val bg = parallelized(docs, idCol)
+      .select(col(idCol),
+        filter(split(lower(col(textCol)), "[^a-z0-9]+"), x => x =!= "").as("__w"))
+      .filter(size(col("__w")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(__w) - 1)," +
+          " i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1)))")).as("bg"))
+    bg.groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(
+        ((sum(col("c")) - count(lit(1))).cast("double") /
+          sum(col("c")).cast("double")).as("dup_bigram_frac"),
+        (max(col("c")).cast("double") /
+          sum(col("c")).cast("double")).as("top_bigram_frac"))
   }
 
   /** All text-quality columns at once over a documents frame. */

@@ -494,6 +494,43 @@ object PipelineQueries {
           Seq("join", "hash", "scan"), 10))
     },
 
+    // Gopher-style within-doc repetition signals: duplicate word-
+    // bigram fraction + top-bigram share (all-integer inputs →
+    // deterministic ratios)
+    "t_repetition" -> Q(
+      """WITH w AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
+           FROM documents),
+         bg AS (SELECT doc_id, ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER) + 1] AS bg
+                FROM w, unnest(generate_series(1, len(ws) - 1)) t(i)
+                WHERE len(ws) >= 2),
+         pb AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2)
+         SELECT doc_id,
+                round(CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS dup_bigram_frac,
+                round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_bigram_frac
+         FROM pb GROUP BY 1""") {
+      (s, dir) =>
+        r6(TextAnalysis.repetitionSignals(tbl(s, dir, "documents"), "doc_id", "text"))
+    },
+
+    // cross-doc duplicated 32-char-span fraction (exact substring-
+    // dedup signal); windows shuffle as portable md5-half hashes so
+    // the oracle replays the identical pipeline
+    "d_substring_dup" -> Q(
+      s"""WITH cleaned AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS c FROM documents),
+          wins AS (SELECT doc_id, md5(substring(c, CAST(i AS INTEGER), 32)) AS mh
+                   FROM cleaned, unnest(generate_series(1, len(c) - 31)) t(i)
+                   WHERE len(c) >= 32),
+          hs AS (SELECT doc_id, ${hex12ToLongSql("mh")} AS h FROM wins),
+          dfw AS (SELECT h, count(DISTINCT doc_id) AS nd FROM hs GROUP BY 1)
+          SELECT doc_id,
+                 round(CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) /
+                       CAST(count(*) AS DOUBLE), 6) AS dup_span_frac
+          FROM hs JOIN dfw USING (h) GROUP BY 1""") {
+      (s, dir) =>
+        r6(Dedup.duplicatedSpanRatio(tbl(s, dir, "documents"), "doc_id", "text", span = 32))
+    },
+
     // CCNet-style trigram-LM cross-entropy quality score, model
     // trained on the corpus itself (alphabet³-bounded → broadcast).
     "t_ngram_lm" -> Q(

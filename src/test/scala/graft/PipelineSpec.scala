@@ -189,6 +189,31 @@ class PipelineSpec extends SparkSpec {
     assert(tiny.count() == 1L)
   }
 
+  test("repetition signals: looped text scores high, varied text low") {
+    val d = Seq(
+      (0L, "spam spam spam spam spam spam"),              // one bigram repeated 5x
+      (1L, "one two three four five six seven"),          // all bigrams distinct
+      (2L, "x")                                           // <2 tokens -> dropped
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got(0L) == ((0.8, 1.0)))  // 5 occurrences, 1 distinct
+    assert(got(1L) == ((0.0, 1.0 / 6.0)))
+    assert(!got.contains(2L))
+  }
+
+  test("duplicated-span ratio separates copied docs from unique ones") {
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val d = Seq(
+      (0L, shared), (1L, shared),                         // full copies of each other
+      (2L, "completely unrelated content that appears nowhere else in corpus x")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpanRatio(d, "doc_id", "text", span = 32).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(0L) == 1.0 && got(1L) == 1.0) // every span shared
+    assert(got(2L) == 0.0)                   // no span appears elsewhere
+  }
+
   test("shingles of short docs are empty, not an error") {
     val d = Seq((0L, "one two")).toDF("doc_id", "text")
     assert(d.select(size(Dedup.shingles(col("text"), 3))).collect()(0).getInt(0) == 0)
