@@ -232,6 +232,25 @@ object StreamingPanel {
   }
 
   /** One streaming document. */
+  /** Streaming document quality gate: score each arriving doc with the
+    * SAME batch column expressions (token count, quality score,
+    * language id, trigram-free heuristics are all pure per-row algebra
+    * — no state, no watermark needed) and keep those passing the
+    * thresholds. The filter is identical to running
+    * [[graft.operators.TextAnalysis.analyze]] + filter in batch: one
+    * definition, two runtimes. */
+  def streamingQualityGate(docs: DataFrame, idCol: String, textCol: String,
+                           minQuality: Double = 0.3, minTokens: Int = 5,
+                           lang: Option[String] = None): DataFrame = {
+    import graft.operators.TextAnalysis
+    val scored = docs.withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
+      .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
+    val base = scored.filter(col("quality") >= minQuality &&
+      col("n_tokens") >= minTokens)
+    lang.fold(base)(l => base.filter(col("lang_pred") === l))
+  }
+
   final case class DocIn(docId: Long, text: String)
 
   /** One incrementally-detected LSH candidate pair (a < b), tagged

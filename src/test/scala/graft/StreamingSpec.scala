@@ -212,6 +212,32 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 5L), s"kept $kept")
   }
 
+  test("streaming quality gate keeps exactly the docs the batch filter keeps") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "the cat and the dog sat in the garden of the old house by the sea",
+      2L -> "!!! ??? *** $$$ %%%",                  // punctuation soup → low quality
+      3L -> "short",                                // too few tokens
+      4L -> "the engine reads the table and the filter is pushed to the scan layer")
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingPanel.streamingQualityGate(
+      mem.toDF.toDF("doc_id", "text"), "doc_id", "text",
+      minQuality = 0.2, minTokens = 5, lang = Some("en"))
+    val q = out.writeStream.format("memory").queryName("qg").outputMode("append").start()
+    mem.addData(docs.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(docs.drop(2): _*)
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("qg").select("doc_id").collect().map(_.getLong(0)).toSet
+    // the SAME expressions run in batch pick the same survivors
+    val batchKept = StreamingPanel.streamingQualityGate(
+      docs.toDF("doc_id", "text"), "doc_id", "text",
+      minQuality = 0.2, minTokens = 5, lang = Some("en"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == batchKept && kept == Set(1L, 4L), s"stream $kept vs batch $batchKept")
+  }
+
   test("streaming LSH near-dup candidates match the batch operator's pairs") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
