@@ -283,6 +283,38 @@ object Dedup {
         count(lit(1)).cast("double")).as("dup_span_frac"))
   }
 
+  /** Benchmark decontamination (Lee et al. / GPT-3 appendix style):
+    * for each training doc, the fraction of its DISTINCT word n-grams
+    * that also occur anywhere in the evaluation corpus. Docs shorter
+    * than n words score 0 (nothing to leak).
+    *
+    * Scale shape: both sides shingle with the shared split-once rows
+    * path (no O(words²) lambda); the eval side reduces to a distinct
+    * n-gram set, which for a benchmark suite is tiny next to 100 TB of
+    * training data — so it broadcasts and the training side is ONE
+    * map-side hash-join pass plus a per-doc aggregation on the
+    * already-doc-partitioned rows. Set broadcastEval=false to fall
+    * back to a shuffle join when the eval corpus is itself huge. */
+  def decontaminationScores(train: DataFrame, eval: DataFrame, idCol: String,
+                            textCol: String, n: Int = 5,
+                            threshold: Double = 0.5,
+                            broadcastEval: Boolean = true): DataFrame = {
+    val trainG = shingleRows(train, idCol, textCol, n)
+      .select(col(idCol), col("__sh")).distinct()
+    val evalG0 = shingleRows(eval, idCol, textCol, n)
+      .select(col("__sh")).distinct().withColumn("__hit", lit(1))
+    val evalG = if (broadcastEval) broadcast(evalG0) else evalG0
+    val scored = trainG.join(evalG, Seq("__sh"), "left")
+      .groupBy(col(idCol))
+      .agg((sum(coalesce(col("__hit"), lit(0))).cast("double") /
+        count(lit(1)).cast("double")).as("contamination_frac"))
+    train.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("contamination_frac"), lit(0.0)).as("contamination_frac"))
+      .withColumn("contaminated", col("contamination_frac") >= threshold)
+  }
+
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
                         planes: Int, threshold: Double, seed: Long = 42L): DataFrame = {
     val bucketed = Similarity.randomHyperplaneBuckets(emb, vecCol, planes, seed)

@@ -227,6 +227,62 @@ object TextAnalysis {
           sum(col("c")).cast("double")).as("top_bigram_frac"))
   }
 
+  // ----- PII detection / redaction (training-data scrubbing) -----
+  // Patterns restricted to syntax shared by Java regex and RE2 so the
+  // DuckDB oracle embeds them verbatim. Pure regexp_count /
+  // regexp_replace columns — codegen'd, no UDFs, linear scans.
+
+  /** (name, pattern, replacement) in fixed application order. SSN
+    * (3-2-4) precedes phone (3-3-4); the group shapes cannot overlap,
+    * but the order is part of the contract so redaction is
+    * deterministic. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "[EMAIL]"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "[SSN]"),
+    ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "[PHONE]"))
+
+  /** Per-type match counts, computed on the RAW text (before any
+    * redaction), as `n_<type>` columns. */
+  def piiCounts(text: Column): Seq[Column] =
+    piiPatterns.map { case (name, pat, _) =>
+      regexp_count(text, lit(pat)).cast("long").as(s"n_$name")
+    }
+
+  /** Replace every PII match with its placeholder token, applying the
+    * patterns in [[piiPatterns]] order. */
+  def piiRedact(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  // ----- Gopher-style document filter rules -----
+
+  /** Per-rule booleans + overall keep decision, after Rae et al.
+    * (Gopher, arXiv:2112.11446) §A1.1: token-count band, mean-word-
+    * length band, minimum alphabetic-word fraction, minimum stopword
+    * hits. Thresholds parameterized; all pure column algebra. */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+                  minTokens: Int = 10, maxTokens: Int = 100000,
+                  minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                  minAlphaFrac: Double = 0.8, minStopwordHits: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val toks = tokenCount(t)
+    val alphaToks = regexp_count(t, lit("(^|\\s)[^\\s]*[a-z][^\\s]*"))
+    // divide by max(toks,1): whitespace-only docs otherwise hit 0/0,
+    // where Spark (NaN) and DuckDB (NULL) comparison semantics diverge
+    val mwl = length(regexp_replace(trim(t), "\\s+", "")).cast("double") /
+      greatest(toks, lit(1))
+    docs.select(col(idCol),
+      (toks >= minTokens && toks <= maxTokens).as("r_tokens"),
+      (mwl >= minMeanWordLen && mwl <= maxMeanWordLen).as("r_word_len"),
+      (alphaToks.cast("double") / greatest(toks, lit(1)) >= minAlphaFrac)
+        .as("r_alpha"),
+      (stopwordHits(t, "en") >= minStopwordHits).as("r_stopwords"))
+      .withColumn("keep",
+        col("r_tokens") && col("r_word_len") && col("r_alpha") && col("r_stopwords"))
+  }
+
   /** All text-quality columns at once over a documents frame. */
   def analyze(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

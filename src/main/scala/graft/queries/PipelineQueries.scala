@@ -546,6 +546,95 @@ object PipelineQueries {
         r6(TextAnalysis.trigramCrossEntropy(tbl(s, dir, "documents"), "doc_id", "text"))
     },
 
+    // PII detection + redaction. The synthetic corpus carries no real
+    // PII, so the query injects deterministic doc_id-derived PII
+    // identically on both engines, then counts matches on the raw
+    // augmented text and fingerprints the redacted text — exercising
+    // every pattern for real. Patterns are Java-regex ∩ RE2 syntax and
+    // embedded verbatim from TextAnalysis.piiPatterns.
+    "t_pii" -> Q({
+      val counts = TextAnalysis.piiPatterns.map { case (name, pat, _) =>
+        s"CAST(len(regexp_extract_all(aug, '$pat')) AS BIGINT) AS n_$name"
+      }.mkString(", ")
+      val redacted = TextAnalysis.piiPatterns.foldLeft("aug") {
+        case (c, (_, pat, repl)) => s"regexp_replace($c, '$pat', '$repl', 'g')"
+      }
+      s"""WITH a AS (SELECT doc_id,
+              text || ' contact u' || doc_id::VARCHAR ||
+              '@mail.example.com from 10.' || (doc_id % 256)::VARCHAR ||
+              '.0.7 call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') ||
+              '-0199 ssn 078-05-1120' AS aug
+            FROM documents)
+          SELECT doc_id, $counts, md5($redacted) AS redacted_fp FROM a"""
+    }) { (s, dir) =>
+      val aug = concat(col("text"), lit(" contact u"), col("doc_id").cast("string"),
+        lit("@mail.example.com from 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0.7 call 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+        lit("-0199 ssn 078-05-1120"))
+      val docs = tbl(s, dir, "documents").withColumn("aug", aug)
+      docs.select(
+        col("doc_id") +: TextAnalysis.piiCounts(col("aug")) :+
+          md5(TextAnalysis.piiRedact(col("aug")).cast("binary")).as("redacted_fp"): _*)
+    },
+
+    // benchmark decontamination: per training doc, the fraction of its
+    // distinct word 5-grams that appear anywhere in the eval corpus
+    // (docs with doc_id % 10 = 0 stand in for the benchmark set). The
+    // eval n-gram set broadcasts — at 100 TB the benchmark suite is
+    // tiny next to the training corpus, so this is one map-side join
+    // pass over the training shingles. Integer-count ratios →
+    // deterministic doubles on both engines.
+    "d_decontaminate" -> Q(
+      """WITH w AS MATERIALIZED (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+           FROM documents
+           WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 5),
+         g AS MATERIALIZED (
+           SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 3),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]))) AS sh
+           FROM w),
+         eg AS (SELECT DISTINCT sh FROM g WHERE doc_id % 10 = 0),
+         sc AS (SELECT g.doc_id,
+                  sum(CASE WHEN eg.sh IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                    / count(*) AS cf
+                FROM g LEFT JOIN eg USING (sh)
+                WHERE g.doc_id % 10 <> 0 GROUP BY 1)
+         SELECT d.doc_id, round(coalesce(sc.cf, 0.0), 6) AS contamination_frac,
+                coalesce(sc.cf, 0.0) >= 0.5 AS contaminated
+         FROM documents d LEFT JOIN sc USING (doc_id)
+         WHERE d.doc_id % 10 <> 0""") {
+      (s, dir) =>
+        val docs = tbl(s, dir, "documents")
+        r6(Dedup.decontaminationScores(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", n = 5, threshold = 0.5))
+    },
+
+    // Gopher-rule document filter: per-rule booleans + overall keep
+    // (token band, mean-word-length band, alphabetic-token fraction,
+    // minimum stopword hits) — all regexp/length column algebra
+    "t_gopher_rules" -> Q(
+      s"""WITH m AS (SELECT doc_id,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks,
+             length(regexp_replace(trim(text), '\\s+', '', 'g'))::DOUBLE AS chars,
+             len(regexp_extract_all(text, '(^|\\s)[^\\s]*[a-z][^\\s]*')) AS alpha,
+             len(regexp_extract_all(lower(text), '${TextAnalysis.stopwordPattern("en")}')) AS stop
+           FROM documents)
+          SELECT doc_id,
+                 toks >= 10 AND toks <= 100000 AS r_tokens,
+                 chars / greatest(toks, 1) >= 3.0 AND chars / greatest(toks, 1) <= 10.0 AS r_word_len,
+                 alpha::DOUBLE / greatest(toks, 1) >= 0.8 AS r_alpha,
+                 stop >= 2 AS r_stopwords,
+                 (toks >= 10 AND toks <= 100000)
+                   AND (chars / greatest(toks, 1) >= 3.0 AND chars / greatest(toks, 1) <= 10.0)
+                   AND (alpha::DOUBLE / greatest(toks, 1) >= 0.8) AND (stop >= 2) AS keep
+          FROM m""") {
+      (s, dir) =>
+        TextAnalysis.gopherRules(tbl(s, dir, "documents"), "doc_id", "text")
+    },
+
     // ----- similarity search -----
     "s_cosine_topk" -> Q(
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

@@ -214,6 +214,50 @@ class PipelineSpec extends SparkSpec {
     assert(got(2L) == 0.0)                   // no span appears elsewhere
   }
 
+  test("PII: counts find each planted pattern once; redaction removes them all") {
+    val pii = Seq(
+      (0L, "reach me at jane.doe+x@corp.example.org or 192.168.0.1 ssn 078-05-1120 tel 415-555-0199"),
+      (1L, "no pii here, just text with numbers 12345 and a date 2026-08-12")
+    ).toDF("doc_id", "text")
+    val out = pii.select(col("doc_id") +: TextAnalysis.piiCounts(col("text"))
+      :+ TextAnalysis.piiRedact(col("text")).as("red"): _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))).toMap
+    assert(out(0L)._1 == 1 && out(0L)._2 == 1 && out(0L)._3 == 1 && out(0L)._4 == 1)
+    assert(out(0L)._5 ==
+      "reach me at [EMAIL] or [IP] ssn [SSN] tel [PHONE]")
+    // the date 2026-08-12 (4-2-2) must NOT trip the SSN (3-2-4) pattern
+    assert(out(1L) == ((0L, 0L, 0L, 0L, "no pii here, just text with numbers 12345 and a date 2026-08-12")))
+  }
+
+  test("decontamination: doc sharing 5-grams with eval is flagged, fresh doc is not") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // 4 of 4 grams in eval
+      (2L, "one two three four five six seven"), // disjoint
+      (3L, "tiny doc") // < 5 words → 0 by definition
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminationScores(train, eval, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(out(1L) == ((1.0, true)))
+    assert(out(2L) == ((0.0, false)))
+    assert(out(3L) == ((0.0, false)))
+  }
+
+  test("gopher rules: word-salad passes bands, stopword-free doc fails r_stopwords") {
+    val gd = Seq(
+      (0L, "the cat and the dog sat near the mat while the sun was warm today"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"), // no stopwords
+      (2L, "hi") // too short
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(gd, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(4), r.getBoolean(5))).toMap
+    assert(out(0L) == ((true, true, true)))   // keeps
+    assert(out(1L)._2 == false && out(1L)._3 == false) // fails stopwords → dropped
+    assert(out(2L)._1 == false && out(2L)._3 == false) // fails token band
+  }
+
   test("shingles of short docs are empty, not an error") {
     val d = Seq((0L, "one two")).toDF("doc_id", "text")
     assert(d.select(size(Dedup.shingles(col("text"), 3))).collect()(0).getInt(0) == 0)
