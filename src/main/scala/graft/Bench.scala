@@ -8,6 +8,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // 4 MB Tungsten pages: the default scales to 64 MB at large
+      // heaps, exceeding half of G1's 32 MB max region size — every
+      // page then allocates as G1-humongous and GC time explodes
+      // (observed 10-20x slowdowns at 64g heaps)
+      .config("spark.buffer.pageSize", "4m")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
@@ -33,7 +38,13 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop persists a query left behind (several pipelines persist a
+      // shared intermediate and cannot unpersist before returning):
+      // 178 queries of leaked cache blocks otherwise squeeze the
+      // storage pool and perturb later timings
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      name -> dt
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // full per-query timings to a side file; STDOUT gets one COMPACT

@@ -24,6 +24,11 @@ object M4Accuracy {
       .appName("graft-m4")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      // 4 MB Tungsten pages: the default scales to 64 MB at large
+      // heaps, exceeding half of G1's 32 MB max region size — every
+      // page then allocates as G1-humongous and GC time explodes
+      // (observed 10-20x slowdowns at 64g heaps)
+      .config("spark.buffer.pageSize", "4m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

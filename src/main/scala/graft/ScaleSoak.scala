@@ -20,6 +20,7 @@ object ScaleSoak {
       .appName("graft-soak")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.buffer.pageSize", "4m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -14,6 +14,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // 4 MB Tungsten pages: the default scales to 64 MB at large
+      // heaps, exceeding half of G1's 32 MB max region size — every
+      // page then allocates as G1-humongous and GC time explodes
+      // (observed 10-20x slowdowns at 64g heaps)
+      .config("spark.buffer.pageSize", "4m")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

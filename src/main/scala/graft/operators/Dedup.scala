@@ -276,10 +276,16 @@ object Dedup {
       .select(col(idCol),
         conv(substring(md5(col("__w").cast("binary")), 1, 12), 16, 10)
           .cast("long").as("__h"))
-    val dfw = wins.groupBy("__h").agg(count_distinct(col(idCol)).as("__nd"))
-    wins.join(dfw, "__h")
+    // "appears in ≥2 distinct docs" ⇔ min(doc) ≠ max(doc) over the
+    // window-hash partition: a whole-partition window agg computes it
+    // in ONE pass over the exploded windows (the former
+    // groupBy-count_distinct + join-back recomputed the explode+md5
+    // for the probe side — 2× the dominant cost)
+    val w = Window.partitionBy(col("__h"))
+    wins
+      .withColumn("__dup", min(col(idCol)).over(w) =!= max(col(idCol)).over(w))
       .groupBy(col(idCol))
-      .agg((sum(when(col("__nd") >= 2, 1L).otherwise(0L)).cast("double") /
+      .agg((sum(col("__dup").cast("long")).cast("double") /
         count(lit(1)).cast("double")).as("dup_span_frac"))
   }
 

@@ -110,8 +110,11 @@ object TextAnalysis {
     * (score desc, term asc) rank is cross-engine stable. */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
+    // persisted: consumed by both the df build and the score probe —
+    // unpersisted it re-tokenizes the corpus twice
     val tf = tokens(docs, idCol, textCol)
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .persist()
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("__n"))
     val w = Window.partitionBy(col(idCol))
@@ -141,9 +144,11 @@ object TextAnalysis {
   def bm25TopDocs(docs: DataFrame, idCol: String, textCol: String,
                   query: Seq[String], k: Int,
                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // persisted: consumed by both the corpus stats and the score pass
     val perDoc = tokens(docs, idCol, textCol).groupBy(col(idCol)).agg(
       count(lit(1)).as("dl"),
       query.map(t => sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$t")): _*)
+      .persist()
     val stats = perDoc.agg(avg(col("dl")).as("avgdl"),
       (count(lit(1)).as("__n") +:
         query.map(t => count_if(col(s"tf_$t") > 0).as(s"df_$t"))): _*)
@@ -190,16 +195,23 @@ object TextAnalysis {
     * shuffle on doc id. */
   def trigramCrossEntropy(docs: DataFrame, idCol: String,
                           textCol: String): DataFrame = {
-    val tris = charTrigrams(docs, idCol, textCol)
-    val c3 = tris.groupBy("tri").agg(count(lit(1)).as("c3"))
+    // per-doc trigram counts FIRST: one explode pass, persisted as the
+    // compact (doc, tri, n) frame — the model build and the scoring
+    // probe both read it from memory instead of re-exploding the
+    // corpus (tris was consumed twice before: 2× the dominant cost).
+    // Per-doc cross-entropy becomes the count-weighted mean.
+    val dtf = charTrigrams(docs, idCol, textCol)
+      .groupBy(col(idCol), col("tri")).agg(count(lit(1)).as("__n"))
+      .persist()
+    val c3 = dtf.groupBy("tri").agg(sum(col("__n")).as("c3"))
     val model = c3
       .withColumn("__ctx", substring(col("tri"), 1, 2))
       .withColumn("c2", sum(col("c3")).over(Window.partitionBy(col("__ctx"))))
       .withColumn("logp", log((col("c3") + 1.0) / (col("c2") + 37.0)))
       .select(col("tri"), col("logp"))
-    tris.join(broadcast(model), "tri")
+    dtf.join(broadcast(model), "tri")
       .groupBy(col(idCol))
-      .agg((-avg(col("logp"))).as("cross_entropy"))
+      .agg((-sum(col("logp") * col("__n")) / sum(col("__n"))).as("cross_entropy"))
   }
 
   /** Gopher-style within-document repetition signals (Rae et al. 2021

@@ -533,15 +533,18 @@ object PipelineQueries {
 
     // CCNet-style trigram-LM cross-entropy quality score, model
     // trained on the corpus itself (alphabet³-bounded → broadcast).
+    // Folded over per-doc (tri, n) counts — the count-weighted mean —
+    // matching the operator's single-explode shape.
     "t_ngram_lm" -> Q(
       """WITH cleaned AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS c FROM documents),
          tris AS (SELECT doc_id, substring(c, CAST(i AS INTEGER), 3) AS tri
                   FROM cleaned, unnest(generate_series(1, len(c) - 2)) AS t(i)
                   WHERE len(c) >= 3),
-         c3 AS (SELECT tri, count(*) AS c3 FROM tris GROUP BY 1),
+         dt AS (SELECT doc_id, tri, count(*) AS n FROM tris GROUP BY 1, 2),
+         c3 AS (SELECT tri, sum(n) AS c3 FROM dt GROUP BY 1),
          model AS (SELECT tri, ln((c3 + 1.0) / (sum(c3) OVER (PARTITION BY substring(tri, 1, 2)) + 37.0)) AS logp FROM c3)
-         SELECT doc_id, round(-avg(logp), 6) AS cross_entropy
-         FROM tris JOIN model USING (tri) GROUP BY 1""") {
+         SELECT doc_id, round(-sum(logp * n) / sum(n), 6) AS cross_entropy
+         FROM dt JOIN model USING (tri) GROUP BY 1""") {
       (s, dir) =>
         r6(TextAnalysis.trigramCrossEntropy(tbl(s, dir, "documents"), "doc_id", "text"))
     },
@@ -633,6 +636,45 @@ object PipelineQueries {
           FROM m""") {
       (s, dir) =>
         TextAnalysis.gopherRules(tbl(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // end-to-end corpus-clean pipeline: exact dedup (keep lowest id
+    // per text) → Gopher rule filter → PII redaction → quality
+    // columns. One composed plan — the dedup groupBy is the only
+    // wide shuffle; filter + redact + score stay in the same
+    // whole-stage-codegen pass over the survivors.
+    "pipe_corpus_clean" -> Q(
+      s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+          k AS (SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)),
+          m AS (SELECT doc_id, text,
+                  CASE WHEN len(trim(text)) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks,
+                  length(regexp_replace(trim(text), '\\s+', '', 'g'))::DOUBLE AS chars,
+                  len(regexp_extract_all(text, '(^|\\s)[^\\s]*[a-z][^\\s]*')) AS alpha,
+                  len(regexp_extract_all(lower(text), '${TextAnalysis.stopwordPattern("en")}')) AS stop
+                FROM k)
+          SELECT doc_id, CAST(toks AS BIGINT) AS n_tokens,
+                 md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+                   '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '[EMAIL]', 'g'),
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g'),
+                   '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g'),
+                   '\\b\\d{3}-\\d{3}-\\d{4}\\b', '[PHONE]', 'g')) AS clean_fp
+          FROM m
+          WHERE toks >= 10 AND toks <= 100000
+            AND chars / greatest(toks, 1) >= 3.0 AND chars / greatest(toks, 1) <= 10.0
+            AND alpha::DOUBLE / greatest(toks, 1) >= 0.8 AND stop >= 2""") {
+      (s, dir) =>
+        val docs = tbl(s, dir, "documents")
+        val kept = docs.join(
+          docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        val survivors = kept.join(
+          TextAnalysis.gopherRules(kept, "doc_id", "text")
+            .filter(col("keep")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        survivors.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          md5(TextAnalysis.piiRedact(col("text")).cast("binary")).as("clean_fp"))
     },
 
     // ----- similarity search -----
