@@ -251,6 +251,18 @@ object StreamingPanel {
     lang.fold(base)(l => base.filter(col("lang_pred") === l))
   }
 
+  /** Streaming PII scrub: redact every PII match and attach the
+    * per-type counts — the batch [[graft.operators.TextAnalysis]]
+    * pattern set run unchanged on the stream (stateless per-row
+    * regexps; one definition, two runtimes). Counts are computed on
+    * the raw text BEFORE redaction, like the batch query. */
+  def streamingPiiScrub(docs: DataFrame, textCol: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    docs
+      .select(col("*") +: TextAnalysis.piiCounts(col(textCol)): _*)
+      .withColumn(textCol, TextAnalysis.piiRedact(col(textCol)))
+  }
+
   final case class DocIn(docId: Long, text: String)
 
   /** One incrementally-detected LSH candidate pair (a < b), tagged

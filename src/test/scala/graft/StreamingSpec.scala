@@ -238,6 +238,29 @@ class StreamingSpec extends SparkSpec {
     assert(kept == batchKept && kept == Set(1L, 4L), s"stream $kept vs batch $batchKept")
   }
 
+  test("streaming PII scrub redacts and counts exactly like batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "mail me at a.b@x.example.com from host 10.1.2.3",
+      2L -> "clean text with no identifiers at all")
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingPanel.streamingPiiScrub(mem.toDF.toDF("doc_id", "text"), "text")
+    val q = out.writeStream.format("memory").queryName("pii").outputMode("append").start()
+    mem.addData(docs: _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("pii")
+      .select("doc_id", "text", "n_email", "n_ip")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("mail me at [EMAIL] from host [IP]", 1L, 1L)))
+    assert(got(2L) == (("clean text with no identifiers at all", 0L, 0L)))
+    // identical expressions in batch produce the identical rows
+    val batch = StreamingPanel.streamingPiiScrub(docs.toDF("doc_id", "text"), "text")
+      .select("doc_id", "text", "n_email", "n_ip")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(batch == got)
+  }
+
   test("streaming LSH near-dup candidates match the batch operator's pairs") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
