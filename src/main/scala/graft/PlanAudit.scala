@@ -38,6 +38,10 @@ object PlanAudit {
       "j_sessionize",                            // gap sessionization window algebra
       "j_salted_join",                           // hot-key salted join
       "t_tfidf", "t_bm25", "t_ngram_lm",         // retrieval / LM scoring
+      "t_pii", "t_gopher_rules",                 // scrubbing: stay one codegen pass, no exchange
+      "d_decontaminate",                         // eval n-gram set must broadcast
+      "d_substring_dup",                         // single-explode window min/max
+      "pipe_corpus_clean",                       // composed clean pipeline: one wide shuffle
       "fc_naive", "fc_knn", "m_score_backtest")  // forecast scaffolds + broadcast KNN
     picks.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
