@@ -35,7 +35,10 @@ object Bench {
           Window.partitionBy("user_id").orderBy("ts", "event_id")))
         .groupBy("user_id").agg(avg(col("__l"))).count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // name-sorted: Map iteration order shifts as the registry grows,
+    // which reorders warmup/JIT effects between rounds — a fixed order
+    // keeps per-query timings comparable round-to-round
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -46,7 +49,7 @@ object Bench {
       try spark.catalog.clearCache() catch { case _: Throwable => () }
       name -> dt
     }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     // full per-query timings to a side file; STDOUT gets one COMPACT
     // line (top-20 slowest only) so the driver's captured output tail
     // always contains a complete, parseable JSON object — round 1's

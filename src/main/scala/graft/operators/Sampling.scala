@@ -1,0 +1,29 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data curation.
+  *
+  * Data-mixture resampling — downweighting over-represented sources to
+  * target proportions — is a core step in assembling an LLM training
+  * corpus. The draw must be REPRODUCIBLE (same corpus → same sample on
+  * any engine, any partitioning, any rerun) and join-stable, which
+  * `rand()` is not: the decision here is a pure hash of the row key,
+  * so it's a stateless, shuffle-free filter that composes with scans
+  * at 100 TB and replays bit-identically in the DuckDB oracle.
+  */
+object Sampling {
+
+  /** Uniform [0,1) from the first 48 bits of md5(key): portable across
+    * engines (the same md5-hex-to-long scheme as Dedup's oracle hash
+    * family), exact in doubles (48 < 53 mantissa bits). */
+  def uniformHash(key: Column): Column =
+    conv(substring(md5(key.cast("binary")), 1, 12), 16, 10)
+      .cast("double") / lit(281474976710656.0) // 2^48
+
+  /** Keep each row iff uniformHash(key) < weight — with `weight` a
+    * per-row column (typically a stratum-dependent target rate). */
+  def mixtureSample(df: DataFrame, key: Column, weight: Column): DataFrame =
+    df.filter(uniformHash(key) < weight)
+}

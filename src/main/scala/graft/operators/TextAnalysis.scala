@@ -268,6 +268,22 @@ object TextAnalysis {
       regexp_replace(c, pat, repl)
     }
 
+  // ----- URL / link-density signals (C4-style) -----
+
+  /** URL pattern (Java-regex ∩ RE2), with the host as group 1. */
+  val urlPattern: String = "https?://([a-z0-9.-]+)(/[^\\s]*)?"
+
+  /** Per-doc link signals: URL count, distinct-host count, and the
+    * fraction of characters inside URLs (C4 drops link-farm pages on
+    * exactly this kind of signal). Pure regexp columns. */
+  def urlSignals(text: Column): Seq[Column] = Seq(
+    regexp_count(text, lit(urlPattern)).cast("long").as("n_urls"),
+    size(array_distinct(regexp_extract_all(text, lit(urlPattern), lit(1))))
+      .cast("long").as("n_domains"),
+    (aggregate(regexp_extract_all(text, lit(urlPattern), lit(0)),
+      lit(0), (acc, u) => acc + length(u)).cast("double") /
+      greatest(length(text), lit(1))).as("url_char_frac"))
+
   // ----- Gopher-style document filter rules -----
 
   /** Per-rule booleans + overall keep decision, after Rae et al.

@@ -638,6 +638,82 @@ object PipelineQueries {
         TextAnalysis.gopherRules(tbl(s, dir, "documents"), "doc_id", "text")
     },
 
+    // URL / link-density signals. Like t_pii, the corpus has no URLs,
+    // so deterministic doc_id-derived links are injected identically
+    // on both engines (every doc gets one; doc_id % 3 == 0 docs get a
+    // second on a shared CDN host) — the signals then separate
+    // link-heavy docs for real.
+    "t_urls" -> Q(
+      s"""WITH a AS (SELECT doc_id,
+              text || ' see https://site' || (doc_id % 50)::VARCHAR ||
+              '.example.com/p/' || doc_id::VARCHAR ||
+              CASE WHEN doc_id % 3 = 0 THEN ' and http://cdn.example.net/x' ELSE '' END AS aug
+            FROM documents)
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(aug, '${TextAnalysis.urlPattern}')) AS BIGINT) AS n_urls,
+            CAST(len(list_distinct(regexp_extract_all(aug, '${TextAnalysis.urlPattern}', 1))) AS BIGINT) AS n_domains,
+            round(list_sum(list_transform(regexp_extract_all(aug, '${TextAnalysis.urlPattern}', 0),
+                    u -> length(u)))::DOUBLE / greatest(length(aug), 1), 6) AS url_char_frac
+          FROM a""") {
+      (s, dir) =>
+        val aug = concat(col("text"), lit(" see https://site"),
+          (col("doc_id") % 50).cast("string"), lit(".example.com/p/"),
+          col("doc_id").cast("string"),
+          when(col("doc_id") % 3 === 0, " and http://cdn.example.net/x").otherwise(""))
+        r6(tbl(s, dir, "documents").withColumn("aug", aug)
+          .select(col("doc_id") +: TextAnalysis.urlSignals(col("aug")): _*))
+    },
+
+    // one-row corpus summary: doc count, token volume, vocabulary,
+    // type-token ratio, mean doc length — the quick census a pipeline
+    // prints before/after each filter stage. One token explode + two
+    // tiny aggregates; integer inputs → deterministic ratios.
+    "t_corpus_stats" -> Q(
+      """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+                       FROM documents),
+         t AS (SELECT count(*) AS n_tokens, count(DISTINCT term) AS n_vocab
+               FROM toks WHERE term <> ''),
+         d AS (SELECT count(*) AS n_docs FROM documents)
+         SELECT CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+                CAST(n_vocab AS BIGINT) AS n_vocab,
+                round(n_vocab::DOUBLE / n_tokens, 6) AS type_token_ratio,
+                round(n_tokens::DOUBLE / n_docs, 6) AS mean_doc_tokens
+         FROM t CROSS JOIN d""") {
+      (s, dir) =>
+        val docs = tbl(s, dir, "documents")
+        val t = TextAnalysis.tokens(docs, "doc_id", "text")
+          .agg(count(lit(1)).as("n_tokens"), count_distinct(col("term")).as("n_vocab"))
+        val d = docs.agg(count(lit(1)).as("n_docs"))
+        r6(t.crossJoin(d).select(col("n_docs"), col("n_tokens"), col("n_vocab"),
+          rd6(col("n_vocab").cast("double") / col("n_tokens")).as("type_token_ratio"),
+          rd6(col("n_tokens").cast("double") / col("n_docs")).as("mean_doc_tokens")))
+    },
+
+    // data-mixture resampling: deterministic hash-draw per doc,
+    // per-source target rates (full / half / quarter / tenth by source
+    // band) — the corpus-mixing primitive; a pure filter, zero
+    // shuffle, bit-reproducible on both engines
+    "d_mixture_sample" -> Q(
+      s"""WITH h AS (SELECT doc_id, source,
+                            md5(source || ':' || doc_id::VARCHAR) AS m,
+                            CAST(substr(source, 4) AS INT) // 5 AS band
+                     FROM documents),
+          u AS (SELECT doc_id, source, band,
+                       (${hex12ToLongSql("m")})::DOUBLE / 281474976710656.0 AS u
+                FROM h)
+          SELECT doc_id, source FROM u
+          WHERE u < CASE band WHEN 0 THEN 1.0 WHEN 1 THEN 0.5
+                              WHEN 2 THEN 0.25 ELSE 0.1 END""") {
+      (s, dir) =>
+        val docs = tbl(s, dir, "documents")
+        val band = floor(substring(col("source"), 4, 10).cast("int") / lit(5)).cast("int")
+        val weight = when(band === 0, 1.0).when(band === 1, 0.5)
+          .when(band === 2, 0.25).otherwise(0.1)
+        graft.operators.Sampling.mixtureSample(docs,
+          concat(col("source"), lit(":"), col("doc_id").cast("string")), weight)
+          .select("doc_id", "source")
+    },
+
     // end-to-end corpus-clean pipeline: exact dedup (keep lowest id
     // per text) → Gopher rule filter → PII redaction → quality
     // columns. One composed plan — the dedup groupBy is the only

@@ -258,6 +258,37 @@ class PipelineSpec extends SparkSpec {
     assert(out(2L)._1 == false && out(2L)._3 == false) // fails token band
   }
 
+  test("url signals count links, distinct hosts, and link-char density") {
+    val d = Seq(
+      (0L, "read https://a.example.com/x and https://a.example.com/y plus http://b.example.org"),
+      (1L, "no links at all in this one")
+    ).toDF("doc_id", "text")
+    val out = d.select(col("doc_id") +: TextAnalysis.urlSignals(col("text")): _*)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(0L)._1 == 3 && out(0L)._2 == 2)
+    assert(out(0L)._3 > 0.5) // mostly link characters
+    assert(out(1L) == ((0L, 0L, 0.0)))
+  }
+
+  test("mixture sampling is deterministic and tracks target rates") {
+    import graft.operators.Sampling
+    val spark = SparkSpec.session
+    val docs = spark.range(20000)
+      .select(col("id").as("doc_id"),
+        concat(lit("src"), pmod(col("id"), lit(2))).as("source"))
+    val weight = when(col("source") === "src0", 1.0).otherwise(0.25)
+    val key = concat(col("source"), lit(":"), col("doc_id"))
+    val kept = Sampling.mixtureSample(docs, key, weight)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("src0") == 10000L)                       // weight 1.0 keeps all
+    assert(math.abs(kept("src1") - 2500L) < 250,         // ~25% of 10k
+      s"src1 kept ${kept("src1")}")
+    // rerun → identical sample (a reproducibility contract, not a property of rand())
+    val again = Sampling.mixtureSample(docs, key, weight).count()
+    assert(again == kept.values.sum)
+  }
+
   test("shingles of short docs are empty, not an error") {
     val d = Seq((0L, "one two")).toDF("doc_id", "text")
     assert(d.select(size(Dedup.shingles(col("text"), 3))).collect()(0).getInt(0) == 0)
