@@ -263,6 +263,29 @@ object StreamingPanel {
       .withColumn(textCol, TextAnalysis.piiRedact(col(textCol)))
   }
 
+  /** Streaming decontamination gate: drop arriving docs whose distinct
+    * word n-gram overlap with a STATIC eval corpus reaches the
+    * threshold — the ingest-time form of
+    * [[graft.operators.Dedup.decontaminationScores]]. The eval corpus
+    * reduces to its distinct n-gram set ONCE at plan time and ships as
+    * a literal array (a benchmark suite is small — the same reasoning
+    * as the batch operator's broadcast side), so the gate is a pure
+    * stateless per-row expression: array_intersect against the doc's
+    * own distinct shingles. No state, no watermark, unbounded stream. */
+  def streamingDecontaminate(docs: DataFrame, evalDocs: DataFrame,
+                             idCol: String, textCol: String,
+                             n: Int = 5, threshold: Double = 0.5): DataFrame = {
+    import graft.operators.Dedup
+    val evalGrams = Dedup.shingleRows(evalDocs, idCol, textCol, n)
+      .select("__sh").distinct().collect().map(_.getString(0)).sorted
+    val g = Dedup.shingles(col(textCol), n)
+    val frac = when(size(g) > 0,
+      size(array_intersect(g, typedlit(evalGrams.toSeq))).cast("double") /
+        size(g).cast("double")).otherwise(0.0)
+    docs.withColumn("contamination_frac", frac)
+      .filter(col("contamination_frac") < threshold)
+  }
+
   final case class DocIn(docId: Long, text: String)
 
   /** One incrementally-detected LSH candidate pair (a < b), tagged

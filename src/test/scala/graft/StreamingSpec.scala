@@ -261,6 +261,30 @@ class StreamingSpec extends SparkSpec {
     assert(batch == got)
   }
 
+  test("streaming decontamination gate agrees with the batch scores") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val evalDocs = Seq(100L -> "alpha beta gamma delta epsilon zeta eta").toDF("doc_id", "text")
+    val docs = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta", // contaminated
+      2L -> "one two three four five six seven",             // clean
+      3L -> "tiny")                                          // < n words → kept
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingPanel.streamingDecontaminate(
+      mem.toDF.toDF("doc_id", "text"), evalDocs, "doc_id", "text", n = 5, threshold = 0.5)
+    val q = out.writeStream.format("memory").queryName("dc").outputMode("append").start()
+    mem.addData(docs: _*)
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("dc").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L), s"kept $kept")
+    // batch operator marks the same doc as contaminated at the same threshold
+    val batch = graft.operators.Dedup.decontaminationScores(
+      docs.toDF("doc_id", "text"), evalDocs, "doc_id", "text", n = 5, threshold = 0.5)
+      .filter(!col("contaminated")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(batch == kept, s"batch $batch vs stream $kept")
+  }
+
   test("streaming LSH near-dup candidates match the batch operator's pairs") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
