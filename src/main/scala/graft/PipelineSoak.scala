@@ -73,6 +73,24 @@ object PipelineSoak {
     time("trigram-LM cross-entropy (corpus-trained)", nDocs) {
       TextAnalysis.trigramCrossEntropy(docs, "doc_id", "text").count()
     }
+    time("duplicated 32-char-span fraction (window min/max)", nDocs) {
+      Dedup.duplicatedSpanRatio(docs, "doc_id", "text", span = 32).count()
+    }
+    time("decontaminate vs 1% eval split (broadcast 5-grams)", nDocs) {
+      Dedup.decontaminationScores(
+        docs.filter(col("doc_id") % 100 =!= 0),
+        docs.filter(col("doc_id") % 100 === 0),
+        "doc_id", "text", n = 5).filter(col("contaminated")).count()
+    }
+    time("PII scrub (counts + redaction, per-row regexps)", nDocs) {
+      docs.select(col("doc_id") +: TextAnalysis.piiCounts(col("text")) :+
+        TextAnalysis.piiRedact(col("text")).as("clean"): _*).count()
+    }
+    time("gopher rules + mixture sample (stateless filters)", nDocs) {
+      graft.operators.Sampling.mixtureSample(
+        TextAnalysis.gopherRules(docs, "doc_id", "text"),
+        col("doc_id"), when(col("r_tokens"), 0.5).otherwise(0.05)).count()
+    }
 
     val vecs = spark.range(nVecs).select(col("id").as("vec_id"),
       transform(sequence(lit(1), lit(64)),

@@ -17,9 +17,12 @@ object Sampling {
 
   /** Uniform [0,1) from the first 48 bits of md5(key): portable across
     * engines (the same md5-hex-to-long scheme as Dedup's oracle hash
-    * family), exact in doubles (48 < 53 mantissa bits). */
+    * family), exact in doubles (48 < 53 mantissa bits). The key is
+    * canonicalized through its string form so numeric keys hash their
+    * decimal rendering on every engine (bigint → binary casts are
+    * engine-specific or rejected outright). */
   def uniformHash(key: Column): Column =
-    conv(substring(md5(key.cast("binary")), 1, 12), 16, 10)
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 12), 16, 10)
       .cast("double") / lit(281474976710656.0) // 2^48
 
   /** Keep each row iff uniformHash(key) < weight — with `weight` a

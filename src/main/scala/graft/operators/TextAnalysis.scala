@@ -195,23 +195,25 @@ object TextAnalysis {
     * shuffle on doc id. */
   def trigramCrossEntropy(docs: DataFrame, idCol: String,
                           textCol: String): DataFrame = {
-    // per-doc trigram counts FIRST: one explode pass, persisted as the
-    // compact (doc, tri, n) frame — the model build and the scoring
-    // probe both read it from memory instead of re-exploding the
-    // corpus (tris was consumed twice before: 2× the dominant cost).
-    // Per-doc cross-entropy becomes the count-weighted mean.
-    val dtf = charTrigrams(docs, idCol, textCol)
-      .groupBy(col(idCol), col("tri")).agg(count(lit(1)).as("__n"))
-      .persist()
-    val c3 = dtf.groupBy("tri").agg(sum(col("__n")).as("c3"))
+    // ONE explode, cached narrow: the model build and the scoring
+    // probe both read the cached (doc, tri) rows instead of
+    // re-exploding the corpus. Do NOT pre-aggregate per-doc counts
+    // first — ~20-word docs have mostly-distinct trigrams, so a
+    // (doc, tri) groupBy barely combines map-side and shuffles the
+    // whole exploded volume (measured 220 s at 1M docs vs 17 s for
+    // this shape); here the only shuffles are the vocab-bounded model
+    // aggregation and the compact per-doc partial agg.
+    val tris = charTrigrams(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c3 = tris.groupBy("tri").agg(count(lit(1)).as("c3"))
     val model = c3
       .withColumn("__ctx", substring(col("tri"), 1, 2))
       .withColumn("c2", sum(col("c3")).over(Window.partitionBy(col("__ctx"))))
       .withColumn("logp", log((col("c3") + 1.0) / (col("c2") + 37.0)))
       .select(col("tri"), col("logp"))
-    dtf.join(broadcast(model), "tri")
+    tris.join(broadcast(model), "tri")
       .groupBy(col(idCol))
-      .agg((-sum(col("logp") * col("__n")) / sum(col("__n"))).as("cross_entropy"))
+      .agg((-avg(col("logp"))).as("cross_entropy"))
   }
 
   /** Gopher-style within-document repetition signals (Rae et al. 2021

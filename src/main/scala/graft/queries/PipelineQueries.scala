@@ -533,18 +533,15 @@ object PipelineQueries {
 
     // CCNet-style trigram-LM cross-entropy quality score, model
     // trained on the corpus itself (alphabet³-bounded → broadcast).
-    // Folded over per-doc (tri, n) counts — the count-weighted mean —
-    // matching the operator's single-explode shape.
     "t_ngram_lm" -> Q(
       """WITH cleaned AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS c FROM documents),
          tris AS (SELECT doc_id, substring(c, CAST(i AS INTEGER), 3) AS tri
                   FROM cleaned, unnest(generate_series(1, len(c) - 2)) AS t(i)
                   WHERE len(c) >= 3),
-         dt AS (SELECT doc_id, tri, count(*) AS n FROM tris GROUP BY 1, 2),
-         c3 AS (SELECT tri, sum(n) AS c3 FROM dt GROUP BY 1),
+         c3 AS (SELECT tri, count(*) AS c3 FROM tris GROUP BY 1),
          model AS (SELECT tri, ln((c3 + 1.0) / (sum(c3) OVER (PARTITION BY substring(tri, 1, 2)) + 37.0)) AS logp FROM c3)
-         SELECT doc_id, round(-sum(logp * n) / sum(n), 6) AS cross_entropy
-         FROM dt JOIN model USING (tri) GROUP BY 1""") {
+         SELECT doc_id, round(-avg(logp), 6) AS cross_entropy
+         FROM tris JOIN model USING (tri) GROUP BY 1""") {
       (s, dir) =>
         r6(TextAnalysis.trigramCrossEntropy(tbl(s, dir, "documents"), "doc_id", "text"))
     },
