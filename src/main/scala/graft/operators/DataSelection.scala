@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.functions.Ols
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Corpus-level data selection for training-data pipelines: importance
+  * resampling toward a target domain (DSIR, Xie et al. 2023,
+  * arXiv:2302.03169) and model-based quality filtering (the
+  * fasttext-classifier pattern of GPT-3/CCNet pipelines, in linear
+  * closed form so the fit is one distributed pass).
+  *
+  * Both are deterministic ends of the scrubbing pipeline: the sampling
+  * draw is a portable hash ([[Sampling.uniformHash]]), the classifier
+  * fit is the same one-pass normal-equation reduction the forecasters
+  * use ([[graft.functions.Ols.fit]]) — no RNG, no iterative solver, so
+  * results are reproducible run-to-run and checkable against a SQL
+  * oracle.
+  */
+object DataSelection {
+
+  /** Smoothed char-trigram log-probability: ln((c+1)/(ctx+V)), V=37
+    * (a-z, 0-9, space — the [[TextAnalysis.normalized]] alphabet). */
+  private def logp(c3: Column, c2: Column): Column =
+    log((c3 + 1.0) / (c2 + 37.0))
+
+  /** DSIR-style importance scores: per document, the length-normalized
+    * log importance ratio between a TARGET-domain char-trigram LM and
+    * the raw-corpus LM, both trained in the same pass —
+    * `log_ratio = mean over trigram occurrences of
+    * (logp_target − logp_raw)`, add-one smoothed as in
+    * [[TextAnalysis.trigramCrossEntropy]].
+    *
+    * `weight = min(1, exp(tau · log_ratio))` is the keep probability
+    * (tau = selection temperature; sharpens the near-flat per-trigram
+    * ratios into a usable acceptance band), and `keep` draws it with
+    * the deterministic hash in [[Sampling.uniformHash]] — so the
+    * resample is reproducible and shardable (any subset of rows can
+    * decide independently).
+    *
+    * Scale shape: ONE explode pass over the corpus, persisted narrow;
+    * both models are conditional aggregates of the SAME
+    * vocab-bounded (≤ alphabet³) count frame, broadcast to the
+    * scoring join; the per-doc mean is the only corpus-sized shuffle.
+    * The keep decision multiplies no data — at 100 TB this is two
+    * scan-speed passes over the exploded trigrams.
+    *
+    * The comparison uses the 6-dp-rounded weight so the draw is
+    * bit-stable across engines (u is an exact 48-bit dyadic; a
+    * last-ulp difference in exp() can never flip it). */
+  def dsirScores(docs: DataFrame, idCol: String, textCol: String,
+                 targetPred: Column, tau: Double = 50.0): DataFrame = {
+    val tris = TextAnalysis.parallelized(docs, idCol)
+      .select(col(idCol), targetPred.as("__tgt"),
+        TextAnalysis.normalized(col(textCol)).as("__c"))
+      .filter(length(col("__c")) >= 3)
+      .select(col(idCol), col("__tgt"),
+        explode(graft.functions.CharNGrams.ngrams(col("__c"), 3)).as("tri"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val counts = tris.groupBy("tri").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"))
+    val ctx = Window.partitionBy(col("__ctx"))
+    val model = counts
+      .withColumn("__ctx", substring(col("tri"), 1, 2))
+      .withColumn("dlogp",
+        logp(col("ct"), sum(col("ct")).over(ctx)) -
+          logp(col("cr"), sum(col("cr")).over(ctx)))
+      .select(col("tri"), col("dlogp"))
+    tris.join(broadcast(model), "tri")
+      .groupBy(col(idCol))
+      .agg(avg(col("dlogp")).as("log_ratio"))
+      .withColumn("weight",
+        graft.queries.Q.rd6(least(lit(1.0), exp(col("log_ratio") * tau))))
+      .withColumn("keep",
+        Sampling.uniformHash(col(idCol)) < col("weight"))
+  }
+
+  /** Quality-classifier feature/label frame: per document the cheap
+    * quality signals as regressors plus the Gopher rule decision
+    * ([[TextAnalysis.gopherRules]] defaults) as the 0/1 label. One
+    * pure-projection pass — every column is codegen'd text algebra. */
+  def qualityTrainingFrame(docs: DataFrame, idCol: String,
+                           textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = TextAnalysis.tokenCount(t)
+    val safeToks = greatest(toks, lit(1)).cast("double")
+    val mwl = length(regexp_replace(trim(t), "\\s+", "")).cast("double") / safeToks
+    val stopR = TextAnalysis.stopwordHits(t, "en").cast("double") / safeToks
+    val alphaR = regexp_count(t, lit("(^|\\s)[^\\s]*[a-z][^\\s]*"))
+      .cast("double") / safeToks
+    docs.select(col(idCol),
+      log(lit(1.0) + toks).as("x_logtok"),
+      mwl.as("x_mwl"),
+      stopR.as("x_stop"),
+      alphaR.as("x_alpha"),
+      when(toks >= 10 && toks <= 100000 && mwl >= 3.0 && mwl <= 10.0 &&
+        alphaR >= 0.8 && TextAnalysis.stopwordHits(t, "en") >= 2, 1.0)
+        .otherwise(0.0).as("label"))
+  }
+
+  private val qualityFeatures = Seq("x_logtok", "x_mwl", "x_stop", "x_alpha")
+
+  /** Fit the linear quality model: one `treeAggregate` pass building
+    * the 5×5 normal system, solved on the driver ([[Ols.fit]]). The
+    * small ridge keeps the system SPD when a signal is constant over
+    * the corpus (e.g. an all-alphabetic synthetic corpus pins
+    * `x_alpha` ≡ 1, collinear with the intercept). */
+  def fitQualityModel(docs: DataFrame, idCol: String, textCol: String,
+                      ridge: Double = 1e-3): (Double, Array[Double]) =
+    Ols.fit(qualityTrainingFrame(docs, idCol, textCol), qualityFeatures,
+      "label", ridge)
+
+  /** Train the quality model and score every document with the
+    * coefficients inlined as literals: distillation of a rule filter
+    * into a soft scorer — the production pattern where the "rules" are
+    * an expensive upstream signal (human labels, LM judgments) and the
+    * cheap linear scorer is what actually runs over 100 TB. Scoring is
+    * a zero-shuffle projection; `keep` thresholds the 6-dp-rounded
+    * score at 0.5 so the decision is bit-stable across engines. */
+  def qualityClassifier(docs: DataFrame, idCol: String, textCol: String,
+                        ridge: Double = 1e-3): DataFrame = {
+    val (b0, w) = fitQualityModel(docs, idCol, textCol, ridge)
+    val feats = qualityTrainingFrame(docs, idCol, textCol)
+    val score = qualityFeatures.zip(w)
+      .foldLeft(lit(b0)) { case (acc, (f, wi)) => acc + col(f) * wi }
+    feats.select(col(idCol), col("label").cast("long").as("label"),
+        graft.queries.Q.rd6(score).as("score"))
+      .withColumn("keep", col("score") >= 0.5)
+  }
+}

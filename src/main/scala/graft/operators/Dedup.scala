@@ -289,6 +289,50 @@ object Dedup {
         count(lit(1)).cast("double")).as("dup_span_frac"))
   }
 
+  /** C4-style line-level deduplication WITH reassembly (Raffel et al.
+    * 2020 §2.2 drop any three-sentence span seen before; here the unit
+    * is a caller-defined "line"): across the whole corpus keep only
+    * the FIRST occurrence of each distinct line — first in the global
+    * (doc, position) order — delete every other occurrence, and
+    * rebuild each document from its surviving lines in original order.
+    *
+    * `lines` is the splitter (an array-of-strings column over the
+    * text): `split(col(text), "\n+")` in production; the caller picks
+    * the unit (lines, sentences, fixed word chunks). Empty lines are
+    * dropped before dedup. Documents whose every line is deleted
+    * disappear from the output (C4 semantics).
+    *
+    * Scale shape: one explode pass; lines shuffle as portable 48-bit
+    * md5 halves (8 bytes, not line text — the same family as
+    * [[duplicatedSpanRatio]]); "first occurrence" is a min-struct over
+    * the hash partition, so ONE window pass decides keeps (no
+    * self-join back); reassembly is the per-doc groupBy that any
+    * downstream write needs anyway. ~n²/2⁴⁹ hash-collision odds merge
+    * distinct lines — swap in the full md5 when that matters. */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+                lines: Column, sep: String = "\n"): DataFrame = {
+    val exploded = TextAnalysis.parallelized(docs, idCol)
+      .select(col(idCol), posexplode(lines).as(Seq("__p", "__l")))
+      .filter(length(col("__l")) > 0)
+      .withColumn("__h",
+        conv(substring(md5(col("__l").cast("binary")), 1, 12), 16, 10)
+          .cast("long"))
+    val w = Window.partitionBy(col("__h"))
+    exploded
+      .withColumn("__keep",
+        struct(col(idCol), col("__p")) ===
+          min(struct(col(idCol), col("__p"))).over(w))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("__p"), col("__l"))))),
+          x => x("__l")), sep).as("clean_text"),
+        count(lit(1)).as("n_lines"),
+        sum(col("__keep").cast("long")).as("n_kept"))
+      .filter(col("n_kept") > 0)
+  }
+
   /** Benchmark decontamination (Lee et al. / GPT-3 appendix style):
     * for each training doc, the fraction of its DISTINCT word n-grams
     * that also occur anywhere in the evaluation corpus. Docs shorter

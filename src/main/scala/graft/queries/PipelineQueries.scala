@@ -711,6 +711,107 @@ object PipelineQueries {
           .select("doc_id", "source")
     },
 
+    // C4-style line-level dedup with reassembly: first global
+    // occurrence of each distinct line survives, docs are rebuilt from
+    // surviving lines. The corpus is newline-free, so the "line" unit
+    // here is a 10-word chunk (production: split(text, '\n+')).
+    // Both engines decide keeps by row_number-1 over the 48-bit
+    // md5-half hash partition in (doc, pos) order.
+    "d_line_dedup" -> Q(
+      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+                     FROM documents),
+          l0 AS (SELECT doc_id, i AS p,
+                        array_to_string(ws[(10*i+1):(10*i+10)], ' ') AS line
+                 FROM w, unnest(generate_series(0, (len(ws)-1)//10)) AS t(i)),
+          l AS (SELECT doc_id, p, line, md5(line) AS m FROM l0 WHERE len(line) > 0),
+          k AS (SELECT doc_id, p, line,
+                       CASE WHEN row_number() OVER (
+                              PARTITION BY ${hex12ToLongSql("m")}
+                              ORDER BY doc_id, p) = 1
+                            THEN 1 ELSE 0 END AS keep
+                FROM l)
+          SELECT doc_id,
+                 coalesce(string_agg(CASE WHEN keep = 1 THEN line END, ' ' ORDER BY p), '') AS clean_text,
+                 count(*) AS n_lines, sum(keep)::BIGINT AS n_kept
+          FROM k GROUP BY 1 HAVING sum(keep) > 0""") { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+      val ws = filter(split(trim(col("text")), "\\s+"), w => w =!= "")
+      val lines = transform(
+        sequence(lit(0), ((size(ws) - lit(1)) / lit(10)).cast("int")),
+        i => array_join(slice(ws, i * lit(10) + lit(1), lit(10)), " "))
+      graft.operators.Dedup.lineDedup(docs, "doc_id", "text", lines, sep = " ")
+    },
+
+    // DSIR-style target-domain importance resampling (Xie et al. 2023):
+    // char-trigram LMs for the target slice (lang='en') and the raw
+    // corpus trained in one conditional aggregation; per-doc
+    // length-normalized log importance ratio; deterministic hash draw
+    // with probability min(1, exp(tau·ratio)). The draw compares the
+    // exact 48-bit dyadic u against the 6-dp-rounded weight, so the
+    // keep bit is stable across engines.
+    "d_dsir_sample" -> Q(
+      s"""WITH cleaned AS (SELECT doc_id, lang = 'en' AS tgt,
+                 trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS c
+               FROM documents),
+          tris AS (SELECT doc_id, tgt, substring(c, CAST(i AS INTEGER), 3) AS tri
+                   FROM cleaned, unnest(generate_series(1, len(c) - 2)) AS t(i)
+                   WHERE len(c) >= 3),
+          cnt AS (SELECT tri, count(*) AS cr,
+                         sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+                  FROM tris GROUP BY 1),
+          model AS (SELECT tri,
+                 ln((ct + 1.0) / (sum(ct) OVER (PARTITION BY substring(tri, 1, 2)) + 37.0))
+               - ln((cr + 1.0) / (sum(cr) OVER (PARTITION BY substring(tri, 1, 2)) + 37.0)) AS dlogp
+              FROM cnt),
+          lr AS (SELECT doc_id, avg(dlogp) AS log_ratio
+                 FROM tris JOIN model USING (tri) GROUP BY 1),
+          wts AS (SELECT doc_id, round(log_ratio, 6) AS log_ratio,
+                         round(least(1.0, exp(log_ratio * 50.0)), 6) AS weight,
+                         md5(doc_id::VARCHAR) AS m
+                  FROM lr)
+          SELECT doc_id, log_ratio, weight,
+                 ${hex12ToLongSql("m")}::DOUBLE / 281474976710656.0 < weight AS keep
+          FROM wts""") { (s, dir) =>
+      r6(graft.operators.DataSelection.dsirScores(
+        tbl(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", tau = 50.0))
+    },
+
+    // model-based quality filtering: ridge-fit the linear scorer that
+    // distills the Gopher rule decision (one treeAggregate pass →
+    // driver Cholesky; oracle re-derives the identical 5×5 solve in
+    // SQL), then score every doc with the coefficients inlined.
+    // keep thresholds the 6-dp-rounded score so the bit is stable.
+    "t_quality_model" -> Q(
+      s"""WITH f AS (SELECT doc_id,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS toks,
+             length(regexp_replace(trim(text), '\\s+', '', 'g'))::DOUBLE AS chars,
+             len(regexp_extract_all(text, '(^|\\s)[^\\s]*[a-z][^\\s]*')) AS alpha,
+             len(regexp_extract_all(lower(text), '${TextAnalysis.stopwordPattern("en")}')) AS stop
+           FROM documents),
+          x AS (SELECT doc_id,
+                  ln(1.0 + toks) AS x1,
+                  chars / greatest(toks, 1) AS x2,
+                  stop::DOUBLE / greatest(toks, 1) AS x3,
+                  alpha::DOUBLE / greatest(toks, 1) AS x4,
+                  CASE WHEN toks >= 10 AND toks <= 100000
+                        AND chars / greatest(toks, 1) >= 3.0
+                        AND chars / greatest(toks, 1) <= 10.0
+                        AND alpha::DOUBLE / greatest(toks, 1) >= 0.8
+                        AND stop >= 2 THEN 1.0 ELSE 0.0 END AS label
+                FROM f),
+          mom AS (SELECT ${olsMomentsSql(Seq("1.0", "x1", "x2", "x3", "x4"), "label", ridge = 0.001)}
+                  FROM x),
+          ${cholSolveSql(5, "mom")}
+          SELECT doc_id, label::BIGINT AS label,
+                 round(a_0 + a_1 * x1 + a_2 * x2 + a_3 * x3 + a_4 * x4, 6) AS score,
+                 round(a_0 + a_1 * x1 + a_2 * x2 + a_3 * x3 + a_4 * x4, 6) >= 0.5 AS keep
+          FROM x CROSS JOIN ${cholSolveLast(5)}""") { (s, dir) =>
+      graft.operators.DataSelection.qualityClassifier(
+        tbl(s, dir, "documents"), "doc_id", "text")
+    },
+
     // end-to-end corpus-clean pipeline: exact dedup (keep lowest id
     // per text) → Gopher rule filter → PII redaction → quality
     // columns. One composed plan — the dedup groupBy is the only

@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.{DataSelection, Dedup}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level data selection: line dedup with reassembly, DSIR
+  * importance resampling, trained quality filtering. */
+class DataSelectionSpec extends SparkSpec {
+
+  import SparkSpec.session.implicits._
+
+  test("lineDedup keeps the first global occurrence and reassembles in order") {
+    val docs = Seq(
+      (0L, "alpha beta\nshared line\ngamma"),
+      (1L, "shared line\nunique one"),
+      (2L, "shared line") // every line already seen -> doc dropped
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text",
+        split(col("text"), "\n"), sep = "\n")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L) == (("alpha beta\nshared line\ngamma", 3L, 3L)))
+    assert(out(1L) == (("unique one", 2L, 1L)))
+    assert(!out.contains(2L))
+  }
+
+  test("lineDedup first-occurrence order is (doc, position), not arrival") {
+    // "dup" appears at doc 0 pos 2 and doc 1 pos 0: doc 0 wins (lower doc id)
+    val docs = Seq((0L, "a\nb\ndup"), (1L, "dup\nz")).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text", split(col("text"), "\n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "a\nb\ndup" && out(1L) == "z")
+  }
+
+  test("dsirScores upweights target-like documents and draws deterministically") {
+    // target docs are 'xx'-heavy; raw corpus mixes in 'qq'-heavy docs
+    val docs = (0 until 40).map { i =>
+      val w = if (i % 2 == 0) "xx xx xx xx" else "qq qq qq qq"
+      (i.toLong, s"$w $w $w", i % 2 == 0)
+    }.toDF("doc_id", "text", "is_target")
+    val out = DataSelection.dsirScores(docs, "doc_id", "text",
+        col("is_target"), tau = 5.0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getBoolean(3))).toMap
+    // every target-like doc has a higher ratio than every raw-only doc
+    val tgt = out.filterKeys(_ % 2 == 0).values.map(_._1)
+    val other = out.filterKeys(_ % 2 == 1).values.map(_._1)
+    assert(tgt.min > other.max)
+    // weights are clipped keep probabilities; off-target docs are damped
+    assert(out.values.forall { case (_, w, _) => w >= 0.0 && w <= 1.0 })
+    assert(other.isEmpty || out(1L)._2 < 1.0)
+    // determinism: a second run draws identical keep bits
+    val again = DataSelection.dsirScores(docs, "doc_id", "text",
+        col("is_target"), tau = 5.0)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out.view.mapValues(_._3).toMap == again)
+  }
+
+  test("qualityClassifier distills the gopher label with high agreement") {
+    val good = (0 until 30).map(i =>
+      (i.toLong, "the quick brown fox jumps over a lazy dog near the riverbank today"))
+    val bad = (30 until 60).map(i => (i.toLong, "zz yy xx ww vv uu tt ss rr qq"))
+    val docs = (good ++ bad).toDF("doc_id", "text")
+    val out = DataSelection.qualityClassifier(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    // perfect separation on a linearly separable corpus
+    assert(out.forall { case (_, (label, _, keep)) => keep == (label == 1L) })
+    // scores actually separate (not all ~0.5)
+    assert(out(0L)._2 > 0.9 && out(30L)._2 < 0.1)
+  }
+}
