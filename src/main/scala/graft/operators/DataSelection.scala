@@ -78,6 +78,18 @@ object DataSelection {
         Sampling.uniformHash(col(idCol)) < col("weight"))
   }
 
+  /** The four quality regressors as pure column algebra over a text
+    * column, in [[qualityFeatures]] order. */
+  private def featureExprs(t: Column): Seq[Column] = {
+    val toks = TextAnalysis.tokenCount(t)
+    val safeToks = greatest(toks, lit(1)).cast("double")
+    Seq(
+      log(lit(1.0) + toks),
+      length(regexp_replace(trim(t), "\\s+", "")).cast("double") / safeToks,
+      TextAnalysis.stopwordHits(t, "en").cast("double") / safeToks,
+      regexp_count(t, lit("(^|\\s)[^\\s]*[a-z][^\\s]*")).cast("double") / safeToks)
+  }
+
   /** Quality-classifier feature/label frame: per document the cheap
     * quality signals as regressors plus the Gopher rule decision
     * ([[TextAnalysis.gopherRules]] defaults) as the 0/1 label. One
@@ -86,13 +98,9 @@ object DataSelection {
                            textCol: String): DataFrame = {
     val t = col(textCol)
     val toks = TextAnalysis.tokenCount(t)
-    val safeToks = greatest(toks, lit(1)).cast("double")
-    val mwl = length(regexp_replace(trim(t), "\\s+", "")).cast("double") / safeToks
-    val stopR = TextAnalysis.stopwordHits(t, "en").cast("double") / safeToks
-    val alphaR = regexp_count(t, lit("(^|\\s)[^\\s]*[a-z][^\\s]*"))
-      .cast("double") / safeToks
+    val Seq(logtok, mwl, stopR, alphaR) = featureExprs(t)
     docs.select(col(idCol),
-      log(lit(1.0) + toks).as("x_logtok"),
+      logtok.as("x_logtok"),
       mwl.as("x_mwl"),
       stopR.as("x_stop"),
       alphaR.as("x_alpha"),
@@ -102,6 +110,14 @@ object DataSelection {
   }
 
   private val qualityFeatures = Seq("x_logtok", "x_mwl", "x_stop", "x_alpha")
+
+  /** The fitted model applied directly to a text column (6-dp-rounded
+    * score) — the stateless serve-side of train-batch / serve-stream:
+    * usable verbatim on a Structured Streaming frame. */
+  def qualityScoreColumn(text: Column, intercept: Double,
+                         weights: Array[Double]): Column =
+    graft.queries.Q.rd6(featureExprs(text).zip(weights)
+      .foldLeft(lit(intercept)) { case (acc, (f, wi)) => acc + f * wi })
 
   /** Fit the linear quality model: one `treeAggregate` pass building
     * the 5×5 normal system, solved on the driver ([[Ols.fit]]). The

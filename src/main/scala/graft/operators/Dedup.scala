@@ -333,6 +333,34 @@ object Dedup {
       .filter(col("n_kept") > 0)
   }
 
+  /** Within-document repeated-line removal (the Gopher/C4 "dedupe
+    * lines within a page" cleanup): keep each document's FIRST
+    * occurrence of every distinct line, drop later repeats, rebuild
+    * the text. Same one-explode shape as [[lineDedup]] but the window
+    * partitions by (doc, line-hash) — keys never cross documents, so
+    * a pre-partitioned/bucketed corpus dedupes with NO cross-doc
+    * shuffle at all. */
+  def intraDocLineDedup(docs: DataFrame, idCol: String, textCol: String,
+                        lines: Column, sep: String = "\n"): DataFrame = {
+    val exploded = TextAnalysis.parallelized(docs, idCol)
+      .select(col(idCol), posexplode(lines).as(Seq("__p", "__l")))
+      .filter(length(col("__l")) > 0)
+      .withColumn("__h",
+        conv(substring(md5(col("__l").cast("binary")), 1, 12), 16, 10)
+          .cast("long"))
+    val w = Window.partitionBy(col(idCol), col("__h"))
+    exploded
+      .withColumn("__keep", col("__p") === min(col("__p")).over(w))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("__p"), col("__l"))))),
+          x => x("__l")), sep).as("clean_text"),
+        count(lit(1)).as("n_lines"),
+        sum(col("__keep").cast("long")).as("n_kept"))
+  }
+
   /** Benchmark decontamination (Lee et al. / GPT-3 appendix style):
     * for each training doc, the fraction of its DISTINCT word n-grams
     * that also occur anywhere in the evaluation corpus. Docs shorter

@@ -742,6 +742,29 @@ object PipelineQueries {
       graft.operators.Dedup.lineDedup(docs, "doc_id", "text", lines, sep = " ")
     },
 
+    // within-document repeated-line removal; the synthetic corpus is
+    // newline-free and its ~30-word docs draw from a small vocabulary,
+    // so the "line" unit here is the single word — real repeats to
+    // remove in nearly every doc (production: split(text, '\n+')).
+    "d_intradoc_dedup" -> Q(
+      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+                     FROM documents),
+          l AS (SELECT doc_id, i AS p, ws[CAST(i + 1 AS INTEGER)] AS line, md5(ws[CAST(i + 1 AS INTEGER)]) AS m
+                FROM w, unnest(generate_series(0, len(ws) - 1)) AS t(i)
+                WHERE len(ws[CAST(i + 1 AS INTEGER)]) > 0),
+          k AS (SELECT doc_id, p, line,
+                       CASE WHEN p = min(p) OVER (
+                              PARTITION BY doc_id, ${hex12ToLongSql("m")})
+                            THEN 1 ELSE 0 END AS keep
+                FROM l)
+          SELECT doc_id,
+                 string_agg(CASE WHEN keep = 1 THEN line END, ' ' ORDER BY p) AS clean_text,
+                 count(*) AS n_lines, sum(keep)::BIGINT AS n_kept
+          FROM k GROUP BY 1""") { (s, dir) =>
+      graft.operators.Dedup.intraDocLineDedup(tbl(s, dir, "documents"),
+        "doc_id", "text", split(trim(col("text")), "\\s+"), sep = " ")
+    },
+
     // DSIR-style target-domain importance resampling (Xie et al. 2023):
     // char-trigram LMs for the target slice (lang='en') and the raw
     // corpus trained in one conditional aggregation; per-doc

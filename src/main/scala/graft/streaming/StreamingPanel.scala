@@ -251,6 +251,24 @@ object StreamingPanel {
     lang.fold(base)(l => base.filter(col("lang_pred") === l))
   }
 
+  /** Streaming form of the trained quality filter: fit the linear
+    * scorer ONCE on a static reference corpus
+    * ([[graft.operators.DataSelection.fitQualityModel]] — one batch
+    * pass), then gate the stream with the coefficients inlined as
+    * literals. Train-batch / serve-stream: the scoring projection is
+    * stateless per-row algebra, so the gate runs on an unbounded
+    * stream with no state or watermark, exactly like the batch
+    * scorer's zero-shuffle pass. */
+  def streamingQualityModelGate(docs: DataFrame, referenceCorpus: DataFrame,
+                                idCol: String, textCol: String,
+                                threshold: Double = 0.5,
+                                ridge: Double = 1e-3): DataFrame = {
+    import graft.operators.DataSelection
+    val (b0, w) = DataSelection.fitQualityModel(referenceCorpus, idCol, textCol, ridge)
+    docs.withColumn("score", DataSelection.qualityScoreColumn(col(textCol), b0, w))
+      .filter(col("score") >= threshold)
+  }
+
   /** Streaming PII scrub: redact every PII match and attach the
     * per-type counts — the batch [[graft.operators.TextAnalysis]]
     * pattern set run unchanged on the stream (stateless per-row

@@ -31,6 +31,18 @@ class DataSelectionSpec extends SparkSpec {
     assert(out(0L) == "a\nb\ndup" && out(1L) == "z")
   }
 
+  test("intraDocLineDedup removes repeats within a doc but not across docs") {
+    val docs = Seq(
+      (0L, "a\nb\na\nc\nb"), // repeats of a, b within the doc
+      (1L, "a\nz")           // 'a' also here — must survive (different doc)
+    ).toDF("doc_id", "text")
+    val out = Dedup.intraDocLineDedup(docs, "doc_id", "text",
+        split(col("text"), "\n"), sep = "\n")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L) == (("a\nb\nc", 5L, 3L)))
+    assert(out(1L) == (("a\nz", 2L, 2L)))
+  }
+
   test("dsirScores upweights target-like documents and draws deterministically") {
     // target docs are 'xx'-heavy; raw corpus mixes in 'qq'-heavy docs
     val docs = (0 until 40).map { i =>

@@ -238,6 +238,33 @@ class StreamingSpec extends SparkSpec {
     assert(kept == batchKept && kept == Set(1L, 4L), s"stream $kept vs batch $batchKept")
   }
 
+  test("streaming quality-model gate scores bit-identically to the batch fit") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // reference corpus: separable good/bad docs to fit on
+    val ref = ((0 until 20).map(i =>
+      (i.toLong, "the quick brown fox jumps over a lazy dog in the sunny park today")) ++
+      (20 until 40).map(i => (i.toLong, "zz yy xx ww vv uu tt"))).toDF("doc_id", "text")
+    val arriving = Seq(
+      100L -> "a slow red fox walks past the quiet dog in a warm field today maybe",
+      101L -> "qq pp oo nn mm ll kk jj")
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamingPanel.streamingQualityModelGate(
+      mem.toDF.toDF("doc_id", "text"), ref, "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("qmg").outputMode("append").start()
+    mem.addData(arriving: _*)
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("qmg").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(100L), s"kept $kept")
+    // the stream's score equals the batch-fit model applied directly
+    val streamScore = spark.table("qmg").select("score").collect()(0).getDouble(0)
+    val (b0, w) = graft.operators.DataSelection.fitQualityModel(ref, "doc_id", "text")
+    val direct = arriving.toDF("doc_id", "text").filter($"doc_id" === 100L)
+      .select(graft.operators.DataSelection.qualityScoreColumn($"text", b0, w))
+      .collect()(0).getDouble(0)
+    assert(streamScore == direct)
+  }
+
   test("streaming PII scrub redacts and counts exactly like batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
