@@ -21,6 +21,21 @@ object SoakOne {
         concat(lit("w"), pmod(xxhash64(srcId, lit(w)), lit(5000)))): _*).as("text"))
       .repartition(64).cache()
     println(s"[soakone] docs=${docs.count()}")
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val out = f
+      println(f"[soakone] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s out=$out")
+    }
+    time("quality features only (count forces all cols)") {
+      val f = graft.operators.DataSelection.qualityTrainingFrame(docs, "doc_id", "text")
+      f.agg(sum(col("x_logtok") + col("x_mwl") + col("x_stop") + col("x_alpha") + col("label")))
+        .collect()(0).getDouble(0).toLong
+    }
+    time("fitQualityModel (treeAggregate)") {
+      graft.operators.DataSelection.fitQualityModel(docs, "doc_id", "text")._2.length.toLong
+    }
+    time("qualityClassifier full") {
+      graft.operators.DataSelection.qualityClassifier(docs, "doc_id", "text").count()
+    }
     (1 to 2).foreach { i =>
       val t0 = System.nanoTime()
       val n = TextAnalysis.trigramCrossEntropy(docs, "doc_id", "text").count()

@@ -94,20 +94,31 @@ object DataSelection {
 
   /** Quality-classifier feature/label frame: per document the cheap
     * quality signals as regressors plus the Gopher rule decision
-    * ([[TextAnalysis.gopherRules]] defaults) as the 0/1 label. One
-    * pure-projection pass — every column is codegen'd text algebra. */
+    * ([[TextAnalysis.gopherRules]] defaults) as the 0/1 label. Two
+    * chained projections: stage 1 names each regex signal once, stage
+    * 2 derives features + label from the named attributes — the
+    * regexes are the dominant cost and a single projection would
+    * duplicate them between features and label (CollapseProject keeps
+    * the stages apart: expensive multi-referenced aliases are not
+    * inlined). Everything stays codegen'd text algebra. */
   def qualityTrainingFrame(docs: DataFrame, idCol: String,
                            textCol: String): DataFrame = {
     val t = col(textCol)
-    val toks = TextAnalysis.tokenCount(t)
-    val Seq(logtok, mwl, stopR, alphaR) = featureExprs(t)
-    docs.select(col(idCol),
-      logtok.as("x_logtok"),
+    val staged = docs.select(col(idCol),
+      TextAnalysis.tokenCount(t).as("__toks"),
+      length(regexp_replace(trim(t), "\\s+", "")).cast("double").as("__chars"),
+      TextAnalysis.stopwordHits(t, "en").as("__stops"),
+      regexp_count(t, lit("(^|\\s)[^\\s]*[a-z][^\\s]*")).as("__alphas"))
+    val safeToks = greatest(col("__toks"), lit(1)).cast("double")
+    val mwl = col("__chars") / safeToks
+    val alphaR = col("__alphas").cast("double") / safeToks
+    staged.select(col(idCol),
+      log(lit(1.0) + col("__toks")).as("x_logtok"),
       mwl.as("x_mwl"),
-      stopR.as("x_stop"),
+      (col("__stops").cast("double") / safeToks).as("x_stop"),
       alphaR.as("x_alpha"),
-      when(toks >= 10 && toks <= 100000 && mwl >= 3.0 && mwl <= 10.0 &&
-        alphaR >= 0.8 && TextAnalysis.stopwordHits(t, "en") >= 2, 1.0)
+      when(col("__toks") >= 10 && col("__toks") <= 100000 &&
+        mwl >= 3.0 && mwl <= 10.0 && alphaR >= 0.8 && col("__stops") >= 2, 1.0)
         .otherwise(0.0).as("label"))
   }
 
@@ -128,7 +139,7 @@ object DataSelection {
     * `x_alpha` ≡ 1, collinear with the intercept). */
   def fitQualityModel(docs: DataFrame, idCol: String, textCol: String,
                       ridge: Double = 1e-3): (Double, Array[Double]) =
-    Ols.fit(qualityTrainingFrame(docs, idCol, textCol), qualityFeatures,
+    Ols.fitAgg(qualityTrainingFrame(docs, idCol, textCol), qualityFeatures,
       "label", ridge)
 
   /** Train the quality model and score every document with the
@@ -140,8 +151,12 @@ object DataSelection {
     * score at 0.5 so the decision is bit-stable across engines. */
   def qualityClassifier(docs: DataFrame, idCol: String, textCol: String,
                         ridge: Double = 1e-3): DataFrame = {
-    val (b0, w) = fitQualityModel(docs, idCol, textCol, ridge)
+    // the narrow feature frame (5 doubles + label per doc) is persisted
+    // across the two passes — the regex feature extraction dominates
+    // and would otherwise run twice (fit, then score)
     val feats = qualityTrainingFrame(docs, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (b0, w) = Ols.fitAgg(feats, qualityFeatures, "label", ridge)
     val score = qualityFeatures.zip(w)
       .foldLeft(lit(b0)) { case (acc, (f, wi)) => acc + col(f) * wi }
     feats.select(col(idCol), col("label").cast("long").as("label"),
