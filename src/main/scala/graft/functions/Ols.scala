@@ -83,6 +83,22 @@ object Ols {
     * matrices where d² codegen'd sum expressions stop paying off. */
   def fitAgg(df: DataFrame, featureCols: Seq[String], labelCol: String,
              ridge: Double = 0.0): (Double, Array[Double]) = {
+    val (a, b) = momentsAgg(df, featureCols, labelCol)
+    val d = b.length
+    if (ridge != 0.0) {
+      var i = 1
+      while (i < d) { a(i)(i) += ridge; i += 1 }
+    }
+    val w = choleskySolve(a, b)
+    (w(0), w.drop(1))
+  }
+
+  /** The one-pass SQL-aggregated normal-equation moments shared by
+    * [[fitAgg]] and [[elasticNetCD]]: full symmetric (p+1)×(p+1)
+    * X^T X (column 0 = intercept regressor 1.0, so row 0 carries n and
+    * the feature sums) and X^T y. */
+  private def momentsAgg(df: DataFrame, featureCols: Seq[String],
+                         labelCol: String): (Array[Array[Double]], Array[Double]) = {
     import org.apache.spark.sql.functions.{lit, sum}
     val d = featureCols.length + 1
     val rows = df.na.drop(featureCols :+ labelCol)
@@ -92,14 +108,68 @@ object Ols {
       (0 until d).map(i => sum(xs(i) * y))
     val row = rows.agg(exprs.head, exprs.tail: _*).collect()(0)
     val tri = d * (d + 1) / 2
-    val a = expand(Array.tabulate(tri)(row.getDouble), d)
-    val b = Array.tabulate(d)(i => row.getDouble(tri + i))
-    if (ridge != 0.0) {
-      var i = 1
-      while (i < d) { a(i)(i) += ridge; i += 1 }
+    (expand(Array.tabulate(tri)(row.getDouble), d),
+      Array.tabulate(d)(i => row.getDouble(tri + i)))
+  }
+
+  /** Lasso / elastic-net by cyclic coordinate descent on the CENTERED
+    * normal-equation moments — scikit-learn `ElasticNet(alpha,
+    * l1_ratio, fit_intercept=True)` semantics (the reference's lasso /
+    * elastic_net backend, reference: functime/forecasting/linear.py:
+    * 105-143): minimize 1/(2n)‖y − b₀ − Xw‖² + α·l1·‖w‖₁ +
+    * α(1−l1)/2·‖w‖². sklearn centers X and y, runs CD on the
+    * covariance system, and recovers b₀ = ȳ − w·x̄ — exactly what the
+    * Gram updates below do.
+    *
+    * L1 has no closed form, but CD needs only X^T X / X^T y — so at
+    * 100 TB this is still ONE data pass (the same `momentsAgg`
+    * aggregation as OLS/ridge) plus O(sweeps·p²) driver flops,
+    * instead of an iterative solver passing over the data per step.
+    * A FIXED `sweeps` count (no tolerance early-exit) keeps the
+    * update sequence deterministic, so the DuckDB oracle
+    * (Q.cdSolveSql) replicates it step-exactly. */
+  def elasticNetCD(df: DataFrame, featureCols: Seq[String], labelCol: String,
+                   alpha: Double, l1Ratio: Double,
+                   sweeps: Int = 40): (Double, Array[Double]) = {
+    val (a, b) = momentsAgg(df, featureCols, labelCol)
+    cdFromMoments(a, b, alpha, l1Ratio, sweeps)
+  }
+
+  /** The driver-side CD loop; arithmetic order (centering, the ρ
+    * accumulation k-ascending, soft-threshold branches, the intercept
+    * recovery) is replicated term-for-term by Q.cdSolveSql — keep the
+    * two in lockstep. */
+  private[graft] def cdFromMoments(a: Array[Array[Double]], b: Array[Double],
+                                   alpha: Double, l1Ratio: Double,
+                                   sweeps: Int): (Double, Array[Double]) = {
+    val p = b.length - 1
+    val nn = a(0)(0)
+    val cm = Array.tabulate(p, p)((j, k) => a(j + 1)(k + 1) - a(0)(j + 1) * a(0)(k + 1) / nn)
+    val cv = Array.tabulate(p)(j => b(j + 1) - a(0)(j + 1) * b(0) / nn)
+    val thr = nn * (alpha * l1Ratio)
+    val l2 = nn * (alpha * (1.0 - l1Ratio))
+    val w = new Array[Double](p)
+    var t = 0
+    while (t < sweeps) {
+      var j = 0
+      while (j < p) {
+        var rho = cv(j)
+        var k = 0
+        while (k < p) { if (k != j) rho -= cm(j)(k) * w(k); k += 1 }
+        val den = cm(j)(j) + l2
+        w(j) =
+          if (den <= 0.0) 0.0
+          else if (rho > thr) (rho - thr) / den
+          else if (rho < -thr) (rho + thr) / den
+          else 0.0
+        j += 1
+      }
+      t += 1
     }
-    val w = choleskySolve(a, b)
-    (w(0), w.drop(1))
+    var dot = 0.0
+    var j = 0
+    while (j < p) { dot += w(j) * a(0)(j + 1); j += 1 }
+    ((b(0) - dot) / nn, w)
   }
 
   private def expand(tri: Array[Double], d: Int): Array[Array[Double]] = {

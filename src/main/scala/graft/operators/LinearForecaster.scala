@@ -1,16 +1,16 @@
 package graft.operators
 
 import graft.core.Panel
-import org.apache.spark.ml.feature.VectorAssembler
-import org.apache.spark.ml.regression.LinearRegression
 import org.apache.spark.sql.DataFrame
 
 /** Global linear AR forecaster (reference: functime/forecasting/linear.py
   * + base/forecaster.py fit/predict pipeline).
   *
-  * fit: AR-reduction matrix (lags 1..L per entity) → MLlib
-  * LinearRegression (elasticNetParam spans ridge/lasso/elastic-net,
-  * matching the reference's linear/lasso/ridge/elastic_net family).
+  * fit: AR-reduction matrix (lags 1..L per entity) → ONE moment pass:
+  * closed-form Cholesky for OLS/ridge, cyclic coordinate descent on
+  * the same moments for lasso/elastic-net (sklearn semantics — the
+  * reference's linear/lasso/ridge/elastic_net family, linear.py:90-203)
+  * — never an iterative multi-pass solver over the data.
   *
   * predict: the fitted coefficients are tiny, so the recursive
   * multi-step loop broadcasts them and runs as unrolled column algebra
@@ -29,31 +29,27 @@ object LinearForecaster {
   def fit(p: Panel, lags: Int, freq: String,
           regParam: Double = 0.0, elasticNetParam: Double = 0.0): LinearForecasterModel = {
     val reduction = Forecasters.makeReduction(p, lags)
-    val featureCols = (1 to lags).map(l => s"${p.value}__lag_$l").toArray
-    if (elasticNetParam == 0.0) {
-      // pure OLS and pure-L2 ridge are both one-pass closed-form
-      // normal equations (graft.functions.Ols; ridge = λ on the
-      // non-intercept diagonal, sklearn-Ridge semantics — the
-      // reference's backend) — no VectorAssembler materialization, no
-      // MLlib summary passes. Only L1/elastic-net needs the iterative
-      // solver below.
-      val (b0, w) = graft.functions.Ols.fit(reduction, featureCols.toSeq, p.value,
-        ridge = regParam)
-      LinearForecasterModel(b0, w, lags, freq)
-    } else {
-      val assembled = new VectorAssembler()
-        .setInputCols(featureCols).setOutputCol("__features")
-        .transform(reduction.na.drop(featureCols :+ p.value))
-      val lr = new LinearRegression()
-        // L1 needs the iterative solver, so only pure-L2 takes the
-        // closed-form normal path
-        .setSolver(if (elasticNetParam == 0.0) "normal" else "auto")
-        .setFeaturesCol("__features").setLabelCol(p.value)
-        .setRegParam(regParam).setElasticNetParam(elasticNetParam)
-      val m = lr.fit(assembled)
-      LinearForecasterModel(m.intercept, m.coefficients.toArray, lags, freq)
-    }
+    val featureCols = (1 to lags).map(l => s"${p.value}__lag_$l")
+    val (b0, w) =
+      if (elasticNetParam == 0.0)
+        // pure OLS and pure-L2 ridge are closed-form normal equations
+        // (graft.functions.Ols; ridge = λ on the non-intercept
+        // diagonal, sklearn-Ridge semantics — the reference's backend)
+        graft.functions.Ols.fit(reduction, featureCols, p.value, ridge = regParam)
+      else
+        // L1/elastic-net: cyclic coordinate descent on the SAME
+        // one-pass moments (sklearn ElasticNet semantics) — still a
+        // single pass over the data at any scale
+        graft.functions.Ols.elasticNetCD(reduction, featureCols, p.value,
+          alpha = regParam, l1Ratio = elasticNetParam)
+    LinearForecasterModel(b0, w, lags, freq)
   }
+
+  /** "ensemble" strategy — _ar.py:83-114, :356-371: the recursive and
+    * direct models fit independently (each its own one-pass reduction
+    * + closed-form solve), predictions averaged per (entity, step). */
+  def fitEnsemble(p: Panel, lags: Int, fh: Int, freq: String): EnsembleLinearModel =
+    EnsembleLinearModel(fit(p, lags, freq), fitDirect(p, lags, fh, freq))
 
   /** Direct multi-horizon strategy — _ar.py:53-73: one model per
     * horizon h, trained on the lag window shifted by h (features
@@ -104,6 +100,23 @@ final case class DirectLinearModel(
       .withColumn("__h", explode(sequence(lit(1), lit(fh))))
       .withColumn(p.value, element_at(col("__preds"), col("__h").cast("int")))
       .withColumn(timeCol, Forecasters.futureTime(freq))
+      .select((p.entityCols ++ Seq(col(timeCol), col(p.value))): _*)
+  }
+}
+
+/** Recursive + direct pair; predict = mean of the two (the reference
+  * averages predict_recursive and predict_direct, _ar.py:356-371).
+  * Both predictions key on the same (entity, future-time) grid and
+  * drop the same too-short entities, so the combine is an equi-join
+  * on entity-count × fh rows — broadcast-sized, never row-scale. */
+final case class EnsembleLinearModel(rec: LinearForecasterModel, dir: DirectLinearModel) {
+  import org.apache.spark.sql.functions._
+
+  def predict(p: Panel, timeCol: String, fh: Int): DataFrame = {
+    val r = rec.predict(p, timeCol, fh)
+    val d = dir.predict(p, timeCol, fh).withColumnRenamed(p.value, "__vd")
+    r.join(d, p.entity :+ timeCol)
+      .withColumn(p.value, (col(p.value) + col("__vd")) / 2)
       .select((p.entityCols ++ Seq(col(timeCol), col(p.value))): _*)
   }
 }

@@ -550,6 +550,66 @@ object ConformalQueries {
     // candidate costs a full exact-KNN backtest pass, too heavy for
     // the per-round bench registry)
 
+    // recursive ⊕ direct "ensemble" strategy (_ar.py:83-114, :356-371):
+    // both closed-form fits replicated (pooled-OLS staged-Cholesky
+    // chains over their own reductions — recursive drops 7 warmup rows,
+    // direct drops 9), predictions averaged per (entity, horizon)
+    "fc_ensemble" -> Q(
+      s"""WITH ${OlsBacktestSql.lagdCte(9)},
+          ${OlsBacktestSql.fullLinear("er", 7, fh = 3)},
+          ${OlsBacktestSql.fullDirect("dr", 7, fh = 3)}
+          SELECT a.user_id, CAST(a.cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                 round(((CASE h WHEN 1 THEN a.p1 WHEN 2 THEN a.p2 ELSE a.p3 END)
+                        + (CASE h WHEN 1 THEN b.p1 WHEN 2 THEN b.p2 ELSE b.p3 END)) / 2, 6)
+                   AS value
+          FROM fp_er a JOIN fp_dr b ON a.user_id = b.user_id
+          CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)""") { (s, dir) =>
+      val p = ev(s, dir)
+      r6(LinearForecaster.fitEnsemble(p, lags = 7, fh = 3, freq = "1d")
+        .predict(p, "ts", fh = 3))
+    },
+
+    // lasso: cyclic coordinate descent on the one-pass CENTERED
+    // normal-equation moments (sklearn Lasso semantics, the
+    // reference's linear.py backend). L1 has no closed form, but CD
+    // only needs X^T X / X^T y — one data pass at any scale — and a
+    // fixed sweep count makes the update sequence deterministic, so
+    // the oracle (Q.cdSolveSql) replicates it step-exactly
+    "fc_lasso" -> Q(
+      s"""WITH ${OlsBacktestSql.lagdCte(7)},
+          ${OlsBacktestSql.fullElasticNet("ls", 7, fh = 3, alpha = 0.5, l1Ratio = 1.0, sweeps = 40)}
+          SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                 round(CASE h WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END, 6) AS value
+          FROM fp_ls CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)""") { (s, dir) =>
+      val p = ev(s, dir)
+      r6(LinearForecaster.fit(p, lags = 7, freq = "1d",
+        regParam = 0.5, elasticNetParam = 1.0).predict(p, "ts", fh = 3))
+    },
+
+    // elastic-net: same CD machinery with the mixed L1/L2 penalty
+    "fc_elastic_net" -> Q(
+      s"""WITH ${OlsBacktestSql.lagdCte(7)},
+          ${OlsBacktestSql.fullElasticNet("en", 7, fh = 3, alpha = 0.5, l1Ratio = 0.5, sweeps = 40)}
+          SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                 round(CASE h WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END, 6) AS value
+          FROM fp_en CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)""") { (s, dir) =>
+      val p = ev(s, dir)
+      r6(LinearForecaster.fit(p, lags = 7, freq = "1d",
+        regParam = 0.5, elasticNetParam = 0.5).predict(p, "ts", fh = 3))
+    },
+
+    // zero_inflated_model = censored_model(threshold = 0)
+    // (censored.py:96): P(y > 0) classifier × above-zero OLS, on a
+    // demand-shaped target (value floored at 0 after a −100 shift, so
+    // the zero-inflation is real); MLlib logistic fit → rows-only
+    "fc_zero_inflated" -> Q.rowsOnly { (s, dir) =>
+      val p0 = ev(s, dir)
+      val p = p0.copy(df = p0.df.withColumn("value",
+        greatest(col("value") - 100.0, lit(0.0))))
+      CensoredForecaster.fit(p, lags = 7, freq = "1d", threshold = 0.0)
+        .predict(p, "ts", fh = 3)
+    },
+
     // lag-grid sweep replicated: each candidate's expanding-window
     // backtest (pooled per-split OLS + 10-step recursion) scores a
     // mean per-entity SMAPE; argmin (first-wins on ties, hence <=)

@@ -120,6 +120,56 @@ object OlsBacktestSql {
         fp_$tag AS (SELECT * FROM ${tag}_pred)"""
   }
 
+  /** Full-data elastic-net/lasso CD fit + fh-step recursive
+    * prediction ([[graft.functions.Ols.elasticNetCD]]'s oracle).
+    * Emits `fp_<tag>` with (user_id, cutoff, p1..p<fh>). */
+  def fullElasticNet(tag: String, lags: Int, fh: Int, alpha: Double,
+                     l1Ratio: Double, sweeps: Int): String = {
+    val xs = "1.0" +: (1 to lags).map(j => s"f$j")
+    s"""${tag}_mom AS (SELECT ${Q.olsMomentsSql(xs, "value")}
+          FROM lagd WHERE rn > $lags),
+        ${Q.cdSolveSql(lags, alpha, l1Ratio, sweeps, s"${tag}_mom", s"${tag}_cd")},
+        ${tailCte(tag, lags, "cnt")},
+        ${tag}_p0 AS (SELECT * FROM ${tag}_tail
+          CROSS JOIN ${Q.cdSolveLast(lags, sweeps, s"${tag}_cd")}),
+        ${predStages(s"${tag}_", s"${tag}_p0", fh, lags)},
+        fp_$tag AS (SELECT * FROM ${tag}_pred)"""
+  }
+
+  /** Full-data DIRECT multi-horizon fit (_ar.py:53-73 oracle,
+    * mirroring [[graft.operators.LinearForecaster.fitDirect]]): one
+    * pooled OLS per horizon h over the lag window shifted by h
+    * (features f_h..f_{h+lags−1}), every model trained on the shared
+    * reduction with the first lags+fh−1 warmup rows dropped, all
+    * scoring the same per-entity tail. Emits `fp_<tag>` with
+    * (user_id, cutoff, p1..p<fh>). */
+  def fullDirect(tag: String, lags: Int, fh: Int): String = {
+    val maxLag = lags + fh - 1
+    val moms = (1 to fh).map { h =>
+      val xs = "1.0" +: (h until h + lags).map(j => s"f$j")
+      s"""${tag}_mom$h AS (SELECT ${Q.olsMomentsSql(xs, "value")}
+            FROM lagd WHERE rn > $maxLag)"""
+    }
+    val chains = (1 to fh).map(h =>
+      Q.cholSolveSql(lags + 1, s"${tag}_mom$h", s"${tag}_c$h"))
+    val sols = (1 to fh).map { h =>
+      val renames = (0 to lags).map(i => s"a_$i AS w${h}_$i").mkString(", ")
+      s"${tag}_sol$h AS (SELECT $renames FROM ${Q.cholSolveLast(lags + 1, s"${tag}_c$h")})"
+    }
+    // ((w_1·t1 + w_2·t2 + …) + w_0): the foldLeft order of
+    // DirectLinearModel.predict's reduce(_+_) + intercept
+    def pred(h: Int) =
+      (1 to lags).map(i => s"w${h}_$i * t$i").mkString("(", " + ", ")") + s" + w${h}_0"
+    val solJoin = (1 to fh).map(h => s"${tag}_sol$h").mkString(" CROSS JOIN ")
+    s"""${moms.mkString(", ")},
+        ${chains.mkString(", ")},
+        ${sols.mkString(", ")},
+        ${tailCte(tag, lags, "cnt")},
+        fp_$tag AS (SELECT user_id, cutoff,
+            ${(1 to fh).map(h => s"${pred(h)} AS p$h").mkString(", ")}
+          FROM ${tag}_tail CROSS JOIN $solJoin)"""
+  }
+
   /** The shared `lagd` CTE over events: f1..f<maxLag>, rn, cnt. */
   def lagdCte(maxLag: Int): String = {
     val fs = (1 to maxLag).map(j => s"lag(value, $j) OVER w AS f$j").mkString(", ")

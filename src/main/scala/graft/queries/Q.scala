@@ -103,6 +103,57 @@ object Q {
   /** Name of the final CTE emitted by [[cholSolveSql]]. */
   def cholSolveLast(d: Int, p: String = "ch"): String = s"$p${3 * d - 1}"
 
+  /** Unrolled cyclic-coordinate-descent elastic-net solve (the sklearn
+    * `ElasticNet`/`Lasso` objective) as MATERIALIZED CTE stages — the
+    * oracle side of [[graft.functions.Ols.cdFromMoments]], replicating
+    * its arithmetic term-for-term: moment centering, the k-ascending ρ
+    * accumulation, the soft-threshold branches, and the intercept
+    * recovery, all at a FIXED sweep count so both engines run the
+    * identical update sequence. One CTE per coordinate update (a
+    * single-SELECT unroll would re-expand each lateral ρ alias 4× per
+    * CASE branch — exponential text blowup, same hazard cholSolveSql
+    * documents). Input CTE `from0` must carry `m_<i>_<j>` (upper
+    * triangle incl. intercept row 0) and `b_<i>`; the final CTE
+    * ([[cdSolveLast]]) carries the solution `a_0..a_<p>`. */
+  def cdSolveSql(p: Int, alpha: Double, l1Ratio: Double, sweeps: Int,
+                 from0: String, pre: String = "cd"): String = {
+    def cName(j: Int, k: Int) = s"c_${math.min(j, k)}_${math.max(j, k)}"
+    val ctr = {
+      val cs = for (j <- 1 to p; k <- j to p)
+        yield s"m_${j}_$k - m_0_$j * m_0_$k / m_0_0 AS c_${j}_$k"
+      val ccs = (1 to p).map(j => s"b_$j - m_0_$j * b_0 / m_0_0 AS cc_$j")
+      val consts = Seq(
+        s"m_0_0 * ${alpha * l1Ratio} AS ${pre}_thr",
+        s"m_0_0 * ${alpha * (1.0 - l1Ratio)} AS ${pre}_l2")
+      val w0 = (1 to p).map(j => s"CAST(0.0 AS DOUBLE) AS w0_$j")
+      (cs ++ ccs ++ consts ++ w0).mkString(", ")
+    }
+    val stages = scala.collection.mutable.ArrayBuffer[String](ctr)
+    for (t <- 1 to sweeps; j <- 1 to p) {
+      val wref = (k: Int) => if (k < j) s"w${t}_$k" else s"w${t - 1}_$k"
+      val rho = (s"cc_$j" +: (1 to p).filter(_ != j).toSeq
+        .map(k => s"- ${cName(j, k)} * ${wref(k)}")).mkString(" ")
+      val r = s"r${t}_$j"
+      val den = s"(c_${j}_$j + ${pre}_l2)"
+      stages += s"""($rho) AS $r,
+          CASE WHEN $den <= 0.0 THEN CAST(0.0 AS DOUBLE)
+               WHEN $r > ${pre}_thr THEN ($r - ${pre}_thr) / $den
+               WHEN $r < -${pre}_thr THEN ($r + ${pre}_thr) / $den
+               ELSE CAST(0.0 AS DOUBLE) END AS w${t}_$j"""
+    }
+    val dot = (s"0.0" +: (1 to p).map(j => s"+ w${sweeps}_$j * m_0_$j")).mkString(" ")
+    stages += (s"(b_0 - ($dot)) / m_0_0 AS a_0" +:
+      (1 to p).map(j => s"w${sweeps}_$j AS a_$j")).mkString(", ")
+    stages.zipWithIndex.map { case (cols, n) =>
+      val src = if (n == 0) from0 else s"$pre${n - 1}"
+      s"$pre$n AS MATERIALIZED (SELECT *, $cols FROM $src)"
+    }.mkString(", ")
+  }
+
+  /** Name of the final CTE emitted by [[cdSolveSql]]. */
+  def cdSolveLast(p: Int, sweeps: Int, pre: String = "cd"): String =
+    s"$pre${1 + sweeps * p}"
+
   /** DuckDB fragment: 12 hex nibbles of hex-string expression `h`
     * starting at 1-based position `off+1`, as a BIGINT — the oracle
     * side of the portable 48-bit md5-half hashes

@@ -69,6 +69,19 @@ class ForecastSpec extends SparkSpec {
     assertClose(preds(1), math.sin(omega * 61), 1e-4)
   }
 
+  test("ensemble strategy averages the recursive and direct predictions (_ar.py:356-371)") {
+    val s = (0 until 50).map(i => 10.0 + 0.5 * i + 3 * math.sin(0.4 * i))
+    val p = panel(s)
+    val rec = LinearForecaster.fit(p, lags = 4, freq = "1i").predict(p, "t", fh = 3)
+    val dir = LinearForecaster.fitDirect(p, lags = 4, fh = 3, freq = "1i").predict(p, "t", fh = 3)
+    val ens = LinearForecaster.fitEnsemble(p, lags = 4, fh = 3, freq = "1i").predict(p, "t", fh = 3)
+    val byT = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => r.getAs[Any]("t").toString -> r.getAs[Double]("value")).toMap
+    val (r, d, e) = (byT(rec), byT(dir), byT(ens))
+    assert(e.keySet == r.keySet && e.keySet == d.keySet)
+    e.foreach { case (t, v) => assertClose(v, (r(t) + d(t)) / 2, 1e-12) }
+  }
+
   test("interval coverage and winkler") {
     import spark.implicits._
     val df = Seq((0, 5.0, 0.0, 10.0), (0, 15.0, 0.0, 10.0)).toDF("entity", "actual", "lo", "hi")
