@@ -35,6 +35,30 @@ object Bench {
           Window.partitionBy("user_id").orderBy("ts", "event_id")))
         .groupBy("user_id").agg(avg(col("__l"))).count()
     } catch { case _: Throwable => () }
+    // ...and the fit machinery the forecaster family shares, on a
+    // 64-row frame (untimed): closed-form OLS moment passes (RDD
+    // treeAggregate + codegen'd SQL aggs), the collect_list/sort_array
+    // per-entity state idiom, and the MLlib logistic/GBT solvers —
+    // first use otherwise charges several seconds of JIT/codegen to
+    // whichever fc_* query runs first, not to the engine under test
+    try {
+      import org.apache.spark.sql.functions._
+      val tiny = spark.range(64).select((col("id") % 8).as("e"),
+        col("id").cast("double").as("x"))
+        .withColumn("y", col("x") * 2 + 1)
+      graft.functions.Ols.fit(tiny, Seq("x"), "y")
+      graft.functions.Ols.fitAgg(tiny, Seq("x"), "y")
+      tiny.groupBy("e").agg(sort_array(collect_list(struct(col("x"), col("y")))).as("s"))
+        .select(col("e"), posexplode(col("s"))).count()
+      val labeled = new org.apache.spark.ml.feature.VectorAssembler()
+        .setInputCols(Array("x")).setOutputCol("__f")
+        .transform(tiny.withColumn("__l", (col("x") > 32).cast("double")))
+      new org.apache.spark.ml.classification.LogisticRegression()
+        .setFeaturesCol("__f").setLabelCol("__l").setMaxIter(3).fit(labeled)
+      new org.apache.spark.ml.regression.GBTRegressor()
+        .setFeaturesCol("__f").setLabelCol("y").setMaxIter(2).setMaxDepth(2)
+        .setSeed(42L).fit(labeled)
+    } catch { case _: Throwable => () }
     // name-sorted: Map iteration order shifts as the registry grows,
     // which reorders warmup/JIT effects between rounds — a fixed order
     // keeps per-query timings comparable round-to-round

@@ -46,10 +46,35 @@ object LinearForecaster {
   }
 
   /** "ensemble" strategy — _ar.py:83-114, :356-371: the recursive and
-    * direct models fit independently (each its own one-pass reduction
-    * + closed-form solve), predictions averaged per (entity, step). */
-  def fitEnsemble(p: Panel, lags: Int, fh: Int, freq: String): EnsembleLinearModel =
-    EnsembleLinearModel(fit(p, lags, freq), fitDirect(p, lags, fh, freq))
+    * direct models fit independently, predictions averaged per
+    * (entity, step). ONE shared null-keeping lag pass feeds all
+    * fh + 1 closed-form fits: the recursive model's training set is
+    * the rows with f1..f_lags non-null (Ols.fit's na.drop), the
+    * direct models' is the rows past the full lags+fh−1 warmup — so
+    * sharing the window output changes no model's rows, and the
+    * per-fit moment aggregations run as concurrent jobs over the one
+    * cached frame. */
+  def fitEnsemble(p: Panel, lags: Int, fh: Int, freq: String): EnsembleLinearModel = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val shared = Preprocess.lagKeepAll(p, 1 to (lags + fh - 1)).cache()
+    try {
+      val recCols = (1 to lags).map(l => s"${p.value}__lag_$l")
+      val directTrain = shared.filter(
+        org.apache.spark.sql.functions.col(s"${p.value}__lag_${lags + fh - 1}").isNotNull)
+      val fits = Future.sequence(
+        Future(graft.functions.Ols.fit(shared, recCols, p.value)) +:
+          (1 to fh).map { h => Future(
+            graft.functions.Ols.fit(directTrain,
+              (h until h + lags).map(l => s"${p.value}__lag_$l"), p.value))
+          })
+      val all = Await.result(fits, Duration.Inf)
+      EnsembleLinearModel(
+        LinearForecasterModel(all.head._1, all.head._2, lags, freq),
+        DirectLinearModel(all.tail, lags, freq))
+    } finally shared.unpersist(blocking = false)
+  }
 
   /** Direct multi-horizon strategy — _ar.py:53-73: one model per
     * horizon h, trained on the lag window shifted by h (features
