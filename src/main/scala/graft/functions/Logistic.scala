@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Logistic regression by IRLS / Newton on per-iteration moment
+  * aggregations — the classifier side of the censored forecaster
+  * family (reference: functime/forecasting/censored.py:32-96, whose
+  * classifier is a driver-side sklearn fit over the collected
+  * reduction).
+  *
+  * Spark-native shape: iteration t computes the weighted normal
+  * moments X^T W X (upper triangle) and the gradient X^T (y − μ) in
+  * ONE codegen'd aggregation pass over the distributed reduction —
+  * the same partial-final `sum()` machinery as [[Ols]] — then takes
+  * the Newton step on the driver (a (p+1)-dim Cholesky). `iters`
+  * passes total, each O(p²) aggregate state per partition: at 100 TB
+  * this is `iters` scans with map-side combine, never a collected
+  * matrix, and typically fewer passes than LBFGS needs for the same
+  * tolerance.
+  *
+  * A FIXED iteration count (no tolerance exit) keeps the update
+  * sequence deterministic, so the DuckDB oracle
+  * (queries/OlsBacktestSql.logisticIrlsSql) replicates it
+  * step-exactly. Newton converges quadratically: 8 iterations reach
+  * the MLE to ~machine precision on non-separable data.
+  */
+object Logistic {
+
+  /** Fit P(label=1) = σ(b₀ + w·x). `lambda` > 0 adds an L2 penalty
+    * λ/2·‖w‖² (intercept unpenalized). Rows with any null dropped.
+    * Returns (intercept, weights). */
+  def fitIrls(df: DataFrame, featureCols: Seq[String], labelCol: String,
+              lambda: Double = 0.0, iters: Int = 8): (Double, Array[Double]) = {
+    val p = featureCols.length
+    val d = p + 1
+    val rows = df.na.drop(featureCols :+ labelCol).cache()
+    try {
+      val xs: IndexedSeq[Column] =
+        lit(1.0) +: featureCols.toIndexedSeq.map(c => col(c).cast("double"))
+      val y = col(labelCol).cast("double")
+      val beta = new Array[Double](d)
+      var t = 0
+      while (t < iters) {
+        // per-row: η = β₀ + Σ βⱼxⱼ (left-to-right), μ = σ(η),
+        // w = μ(1−μ), r = y − μ — arithmetic order mirrored by the SQL
+        // oracle generator; keep the two in lockstep
+        val eta = (1 to p).foldLeft(lit(beta(0)): Column)((acc, j) =>
+          acc + lit(beta(j)) * xs(j))
+        val mu = lit(1.0) / (lit(1.0) + exp(-eta))
+        val wr = mu * (lit(1.0) - mu)
+        val rr = y - mu
+        val exprs = (for (i <- 0 until d; j <- i until d)
+          yield sum(wr * xs(i) * xs(j))) ++ (0 until d).map(i => sum(rr * xs(i)))
+        val row = rows.agg(exprs.head, exprs.tail: _*).collect()(0)
+        val tri = d * (d + 1) / 2
+        val h = Array.ofDim[Double](d, d)
+        var k = 0
+        for (i <- 0 until d; j <- i until d) {
+          h(i)(j) = row.getDouble(k); h(j)(i) = row.getDouble(k); k += 1
+        }
+        val g = Array.tabulate(d)(i => row.getDouble(tri + i))
+        if (lambda != 0.0) {
+          var j = 1
+          while (j < d) { h(j)(j) += lambda; g(j) -= lambda * beta(j); j += 1 }
+        }
+        val delta = Ols.choleskySolve(h, g)
+        var j = 0
+        while (j < d) { beta(j) += delta(j); j += 1 }
+        t += 1
+      }
+      (beta(0), beta.drop(1))
+    } finally rows.unpersist(blocking = false)
+  }
+}

@@ -1,7 +1,6 @@
 package graft.operators
 
 import graft.core.Panel
-import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.ml.regression.{GBTRegressionModel, GBTRegressor}
@@ -121,25 +120,20 @@ object CensoredForecaster {
 
   def fit(p: Panel, lags: Int, freq: String, threshold: Double = 0.0): Model = {
     val reduction = Forecasters.makeReduction(p, lags)
-    val featureCols = (1 to lags).map(l => s"${p.value}__lag_$l").toArray
-    val assembled = new VectorAssembler()
-      .setInputCols(featureCols).setOutputCol("__features")
-      .transform(reduction.na.drop(featureCols :+ p.value))
+    val featureCols = (1 to lags).map(l => s"${p.value}__lag_$l")
+    val train = reduction.na.drop(featureCols :+ p.value)
       .withColumn("__above", (col(p.value) > threshold).cast("double"))
       .cache()
-    // the classifier is genuinely iterative (logistic loss) — MLlib;
-    // the above-threshold regression is pure OLS — one closed-form pass
-    val clf = new LogisticRegression()
-      .setFeaturesCol("__features").setLabelCol("__above")
-      // sklearn LogisticRegression defaults (censored.py's classifier):
-      // tol=1e-4 — MLlib's 1e-6 default buys no accuracy the reference
-      // doesn't have and costs extra lbfgs passes
-      .setTol(1e-4)
-      .fit(assembled)
+    // both parts are moment-aggregation fits over the shared cached
+    // reduction: the classifier is IRLS Newton (one weighted-moment
+    // pass per iteration, graft.functions.Logistic — deterministic
+    // fixed iterations, so the DuckDB oracle replicates it), the
+    // above-threshold regression is one-pass closed-form OLS
+    val (pIntercept, pWeights) = graft.functions.Logistic.fitIrls(
+      train, featureCols, "__above")
     val (rIntercept, rWeights) = graft.functions.Ols.fit(
-      assembled.filter(col(p.value) > threshold), featureCols.toSeq, p.value)
-    assembled.unpersist(blocking = false)
-    Model(clf.interceptVector(0), clf.coefficientMatrix.rowIter.next().toArray,
-      rIntercept, rWeights, lags, freq)
+      train.filter(col(p.value) > threshold), featureCols, p.value)
+    train.unpersist(blocking = false)
+    Model(pIntercept, pWeights, rIntercept, rWeights, lags, freq)
   }
 }

@@ -443,9 +443,19 @@ object ConformalQueries {
       GbtForecaster.fit(p, lags = 7, freq = "1d", maxIter = 5).predict(p, "ts", fh = 3)
     },
 
-    "fc_censored" -> Q.rowsOnly { (s, dir) =>
+    // censored model fully replicated: IRLS-Newton logistic (8 fixed
+    // iterations, one weighted-moment aggregation pass each — see
+    // graft.functions.Logistic) × above-threshold OLS, then the
+    // σ(z)·ŷ recursive roll — all step-exact in SQL
+    "fc_censored" -> Q(
+      s"""WITH ${OlsBacktestSql.lagdCte(7)},
+          ${OlsBacktestSql.fullCensored("cn", 7, fh = 3, "100.0")}
+          SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                 round(CASE h WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END, 6) AS value
+          FROM fp_cn CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)""") { (s, dir) =>
       val p = ev(s, dir)
-      CensoredForecaster.fit(p, lags = 7, freq = "1d", threshold = 100.0).predict(p, "ts", fh = 3)
+      r6(CensoredForecaster.fit(p, lags = 7, freq = "1d", threshold = 100.0)
+        .predict(p, "ts", fh = 3))
     },
 
     // direct multi-horizon OLS: one pooled fit per horizon h over the
@@ -601,13 +611,19 @@ object ConformalQueries {
     // zero_inflated_model = censored_model(threshold = 0)
     // (censored.py:96): P(y > 0) classifier × above-zero OLS, on a
     // demand-shaped target (value floored at 0 after a −100 shift, so
-    // the zero-inflation is real); MLlib logistic fit → rows-only
-    "fc_zero_inflated" -> Q.rowsOnly { (s, dir) =>
+    // the zero-inflation is real) — same IRLS replication as
+    // fc_censored with the transform applied before the lag windows
+    "fc_zero_inflated" -> Q(
+      s"""WITH ${OlsBacktestSql.lagdCte(7, valueExpr = "greatest(value - 100.0, 0.0)")},
+          ${OlsBacktestSql.fullCensored("zi", 7, fh = 3, "0.0")}
+          SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                 round(CASE h WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END, 6) AS value
+          FROM fp_zi CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)""") { (s, dir) =>
       val p0 = ev(s, dir)
       val p = p0.copy(df = p0.df.withColumn("value",
         greatest(col("value") - 100.0, lit(0.0))))
-      CensoredForecaster.fit(p, lags = 7, freq = "1d", threshold = 0.0)
-        .predict(p, "ts", fh = 3)
+      r6(CensoredForecaster.fit(p, lags = 7, freq = "1d", threshold = 0.0)
+        .predict(p, "ts", fh = 3))
     },
 
     // lag-grid sweep replicated: each candidate's expanding-window

@@ -170,13 +170,103 @@ object OlsBacktestSql {
           FROM ${tag}_tail CROSS JOIN $solJoin)"""
   }
 
-  /** The shared `lagd` CTE over events: f1..f<maxLag>, rn, cnt. */
-  def lagdCte(maxLag: Int): String = {
+  /** Full-data censored/zero-inflated fit + fh-step recursive predict
+    * ([[graft.operators.CensoredForecaster]]'s oracle): IRLS logistic
+    * P(value > τ) × above-τ OLS over the shared reduction, then the
+    * σ(z)·ŷ recursion. Emits `fp_<tag>` with (user_id, cutoff,
+    * p1..p<fh>). */
+  def fullCensored(tag: String, lags: Int, fh: Int, thresholdSql: String): String = {
+    val xs = "1.0" +: (1 to lags).map(j => s"f$j")
+    val pcren = (0 to lags).map(i => s"p_$i AS pc_$i").mkString(", ")
+    val rcren = (0 to lags).map(i => s"a_$i AS rc_$i").mkString(", ")
+    s"""${tag}_red AS MATERIALIZED (SELECT * FROM lagd WHERE rn > $lags),
+        ${logisticIrlsSql(s"${tag}_cl", s"${tag}_red", xs, s"value > $thresholdSql")},
+        ${tag}_clsol AS (SELECT $pcren FROM ${tag}_cl_s8),
+        ${tag}_rmom AS (SELECT ${Q.olsMomentsSql(xs, "value")}
+          FROM ${tag}_red WHERE value > $thresholdSql),
+        ${Q.cholSolveSql(lags + 1, s"${tag}_rmom", s"${tag}_rc")},
+        ${tag}_rsol AS (SELECT $rcren FROM ${Q.cholSolveLast(lags + 1, s"${tag}_rc")}),
+        ${tailCte(tag, lags, "cnt")},
+        ${tag}_p0 AS (SELECT * FROM ${tag}_tail
+          CROSS JOIN ${tag}_clsol CROSS JOIN ${tag}_rsol),
+        ${censoredPredStages(s"${tag}_", s"${tag}_p0", fh, lags)},
+        fp_$tag AS (SELECT * FROM ${tag}_pred)"""
+  }
+
+  /** The shared `lagd` CTE over events: f1..f<maxLag>, rn, cnt.
+    * `valueExpr` substitutes a target transform (e.g. the
+    * zero-inflated flooring) applied BEFORE the lag windows. */
+  def lagdCte(maxLag: Int, valueExpr: String = "value"): String = {
     val fs = (1 to maxLag).map(j => s"lag(value, $j) OVER w AS f$j").mkString(", ")
+    val src =
+      if (valueExpr == "value") "events"
+      else s"(SELECT * REPLACE ($valueExpr AS value) FROM events)"
     s"""lagd AS (
           SELECT user_id, ts, event_id, value, $fs,
                  row_number() OVER w AS rn,
                  count(*) OVER (PARTITION BY user_id) AS cnt
-          FROM events WINDOW w AS (${Q.W}))"""
+          FROM $src WINDOW w AS (${Q.W}))"""
+  }
+
+  /** CTEs replicating [[graft.functions.Logistic.fitIrls]] (λ = 0)
+    * over `dataCte`: per Newton iteration, a per-row working-response
+    * subquery (η, μ, w, r — lateral aliases, same arithmetic order as
+    * the Scala loop), ONE weighted-moment aggregation, an unrolled
+    * Cholesky solve of the step, and the β update. The final CTE
+    * `<tag>_s<iters>` carries the solution `p_0..p_<p>`. */
+  def logisticIrlsSql(tag: String, dataCte: String, xs: Seq[String],
+                      labelExpr: String, iters: Int = 8): String = {
+    val d = xs.length
+    val init = s"${tag}_s0 AS (SELECT ${(0 until d)
+      .map(i => s"CAST(0.0 AS DOUBLE) AS p_$i").mkString(", ")})"
+    val its = (1 to iters).map { t =>
+      val eta = (s"p_0" +: (1 until d).map(j => s"+ p_$j * ${xs(j)}"))
+        .mkString("(", " ", ")")
+      val rcte = s"""${tag}_r$t AS (
+          SELECT *, $eta AS eta, 1.0 / (1.0 + exp(-eta)) AS mu,
+                 mu * (1.0 - mu) AS wr, CAST($labelExpr AS DOUBLE) - mu AS rr
+          FROM $dataCte CROSS JOIN ${tag}_s${t - 1})"""
+      val ms = for (i <- 0 until d; j <- i until d)
+        yield s"sum(wr * ${xs(i)} * ${xs(j)}) AS m_${i}_$j"
+      val bs = (0 until d).map(i => s"sum(rr * ${xs(i)}) AS b_$i")
+      val carry = (0 until d).map(i => s"min(p_$i) AS p_$i")
+      val mcte = s"""${tag}_m$t AS (SELECT ${(ms ++ bs ++ carry).mkString(", ")}
+          FROM ${tag}_r$t)"""
+      val chol = Q.cholSolveSql(d, s"${tag}_m$t", s"${tag}_c$t")
+      val scte = s"""${tag}_s$t AS (SELECT ${(0 until d)
+        .map(i => s"p_$i + a_$i AS p_$i").mkString(", ")}
+          FROM ${Q.cholSolveLast(d, s"${tag}_c$t")})"""
+      Seq(rcte, mcte, chol, scte).mkString(", ")
+    }
+    (init +: its).mkString(", ")
+  }
+
+  /** Staged recursion for the censored predict (the oracle of
+    * [[graft.operators.GbtForecaster.predictRecursiveModel]] with the
+    * CensoredForecaster step): per horizon, z and ŷ are affine in the
+    * rolled state (earlier p's for j < h, tail values past), the
+    * probability is σ(z), the emitted value is σ(z)·ŷ. `from0` must
+    * carry t1..t<lags>, classifier coefs `pc_0..pc_<lags>` and
+    * regression coefs `rc_0..rc_<lags>`; the final CTE `<p>pred`
+    * carries p1..p<horizons>. Mirrors the step closure's
+    * `intercept + (0.0 + Σ wⱼ·stateⱼ)` fold order. */
+  def censoredPredStages(p: String, from0: String, horizons: Int, lags: Int): String = {
+    def affine(c: String, h: Int) = {
+      val terms = (1 to lags).map { j =>
+        val s = if (j < h) s"p${h - j}" else s"t${j - h + 1}"
+        s"+ ${c}_$j * $s"
+      }
+      s"(${c}_0 + (0.0 ${terms.mkString(" ")}))"
+    }
+    val stages = (1 to horizons).map { h =>
+      val src = if (h == 1) from0 else s"${p}h${h - 1}"
+      s"""${p}h$h AS MATERIALIZED (SELECT *,
+            ${affine("pc", h)} AS z$h,
+            1.0 / (1.0 + exp(-z$h)) AS pr$h,
+            ${affine("rc", h)} AS yh$h,
+            pr$h * yh$h AS p$h
+          FROM $src)"""
+    }
+    (stages :+ s"${p}pred AS (SELECT * FROM ${p}h$horizons)").mkString(", ")
   }
 }

@@ -94,6 +94,33 @@ class OlsSpec extends SparkSpec {
     assert(norms == norms.sorted.reverse, norms.toString)
   }
 
+  test("Logistic.fitIrls reaches the MLE score equations (gradient ≈ 0)") {
+    import spark.implicits._
+    // non-separable synthetic: label from a logistic probability
+    // thresholded by a deterministic hash "uniform"
+    val d = spark.range(2000).select(
+      (pmod(xxhash64(col("id")), lit(1000)).cast("double") / 500 - 1).as("x1"),
+      (pmod(xxhash64(col("id"), lit(1)), lit(1000)).cast("double") / 500 - 1).as("x2"),
+      (pmod(xxhash64(col("id"), lit(2)), lit(100000)).cast("double") / 100000).as("u"))
+      .withColumn("pTrue",
+        lit(1.0) / (lit(1.0) + exp(-(lit(0.5) + col("x1") * 2.0 - col("x2") * 1.0))))
+      .withColumn("y", (col("u") < col("pTrue")).cast("double"))
+      .drop("u", "pTrue").cache()
+    val (b0, w) = graft.functions.Logistic.fitIrls(d, Seq("x1", "x2"), "y")
+    // MLE first-order conditions: Σ (y − σ(b0 + w·x)) · [1, x] = 0
+    val rows = d.collect()
+    val g = new Array[Double](3)
+    rows.foreach { r =>
+      val (x1, x2, y) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      val mu = 1.0 / (1.0 + math.exp(-(b0 + w(0) * x1 + w(1) * x2)))
+      g(0) += y - mu; g(1) += (y - mu) * x1; g(2) += (y - mu) * x2
+    }
+    g.foreach(v => assert(math.abs(v / rows.length) < 1e-10, g.toSeq.toString))
+    // and the fit recovers the generating coefficients to sampling error
+    assert(math.abs(w(0) - 2.0) < 0.3 && math.abs(w(1) + 1.0) < 0.3 &&
+      math.abs(b0 - 0.5) < 0.3, s"($b0, ${w.toSeq})")
+  }
+
   test("collinear features fall back to the jittered solve, not a crash") {
     import spark.implicits._
     val d = spark.range(100).select(col("id").cast("double").as("x1"))
