@@ -45,7 +45,9 @@ object PlanAudit {
       "d_dsir_sample",                           // DSIR: shared count frame, model broadcast
       "t_quality_model",                         // trained filter: zero-shuffle scoring pass
       "pipe_corpus_clean",                       // composed clean pipeline: one wide shuffle
-      "fc_naive", "fc_knn", "m_score_backtest")  // forecast scaffolds + broadcast KNN
+      "fc_naive", "fc_knn", "m_score_backtest",  // forecast scaffolds + broadcast KNN
+      "fc_lasso", "fc_ensemble",                 // round 4: CD on moments; shared-reduction avg
+      "fc_censored", "fc_zero_inflated")         // IRLS logistic × OLS two-part predict
     picks.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(

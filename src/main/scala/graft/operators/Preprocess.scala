@@ -218,6 +218,39 @@ object Preprocess {
     (out, art)
   }
 
+  /** Robust Theil–Sen detrend — the reference's robust-regressor
+    * alternative (deseasonalize's TheilSenRegressor option,
+    * preprocessing.py:971-1013) applied to the linear trend: per
+    * entity, slope = median of all pairwise slopes (yⱼ−yᵢ)/(j−i),
+    * intercept = median of y − slope·i (the classic exact estimator).
+    *
+    * Scale shape: the pair fan-out is a per-entity self-equi-join —
+    * ONE shuffle on the entity key, pairs bounded by series length²
+    * per entity (never corpus-wide). For pathologically long series
+    * the standard mitigation is pair sampling; the estimator's
+    * breakdown point doesn't need every pair. Returns
+    * (residuals, artifacts(entity, __beta, __alpha)). */
+  def detrendTheilSen(p: Panel): (DataFrame, DataFrame) = {
+    val pr = p.withRowIdx("__i")
+    val base = pr.df.select((p.entityCols :+ col("__i").cast("double").as("__i") :+
+      p.x.as("__y")): _*)
+    val a = base.select((p.entityCols :+ col("__i").as("__ia") :+ col("__y").as("__ya")): _*)
+    val b = base.select((p.entityCols :+ col("__i").as("__ib") :+ col("__y").as("__yb")): _*)
+    val slopes = a.join(b, p.entity).filter(col("__ib") > col("__ia"))
+      .select((p.entityCols :+
+        ((col("__yb") - col("__ya")) / (col("__ib") - col("__ia"))).as("__s")): _*)
+    val betas = slopes.groupBy(p.entityCols: _*)
+      .agg(expr("percentile(__s, 0.5)").as("__beta"))
+    val art = base.join(broadcastIfSmall(betas), p.entity)
+      .groupBy(p.entityCols: _*)
+      .agg(first(col("__beta")).as("__beta"),
+        expr("percentile(__y - __beta * __i, 0.5)").as("__alpha"))
+    val out = pr.df.join(broadcastIfSmall(art), p.entity)
+      .withColumn(p.value, p.x - (col("__beta") * col("__i").cast("double") + col("__alpha")))
+      .drop("__beta", "__alpha")
+    (out, art)
+  }
+
   /** Mean detrend — preprocessing.py:772 (method="mean"). */
   def detrendMean(p: Panel): (DataFrame, DataFrame) = {
     val art = p.agg(avg(p.x).as("__mean"))

@@ -225,6 +225,34 @@ object PreprocessQueries {
           .select(col("event_id"), (col("value") - (col("beta") * col("__i") + col("alpha"))).as("value")))
     },
 
+    // robust Theil–Sen detrend: slope = median pairwise slope, per
+    // entity (the reference's TheilSen regressor option). The pair
+    // fan-out is the same per-entity self-join in both engines; the
+    // exact-percentile interpolation drift is absorbed by rd6
+    "p_detrend_theilsen" -> Q(
+      s"""WITH b AS (SELECT user_id, event_id, value,
+                            (row_number() OVER ($W) - 1)::DOUBLE AS i FROM events),
+              sl AS (SELECT x.user_id,
+                            quantile_cont((y.value - x.value) / (y.i - x.i), 0.5) AS beta
+                     FROM b x JOIN b y ON x.user_id = y.user_id AND y.i > x.i
+                     GROUP BY x.user_id),
+              ic AS (SELECT b.user_id, quantile_cont(b.value - sl.beta * b.i, 0.5) AS alpha
+                     FROM b JOIN sl USING (user_id) GROUP BY b.user_id)
+          SELECT b.event_id, round(b.value - (sl.beta * b.i + ic.alpha), 6) AS value
+          FROM b JOIN sl USING (user_id) JOIN ic USING (user_id)""") {
+      (s, dir) =>
+        val (out, _) = Preprocess.detrendTheilSen(ev(s, dir))
+        r6(out.select("event_id", "value"))
+    },
+
+    // mean detrend (method="mean", preprocessing.py:772)
+    "p_detrend_mean" -> Q(
+      s"""SELECT event_id, round(value - avg(value) OVER ($WE), 6) AS value FROM events""") {
+      (s, dir) =>
+        val (out, _) = Preprocess.detrendMean(ev(s, dir))
+        r6(out.select("event_id", "value"))
+    },
+
     "p_fracdiff" -> Q({
       val ws = Preprocess.fracDiffWeights(0.5, 1e-5, 10)
       val terms = ws.zipWithIndex.map { case (w, k) =>

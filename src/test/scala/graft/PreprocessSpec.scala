@@ -64,6 +64,21 @@ class PreprocessSpec extends SparkSpec {
     assertClose(a.getAs[Double]("__alpha"), 3.0, 1e-9)
   }
 
+  test("Theil-Sen detrend is robust to outliers where OLS is not") {
+    // clean slope 2, but 3 of 30 points blown up by +500: the median
+    // pairwise slope ignores them, the least-squares slope does not
+    val xs = (0 until 30).map(i => 3.0 + 2.0 * i +
+      (if (i >= 27) 500.0 else 0.0))
+    val p = panel(xs)
+    val (_, tsArt) = Preprocess.detrendTheilSen(p)
+    val ts = tsArt.collect()(0)
+    assertClose(ts.getAs[Double]("__beta"), 2.0, 0.1)
+    assertClose(ts.getAs[Double]("__alpha"), 3.0, 1.5)
+    val (_, olsArt) = Preprocess.detrendLinear(p)
+    val beta = olsArt.collect()(0).getAs[Double]("__beta")
+    assert(math.abs(beta - 2.0) > 0.5, s"OLS slope $beta should be pulled by outliers")
+  }
+
   test("impute mean / ffill / interpolate") {
     import spark.implicits._
     val df = Seq((0, 0, Some(1.0)), (0, 1, None), (0, 2, Some(3.0)), (0, 3, None), (0, 4, None), (0, 5, Some(9.0)))
