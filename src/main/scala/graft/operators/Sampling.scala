@@ -29,4 +29,20 @@ object Sampling {
     * per-row column (typically a stratum-dependent target rate). */
   def mixtureSample(df: DataFrame, key: Column, weight: Column): DataFrame =
     df.filter(uniformHash(key) < weight)
+
+  /** EXACT-size per-stratum sample: the k rows of each stratum with
+    * the smallest md5(key) — a deterministic "random" rank, so the
+    * sample is reproducible and join-stable like [[mixtureSample]]
+    * but with a guaranteed count (mixture sampling only hits the
+    * target rate in expectation). One shuffle on the stratum key;
+    * the per-stratum sort spills, so a giant stratum cannot OOM an
+    * executor. Adds `__rank` (1-based within stratum). */
+  def stratifiedSample(df: DataFrame, strataCols: Seq[String], key: Column,
+                       k: Int, rankCol: String = "__rank"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(md5(key.cast("string").cast("binary")), key)
+    df.withColumn(rankCol, row_number().over(w).cast("long"))
+      .filter(col(rankCol) <= k)
+  }
 }

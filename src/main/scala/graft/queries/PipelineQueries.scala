@@ -711,6 +711,21 @@ object PipelineQueries {
           .select("doc_id", "source")
     },
 
+    // exact-size per-stratum sample: the k smallest-md5(id) docs per
+    // source — deterministic rank, guaranteed count (mixture sampling
+    // only hits its rate in expectation); one shuffle on the stratum
+    "d_stratified_sample" -> Q(
+      """WITH r AS (SELECT doc_id, source,
+                           row_number() OVER (PARTITION BY source
+                             ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+                    FROM documents)
+         SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 20""") {
+      (s, dir) =>
+        graft.operators.Sampling.stratifiedSample(
+          tbl(s, dir, "documents"), Seq("source"), col("doc_id"), k = 20, rankCol = "rk")
+          .select("doc_id", "source", "rk")
+    },
+
     // C4-style line-level dedup with reassembly: first global
     // occurrence of each distinct line survives, docs are rebuilt from
     // surviving lines. The corpus is newline-free, so the "line" unit
