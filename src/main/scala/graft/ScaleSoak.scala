@@ -69,6 +69,16 @@ object ScaleSoak {
       graft.operators.AutoForecast.backtestLinearPrefix(
         p, "t", lags = 7, testSize = 10, nSplits = 2, stepSize = 5).count()
     }
+    time("lasso fit (lags=7, CD on one-pass centered moments)") {
+      val m = graft.operators.LinearForecaster.fit(p, lags = 7, freq = "1i",
+        regParam = 0.5, elasticNetParam = 1.0)
+      m.weights.count(_ != 0.0).toLong
+    }
+    time("censored fit (IRLS logistic 8 passes + above-threshold OLS)") {
+      val m = graft.operators.CensoredForecaster.fit(p, lags = 7, freq = "1i",
+        threshold = 10.0)
+      m.pWeights.length.toLong
+    }
     spark.stop()
   }
 }
