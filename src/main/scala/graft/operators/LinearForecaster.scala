@@ -129,6 +129,77 @@ final case class DirectLinearModel(
   }
 }
 
+/** Linear AR forecaster WITH exogenous future-known calendar
+  * regressors — the reference's `fit(y, X)` path (_reduction.py:32
+  * joins X onto the lag matrix; the M5 benchmark exercises it with
+  * calendar covariates). Exog here = day-of-week one-hot (six
+  * dummies, Monday-indexed via pure epoch-day arithmetic so both
+  * engines derive the identical integer — engine dayofweek()
+  * numberings disagree). Future X is known by construction, so the
+  * recursive predict unrolls per horizon as column algebra with each
+  * horizon's exog contribution added per entity (the per-entity
+  * cutoff makes the exog term entity-dependent — it cannot fold into
+  * driver-side scalar coefficients like the pure-lag recursion). */
+object ExogDowLinear {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.expressions.Window
+  import org.apache.spark.sql.functions._
+
+  // day-of-week convention: (epochSeconds div 86400 + 3) mod 7 →
+  // 0=Monday..6=Sunday, pure integer arithmetic (1970-01-01 was a
+  // Thursday) — engine dayofweek() numberings disagree, this doesn't
+
+  final case class Model(intercept: Double, lagW: Array[Double],
+                         dowW: Array[Double], lags: Int, freq: String) {
+    def predict(p: Panel, timeCol: String, fh: Int): DataFrame = {
+      require(freq == "1d", "calendar-exog model is daily")
+      val tail = p.df
+        .withColumn("__rn_desc", row_number().over(
+          Window.partitionBy(p.entityCols: _*).orderBy(p.orderCols.map(_.desc): _*)))
+        .filter(col("__rn_desc") <= lags)
+      val state0 = tail.groupBy(p.entityCols: _*).agg(
+        collect_list(struct(col("__rn_desc"), p.x)).as("__s"),
+        max(col(timeCol)).as("__cutoff"))
+        .withColumn("__state", sort_array(col("__s")).getField(p.value))
+        .filter(size(col("__state")) >= lags)
+        .withColumn("__cd", expr("CAST(__cutoff AS LONG) div 86400"))
+        .drop("__s")
+      // one lateral column per horizon: earlier horizons' predictions
+      // roll into the state, the horizon's day-of-week picks its dummy
+      val unrolled = (1 to fh).foldLeft(state0) { (d, h) =>
+        val stateRef = (j: Int) =>
+          if (j < h) col(s"__p${h - j}") else element_at(col("__state"), j - h + 1)
+        val dw = pmod(col("__cd") + h + 3, lit(7))
+        val contrib = (1 to 6).foldLeft(when(lit(false), 0.0)) { (c, k) =>
+          c.when(dw === k, dowW(k - 1))
+        }.otherwise(0.0)
+        val ph = (1 to lags).foldLeft(lit(intercept): Column)((acc, j) =>
+          acc + lit(lagW(j - 1)) * stateRef(j)) + contrib
+        d.withColumn(s"__p$h", ph)
+      }
+      unrolled
+        .withColumn("__h", explode(sequence(lit(1), lit(fh))))
+        .withColumn(p.value,
+          element_at(array((1 to fh).map(h => col(s"__p$h")): _*), col("__h").cast("int")))
+        .withColumn(timeCol, Forecasters.futureTime(freq))
+        .select((p.entityCols ++ Seq(col(timeCol), col(p.value))): _*)
+    }
+  }
+
+  /** Fit y ~ lags 1..L + dow dummies over the AR reduction — one
+    * closed-form moment pass like every other linear fit. */
+  def fit(p: Panel, lags: Int, freq: String, timeCol: String): Model = {
+    val reduction = Forecasters.makeReduction(p, lags)
+      .withColumn("__dw", pmod(expr(s"(CAST($timeCol AS LONG) div 86400)") + 3, lit(7)))
+    val withDummies = (1 to 6).foldLeft(reduction)((d, k) =>
+      d.withColumn(s"__dow_$k", when(col("__dw") === k, 1.0).otherwise(0.0)))
+    val featureCols = (1 to lags).map(l => s"${p.value}__lag_$l") ++
+      (1 to 6).map(k => s"__dow_$k")
+    val (b0, w) = graft.functions.Ols.fit(withDummies, featureCols, p.value)
+    Model(b0, w.take(lags), w.drop(lags), lags, freq)
+  }
+}
+
 /** Recursive + direct pair; predict = mean of the two (the reference
   * averages predict_recursive and predict_direct, _ar.py:356-371).
   * Both predictions key on the same (entity, future-time) grid and

@@ -560,6 +560,51 @@ object ConformalQueries {
     // candidate costs a full exact-KNN backtest pass, too heavy for
     // the per-round bench registry)
 
+    // linear AR + exogenous future-known calendar regressors — the
+    // reference's fit(y, X) reduction join (_reduction.py:32, the M5
+    // benchmark path). Day-of-week one-hot via pure epoch-day integer
+    // arithmetic (engine dayofweek() numberings disagree); the 14-dim
+    // pooled OLS replicates through the staged Cholesky, and each
+    // predict horizon adds its own entity-dependent dummy pick
+    "fc_linear_exog" -> Q({
+      val xs = "1.0" +: ((1 to 7).map(j => s"f$j") ++
+        (1 to 6).map(k => s"CASE WHEN dw = $k THEN 1.0 ELSE 0.0 END"))
+      def predExpr(h: Int) = {
+        val terms = (1 to 7).map { j =>
+          val s = if (j < h) s"p${h - j}" else s"t${j - h + 1}"
+          s"a_$j * $s"
+        }
+        val whens = (1 to 6)
+          .map(k => s"WHEN (cd + $h + 3) % 7 = $k THEN a_${7 + k}").mkString(" ")
+        s"(a_0 + ${terms.mkString(" + ")} + CASE $whens ELSE 0.0 END) AS p$h"
+      }
+      val stages = (1 to 3).map { h =>
+        val src = if (h == 1) "x_p0" else s"x_h${h - 1}"
+        s"x_h$h AS MATERIALIZED (SELECT *, ${predExpr(h)} FROM $src)"
+      }.mkString(", ")
+      s"""WITH ${OlsBacktestSql.lagdCte(7)},
+          exd AS (SELECT *,
+                    (CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 3) % 7 AS dw
+                  FROM lagd),
+          mom AS (SELECT ${olsMomentsSql(xs, "value")} FROM exd WHERE rn > 7),
+          ${cholSolveSql(14, "mom")},
+          sol AS (SELECT * FROM ${cholSolveLast(14)}),
+          tail AS (SELECT user_id, ts AS cutoff,
+                          CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS cd,
+                          value AS t1, f1 AS t2, f2 AS t3, f3 AS t4,
+                          f4 AS t5, f5 AS t6, f6 AS t7
+                   FROM exd WHERE rn = cnt AND f6 IS NOT NULL),
+          x_p0 AS (SELECT * FROM tail CROSS JOIN sol),
+          $stages
+          SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                 round(CASE h WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END, 6) AS value
+          FROM x_h3 CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)"""
+    }) { (s, dir) =>
+      val p = ev(s, dir)
+      r6(ExogDowLinear.fit(p, lags = 7, freq = "1d", timeCol = "ts")
+        .predict(p, "ts", fh = 3))
+    },
+
     // recursive ⊕ direct "ensemble" strategy (_ar.py:83-114, :356-371):
     // both closed-form fits replicated (pooled-OLS staged-Cholesky
     // chains over their own reductions — recursive drops 7 warmup rows,
