@@ -407,10 +407,80 @@ object ConformalQueries {
       (s, dir) => streakQuery(s, dir, above = false, threshold = -0.5, "longest_streak_below")
     },
 
-    // ----- aggregator features without SQL equivalents -----
-    "f_number_cwt_peaks" -> Q.rowsOnly { (s, dir) =>
-      graft.functions.FeatureAggs.over(ev(s, dir),
-        graft.functions.FeatureAggs.numberCwtPeaks(5), "number_cwt_peaks")
+    // find_peaks_cwt ridge walk (Kernels.numberCwtPeaks) replicated in
+    // SQL: the 5-row Ricker CWT matrix + per-row relative maxima are
+    // MATERIALIZED CTEs, then the sequential ridge-linking loop runs as
+    // a recursive CTE over an event queue — one -1 sentinel per width
+    // row (gap++ on all active ridges), the row's maxima columns in
+    // ascending order (list_position first-min = the kernel's minBy
+    // buffer-order tie-break; maxDist is 1.0 for every width ≤ 4 so
+    // the candidate test is |c−head| ≤ 1), and a -2 sentinel (dead
+    // ridges with gap > 2 move to finished). The final length/SNR
+    // filter joins back to the CWT rows; counts are integers → exact.
+    "f_number_cwt_peaks" -> {
+      val ridgeT = "STRUCT(hc BIGINT, hr BIGINT, len BIGINT, gap BIGINT)"
+      // np.convolve(x, ricker(min(10w,n), w).reverse, 'same') at all
+      // positions — same windowed-sum expansion as f_cwt_coefficients,
+      // m/st let-bound via the single-element-list lambda trick
+      val row =
+        """list_transform([LEAST(10*w, n)], m ->
+          list_transform(range(0, n), p ->
+            list_sum(list_transform(range(GREATEST(0, p + (m-1)//2 - m + 1),
+                                          LEAST(n - 1, p + (m-1)//2) + 1), i ->
+              v[i+1] * ((2.0/(sqrt(3.0*w)*pow(pi(),0.25)))
+                * (1 - pow((m - 1 - p - (m-1)//2 + i) - (m-1)/2.0, 2)/(w*w))
+                * exp(-pow((m - 1 - p - (m-1)//2 + i) - (m-1)/2.0, 2)/(2.0*w*w)))))))[1]"""
+      def relmax(r: String) =
+        s"list_filter(range(1, n-1), i -> $r[i+1] > $r[i] AND $r[i+1] > $r[i+2])"
+      val dists = "list_transform(act, a -> abs(q[k+1].c - a.hc))"
+      Q(
+        s"""WITH RECURSIVE xs AS (
+            SELECT user_id, list(value ORDER BY ts, event_id) AS v,
+                   len(list(value)) AS n FROM events GROUP BY user_id),
+          cw AS MATERIALIZED (
+            SELECT user_id, n, list_transform([1,2,3,4,5], w -> $row) AS cwt FROM xs),
+          qs AS MATERIALIZED (
+            SELECT user_id, n, cwt,
+              list_transform(${relmax("cwt[5]")},
+                c -> {'hc': c, 'hr': CAST(4 AS BIGINT), 'len': CAST(1 AS BIGINT), 'gap': CAST(0 AS BIGINT)}) AS act0,
+              flatten(list_transform([3,2,1,0], r -> list_concat(list_concat(
+                [{'c': CAST(-1 AS BIGINT), 'r': CAST(r AS BIGINT)}],
+                list_transform(${relmax("cwt[r+1]")}, c -> {'c': c, 'r': CAST(r AS BIGINT)})),
+                [{'c': CAST(-2 AS BIGINT), 'r': CAST(r AS BIGINT)}]))) AS q
+            FROM cw),
+          st AS (
+            SELECT user_id, n, q, 0 AS k, act0 AS act, CAST([] AS $ridgeT[]) AS fin FROM qs
+            UNION ALL
+            SELECT user_id, n, q, k + 1,
+              CASE
+                WHEN q[k+1].c = -1 THEN list_transform(act, a ->
+                  {'hc': a.hc, 'hr': a.hr, 'len': a.len, 'gap': a.gap + 1})
+                WHEN q[k+1].c = -2 THEN list_filter(act, a -> a.gap <= 2)
+                WHEN list_min(list_filter($dists, d -> d <= 1)) IS NULL
+                  THEN list_append(act, {'hc': q[k+1].c, 'hr': q[k+1].r,
+                                         'len': CAST(1 AS BIGINT), 'gap': CAST(0 AS BIGINT)})
+                ELSE list_transform([list_position($dists, list_min(list_filter($dists, d -> d <= 1)))], ix ->
+                  list_concat(list_concat(act[1:ix-1],
+                    [{'hc': q[k+1].c, 'hr': q[k+1].r, 'len': act[ix].len + 1, 'gap': CAST(0 AS BIGINT)}]),
+                    act[ix+1:len(act)]))[1]
+              END,
+              CASE WHEN q[k+1].c = -2 THEN list_concat(fin, list_filter(act, a -> a.gap > 2)) ELSE fin END
+            FROM st WHERE k < len(q)),
+          res AS (
+            SELECT s.user_id,
+              len(list_filter(list_concat(s.fin, s.act), g ->
+                g.len >= 2 AND
+                list_transform([CAST(ceil(s.n/20.0) AS BIGINT)], nw ->
+                  list_transform([list_sort(list_transform(
+                      range(GREATEST(0, g.hc - nw), LEAST(s.n, g.hc + nw + 1)), i -> abs(c.cwt[1][i+1])))], win ->
+                    abs(c.cwt[g.hr+1][g.hc+1]) /
+                      GREATEST(win[CAST(round(0.10 * (len(win)-1)) AS BIGINT) + 1], 1e-12))[1])[1] >= 1.0
+              )) AS cnt
+            FROM st s JOIN cw c USING (user_id) WHERE s.k = len(s.q))
+          SELECT user_id, round(CAST(cnt AS DOUBLE), 6) AS number_cwt_peaks FROM res""") { (s, dir) =>
+        r6(graft.functions.FeatureAggs.over(ev(s, dir),
+          graft.functions.FeatureAggs.numberCwtPeaks(5), "number_cwt_peaks"))
+      }
     },
 
     // per-entity OLS of y on [1, cos1, sin1, cos2, sin2] replicated
