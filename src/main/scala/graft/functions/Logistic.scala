@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   * A FIXED iteration count (no tolerance exit) keeps the update
   * sequence deterministic, so the DuckDB oracle
   * (queries/OlsBacktestSql.logisticIrlsSql) replicates it
-  * step-exactly. Newton converges quadratically: 8 iterations reach
+  * step-exactly. Newton converges quadratically: 6 iterations reach
   * the MLE to ~machine precision on non-separable data.
   */
 object Logistic {
@@ -31,7 +31,7 @@ object Logistic {
     * λ/2·‖w‖² (intercept unpenalized). Rows with any null dropped.
     * Returns (intercept, weights). */
   def fitIrls(df: DataFrame, featureCols: Seq[String], labelCol: String,
-              lambda: Double = 0.0, iters: Int = 8): (Double, Array[Double]) = {
+              lambda: Double = 0.0, iters: Int = 6): (Double, Array[Double]) = {
     val p = featureCols.length
     val d = p + 1
     val cached = df.na.drop(featureCols :+ labelCol).cache()

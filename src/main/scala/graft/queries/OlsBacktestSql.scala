@@ -181,7 +181,7 @@ object OlsBacktestSql {
     val rcren = (0 to lags).map(i => s"a_$i AS rc_$i").mkString(", ")
     s"""${tag}_red AS MATERIALIZED (SELECT * FROM lagd WHERE rn > $lags),
         ${logisticIrlsSql(s"${tag}_cl", s"${tag}_red", xs, s"value > $thresholdSql")},
-        ${tag}_clsol AS (SELECT $pcren FROM ${tag}_cl_s8),
+        ${tag}_clsol AS (SELECT $pcren FROM ${tag}_cl_s6),
         ${tag}_rmom AS (SELECT ${Q.olsMomentsSql(xs, "value")}
           FROM ${tag}_red WHERE value > $thresholdSql),
         ${Q.cholSolveSql(lags + 1, s"${tag}_rmom", s"${tag}_rc")},
@@ -215,7 +215,7 @@ object OlsBacktestSql {
     * Cholesky solve of the step, and the β update. The final CTE
     * `<tag>_s<iters>` carries the solution `p_0..p_<p>`. */
   def logisticIrlsSql(tag: String, dataCte: String, xs: Seq[String],
-                      labelExpr: String, iters: Int = 8): String = {
+                      labelExpr: String, iters: Int = 6): String = {
     val d = xs.length
     val init = s"${tag}_s0 AS (SELECT ${(0 until d)
       .map(i => s"CAST(0.0 AS DOUBLE) AS p_$i").mkString(", ")})"
