@@ -58,15 +58,20 @@ object Forecasters {
     * time-of-day (the reference's datetime_ranges, ranges.py:21-46).
     * Calendar months/quarters/years are not fixed-width — month
     * arithmetic, never interval seconds (SURVEY.md §7.5(5)). */
-  private[operators] def futureTime(freq: String): org.apache.spark.sql.Column = freq match {
-    case "1i"  => col("__cutoff") + col("__h")
-    case "1d"  => expr("timestampadd(DAY, __h, __cutoff)")
-    case "1w"  => expr("timestampadd(WEEK, __h, __cutoff)")
-    case "1mo" => expr("timestampadd(MONTH, __h, __cutoff)")
-    case "3mo" => expr("timestampadd(QUARTER, __h, __cutoff)")
-    case "1y"  => expr("timestampadd(YEAR, __h, __cutoff)")
-    case other => throw new IllegalArgumentException(s"unknown freq $other")
-  }
+  private val FreqPattern = """^(\d+)(mo|s|m|h|d|w|q|y|i)$""".r
+
+  private[operators] def futureTime(freq: String): org.apache.spark.sql.Column =
+    freq.toLowerCase match {
+      case FreqPattern(n, "i") => col("__cutoff") + col("__h") * n.toInt
+      case FreqPattern(n, alias) =>
+        val unit = alias match {
+          case "s" => "SECOND"; case "m" => "MINUTE"; case "h" => "HOUR"
+          case "d" => "DAY"; case "w" => "WEEK"; case "mo" => "MONTH"
+          case "q" => "QUARTER"; case "y" => "YEAR"
+        }
+        expr(s"timestampadd($unit, __h * ${n.toInt}, __cutoff)")
+      case other => throw new IllegalArgumentException(s"unknown freq $other")
+    }
 
   /** AR reduction matrix — forecasting/_reduction.py:21: lag-transform
     * y (lags 1..L) joined back onto y → flat supervised frame with

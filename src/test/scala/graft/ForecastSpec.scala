@@ -110,6 +110,25 @@ class ForecastSpec extends SparkSpec {
     assert(m.dowW.length == 6)
   }
 
+  test("future time axis honors the full <n><alias> offset grammar (offsets.py:3, ranges.py:21-46)") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-31 06:30:00")
+    val rows = (0 until 3).map(i =>
+      (0L, new java.sql.Timestamp(t0.getTime + i * 1000L), i.toDouble))
+    val p = graft.core.Panel(rows.toDF("entity", "ts", "value"), Seq("entity"), Seq("ts"), "value")
+    def future(freq: String): Seq[java.sql.Timestamp] =
+      Forecasters.naive(p, "ts", fh = 2, freq = freq)
+        .orderBy("ts").collect().map(_.getTimestamp(1)).toSeq
+    val cutoff = rows.last._2.getTime
+    assert(future("30m").map(_.getTime) == Seq(cutoff + 1800e3.toLong, cutoff + 3600e3.toLong))
+    assert(future("2h").map(_.getTime) == Seq(cutoff + 7200e3.toLong, cutoff + 14400e3.toLong))
+    assert(future("1w").map(_.getTime) == Seq(cutoff + 7 * 86400e3.toLong, cutoff + 14 * 86400e3.toLong))
+    // calendar arithmetic, not fixed-width: Jan 31 + 1mo = Feb 29 (2024 is a leap year)
+    assert(future("1mo").map(_.toString.take(10)) == Seq("2024-02-29", "2024-03-31"))
+    assert(future("1q").map(_.toString.take(10)) == Seq("2024-04-30", "2024-07-31"))
+    assert(future("10s").map(_.getTime) == Seq(cutoff + 10e3.toLong, cutoff + 20e3.toLong))
+  }
+
   test("interval coverage and winkler") {
     import spark.implicits._
     val df = Seq((0, 5.0, 0.0, 10.0), (0, 15.0, 0.0, 10.0)).toDF("entity", "actual", "lo", "hi")
