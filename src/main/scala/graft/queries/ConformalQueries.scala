@@ -675,6 +675,37 @@ object ConformalQueries {
         .predict(p, "ts", fh = 3))
     },
 
+    // llm/api.py analyze() prompt assembly (the openai_call egress is
+    // stubbed by policy — see LlmPrompt scaladoc): basket filter, wide
+    // pivot with sorted entity columns, markdown table, fixed template.
+    // Cells render printf('%.6f', round6) on both engines, so the
+    // single output string byte-matches
+    "llm_analyze_prompt" -> {
+      val basket = Seq(1L, 2L, 3L)
+      val cellsSql = basket.map(e =>
+        s"max(CASE WHEN user_id = $e THEN printf('%.6f', round(value, 6)) END) AS c$e").mkString(", ")
+      val rowSql = "'| ' || strftime(ts, '%Y-%m-%d %H:%M:%S')" +
+        basket.map(e => s" || ' | ' || coalesce(c$e, '')").mkString + " || ' |'"
+      val task = "Analyze the following time series data in 8-10 bulletpoints."
+      val constraints =
+        " Be specific and respond with non-obvious statistical analyses in the tone of a McKinsey consultant." +
+          " Describe trend, seasonality, and anomalies. Do not provide recommendations. Do not describe the table." +
+          " Do not introduce yourself or your role."
+      Q(
+        s"""WITH f AS (SELECT ts, user_id, value FROM events WHERE user_id IN (1, 2, 3)),
+            c AS (SELECT ts, $cellsSql FROM f GROUP BY ts),
+            r AS (SELECT ts, $rowSql AS rw FROM c),
+            b AS (SELECT string_agg(rw, chr(10) ORDER BY ts) AS body FROM r)
+            SELECT '$task The context is: synthetic events panel.$constraints' ||
+                   chr(10) || chr(10) || '``' || '`' || chr(10) ||
+                   '| ts | 1 | 2 | 3 |' || chr(10) || body || chr(10) ||
+                   '``' || '`' || chr(10) || chr(10) ||
+                   '{{ Insert unordered Markdown list here }}' AS prompt
+            FROM b""") { (s, dir) =>
+        LlmPrompt.analyzePrompt(ev(s, dir), "ts", basket, "synthetic events panel")
+      }
+    },
+
     // recursive ⊕ direct "ensemble" strategy (_ar.py:83-114, :356-371):
     // both closed-form fits replicated (pooled-OLS staged-Cholesky
     // chains over their own reductions — recursive drops 7 warmup rows,

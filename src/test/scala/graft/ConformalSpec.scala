@@ -23,6 +23,28 @@ class ConformalSpec extends SparkSpec {
     assert(lo.map(_.getDouble(2)).toSeq == Seq(3.0, 4.0))
   }
 
+  test("llm analyze prompt renders the sorted-wide markdown template (llm/api.py:38-76)") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = for (e <- Seq(2L, 1L); i <- 0 until 2)
+      yield (e, new java.sql.Timestamp(t0.getTime + i * 86400000L), e * 10.0 + i)
+    val p = graft.core.Panel(rows.toDF("entity", "ts", "value"), Seq("entity"), Seq("ts"), "value")
+    val prompt = LlmPrompt.analyzePrompt(p, "ts", Seq(2L, 1L), "unit fixture")
+      .collect()(0).getString(0)
+    assert(prompt.startsWith("Analyze the following time series data in 8-10 bulletpoints." +
+      " The context is: unit fixture."))
+    // entity columns sorted ascending regardless of basket order
+    assert(prompt.contains("| ts | 1 | 2 |"))
+    assert(prompt.contains("| 2024-01-01 00:00:00 | 10.000000 | 20.000000 |"))
+    assert(prompt.contains("| 2024-01-02 00:00:00 | 11.000000 | 21.000000 |"))
+    assert(prompt.endsWith("{{ Insert unordered Markdown list here }}"))
+    // freeform variant swaps task + footer
+    val ff = LlmPrompt.analyzePrompt(p, "ts", Seq(1L), "unit fixture", "freeform")
+      .collect()(0).getString(0)
+    assert(ff.startsWith("Analyze the following time series data. The context is:"))
+    assert(ff.endsWith("{{ Insert your response here }}"))
+  }
+
   test("conformalize stacks backtest+final preds with base-100 alpha (conformal.py:41-74)") {
     import spark.implicits._
     val yPred = Seq((0, 10, 5.0)).toDF("entity", "t", "pred")
