@@ -74,10 +74,18 @@ object ScaleSoak {
         regParam = 0.5, elasticNetParam = 1.0)
       m.weights.count(_ != 0.0).toLong
     }
-    time("censored fit (IRLS logistic 8 passes + above-threshold OLS)") {
+    time("censored fit (IRLS logistic 6 passes + above-threshold OLS)") {
       val m = graft.operators.CensoredForecaster.fit(p, lags = 7, freq = "1i",
         threshold = 10.0)
       m.pWeights.length.toLong
+    }
+    time("exog dow fit (7 lags + 6 calendar dummies, one 14-dim moment pass)") {
+      val pd = Panel(df.withColumn("ts",
+        expr("timestamp_seconds(1600000000 + t * 86400)")),
+        Seq("entity"), Seq("ts"), "value")
+      val m = graft.operators.ExogDowLinear.fit(pd, lags = 7, freq = "1d",
+        timeCol = "ts")
+      m.dowW.length.toLong
     }
     spark.stop()
   }

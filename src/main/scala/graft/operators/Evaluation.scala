@@ -104,6 +104,34 @@ object Evaluation {
       .orderBy(col("uplift").desc_nulls_last)
   }
 
+  /** plot_comet's data layer — plotting.py:288-338: per-entity
+    * forecast score (SMAPE by default) joined with the train
+    * coefficient of variation var(y)/mean(y), null pairs dropped,
+    * plus the global mean-line values the figure draws (hline =
+    * mean score over ALL scored entities, vline = mean CV over ALL
+    * entities — both computed before the join, as the reference
+    * does). The plotly scatter itself is presentation, not engine
+    * scope. One groupBy shuffle per input + a broadcast of the two
+    * 1-row means. */
+  def cometData(aligned: DataFrame, yTrain: Panel,
+                metric: (DataFrame, Seq[String]) => DataFrame = Metrics.smape,
+                scoreCol: String = "smape"): DataFrame = {
+    val scores = metric(aligned, yTrain.entity)
+    val cvs = yTrain.df.groupBy(yTrain.entityCols: _*)
+      .agg((var_samp(yTrain.x) / avg(yTrain.x)).as("cv"))
+    val meanScore = scores.agg(avg(col(scoreCol)).as("mean_score"))
+    val meanCv = cvs.agg(avg(col("cv")).as("mean_cv"))
+    scores.join(cvs, yTrain.entity, "left")
+      .na.drop(Seq(scoreCol, "cv"))
+      .crossJoin(broadcast(meanScore))
+      .crossJoin(broadcast(meanCv))
+  }
+
+  /** plot_entities' data layer — plotting.py:17-63: observed-value
+    * count per entity (the bar lengths). */
+  def entityCounts(p: Panel): DataFrame =
+    p.df.groupBy(p.entityCols: _*).agg(count(lit(1)).as("len"))
+
   /** Per-entity ACF for lags 1..maxLags with Bartlett ±1.96·√((1+2Σr²)/n)
     * confidence bounds — evaluation.py:62-78. */
   def acf(p: Panel, maxLags: Int): DataFrame = {

@@ -272,6 +272,28 @@ object ForecastQueries {
           row_number().over(Window.orderBy(col("mean_value").desc, col("user_id"))).cast("long"))
     },
 
+    // plot_comet data layer (plotting.py:288-338): per-entity smape of
+    // the naive in-sample forecast vs train CV = var/mean, with the
+    // global mean-line values; plot_entities data layer = counts
+    "e_comet_data" -> Q(
+      s"""WITH al AS ($alignedSql),
+          s AS (SELECT user_id, sum(abs(p - a))/sum(p + a) AS smape FROM al GROUP BY user_id),
+          c AS (SELECT user_id, var_samp(value)/avg(value) AS cv FROM events GROUP BY user_id),
+          ms AS (SELECT avg(smape) AS mean_score FROM s),
+          mc AS (SELECT avg(cv) AS mean_cv FROM c)
+          SELECT s.user_id, round(s.smape,6) AS smape, round(c.cv,6) AS cv,
+                 round(ms.mean_score,6) AS mean_score, round(mc.mean_cv,6) AS mean_cv
+          FROM s JOIN c USING (user_id) CROSS JOIN ms CROSS JOIN mc
+          WHERE s.smape IS NOT NULL AND c.cv IS NOT NULL""") {
+      (s, dir) =>
+        r6(graft.operators.Evaluation.cometData(naivePred(s, dir), ev(s, dir)))
+    },
+
+    "e_entity_counts" -> Q(
+      """SELECT user_id, count(*) AS len FROM events GROUP BY user_id""") {
+      (s, dir) => graft.operators.Evaluation.entityCounts(ev(s, dir))
+    },
+
     "e_ljung_box" -> Q(
       s"""WITH b AS (SELECT user_id, value,
                             lag(value, 1) OVER ($W) AS l1,
