@@ -187,7 +187,13 @@ object ExogDowLinear {
   }
 
   /** Fit y ~ lags 1..L + dow dummies over the AR reduction — one
-    * closed-form moment pass like every other linear fit. */
+    * closed-form moment pass like every other linear fit. The dummy
+    * projection is materialized (narrow cache of label + features)
+    * before the moment aggregation: projection collapse would
+    * otherwise inline each CASE dummy into every one of the ~d²/2
+    * moment products, and the generated aggregate blows past the JIT
+    * method limits (measured 9.3 s → materialized ≈ linear-fit cost
+    * at 20M rows). */
   def fit(p: Panel, lags: Int, freq: String, timeCol: String): Model = {
     val reduction = Forecasters.makeReduction(p, lags)
       .withColumn("__dw", pmod(expr(s"(CAST($timeCol AS LONG) div 86400)") + 3, lit(7)))
@@ -195,8 +201,12 @@ object ExogDowLinear {
       d.withColumn(s"__dow_$k", when(col("__dw") === k, 1.0).otherwise(0.0)))
     val featureCols = (1 to lags).map(l => s"${p.value}__lag_$l") ++
       (1 to 6).map(k => s"__dow_$k")
-    val (b0, w) = graft.functions.Ols.fit(withDummies, featureCols, p.value)
-    Model(b0, w.take(lags), w.drop(lags), lags, freq)
+    val slim = withDummies
+      .select((p.value +: featureCols).map(col): _*).cache()
+    try {
+      val (b0, w) = graft.functions.Ols.fit(slim, featureCols, p.value)
+      Model(b0, w.take(lags), w.drop(lags), lags, freq)
+    } finally slim.unpersist(blocking = false)
   }
 }
 
