@@ -129,13 +129,95 @@ final case class DirectLinearModel(
   }
 }
 
+/** Linear AR forecaster with ARBITRARY exogenous regressors — the
+  * reference's general `fit(y, X)` / `predict(fh, X_future)` contract
+  * (_reduction.py:32 joins X onto the lag matrix;
+  * base/forecaster.py:178-205 threads the user-supplied future X into
+  * predict). The caller provides the exog columns on the panel frame
+  * for fit, and a (entity, time, exog...) frame covering the fh
+  * future steps for predict.
+  *
+  * Scale shape: fit is one moment pass over the lag+exog reduction
+  * (the exog projection is materialized first — see ExogDowLinear.fit
+  * on why CASE-heavy exog expressions must not collapse into the d²/2
+  * moment products). Predict joins the per-entity exog contribution
+  * vector (fh doubles, from one groupBy over the future frame) onto
+  * the lag tail and unrolls the recursion as flat column algebra —
+  * one equi-join shuffle on entity, no per-step job. */
+object ExogLinear {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.expressions.Window
+  import org.apache.spark.sql.functions._
+
+  final case class Model(intercept: Double, lagW: Array[Double],
+                         exogW: Array[Double], lags: Int, freq: String,
+                         exogCols: Seq[String]) {
+
+    /** `xFuture`: one row per (entity, future time) carrying
+      * `exogCols`, at least fh rows per entity in time order. */
+    def predict(p: Panel, timeCol: String, fh: Int, xFuture: DataFrame): DataFrame = {
+      val tail = p.df
+        .withColumn("__rn_desc", row_number().over(
+          Window.partitionBy(p.entityCols: _*).orderBy(p.orderCols.map(_.desc): _*)))
+        .filter(col("__rn_desc") <= lags)
+      val state0 = tail.groupBy(p.entityCols: _*).agg(
+        collect_list(struct(col("__rn_desc"), p.x)).as("__s"),
+        max(col(timeCol)).as("__cutoff"))
+        .withColumn("__state", sort_array(col("__s")).getField(p.value))
+        .filter(size(col("__state")) >= lags)
+        .drop("__s")
+      // per-entity exog contribution per horizon: c_h = Σ exogW·x(t+h),
+      // one groupBy over the first fh future rows per entity
+      val hw = Window.partitionBy(p.entityCols: _*).orderBy(col(timeCol))
+      val contribExpr = exogCols.zip(exogW)
+        .map { case (c, w) => col(c).cast("double") * w }
+        .reduceOption(_ + _).getOrElse(lit(0.0))
+      val contribs = xFuture
+        .withColumn("__h", row_number().over(hw))
+        .filter(col("__h") <= fh)
+        .withColumn("__c", contribExpr)
+        .groupBy(p.entityCols: _*)
+        .agg(sort_array(collect_list(struct(col("__h"), col("__c"))))
+          .getField("__c").as("__cs"))
+      val joined = state0.join(contribs, p.entity)
+      val unrolled = (1 to fh).foldLeft(joined) { (d, h) =>
+        val stateRef = (j: Int) =>
+          if (j < h) col(s"__p${h - j}") else element_at(col("__state"), j - h + 1)
+        val ph = (1 to lags).foldLeft(lit(intercept): Column)((acc, j) =>
+          acc + lit(lagW(j - 1)) * stateRef(j)) + element_at(col("__cs"), h)
+        d.withColumn(s"__p$h", ph)
+      }
+      unrolled
+        .withColumn("__h", explode(sequence(lit(1), lit(fh))))
+        .withColumn(p.value,
+          element_at(array((1 to fh).map(h => col(s"__p$h")): _*), col("__h").cast("int")))
+        .withColumn(timeCol, Forecasters.futureTime(freq))
+        .select((p.entityCols ++ Seq(col(timeCol), col(p.value))): _*)
+    }
+  }
+
+  /** Fit y ~ lags 1..L + exogCols (already present on the panel frame)
+    * — one closed-form moment pass over the materialized reduction. */
+  def fit(p: Panel, lags: Int, freq: String, exogCols: Seq[String]): Model = {
+    val reduction = Forecasters.makeReduction(p, lags)
+    val featureCols = (1 to lags).map(l => s"${p.value}__lag_$l") ++ exogCols
+    val slim = reduction
+      .select((p.value +: featureCols).map(col): _*).cache()
+    try {
+      val (b0, w) = graft.functions.Ols.fit(slim, featureCols, p.value)
+      Model(b0, w.take(lags), w.drop(lags), lags, freq, exogCols)
+    } finally slim.unpersist(blocking = false)
+  }
+}
+
 /** Linear AR forecaster WITH exogenous future-known calendar
   * regressors — the reference's `fit(y, X)` path (_reduction.py:32
   * joins X onto the lag matrix; the M5 benchmark exercises it with
   * calendar covariates). Exog here = day-of-week one-hot (six
   * dummies, Monday-indexed via pure epoch-day arithmetic so both
   * engines derive the identical integer — engine dayofweek()
-  * numberings disagree). Future X is known by construction, so the
+  * numberings disagree); [[ExogLinear]] is the general
+  * caller-supplied-X form. Future X is known by construction, so the
   * recursive predict unrolls per horizon as column algebra with each
   * horizon's exog contribution added per entity (the per-entity
   * cutoff makes the exog term entity-dependent — it cannot fold into

@@ -675,6 +675,60 @@ object ConformalQueries {
         .predict(p, "ts", fh = 3))
     },
 
+    // the GENERAL fit(y, X) / predict(fh, X_future) contract
+    // (base/forecaster.py:178-205): arbitrary caller-supplied exog
+    // columns on the panel, a caller-supplied (entity, time, X) future
+    // frame for predict. Fixture exog = two exactly-rational signals
+    // derived from epoch-day integers (a mod-30 ramp and a mod-7
+    // pulse) so both engines hold identical doubles; 10-dim pooled
+    // solve via the staged Cholesky
+    "fc_linear_exog_general" -> Q({
+      val xs = "1.0" +: ((1 to 7).map(j => s"f$j") ++ Seq("x1", "x2"))
+      def x1e(e: String) = s"(($e) % 30) / 29.0"
+      def x2e(e: String) = s"CASE WHEN (($e) % 7) < 2 THEN 1.0 ELSE 0.0 END"
+      def predExpr(h: Int) = {
+        val terms = (1 to 7).map { j =>
+          val s = if (j < h) s"p${h - j}" else s"t${j - h + 1}"
+          s"a_$j * $s"
+        }
+        s"(a_0 + ${terms.mkString(" + ")} + (a_8 * (${x1e(s"cd + $h")}) + a_9 * (${x2e(s"cd + $h")}))) AS p$h"
+      }
+      val stages = (1 to 3).map { h =>
+        val src = if (h == 1) "x_p0" else s"x_h${h - 1}"
+        s"x_h$h AS MATERIALIZED (SELECT *, ${predExpr(h)} FROM $src)"
+      }.mkString(", ")
+      s"""WITH ${OlsBacktestSql.lagdCte(7)},
+          exd AS (SELECT *,
+                    ${x1e("CAST(floor(epoch(ts)) AS BIGINT) // 86400")} AS x1,
+                    ${x2e("CAST(floor(epoch(ts)) AS BIGINT) // 86400")} AS x2
+                  FROM lagd),
+          mom AS (SELECT ${olsMomentsSql(xs, "value")} FROM exd WHERE rn > 7),
+          ${cholSolveSql(10, "mom")},
+          sol AS (SELECT * FROM ${cholSolveLast(10)}),
+          tail AS (SELECT user_id, ts AS cutoff,
+                          CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS cd,
+                          value AS t1, f1 AS t2, f2 AS t3, f3 AS t4,
+                          f4 AS t5, f5 AS t6, f6 AS t7
+                   FROM exd WHERE rn = cnt AND f6 IS NOT NULL),
+          x_p0 AS (SELECT * FROM tail CROSS JOIN sol),
+          $stages
+          SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                 round(CASE h WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END, 6) AS value
+          FROM x_h3 CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)"""
+    }) { (s, dir) =>
+      val p0 = ev(s, dir)
+      def xcols(d: org.apache.spark.sql.DataFrame) = d
+        .withColumn("x1", pmod(expr("CAST(ts AS LONG) div 86400"), lit(30)).cast("double") / 29.0)
+        .withColumn("x2", when(pmod(expr("CAST(ts AS LONG) div 86400"), lit(7)) < 2, 1.0).otherwise(0.0))
+      val p = p0.copy(df = xcols(p0.df))
+      val m = ExogLinear.fit(p, lags = 7, freq = "1d", exogCols = Seq("x1", "x2"))
+      val xf = xcols(p.df.groupBy(col("user_id")).agg(max(col("ts")).as("__ts0"))
+        .withColumn("__hh", explode(sequence(lit(1), lit(3))))
+        .withColumn("ts", expr("timestampadd(DAY, __hh, __ts0)")))
+        .select("user_id", "ts", "x1", "x2")
+      r6(m.predict(p, "ts", fh = 3, xf))
+    },
+
     // llm/api.py analyze() prompt assembly (the openai_call egress is
     // stubbed by policy — see LlmPrompt scaladoc): basket filter, wide
     // pivot with sorted entity columns, markdown table, fixed template.

@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Panel
-import graft.operators.{CrossValidation, ExogDowLinear, Forecasters, LinearForecaster, Metrics}
+import graft.operators.{CrossValidation, ExogDowLinear, ExogLinear, Forecasters, LinearForecaster, Metrics}
 import org.apache.spark.sql.functions._
 
 /** Forecasters, splitters, metrics — semantics vs the reference
@@ -127,6 +127,32 @@ class ForecastSpec extends SparkSpec {
     assert(future("1mo").map(_.toString.take(10)) == Seq("2024-02-29", "2024-03-31"))
     assert(future("1q").map(_.toString.take(10)) == Seq("2024-04-30", "2024-07-31"))
     assert(future("10s").map(_.getTime) == Seq(cutoff + 10e3.toLong, cutoff + 20e3.toLong))
+  }
+
+  test("general exog forecaster consumes caller-supplied future X (fit(y,X) / predict(fh,X_future))") {
+    import spark.implicits._
+    // y = 50 + 3·x1 + 8·x2 with x1 a known rational ramp and x2 a
+    // known binary pulse — both future-known; lags see only noiseless
+    // structure so the exog weights must carry the effect exactly
+    val start = 86400L * 19000
+    def x1(t: Int) = (t % 30) / 29.0
+    def x2(t: Int) = if (t % 7 < 2) 1.0 else 0.0
+    val rows = (0 until 120).map { t =>
+      (0L, new java.sql.Timestamp((start + t * 86400L) * 1000),
+        50.0 + 3.0 * x1(t) + 8.0 * x2(t), x1(t), x2(t))
+    }
+    val df = rows.toDF("entity", "ts", "value", "x1", "x2")
+    val p = graft.core.Panel(df, Seq("entity"), Seq("ts"), "value")
+    val m = ExogLinear.fit(p, lags = 4, freq = "1d", exogCols = Seq("x1", "x2"))
+    val xf = (120 until 126).map { t =>
+      (0L, new java.sql.Timestamp((start + t * 86400L) * 1000), x1(t), x2(t))
+    }.toDF("entity", "ts", "x1", "x2")
+    val preds = m.predict(p, "ts", fh = 6, xf).orderBy("ts").collect()
+    assert(preds.length == 6)
+    preds.foreach { r =>
+      val t = ((r.getTimestamp(1).getTime / 1000 - start) / 86400).toInt
+      assertClose(r.getDouble(2), 50.0 + 3.0 * x1(t) + 8.0 * x2(t), 0.05)
+    }
   }
 
   test("interval coverage and winkler") {
