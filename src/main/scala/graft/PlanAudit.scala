@@ -47,7 +47,10 @@ object PlanAudit {
       "pipe_corpus_clean",                       // composed clean pipeline: one wide shuffle
       "fc_naive", "fc_knn", "m_score_backtest",  // forecast scaffolds + broadcast KNN
       "fc_lasso", "fc_ensemble",                 // round 4: CD on moments; shared-reduction avg
-      "fc_censored", "fc_zero_inflated")         // IRLS logistic × OLS two-part predict
+      "fc_censored", "fc_zero_inflated",         // IRLS logistic × OLS two-part predict
+      "fc_linear_exog_general",                  // round 5: exog contribution join + flat unroll
+      "e_comet_data",                            // score/CV join + broadcast mean lines
+      "llm_analyze_prompt")                      // basket pushdown + tiny two-level concat
     picks.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(
