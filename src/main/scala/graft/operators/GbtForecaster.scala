@@ -31,8 +31,13 @@ object GbtForecaster {
         feats => model.predict(Vectors.dense(feats)))
   }
 
+  /** `weightCol`: optional per-row sample weight on the panel frame —
+    * the reference's `weight_transform`/`sample_weight` hook
+    * (_regressors.py:19-58, base/model.py:48); MLlib threads it
+    * natively into every split-gain computation. */
   def fit(p: Panel, lags: Int, freq: String, maxIter: Int = 20,
-          maxDepth: Int = 5, seed: Long = 42L): Model = {
+          maxDepth: Int = 5, seed: Long = 42L,
+          weightCol: Option[String] = None): Model = {
     val reduction = Forecasters.makeReduction(p, lags)
     val featureCols = (1 to lags).map(l => s"${p.value}__lag_$l").toArray
     val assembled = new VectorAssembler()
@@ -50,10 +55,10 @@ object GbtForecaster {
     val parts = math.max(1L, math.min(assembled.rdd.getNumPartitions.toLong, n / 100000L)).toInt
     val fitInput =
       if (parts < assembled.rdd.getNumPartitions) assembled.coalesce(parts) else assembled
-    val m = new GBTRegressor()
+    val base = new GBTRegressor()
       .setFeaturesCol("__features").setLabelCol(p.value)
       .setMaxIter(maxIter).setMaxDepth(maxDepth).setSeed(seed)
-      .fit(fitInput)
+    val m = weightCol.fold(base)(base.setWeightCol).fit(fitInput)
     assembled.unpersist(blocking = false)
     Model(m, lags, freq)
   }

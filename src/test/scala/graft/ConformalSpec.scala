@@ -125,6 +125,25 @@ class ConformalSpec extends SparkSpec {
     v0.foreach(v => assertClose(v, 42.0, 1e-9))
   }
 
+  test("GBT honors per-row sample weights (_regressors.py weight hook)") {
+    import spark.implicits._
+    // blocks 10,10,30: the lag-1 context "10" precedes BOTH a 10 and a
+    // 30 (conflicting labels for one leaf), so the leaf value is the
+    // weighted label mean — down-weighting the 30-label rows must pull
+    // the forecast from ~20 toward 10. Series ends on a 10 so the
+    // predict context hits that leaf.
+    val series = Seq.tabulate(31)(t => if (t % 3 == 2) 30.0 else 10.0)
+    val df = series.zipWithIndex.map { case (v, t) => (0L, t.toLong, v,
+      if (v == 30.0) 1e-6 else 1.0) }.toDF("entity", "t", "value", "w")
+    val p = graft.core.Panel(df, Seq("entity"), Seq("t"), "value")
+    val down = GbtForecaster.fit(p, lags = 1, freq = "1i", maxIter = 5,
+      weightCol = Some("w")).predict(p, "t", fh = 1)
+      .collect()(0).getAs[Double]("value")
+    val flat = GbtForecaster.fit(p, lags = 1, freq = "1i", maxIter = 5)
+      .predict(p, "t", fh = 1).collect()(0).getAs[Double]("value")
+    assert(down < flat - 5, s"weighted $down should sit well below unweighted $flat")
+  }
+
   test("censored forecaster blends P(above)·ŷ (censored.py:32-96)") {
     // strictly positive series, threshold 0 → P≈1, predict ≈ linear AR
     val signal = (0 until 40).map(t => 50.0 + 10 * math.sin(0.3 * t))
