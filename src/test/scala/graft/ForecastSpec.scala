@@ -155,6 +155,27 @@ class ForecastSpec extends SparkSpec {
     }
   }
 
+  test("short entities (rows < lags) drop from linear/exog predicts instead of erroring") {
+    import spark.implicits._
+    // entity 0: 40 points; entity 1: only 2 (< lags=4)
+    val rows = (0 until 40).map(t => (0L, t.toLong, 10.0 + t)) ++
+      Seq((1L, 0L, 5.0), (1L, 1L, 6.0))
+    val p = graft.core.Panel(rows.toDF("entity", "t", "value"), Seq("entity"), Seq("t"), "value")
+    val out = LinearForecaster.fit(p, lags = 4, freq = "1i").predict(p, "t", fh = 2)
+    assert(out.select("entity").distinct().collect().map(_.getLong(0)).toSet == Set(0L))
+    // and the exog path applies the same guard
+    val ts = rows.map { case (e, t, v) =>
+      (e, new java.sql.Timestamp((86400L * 19000 + t * 86400) * 1000), v, 1.0) }
+    val pt = graft.core.Panel(ts.toDF("entity", "ts", "value", "x1"),
+      Seq("entity"), Seq("ts"), "value")
+    val m = ExogLinear.fit(pt, lags = 4, freq = "1d", exogCols = Seq("x1"))
+    val xf = Seq((0L, new java.sql.Timestamp((86400L * 19000 + 40L * 86400) * 1000), 1.0),
+      (1L, new java.sql.Timestamp((86400L * 19000 + 2L * 86400) * 1000), 1.0))
+      .toDF("entity", "ts", "x1")
+    val exOut = m.predict(pt, "ts", fh = 1, xf)
+    assert(exOut.select("entity").distinct().collect().map(_.getLong(0)).toSet == Set(0L))
+  }
+
   test("interval coverage and winkler") {
     import spark.implicits._
     val df = Seq((0, 5.0, 0.0, 10.0), (0, 15.0, 0.0, 10.0)).toDF("entity", "actual", "lo", "hi")
