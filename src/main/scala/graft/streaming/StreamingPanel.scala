@@ -231,6 +231,63 @@ object StreamingPanel {
       }
   }
 
+  /** Bounded per-entity conformal state: last ≤ maxResiduals one-step
+    * naive residuals, the previous observed value, and the cutoff. */
+  final case class ConformalState(resids: Seq[Double], lastValue: Double,
+                                  hasLast: Boolean, cutoff: Long)
+
+  final case class IntervalRow(entity: Long, eventTime: java.sql.Timestamp,
+                               actual: Double, pred: Double,
+                               lower: Double, upper: Double)
+
+  /** Online conformal prediction intervals — the incremental form of
+    * [[graft.operators.Conformal.enbpi]] (conformal.py:6-38) for the
+    * one-step naive forecaster: per entity, keep a sliding window of
+    * the last `maxResiduals` out-of-sample residuals (actual − naive
+    * pred); each arriving event is first scored against the CURRENT
+    * residual distribution (pred ± the alphaLo/alphaHi nearest-rank
+    * quantiles — the same round-half-away rank the batch operator
+    * uses), then its own residual joins the window. State is
+    * O(maxResiduals) doubles per entity, independent of stream
+    * length; events at or before the cutoff are dropped (in-order
+    * contract, like the naive forecaster). Rows emit once ≥ 1
+    * residual is banked. */
+  def streamingConformalInterval(events: Dataset[In], alphaLo: Double,
+                                 alphaHi: Double,
+                                 maxResiduals: Int): Dataset[IntervalRow] = {
+    implicit val stateEnc: Encoder[ConformalState] = Encoders.product[ConformalState]
+    implicit val outEnc: Encoder[IntervalRow] = Encoders.product[IntervalRow]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    events.groupByKey(_.entity)
+      .flatMapGroupsWithState[ConformalState, IntervalRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (entity: Long, rows: Iterator[In], state: GroupState[ConformalState]) =>
+          var s = state.getOption.getOrElse(
+            ConformalState(Vector.empty, 0.0, hasLast = false, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[IntervalRow]
+          rows.toSeq.sortBy(_.eventTime.getTime).foreach { r =>
+            if (r.eventTime.getTime > s.cutoff) {
+              if (s.hasLast) {
+                val pred = s.lastValue
+                if (s.resids.nonEmpty) {
+                  val sorted = s.resids.sorted
+                  def q(a: Double): Double = // enbpi nearest-rank (Conformal.scala:33-40)
+                    sorted(math.floor(a * (sorted.size - 1) + 0.5).toInt)
+                  out += IntervalRow(entity, r.eventTime, r.value, pred,
+                    pred + q(alphaLo), pred + q(alphaHi))
+                }
+                s = s.copy(resids = (s.resids :+ (r.value - pred))
+                  .takeRight(maxResiduals))
+              }
+              s = s.copy(lastValue = r.value, hasLast = true,
+                cutoff = r.eventTime.getTime)
+            }
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   /** One streaming document. */
   /** Streaming document quality gate: score each arriving doc with the
     * SAME batch column expressions (token count, quality score,

@@ -72,6 +72,34 @@ class StreamingSpec extends SparkSpec {
     assert(gotTimes == wantTimes)
   }
 
+  test("streaming conformal intervals apply the enbpi nearest-rank quantile per prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // values with known one-step naive residuals: +1, -2, +3, -4, ...
+    val vals = Seq(10.0, 11.0, 9.0, 12.0, 8.0, 13.0, 7.0)
+    val mem = MemoryStream[In]
+    val out = StreamingPanel.streamingConformalInterval(
+      mem.toDS(), alphaLo = 0.0, alphaHi = 1.0, maxResiduals = 100)
+    val q = out.writeStream.format("memory").queryName("ci").outputMode("append").start()
+    // two micro-batches so state crosses the boundary
+    val data = vals.zipWithIndex.map { case (v, i) => In(0L, ts(i), v) }
+    data.grouped(4).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val rows = spark.table("ci").orderBy("eventTime").collect()
+    // event k (k >= 2) scores against residuals of events 1..k-1:
+    // alpha 0/1 are the running min/max residual added to pred
+    val resids = vals.sliding(2).map { case Seq(a, b) => b - a }.toVector
+    assert(rows.length == vals.length - 2)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val k = i + 2 // event index being scored
+      val prefix = resids.take(k - 1)
+      val pred = vals(k - 1)
+      assert(r.getAs[Double]("pred") == pred)
+      assert(r.getAs[Double]("lower") == pred + prefix.min, s"row $i lower")
+      assert(r.getAs[Double]("upper") == pred + prefix.max, s"row $i upper")
+    }
+  }
+
   test("streaming naive forecast converges to the batch snaive forecast") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
