@@ -112,6 +112,12 @@ object Ols {
     val exprs = (for (i <- 0 until d; j <- i until d) yield sum(xs(i) * xs(j))) ++
       (0 until d).map(i => sum(xs(i) * y))
     val row = rows.agg(exprs.head, exprs.tail: _*).collect()(0)
+    // sum() over zero rows is NULL — surface an actionable error, not
+    // the opaque ROW_VALUE_IS_NULL getDouble failure
+    if (row.isNullAt(0))
+      throw new IllegalArgumentException(
+        s"OLS fit has no complete training rows (all rows empty or null " +
+          s"in ${featureCols.mkString(", ")} / $labelCol)")
     val tri = d * (d + 1) / 2
     (expand(Array.tabulate(tri)(row.getDouble), d),
       Array.tabulate(d)(i => row.getDouble(tri + i)))

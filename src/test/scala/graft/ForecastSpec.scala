@@ -176,6 +176,17 @@ class ForecastSpec extends SparkSpec {
     assert(exOut.select("entity").distinct().collect().map(_.getLong(0)).toSet == Set(0L))
   }
 
+  test("empty panels: forecasters return empty frames, fits throw actionable errors") {
+    import spark.implicits._
+    val df = Seq.empty[(Long, Long, Double)].toDF("entity", "t", "value")
+    val p = graft.core.Panel(df, Seq("entity"), Seq("t"), "value")
+    assert(Forecasters.naive(p, "t", fh = 3, freq = "1i").count() == 0)
+    val e = intercept[IllegalArgumentException] {
+      LinearForecaster.fit(p, lags = 3, freq = "1i")
+    }
+    assert(e.getMessage.contains("no complete training rows"))
+  }
+
   test("interval coverage and winkler") {
     import spark.implicits._
     val df = Seq((0, 5.0, 0.0, 10.0), (0, 15.0, 0.0, 10.0)).toDF("entity", "actual", "lo", "hi")
