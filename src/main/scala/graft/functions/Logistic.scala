@@ -40,10 +40,12 @@ object Logistic {
     // scheduling overhead, so target ~100k rows/partition (floor 1) —
     // a 100 TB reduction still fans out to thousands of tasks
     val n = cached.count()
-    if (n == 0)
+    if (n == 0) {
+      cached.unpersist() // the try/finally below hasn't been entered yet
       throw new IllegalArgumentException(
         s"logistic fit has no complete training rows (all rows empty or " +
           s"null in ${featureCols.mkString(", ")} / $labelCol)")
+    }
     val parts = math.max(1L,
       math.min(cached.rdd.getNumPartitions.toLong, n / 100000L)).toInt
     val rows =

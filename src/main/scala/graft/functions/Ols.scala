@@ -70,6 +70,13 @@ object Ols {
         while (i < d) { v1(i) += v2(i); i += 1 }
         (m1, v1)
       })
+    // xtx(0) accumulates 1.0 per row (= n): zero means the aggregate saw
+    // no rows — same actionable error as the fitAgg path, not a silent
+    // jitter-fallback fit over an all-zero normal system
+    if (xtx(0) == 0.0)
+      throw new IllegalArgumentException(
+        s"OLS fit has no complete training rows (all rows empty or null " +
+          s"in ${featureCols.mkString(", ")} / $labelCol)")
     val a = expand(xtx, d)
     if (ridge != 0.0) {
       var i = 1 // column 0 is the intercept — never penalized

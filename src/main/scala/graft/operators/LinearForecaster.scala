@@ -179,7 +179,12 @@ object ExogLinear {
         .groupBy(p.entityCols: _*)
         .agg(sort_array(collect_list(struct(col("__h"), col("__c"))))
           .getField("__c").as("__cs"))
+      // entities whose xFuture carries fewer than fh rows drop here
+      // (the short-entity contract, same as the size(__state) guard
+      // above) — element_at past the array end would otherwise emit
+      // silent null forecasts for the missing horizons
       val joined = state0.join(contribs, p.entity)
+        .filter(size(col("__cs")) >= fh)
       val unrolled = (1 to fh).foldLeft(joined) { (d, h) =>
         val stateRef = (j: Int) =>
           if (j < h) col(s"__p${h - j}") else element_at(col("__state"), j - h + 1)

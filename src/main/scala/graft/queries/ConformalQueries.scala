@@ -513,7 +513,7 @@ object ConformalQueries {
       GbtForecaster.fit(p, lags = 7, freq = "1d", maxIter = 5).predict(p, "ts", fh = 3)
     },
 
-    // censored model fully replicated: IRLS-Newton logistic (8 fixed
+    // censored model fully replicated: IRLS-Newton logistic (6 fixed
     // iterations, one weighted-moment aggregation pass each — see
     // graft.functions.Logistic) × above-threshold OLS, then the
     // σ(z)·ŷ recursive roll — all step-exact in SQL
@@ -757,6 +757,45 @@ object ConformalQueries {
                    '{{ Insert unordered Markdown list here }}' AS prompt
             FROM b""") { (s, dir) =>
         LlmPrompt.analyzePrompt(ev(s, dir), "ts", basket, "synthetic events panel")
+      }
+    },
+
+    // llm.compare (llm/api.py:65-103): two baskets pivoted wide
+    // independently, rendered as "### This"/"### Other" markdown
+    // tables in one code fence (formatting.py:11-22 Mapping branch),
+    // wrapped in the comparison task/constraints template — byte-exact
+    // like llm_analyze_prompt.
+    "llm_compare_prompt" -> {
+      val thisBasket = Seq(1L, 2L, 3L)
+      val otherBasket = Seq(4L, 5L)
+      def tableCtes(tag: String, basket: Seq[Long]): String = {
+        val cellsSql = basket.map(e =>
+          s"max(CASE WHEN user_id = $e THEN printf('%.6f', round(value, 6)) END) AS c$e").mkString(", ")
+        val rowSql = "'| ' || strftime(ts, '%Y-%m-%d %H:%M:%S')" +
+          basket.map(e => s" || ' | ' || coalesce(c$e, '')").mkString + " || ' |'"
+        s"""f_$tag AS (SELECT ts, user_id, value FROM events
+                       WHERE user_id IN (${basket.mkString(", ")})),
+            c_$tag AS (SELECT ts, $cellsSql FROM f_$tag GROUP BY ts),
+            r_$tag AS (SELECT ts, $rowSql AS rw FROM c_$tag),
+            b_$tag AS (SELECT '| ts | ${basket.mkString(" | ")} |' || chr(10) ||
+                              string_agg(rw, chr(10) ORDER BY ts) AS body FROM r_$tag)"""
+      }
+      val task = "Compare and contrast the following time series data."
+      val constraints =
+        " Be specific and respond with non-obvious statistical analyses in the tone of a McKinsey consultant." +
+          " Compare trend, seasonality, and anomalies. Do not provide recommendations. Do not describe the tables." +
+          " Do not introduce yourself or your role."
+      Q(
+        s"""WITH ${tableCtes("t", thisBasket)},
+            ${tableCtes("o", otherBasket)}
+            SELECT '$task Compare the dataframe entities against each other.$constraints' ||
+                   chr(10) || chr(10) || '``' || '`' || chr(10) ||
+                   '### This' || chr(10) || b_t.body || chr(10) || chr(10) ||
+                   '### Other' || chr(10) || b_o.body || chr(10) ||
+                   '``' || '`' || chr(10) || chr(10) ||
+                   '{{ Insert your comparative analysis here }}' AS prompt
+            FROM b_t CROSS JOIN b_o""") { (s, dir) =>
+        LlmPrompt.comparePrompt(ev(s, dir), "ts", thisBasket, otherBasket)
       }
     },
 

@@ -175,13 +175,14 @@ object OlsBacktestSql {
     * P(value > τ) × above-τ OLS over the shared reduction, then the
     * σ(z)·ŷ recursion. Emits `fp_<tag>` with (user_id, cutoff,
     * p1..p<fh>). */
-  def fullCensored(tag: String, lags: Int, fh: Int, thresholdSql: String): String = {
+  def fullCensored(tag: String, lags: Int, fh: Int, thresholdSql: String,
+                   irlsIters: Int = 6): String = {
     val xs = "1.0" +: (1 to lags).map(j => s"f$j")
     val pcren = (0 to lags).map(i => s"p_$i AS pc_$i").mkString(", ")
     val rcren = (0 to lags).map(i => s"a_$i AS rc_$i").mkString(", ")
     s"""${tag}_red AS MATERIALIZED (SELECT * FROM lagd WHERE rn > $lags),
-        ${logisticIrlsSql(s"${tag}_cl", s"${tag}_red", xs, s"value > $thresholdSql")},
-        ${tag}_clsol AS (SELECT $pcren FROM ${tag}_cl_s6),
+        ${logisticIrlsSql(s"${tag}_cl", s"${tag}_red", xs, s"value > $thresholdSql", irlsIters)},
+        ${tag}_clsol AS (SELECT $pcren FROM ${tag}_cl_s$irlsIters),
         ${tag}_rmom AS (SELECT ${Q.olsMomentsSql(xs, "value")}
           FROM ${tag}_red WHERE value > $thresholdSql),
         ${Q.cholSolveSql(lags + 1, s"${tag}_rmom", s"${tag}_rc")},

@@ -862,12 +862,12 @@ object PipelineQueries {
                     ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS n
             FROM documents),
           c AS (SELECT doc_id, n,
-                       sum(n + 1) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - (n + 1) AS s
+                       (sum(n + 1) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - (n + 1))::BIGINT AS s
                 FROM t)
           SELECT doc_id, n AS n_tokens, s AS start_offset,
-                 s // 128 AS bin_first,
-                 (s + greatest(n, 1) - 1) // 128 AS bin_last,
-                 (s + greatest(n, 1) - 1) // 128 - s // 128 + 1 AS n_bins
+                 (s // 128)::BIGINT AS bin_first,
+                 ((s + greatest(n, 1) - 1) // 128)::BIGINT AS bin_last,
+                 ((s + greatest(n, 1) - 1) // 128 - s // 128 + 1)::BIGINT AS n_bins
           FROM c""") { (s, dir) =>
       graft.operators.Packing.packManifest(tbl(s, dir, "documents"),
         "doc_id", "text", ctxLen = 128)
@@ -882,9 +882,9 @@ object PipelineQueries {
                     ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS n
             FROM documents),
           c AS (SELECT doc_id, n,
-                       sum(n + 1) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - (n + 1) AS s
+                       (sum(n + 1) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - (n + 1))::BIGINT AS s
                 FROM t)
-          SELECT s // 128 AS bin, count(*) AS n_docs_start,
+          SELECT (s // 128)::BIGINT AS bin, count(*) AS n_docs_start,
                  sum(CASE WHEN (s + greatest(n, 1) - 1) // 128 > s // 128
                           THEN 1 ELSE 0 END)::BIGINT AS n_straddle_out
           FROM c GROUP BY 1""") { (s, dir) =>

@@ -38,6 +38,13 @@ for q, sql in sorted(oracle.items()):
         ok = True
         for c in got.columns:
             g, w = got[c], want[c]
+            # the driver's hash is TYPE-sensitive: a DuckDB HUGEINT
+            # (object/float dtype here) vs Spark BIGINT mismatches even
+            # when values are integer-identical — flag dtype kind drift
+            if g.dtype.kind != w.dtype.kind and not (
+                    {g.dtype.kind, w.dtype.kind} <= {'i', 'u'}):
+                fails.append((q, f"col {c} dtype {g.dtype} vs {w.dtype} "
+                              "(driver hash is type-sensitive)")); ok = False; break
             if g.dtype.kind == 'f' or w.dtype.kind == 'f':
                 # BITWISE equality (incl. -0.0 vs 0.0): the driver hashes
                 # exact values — allclose previously hid real failures
