@@ -59,6 +59,22 @@ object Bench {
         .setFeaturesCol("__f").setLabelCol("y").setMaxIter(2).setMaxDepth(2)
         .setSeed(42L).fit(labeled)
     } catch { case _: Throwable => () }
+    // ...and the elite-ensemble machinery end-to-end on a 384-row
+    // synthetic panel (untimed): concurrent backtest futures, the
+    // shared 14-lag matrix, the wide OLS moment aggregates (the same
+    // generated aggregate classes the sf-scale fit compiles), window
+    // rank + blend + localCheckpoint — first use otherwise charges
+    // ~8 s of JIT/codegen to the timed fc_elite
+    try {
+      import org.apache.spark.sql.functions._
+      val pdf = spark.range(384).select(
+        (col("id") % 8).as("e"),
+        expr("timestampadd(DAY, CAST(id / 8 AS INT), timestamp'2020-01-01 00:00:00')").as("ts"),
+        (col("id") % 7).cast("double").as("value"))
+      graft.operators.AutoForecast.elite(
+        graft.core.Panel(pdf, Seq("e"), Seq("ts"), "value"), "ts", "1d",
+        fh = 2, topK = 2, nSplits = 2).count()
+    } catch { case _: Throwable => () }
     // name-sorted: Map iteration order shifts as the registry grows,
     // which reorders warmup/JIT effects between rounds — a fixed order
     // keeps per-query timings comparable round-to-round
@@ -74,6 +90,30 @@ object Bench {
       name -> dt
     }
     val total = results.map(_._2).sum
+    // regression guard: compare against the frozen per-query budgets
+    // (tools/bench_budget.json = round-3 driver profile). Any query
+    // beyond 2x its budget gets a stderr warning — catches the next
+    // fc_elite-style silent drift locally before the driver grades it.
+    // Warnings only (host timing noise is +-30% on small queries);
+    // queries under 0.5 s are noise-dominated and skipped.
+    try {
+      val budgetPath = java.nio.file.Paths.get("tools/bench_budget.json")
+      if (java.nio.file.Files.exists(budgetPath)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(budgetPath), "UTF-8")
+        val qpart = txt.substring(txt.indexOf("\"queries\""))
+        val budget = "\"([A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(qpart)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val over = results.filter { case (name, dt) =>
+          budget.get(name).exists(b => b >= 0.5 && dt > 2.0 * b)
+        }
+        over.foreach { case (name, dt) =>
+          System.err.println(
+            f"[bench-budget] $name: $dt%.2f s > 2x budget ${budget(name)}%.2f s")
+        }
+        if (over.nonEmpty)
+          System.err.println(s"[bench-budget] ${over.size} queries over 2x budget")
+      }
+    } catch { case _: Throwable => () }
     // full per-query timings to a side file; STDOUT gets one COMPACT
     // line (top-20 slowest only) so the driver's captured output tail
     // always contains a complete, parseable JSON object — round 1's

@@ -101,10 +101,14 @@ object AutoForecast {
     // sweep runs this once per candidate concurrently, and without the
     // unpersist the caches for the whole sweep pile up. localCheckpoint
     // blocks are reclaimed by the ContextCleaner when the frame is GC'd.
-    splits.reduce(_ unionByName _)
+    val out = splits.reduce(_ unionByName _)
       .select((p.entityCols ++ Seq(col(timeCol), col("split"),
         col("__actual").as("actual"), col("__pred").as("pred"))): _*)
-      .localCheckpoint(eager = true)
+    // when the caller owns the lag-matrix cache (preAssembled) it stays
+    // hot past this call — return the lazy frame and skip the eager
+    // materialization barrier; the checkpoint is only needed to let the
+    // locally-built cache drop safely in the finally below
+    if (preAssembled.isEmpty) out.localCheckpoint(eager = true) else out
     } finally if (preAssembled.isEmpty) assembled.unpersist(blocking = false)
   }
 
@@ -115,8 +119,12 @@ object AutoForecast {
     * join on the same positioned frame. sp = 1 gives plain naive.
     * Returns the [[Conformal.backtest]] schema. */
   def backtestNaivePrefix(p: Panel, timeCol: String, sp: Int,
-                          testSize: Int, nSplits: Int, stepSize: Int): DataFrame = {
-    val d = CrossValidation.withPosition(p)
+                          testSize: Int, nSplits: Int, stepSize: Int,
+                          prePositioned: Option[DataFrame] = None): DataFrame = {
+    // callers that already hold a positioned (__rn/__cnt) frame over the
+    // same panel/window (e.g. elite's shared lag matrix — extra columns
+    // are harmless) pass it here: saves one full window sort per call
+    val d = prePositioned.getOrElse(CrossValidation.withPosition(p))
     val splits = (0 until nSplits).map { i =>
       val cutoff = testSize + (nSplits - 1 - i) * stepSize
       val trainEnd = col("__cnt") - cutoff
@@ -271,17 +279,26 @@ object AutoForecast {
     import scala.concurrent.ExecutionContext.Implicits.global
     // candidate backtests are independent — overlap their jobs (the
     // linear ones fit inside; naive/snaive are pure position joins)
-    val scores = Await.result(Future.sequence(base.map { case (name, f) => Future {
+    val scoresF = Future.sequence(base.map { case (name, f) => Future {
       val bt = name match {
-        case "naive" => backtestNaivePrefix(cached, timeCol, 1, testSize, nSplits, stepSize)
-        case "snaive" => backtestNaivePrefix(cached, timeCol, 7, testSize, nSplits, stepSize)
+        case "naive" => backtestNaivePrefix(cached, timeCol, 1, testSize, nSplits,
+          stepSize, prePositioned = Some(sharedLag))
+        case "snaive" => backtestNaivePrefix(cached, timeCol, 7, testSize, nSplits,
+          stepSize, prePositioned = Some(sharedLag))
         case n if n.startsWith("linear_") =>
           backtestLinearPrefix(cached, timeCol, n.stripPrefix("linear_").toInt,
             testSize, nSplits, stepSize, preAssembled = Some(sharedLag))
         case _ => Conformal.backtest(cached, timeCol, testSize, nSplits, stepSize, f)
       }
       backtestScore(bt, p.entity).withColumn("model", lit(name))
-    } }), Duration.Inf).reduce(_ unionByName _)
+    } })
+    // full-data predictions don't depend on the scores — launch their
+    // jobs (the linear entries fit eagerly inside f) concurrently with
+    // the backtests instead of serializing the two rounds
+    val predsF = Future.sequence(base.map { case (name, f) => Future {
+      f(cached, fh).withColumn("model", lit(name))
+    } })
+    val scores = Await.result(scoresF, Duration.Inf).reduce(_ unionByName _)
     // model name as tie-break: equal scores (e.g. constant series, where
     // every candidate backtests identically) must rank deterministically
     val w = org.apache.spark.sql.expressions.Window
@@ -289,11 +306,7 @@ object AutoForecast {
     val winners = scores.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= topK)
       .select((p.entityCols :+ col("model")): _*)
-    // full-data predictions per model, filtered to each entity's top-k
-    // (the linear entries fit eagerly inside f — overlap those jobs too)
-    val preds = Await.result(Future.sequence(base.map { case (name, f) => Future {
-      f(cached, fh).withColumn("model", lit(name))
-    } }), Duration.Inf).reduce(_ unionByName _)
+    val preds = Await.result(predsF, Duration.Inf).reduce(_ unionByName _)
     // eager materialization (entities × fh rows) so the panel cache can
     // be released here rather than leaking past the call
     preds.join(winners, p.entity :+ "model")
