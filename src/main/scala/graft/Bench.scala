@@ -71,9 +71,13 @@ object Bench {
         (col("id") % 8).as("e"),
         expr("timestampadd(DAY, CAST(id / 8 AS INT), timestamp'2020-01-01 00:00:00')").as("ts"),
         (col("id") % 7).cast("double").as("value"))
-      graft.operators.AutoForecast.elite(
-        graft.core.Panel(pdf, Seq("e"), Seq("ts"), "value"), "ts", "1d",
+      val tinyPanel = graft.core.Panel(pdf, Seq("e"), Seq("ts"), "value")
+      graft.operators.AutoForecast.elite(tinyPanel, "ts", "1d",
         fh = 2, topK = 2, nSplits = 2).count()
+      // ...and the stump-boosting conditional-agg pass (its 40+-column
+      // aggregate compiles a distinctive codegen shape)
+      graft.operators.StumpBoost.fit(tinyPanel, lags = 3, freq = "1d",
+        rounds = 2, bins = 4).predict(tinyPanel, "ts", fh = 1).count()
     } catch { case _: Throwable => () }
     // name-sorted: Map iteration order shifts as the registry grows,
     // which reorders warmup/JIT effects between rounds — a fixed order

@@ -243,6 +243,24 @@ object AutoForecast {
       k => (tr, fh) => KnnForecaster.predictOneStep(tr, timeCol, freq, lags, k)
     }
 
+  /** auto_lightgbm (automl.py:191-229): lag sweep over expanding-window
+    * CV with the tree-boosted forecaster, refit on all data with the
+    * winning lag count. Each candidate's backtest fits one MLlib GBT
+    * per split over the shared cached panel (the generic autoModel
+    * machinery); the tree count/depth are held small and fixed — the
+    * reference sweeps them via FLAML, which SURVEY.md §2.5 scopes down
+    * to the lag grid. */
+  def autoGbt(p: Panel, timeCol: String, freq: String, lagGrid: Seq[Int],
+              maxIter: Int = 5, maxDepth: Int = 3,
+              testSize: Int = 10, nSplits: Int = 2, stepSize: Int = 5)
+      : (Int, Double, GbtForecaster.Model) = {
+    val (bestLags, bestScore) = autoModel(p, timeCol, lagGrid, testSize, nSplits, stepSize) {
+      lags => (tr, fh) =>
+        GbtForecaster.fit(tr, lags, freq, maxIter, maxDepth).predict(tr, timeCol, fh)
+    }
+    (bestLags, bestScore, GbtForecaster.fit(p, bestLags, freq, maxIter, maxDepth))
+  }
+
   /** Elite ensemble — elite.py: backtest each named base forecaster,
     * rank per entity by mean CV SMAPE, average the predictions of the
     * per-entity top-k models (mean stacking, elite.py:303-308), with

@@ -513,6 +513,37 @@ object ConformalQueries {
       GbtForecaster.fit(p, lags = 7, freq = "1d", maxIter = 5).predict(p, "ts", fh = 3)
     },
 
+    // auto_lightgbm's lag sweep (automl.py:191-229) — rows-only like
+    // fc_gbt (MLlib tree internals; the boosting SEMANTICS are
+    // oracle-pinned by fc_gbt_stump, the sweep mechanics by the
+    // fc_auto_linear/auto_ridge oracles and AutoForecastSpec's argmin
+    // assertion)
+    "fc_auto_gbt" -> Q.rowsOnly { (s, dir) =>
+      val p = ev(s, dir)
+      // small fixed tree budget: the sweep mechanics are what's under
+      // test (each candidate = one GBT fit per CV split)
+      val (_, _, model) = AutoForecast.autoGbt(p, "ts", "1d",
+        lagGrid = Seq(3, 7), maxIter = 3, maxDepth = 2)
+      model.predict(p, "ts", fh = 3)
+    },
+
+    // gbt-family oracle: depth-1 gradient-boosted stumps with
+    // deterministic uniform-grid split candidates — every round's
+    // conditional-aggregation pass, argmax split pick, and mean-leaf
+    // values replicated step-exact in SQL (the full-depth MLlib
+    // ensemble in fc_gbt stays rows-only by nature; this pins the
+    // boosting semantics to a bitwise check)
+    "fc_gbt_stump" -> Q(
+      s"""WITH ${OlsBacktestSql.lagdCte(3)},
+          ${OlsBacktestSql.fullStump("gs", 3, fh = 3, rounds = 5, bins = 8, eta = 0.3)}
+          SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                 round(CASE h WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END, 6) AS value
+          FROM fp_gs CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)""") { (s, dir) =>
+      val p = ev(s, dir)
+      r6(StumpBoost.fit(p, lags = 3, freq = "1d", rounds = 5, bins = 8, eta = 0.3)
+        .predict(p, "ts", fh = 3))
+    },
+
     // censored model fully replicated: IRLS-Newton logistic (6 fixed
     // iterations, one weighted-moment aggregation pass each — see
     // graft.functions.Logistic) × above-threshold OLS, then the

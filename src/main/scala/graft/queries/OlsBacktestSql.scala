@@ -242,6 +242,75 @@ object OlsBacktestSql {
     (init +: its).mkString(", ")
   }
 
+  /** CTEs replicating [[graft.operators.StumpBoost.fit]] + its
+    * recursive predict, step-exact: per boosting round, ONE
+    * conditional aggregation over the shared reduction (left
+    * sums/counts for every uniform-grid candidate), an unpivot +
+    * `ORDER BY gain DESC, i, k LIMIT 1` argmax, and leaf values
+    * sl/nl·η — the same IEEE expressions the Scala driver computes
+    * from its collected row. Emits `fp_<tag>` with
+    * (user_id, cutoff, p1..p<fh>). */
+  def fullStump(tag: String, lags: Int, fh: Int, rounds: Int,
+                bins: Int, eta: Double): String = {
+    val cands = (for { i <- 1 to lags; k <- 1 until bins } yield (i, k)).toIndexedSeq
+    def thr(i: Int, k: Int) =
+      s"(mn$i + $k * (mx$i - mn$i) / CAST($bins AS DOUBLE))"
+    // runtime dispatch of a stump's feature column over the lag set
+    def featCase(j: Int, xs: Int => String) =
+      s"CASE fi_$j ${(1 to lags).map(i => s"WHEN $i THEN ${xs(i)}").mkString(" ")} END"
+    def stumpTerm(j: Int, xs: Int => String) =
+      s" + CASE WHEN ${featCase(j, xs)} <= thr_$j THEN vl_$j ELSE vr_$j END"
+    val mm = s"""${tag}_mm AS (SELECT ${(1 to lags)
+      .map(i => s"min(f$i) AS mn$i, max(f$i) AS mx$i").mkString(", ")},
+          sum(value) / count(*) AS b0 FROM ${tag}_red)"""
+    val roundCtes = (1 to rounds).map { m =>
+      val priorJoins = (1 until m).map(j => s" CROSS JOIN ${tag}_b$j").mkString
+      val fExpr = "b0" + (1 until m).map(j => stumpTerm(j, i => s"f$i")).mkString
+      val rcte = s"""${tag}_r$m AS MATERIALIZED (
+          SELECT *, value - ($fExpr) AS r
+          FROM ${tag}_red CROSS JOIN ${tag}_mm$priorJoins)"""
+      val sums = cands.zipWithIndex.map { case ((i, k), ci) =>
+        s"""sum(CASE WHEN f$i <= ${thr(i, k)} THEN r END) AS sl_$ci,
+            count(CASE WHEN f$i <= ${thr(i, k)} THEN 1 END) AS nl_$ci"""
+      }
+      val carry = (1 to lags).map(i => s"min(mn$i) AS mn$i, min(mx$i) AS mx$i")
+      val acte = s"""${tag}_a$m AS (SELECT ${(sums ++ carry).mkString(", ")},
+          sum(r) AS st, count(*) AS nt FROM ${tag}_r$m)"""
+      val branches = cands.zipWithIndex.map { case ((i, k), ci) =>
+        s"""SELECT $i AS i, $k AS k, ${thr(i, k)} AS thr,
+              sl_$ci AS sl, nl_$ci AS nl, st, nt FROM ${tag}_a$m"""
+      }
+      val gcte = s"""${tag}_g$m AS (${branches.mkString(" UNION ALL ")})"""
+      val bcte = s"""${tag}_b$m AS (SELECT i AS fi_$m, thr AS thr_$m,
+            CASE WHEN nl > 0 THEN sl / nl * CAST($eta AS DOUBLE)
+                 ELSE CAST(0.0 AS DOUBLE) END AS vl_$m,
+            CASE WHEN nt > nl THEN (st - sl) / (nt - nl) * CAST($eta AS DOUBLE)
+                 ELSE CAST(0.0 AS DOUBLE) END AS vr_$m
+          FROM ${tag}_g$m
+          ORDER BY CASE WHEN nl > 0 AND nl < nt
+                        THEN sl * sl / nl + (st - sl) * (st - sl) / (nt - nl)
+                        ELSE -1e308 END DESC, i, k
+          LIMIT 1)"""
+      Seq(rcte, acte, gcte, bcte).mkString(", ")
+    }
+    val allBests = (1 to rounds).map(j => s" CROSS JOIN ${tag}_b$j").mkString
+    // per-horizon state: earlier predictions for j < h, tail values past
+    val stages = (1 to fh).map { h =>
+      val src = if (h == 1) s"${tag}_p0" else s"${tag}_h${h - 1}"
+      val pExpr = "b0" + (1 to rounds).map(j =>
+        stumpTerm(j, i => if (i < h) s"p${h - i}" else s"t${i - h + 1}")).mkString
+      s"""${tag}_h$h AS MATERIALIZED (SELECT *, ($pExpr) AS p$h FROM $src)"""
+    }
+    s"""${tag}_red AS MATERIALIZED (SELECT * FROM lagd WHERE rn > $lags),
+        $mm,
+        ${roundCtes.mkString(", ")},
+        ${tailCte(tag, lags, "cnt")},
+        ${tag}_p0 AS (SELECT * FROM ${tag}_tail
+          CROSS JOIN (SELECT b0 FROM ${tag}_mm) ${tag}_basej$allBests),
+        ${stages.mkString(", ")},
+        fp_$tag AS (SELECT * FROM ${tag}_h$fh)"""
+  }
+
   /** Staged recursion for the censored predict (the oracle of
     * [[graft.operators.GbtForecaster.predictRecursiveModel]] with the
     * CensoredForecaster step): per horizon, z and ŷ are affine in the

@@ -60,6 +60,39 @@ class AutoForecastSpec extends SparkSpec {
     assert(lassoLags == 3, s"lasso chose $lassoLags")
   }
 
+  test("stump boosting splits on the signal and shrinks residuals (lightgbm.py:103)") {
+    // alternating step process: lag 1 and lag 2 are equally (fully)
+    // informative — the split chooser may take either; what matters is
+    // that the boosted predictions converge on the true step values
+    val signal = (0 until 80).map(t => if (t % 2 == 0) 10.0 else 90.0)
+    val p = panel(signal)
+    val m = StumpBoost.fit(p, lags = 3, freq = "1i", rounds = 5, bins = 8, eta = 0.5)
+    assert(m.stumps.length == 5)
+    // every threshold separates the two levels; each stump's leaves
+    // straddle (one side pushes up, the other down)
+    assert(m.stumps.forall(s => s.thr > 10.0 && s.thr < 90.0),
+      m.stumps.map(_.thr).toString)
+    assert(m.stumps.forall(s => s.vl * s.vr <= 0.0),
+      m.stumps.map(s => (s.vl, s.vr)).toString)
+    // boosted predictions approach the alternating values as rounds
+    // compound: b0 ≈50 → ±η·residual per round
+    val preds = m.predict(p, "t", fh = 2).orderBy("t").collect()
+      .map(_.getAs[Double]("value"))
+    assert(math.abs(preds(0) - 10.0) < 4.0, s"h1 ${preds(0)}") // after 80: even → 10
+    assert(math.abs(preds(1) - 90.0) < 4.0, s"h2 ${preds(1)}")
+  }
+
+  test("autoGbt sweeps lags and picks the one that models the process (automl.py:191)") {
+    // 5,40,5,75 repeating: after a 5 comes 40 OR 75 depending on the
+    // phase — one lag is ambiguous, three lags disambiguate
+    val signal = (0 until 96).map(t => Seq(5.0, 40.0, 5.0, 75.0)(t % 4))
+    val p = panel(signal)
+    val (bestLags, score, model) = AutoForecast.autoGbt(p, "t", "1i",
+      lagGrid = Seq(1, 3), maxIter = 5, maxDepth = 3, testSize = 3, nSplits = 2, stepSize = 3)
+    assert(bestLags == 3, s"chose $bestLags (smape $score)")
+    assert(model.predict(p, "t", fh = 3).count() == 3L)
+  }
+
   test("autoKnn picks a k that scores the recurring pattern (auto_knn, automl.py)") {
     val signal = (0 until 64).map(t => Seq(1.0, 5.0, 9.0, 5.0)(t % 4))
     val p = panel(signal)
