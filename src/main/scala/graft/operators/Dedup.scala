@@ -180,8 +180,12 @@ object Dedup {
       import spark.implicits._
       rows.toDF("id", "group")
     } else {
+      // every round ends in an eager localCheckpoint: iterative plans
+      // otherwise chain their lineage (the self-join below would DOUBLE
+      // it per round — exponential plan growth OOMs the driver around
+      // round 7); checkpoint blocks are reclaimed by the ContextCleaner
       var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("group", col("id")).cache()
+        .withColumn("group", col("id")).localCheckpoint(true)
       var round = 0
       var converged = false
       while (round < maxRounds && !converged) {
@@ -189,19 +193,32 @@ object Dedup {
           .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
           .groupBy(col("src").as("id"))
           .agg(min(col("group")).as("__ng"))
-        // fold the convergence flag into the same cached pass — no
-        // second join against the previous labels per round
-        val next = labels.join(neighborMin, Seq("id"), "left")
+        // fold the convergence flag into the same pass — no second
+        // join against the previous labels per round
+        val prop = labels.join(neighborMin, Seq("id"), "left")
           .select(col("id"),
             least(col("group"), coalesce(col("__ng"), col("group"))).as("group"),
             (coalesce(col("__ng"), col("group")) < col("group")).as("__chg"))
-          .cache()
+        // pointer-jumping shortcut (path doubling): follow each node's
+        // label to THAT node's label in the same round — label chains
+        // halve every round, so convergence is O(log diameter) joins
+        // instead of O(diameter); a 100-TB corpus with a pathological
+        // chain component still converges inside maxRounds
+        val next = prop
+          .join(prop.select(col("id").as("__gid"), col("group").as("__gg")),
+            col("group") === col("__gid"), "left")
+          .select(col("id"),
+            least(col("group"), coalesce(col("__gg"), col("group"))).as("group"),
+            (col("__chg") ||
+              coalesce(col("__gg"), col("group")) < col("group")).as("__chg"))
+          .localCheckpoint(true)
         val changed = next.filter(col("__chg")).limit(1).count()
-        labels.unpersist(blocking = false)
         labels = next.select("id", "group")
         converged = changed == 0
         round += 1
       }
+      require(converged,
+        s"nearDupGroups label propagation did not converge in $maxRounds rounds")
       edges.unpersist(blocking = false)
       labels
     }

@@ -42,6 +42,19 @@ class PipelineSpec extends SparkSpec {
     assert(dist == groups)
   }
 
+  test("label-propagation fallback converges on a long-chain component (pointer jumping)") {
+    // 60-node chain: diameter 59 exceeds maxRounds=20 one-hop rounds —
+    // only the path-doubling shortcut converges it; assert it matches
+    // the driver union-find on the same edges
+    val chain = (0L until 59L).map(i => (i, i + 1)).toDF("a", "b")
+    val uf = Dedup.nearDupGroups(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.nearDupGroups(chain, driverUnionFindThreshold = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == uf)
+    assert(dist.size == 60 && dist.values.forall(_ == 0L))
+  }
+
   test("exact dedup groups identical texts") {
     val out = Dedup.exactDedup(docs, "doc_id", "text").collect()
     assert(out.length == 3)
