@@ -1,0 +1,193 @@
+package graft.operators
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** Save/load for fitted forecaster models — the analog of the
+  * reference's cloudpickle round-trip (tests/test_forecasting.py:71-105:
+  * a fitted forecaster must survive serialization and predict
+  * identically).
+  *
+  * Coefficients are stored as IEEE-754 raw bit patterns (JSON longs)
+  * alongside a human-readable decimal rendering, so a load → predict is
+  * BIT-identical to the pre-save model — no decimal round-trip risk.
+  * The MLlib GBT ensemble uses MLlib's native writer (a parquet
+  * directory) with a sidecar meta.json for the panel parameters; on a
+  * cluster those paths are any Hadoop-compatible filesystem.
+  */
+object ModelIO {
+
+  private val mapper = new ObjectMapper()
+
+  private def writeJson(node: ObjectNode, path: String): Unit = {
+    val p = Paths.get(path)
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    Files.write(p, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+      StandardOpenOption.WRITE)
+  }
+
+  private def readJson(path: String): ObjectNode =
+    mapper.readTree(Files.readAllBytes(Paths.get(path))).asInstanceOf[ObjectNode]
+
+  private def putD(n: ObjectNode, key: String, v: Double): Unit = {
+    n.put(key, java.lang.Double.doubleToRawLongBits(v))
+    n.put(key + "_readable", v)
+  }
+  private def getD(n: ObjectNode, key: String): Double =
+    java.lang.Double.longBitsToDouble(n.get(key).asLong())
+
+  private def putDs(n: ObjectNode, key: String, vs: Array[Double]): Unit = {
+    val arr = n.putArray(key)
+    vs.foreach(v => arr.add(java.lang.Double.doubleToRawLongBits(v)))
+    val r = n.putArray(key + "_readable")
+    vs.foreach(v => r.add(v))
+  }
+  private def getDs(n: ObjectNode, key: String): Array[Double] = {
+    val arr = n.get(key).asInstanceOf[ArrayNode]
+    Array.tabulate(arr.size())(i =>
+      java.lang.Double.longBitsToDouble(arr.get(i).asLong()))
+  }
+
+  private def expect(n: ObjectNode, t: String): Unit =
+    require(n.get("type").asText() == t,
+      s"model file holds type '${n.get("type").asText()}', expected '$t'")
+
+  // ----- recursive linear -----
+
+  def save(m: LinearForecasterModel, path: String): Unit = {
+    val n = mapper.createObjectNode()
+    n.put("type", "linear")
+    putD(n, "intercept", m.intercept)
+    putDs(n, "weights", m.weights)
+    n.put("lags", m.lags); n.put("freq", m.freq)
+    writeJson(n, path)
+  }
+
+  def loadLinear(path: String): LinearForecasterModel = {
+    val n = readJson(path); expect(n, "linear")
+    LinearForecasterModel(getD(n, "intercept"), getDs(n, "weights"),
+      n.get("lags").asInt(), n.get("freq").asText())
+  }
+
+  // ----- direct multi-horizon -----
+
+  def save(m: DirectLinearModel, path: String): Unit = {
+    val n = mapper.createObjectNode()
+    n.put("type", "direct")
+    n.put("lags", m.lags); n.put("freq", m.freq)
+    val hs = n.putArray("horizons")
+    m.models.foreach { case (b0, w) =>
+      val h = hs.addObject()
+      putD(h, "intercept", b0)
+      putDs(h, "weights", w)
+    }
+    writeJson(n, path)
+  }
+
+  def loadDirect(path: String): DirectLinearModel = {
+    val n = readJson(path); expect(n, "direct")
+    val hs = n.get("horizons").asInstanceOf[ArrayNode]
+    val models = (0 until hs.size()).map { i =>
+      val h = hs.get(i).asInstanceOf[ObjectNode]
+      (getD(h, "intercept"), getDs(h, "weights"))
+    }
+    DirectLinearModel(models, n.get("lags").asInt(), n.get("freq").asText())
+  }
+
+  // ----- recursive ⊕ direct ensemble -----
+
+  def save(m: EnsembleLinearModel, path: String): Unit = {
+    save(m.rec, path + "/rec.json")
+    save(m.dir, path + "/dir.json")
+  }
+
+  def loadEnsemble(path: String): EnsembleLinearModel =
+    EnsembleLinearModel(loadLinear(path + "/rec.json"), loadDirect(path + "/dir.json"))
+
+  // ----- exogenous linear -----
+
+  def save(m: ExogLinear.Model, path: String): Unit = {
+    val n = mapper.createObjectNode()
+    n.put("type", "exog_linear")
+    putD(n, "intercept", m.intercept)
+    putDs(n, "lagW", m.lagW)
+    putDs(n, "exogW", m.exogW)
+    n.put("lags", m.lags); n.put("freq", m.freq)
+    val ec = n.putArray("exogCols"); m.exogCols.foreach(c => ec.add(c))
+    writeJson(n, path)
+  }
+
+  def loadExog(path: String): ExogLinear.Model = {
+    val n = readJson(path); expect(n, "exog_linear")
+    val ec = n.get("exogCols").asInstanceOf[ArrayNode]
+    ExogLinear.Model(getD(n, "intercept"), getDs(n, "lagW"), getDs(n, "exogW"),
+      n.get("lags").asInt(), n.get("freq").asText(),
+      (0 until ec.size()).map(ec.get(_).asText()))
+  }
+
+  // ----- censored / zero-inflated -----
+
+  def save(m: CensoredForecaster.Model, path: String): Unit = {
+    val n = mapper.createObjectNode()
+    n.put("type", "censored")
+    putD(n, "pIntercept", m.pIntercept)
+    putDs(n, "pWeights", m.pWeights)
+    putD(n, "rIntercept", m.rIntercept)
+    putDs(n, "rWeights", m.rWeights)
+    n.put("lags", m.lags); n.put("freq", m.freq)
+    writeJson(n, path)
+  }
+
+  def loadCensored(path: String): CensoredForecaster.Model = {
+    val n = readJson(path); expect(n, "censored")
+    CensoredForecaster.Model(getD(n, "pIntercept"), getDs(n, "pWeights"),
+      getD(n, "rIntercept"), getDs(n, "rWeights"),
+      n.get("lags").asInt(), n.get("freq").asText())
+  }
+
+  // ----- stump boosting -----
+
+  def save(m: StumpBoost.Model, path: String): Unit = {
+    val n = mapper.createObjectNode()
+    n.put("type", "stump_boost")
+    putD(n, "b0", m.b0)
+    n.put("lags", m.lags); n.put("freq", m.freq)
+    val ss = n.putArray("stumps")
+    m.stumps.foreach { s =>
+      val sn = ss.addObject()
+      sn.put("feat", s.feat)
+      putD(sn, "thr", s.thr); putD(sn, "vl", s.vl); putD(sn, "vr", s.vr)
+    }
+    writeJson(n, path)
+  }
+
+  def loadStump(path: String): StumpBoost.Model = {
+    val n = readJson(path); expect(n, "stump_boost")
+    val ss = n.get("stumps").asInstanceOf[ArrayNode]
+    val stumps = (0 until ss.size()).map { i =>
+      val sn = ss.get(i).asInstanceOf[ObjectNode]
+      StumpBoost.Stump(sn.get("feat").asInt(),
+        getD(sn, "thr"), getD(sn, "vl"), getD(sn, "vr"))
+    }
+    StumpBoost.Model(getD(n, "b0"), stumps, n.get("lags").asInt(), n.get("freq").asText())
+  }
+
+  // ----- MLlib GBT (native writer + sidecar meta) -----
+
+  def save(m: GbtForecaster.Model, path: String): Unit = {
+    m.model.write.overwrite().save(path + "/ensemble")
+    val n = mapper.createObjectNode()
+    n.put("type", "gbt")
+    n.put("lags", m.lags); n.put("freq", m.freq)
+    writeJson(n, path + "/meta.json")
+  }
+
+  def loadGbt(path: String): GbtForecaster.Model = {
+    val n = readJson(path + "/meta.json"); expect(n, "gbt")
+    GbtForecaster.Model(
+      org.apache.spark.ml.regression.GBTRegressionModel.load(path + "/ensemble"),
+      n.get("lags").asInt(), n.get("freq").asText())
+  }
+}
