@@ -132,6 +132,92 @@ object Evaluation {
   def entityCounts(p: Panel): DataFrame =
     p.df.groupBy(p.entityCols: _*).agg(count(lit(1)).as("len"))
 
+  /** Deterministic entity choice for the plot data layers —
+    * _plotting.py:330-365's no-seed path: unique entities sorted
+    * ascending, first `numSeries`. Entity-count bounded (distinct +
+    * global sort of one row per entity, never row-scale). */
+  private def chosenEntities(p: Panel, numSeries: Int): DataFrame =
+    p.df.select(p.entityCols: _*).distinct()
+      .orderBy(p.entityCols: _*).limit(numSeries)
+
+  private def tailRows(df: DataFrame, entity: Seq[String],
+                       orderCols: Seq[Column], numPoints: Int): DataFrame =
+    df.withColumn("__rnd", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(entity.map(col): _*).orderBy(orderCols.map(_.desc): _*)))
+      .filter(col("__rnd") <= numPoints).drop("__rnd")
+
+  /** plot_forecasts' data layer — plotting.py:124-195: for the first
+    * `numSeries` entities (sorted — the deterministic no-seed path),
+    * each entity's last `numPoints` actual rows tagged `Actual` and
+    * last `numPoints` forecast rows tagged `Forecast`, on a shared
+    * (entity, time, value, series) schema. The plotly subplot grid is
+    * presentation; this union IS the figure's data. Chosen entities
+    * broadcast into both sides — one window per input, no extra
+    * shuffle. */
+  def forecastData(yTrue: Panel, yPred: Panel, timeCol: String,
+                   numSeries: Int, numPoints: Int): DataFrame = {
+    val chosen = broadcast(chosenEntities(yTrue, numSeries))
+    def side(p: Panel, tag: String) =
+      tailRows(p.df.join(chosen, p.entity), p.entity, p.orderCols, numPoints)
+        .select((p.entityCols :+ col(timeCol) :+
+          p.x.as(yTrue.value) :+ lit(tag).as("series")): _*)
+    side(yTrue, "Actual").unionByName(side(yPred, "Forecast"))
+  }
+
+  /** plot_backtests' data layer — plotting.py:197-241: actuals (split
+    * −1) unioned with every backtest split's predictions, trimmed per
+    * (entity, split) to the last `numPoints` (the reference trims per
+    * entity over frame order — split-wise is the deterministic
+    * equivalent). `btPreds` is a backtest frame carrying
+    * (entity, timeCol, split, pred). */
+  def backtestData(yTrue: Panel, btPreds: DataFrame, timeCol: String,
+                   numSeries: Int, numPoints: Int): DataFrame = {
+    val chosen = broadcast(chosenEntities(yTrue, numSeries))
+    val actual =
+      tailRows(yTrue.df.join(chosen, yTrue.entity), yTrue.entity, yTrue.orderCols, numPoints)
+        .select((yTrue.entityCols :+ col(timeCol) :+ lit(-1).as("split") :+
+          yTrue.x.as(yTrue.value) :+ lit("Actual").as("series")): _*)
+    val preds =
+      tailRows(btPreds.join(chosen, yTrue.entity),
+        yTrue.entity :+ "split", Seq(col(timeCol)), numPoints)
+        .select((yTrue.entityCols :+ col(timeCol) :+ col("split") :+
+          col("pred").as(yTrue.value) :+ lit("Forecast").as("series")): _*)
+    actual.unionByName(preds)
+  }
+
+  /** plot_residuals' data layer — plotting.py:243-285: the histogram's
+    * binned counts per entity over a shared global grid of `nBins`
+    * equal bins between the residuals' exact min/max (px.histogram's
+    * shared-axis binning made deterministic). Emits (entity, bin,
+    * bin_lo, n). One agg for the bounds (broadcast) + one groupBy. */
+  def residualsData(resids: DataFrame, entity: Seq[String],
+                    residCol: String, nBins: Int): DataFrame = {
+    val mm = resids.agg(min(col(residCol)).as("__mn"), max(col(residCol)).as("__mx"))
+    val w = (col("__mx") - col("__mn")) / lit(nBins).cast("double")
+    resids.crossJoin(broadcast(mm))
+      .withColumn("bin",
+        when(col("__mx") === col("__mn"), lit(0L))
+          .otherwise(least(floor((col(residCol) - col("__mn")) / w),
+            lit(nBins - 1).cast("long"))).cast("long"))
+      .groupBy((entity.map(col) :+ col("bin")): _*)
+      .agg(min(col("__mn") + col("bin").cast("double") * w).as("bin_lo"),
+        count(lit(1)).as("n"))
+  }
+
+  /** plot_fva's data layer — plotting.py:340-398: per-entity benchmark
+    * score joined (left) with the forecast score under a shared
+    * metric — each output row is one scatter dot (the 45° line and
+    * axis ranges are presentation). */
+  def fvaData(aligned: DataFrame, alignedBench: DataFrame, entity: Seq[String],
+              metric: (DataFrame, Seq[String]) => DataFrame,
+              scoreCol: String): DataFrame = {
+    val m = metric(aligned, entity).withColumnRenamed(scoreCol, "forecast_score")
+    val mb = metric(alignedBench, entity).withColumnRenamed(scoreCol, "benchmark_score")
+    m.join(mb, entity, "left")
+      .select((entity.map(col) :+ col("benchmark_score") :+ col("forecast_score")): _*)
+  }
+
   /** Per-entity ACF for lags 1..maxLags with Bartlett ±1.96·√((1+2Σr²)/n)
     * confidence bounds — evaluation.py:62-78. */
   def acf(p: Panel, maxLags: Int): DataFrame = {

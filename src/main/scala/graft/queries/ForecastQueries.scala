@@ -294,6 +294,127 @@ object ForecastQueries {
       (s, dir) => graft.operators.Evaluation.entityCounts(ev(s, dir))
     },
 
+    // plot_forecasts' data layer (plotting.py:124-195): first-10
+    // entities (the deterministic no-seed choice, _plotting.py:330),
+    // last-20 actual rows tagged vs the naive one-step in-sample
+    // forecast rows, one shared (entity, ts, value, series) schema
+    "e_forecast_data" -> Q(
+      s"""WITH ch AS (SELECT user_id FROM (SELECT DISTINCT user_id FROM events)
+                      ORDER BY user_id LIMIT 10),
+              a0 AS (SELECT e.user_id, e.ts, e.event_id, e.value
+                     FROM events e JOIN ch USING (user_id)),
+              at AS (SELECT user_id, ts, value, row_number() OVER
+                       (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rnd
+                     FROM a0),
+              p0 AS (SELECT user_id, ts, event_id, lag(value) OVER ($W) AS pv FROM events),
+              p1 AS (SELECT p0.user_id, p0.ts, p0.event_id, pv
+                     FROM p0 JOIN ch USING (user_id) WHERE pv IS NOT NULL),
+              pt AS (SELECT user_id, ts, pv, row_number() OVER
+                       (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rnd
+                     FROM p1)
+          SELECT user_id, ts, round(value,6) AS value, 'Actual' AS series
+          FROM at WHERE rnd <= 20
+          UNION ALL
+          SELECT user_id, ts, round(pv,6) AS value, 'Forecast' AS series
+          FROM pt WHERE rnd <= 20""") {
+      (s, dir) =>
+        val p = ev(s, dir)
+        val pred = p.copy(
+          df = p.df.withColumn("__p", lag(p.x, 1).over(p.w))
+            .filter(col("__p").isNotNull).drop(p.value),
+          value = "__p")
+        r6(graft.operators.Evaluation.forecastData(p, pred, "ts",
+          numSeries = 10, numPoints = 20))
+    },
+
+    // plot_backtests' data layer (plotting.py:197-241): actuals
+    // (split −1) + every naive backtest split's predictions
+    "e_backtest_data" -> Q(
+      s"""WITH b AS (SELECT user_id, ts, event_id, value, row_number() OVER ($W) AS rn,
+                            count(*) OVER ($WE) AS cnt FROM events),
+              ch AS (SELECT user_id FROM (SELECT DISTINCT user_id FROM events)
+                     ORDER BY user_id LIMIT 10),
+              bc AS (SELECT b.* FROM b JOIN ch USING (user_id)),
+              s AS (SELECT i AS split FROM unnest([0, 1]) AS t(i)),
+              j AS (SELECT bc.*, s.split, bc.cnt - (5 + (1 - s.split) * 5) AS te
+                    FROM bc CROSS JOIN s),
+              lastv AS (SELECT user_id, split, value AS pred FROM j WHERE rn = te),
+              test AS (SELECT user_id, split, ts FROM j
+                       WHERE rn > te AND rn <= te + 5),
+              bt AS (SELECT t.user_id, t.ts, t.split, l.pred
+                     FROM test t JOIN lastv l
+                       ON t.user_id = l.user_id AND t.split = l.split),
+              at AS (SELECT user_id, ts, value, row_number() OVER
+                       (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rnd
+                     FROM bc)
+          SELECT user_id, ts, -1 AS split, round(value,6) AS value, 'Actual' AS series
+          FROM at WHERE rnd <= 20
+          UNION ALL
+          SELECT user_id, ts, split, round(pred,6) AS value, 'Forecast' AS series
+          FROM bt""") {
+      (s, dir) =>
+        val p = ev(s, dir)
+        val bt = graft.operators.AutoForecast.backtestNaivePrefix(
+          p, "ts", sp = 1, testSize = 5, nSplits = 2, stepSize = 5)
+        // numPoints = testSize keeps every backtest row (same-timestamp
+        // ties inside a split would otherwise make the trim ambiguous)
+        r6(graft.operators.Evaluation.backtestData(p, bt, "ts",
+          numSeries = 10, numPoints = 20))
+    },
+
+    // plot_residuals' data layer (plotting.py:243-285): per-entity
+    // binned counts over a shared 20-bin global grid between the
+    // residuals' exact min/max
+    "e_residuals_data" -> Q(
+      s"""WITH r0 AS (SELECT user_id, value - lag(value) OVER ($W) AS r FROM events),
+              r1 AS (SELECT user_id, r FROM r0 WHERE r IS NOT NULL),
+              mm AS (SELECT min(r) AS mn, max(r) AS mx FROM r1),
+              bnd AS (SELECT user_id,
+                        CAST(CASE WHEN mx = mn THEN 0
+                             ELSE least(floor((r - mn) / ((mx - mn) / CAST(20 AS DOUBLE))), 19)
+                             END AS BIGINT) AS bin,
+                        mn, mx
+                      FROM r1 CROSS JOIN mm)
+          SELECT user_id, bin,
+                 round(min(mn + bin * ((mx - mn) / CAST(20 AS DOUBLE))),6) AS bin_lo,
+                 count(*) AS n
+          FROM bnd GROUP BY user_id, bin""") {
+      (s, dir) =>
+        val p = ev(s, dir)
+        val resids = p.df.withColumn("__r", p.x - lag(p.x, 1).over(p.w))
+          .filter(col("__r").isNotNull).select(col("user_id"), col("__r"))
+        val out = graft.operators.Evaluation.residualsData(
+          resids, Seq("user_id"), "__r", nBins = 20)
+        out.select(col("user_id"), col("bin"),
+          graft.queries.Q.rd6(col("bin_lo")).as("bin_lo"), col("n"))
+    },
+
+    // plot_fva's data layer (plotting.py:340-398): per-entity
+    // benchmark (snaive-7) score vs forecast (naive-1) score — one
+    // scatter dot per row
+    "e_fva_data" -> Q(
+      s"""WITH j AS (SELECT user_id, value AS a, lag(value) OVER ($W) AS p,
+                            lag(value, 7) OVER ($W) AS pb FROM events),
+              s AS (SELECT user_id, sum(abs(p - a))/sum(p + a) AS m FROM j
+                    WHERE p IS NOT NULL GROUP BY user_id),
+              sb AS (SELECT user_id, sum(abs(pb - a))/sum(pb + a) AS mb FROM j
+                     WHERE pb IS NOT NULL GROUP BY user_id)
+          SELECT s.user_id, round(sb.mb,6) AS benchmark_score,
+                 round(s.m,6) AS forecast_score
+          FROM s LEFT JOIN sb ON s.user_id = sb.user_id""") {
+      (s, dir) =>
+        val p = ev(s, dir)
+        def aligned(lagN: Int) = p.df
+          .withColumn("p", lag(col("value"), lagN).over(p.w))
+          .filter(col("p").isNotNull)
+          .withColumn("a", col("value"))
+        val smape = (df: org.apache.spark.sql.DataFrame, e: Seq[String]) =>
+          df.groupBy(e.map(col): _*)
+            .agg(try_divide(sum(abs(col("p") - col("a"))), sum(col("p") + col("a"))).as("m"))
+        r6(graft.operators.Evaluation.fvaData(
+          aligned(1), aligned(7), Seq("user_id"), smape, "m"))
+    },
+
     "e_ljung_box" -> Q(
       s"""WITH b AS (SELECT user_id, value,
                             lag(value, 1) OVER ($W) AS l1,
