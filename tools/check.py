@@ -41,8 +41,12 @@ for q, sql in sorted(oracle.items()):
             # the driver's hash is TYPE-sensitive: a DuckDB HUGEINT
             # (object/float dtype here) vs Spark BIGINT mismatches even
             # when values are integer-identical — flag dtype kind drift
-            if g.dtype.kind != w.dtype.kind and not (
-                    {g.dtype.kind, w.dtype.kind} <= {'i', 'u'}):
+            # (object dtype is how pandas reads Spark DATE/py-date
+            # columns — the driver canonicalizes those fine; only flag
+            # numeric-kind drift, e.g. HUGEINT float vs BIGINT)
+            if (g.dtype.kind != w.dtype.kind and 'O' not in
+                    (g.dtype.kind, w.dtype.kind) and not (
+                    {g.dtype.kind, w.dtype.kind} <= {'i', 'u'})):
                 fails.append((q, f"col {c} dtype {g.dtype} vs {w.dtype} "
                               "(driver hash is type-sensitive)")); ok = False; break
             if g.dtype.kind == 'f' or w.dtype.kind == 'f':
