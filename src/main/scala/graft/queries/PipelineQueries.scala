@@ -1067,6 +1067,62 @@ object PipelineQueries {
         .select(col("doc_id"), posexplode(col("features")).as(Seq("feat_idx", "feat")))
         .select(col("doc_id"), col("feat_idx").cast("long").as("feat_idx"),
           col("feat").cast("double").as("feat"))
+    },
+
+    // REAL header parse (Multimodal.sniffMediaMeta): each doc becomes a
+    // payload with a genuine PNG/GIF/BMP/JPEG/WAV header (format and
+    // dims/rate chosen by the portable doc hash, ENCODED AS HEADER
+    // BYTES), and the sniffer must recover them by parsing those bytes.
+    // The oracle recomputes the embedded values arithmetically — any
+    // byte-offset/endianness bug in the parser (or the encoders)
+    // mismatches. -1 stands in for null so both engines agree on types.
+    "mm_sniff_meta" -> Q(
+      s"""WITH b AS (SELECT doc_id, md5(text) AS h,
+                            octet_length(encode(text))::BIGINT AS nb FROM documents),
+            v AS (SELECT doc_id, ${hex12ToLongSql("h")} AS hv, nb FROM b)
+          SELECT doc_id,
+            CASE hv % 5 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+                        WHEN 2 THEN 'image/bmp' WHEN 3 THEN 'image/jpeg'
+                        ELSE 'audio/wav' END AS media_type,
+            (CASE WHEN hv % 5 <= 3 THEN hv % 1920 + 1 ELSE -1 END)::BIGINT AS width,
+            (CASE WHEN hv % 5 <= 3 THEN (hv // 65536) % 1080 + 1 ELSE -1 END)::BIGINT AS height,
+            (CASE WHEN hv % 5 = 4 THEN 8000 + hv % 40000 ELSE -1 END)::BIGINT AS sample_rate,
+            (CASE WHEN hv % 5 = 4 THEN hv % 2 + 1 ELSE -1 END)::BIGINT AS channels,
+            (nb + CASE hv % 5 WHEN 0 THEN 29 WHEN 1 THEN 10 WHEN 2 THEN 26
+                              WHEN 3 THEN 39 ELSE 44 END)::BIGINT AS n_bytes
+          FROM v""") { (s, dir) =>
+      import Multimodal.{be16, be32, le16, le32}
+      val textBin = col("text").cast("binary")
+      val hv = conv(substring(md5(textBin), 1, 12), 16, 10).cast("long")
+      val fmt = hv % 5
+      val w = (hv % 1920 + 1).cast("int")
+      val h = (shiftright(hv, 16) % 1080 + 1).cast("int")
+      val rate = (hv % 40000 + 8000).cast("int")
+      val ch = (hv % 2 + 1).cast("int")
+      val nb = length(textBin)
+      val png = concat(unhex(lit("89504E470D0A1A0A0000000D49484452")),
+        be32(w), be32(h), unhex(lit("0806000000")), textBin)
+      val gif = concat(unhex(lit("474946383961")), le16(w), le16(h), textBin)
+      val bmp = concat(unhex(lit("424D")), le32(lit(0)), le32(lit(0)),
+        le32(lit(26)), le32(lit(40)), le32(w), le32(h), textBin)
+      val jpeg = concat(unhex(lit("FFD8")),
+        unhex(lit("FFE000104A46494600010100000100010000")), // APP0/JFIF, skipped by the scan
+        unhex(lit("FFC0001108")), be16(h), be16(w),
+        unhex(lit("03011100021101031101")), textBin)
+      val wav = concat(lit("RIFF").cast("binary"), le32(nb + 36),
+        lit("WAVE").cast("binary"), lit("fmt ").cast("binary"), le32(lit(16)),
+        le16(lit(1)), le16(ch), le32(rate), le32(rate * ch * 2),
+        le16(ch * 2), le16(lit(16)), lit("data").cast("binary"), le32(nb), textBin)
+      val docs = tbl(s, dir, "documents").withColumn("payload",
+        when(fmt === 0, png).when(fmt === 1, gif).when(fmt === 2, bmp)
+          .when(fmt === 3, jpeg).otherwise(wav))
+      Multimodal.sniffMediaMeta(docs, "payload")
+        .select(col("doc_id"), col("media_meta.media_type").as("media_type"),
+          coalesce(col("media_meta.width"), lit(-1)).cast("long").as("width"),
+          coalesce(col("media_meta.height"), lit(-1)).cast("long").as("height"),
+          coalesce(col("media_meta.sample_rate"), lit(-1)).cast("long").as("sample_rate"),
+          coalesce(col("media_meta.channels"), lit(-1)).cast("long").as("channels"),
+          col("media_meta.n_bytes").as("n_bytes"))
     }
   )
 }

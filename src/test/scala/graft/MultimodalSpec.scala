@@ -43,6 +43,62 @@ class MultimodalSpec extends SparkSpec {
     assert(idx.forall(_ == Set(0, 1, 2, 3)))
   }
 
+  // ---- real header sniffing: hand-assembled minimal-but-genuine file
+  // headers; the parser must recover the dimensions from the bytes ----
+
+  private def hexBytes(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  private def sniff(payloads: Seq[(Long, Array[Byte])]) = {
+    import spark.implicits._
+    val df = payloads.toDF("id", "payload")
+    Multimodal.sniffMediaMeta(df, "payload")
+      .select(col("id"), col("media_meta.media_type"), col("media_meta.width"),
+        col("media_meta.height"), col("media_meta.sample_rate"),
+        col("media_meta.channels"), col("media_meta.n_bytes"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)), Option(r.get(3)), Option(r.get(4)),
+          Option(r.get(5)), r.getLong(6)))).toMap
+  }
+
+  test("sniffMediaMeta parses real PNG/GIF/BMP/JPEG/WAV headers bytewise") {
+    val png = hexBytes("89504E470D0A1A0A 0000000D 49484452 00000002 00000003 0806000000")
+    val gif = hexBytes("474946383961 0400 0500") // GIF89a 4x5 (LE u16)
+    val bmp = hexBytes("424D 00000000 00000000 1A000000 28000000 06000000 07000000")
+    // JPEG: SOI, APP0(16), DQT(skipped too), SOF0 h=11 w=9, 3 components
+    val jpeg = hexBytes("FFD8 FFE000104A46494600010100000100010000" +
+      " FFDB00040102" + // minimal DQT segment (len 4 = 2 len bytes + 2 payload)
+      " FFC0001108 000B 0009 03011100021101031101")
+    val wav = hexBytes("52494646 24000000 57415645 666D7420 10000000 0100 0200" +
+      " 44AC0000 10B10200 0400 1000 64617461 00000000")
+    val junk = "not a media file".getBytes("UTF-8")
+    val m = sniff(Seq(1L -> png, 2L -> gif, 3L -> bmp, 4L -> jpeg, 5L -> wav, 6L -> junk))
+    assert(m(1L) == (("image/png", Some(2), Some(3), None, None, png.length.toLong)))
+    assert(m(2L) == (("image/gif", Some(4), Some(5), None, None, gif.length.toLong)))
+    assert(m(3L) == (("image/bmp", Some(6), Some(7), None, None, bmp.length.toLong)))
+    assert(m(4L) == (("image/jpeg", Some(9), Some(11), None, None, jpeg.length.toLong)))
+    assert(m(5L) == (("audio/wav", None, None, Some(44100), Some(2), wav.length.toLong)))
+    assert(m(6L) == (("application/octet-stream", None, None, None, None, junk.length.toLong)))
+  }
+
+  test("sniffMediaMeta does not misfire on text that starts like a magic string") {
+    // "BM..." and "GIF89a..." as plain text: BMP requires a valid DIB
+    // header size and GIF a full 10-byte header — the text lookalikes
+    // must fall through to octet-stream (BMP case) or, for GIF, parse
+    // only when the full fixed-layout header is actually present.
+    val bmText = "BM I am not a bitmap, just a sentence".getBytes("UTF-8")
+    val m = sniff(Seq(1L -> bmText))
+    assert(m(1L)._1 == "application/octet-stream")
+  }
+
+  test("jpeg scan bails on truncated/garbage segment chains") {
+    val truncated = hexBytes("FFD8 FFE000") // APP0 length cut off
+    val noSof = hexBytes("FFD8 FFDA0002") // straight to start-of-scan
+    val m = sniff(Seq(1L -> truncated, 2L -> noSof))
+    assert(m(1L)._1 == "image/jpeg" && m(1L)._2.isEmpty)
+    assert(m(2L)._1 == "image/jpeg" && m(2L)._2.isEmpty)
+  }
+
   test("resizeMedia caps payload at width*height bytes and records target dims") {
     val r = Multimodal.resizeMedia(docs, "payload", width = 2, height = 3)
       .select(col("doc_id"), length(col("resized")).as("len"),
