@@ -165,6 +165,27 @@ object Evaluation {
     side(yTrue, "Actual").unionByName(side(yPred, "Forecast"))
   }
 
+  /** plot_panel's data layer — plotting.py:65-123: the first
+    * `numSeries` entities (sorted — the deterministic no-seed path,
+    * _plotting.py:330-362), each entity's last `numPoints` observed
+    * rows, tagged with the entity's 1-based subplot grid position
+    * (row = i/numCols + 1, col = i%numCols + 1 for the i-th chosen
+    * entity — _plotting.py:399-430). The index row_number runs over
+    * the entity-count-bounded chosen frame only, which then broadcasts
+    * into the row-scale join — no global window over data rows. */
+  def panelData(y: Panel, timeCol: String, numSeries: Int,
+                numPoints: Int, numCols: Int = 2): DataFrame = {
+    val pos = chosenEntities(y, numSeries)
+      .withColumn("__i", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(y.entityCols: _*)) - 1)
+      .withColumn("grid_row", (col("__i") / numCols).cast("int") + 1)
+      .withColumn("grid_col", pmod(col("__i"), lit(numCols)).cast("int") + 1)
+      .drop("__i")
+    tailRows(y.df.join(broadcast(pos), y.entity), y.entity, y.orderCols, numPoints)
+      .select((y.entityCols :+ col(timeCol) :+ y.x.as(y.value) :+
+        col("grid_row") :+ col("grid_col")): _*)
+  }
+
   /** plot_backtests' data layer — plotting.py:197-241: actuals (split
     * −1) unioned with every backtest split's predictions, trimmed per
     * (entity, split) to the last `numPoints` (the reference trims per

@@ -327,6 +327,29 @@ object ForecastQueries {
           numSeries = 10, numPoints = 20))
     },
 
+    // plot_panel's data layer (plotting.py:65-123): first-10 entities,
+    // last-20 rows each, tagged with the 1-based subplot grid position
+    "e_panel_data" -> Q(
+      s"""WITH ch AS (SELECT user_id, row_number() OVER (ORDER BY user_id) - 1 AS i
+                      FROM (SELECT DISTINCT user_id FROM events)
+                      ORDER BY user_id LIMIT 10),
+              a0 AS (SELECT e.user_id, e.ts, e.event_id, e.value, ch.i
+                     FROM events e JOIN ch USING (user_id)),
+              at AS (SELECT user_id, ts, value, i, row_number() OVER
+                       (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rnd
+                     FROM a0)
+          SELECT user_id, ts, round(value,6) AS value,
+                 (i // 2 + 1)::BIGINT AS grid_row, (i % 2 + 1)::BIGINT AS grid_col
+          FROM at WHERE rnd <= 20""") {
+      (s, dir) =>
+        val out = graft.operators.Evaluation.panelData(ev(s, dir), "ts",
+          numSeries = 10, numPoints = 20, numCols = 2)
+        out.select(col("user_id"), col("ts"),
+          graft.queries.Q.rd6(col("value")).as("value"),
+          col("grid_row").cast("long").as("grid_row"),
+          col("grid_col").cast("long").as("grid_col"))
+    },
+
     // plot_backtests' data layer (plotting.py:197-241): actuals
     // (split −1) + every naive backtest split's predictions
     "e_backtest_data" -> Q(
