@@ -7,11 +7,13 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque binary
   * columns with typed metadata structs.
   *
-  * The decode kernels (actual JPEG/audio decoding) are STUBBED with a
-  * deterministic fake — the container ships no media libs — but the
-  * Spark-side contract is real: schemas, partition-sized batch shapes,
-  * and the transform pipeline are what a production decode-UDF plugs
-  * into.
+  * Header metadata ([[sniffMediaMeta]]) and PCM audio
+  * ([[wavSampleStats]]) are parsed for REAL in pure column algebra;
+  * image pixel decode/resize is REAL via the JDK's built-in codecs
+  * ([[MediaCodec]]). Only the original hash-fake kernels
+  * ([[withMediaMeta]]/[[decodeToFeatures]]/[[resizeMedia]]) remain as
+  * the oracle-checkable plumbing contract, and video keyframe
+  * extraction stays a byte-range stub (the JDK ships no video codec).
   */
 object Multimodal {
 
@@ -138,6 +140,48 @@ object Multimodal {
         .when(isJpeg, meta("image/jpeg", jd.getField("w"), jd.getField("h"), nullI, nullI))
         .when(isWav, meta("audio/wav", nullI, nullI, leUint(bin, 25, 4), leUint(bin, 23, 2)))
         .otherwise(meta("application/octet-stream", nullI, nullI, nullI, nullI)))
+  }
+
+  /** REAL PCM audio decode in pure column algebra: canonical 44-byte
+    * WAV header, 16-bit little-endian samples. Each sample is two
+    * hex()'d bytes reassembled with conv(); the whole pass is ONE
+    * `aggregate(sequence(...))` fold per row carrying
+    * (sum, sum-of-squares, zero-crossings, previous sample) — stats
+    * without exploding to a row per sample, fully inside whole-stage
+    * codegen, no UDF. Emits `wav_stats` struct(n_samples, mean_amp,
+    * rms, zero_crossings); nulls when the payload is not a canonical
+    * WAV. `maxSamples` bounds per-row work (first-k samples — a
+    * fingerprint, not a full scan; raise it for full-file stats). */
+  def wavSampleStats(df: DataFrame, binCol: String,
+                     maxSamples: Int = 4096): DataFrame = {
+    val bin = col(binCol)
+    val isWav = length(bin) >= 44 && magic(bin, 1, "52494646") && magic(bin, 9, "57415645")
+    val dataSize = leUint(bin, 41, 4)
+    val n = least((dataSize / 2).cast("int"),
+      lit(maxSamples), ((length(bin) - 44) / 2).cast("int"))
+    // sample i (1-based) is LE int16 at byte 45 + 2(i-1) = 43 + 2i
+    def sampleAt(i: Column): Column = {
+      val raw = conv(concat(hex(bin.substr(lit(44) + i * 2, lit(1))),
+        hex(bin.substr(lit(43) + i * 2, lit(1)))), 16, 10).cast("int")
+      when(raw >= 32768, raw - 65536).otherwise(raw)
+    }
+    val nullI = lit(null).cast("int")
+    val init = struct(lit(0L).as("s"), lit(0.0).as("ss"),
+      lit(0).as("zc"), nullI.as("prev"))
+    val folded = aggregate(sequence(lit(1), greatest(n, lit(0))), init, (acc, i) => {
+      val v = sampleAt(i)
+      struct((acc.getField("s") + v).as("s"),
+        (acc.getField("ss") + v.cast("double") * v).as("ss"),
+        (acc.getField("zc") + when(acc.getField("prev").isNotNull &&
+          ((acc.getField("prev") >= 0) =!= (v >= 0)), 1).otherwise(0)).as("zc"),
+        v.as("prev"))
+    })
+    df.withColumn("wav_stats",
+      when(isWav && n > 0, struct(
+        n.cast("long").as("n_samples"),
+        (folded.getField("s").cast("double") / n).as("mean_amp"),
+        sqrt(folded.getField("ss") / n).as("rms"),
+        folded.getField("zc").cast("long").as("zero_crossings"))))
   }
 
   /** Wrap a binary payload column with extracted metadata. The fake

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Dedup, Multimodal, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Dedup, MediaCodec, Multimodal, Sessionize, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 import Q._
 
@@ -1123,6 +1123,106 @@ object PipelineQueries {
           coalesce(col("media_meta.sample_rate"), lit(-1)).cast("long").as("sample_rate"),
           coalesce(col("media_meta.channels"), lit(-1)).cast("long").as("channels"),
           col("media_meta.n_bytes").as("n_bytes"))
+    },
+
+    // REAL codec round-trip (MediaCodec, javax.imageio): each doc gets
+    // a solid-color PNG/BMP encoded through the actual JDK codec; the
+    // decoder must recover format, dimensions, and exact channel means
+    // from the compressed bytes. Oracle recomputes arithmetically.
+    "mm_decode_real" -> Q(
+      s"""WITH b AS (SELECT doc_id, md5(text) AS h FROM documents),
+            v AS (SELECT doc_id, ${hex12ToLongSql("h")} AS hv FROM b)
+          SELECT doc_id,
+            CASE hv % 2 WHEN 0 THEN 'image/png' ELSE 'image/bmp' END AS media_type,
+            (3 + hv % 14)::BIGINT AS width, (3 + (hv // 65536) % 14)::BIGINT AS height,
+            round((hv % 256)::DOUBLE, 6) AS mean_r,
+            round(((hv // 256) % 256)::DOUBLE, 6) AS mean_g,
+            round(((hv // 65536) % 256)::DOUBLE, 6) AS mean_b
+          FROM v""") { (s, dir) =>
+      val hv = conv(substring(md5(col("text").cast("binary")), 1, 12), 16, 10).cast("long")
+      val docs = tbl(s, dir, "documents")
+        .withColumn("fmt", when(hv % 2 === 0, "png").otherwise("bmp"))
+        .withColumn("w", (hv % 14 + 3).cast("int"))
+        .withColumn("h", (shiftright(hv, 16) % 14 + 3).cast("int"))
+        .withColumn("r", (hv % 256).cast("int"))
+        .withColumn("g", (shiftright(hv, 8) % 256).cast("int"))
+        .withColumn("b", (shiftright(hv, 16) % 256).cast("int"))
+      val enc = MediaCodec.withSolidImageFmt(docs, "payload", "fmt", "w", "h", "r", "g", "b")
+      MediaCodec.withImageStats(enc, "payload")
+        .select(col("doc_id"), col("image_stats.media_type").as("media_type"),
+          col("image_stats.width").cast("long").as("width"),
+          col("image_stats.height").cast("long").as("height"),
+          rd6(col("image_stats.mean_r")).as("mean_r"),
+          rd6(col("image_stats.mean_g")).as("mean_g"),
+          rd6(col("image_stats.mean_b")).as("mean_b"))
+    },
+
+    // REAL resize: solid PNG → decode → nearest-neighbor rescale to
+    // 16×16 → re-encode PNG → decode again; dims become the target and
+    // the solid color survives bit-exactly.
+    "mm_resize_real" -> Q(
+      s"""WITH b AS (SELECT doc_id, md5(text) AS h FROM documents),
+            v AS (SELECT doc_id, ${hex12ToLongSql("h")} AS hv FROM b)
+          SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+                 round((hv % 256)::DOUBLE, 6) AS mean_r,
+                 round(((hv // 256) % 256)::DOUBLE, 6) AS mean_g,
+                 round(((hv // 65536) % 256)::DOUBLE, 6) AS mean_b
+          FROM v""") { (s, dir) =>
+      val hv = conv(substring(md5(col("text").cast("binary")), 1, 12), 16, 10).cast("long")
+      val docs = tbl(s, dir, "documents")
+        .withColumn("w", (hv % 14 + 3).cast("int"))
+        .withColumn("h", (shiftright(hv, 16) % 14 + 3).cast("int"))
+        .withColumn("r", (hv % 256).cast("int"))
+        .withColumn("g", (shiftright(hv, 8) % 256).cast("int"))
+        .withColumn("b", (shiftright(hv, 16) % 256).cast("int"))
+      val enc = MediaCodec.withSolidImage(docs, "payload", "png", "w", "h", "r", "g", "b")
+      val rz = MediaCodec.resizeReal(enc, "payload", 16, 16)
+      MediaCodec.withImageStats(rz, "resized")
+        .select(col("doc_id"),
+          col("image_stats.width").cast("long").as("width"),
+          col("image_stats.height").cast("long").as("height"),
+          rd6(col("image_stats.mean_r")).as("mean_r"),
+          rd6(col("image_stats.mean_g")).as("mean_g"),
+          rd6(col("image_stats.mean_b")).as("mean_b"))
+    },
+
+    // REAL PCM parse (Multimodal.wavSampleStats): WAV payloads whose
+    // 16-bit LE samples derive from the doc hash; the column-algebra
+    // byte parser must recover mean/rms/zero-crossings exactly. Every
+    // per-sample square is an exact integer < 2^31 and their sum stays
+    // under 2^53, so summation order cannot drift between engines.
+    "mm_wav_stats" -> Q(
+      s"""WITH b AS (SELECT doc_id, md5(text) AS h FROM documents),
+            v AS (SELECT doc_id, ${hex12ToLongSql("h")} AS hv FROM b),
+            s AS MATERIALIZED (
+              SELECT doc_id, 16 + hv % 17 AS n,
+                     list_transform(range(1, 17 + hv % 17),
+                       i -> CASE WHEN (hv * i) % 65536 >= 32768
+                                 THEN (hv * i) % 65536 - 65536
+                                 ELSE (hv * i) % 65536 END) AS ss
+              FROM v)
+          SELECT doc_id, n::BIGINT AS n_samples,
+                 round(list_sum(ss)::DOUBLE / n, 6) AS mean_amp,
+                 round(sqrt(list_sum(list_transform(ss, x -> x::DOUBLE * x)) / n), 6) AS rms,
+                 len(list_filter(range(2, n + 1),
+                     i -> (ss[i] >= 0) != (ss[i-1] >= 0)))::BIGINT AS zero_crossings
+          FROM s""") { (s, dir) =>
+      import Multimodal.{le16, le32}
+      val hv = conv(substring(md5(col("text").cast("binary")), 1, 12), 16, 10).cast("long")
+      val n = (hv % 17 + 16).cast("int")
+      val pcm = aggregate(sequence(lit(1), n), lit(Array.emptyByteArray),
+        (acc, i) => concat(acc, le16(pmod(hv * i, lit(65536)).cast("int"))))
+      val docs = tbl(s, dir, "documents").withColumn("payload",
+        concat(lit("RIFF").cast("binary"), le32(n * 2 + 36),
+          lit("WAVE").cast("binary"), lit("fmt ").cast("binary"), le32(lit(16)),
+          le16(lit(1)), le16(lit(1)), le32(lit(8000)), le32(lit(16000)),
+          le16(lit(2)), le16(lit(16)), lit("data").cast("binary"),
+          le32(n * 2), pcm))
+      Multimodal.wavSampleStats(docs, "payload")
+        .select(col("doc_id"), col("wav_stats.n_samples").as("n_samples"),
+          rd6(col("wav_stats.mean_amp")).as("mean_amp"),
+          rd6(col("wav_stats.rms")).as("rms"),
+          col("wav_stats.zero_crossings").as("zero_crossings"))
     }
   )
 }

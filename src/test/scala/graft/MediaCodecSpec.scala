@@ -1,0 +1,102 @@
+package graft
+
+import graft.operators.{MediaCodec, Multimodal}
+import org.apache.spark.sql.functions._
+
+/** Real codec round-trips on the JDK's imageio readers/writers and the
+  * column-algebra PCM parser — actual compressed bytes in, exact
+  * numbers out. */
+class MediaCodecSpec extends SparkSpec {
+
+  test("ImageIO solid-color encode→decode round-trips exactly for png/bmp/gif") {
+    for (fmt <- Seq("png", "bmp", "gif")) {
+      val bytes = MediaCodec.encodeSolid(fmt, 5, 4, 120, 7, 250)
+      assert(bytes.length > 0, fmt)
+      val st = MediaCodec.decodeStats(bytes)
+      assert(st != null, fmt)
+      assert(st.media_type == s"image/$fmt")
+      assert(st.width == 5 && st.height == 4, fmt)
+      assert(st.mean_r == 120.0 && st.mean_g == 7.0 && st.mean_b == 250.0, fmt)
+    }
+  }
+
+  test("jpeg decode is real but lossy: solid gray decodes within tolerance") {
+    val bytes = MediaCodec.encodeSolid("jpg", 8, 8, 128, 128, 128)
+    val st = MediaCodec.decodeStats(bytes)
+    assert(st != null && st.media_type == "image/jpeg")
+    assert(st.width == 8 && st.height == 8)
+    assert(math.abs(st.mean_r - 128.0) < 3 && math.abs(st.mean_g - 128.0) < 3 &&
+      math.abs(st.mean_b - 128.0) < 3)
+  }
+
+  test("decodeStats returns null for junk, not an exception") {
+    assert(MediaCodec.decodeStats("not an image".getBytes("UTF-8")) == null)
+    assert(MediaCodec.decodeStats(null) == null)
+    assert(MediaCodec.decodeStats(Array.emptyByteArray) == null)
+  }
+
+  test("resizeImage nearest keeps a solid color bit-exact; bilinear stays close") {
+    val src = MediaCodec.encodeSolid("png", 7, 3, 10, 200, 30)
+    val nn = MediaCodec.decodeStats(MediaCodec.resizeImage(src, 16, 16, bilinear = false))
+    assert(nn.width == 16 && nn.height == 16)
+    assert(nn.mean_r == 10.0 && nn.mean_g == 200.0 && nn.mean_b == 30.0)
+    val bl = MediaCodec.decodeStats(MediaCodec.resizeImage(src, 16, 16, bilinear = true))
+    assert(bl.width == 16 && bl.height == 16)
+    assert(math.abs(bl.mean_r - 10.0) < 2 && math.abs(bl.mean_g - 200.0) < 2)
+  }
+
+  test("withImageStats decodes distributed payloads and nulls junk rows") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, MediaCodec.encodeSolid("png", 4, 4, 9, 18, 27)),
+      (2L, "garbage".getBytes("UTF-8")))
+    val out = MediaCodec.withImageStats(rows.toDF("id", "payload"), "payload")
+      .select(col("id"), col("image_stats.media_type"), col("image_stats.mean_r"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_ -> r.get(2))).toMap
+    assert(out(1L).contains("image/png" -> 9.0))
+    assert(out(2L).isEmpty)
+  }
+
+  test("wavSampleStats parses 16-bit LE PCM bytes exactly") {
+    import spark.implicits._
+    // samples: 1000, -1000, 0, -1, 32767, -32768  (n=6, dataSize=12)
+    val samples = Seq(1000, -1000, 0, -1, 32767, -32768)
+    val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length * 2)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(16).putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16).put("data".getBytes("US-ASCII"))
+      .putInt(samples.length * 2)
+    samples.foreach(s => bb.putShort(s.toShort))
+    val out = Multimodal.wavSampleStats(Seq((1L, bb.array())).toDF("id", "payload"), "payload")
+      .select("wav_stats.n_samples", "wav_stats.mean_amp", "wav_stats.rms",
+        "wav_stats.zero_crossings").collect()(0)
+    assert(out.getLong(0) == 6L)
+    val mean = samples.map(_.toLong).sum.toDouble / 6
+    val rms = math.sqrt(samples.map(s => s.toDouble * s).sum / 6)
+    assert(out.getDouble(1) == mean)
+    assert(out.getDouble(2) == rms)
+    // sign flips (>=0 vs <0): 1000|-1000 X, -1000|0 X, 0|-1 X, -1|32767 X, 32767|-32768 X
+    assert(out.getLong(3) == 5L)
+  }
+
+  test("wavSampleStats caps at maxSamples and nulls non-wav payloads") {
+    import spark.implicits._
+    val samples = (1 to 20).map(i => i * 100)
+    val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length * 2)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(16).putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16).put("data".getBytes("US-ASCII"))
+      .putInt(samples.length * 2)
+    samples.foreach(s => bb.putShort(s.toShort))
+    val df = Seq((1L, bb.array()), (2L, "plain text".getBytes("UTF-8"))).toDF("id", "payload")
+    val capped = Multimodal.wavSampleStats(df, "payload", maxSamples = 4)
+      .select(col("id"), col("wav_stats.n_samples"), col("wav_stats.mean_amp")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_ -> r.get(2))).toMap
+    assert(capped(1L).contains(4L -> 250.0)) // first 4 samples: 100..400
+    assert(capped(2L).isEmpty)
+  }
+}
