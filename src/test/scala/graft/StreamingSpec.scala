@@ -240,6 +240,39 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 5L), s"kept $kept")
   }
 
+  test("streaming media sniff + PCM stats match batch (stateless projections)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{MediaCodec, Multimodal}
+    // real payloads: an encoded PNG, a WAV, and junk
+    val png = MediaCodec.encodeSolid("png", 6, 2, 10, 20, 30)
+    val wavSamples = Seq(500, -500, 250)
+    val bb = java.nio.ByteBuffer.allocate(44 + 6).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(42).put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(6)
+    wavSamples.foreach(s => bb.putShort(s.toShort))
+    val rows = Seq((1L, png), (2L, bb.array()), (3L, "junk".getBytes("UTF-8")))
+
+    val mem = MemoryStream[(Long, Array[Byte])]
+    mem.addData(rows: _*)
+    val stream = mem.toDF.toDF("id", "payload")
+    val transform = (df: org.apache.spark.sql.DataFrame) =>
+      Multimodal.wavSampleStats(Multimodal.sniffMediaMeta(df, "payload"), "payload")
+        .select(col("id"), col("media_meta.media_type").as("mt"),
+          col("media_meta.width").as("w"), col("wav_stats.mean_amp").as("ma"))
+    val q = transform(stream).writeStream.format("memory").queryName("ms")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ms").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)), Option(r.get(3)))).toSet
+    val want = transform(rows.toDF("id", "payload")).collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)), Option(r.get(3)))).toSet
+    assert(got == want && got.map(_._2) == Set("image/png", "audio/wav",
+      "application/octet-stream"))
+  }
+
   test("streaming quality gate keeps exactly the docs the batch filter keeps") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
