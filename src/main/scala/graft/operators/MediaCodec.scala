@@ -30,6 +30,12 @@ object MediaCodec {
   case class ImageStats(media_type: String, width: Int, height: Int,
                         mean_r: Double, mean_g: Double, mean_b: Double)
 
+  /** Hard ceiling on decoded pixel count (64 Mpx ≈ 256 MB ARGB): a
+    * corrupt or adversarial header claiming absurd dimensions must not
+    * OOM an executor — dims come from the header (no pixel allocation)
+    * before `read` is allowed to materialize the raster. */
+  val MaxPixels: Long = 64L * 1024 * 1024
+
   /** Decode and compute per-channel means in one reader pass. Returns
     * null for undecodable payloads rather than failing the task — a
     * corrupt blob in a 100 TB corpus must not kill the job. */
@@ -44,6 +50,7 @@ object MediaCodec {
         try {
           reader.setInput(iis)
           val fmt = reader.getFormatName.toLowerCase
+          if (reader.getWidth(0).toLong * reader.getHeight(0) > MaxPixels) return null
           val img = reader.read(0)
           val w = img.getWidth
           val h = img.getHeight

@@ -46,15 +46,22 @@ object Multimodal {
   // byte-range substring. All codegen'd builtins — no UDF, so the
   // sniff stays inside whole-stage codegen at 100 TB scan width. ----
 
-  /** Big-endian unsigned int of `len` bytes at 1-based `pos`. */
+  /** Big-endian unsigned int of `len` bytes at 1-based `pos`, as LONG —
+    * a 4-byte field can carry up to 2^32-1, which overflows an ANSI
+    * INT cast on corrupt/adversarial headers (fuzz-found). */
   private def beUint(bin: Column, pos: Int, len: Int): Column =
-    conv(hex(substring(bin, pos, len)), 16, 10).cast("int")
+    conv(hex(substring(bin, pos, len)), 16, 10).cast("long")
 
-  /** Little-endian unsigned int of `len` bytes at 1-based `pos`. */
+  /** Little-endian unsigned int of `len` bytes at 1-based `pos`, as LONG. */
   private def leUint(bin: Column, pos: Int, len: Int): Column = {
     val bytes = (pos + len - 1 to pos by -1).map(p => hex(substring(bin, p, 1)))
-    conv(concat(bytes: _*), 16, 10).cast("int")
+    conv(concat(bytes: _*), 16, 10).cast("long")
   }
+
+  /** Bounded int view of an unsigned header field: null (not a thrown
+    * ANSI overflow) when the bytes claim a value beyond Int.MaxValue. */
+  private def intSafe(c: Column): Column =
+    when(c <= lit(Int.MaxValue.toLong), c.cast("int"))
 
   private def magic(bin: Column, pos: Int, hexBytes: String): Column =
     hex(substring(bin, pos, hexBytes.length / 2)) === lit(hexBytes.toUpperCase)
@@ -134,11 +141,11 @@ object Multimodal {
       struct(lit(tpe).as("media_type"), w.as("width"), h.as("height"),
         rate.as("sample_rate"), ch.as("channels"), n.as("n_bytes"))
     df.withColumn("media_meta",
-      when(isPng, meta("image/png", beUint(bin, 17, 4), beUint(bin, 21, 4), nullI, nullI))
-        .when(isGif, meta("image/gif", leUint(bin, 7, 2), leUint(bin, 9, 2), nullI, nullI))
-        .when(isBmp, meta("image/bmp", leUint(bin, 19, 4), leUint(bin, 23, 4), nullI, nullI))
+      when(isPng, meta("image/png", intSafe(beUint(bin, 17, 4)), intSafe(beUint(bin, 21, 4)), nullI, nullI))
+        .when(isGif, meta("image/gif", leUint(bin, 7, 2).cast("int"), leUint(bin, 9, 2).cast("int"), nullI, nullI))
+        .when(isBmp, meta("image/bmp", intSafe(leUint(bin, 19, 4)), intSafe(leUint(bin, 23, 4)), nullI, nullI))
         .when(isJpeg, meta("image/jpeg", jd.getField("w"), jd.getField("h"), nullI, nullI))
-        .when(isWav, meta("audio/wav", nullI, nullI, leUint(bin, 25, 4), leUint(bin, 23, 2)))
+        .when(isWav, meta("audio/wav", nullI, nullI, intSafe(leUint(bin, 25, 4)), leUint(bin, 23, 2).cast("int")))
         .otherwise(meta("application/octet-stream", nullI, nullI, nullI, nullI)))
   }
 
@@ -156,9 +163,11 @@ object Multimodal {
                      maxSamples: Int = 4096): DataFrame = {
     val bin = col(binCol)
     val isWav = length(bin) >= 44 && magic(bin, 1, "52494646") && magic(bin, 9, "57415645")
+    // dataSize is a long read (a corrupt 4-byte field can claim up to
+    // 2^32-1); bound by maxSamples BEFORE narrowing to int
     val dataSize = leUint(bin, 41, 4)
-    val n = least((dataSize / 2).cast("int"),
-      lit(maxSamples), ((length(bin) - 44) / 2).cast("int"))
+    val n = least(shiftright(dataSize, 1), lit(maxSamples.toLong),
+      shiftright((length(bin) - lit(44)).cast("long"), 1)).cast("int")
     // sample i (1-based) is LE int16 at byte 45 + 2(i-1) = 43 + 2i
     def sampleAt(i: Column): Column = {
       val raw = conv(concat(hex(bin.substr(lit(44) + i * 2, lit(1))),

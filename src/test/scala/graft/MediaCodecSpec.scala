@@ -81,6 +81,39 @@ class MediaCodecSpec extends SparkSpec {
     assert(out.getLong(3) == 5L)
   }
 
+  test("fuzz: parsers never throw on arbitrary or adversarial bytes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    val magics = Seq(
+      Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte),
+      "GIF89a".getBytes("US-ASCII"), "GIF87a".getBytes("US-ASCII"),
+      "BM".getBytes("US-ASCII"), Array(0xFF, 0xD8).map(_.toByte),
+      "RIFF".getBytes("US-ASCII"), "RIFFxxxxWAVE".getBytes("US-ASCII"))
+    val payloads = (0 until 120).map { i =>
+      val len = rnd.nextInt(80)
+      val tail = Array.fill(len)(rnd.nextInt(256).toByte)
+      val p = if (i % 3 == 0) magics(rnd.nextInt(magics.length)) ++ tail else tail
+      (i.toLong, p)
+    } :+ (999L -> Array.emptyByteArray)
+    val df = payloads.toDF("id", "payload")
+    // sniff + wav stats must complete and keep their invariants on ALL
+    // inputs — truncated headers, garbage lengths, empty payloads
+    val out = Multimodal.wavSampleStats(
+        Multimodal.sniffMediaMeta(df, "payload"), "payload")
+      .select(col("id"), col("media_meta.media_type").as("mt"),
+        col("media_meta.n_bytes").as("nb"), length(col("payload")).as("len"),
+        col("wav_stats.n_samples").as("ns"))
+      .collect()
+    assert(out.length == payloads.length)
+    out.foreach { r =>
+      assert(r.getString(1) != null && r.getString(1).nonEmpty)
+      assert(r.getLong(2) == r.getInt(3).toLong, s"n_bytes for id=${r.getLong(0)}")
+      if (!r.isNullAt(4)) assert(r.getLong(4) > 0 && r.getLong(4) <= 4096)
+    }
+    // decodeStats: same corpus through the real codec sniffing path
+    payloads.foreach { case (_, p) => MediaCodec.decodeStats(p) } // must not throw
+  }
+
   test("wavSampleStats caps at maxSamples and nulls non-wav payloads") {
     import spark.implicits._
     val samples = (1 to 20).map(i => i * 100)
