@@ -50,6 +50,8 @@ object PlanAudit {
       "fc_censored", "fc_zero_inflated",         // IRLS logistic × OLS two-part predict
       "fc_linear_exog_general",                  // round 5: exog contribution join + flat unroll
       "e_comet_data",                            // score/CV join + broadcast mean lines
+      "e_panel_data",                            // round 4: bounded chosen-entity broadcast
+      "mm_sniff_meta", "mm_wav_stats",           // round 4: byte parsers must stay 1 codegen pass
       "llm_analyze_prompt")                      // basket pushdown + tiny two-level concat
     picks.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
