@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Media-parser scale soak: N synthetic binary payloads (real
+  * PNG/GIF/BMP/JPEG/WAV headers + hash tails, built in pure column
+  * algebra — no driver data) through sniffMediaMeta and
+  * wavSampleStats. Both are stateless single-pass projections, so
+  * rows/s here extrapolates linearly to the 100 TB scan: the parse
+  * rides the same codegen stage as the scan itself.
+  * Run: `runMain graft.MediaScale [nRows]` (default 10M). */
+object MediaScale {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(10_000_000L)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.driver.memory", "8g")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.Multimodal
+    import Multimodal.{be16, be32, le16, le32}
+
+    val hv = conv(substring(md5(col("id").cast("string").cast("binary")), 1, 12), 16, 10).cast("long")
+    val fmt = hv % 5
+    val w = (hv % 1920 + 1).cast("int")
+    val h = (shiftright(hv, 16) % 1080 + 1).cast("int")
+    val nS = (hv % 17 + 16).cast("int")
+    val tail = repeat(md5(col("id").cast("string")), 4).cast("binary") // 128-byte body
+    val png = concat(unhex(lit("89504E470D0A1A0A0000000D49484452")),
+      be32(w), be32(h), unhex(lit("0806000000")), tail)
+    val gif = concat(unhex(lit("474946383961")), le16(w), le16(h), tail)
+    val bmp = concat(unhex(lit("424D")), le32(lit(0)), le32(lit(0)),
+      le32(lit(26)), le32(lit(40)), le32(w), le32(h), tail)
+    val jpeg = concat(unhex(lit("FFD8")),
+      unhex(lit("FFE000104A46494600010100000100010000")),
+      unhex(lit("FFC0001108")), be16(h), be16(w),
+      unhex(lit("03011100021101031101")), tail)
+    val pcm = aggregate(sequence(lit(1), nS), lit(Array.emptyByteArray),
+      (acc, i) => concat(acc, le16(pmod(hv * i, lit(65536)).cast("int"))))
+    val wav = concat(lit("RIFF").cast("binary"), le32(nS * 2 + 36),
+      lit("WAVE").cast("binary"), lit("fmt ").cast("binary"), le32(lit(16)),
+      le16(lit(1)), le16(lit(1)), le32(lit(8000)), le32(lit(16000)),
+      le16(lit(2)), le16(lit(16)), lit("data").cast("binary"), le32(nS * 2), pcm)
+    // materialize the corpus first so the timings below measure the
+    // PARSE, not the synthetic payload generation
+    val df = spark.range(n).withColumn("payload",
+      when(fmt === 0, png).when(fmt === 1, gif).when(fmt === 2, bmp)
+        .when(fmt === 3, jpeg).otherwise(wav))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val genT0 = System.nanoTime()
+    df.count()
+    println(f"[media-scale] corpus generation+persist: ${(System.nanoTime() - genT0) / 1e9}%.1f s")
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val out = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[media-scale] $label: $s%.1f s  (${n / s / 1e6}%.2f M rows/s, out=$out)")
+    }
+    time("sniffMediaMeta over synthetic corpus") {
+      Multimodal.sniffMediaMeta(df, "payload")
+        .groupBy(col("media_meta.media_type")).count().count()
+    }
+    def wavAgg(out: org.apache.spark.sql.DataFrame): Long = {
+      // collect the sums (a bare .count() would let Catalyst prune the
+      // stats — and the payload generation with them)
+      val r = out
+        .agg(sum(col("wav_stats.n_samples")), sum(col("wav_stats.zero_crossings")))
+        .collect()(0)
+      r.getLong(0) + r.getLong(1)
+    }
+    time("wavSampleStatsFast kernel (1/5 of rows are WAV)") {
+      wavAgg(Multimodal.wavSampleStatsFast(df, "payload"))
+    }
+    time("wavSampleStats column-algebra reference (same rows)") {
+      wavAgg(Multimodal.wavSampleStats(df, "payload"))
+    }
+    spark.stop()
+  }
+}

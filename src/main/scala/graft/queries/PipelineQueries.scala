@@ -1218,7 +1218,7 @@ object PipelineQueries {
           le16(lit(1)), le16(lit(1)), le32(lit(8000)), le32(lit(16000)),
           le16(lit(2)), le16(lit(16)), lit("data").cast("binary"),
           le32(n * 2), pcm))
-      Multimodal.wavSampleStats(docs, "payload")
+      Multimodal.wavSampleStatsFast(docs, "payload")
         .select(col("doc_id"), col("wav_stats.n_samples").as("n_samples"),
           rd6(col("wav_stats.mean_amp")).as("mean_amp"),
           rd6(col("wav_stats.rms")).as("rms"),

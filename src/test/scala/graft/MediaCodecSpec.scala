@@ -114,6 +114,41 @@ class MediaCodecSpec extends SparkSpec {
     payloads.foreach { case (_, p) => MediaCodec.decodeStats(p) } // must not throw
   }
 
+  test("wavSampleStatsFast == column-algebra wavSampleStats bit-for-bit (incl. fuzz)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242L)
+    // valid WAVs of varying sample counts + adversarial RIFF payloads
+    def wavOf(samples: Seq[Int]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length * 2)
+        .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+        .putInt(16).putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16).put("data".getBytes("US-ASCII"))
+        .putInt(samples.length * 2)
+      samples.foreach(x => bb.putShort(x.toShort))
+      bb.array()
+    }
+    val payloads = (0 until 40).map { i =>
+      val p =
+        if (i % 4 == 0) "RIFFxxxxWAVE".getBytes("US-ASCII") ++
+          Array.fill(rnd.nextInt(60))(rnd.nextInt(256).toByte)
+        else if (i % 4 == 1) Array.fill(rnd.nextInt(60))(rnd.nextInt(256).toByte)
+        else wavOf(Seq.fill(1 + rnd.nextInt(30))(rnd.nextInt(65536) - 32768))
+      (i.toLong, p)
+    }
+    val df = payloads.toDF("id", "payload")
+    def dump(out: org.apache.spark.sql.DataFrame) = out
+      .select(col("id"), col("wav_stats.n_samples"), col("wav_stats.mean_amp"),
+        col("wav_stats.rms"), col("wav_stats.zero_crossings"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)), Option(r.get(4)))).toSeq.sortBy(_._1)
+    val slow = dump(Multimodal.wavSampleStats(df, "payload", maxSamples = 16))
+    val fast = dump(Multimodal.wavSampleStatsFast(df, "payload", maxSamples = 16))
+    assert(slow == fast)
+    assert(slow.exists(_._2.isDefined) && slow.exists(_._2.isEmpty))
+  }
+
   test("wavSampleStats caps at maxSamples and nulls non-wav payloads") {
     import spark.implicits._
     val samples = (1 to 20).map(i => i * 100)
