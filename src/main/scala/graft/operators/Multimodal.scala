@@ -193,6 +193,96 @@ object Multimodal {
         folded.getField("zc").cast("long").as("zero_crossings"))))
   }
 
+  /** Parsed video-container metadata (header-only — no frame decode). */
+  case class VideoMeta(media_type: String, width: Int, height: Int,
+                       duration_ms: Long, n_frames: Option[Long])
+
+  /** REAL video container metadata: walk MP4 boxes (ftyp…moov →
+    * mvhd/trak→tkhd) or AVI RIFF chunks (LIST hdrl → avih) straight
+    * off the bytes — dimensions and duration without any video codec
+    * (the frame DECODE stays stubbed; the JDK ships no video codec,
+    * and routing/filtering a 100 TB multimodal corpus needs exactly
+    * this header metadata). Imperative kernel like [[wavStatsKernel]];
+    * bounded walks (≤64 boxes), null on anything malformed. */
+  def videoMetaKernel(bytes: Array[Byte]): VideoMeta = {
+    if (bytes == null || bytes.length < 16) return null
+    def be32(off: Int): Long =
+      if (off + 4 > bytes.length) -1L
+      else ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+        ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+    def le32(off: Int): Long =
+      if (off + 4 > bytes.length) -1L
+      else (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    def tag(off: Int): String =
+      if (off + 4 > bytes.length) ""
+      else new String(bytes, off, 4, "ISO-8859-1")
+
+    if (tag(0) == "RIFF" && tag(8) == "AVI ") {
+      // walk RIFF chunks; descend into LIST hdrl; read the 56-byte avih
+      var pos = 12
+      var hops = 0
+      while (pos + 8 <= bytes.length && hops < 64) {
+        hops += 1
+        val id = tag(pos)
+        val sz = le32(pos + 4)
+        if (sz < 0) return null
+        if (id == "LIST" && tag(pos + 8) == "hdrl") {
+          pos += 12 // descend
+        } else if (id == "avih" && sz >= 40) {
+          val usPerFrame = le32(pos + 8)
+          val nFrames = le32(pos + 8 + 16)
+          val w = le32(pos + 8 + 32)
+          val h = le32(pos + 8 + 36)
+          if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) return null
+          return VideoMeta("video/avi", w.toInt, h.toInt,
+            nFrames * usPerFrame / 1000, Some(nFrames))
+        } else {
+          pos += 8 + sz.toInt + (sz.toInt & 1) // RIFF chunks pad to even
+        }
+      }
+      return null
+    }
+
+    if (tag(4) != "ftyp") return null
+    // MP4: top-level box walk to moov, then moov children for
+    // mvhd (timescale/duration) and trak→tkhd (dimensions)
+    var tsScale = -1L; var dur = -1L; var w = -1L; var h = -1L
+    def walk(from: Int, to: Int, depth: Int): Unit = {
+      var pos = from
+      var hops = 0
+      while (pos + 8 <= to && hops < 64 && depth < 4) {
+        hops += 1
+        val sz = be32(pos)
+        val tp = tag(pos + 4)
+        if (sz < 8 || pos + sz > to) return
+        tp match {
+          case "moov" | "trak" => walk(pos + 8, pos + sz.toInt, depth + 1)
+          case "mvhd" =>
+            val v = bytes(pos + 8) & 0xff
+            if (v == 1) { tsScale = be32(pos + 28); dur = (be32(pos + 32) << 32) | be32(pos + 36) }
+            else { tsScale = be32(pos + 20); dur = be32(pos + 24) }
+          case "tkhd" if w < 0 =>
+            val v = bytes(pos + 8) & 0xff
+            val base = if (v == 1) pos + 96 else pos + 84
+            val tw = be32(base) >> 16; val th = be32(base + 4) >> 16
+            if (tw > 0 && th > 0) { w = tw; h = th }
+          case _ => ()
+        }
+        pos += sz.toInt
+      }
+    }
+    walk(0, bytes.length, 0)
+    if (w <= 0 || h <= 0 || tsScale <= 0 || dur < 0) return null
+    VideoMeta("video/mp4", w.toInt, h.toInt, dur * 1000 / tsScale, None)
+  }
+
+  /** [[videoMetaKernel]] as a column: adds `video_meta`. */
+  def withVideoMeta(df: DataFrame, binCol: String): DataFrame = {
+    val f = udf(videoMetaKernel _)
+    df.withColumn("video_meta", f(col(binCol)))
+  }
+
   /** Row-level WAV stats record for the imperative kernel. */
   case class WavStats(n_samples: Long, mean_amp: Double, rms: Double,
                       zero_crossings: Long)

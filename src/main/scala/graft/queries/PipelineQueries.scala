@@ -1223,6 +1223,62 @@ object PipelineQueries {
           rd6(col("wav_stats.mean_amp")).as("mean_amp"),
           rd6(col("wav_stats.rms")).as("rms"),
           col("wav_stats.zero_crossings").as("zero_crossings"))
+    },
+
+    // REAL video container metadata (Multimodal.videoMetaKernel): each
+    // doc becomes a canonical AVI (RIFF→LIST hdrl→avih) or MP4
+    // (ftyp→free→moov→mvhd+trak→tkhd, with a free box so the walk
+    // must skip) whose dims/duration are ENCODED AS CONTAINER BYTES;
+    // the box/chunk walker must recover them. Frame decode stays
+    // stubbed — this is the header surface a corpus router needs.
+    "mm_video_meta" -> Q(
+      s"""WITH b AS (SELECT doc_id, md5(text) AS h FROM documents),
+            v AS (SELECT doc_id, ${hex12ToLongSql("h")} AS hv FROM b)
+          SELECT doc_id,
+            CASE hv % 2 WHEN 0 THEN 'video/avi' ELSE 'video/mp4' END AS media_type,
+            (hv % 1920 + 1)::BIGINT AS width,
+            ((hv // 65536) % 1080 + 1)::BIGINT AS height,
+            (CASE hv % 2
+               WHEN 0 THEN ((hv % 1000 + 1) * 33333) // 1000
+               ELSE ((1000 + hv % 9000 + hv % 100000) * 1000) // (1000 + hv % 9000)
+             END)::BIGINT AS duration_ms,
+            (CASE hv % 2 WHEN 0 THEN hv % 1000 + 1 ELSE -1 END)::BIGINT AS n_frames
+          FROM v""") { (s, dir) =>
+      import Multimodal.{be32, le32}
+      val hv = conv(substring(md5(col("text").cast("binary")), 1, 12), 16, 10).cast("long")
+      val w = (hv % 1920 + 1).cast("int")
+      val h = (shiftright(hv, 16) % 1080 + 1).cast("int")
+      val nF = (hv % 1000 + 1).cast("int")
+      val ts = (hv % 9000 + 1000).cast("int")
+      val dur = (hv % 100000).cast("int") + ts
+      val zeros = (n: Int) => unhex(lit("00" * n))
+      val avi = concat(lit("RIFF").cast("binary"), le32(lit(80)),
+        lit("AVI ").cast("binary"), lit("LIST").cast("binary"), le32(lit(68)),
+        lit("hdrl").cast("binary"), lit("avih").cast("binary"), le32(lit(56)),
+        le32(lit(33333)), zeros(12), le32(nF), zeros(4), le32(lit(1)), zeros(4),
+        le32(w), le32(h), zeros(16))
+      val matrix = concat(be32(lit(65536)), zeros(12), be32(lit(65536)),
+        zeros(12), be32(lit(0x40000000)))
+      val mp4 = concat(
+        be32(lit(16)), lit("ftyp").cast("binary"),
+        lit("isom").cast("binary"), be32(lit(0x200)),
+        be32(lit(8)), lit("free").cast("binary"),
+        be32(lit(216)), lit("moov").cast("binary"),
+        be32(lit(108)), lit("mvhd").cast("binary"), zeros(12),
+        be32(ts), be32(dur), be32(lit(65536)), unhex(lit("0100")), zeros(10),
+        matrix, zeros(24), be32(lit(2)),
+        be32(lit(100)), lit("trak").cast("binary"),
+        be32(lit(92)), lit("tkhd").cast("binary"), be32(lit(7)), zeros(8),
+        be32(lit(1)), zeros(4), be32(dur), zeros(16), matrix,
+        be32(shiftleft(w.cast("long"), 16)), be32(shiftleft(h.cast("long"), 16)))
+      val docs = tbl(s, dir, "documents").withColumn("payload",
+        when(hv % 2 === 0, avi).otherwise(mp4))
+      Multimodal.withVideoMeta(docs, "payload")
+        .select(col("doc_id"), col("video_meta.media_type").as("media_type"),
+          col("video_meta.width").cast("long").as("width"),
+          col("video_meta.height").cast("long").as("height"),
+          col("video_meta.duration_ms").as("duration_ms"),
+          coalesce(col("video_meta.n_frames"), lit(-1L)).as("n_frames"))
     }
   )
 }

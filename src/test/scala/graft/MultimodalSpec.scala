@@ -99,6 +99,59 @@ class MultimodalSpec extends SparkSpec {
     assert(m(2L)._1 == "image/jpeg" && m(2L)._2.isEmpty)
   }
 
+  // ---- real video container metadata: hand-assembled MP4 box trees
+  // and AVI RIFF chunks; the walker must recover dims/duration ----
+
+  private def be32b(v: Long): Array[Byte] =
+    Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+  private def le32b(v: Long): Array[Byte] =
+    Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+  private def tagB(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+
+  test("videoMetaKernel walks MP4 boxes: skips free/mdat, reads mvhd+tkhd") {
+    val matrix = be32b(65536) ++ Array.fill(12)(0.toByte) ++ be32b(65536) ++
+      Array.fill(12)(0.toByte) ++ be32b(0x40000000L)
+    val mvhd = be32b(108) ++ tagB("mvhd") ++ Array.fill(12)(0.toByte) ++
+      be32b(600) ++ be32b(1500) ++ be32b(65536) ++ Array[Byte](1, 0) ++
+      Array.fill(10)(0.toByte) ++ matrix ++ Array.fill(24)(0.toByte) ++ be32b(2)
+    val tkhd = be32b(92) ++ tagB("tkhd") ++ be32b(7) ++ Array.fill(8)(0.toByte) ++
+      be32b(1) ++ Array.fill(4)(0.toByte) ++ be32b(1500) ++
+      Array.fill(16)(0.toByte) ++ matrix ++ be32b(640L << 16) ++ be32b(360L << 16)
+    val trak = be32b(8 + tkhd.length) ++ tagB("trak") ++ tkhd
+    val moov = be32b(8 + mvhd.length + trak.length) ++ tagB("moov") ++ mvhd ++ trak
+    val mp4 = be32b(16) ++ tagB("ftyp") ++ tagB("isom") ++ be32b(0x200) ++
+      be32b(8 + 5) ++ tagB("mdat") ++ Array.fill(5)(9.toByte) ++ moov
+    val m = Multimodal.videoMetaKernel(mp4)
+    assert(m != null && m.media_type == "video/mp4")
+    assert(m.width == 640 && m.height == 360)
+    assert(m.duration_ms == 1500L * 1000 / 600 && m.n_frames.isEmpty)
+  }
+
+  test("videoMetaKernel reads AVI avih: dims, frames, duration") {
+    val avihData = le32b(40000) ++ Array.fill(12)(0.toByte) ++ le32b(250) ++
+      le32b(0) ++ le32b(1) ++ le32b(0) ++ le32b(320) ++ le32b(240) ++
+      Array.fill(16)(0.toByte)
+    val avi = tagB("RIFF") ++ le32b(80) ++ tagB("AVI ") ++ tagB("LIST") ++
+      le32b(68) ++ tagB("hdrl") ++ tagB("avih") ++ le32b(56) ++ avihData
+    val m = Multimodal.videoMetaKernel(avi)
+    assert(m != null && m.media_type == "video/avi")
+    assert(m.width == 320 && m.height == 240)
+    assert(m.n_frames.contains(250L) && m.duration_ms == 250L * 40000 / 1000)
+  }
+
+  test("videoMetaKernel nulls malformed containers instead of throwing") {
+    val junk = Seq(
+      "RIFFxxxxAVI junk without hdrl".getBytes("ISO-8859-1"),
+      be32b(16) ++ tagB("ftyp") ++ tagB("isom") ++ be32b(0), // ftyp only
+      be32b(0) ++ tagB("ftyp") ++ Array.fill(20)(0.toByte), // zero-size box
+      "short".getBytes("US-ASCII"), Array.emptyByteArray)
+    junk.foreach(b => assert(Multimodal.videoMetaKernel(b) == null))
+    val rnd = new scala.util.Random(7L)
+    (0 until 200).foreach { _ =>
+      Multimodal.videoMetaKernel(Array.fill(rnd.nextInt(120))(rnd.nextInt(256).toByte))
+    } // must not throw
+  }
+
   test("resizeMedia caps payload at width*height bytes and records target dims") {
     val r = Multimodal.resizeMedia(docs, "payload", width = 2, height = 3)
       .select(col("doc_id"), length(col("resized")).as("len"),
