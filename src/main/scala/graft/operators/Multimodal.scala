@@ -136,6 +136,8 @@ object Multimodal {
       leUint(bin, 15, 4).isin(40, 52, 56, 64, 108, 124)
     val isJpeg = n >= 4 && magic(bin, 1, "FFD8")
     val isWav = n >= 44 && magic(bin, 1, "52494646") && magic(bin, 9, "57415645")
+    val isAvi = n >= 12 && magic(bin, 1, "52494646") && magic(bin, 9, "41564920")
+    val isMp4 = n >= 12 && magic(bin, 5, "66747970") // <size>ftyp
     val jd = jpegDims(bin, maxJpegSegments)
     def meta(tpe: String, w: Column, h: Column, rate: Column, ch: Column) =
       struct(lit(tpe).as("media_type"), w.as("width"), h.as("height"),
@@ -146,6 +148,9 @@ object Multimodal {
         .when(isBmp, meta("image/bmp", intSafe(leUint(bin, 19, 4)), intSafe(leUint(bin, 23, 4)), nullI, nullI))
         .when(isJpeg, meta("image/jpeg", jd.getField("w"), jd.getField("h"), nullI, nullI))
         .when(isWav, meta("audio/wav", nullI, nullI, intSafe(leUint(bin, 25, 4)), leUint(bin, 23, 2).cast("int")))
+        // container TYPE only — dims/duration via videoMetaKernel's walk
+        .when(isAvi, meta("video/avi", nullI, nullI, nullI, nullI))
+        .when(isMp4, meta("video/mp4", nullI, nullI, nullI, nullI))
         .otherwise(meta("application/octet-stream", nullI, nullI, nullI, nullI)))
   }
 

@@ -79,6 +79,11 @@ class MultimodalSpec extends SparkSpec {
     assert(m(4L) == (("image/jpeg", Some(9), Some(11), None, None, jpeg.length.toLong)))
     assert(m(5L) == (("audio/wav", None, None, Some(44100), Some(2), wav.length.toLong)))
     assert(m(6L) == (("application/octet-stream", None, None, None, None, junk.length.toLong)))
+    // video containers classify by type; dims come from videoMetaKernel
+    val mp4 = hexBytes("00000010 66747970 69736F6D 00000200")
+    val avi = hexBytes("52494646 50000000 41564920")
+    val v = sniff(Seq(7L -> mp4, 8L -> avi))
+    assert(v(7L)._1 == "video/mp4" && v(8L)._1 == "video/avi")
   }
 
   test("sniffMediaMeta does not misfire on text that starts like a magic string") {
