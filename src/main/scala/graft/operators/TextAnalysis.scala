@@ -323,6 +323,89 @@ object TextAnalysis {
         col("r_tokens") && col("r_word_len") && col("r_alpha") && col("r_stopwords"))
   }
 
+  // ---------------------------------------------------------------
+  // REAL byte-pair encoding (Sennrich et al. 2016): trained merges +
+  // corpus-scale encode. The tokenization state is a separator-
+  // delimited string (U+001F before every token), which makes one
+  // merge (a,b)→ab exactly ONE left-to-right non-overlapping
+  // `replace(state, SEP+a+SEP+b, SEP+ab)` — a codegen'd builtin with
+  // identical semantics in DuckDB, so both encode AND training are
+  // bitwise oracle-checkable with no UDF on the hot path.
+  // ---------------------------------------------------------------
+
+  /** Token separator: U+001F (unit separator) — absent from text. */
+  val BpeSep = "\u001f"
+
+  /** Char-level tokenization state: SEP before every character
+    * (including whitespace — whitespace chars become ordinary tokens
+    * that no merge pair ever touches, so words never merge across a
+    * boundary and the whole doc encodes in one string column). */
+  def bpeInterleave(text: Column): Column =
+    regexp_replace(text, "([\\s\\S])", BpeSep + "$1")
+
+  /** Apply one merge to a tokenization state: literal (non-regex)
+    * left-to-right non-overlapping replace — same builtin semantics in
+    * Spark and DuckDB. */
+  def bpeApplyMerge(state: Column, a: String, b: String): Column =
+    replace(state, lit(BpeSep + a + BpeSep + b), lit(BpeSep + a + b))
+
+  /** Encode with a fixed merge list (applied in rank order — the
+    * standard sequential application of greedily-learned merges).
+    * Adds `__bpe` (the token state string) and `bpe_n_tokens`. */
+  def bpeEncode(df: DataFrame, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    val state = merges.foldLeft(bpeInterleave(col(textCol))) {
+      case (s, (a, b)) => bpeApplyMerge(s, a, b)
+    }
+    df.withColumn("__bpe", state)
+      .withColumn("bpe_n_tokens",
+        ((length(col("__bpe")) -
+          length(replace(col("__bpe"), lit(BpeSep), lit("")))).cast("long")))
+  }
+
+  /** Train `numMerges` BPE merges on a corpus. Scale shape: the corpus
+    * is touched ONCE (distinct-word frequency count); every merge
+    * round then runs on the VOCABULARY frame (distinct words ×
+    * current tokenization), i.e. work is vocab-bounded, not
+    * corpus-bounded — the standard trick that makes BPE training
+    * feasible on 100 TB text. Each round = one pair-count shuffle +
+    * one argmax row to the driver (ties broken by (count desc, a, b)
+    * — deterministic, and what the oracle replicates). */
+  def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int,
+               minWordLen: Int = 2): Seq[(String, String)] = {
+    val words = docs
+      .select(explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(length(col("w")) >= minWordLen)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .withColumn("state", bpeInterleave(col("w")))
+      .select("state", "freq")
+      .cache()
+    try {
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var cur = words
+      for (_ <- 0 until numMerges) {
+        val ts = split(col("state"), BpeSep) // element 0 is empty
+        // fully-merged single-token words have no pairs - and must be
+        // filtered BEFORE sequence(1, size-2), which at size-2 == 0
+        // would run DESCENDING ([1, 0]) and fabricate junk pairs
+        val pairs = cur.filter(size(ts) >= 3)
+          .withColumn("__p", explode(transform(
+            sequence(lit(1), size(ts) - 2),
+            i => struct(element_at(ts, i + 1).as("a"),
+              element_at(ts, i + 2).as("b")))))
+          .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
+          .agg(sum(col("freq")).as("cnt"))
+        val top = pairs.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+          .collect()
+        if (top.isEmpty) return merges.toSeq
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        cur = cur.withColumn("state", bpeApplyMerge(col("state"), a, b))
+      }
+      merges.toSeq
+    } finally words.unpersist()
+  }
+
   /** All text-quality columns at once over a documents frame. */
   def analyze(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -9,6 +9,17 @@ import Q._
   * the relational headline queries. */
 object PipelineQueries {
 
+  /** Fixed merge table for `t_bpe_encode` (12 common English pairs,
+    * rank order; compositions like t+h → th+e exercise the sequential
+    * application). */
+  val bpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "e" -> "r", "o" -> "n",
+    "r" -> "e", "o" -> "r", "s" -> "t", "e" -> "n", "a" -> "t", "an" -> "d")
+
+  /** Greedy rounds for `t_bpe_train` (each round is one vocab-bounded
+    * pair-count job on both engines). */
+  val bpeTrainRounds: Int = 6
+
   /** 64-dim dot product expanded term-by-term for the DuckDB oracle —
     * identical summation order to Spark's aggregate() fold. */
   private def dotSql(a: String, b: String, dim: Int = 64): String =
@@ -684,6 +695,65 @@ object PipelineQueries {
         r6(t.crossJoin(d).select(col("n_docs"), col("n_tokens"), col("n_vocab"),
           rd6(col("n_vocab").cast("double") / col("n_tokens")).as("type_token_ratio"),
           rd6(col("n_tokens").cast("double") / col("n_docs")).as("mean_doc_tokens")))
+    },
+
+    // REAL BPE (TextAnalysis.bpeEncode): tokenization state as a
+    // U+001F-delimited string — each merge is ONE literal left-to-right
+    // replace, a codegen'd builtin with identical semantics in DuckDB.
+    // Fixed 12-merge English list applied in rank order; per-doc token
+    // count falls out of the separator count.
+    "t_bpe_encode" -> Q({
+      val stages = PipelineQueries.bpeMerges.zipWithIndex.map { case ((a, b), i) =>
+        s"""s${i + 1} AS MATERIALIZED (SELECT doc_id,
+              replace(s, chr(31)||'$a'||chr(31)||'$b', chr(31)||'$a$b') AS s
+            FROM s$i)"""
+      }
+      s"""WITH s0 AS MATERIALIZED (SELECT doc_id,
+               regexp_replace(text, '([\\s\\S])', chr(31) || '\\1', 'g') AS s
+             FROM documents),
+          ${stages.mkString(", ")}
+          SELECT doc_id,
+                 (length(s) - length(replace(s, chr(31), '')))::BIGINT AS n_tokens
+          FROM s${PipelineQueries.bpeMerges.length}"""
+    }) { (s, dir) =>
+      TextAnalysis.bpeEncode(tbl(s, dir, "documents"), "text", PipelineQueries.bpeMerges)
+        .select(col("doc_id"), col("bpe_n_tokens").as("n_tokens"))
+    },
+
+    // REAL BPE training (TextAnalysis.bpeTrain): corpus touched once
+    // (distinct-word freq), then 6 vocab-bounded pair-count rounds with
+    // (count desc, a, b) tie-breaks; the oracle unrolls the SAME six
+    // greedy rounds over the word-frequency frame.
+    "t_bpe_train" -> Q({
+      val rounds = (1 to PipelineQueries.bpeTrainRounds).map { k =>
+        s"""p$k AS (SELECT ts[i+1] AS a, ts[i+2] AS b, freq
+                    FROM (SELECT string_split(state, chr(31)) AS ts, freq FROM w${k - 1}),
+                         unnest(range(1, len(ts) - 1)) AS t(i)
+                    WHERE len(ts) >= 3),
+            m$k AS MATERIALIZED (SELECT a, b FROM (
+                    SELECT a, b, sum(freq) AS cnt FROM p$k GROUP BY a, b)
+                  ORDER BY cnt DESC, a, b LIMIT 1),
+            w$k AS MATERIALIZED (SELECT
+                    replace(state, chr(31)||m$k.a||chr(31)||m$k.b,
+                            chr(31)||m$k.a||m$k.b) AS state, freq
+                  FROM w${k - 1} CROSS JOIN m$k)"""
+      }
+      val out = (1 to PipelineQueries.bpeTrainRounds)
+        .map(k => s"SELECT $k AS rnk, a, b FROM m$k").mkString(" UNION ALL ")
+      s"""WITH w0 AS MATERIALIZED (
+            SELECT regexp_replace(w, '([\\s\\S])', chr(31) || '\\1', 'g') AS state,
+                   count(*) AS freq
+            FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents)
+            WHERE length(w) >= 2 GROUP BY w),
+          ${rounds.mkString(", ")}
+          SELECT rnk::BIGINT AS rnk, a, b FROM ($out)"""
+    }) { (s, dir) =>
+      val merges = TextAnalysis.bpeTrain(tbl(s, dir, "documents"), "text",
+        PipelineQueries.bpeTrainRounds)
+      val sp = s
+      import sp.implicits._
+      merges.zipWithIndex.map { case ((a, b), i) => (i + 1L, a, b) }
+        .toDF("rnk", "a", "b")
     },
 
     // data-mixture resampling: deterministic hash-draw per doc,
