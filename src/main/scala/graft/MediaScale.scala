@@ -20,8 +20,7 @@ object MediaScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import graft.operators.Multimodal
-    import Multimodal.{be16, be32, le16, le32}
+    import graft.operators.{MediaFixtures, Multimodal}
 
     val hv = conv(substring(md5(col("id").cast("string").cast("binary")), 1, 12), 16, 10).cast("long")
     val fmt = hv % 5
@@ -29,26 +28,16 @@ object MediaScale {
     val h = (shiftright(hv, 16) % 1080 + 1).cast("int")
     val nS = (hv % 17 + 16).cast("int")
     val tail = repeat(md5(col("id").cast("string")), 4).cast("binary") // 128-byte body
-    val png = concat(unhex(lit("89504E470D0A1A0A0000000D49484452")),
-      be32(w), be32(h), unhex(lit("0806000000")), tail)
-    val gif = concat(unhex(lit("474946383961")), le16(w), le16(h), tail)
-    val bmp = concat(unhex(lit("424D")), le32(lit(0)), le32(lit(0)),
-      le32(lit(26)), le32(lit(40)), le32(w), le32(h), tail)
-    val jpeg = concat(unhex(lit("FFD8")),
-      unhex(lit("FFE000104A46494600010100000100010000")),
-      unhex(lit("FFC0001108")), be16(h), be16(w),
-      unhex(lit("03011100021101031101")), tail)
-    val pcm = aggregate(sequence(lit(1), nS), lit(Array.emptyByteArray),
-      (acc, i) => concat(acc, le16(pmod(hv * i, lit(65536)).cast("int"))))
-    val wav = concat(lit("RIFF").cast("binary"), le32(nS * 2 + 36),
-      lit("WAVE").cast("binary"), lit("fmt ").cast("binary"), le32(lit(16)),
-      le16(lit(1)), le16(lit(1)), le32(lit(8000)), le32(lit(16000)),
-      le16(lit(2)), le16(lit(16)), lit("data").cast("binary"), le32(nS * 2), pcm)
+    val wav = concat(MediaFixtures.wavHeader(nS * 2, lit(1), lit(8000)),
+      MediaFixtures.pcm(hv, nS))
     // materialize the corpus first so the timings below measure the
     // PARSE, not the synthetic payload generation
     val df = spark.range(n).withColumn("payload",
-      when(fmt === 0, png).when(fmt === 1, gif).when(fmt === 2, bmp)
-        .when(fmt === 3, jpeg).otherwise(wav))
+      when(fmt === 0, MediaFixtures.png(w, h, tail))
+        .when(fmt === 1, MediaFixtures.gif(w, h, tail))
+        .when(fmt === 2, MediaFixtures.bmp(w, h, tail))
+        .when(fmt === 3, MediaFixtures.jpeg(w, h, tail))
+        .otherwise(wav))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val genT0 = System.nanoTime()
     df.count()

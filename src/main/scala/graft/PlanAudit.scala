@@ -51,7 +51,8 @@ object PlanAudit {
       "fc_linear_exog_general",                  // round 5: exog contribution join + flat unroll
       "e_comet_data",                            // score/CV join + broadcast mean lines
       "e_panel_data",                            // round 4: bounded chosen-entity broadcast
-      "mm_sniff_meta", "mm_wav_stats",           // round 4: byte parsers must stay 1 codegen pass
+      "mm_sniff_meta",                           // round 4: header sniff = 1 codegen pass, 0 exchanges
+      "mm_wav_stats",                            // round 4: kernel-UDF scan — still 0 exchanges
       "llm_analyze_prompt")                      // basket pushdown + tiny two-level concat
     picks.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)

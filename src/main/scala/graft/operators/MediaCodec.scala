@@ -93,6 +93,18 @@ object MediaCodec {
   def resizeImage(bytes: Array[Byte], w: Int, h: Int, bilinear: Boolean): Array[Byte] = {
     if (bytes == null) return null
     try {
+      // same decompression-bomb guard as decodeStats: reject absurd
+      // header-claimed dimensions BEFORE ImageIO materializes a raster
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      val headerOk = try {
+        val readers = ImageIO.getImageReaders(iis)
+        readers.hasNext && {
+          val r = readers.next()
+          try { r.setInput(iis); r.getWidth(0).toLong * r.getHeight(0) <= MaxPixels }
+          finally r.dispose()
+        }
+      } finally iis.close()
+      if (!headerOk) return null
       val src = ImageIO.read(new ByteArrayInputStream(bytes))
       if (src == null) return null
       val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)

@@ -103,9 +103,12 @@ object Multimodal {
       val dead = pos.isNull || pos < 0 || st.getField("w").isNotNull ||
         pos + 1 > length(bin)
       when(dead, st)
-        .when(isSof, struct(pos.as("pos"),
+        // the h/w fields span pos+5..pos+8 — a JPEG truncated inside
+        // them must yield null, not dims fabricated from partial bytes
+        .when(isSof && pos + lit(8) <= length(bin), struct(pos.as("pos"),
           conv(hex(bin.substr(pos + lit(7), lit(2))), 16, 10).cast("int").as("w"),
           conv(hex(bin.substr(pos + lit(5), lit(2))), 16, 10).cast("int").as("h")))
+        .when(isSof, struct(lit(-1).as("pos"), nullI.as("w"), nullI.as("h")))
         .when(mk.startsWith("FF") && !stop && segLen >= lit(2),
           struct((pos + segLen + lit(2)).as("pos"), nullI.as("w"), nullI.as("h")))
         .otherwise(struct(lit(-1).as("pos"), nullI.as("w"), nullI.as("h")))
@@ -145,7 +148,12 @@ object Multimodal {
     df.withColumn("media_meta",
       when(isPng, meta("image/png", intSafe(beUint(bin, 17, 4)), intSafe(beUint(bin, 21, 4)), nullI, nullI))
         .when(isGif, meta("image/gif", leUint(bin, 7, 2).cast("int"), leUint(bin, 9, 2).cast("int"), nullI, nullI))
-        .when(isBmp, meta("image/bmp", intSafe(leUint(bin, 19, 4)), intSafe(leUint(bin, 23, 4)), nullI, nullI))
+        .when(isBmp, meta("image/bmp", intSafe(leUint(bin, 19, 4)),
+          // biHeight is SIGNED: negative = top-down row order (a
+          // standard GDI encoding), magnitude is the pixel height
+          intSafe(abs(when(leUint(bin, 23, 4) >= lit(2147483648L),
+            leUint(bin, 23, 4) - lit(4294967296L)).otherwise(leUint(bin, 23, 4)))),
+          nullI, nullI))
         .when(isJpeg, meta("image/jpeg", jd.getField("w"), jd.getField("h"), nullI, nullI))
         .when(isWav, meta("audio/wav", nullI, nullI, intSafe(leUint(bin, 25, 4)), leUint(bin, 23, 2).cast("int")))
         // container TYPE only — dims/duration via videoMetaKernel's walk
@@ -209,7 +217,14 @@ object Multimodal {
     * and routing/filtering a 100 TB multimodal corpus needs exactly
     * this header metadata). Imperative kernel like [[wavStatsKernel]];
     * bounded walks (≤64 boxes), null on anything malformed. */
-  def videoMetaKernel(bytes: Array[Byte]): VideoMeta = {
+  def videoMetaKernel(bytes: Array[Byte]): VideoMeta =
+    try videoMetaWalk(bytes)
+    catch { case scala.util.control.NonFatal(_) => null }
+    // belt-and-braces: the walk guards its offsets, but one adversarial
+    // container pattern the guards miss must degrade to null, not fail
+    // the task (same contract as MediaCodec.decodeStats)
+
+  private def videoMetaWalk(bytes: Array[Byte]): VideoMeta = {
     if (bytes == null || bytes.length < 16) return null
     def be32(off: Int): Long =
       if (off + 4 > bytes.length) -1L
@@ -240,10 +255,15 @@ object Multimodal {
           val w = le32(pos + 8 + 32)
           val h = le32(pos + 8 + 36)
           if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) return null
+          // both fields are untrusted u32 reads: bound before the
+          // multiply (0xFFFFFFFF * 0xFFFFFFFF overflows Long)
+          if (usPerFrame > Int.MaxValue || nFrames > Int.MaxValue) return null
           return VideoMeta("video/avi", w.toInt, h.toInt,
             nFrames * usPerFrame / 1000, Some(nFrames))
         } else {
+          if (sz > Int.MaxValue - 16) return null
           pos += 8 + sz.toInt + (sz.toInt & 1) // RIFF chunks pad to even
+          if (pos < 0) return null // a crafted size must not walk backwards
         }
       }
       return null
@@ -263,11 +283,11 @@ object Multimodal {
         if (sz < 8 || pos + sz > to) return
         tp match {
           case "moov" | "trak" => walk(pos + 8, pos + sz.toInt, depth + 1)
-          case "mvhd" =>
+          case "mvhd" if pos + 8 < to => // version byte must exist
             val v = bytes(pos + 8) & 0xff
             if (v == 1) { tsScale = be32(pos + 28); dur = (be32(pos + 32) << 32) | be32(pos + 36) }
             else { tsScale = be32(pos + 20); dur = be32(pos + 24) }
-          case "tkhd" if w < 0 =>
+          case "tkhd" if w < 0 && pos + 8 < to =>
             val v = bytes(pos + 8) & 0xff
             val base = if (v == 1) pos + 96 else pos + 84
             val tw = be32(base) >> 16; val th = be32(base + 4) >> 16

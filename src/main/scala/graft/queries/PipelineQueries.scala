@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Dedup, MediaCodec, Multimodal, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Dedup, MediaCodec, MediaFixtures, Multimodal, Sessionize, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 import Q._
 
@@ -1161,7 +1161,6 @@ object PipelineQueries {
             (nb + CASE hv % 5 WHEN 0 THEN 29 WHEN 1 THEN 10 WHEN 2 THEN 26
                               WHEN 3 THEN 39 ELSE 44 END)::BIGINT AS n_bytes
           FROM v""") { (s, dir) =>
-      import Multimodal.{be16, be32, le16, le32}
       val textBin = col("text").cast("binary")
       val hv = conv(substring(md5(textBin), 1, 12), 16, 10).cast("long")
       val fmt = hv % 5
@@ -1169,23 +1168,13 @@ object PipelineQueries {
       val h = (shiftright(hv, 16) % 1080 + 1).cast("int")
       val rate = (hv % 40000 + 8000).cast("int")
       val ch = (hv % 2 + 1).cast("int")
-      val nb = length(textBin)
-      val png = concat(unhex(lit("89504E470D0A1A0A0000000D49484452")),
-        be32(w), be32(h), unhex(lit("0806000000")), textBin)
-      val gif = concat(unhex(lit("474946383961")), le16(w), le16(h), textBin)
-      val bmp = concat(unhex(lit("424D")), le32(lit(0)), le32(lit(0)),
-        le32(lit(26)), le32(lit(40)), le32(w), le32(h), textBin)
-      val jpeg = concat(unhex(lit("FFD8")),
-        unhex(lit("FFE000104A46494600010100000100010000")), // APP0/JFIF, skipped by the scan
-        unhex(lit("FFC0001108")), be16(h), be16(w),
-        unhex(lit("03011100021101031101")), textBin)
-      val wav = concat(lit("RIFF").cast("binary"), le32(nb + 36),
-        lit("WAVE").cast("binary"), lit("fmt ").cast("binary"), le32(lit(16)),
-        le16(lit(1)), le16(ch), le32(rate), le32(rate * ch * 2),
-        le16(ch * 2), le16(lit(16)), lit("data").cast("binary"), le32(nb), textBin)
+      val wav = concat(MediaFixtures.wavHeader(length(textBin), ch, rate), textBin)
       val docs = tbl(s, dir, "documents").withColumn("payload",
-        when(fmt === 0, png).when(fmt === 1, gif).when(fmt === 2, bmp)
-          .when(fmt === 3, jpeg).otherwise(wav))
+        when(fmt === 0, MediaFixtures.png(w, h, textBin))
+          .when(fmt === 1, MediaFixtures.gif(w, h, textBin))
+          .when(fmt === 2, MediaFixtures.bmp(w, h, textBin))
+          .when(fmt === 3, MediaFixtures.jpeg(w, h, textBin))
+          .otherwise(wav))
       Multimodal.sniffMediaMeta(docs, "payload")
         .select(col("doc_id"), col("media_meta.media_type").as("media_type"),
           coalesce(col("media_meta.width"), lit(-1)).cast("long").as("width"),
@@ -1256,11 +1245,14 @@ object PipelineQueries {
           rd6(col("image_stats.mean_b")).as("mean_b"))
     },
 
-    // REAL PCM parse (Multimodal.wavSampleStats): WAV payloads whose
-    // 16-bit LE samples derive from the doc hash; the column-algebra
-    // byte parser must recover mean/rms/zero-crossings exactly. Every
-    // per-sample square is an exact integer < 2^31 and their sum stays
-    // under 2^53, so summation order cannot drift between engines.
+    // REAL PCM parse: WAV payloads whose 16-bit LE samples derive from
+    // the doc hash; the byte parser must recover mean/rms/zero-
+    // crossings exactly. Runs Multimodal.wavSampleStatsFast (imperative
+    // kernel UDF — the production path; the column-algebra twin
+    // wavSampleStats is spec-pinned bit-identical, SCALE.md has the 60×
+    // HOF story). Every per-sample square is an exact integer < 2^31
+    // and their sum stays under 2^53, so summation order cannot drift
+    // between engines.
     "mm_wav_stats" -> Q(
       s"""WITH b AS (SELECT doc_id, md5(text) AS h FROM documents),
             v AS (SELECT doc_id, ${hex12ToLongSql("h")} AS hv FROM b),
@@ -1277,17 +1269,11 @@ object PipelineQueries {
                  len(list_filter(range(2, n + 1),
                      i -> (ss[i] >= 0) != (ss[i-1] >= 0)))::BIGINT AS zero_crossings
           FROM s""") { (s, dir) =>
-      import Multimodal.{le16, le32}
       val hv = conv(substring(md5(col("text").cast("binary")), 1, 12), 16, 10).cast("long")
       val n = (hv % 17 + 16).cast("int")
-      val pcm = aggregate(sequence(lit(1), n), lit(Array.emptyByteArray),
-        (acc, i) => concat(acc, le16(pmod(hv * i, lit(65536)).cast("int"))))
       val docs = tbl(s, dir, "documents").withColumn("payload",
-        concat(lit("RIFF").cast("binary"), le32(n * 2 + 36),
-          lit("WAVE").cast("binary"), lit("fmt ").cast("binary"), le32(lit(16)),
-          le16(lit(1)), le16(lit(1)), le32(lit(8000)), le32(lit(16000)),
-          le16(lit(2)), le16(lit(16)), lit("data").cast("binary"),
-          le32(n * 2), pcm))
+        concat(MediaFixtures.wavHeader(n * 2, lit(1), lit(8000)),
+          MediaFixtures.pcm(hv, n)))
       Multimodal.wavSampleStatsFast(docs, "payload")
         .select(col("doc_id"), col("wav_stats.n_samples").as("n_samples"),
           rd6(col("wav_stats.mean_amp")).as("mean_amp"),

@@ -8,6 +8,9 @@ import org.apache.spark.sql.functions._
   * numbers out. */
 class MediaCodecSpec extends SparkSpec {
 
+  private def hexBytes(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
   test("ImageIO solid-color encode→decode round-trips exactly for png/bmp/gif") {
     for (fmt <- Seq("png", "bmp", "gif")) {
       val bytes = MediaCodec.encodeSolid(fmt, 5, 4, 120, 7, 250)
@@ -33,6 +36,15 @@ class MediaCodecSpec extends SparkSpec {
     assert(MediaCodec.decodeStats("not an image".getBytes("UTF-8")) == null)
     assert(MediaCodec.decodeStats(null) == null)
     assert(MediaCodec.decodeStats(Array.emptyByteArray) == null)
+  }
+
+  test("decode AND resize reject decompression-bomb headers before allocation") {
+    // a real PNG signature+IHDR claiming 50000x50000 (2.5 Gpx) with no
+    // pixel data: both paths must null out from the HEADER, fast
+    val bomb = hexBytes("89504E470D0A1A0A 0000000D 49484452" +
+      " 0000C350 0000C350 0806000000 00000000") ++ Array.fill(64)(0.toByte)
+    assert(MediaCodec.decodeStats(bomb) == null)
+    assert(MediaCodec.resizeImage(bomb, 16, 16, bilinear = false) == null)
   }
 
   test("resizeImage nearest keeps a solid color bit-exact; bilinear stays close") {

@@ -144,6 +144,40 @@ class MultimodalSpec extends SparkSpec {
     assert(m.n_frames.contains(250L) && m.duration_ms == 250L * 40000 / 1000)
   }
 
+  test("videoMetaKernel survives review-found crash shapes") {
+    // AVI chunk with huge u32 size whose .toInt is negative — the walk
+    // must not step backwards into tag(new String(bytes, -12, 4))
+    val backstep = tagB("RIFF") ++ le32b(100) ++ tagB("AVI ") ++
+      tagB("JUNK") ++ le32b(0xFFFFFFE0L) ++ Array.fill(20)(0.toByte)
+    assert(Multimodal.videoMetaKernel(backstep) == null)
+    // mvhd/tkhd box of size exactly 8 ending at the buffer end — the
+    // version-byte read must not index one past the array
+    val tightMvhd = be32b(16) ++ tagB("ftyp") ++ tagB("isom") ++ be32b(0x200) ++
+      be32b(16) ++ tagB("moov") ++ be32b(8) ++ tagB("mvhd")
+    assert(Multimodal.videoMetaKernel(tightMvhd) == null)
+    // avih claiming 0xFFFFFFFF frames AND us/frame — duration multiply
+    // must not overflow Long into a garbage negative
+    val bigAvih = tagB("RIFF") ++ le32b(80) ++ tagB("AVI ") ++ tagB("LIST") ++
+      le32b(68) ++ tagB("hdrl") ++ tagB("avih") ++ le32b(56) ++
+      le32b(0xFFFFFFFFL) ++ Array.fill(12)(0.toByte) ++ le32b(0xFFFFFFFFL) ++
+      le32b(0) ++ le32b(1) ++ le32b(0) ++ le32b(320) ++ le32b(240) ++
+      Array.fill(16)(0.toByte)
+    assert(Multimodal.videoMetaKernel(bigAvih) == null)
+  }
+
+  test("sniff nulls dims for truncated SOF and reads top-down BMP height") {
+    // JPEG truncated INSIDE the SOF width field — no fabricated dims
+    val cut = hexBytes("FFD8 FFC0 0011 08 000B 09")
+    val m1 = sniff(Seq(1L -> cut))
+    assert(m1(1L)._1 == "image/jpeg" && m1(1L)._2.isEmpty && m1(1L)._3.isEmpty)
+    // top-down BMP: biHeight = -720 (0xFFFFFD30) must read as 720
+    val neg = java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(-720).array()
+    val bmp = hexBytes("424D 00000000 00000000 1A000000 28000000 80020000") ++ neg
+    val m2 = sniff(Seq(1L -> bmp))
+    assert(m2(1L)._1 == "image/bmp" && m2(1L)._2.contains(640) && m2(1L)._3.contains(720))
+  }
+
   test("videoMetaKernel nulls malformed containers instead of throwing") {
     val junk = Seq(
       "RIFFxxxxAVI junk without hdrl".getBytes("ISO-8859-1"),

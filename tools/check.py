@@ -40,13 +40,21 @@ for q, sql in sorted(oracle.items()):
             g, w = got[c], want[c]
             # the driver's hash is TYPE-sensitive: a DuckDB HUGEINT
             # (object/float dtype here) vs Spark BIGINT mismatches even
-            # when values are integer-identical — flag dtype kind drift
-            # (object dtype is how pandas reads Spark DATE/py-date
-            # columns — the driver canonicalizes those fine; only flag
-            # numeric-kind drift, e.g. HUGEINT float vs BIGINT)
-            if (g.dtype.kind != w.dtype.kind and 'O' not in
-                    (g.dtype.kind, w.dtype.kind) and not (
-                    {g.dtype.kind, w.dtype.kind} <= {'i', 'u'})):
+            # when values are integer-identical — flag dtype kind drift.
+            # Spark DATE/py-date columns arrive as object dtype (the
+            # driver canonicalizes those fine), so exempt object ONLY
+            # when the values are datetime-like — an object column of
+            # Python ints (HUGEINT) must still flag
+            def _datetime_object(s):
+                if s.dtype.kind != 'O':
+                    return False
+                nn = s.dropna()
+                import datetime
+                return len(nn) == 0 or isinstance(
+                    nn.iloc[0], (datetime.date, datetime.datetime, pd.Timestamp))
+            if (g.dtype.kind != w.dtype.kind
+                    and not _datetime_object(g) and not _datetime_object(w)
+                    and not ({g.dtype.kind, w.dtype.kind} <= {'i', 'u'})):
                 fails.append((q, f"col {c} dtype {g.dtype} vs {w.dtype} "
                               "(driver hash is type-sensitive)")); ok = False; break
             if g.dtype.kind == 'f' or w.dtype.kind == 'f':
