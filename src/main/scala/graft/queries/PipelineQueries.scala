@@ -756,6 +756,50 @@ object PipelineQueries {
         .toDF("rnk", "a", "b")
     },
 
+    // Composed tokenizer pipeline: train the merges, then encode the
+    // SAME corpus with them — the oracle chains the training rounds'
+    // m_k CTEs straight into the encode replace stages (correlated
+    // CROSS JOINs), so a drift anywhere in either surface mismatches.
+    "t_bpe_pipeline" -> Q({
+      val k = PipelineQueries.bpeTrainRounds
+      val rounds = (1 to k).map { r =>
+        s"""p$r AS (SELECT ts[i+1] AS a, ts[i+2] AS b, freq
+                    FROM (SELECT string_split(state, chr(31)) AS ts, freq FROM w${r - 1}),
+                         unnest(range(1, len(ts) - 1)) AS t(i)
+                    WHERE len(ts) >= 3),
+            m$r AS MATERIALIZED (SELECT a, b FROM (
+                    SELECT a, b, sum(freq) AS cnt FROM p$r GROUP BY a, b)
+                  ORDER BY cnt DESC, a, b LIMIT 1),
+            w$r AS MATERIALIZED (SELECT
+                    replace(state, chr(31)||m$r.a||chr(31)||m$r.b,
+                            chr(31)||m$r.a||m$r.b) AS state, freq
+                  FROM w${r - 1} CROSS JOIN m$r)"""
+      }
+      val encStages = (1 to k).map { r =>
+        s"""e$r AS MATERIALIZED (SELECT doc_id,
+              replace(s, chr(31)||m$r.a||chr(31)||m$r.b, chr(31)||m$r.a||m$r.b) AS s
+            FROM e${r - 1} CROSS JOIN m$r)"""
+      }
+      s"""WITH w0 AS MATERIALIZED (
+            SELECT regexp_replace(w, '([\\s\\S])', chr(31) || '\\1', 'g') AS state,
+                   count(*) AS freq
+            FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents)
+            WHERE length(w) >= 2 GROUP BY w),
+          ${rounds.mkString(", ")},
+          e0 AS MATERIALIZED (SELECT doc_id,
+               regexp_replace(text, '([\\s\\S])', chr(31) || '\\1', 'g') AS s
+             FROM documents),
+          ${encStages.mkString(", ")}
+          SELECT doc_id,
+                 (length(s) - length(replace(s, chr(31), '')))::BIGINT AS n_tokens
+          FROM e$k"""
+    }) { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+      val merges = TextAnalysis.bpeTrain(docs, "text", PipelineQueries.bpeTrainRounds)
+      TextAnalysis.bpeEncode(docs, "text", merges)
+        .select(col("doc_id"), col("bpe_n_tokens").as("n_tokens"))
+    },
+
     // data-mixture resampling: deterministic hash-draw per doc,
     // per-source target rates (full / half / quarter / tenth by source
     // band) — the corpus-mixing primitive; a pure filter, zero
