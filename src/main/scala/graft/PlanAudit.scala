@@ -53,6 +53,7 @@ object PlanAudit {
       "e_panel_data",                            // round 4: bounded chosen-entity broadcast
       "mm_sniff_meta",                           // round 4: header sniff = 1 codegen pass, 0 exchanges
       "mm_wav_stats",                            // round 4: kernel-UDF scan — still 0 exchanges
+      "t_bpe_encode",                            // round 4: merge-chain replaces — 0 exchanges
       "llm_analyze_prompt")                      // basket pushdown + tiny two-level concat
     picks.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)

@@ -273,6 +273,26 @@ class StreamingSpec extends SparkSpec {
       "application/octet-stream"))
   }
 
+  test("streaming BPE encode matches batch token counts (stateless merge chain)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val merges = Seq("t" -> "h", "th" -> "e", "i" -> "n")
+    val rows = Seq((1L, "the thin then"), (2L, "intake"), (3L, ""))
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(rows: _*)
+    val enc = (df: org.apache.spark.sql.DataFrame) =>
+      TextAnalysis.bpeEncode(df, "text", merges).select("id", "bpe_n_tokens")
+    val q = enc(mem.toDF.toDF("id", "text")).writeStream.format("memory")
+      .queryName("bpe").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("bpe").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = enc(rows.toDF("id", "text")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // "the"=1, space, "thin"=th+in=2, space, "then"=the+n=2 → 7
+    assert(got == want && got(1L) == 7L)
+  }
+
   test("streaming quality gate keeps exactly the docs the batch filter keeps") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
