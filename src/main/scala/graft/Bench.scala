@@ -105,7 +105,7 @@ object Bench {
       if (java.nio.file.Files.exists(budgetPath)) {
         val txt = new String(java.nio.file.Files.readAllBytes(budgetPath), "UTF-8")
         val qpart = txt.substring(txt.indexOf("\"queries\""))
-        val budget = "\"([A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(qpart)
+        val budget = "\"([A-Za-z0-9_]+)\":\\s*([0-9.]+)".r.findAllMatchIn(qpart)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
         val over = results.filter { case (name, dt) =>
           budget.get(name).exists(b => b >= 0.5 && dt > 2.0 * b)
@@ -117,7 +117,11 @@ object Bench {
         if (over.nonEmpty)
           System.err.println(s"[bench-budget] ${over.size} queries over 2x budget")
       }
-    } catch { case _: Throwable => () }
+    } catch { case e: Throwable =>
+      // the guard must never fail the bench, but a broken guard that
+      // says nothing is a no-op net — surface the symptom
+      System.err.println(s"[bench-budget] guard failed: ${e.getMessage}")
+    }
     // full per-query timings to a side file; STDOUT gets one COMPACT
     // line (top-20 slowest only) so the driver's captured output tail
     // always contains a complete, parseable JSON object — round 1's

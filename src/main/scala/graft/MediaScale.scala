@@ -16,7 +16,10 @@ object MediaScale {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.driver.memory", "8g")
+      // NOTE: spark.driver.memory is NOT set here — in local mode the
+      // driver heap is fixed at JVM launch, so a builder config is a
+      // silent no-op; the heap comes from sbt's forked JVM (-mem /
+      // SBT_OPTS), same as Bench
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

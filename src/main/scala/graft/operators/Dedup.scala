@@ -195,10 +195,16 @@ object Dedup {
           .agg(min(col("group")).as("__ng"))
         // fold the convergence flag into the same pass — no second
         // join against the previous labels per round
+        // materialized before the self-join below references it on BOTH
+        // sides — the two parents hash on different keys (id vs group),
+        // so ReuseExchange can't dedup them and an unmaterialized prop
+        // would recompute the labels⋈neighborMin propagation twice per
+        // round on exactly the corpus-scale path this fallback exists for
         val prop = labels.join(neighborMin, Seq("id"), "left")
           .select(col("id"),
             least(col("group"), coalesce(col("__ng"), col("group"))).as("group"),
             (coalesce(col("__ng"), col("group")) < col("group")).as("__chg"))
+          .localCheckpoint(true)
         // pointer-jumping shortcut (path doubling): follow each node's
         // label to THAT node's label in the same round — label chains
         // halve every round, so convergence is O(log diameter) joins

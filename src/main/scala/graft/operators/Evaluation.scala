@@ -140,6 +140,12 @@ object Evaluation {
     p.df.select(p.entityCols: _*).distinct()
       .orderBy(p.entityCols: _*).limit(numSeries)
 
+  /** Last `numPoints` rows per partition key. `orderCols` must reach a
+    * deterministic order over every column the caller projects —
+    * callers append their value column as the final tiebreak so
+    * duplicate timestamps within an entity still trim to a
+    * deterministic multiset (ties beyond that point are identical rows
+    * in the projection, so the arbitrary pick cannot change output). */
   private def tailRows(df: DataFrame, entity: Seq[String],
                        orderCols: Seq[Column], numPoints: Int): DataFrame =
     df.withColumn("__rnd", row_number().over(
@@ -159,7 +165,7 @@ object Evaluation {
                    numSeries: Int, numPoints: Int): DataFrame = {
     val chosen = broadcast(chosenEntities(yTrue, numSeries))
     def side(p: Panel, tag: String) =
-      tailRows(p.df.join(chosen, p.entity), p.entity, p.orderCols, numPoints)
+      tailRows(p.df.join(chosen, p.entity), p.entity, p.orderCols :+ p.x, numPoints)
         .select((p.entityCols :+ col(timeCol) :+
           p.x.as(yTrue.value) :+ lit(tag).as("series")): _*)
     side(yTrue, "Actual").unionByName(side(yPred, "Forecast"))
@@ -181,7 +187,7 @@ object Evaluation {
       .withColumn("grid_row", (col("__i") / numCols).cast("int") + 1)
       .withColumn("grid_col", pmod(col("__i"), lit(numCols)).cast("int") + 1)
       .drop("__i")
-    tailRows(y.df.join(broadcast(pos), y.entity), y.entity, y.orderCols, numPoints)
+    tailRows(y.df.join(broadcast(pos), y.entity), y.entity, y.orderCols :+ y.x, numPoints)
       .select((y.entityCols :+ col(timeCol) :+ y.x.as(y.value) :+
         col("grid_row") :+ col("grid_col")): _*)
   }
@@ -196,12 +202,13 @@ object Evaluation {
                    numSeries: Int, numPoints: Int): DataFrame = {
     val chosen = broadcast(chosenEntities(yTrue, numSeries))
     val actual =
-      tailRows(yTrue.df.join(chosen, yTrue.entity), yTrue.entity, yTrue.orderCols, numPoints)
+      tailRows(yTrue.df.join(chosen, yTrue.entity), yTrue.entity,
+        yTrue.orderCols :+ yTrue.x, numPoints)
         .select((yTrue.entityCols :+ col(timeCol) :+ lit(-1).as("split") :+
           yTrue.x.as(yTrue.value) :+ lit("Actual").as("series")): _*)
     val preds =
       tailRows(btPreds.join(chosen, yTrue.entity),
-        yTrue.entity :+ "split", Seq(col(timeCol)), numPoints)
+        yTrue.entity :+ "split", Seq(col(timeCol), col("pred")), numPoints)
         .select((yTrue.entityCols :+ col(timeCol) :+ col("split") :+
           col("pred").as(yTrue.value) :+ lit("Forecast").as("series")): _*)
     actual.unionByName(preds)

@@ -55,6 +55,14 @@ object StumpBoost {
       val mmAggs = featureCols.flatMap(f => Seq(min(col(f)), max(col(f)))) ++
         Seq(sum(col(p.value)), count(lit(1)))
       val mmRow = train.agg(mmAggs.head, mmAggs.tail: _*).collect()(0)
+      // count is the only aggregate that can't be null — check it
+      // before touching the nullable min/max cells, so an empty frame
+      // gets the same actionable error as Ols.fit / Logistic.fitIrls
+      // instead of an opaque NPE from getDouble on a null aggregate
+      if (mmRow.getLong(2 * lags + 1) == 0L)
+        throw new IllegalArgumentException(
+          s"stump-boost fit has no complete training rows (every entity " +
+            s"shorter than lags=$lags, or all rows null in ${p.value})")
       val mins = Array.tabulate(lags)(i => mmRow.getDouble(2 * i))
       val maxs = Array.tabulate(lags)(i => mmRow.getDouble(2 * i + 1))
       val b0 = mmRow.getDouble(2 * lags) / mmRow.getLong(2 * lags + 1)

@@ -20,6 +20,32 @@ object PipelineQueries {
     * pair-count job on both engines). */
   val bpeTrainRounds: Int = 6
 
+  /** The shared BPE-training CTE chain (w0 word-frequency seed + k
+    * greedy merge rounds p_k/m_k/w_k) used verbatim by BOTH
+    * `t_bpe_train` and `t_bpe_pipeline` — one definition so the two
+    * oracles can never silently assert different training semantics. */
+  private def bpeTrainCtes(k: Int): String = {
+    val rounds = (1 to k).map { r =>
+      s"""p$r AS (SELECT ts[i+1] AS a, ts[i+2] AS b, freq
+                  FROM (SELECT string_split(state, chr(31)) AS ts, freq FROM w${r - 1}),
+                       unnest(range(1, len(ts) - 1)) AS t(i)
+                  WHERE len(ts) >= 3),
+          m$r AS MATERIALIZED (SELECT a, b FROM (
+                  SELECT a, b, sum(freq) AS cnt FROM p$r GROUP BY a, b)
+                ORDER BY cnt DESC, a, b LIMIT 1),
+          w$r AS MATERIALIZED (SELECT
+                  replace(state, chr(31)||m$r.a||chr(31)||m$r.b,
+                          chr(31)||m$r.a||m$r.b) AS state, freq
+                FROM w${r - 1} CROSS JOIN m$r)"""
+    }
+    s"""w0 AS MATERIALIZED (
+          SELECT regexp_replace(w, '([\\s\\S])', chr(31) || '\\1', 'g') AS state,
+                 count(*) AS freq
+          FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents)
+          WHERE length(w) >= 2 GROUP BY w),
+        ${rounds.mkString(", ")}"""
+  }
+
   /** 64-dim dot product expanded term-by-term for the DuckDB oracle —
     * identical summation order to Spark's aggregate() fold. */
   private def dotSql(a: String, b: String, dim: Int = 64): String =
@@ -725,27 +751,9 @@ object PipelineQueries {
     // (count desc, a, b) tie-breaks; the oracle unrolls the SAME six
     // greedy rounds over the word-frequency frame.
     "t_bpe_train" -> Q({
-      val rounds = (1 to PipelineQueries.bpeTrainRounds).map { k =>
-        s"""p$k AS (SELECT ts[i+1] AS a, ts[i+2] AS b, freq
-                    FROM (SELECT string_split(state, chr(31)) AS ts, freq FROM w${k - 1}),
-                         unnest(range(1, len(ts) - 1)) AS t(i)
-                    WHERE len(ts) >= 3),
-            m$k AS MATERIALIZED (SELECT a, b FROM (
-                    SELECT a, b, sum(freq) AS cnt FROM p$k GROUP BY a, b)
-                  ORDER BY cnt DESC, a, b LIMIT 1),
-            w$k AS MATERIALIZED (SELECT
-                    replace(state, chr(31)||m$k.a||chr(31)||m$k.b,
-                            chr(31)||m$k.a||m$k.b) AS state, freq
-                  FROM w${k - 1} CROSS JOIN m$k)"""
-      }
       val out = (1 to PipelineQueries.bpeTrainRounds)
         .map(k => s"SELECT $k AS rnk, a, b FROM m$k").mkString(" UNION ALL ")
-      s"""WITH w0 AS MATERIALIZED (
-            SELECT regexp_replace(w, '([\\s\\S])', chr(31) || '\\1', 'g') AS state,
-                   count(*) AS freq
-            FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents)
-            WHERE length(w) >= 2 GROUP BY w),
-          ${rounds.mkString(", ")}
+      s"""WITH ${PipelineQueries.bpeTrainCtes(PipelineQueries.bpeTrainRounds)}
           SELECT rnk::BIGINT AS rnk, a, b FROM ($out)"""
     }) { (s, dir) =>
       val merges = TextAnalysis.bpeTrain(tbl(s, dir, "documents"), "text",
@@ -762,30 +770,12 @@ object PipelineQueries {
     // CROSS JOINs), so a drift anywhere in either surface mismatches.
     "t_bpe_pipeline" -> Q({
       val k = PipelineQueries.bpeTrainRounds
-      val rounds = (1 to k).map { r =>
-        s"""p$r AS (SELECT ts[i+1] AS a, ts[i+2] AS b, freq
-                    FROM (SELECT string_split(state, chr(31)) AS ts, freq FROM w${r - 1}),
-                         unnest(range(1, len(ts) - 1)) AS t(i)
-                    WHERE len(ts) >= 3),
-            m$r AS MATERIALIZED (SELECT a, b FROM (
-                    SELECT a, b, sum(freq) AS cnt FROM p$r GROUP BY a, b)
-                  ORDER BY cnt DESC, a, b LIMIT 1),
-            w$r AS MATERIALIZED (SELECT
-                    replace(state, chr(31)||m$r.a||chr(31)||m$r.b,
-                            chr(31)||m$r.a||m$r.b) AS state, freq
-                  FROM w${r - 1} CROSS JOIN m$r)"""
-      }
       val encStages = (1 to k).map { r =>
         s"""e$r AS MATERIALIZED (SELECT doc_id,
               replace(s, chr(31)||m$r.a||chr(31)||m$r.b, chr(31)||m$r.a||m$r.b) AS s
             FROM e${r - 1} CROSS JOIN m$r)"""
       }
-      s"""WITH w0 AS MATERIALIZED (
-            SELECT regexp_replace(w, '([\\s\\S])', chr(31) || '\\1', 'g') AS state,
-                   count(*) AS freq
-            FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents)
-            WHERE length(w) >= 2 GROUP BY w),
-          ${rounds.mkString(", ")},
+      s"""WITH ${PipelineQueries.bpeTrainCtes(k)},
           e0 AS MATERIALIZED (SELECT doc_id,
                regexp_replace(text, '([\\s\\S])', chr(31) || '\\1', 'g') AS s
              FROM documents),

@@ -82,6 +82,16 @@ class AutoForecastSpec extends SparkSpec {
     assert(math.abs(preds(1) - 90.0) < 4.0, s"h2 ${preds(1)}")
   }
 
+  test("stump boosting on an empty reduction throws an actionable error") {
+    // every entity shorter than lags → zero complete training rows;
+    // must match the Ols.fit / Logistic.fitIrls error contract, not NPE
+    val p = panel((0 until 2).map(_.toDouble))
+    val e = intercept[IllegalArgumentException] {
+      StumpBoost.fit(p, lags = 3, freq = "1i", rounds = 2, bins = 4)
+    }
+    assert(e.getMessage.contains("no complete training rows"))
+  }
+
   test("autoGbt sweeps lags and picks the one that models the process (automl.py:191)") {
     // 5,40,5,75 repeating: after a 5 comes 40 OR 75 depending on the
     // phase — one lag is ambiguous, three lags disambiguate

@@ -8,8 +8,7 @@ import org.apache.spark.sql.functions._
   * numbers out. */
 class MediaCodecSpec extends SparkSpec {
 
-  private def hexBytes(s: String): Array[Byte] =
-    s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+  import MediaTestFixtures.{hexBytes, pcmWav}
 
   test("ImageIO solid-color encode→decode round-trips exactly for png/bmp/gif") {
     for (fmt <- Seq("png", "bmp", "gif")) {
@@ -73,15 +72,7 @@ class MediaCodecSpec extends SparkSpec {
     import spark.implicits._
     // samples: 1000, -1000, 0, -1, 32767, -32768  (n=6, dataSize=12)
     val samples = Seq(1000, -1000, 0, -1, 32767, -32768)
-    val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length * 2)
-      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
-      .putInt(16).putShort(1).putShort(1).putInt(8000).putInt(16000)
-      .putShort(2).putShort(16).put("data".getBytes("US-ASCII"))
-      .putInt(samples.length * 2)
-    samples.foreach(s => bb.putShort(s.toShort))
-    val out = Multimodal.wavSampleStats(Seq((1L, bb.array())).toDF("id", "payload"), "payload")
+    val out = Multimodal.wavSampleStats(Seq((1L, pcmWav(samples))).toDF("id", "payload"), "payload")
       .select("wav_stats.n_samples", "wav_stats.mean_amp", "wav_stats.rms",
         "wav_stats.zero_crossings").collect()(0)
     assert(out.getLong(0) == 6L)
@@ -130,23 +121,12 @@ class MediaCodecSpec extends SparkSpec {
     import spark.implicits._
     val rnd = new scala.util.Random(4242L)
     // valid WAVs of varying sample counts + adversarial RIFF payloads
-    def wavOf(samples: Seq[Int]): Array[Byte] = {
-      val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length * 2)
-        .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
-        .putInt(16).putShort(1).putShort(1).putInt(8000).putInt(16000)
-        .putShort(2).putShort(16).put("data".getBytes("US-ASCII"))
-        .putInt(samples.length * 2)
-      samples.foreach(x => bb.putShort(x.toShort))
-      bb.array()
-    }
     val payloads = (0 until 40).map { i =>
       val p =
         if (i % 4 == 0) "RIFFxxxxWAVE".getBytes("US-ASCII") ++
           Array.fill(rnd.nextInt(60))(rnd.nextInt(256).toByte)
         else if (i % 4 == 1) Array.fill(rnd.nextInt(60))(rnd.nextInt(256).toByte)
-        else wavOf(Seq.fill(1 + rnd.nextInt(30))(rnd.nextInt(65536) - 32768))
+        else pcmWav(Seq.fill(1 + rnd.nextInt(30))(rnd.nextInt(65536) - 32768))
       (i.toLong, p)
     }
     val df = payloads.toDF("id", "payload")
@@ -164,15 +144,7 @@ class MediaCodecSpec extends SparkSpec {
   test("wavSampleStats caps at maxSamples and nulls non-wav payloads") {
     import spark.implicits._
     val samples = (1 to 20).map(i => i * 100)
-    val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length * 2)
-      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
-      .putInt(16).putShort(1).putShort(1).putInt(8000).putInt(16000)
-      .putShort(2).putShort(16).put("data".getBytes("US-ASCII"))
-      .putInt(samples.length * 2)
-    samples.foreach(s => bb.putShort(s.toShort))
-    val df = Seq((1L, bb.array()), (2L, "plain text".getBytes("UTF-8"))).toDF("id", "payload")
+    val df = Seq((1L, pcmWav(samples)), (2L, "plain text".getBytes("UTF-8"))).toDF("id", "payload")
     val capped = Multimodal.wavSampleStats(df, "payload", maxSamples = 4)
       .select(col("id"), col("wav_stats.n_samples"), col("wav_stats.mean_amp")).collect()
       .map(r => r.getLong(0) -> Option(r.get(1)).map(_ -> r.get(2))).toMap

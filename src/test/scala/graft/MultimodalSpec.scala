@@ -46,8 +46,7 @@ class MultimodalSpec extends SparkSpec {
   // ---- real header sniffing: hand-assembled minimal-but-genuine file
   // headers; the parser must recover the dimensions from the bytes ----
 
-  private def hexBytes(s: String): Array[Byte] =
-    s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+  import MediaTestFixtures.hexBytes
 
   private def sniff(payloads: Seq[(Long, Array[Byte])]) = {
     import spark.implicits._

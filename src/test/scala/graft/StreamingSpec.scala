@@ -247,13 +247,8 @@ class StreamingSpec extends SparkSpec {
     // real payloads: an encoded PNG, a WAV, and junk
     val png = MediaCodec.encodeSolid("png", 6, 2, 10, 20, 30)
     val wavSamples = Seq(500, -500, 250)
-    val bb = java.nio.ByteBuffer.allocate(44 + 6).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.put("RIFF".getBytes("US-ASCII")).putInt(42).put("WAVE".getBytes("US-ASCII"))
-      .put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1)
-      .putInt(8000).putInt(16000).putShort(2).putShort(16)
-      .put("data".getBytes("US-ASCII")).putInt(6)
-    wavSamples.foreach(s => bb.putShort(s.toShort))
-    val rows = Seq((1L, png), (2L, bb.array()), (3L, "junk".getBytes("UTF-8")))
+    val rows = Seq((1L, png), (2L, MediaTestFixtures.pcmWav(wavSamples)),
+      (3L, "junk".getBytes("UTF-8")))
 
     val mem = MemoryStream[(Long, Array[Byte])]
     mem.addData(rows: _*)
