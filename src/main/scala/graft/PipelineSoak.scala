@@ -63,6 +63,26 @@ object PipelineSoak {
       pairs
     }
 
+    // the 100 TB connected-components path: force the distributed
+    // pointer-jumping label propagation (threshold=0 skips the driver
+    // union-find) on a synthetic chain graph with a KNOWN component
+    // structure — nDocs nodes in chains of 64, plus one pathological
+    // 4096-node chain that needs the full O(log diameter) doubling
+    time("label propagation CC (distributed path, chains of 64 + one 4096-chain)", nDocs) {
+      val chain = spark.range(nDocs).select(col("id").as("a"), (col("id") + 1).as("b"))
+        .filter(col("a") % 64 =!= 63 || col("a") < 4096)
+        .repartition(64)
+      val groups = Dedup.nearDupGroups(chain, driverUnionFindThreshold = 0L)
+      val nGroups = groups.agg(count_distinct(col("group"))).collect()(0).getLong(0)
+      // a chain graph is a forest: components = distinct nodes − edges
+      val nEdges = chain.count()
+      val nNodes = chain.select(explode(array(col("a"), col("b"))).as("n"))
+        .distinct().count()
+      require(nGroups == nNodes - nEdges,
+        s"CC groups $nGroups != nodes-edges ${nNodes - nEdges}")
+      nGroups
+    }
+
     time("tfidf top-3 terms per doc", nDocs) {
       TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 3).count()
     }

@@ -50,17 +50,10 @@ object FeatureAggs {
   /** CUSUM changepoint events array (time order) —
     * feature_extractors.py:2761 + cusum.rs. */
   def cusumEvents(threshold: Double, warmup: Int, drift: Double): (Column, Column) => Column = {
-    implicit val enc: Encoder[Seq[Int]] = Encoders.kryo[Seq[Int]]
-    val agg = new Aggregator[Pt, Seq[Pt], Seq[Int]] with Serializable {
-      override def zero: Seq[Pt] = Vector.empty
-      override def reduce(b: Seq[Pt], a: Pt): Seq[Pt] = b :+ a
-      override def merge(a: Seq[Pt], b: Seq[Pt]): Seq[Pt] = a ++ b
-      override def finish(b: Seq[Pt]): Seq[Int] =
-        Kernels.cusum(b.sortBy(_.i).map(_.v).toArray, threshold, warmup, drift).toSeq
-      override def bufferEncoder: Encoder[Seq[Pt]] = Encoders.kryo[Seq[Pt]]
-      override def outputEncoder: Encoder[Seq[Int]] = ExpressionEncoders.seqInt
-    }
-    val f = udaf(agg, Encoders.product[Pt])
+    // same collect-sort-kernel scaffold as every other SeriesAgg; only
+    // the output encoder differs (array column, not kryo blob)
+    implicit val enc: Encoder[Seq[Int]] = ExpressionEncoders.seqInt
+    val f = u(mk[Seq[Int]](xs => Kernels.cusum(xs, threshold, warmup, drift).toSeq))
     (i, v) => f(i, v)
   }
 
@@ -108,6 +101,10 @@ object FeatureAggs {
     implicit val enc: Encoder[FftOut] = Encoders.product[FftOut]
     val f = u(mk[FftOut] { xs =>
       val (re, im) = Kernels.rfft(xs)
+      // atan2(re, im) is DELIBERATE: the reference computes
+      // np.arctan2(real, imag) (feature_extractors.py:1929), NOT the
+      // np.angle convention atan2(im, re) — we match the reference's
+      // published behavior, and the DuckDB oracle pins it bitwise
       val ang = re.zip(im).map { case (r, i2) => math.atan2(r, i2) * 180 / math.Pi }
       FftOut(re.take(nCoeffs).toSeq, im.take(nCoeffs).toSeq, ang.take(nCoeffs).toSeq)
     })

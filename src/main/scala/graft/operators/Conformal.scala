@@ -36,8 +36,13 @@ object Conformal {
     val scores = yResid.groupBy(entity.map(col): _*)
       .agg(sort_array(collect_list(col(residCol))).as("__sorted"))
       .withColumn("quantile", explode(typedLit(alphas)))
-      .withColumn("__score", element_at(col("__sorted"),
-        floor(col("quantile") * (size(col("__sorted")) - 1) + 0.5).cast("int") + 1))
+      // collect_list drops nulls, so an entity whose residuals are all
+      // null yields an EMPTY sorted array — element_at on it is an
+      // ANSI error (index 0 for α>0.5, out-of-bounds for the rest).
+      // No residual information → null band, not a job-killing crash.
+      .withColumn("__score",
+        when(size(col("__sorted")) > 0, element_at(col("__sorted"),
+          floor(col("quantile") * (size(col("__sorted")) - 1) + 0.5).cast("int") + 1)))
       .drop("__sorted")
     yPred.join(scores, entity, "left")
       .select(entity.map(col) ++ Seq(col(timeCol),
@@ -77,7 +82,16 @@ object Conformal {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val splits = CrossValidation.expandingWindowSplit(p, testSize, nSplits, stepSize)
+    require(nSplits > 0, s"backtest needs nSplits > 0 (got $nSplits)")
+    // materialize the positioned frame ONCE — every split's train and
+    // test are filters over it, and each fitPredict's actions would
+    // otherwise re-run the row_number/count windows over the whole
+    // panel per split (the scaladoc's "one cached position frame"
+    // promise, now actually kept). localCheckpoint also cuts the
+    // lineage so the 2·nSplits downstream plans stay small.
+    val positioned = CrossValidation.withPosition(p).localCheckpoint(true)
+    val splits = CrossValidation.expandingWindowSplit(p, testSize, nSplits, stepSize,
+      Some(positioned))
     // fitPredict may run Spark actions (model fits) — overlap the
     // independent splits as concurrent jobs; lazy closures (naive)
     // finish instantly either way

@@ -40,9 +40,10 @@ object CrossValidation {
   /** Expanding-window CV — cross_validation.py:160:
     * split i (0-based): cutoff = test + (n_splits−1−i)·step,
     * train = rows [1, len−cutoff], test = next testSize rows. */
-  def expandingWindowSplit(p: Panel, testSize: Int, nSplits: Int, stepSize: Int)
+  def expandingWindowSplit(p: Panel, testSize: Int, nSplits: Int, stepSize: Int,
+                           positioned: Option[DataFrame] = None)
       : Seq[(DataFrame, DataFrame)] = {
-    val d = withPosition(p)
+    val d = positioned.getOrElse(withPosition(p))
     (0 until nSplits).map { i =>
       val cutoff = testSize + (nSplits - 1 - i) * stepSize
       val trainEnd = col("__cnt") - cutoff

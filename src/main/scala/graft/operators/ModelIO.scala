@@ -50,9 +50,12 @@ object ModelIO {
       java.lang.Double.longBitsToDouble(arr.get(i).asLong()))
   }
 
-  private def expect(n: ObjectNode, t: String): Unit =
-    require(n.get("type").asText() == t,
-      s"model file holds type '${n.get("type").asText()}', expected '$t'")
+  private def expect(n: ObjectNode, t: String): Unit = {
+    // a foreign/malformed JSON without a "type" key must hit the
+    // descriptive require, not NPE inside the message that explains it
+    val typ = Option(n.get("type")).map(_.asText()).getOrElse("<missing>")
+    require(typ == t, s"model file holds type '$typ', expected '$t'")
+  }
 
   // ----- recursive linear -----
 

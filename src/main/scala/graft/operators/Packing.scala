@@ -23,10 +23,14 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  /** Exact integral floor-division for non-negative longs (avoids the
-    * double-precision path of `/` + cast). */
+  /** Exact integral floor-division for non-negative longs. The
+    * remainder subtraction stays in long arithmetic and the division
+    * runs in decimal(38,0) — Column's `/` is DOUBLE division, which
+    * silently rounds quotients above 2^53 (real for the global token
+    * offsets of a 100-TB stream; same hazard RangeJoin.joinBand
+    * documents for nanosecond epochs). */
   private def intDiv(a: Column, b: Long): Column =
-    ((a - pmod(a, lit(b))) / lit(b)).cast("long")
+    ((a - pmod(a, lit(b))).cast("decimal(38,0)") / lit(b)).cast("long")
 
   /** Per-document packing manifest: `n_tokens`, `start_offset` (global
     * position of the doc's first token in the concatenated stream,
@@ -66,11 +70,14 @@ object Packing {
   }
 
   /** Per-window census of the packed layout: how many documents start
-    * in each window and how many straddle INTO it from the previous
-    * one — the packing-efficiency signal (straddle fraction ≈ wasted
-    * or cross-doc-attention tokens). One small aggregation over the
-    * manifest. */
-  def packCensus(manifest: DataFrame, idCol: String): DataFrame =
+    * in each window (`n_docs_start`) and how many of those straddle
+    * OUT past its right boundary (`n_straddle_out` — attributed to the
+    * window the doc STARTS in) — the packing-efficiency signal
+    * (straddle fraction ≈ wasted or cross-doc-attention tokens).
+    * Windows where no document starts (fully covered by a long doc's
+    * tail) carry no information under this attribution and are absent.
+    * One small aggregation over the manifest. */
+  def packCensus(manifest: DataFrame): DataFrame =
     manifest.groupBy(col("bin_first").as("bin"))
       .agg(count(lit(1)).as("n_docs_start"),
         sum(when(col("bin_last") > col("bin_first"), 1L).otherwise(0L))

@@ -994,7 +994,7 @@ object PipelineQueries {
           FROM c GROUP BY 1""") { (s, dir) =>
       graft.operators.Packing.packCensus(
         graft.operators.Packing.packManifest(tbl(s, dir, "documents"),
-          "doc_id", "text", ctxLen = 128), "doc_id")
+          "doc_id", "text", ctxLen = 128))
     },
 
     // end-to-end corpus-clean pipeline: exact dedup (keep lowest id

@@ -136,10 +136,12 @@ object StreamingPanel {
               vals = (vals.take(i) :+ r.value) ++ vals.drop(i)
               if (times.length > maxHistory) { times = times.tail; vals = vals.tail }
             } else {
+              // i < 0 covers both "no right row yet" and "the true
+              // match aged out of maxHistory" — either way no retained
+              // value is <= t, so the enrichment is honestly absent
               val i = times.lastIndexWhere(_ <= t)
-              val evicted = i < 0 && times.nonEmpty && t < times.head
               out += EnrichedEvent(entity, r.eventTime, r.value,
-                if (i >= 0 && !evicted) Some(vals(i)) else None,
+                if (i >= 0) Some(vals(i)) else None,
                 if (i >= 0) times(i) else Long.MinValue)
             }
           }
