@@ -82,9 +82,16 @@ object Bench {
     // name-sorted: Map iteration order shifts as the registry grows,
     // which reorders warmup/JIT effects between rounds — a fixed order
     // keeps per-query timings comparable round-to-round
+    var nFailed = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a failed query must be LOUD: in round 4 a schema change made
+      // 164 events-based queries throw at plan time — each "ran" in
+      // ~50 ms and the total silently dropped by half
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        nFailed += 1
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage.take(200)}")
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop persists a query left behind (several pipelines persist a
       // shared intermediate and cannot unpersist before returning):
@@ -134,8 +141,10 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_full.json"),
         full.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
+    if (nFailed > 0)
+      System.err.println(s"[bench] $nFailed of ${results.size} queries FAILED — total is meaningless")
     val top = results.toSeq.sortBy(-_._2).take(20)
     spark.stop()
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"queries":${fmt(top)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"queries":${fmt(top)},"sf":"$sfDir"}""")
   }
 }

@@ -59,17 +59,27 @@ object Panel {
 
 /** Parquet table loader for the driver's testdata layout.
   *
-  * Spark 4 has no TIMESTAMP(NANOS) type; the events table's ns
-  * timestamps are read as long (legacy.parquet.nanosAsLong) and
-  * converted to microsecond TimestampType — lossless on this data
-  * (µs-resolution values) and order-preserving in general. */
+  * The events table's `ts` has shipped as TIMESTAMP(NANOS) (which
+  * Spark 4 has no type for — read as long via legacy.parquet
+  * .nanosAsLong and divided down) and, since round 5, as plain
+  * TIMESTAMP(MICROS)/NTZ. Branch on the LOADED dtype so either
+  * generation of the data works — hardcoding one silently crashed
+  * every events-based query when the driver regenerated the corpus. */
 object Tables {
   /** Sessions must set spark.sql.legacy.parquet.nanosAsLong=true at
     * BUILD time (runtime set does not reach the parquet reader). */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => // ns-as-long (legacy)
+          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _: org.apache.spark.sql.types.TimestampNTZType => // µs, no zone
+          // session TZ is pinned UTC everywhere, so NTZ wall-clock ==
+          // the instant the ns epoch values encoded; cast is lossless
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
     else df
   }
 
