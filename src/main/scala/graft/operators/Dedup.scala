@@ -428,4 +428,50 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("a", "b", "cosine").distinct()
   }
+
+  /** SemDedup (Abbas et al. 2023, arXiv:2303.09540 — semantic dedup
+    * via embedding clustering; reference's near-dup surface is textual
+    * only, this is the embedding-space analog the paper applies to
+    * LAION/C4). Each vector joins its nearest of `nClusters`
+    * deterministically-sampled centroids — the same engine-portable
+    * md5-ordered sample as [[Similarity.ivfTopK]], collected once
+    * (nClusters × dim, bounded) and inlined as LITERALS, so assignment
+    * is a zero-shuffle per-row argmax projection. A document is a
+    * duplicate when some LOWER-id cluster-mate has cosine ≥ `tau`
+    * (the paper keeps one representative per semantic-dup set; lowest
+    * id is the deterministic choice). Pairwise work is confined within
+    * clusters — Σ cᵢ² not n²; at 100 TB, scale `nClusters` with the
+    * corpus to bound cluster width, and the cluster-key equi-join is
+    * the only shuffle.
+    *
+    * Returns one row per input vector: (id, cluster, is_dup). */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+               nClusters: Int, tau: Double): DataFrame = {
+    val centroids = emb.select(col(idCol), col(vecCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+      .limit(nClusters)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
+    // argmax over (dot, -cell) structs = highest dot, ties → lowest cell
+    val scoredCells = array(centroids.toIndexedSeq.map { case (cell, vec) =>
+      struct(Similarity.dot(col(vecCol), lit(vec)).as("d"), lit(-cell).as("negc"))
+    }: _*)
+    val assigned = emb
+      .withColumn("cluster", (-array_max(scoredCells).getField("negc")).cast("long"))
+      .withColumn("__n", Similarity.norm(col(vecCol)))
+    val l = assigned.select(col(idCol).as("__a"), col(vecCol).as("__va"),
+      col("__n").as("__na"), col("cluster"))
+    val r = assigned.select(col(idCol).as("__b"), col(vecCol).as("__vb"),
+      col("__n").as("__nb"), col("cluster"))
+    val dupIds = l.join(r, Seq("cluster")).filter(col("__a") < col("__b"))
+      .withColumn("__cos",
+        Similarity.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .filter(col("__cos") >= tau)
+      .select(col("__b").as(idCol)).distinct()
+    assigned.select(col(idCol), col("cluster"))
+      .join(dupIds.withColumn("__dup", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        coalesce(col("__dup"), lit(false)).as("is_dup"))
+  }
 }

@@ -413,6 +413,38 @@ object PipelineQueries {
             Similarity.cosine(col("__va"), col("__vb")).as("cosine")))
     },
 
+    // SemDedup (Abbas et al. 2023): embedding-space semantic dedup —
+    // md5-ordered centroid sample (the s_ann_ivf idiom), per-vector
+    // argmax cell assignment (ties → lowest cell), within-cluster
+    // cosine ≥ τ against a lower-id mate marks a duplicate. Oracle
+    // replays assignment + pair scan with dotSql's identical fold
+    // order, so the τ threshold decides identically on both engines.
+    "d_semdedup" -> Q(
+      s"""WITH cent AS (
+            SELECT rn - 1 AS cell, cv FROM (
+              SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS rn,
+                     embedding AS cv
+              FROM embeddings) WHERE rn <= 16),
+          ca AS (
+            SELECT vec_id, embedding, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS cr
+            FROM (SELECT e.vec_id, e.embedding, c.cell,
+                         ${dotSql("e.embedding", "c.cv")} AS d
+                  FROM embeddings e CROSS JOIN cent c)),
+          asg AS (SELECT vec_id, embedding, cell FROM ca WHERE cr = 1),
+          dup AS (SELECT DISTINCT b.vec_id
+                  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+                  WHERE ${dotSql("a.embedding", "b.embedding")} /
+                        (sqrt(${dotSql("a.embedding", "a.embedding")}) *
+                         sqrt(${dotSql("b.embedding", "b.embedding")})) >= 0.9)
+          SELECT s.vec_id, s.cell::BIGINT AS cluster,
+                 (d.vec_id IS NOT NULL) AS is_dup
+          FROM asg s LEFT JOIN dup d ON s.vec_id = d.vec_id""") {
+      (s, dir) =>
+        Dedup.semDedup(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+          nClusters = 16, tau = 0.9)
+    },
+
     // ----- text analysis -----
     "t_token_count" -> Q(
       """SELECT doc_id,
@@ -1024,8 +1056,12 @@ object PipelineQueries {
             AND alpha::DOUBLE / greatest(toks, 1) >= 0.8 AND stop >= 2""") {
       (s, dir) =>
         val docs = tbl(s, dir, "documents")
+        // dedup keyed on md5(text), not text: the shuffle carries a
+        // 16-byte hash instead of the full document (the exactDedup
+        // idiom) — same kept-id set, corpus-width narrower exchange
         val kept = docs.join(
-          docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id")).select("doc_id"),
+          docs.groupBy(md5(col("text").cast("binary")))
+            .agg(min(col("doc_id")).as("doc_id")).select("doc_id"),
           Seq("doc_id"), "left_semi")
         val survivors = kept.join(
           TextAnalysis.gopherRules(kept, "doc_id", "text")
@@ -1369,6 +1405,47 @@ object PipelineQueries {
           col("video_meta.height").cast("long").as("height"),
           col("video_meta.duration_ms").as("duration_ms"),
           coalesce(col("video_meta.n_frames"), lit(-1L)).as("n_frames"))
+    },
+
+    // REAL video frame decode (MJPEG path): each doc gets a 3-frame
+    // AVI whose 00dc chunks are real solid-color PNG/BMP bitstreams;
+    // the operator walks LIST movi, samples 2 frames evenly
+    // (⌊i·3/2⌋ → 0,1), and decodes each through the JDK codec. The
+    // oracle predicts the decode output arithmetically — lossless
+    // solid colors survive exactly (the mm_decode_real argument,
+    // extended through the container walk).
+    "mm_video_frames" -> Q(
+      s"""WITH b AS (SELECT doc_id, md5(text) AS h FROM documents),
+            v AS (SELECT doc_id, ${hex12ToLongSql("h")} AS hv FROM b),
+            f AS (SELECT doc_id, hv, (i * 3) // 2 AS fi
+                  FROM v, unnest(range(2)) AS t(i))
+          SELECT doc_id, fi::BIGINT AS frame_idx,
+                 CASE (hv + fi) % 2 WHEN 0 THEN 'image/png' ELSE 'image/bmp' END AS media_type,
+                 (3 + (hv + fi) % 14)::BIGINT AS width,
+                 (3 + ((hv // 65536) + fi) % 14)::BIGINT AS height,
+                 round(((hv + 97 * fi) % 256)::DOUBLE, 6) AS mean_r,
+                 round((((hv // 256) + 31 * fi) % 256)::DOUBLE, 6) AS mean_g,
+                 round((((hv // 65536) + 7 * fi) % 256)::DOUBLE, 6) AS mean_b
+          FROM f""") { (s, dir) =>
+      val hv = conv(substring(md5(col("text").cast("binary")), 1, 12), 16, 10).cast("long")
+      val buildAvi = udf((h: Long) => MediaFixtures.aviMjpegKernel(
+        (0 until 3).map { f =>
+          MediaCodec.encodeSolid(
+            if ((h + f) % 2 == 0) "png" else "bmp",
+            (3 + (h + f) % 14).toInt, (3 + (h / 65536 + f) % 14).toInt,
+            ((h + 97L * f) % 256).toInt, ((h / 256 + 31L * f) % 256).toInt,
+            ((h / 65536 + 7L * f) % 256).toInt)
+        }))
+      val docs = tbl(s, dir, "documents")
+        .withColumn("payload", buildAvi(hv))
+      Multimodal.withVideoFrames(docs, "payload", n = 2)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("frame_stats.media_type").as("media_type"),
+          col("frame_stats.width").cast("long").as("width"),
+          col("frame_stats.height").cast("long").as("height"),
+          rd6(col("frame_stats.mean_r")).as("mean_r"),
+          rd6(col("frame_stats.mean_g")).as("mean_g"),
+          rd6(col("frame_stats.mean_b")).as("mean_b"))
     }
   )
 }

@@ -26,6 +26,23 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.05, s"$approx vs $exact")
   }
 
+  test("semDedup: duplicates cluster together, lowest id is the kept representative") {
+    // 0,1,2 are exactly parallel (cos = 1, and scaling preserves the
+    // argmax cell for ANY sampled centroid set); 3 is orthogonal to
+    // them (cos = 0 < τ wherever it lands)
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(1f, 0f, 0f, 0f)), // exact dup of 0
+      (2L, Array(2f, 0f, 0f, 0f)), // parallel (cos 1) with 0
+      (3L, Array(0f, 1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(emb, "vec_id", "embedding", nClusters = 2, tau = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.size == 4)
+    assert(!out(0L)._2 && out(1L)._2 && out(2L)._2 && !out(3L)._2)
+    assert(out(0L)._1 == out(1L)._1 && out(1L)._1 == out(2L)._1)
+  }
+
   test("nearDupGroups finds connected components of candidate pairs") {
     // components: {1,2,3,9} (chain 1-2, 2-3, 3-9), {5,7}, singleton via no edges
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 7L)).toDF("a", "b")
