@@ -49,4 +49,29 @@ private[graft] object MediaFixtures {
   def pcm(hv: Column, n: Column): Column =
     aggregate(sequence(lit(1), n), lit(Array.emptyByteArray),
       (acc, i) => concat(acc, le16(pmod(hv * i, lit(65536)).cast("int"))))
+
+  /** Assemble a minimal MJPEG-style AVI: RIFF/AVI + one `LIST movi`
+    * whose `00dc` chunks carry the given complete still-image
+    * bitstreams (real codecs' output — the MJPEG contract). RIFF
+    * sizes are exact; chunks pad to even length. Imperative builder
+    * (frame payloads come from [[MediaCodec.encodeSolid]], itself
+    * imperative), used by the `mm_video_frames` fixture UDF and the
+    * MultimodalSpec containers. */
+  def aviMjpegKernel(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def ascii(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+    val moviBody = frames.map { f =>
+      val pad = f.length & 1
+      ascii("00dc") ++ le32(f.length) ++ f ++ Array.fill[Byte](pad)(0)
+    }.reduceOption(_ ++ _).getOrElse(Array.emptyByteArray)
+    val listSz = 4 + moviBody.length // "movi" + chunks
+    val riffSz = 4 + 8 + listSz      // "AVI " + LIST header + LIST body
+    bos.write(ascii("RIFF")); bos.write(le32(riffSz)); bos.write(ascii("AVI "))
+    bos.write(ascii("LIST")); bos.write(le32(listSz)); bos.write(ascii("movi"))
+    bos.write(moviBody)
+    bos.toByteArray
+  }
 }

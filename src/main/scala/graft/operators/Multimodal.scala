@@ -308,6 +308,84 @@ object Multimodal {
     df.withColumn("video_meta", f(col(binCol)))
   }
 
+  /** One decoded, sampled video frame: original frame index in the
+    * stream plus the [[MediaCodec.ImageStats]] decode summary. */
+  case class FrameStats(frame_idx: Int, media_type: String,
+                        width: Int, height: Int,
+                        mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** REAL video frame extraction for MJPEG-style AVI: walk the RIFF
+    * `LIST movi` payload for `##db`/`##dc` frame chunks (each chunk
+    * body is a complete still-image bitstream — the MJPEG contract),
+    * sample `n` frames evenly across the stream (indices ⌊i·total/n⌋),
+    * and decode each through the JDK codec ([[MediaCodec.decodeStats]]
+    * — the same real ImageIO path as `mm_decode_real`). Inter-coded
+    * formats (H.264 in MP4) still have no JDK decoder and keep the
+    * byte-range stub; MJPEG is the one container the JVM can decode
+    * end-to-end, so that path is real. Null for non-AVI payloads;
+    * frames an installed codec can't decode are dropped AFTER
+    * sampling (a corrupt frame in a 100 TB corpus must not kill the
+    * task — same contract as decodeStats). */
+  def videoFramesKernel(bytes: Array[Byte], n: Int): Array[FrameStats] =
+    try videoFramesWalk(bytes, n)
+    catch { case scala.util.control.NonFatal(_) => null }
+
+  private def videoFramesWalk(bytes: Array[Byte], n: Int): Array[FrameStats] = {
+    if (bytes == null || bytes.length < 16 || n <= 0) return null
+    def le32(off: Int): Long =
+      if (off + 4 > bytes.length) -1L
+      else (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    def tag(off: Int): String =
+      if (off + 4 > bytes.length) ""
+      else new String(bytes, off, 4, "ISO-8859-1")
+    if (tag(0) != "RIFF" || tag(8) != "AVI ") return null
+    // collect (offset, size) of every frame chunk, bounded walk
+    val ranges = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var hops = 0
+    def chunks(from: Int, to: Int, depth: Int): Unit = {
+      var pos = from
+      while (pos + 8 <= to && hops < 4096 && depth < 4) {
+        hops += 1
+        val id = tag(pos)
+        val sz = le32(pos + 4)
+        if (sz < 0 || sz > Int.MaxValue - 16 || pos + 8 + sz > to) return
+        if (id == "LIST" && (tag(pos + 8) == "movi" || tag(pos + 8) == "rec "))
+          chunks(pos + 12, pos + 8 + sz.toInt, depth + 1)
+        else if (id.length == 4 && (id.endsWith("db") || id.endsWith("dc")))
+          ranges += ((pos + 8, sz.toInt))
+        pos += 8 + sz.toInt + (sz.toInt & 1) // RIFF pads chunks to even
+        if (pos < 0) return
+      }
+    }
+    chunks(12, bytes.length, 0)
+    val total = ranges.length
+    if (total == 0) return Array.empty
+    val picks = if (n >= total) 0 until total
+                else (0 until n).map(i => (i.toLong * total / n).toInt)
+    picks.flatMap { idx =>
+      val (off, sz) = ranges(idx)
+      val frame = java.util.Arrays.copyOfRange(bytes, off, off + sz)
+      Option(MediaCodec.decodeStats(frame)).map(s =>
+        FrameStats(idx, s.media_type, s.width, s.height,
+          s.mean_r, s.mean_g, s.mean_b))
+    }.toArray
+  }
+
+  /** [[videoFramesKernel]] exploded: one row per sampled decoded
+    * frame, columns `frame_idx` + `frame_stats`. Partition-parallel —
+    * each payload decodes independently where its bytes already live. */
+  def withVideoFrames(df: DataFrame, binCol: String, n: Int): DataFrame = {
+    val f = udf((b: Array[Byte]) => videoFramesKernel(b, n))
+    df.withColumn("__frames", f(col(binCol)))
+      .filter(col("__frames").isNotNull)
+      .withColumn("frame", explode(col("__frames")))
+      .drop("__frames")
+      .withColumn("frame_idx", col("frame.frame_idx"))
+      .withColumn("frame_stats", col("frame").dropFields("frame_idx"))
+      .drop("frame")
+  }
+
   /** Row-level WAV stats record for the imperative kernel. */
   case class WavStats(n_samples: Long, mean_amp: Double, rms: Double,
                       zero_crossings: Long)

@@ -143,6 +143,30 @@ class MultimodalSpec extends SparkSpec {
     assert(m.n_frames.contains(250L) && m.duration_ms == 250L * 40000 / 1000)
   }
 
+  test("videoFramesKernel: movi walk + real decode, even sampling, corrupt frames dropped") {
+    import graft.operators.{MediaCodec, MediaFixtures}
+    val frames = Seq(
+      MediaCodec.encodeSolid("png", 4, 5, 10, 20, 30),
+      MediaCodec.encodeSolid("bmp", 6, 7, 40, 50, 60),
+      MediaCodec.encodeSolid("png", 8, 9, 70, 80, 90))
+    val avi = MediaFixtures.aviMjpegKernel(frames)
+    // n >= total → every frame, in stream order, really decoded
+    val all = Multimodal.videoFramesKernel(avi, 10)
+    assert(all.map(_.frame_idx).toSeq == Seq(0, 1, 2))
+    assert(all(1).media_type == "image/bmp" && all(1).width == 6 && all(1).height == 7)
+    assert(all(1).mean_r == 40.0 && all(1).mean_g == 50.0 && all(1).mean_b == 60.0)
+    // n=2 of 3 → indices ⌊i·3/2⌋ = 0, 1
+    val two = Multimodal.videoFramesKernel(avi, 2)
+    assert(two.map(_.frame_idx).toSeq == Seq(0, 1))
+    // a frame no codec decodes is dropped AFTER sampling (others keep)
+    val junky = MediaFixtures.aviMjpegKernel(
+      Seq(frames(0), Array.fill[Byte](32)(0x7f), frames(2)))
+    assert(Multimodal.videoFramesKernel(junky, 10).map(_.frame_idx).toSeq == Seq(0, 2))
+    // non-AVI payload → null; empty movi → empty
+    assert(Multimodal.videoFramesKernel(frames(0), 2) == null)
+    assert(Multimodal.videoFramesKernel(MediaFixtures.aviMjpegKernel(Seq.empty), 2).isEmpty)
+  }
+
   test("videoMetaKernel survives review-found crash shapes") {
     // AVI chunk with huge u32 size whose .toInt is negative — the walk
     // must not step backwards into tag(new String(bytes, -12, 4))
