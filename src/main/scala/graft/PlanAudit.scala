@@ -54,6 +54,8 @@ object PlanAudit {
       "mm_sniff_meta",                           // round 4: header sniff = 1 codegen pass, 0 exchanges
       "mm_wav_stats",                            // round 4: kernel-UDF scan — still 0 exchanges
       "t_bpe_encode",                            // round 4: merge-chain replaces — 0 exchanges
+      "d_semdedup",                              // round 5: literal centroids — only the cluster equi-join shuffles
+      "mm_video_frames",                         // round 5: container walk + decode stay one UDF pass
       "llm_analyze_prompt")                      // basket pushdown + tiny two-level concat
     picks.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
