@@ -445,20 +445,35 @@ object Dedup {
     * the only shuffle.
     *
     * Returns one row per input vector: (id, cluster, is_dup). */
-  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
-               nClusters: Int, tau: Double): DataFrame = {
-    val centroids = emb.select(col(idCol), col(vecCol))
+  /** Engine-portable deterministic centroid sample (the
+    * [[Similarity.ivfTopK]] idiom): first `nClusters` vectors in
+    * md5(id)-hex order. Bounded collect (nClusters × dim). */
+  private[graft] def sampleCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                                     nClusters: Int): Array[(Int, Array[Float])] =
+    emb.select(col(idCol), col(vecCol))
       .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
       .limit(nClusters)
       .collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
-    // argmax over (dot, -cell) structs = highest dot, ties → lowest cell
+
+  /** Nearest-centroid id as a zero-shuffle per-row projection:
+    * argmax over (dot, -cell) structs = highest dot, ties → lowest
+    * cell. One definition shared by the batch [[semDedup]] and the
+    * streaming gate so the two runtimes can never assign differently. */
+  private[graft] def clusterAssignCol(vecCol: Column,
+                                      centroids: Array[(Int, Array[Float])]): Column = {
     val scoredCells = array(centroids.toIndexedSeq.map { case (cell, vec) =>
-      struct(Similarity.dot(col(vecCol), lit(vec)).as("d"), lit(-cell).as("negc"))
+      struct(Similarity.dot(vecCol, lit(vec)).as("d"), lit(-cell).as("negc"))
     }: _*)
+    (-array_max(scoredCells).getField("negc")).cast("long")
+  }
+
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+               nClusters: Int, tau: Double): DataFrame = {
+    val centroids = sampleCentroids(emb, idCol, vecCol, nClusters)
     val assigned = emb
-      .withColumn("cluster", (-array_max(scoredCells).getField("negc")).cast("long"))
+      .withColumn("cluster", clusterAssignCol(col(vecCol), centroids))
       .withColumn("__n", Similarity.norm(col(vecCol)))
     val l = assigned.select(col(idCol).as("__a"), col(vecCol).as("__va"),
       col("__n").as("__na"), col("cluster"))

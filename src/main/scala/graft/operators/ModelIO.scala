@@ -193,4 +193,65 @@ object ModelIO {
       org.apache.spark.ml.regression.GBTRegressionModel.load(path + "/ensemble"),
       n.get("lags").asInt(), n.get("freq").asText())
   }
+
+  // ----- ANN index artifacts (build once, serve many) -----
+
+  /** IVF centroid index ([[Similarity.ivfCentroids]]): f32 vectors as
+    * raw int bits — a load → [[Similarity.ivfTopKWith]] assigns and
+    * ranks BIT-identically to the session that built the index. */
+  def saveIvfCentroids(cents: Array[(Int, Array[Float])], path: String): Unit = {
+    val n = mapper.createObjectNode()
+    n.put("type", "ivf_centroids")
+    val arr = n.putArray("cells")
+    cents.foreach { case (cell, vec) =>
+      val cn = arr.addObject()
+      cn.put("cell", cell)
+      val vb = cn.putArray("vec")
+      vec.foreach(v => vb.add(java.lang.Float.floatToRawIntBits(v)))
+    }
+    writeJson(n, path)
+  }
+
+  def loadIvfCentroids(path: String): Array[(Int, Array[Float])] = {
+    val n = readJson(path); expect(n, "ivf_centroids")
+    val arr = n.get("cells").asInstanceOf[ArrayNode]
+    Array.tabulate(arr.size()) { i =>
+      val cn = arr.get(i).asInstanceOf[ObjectNode]
+      val vb = cn.get("vec").asInstanceOf[ArrayNode]
+      (cn.get("cell").asInt(),
+        Array.tabulate(vb.size())(j =>
+          java.lang.Float.intBitsToFloat(vb.get(j).asInt())))
+    }
+  }
+
+  /** PQ codebooks ([[Similarity.pqCodebooks]], [subspace][centroid]
+    * [subDim] doubles as raw long bits): persist alongside the
+    * [[Similarity.pqCompress]] code table and serve ANN top-k without
+    * rescanning raw embeddings ([[Similarity.pqTopKWith]]). */
+  def savePqCodebooks(cb: Array[Array[Array[Double]]], path: String): Unit = {
+    val n = mapper.createObjectNode()
+    n.put("type", "pq_codebooks")
+    val ms = n.putArray("subspaces")
+    cb.foreach { cents =>
+      val cs = ms.addArray()
+      cents.foreach { c =>
+        val vb = cs.addArray()
+        c.foreach(v => vb.add(java.lang.Double.doubleToRawLongBits(v)))
+      }
+    }
+    writeJson(n, path)
+  }
+
+  def loadPqCodebooks(path: String): Array[Array[Array[Double]]] = {
+    val n = readJson(path); expect(n, "pq_codebooks")
+    val ms = n.get("subspaces").asInstanceOf[ArrayNode]
+    Array.tabulate(ms.size()) { mi =>
+      val cs = ms.get(mi).asInstanceOf[ArrayNode]
+      Array.tabulate(cs.size()) { j =>
+        val vb = cs.get(j).asInstanceOf[ArrayNode]
+        Array.tabulate(vb.size())(d =>
+          java.lang.Double.longBitsToDouble(vb.get(d).asLong()))
+      }
+    }
+  }
 }

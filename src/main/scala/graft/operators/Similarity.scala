@@ -75,17 +75,31 @@ object Similarity {
     * structs): no crossJoin row blowup, no shuffle, no per-vector
     * window. The only shuffles left are the cell-key join and the
     * final per-query top-k. */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-              vecCol: String, k: Int, nCells: Int, seed: Long = 42L): DataFrame = {
-    // pseudo-random but ENGINE-PORTABLE deterministic sample: order by
-    // md5 of the id rendered as a string (any engine computes the same
-    // hex, so the DuckDB oracle picks identical centroids)
-    val centroids = corpus.select(col(idCol), col(vecCol))
+  /** The IVF index artifact: `nCells` centroid vectors by the
+    * engine-portable deterministic sample — order by md5 of the id
+    * rendered as a string (any engine computes the same hex, so the
+    * DuckDB oracle picks identical centroids). Build ONCE per corpus
+    * (one bounded nCells×dim collect), persist via
+    * [[ModelIO.saveIvfCentroids]], reuse across every query batch —
+    * the index-build/index-serve split a 100 TB embedding store needs. */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                   nCells: Int): Array[(Int, Array[Float])] =
+    corpus.select(col(idCol), col(vecCol))
       .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
       .limit(nCells)
       .collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCells: Int, seed: Long = 42L): DataFrame =
+    ivfTopKWith(queries, corpus, idCol, vecCol, k,
+      ivfCentroids(corpus, idCol, vecCol, nCells))
+
+  /** [[ivfTopK]] against a prebuilt (possibly loaded) centroid index. */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame, idCol: String,
+                  vecCol: String, k: Int,
+                  centroids: Array[(Int, Array[Float])]): DataFrame = {
     val assign = (df: DataFrame, v: String) => {
       // argmax over (dot, -cell) structs = highest dot, ties → lowest cell
       val scoredCells = array(centroids.toIndexedSeq.map { case (cell, vec) =>
@@ -177,8 +191,18 @@ object Similarity {
     * embedding column. Approximation = distance to the RECONSTRUCTED
     * corpus vector; ranked ascending (ties → lowest neighbor id). */
   def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-             vecCol: String, k: Int, m: Int = 4, kCent: Int = 8): DataFrame = {
-    val cb = pqCodebooks(corpus, idCol, vecCol, m, kCent)
+             vecCol: String, k: Int, m: Int = 4, kCent: Int = 8): DataFrame =
+    pqTopKWith(queries, corpus, idCol, vecCol, k,
+      pqCodebooks(corpus, idCol, vecCol, m, kCent))
+
+  /** [[pqTopK]] against a prebuilt (possibly loaded) codebook — pair
+    * with a persisted [[pqCompress]] code table to serve ANN queries
+    * without ever rescanning the raw embeddings. */
+  def pqTopKWith(queries: DataFrame, corpus: DataFrame, idCol: String,
+                 vecCol: String, k: Int,
+                 cb: Array[Array[Array[Double]]]): DataFrame = {
+    val m = cb.length
+    val kCent = cb(0).length
     val sub = cb(0)(0).length
     // exchange barrier between compression and the pair join: fused
     // into the join's codegen stage, the compress expressions would be

@@ -363,6 +363,60 @@ object StreamingPanel {
       .filter(col("contamination_frac") < threshold)
   }
 
+  /** Streaming SemDedup gate: drop arriving embeddings that are
+    * semantic duplicates of a STATIC reference corpus — the
+    * ingest-time form of [[graft.operators.Dedup.semDedup]]. The
+    * reference corpus is reduced ONCE at plan time to (a) the same
+    * md5-ordered centroid sample the batch operator uses (shared
+    * [[graft.operators.Dedup.clusterAssignCol]] — the two runtimes
+    * can never assign differently) and (b) ≤ `maxPerCluster`
+    * md5-rank-capped member vectors per cluster. Both are bounded
+    * (nClusters × dim and nClusters × maxPerCluster × dim) and ride
+    * in a broadcast, so the gate is stateless per row: assign
+    * cluster by literal argmax, scan only that cluster's members for
+    * cosine ≥ τ — the genuinely imperative bounded lookup (the
+    * KNN-heap precedent), not per-row HOF algebra which Spark would
+    * interpret element-wise. No state, no watermark, unbounded
+    * stream; at 100 TB the reference reduction is one batch pass. */
+  def streamingSemDedupGate(vecs: DataFrame, referenceCorpus: DataFrame,
+                            idCol: String, vecCol: String,
+                            nClusters: Int, tau: Double,
+                            maxPerCluster: Int = 256): DataFrame = {
+    import graft.operators.Dedup
+    val centroids = Dedup.sampleCentroids(referenceCorpus, idCol, vecCol, nClusters)
+    val members: Map[Long, Array[(Array[Double], Double)]] =
+      referenceCorpus
+        .withColumn("__c", Dedup.clusterAssignCol(col(vecCol), centroids))
+        .withColumn("__rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("__c"))
+            .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))))
+        .filter(col("__rk") <= maxPerCluster)
+        .select(col("__c"), col(vecCol))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (c, rows) =>
+          c -> rows.map { r =>
+            val v = r.getSeq[Float](1).toArray.map(_.toDouble)
+            (v, math.sqrt(v.map(x => x * x).sum))
+          }
+        }
+    val spark = vecs.sparkSession
+    val bc = spark.sparkContext.broadcast(members)
+    val isDup = udf { (vec: Seq[Float], cluster: Long) =>
+      val v = vec.toArray.map(_.toDouble)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      bc.value.getOrElse(cluster, Array.empty[(Array[Double], Double)])
+        .exists { case (m, mn) =>
+          var d = 0.0; var i = 0
+          while (i < v.length) { d += v(i) * m(i); i += 1 }
+          n > 0 && mn > 0 && d / (n * mn) >= tau
+        }
+    }
+    vecs.withColumn("cluster", Dedup.clusterAssignCol(col(vecCol), centroids))
+      .withColumn("is_dup", isDup(col(vecCol), col("cluster")))
+      .filter(!col("is_dup"))
+  }
+
   final case class DocIn(docId: Long, text: String)
 
   /** One incrementally-detected LSH candidate pair (a < b), tagged

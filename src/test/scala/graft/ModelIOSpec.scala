@@ -89,6 +89,41 @@ class ModelIOSpec extends SparkSpec {
     assert(rows(l.predict(p0, "t", 3, xf)) == rows(m.predict(p0, "t", 3, xf)))
   }
 
+  test("ANN index artifacts round-trip bit-identically and serve identical top-k") {
+    import SparkSpec.session.implicits._
+    import org.apache.spark.sql.functions._
+    val vecs = SparkSpec.session.range(64).select($"id".as("vec_id"),
+      transform(sequence(lit(1), lit(8)),
+        i => (pmod(xxhash64($"id" * 131 + i), lit(1000)).cast("double") / 500.0 - 1.0)
+          .cast("float")).as("embedding"))
+    val q = vecs.filter($"vec_id" < 4)
+    // IVF centroids
+    val cents = Similarity.ivfCentroids(vecs, "vec_id", "embedding", nCells = 4)
+    val cPath = tmp("ivf") + "/cents.json"
+    ModelIO.saveIvfCentroids(cents, cPath)
+    val lc = ModelIO.loadIvfCentroids(cPath)
+    assert(lc.length == cents.length &&
+      lc.zip(cents).forall { case ((c1, v1), (c2, v2)) =>
+        c1 == c2 && v1.sameElements(v2) })
+    val fresh = Similarity.ivfTopKWith(q, vecs, "vec_id", "embedding", 3, cents)
+      .collect().map(_.toSeq).toSeq
+    val served = Similarity.ivfTopKWith(q, vecs, "vec_id", "embedding", 3, lc)
+      .collect().map(_.toSeq).toSeq
+    assert(fresh == served)
+    // PQ codebooks
+    val cb = Similarity.pqCodebooks(vecs, "vec_id", "embedding", m = 4, k = 8)
+    val pPath = tmp("pq") + "/cb.json"
+    ModelIO.savePqCodebooks(cb, pPath)
+    val lcb = ModelIO.loadPqCodebooks(pPath)
+    assert(lcb.length == cb.length && lcb.zip(cb).forall { case (a, b) =>
+      a.zip(b).forall { case (x, y) => x.sameElements(y) } })
+    val pqFresh = Similarity.pqTopKWith(q, vecs, "vec_id", "embedding", 3, cb)
+      .collect().map(_.toSeq).toSeq
+    val pqServed = Similarity.pqTopKWith(q, vecs, "vec_id", "embedding", 3, lcb)
+      .collect().map(_.toSeq).toSeq
+    assert(pqFresh == pqServed)
+  }
+
   test("loading a mismatched type fails actionably") {
     val p = panel(signal)
     val m = LinearForecaster.fit(p, lags = 3, freq = "1i")

@@ -210,8 +210,18 @@ class MultimodalSpec extends SparkSpec {
     junk.foreach(b => assert(Multimodal.videoMetaKernel(b) == null))
     val rnd = new scala.util.Random(7L)
     (0 until 200).foreach { _ =>
-      Multimodal.videoMetaKernel(Array.fill(rnd.nextInt(120))(rnd.nextInt(256).toByte))
+      val b = Array.fill(rnd.nextInt(120))(rnd.nextInt(256).toByte)
+      Multimodal.videoMetaKernel(b)
+      Multimodal.videoFramesKernel(b, 3)
     } // must not throw
+    // RIFF/AVI prefix + random movi-ish tail: the frames walk must
+    // survive crafted sizes (null/empty, never throw)
+    (0 until 100).foreach { _ =>
+      val tail = Array.fill(rnd.nextInt(100))(rnd.nextInt(256).toByte)
+      val avi = "RIFF".getBytes("ISO-8859-1") ++ le32b(rnd.nextInt(1 << 24).toLong) ++
+        "AVI ".getBytes("ISO-8859-1") ++ tail
+      Multimodal.videoFramesKernel(avi, 2)
+    }
   }
 
   test("resizeMedia caps payload at width*height bytes and records target dims") {

@@ -388,6 +388,39 @@ class StreamingSpec extends SparkSpec {
     assert(batch == kept, s"batch $batch vs stream $kept")
   }
 
+  test("streaming SemDedup gate drops reference near-dups, assigns like batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // reference: two orthogonal directions
+    val ref = Seq(
+      (100L, Array(1f, 0f, 0f, 0f)),
+      (101L, Array(0f, 1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val arriving = Seq(
+      (1L, Array(2f, 0f, 0f, 0f)),   // parallel to ref 100 → dup
+      (2L, Array(0f, 0f, 1f, 0f)),   // orthogonal to both → kept
+      (3L, Array(0f, 3f, 0f, 0f)))   // parallel to ref 101 → dup
+    val mem = MemoryStream[(Long, Array[Float])]
+    val out = StreamingPanel.streamingSemDedupGate(
+      mem.toDF.toDF("vec_id", "embedding"), ref, "vec_id", "embedding",
+      nClusters = 2, tau = 0.9)
+    val q = out.writeStream.format("memory").queryName("sdg").outputMode("append").start()
+    mem.addData(arriving: _*)
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("sdg").select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L), s"kept $kept")
+    // the stream's cluster assignment equals the batch operator's on
+    // the same centroids (shared clusterAssignCol definition)
+    val centroids = graft.operators.Dedup.sampleCentroids(ref, "vec_id", "embedding", 2)
+    val batchClusters = arriving.toDF("vec_id", "embedding")
+      .withColumn("cluster",
+        graft.operators.Dedup.clusterAssignCol(col("embedding"), centroids))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val streamClusters = spark.table("sdg")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    streamClusters.foreach { case (id, c) => assert(batchClusters(id) == c) }
+  }
+
   test("streaming LSH near-dup candidates match the batch operator's pairs") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
