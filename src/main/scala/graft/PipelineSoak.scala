@@ -150,6 +150,13 @@ object PipelineSoak {
       Similarity.pqTopK(vecs.filter(col("vec_id") < 32), vecs,
         "vec_id", "embedding", k = 10, m = 4, kCent = 8).count()
     }
+    // SemDedup at soak scale: 256 clusters bound the within-cluster
+    // pair fan-out to ~(nVecs/256)² per cluster; the assignment is a
+    // zero-shuffle literal-argmax projection
+    time("SemDedup (256 clusters, tau 0.9)", nVecs.toLong) {
+      Dedup.semDedup(vecs, "vec_id", "embedding", nClusters = 256, tau = 0.9)
+        .filter(col("is_dup")).count()
+    }
     spark.stop()
   }
 }
