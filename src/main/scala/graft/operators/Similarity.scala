@@ -96,21 +96,31 @@ object Similarity {
     ivfTopKWith(queries, corpus, idCol, vecCol, k,
       ivfCentroids(corpus, idCol, vecCol, nCells))
 
-  /** [[ivfTopK]] against a prebuilt (possibly loaded) centroid index. */
+  /** [[ivfTopK]] against a prebuilt (possibly loaded) centroid index.
+    * `nProbe` > 1 is the recall knob: each QUERY fans out to its
+    * nProbe nearest cells (corpus vectors still live in exactly one
+    * home cell), multiplying the probed fraction of the corpus by
+    * nProbe while the scan stays bucket-local — the standard
+    * IVF recall/cost trade at 100 TB. */
   def ivfTopKWith(queries: DataFrame, corpus: DataFrame, idCol: String,
                   vecCol: String, k: Int,
-                  centroids: Array[(Int, Array[Float])]): DataFrame = {
-    val assign = (df: DataFrame, v: String) => {
-      // argmax over (dot, -cell) structs = highest dot, ties → lowest cell
-      val scoredCells = array(centroids.toIndexedSeq.map { case (cell, vec) =>
-        struct(dot(col(v), lit(vec)).as("d"), lit(-cell).as("negc"))
-      }: _*)
-      df.withColumn("c_id", -array_max(scoredCells).getField("negc"))
-    }
-    val qa = assign(queries.select(col(idCol).as("q_id"), col(vecCol).as("__qv")), "__qv")
-      .withColumn("__qn", norm(col("__qv")))
-    val ca = assign(corpus.select(col(idCol).as("n_id"), col(vecCol).as("__cv")), "__cv")
+                  centroids: Array[(Int, Array[Float])],
+                  nProbe: Int = 1): DataFrame = {
+    val scoredCells = (v: String) => array(centroids.toIndexedSeq.map { case (cell, vec) =>
+      struct(dot(col(v), lit(vec)).as("d"), lit(-cell).as("negc"))
+    }: _*)
+    // argmax over (dot, -cell) structs = highest dot, ties → lowest cell
+    val ca = corpus.select(col(idCol).as("n_id"), col(vecCol).as("__cv"))
+      .withColumn("c_id", -array_max(scoredCells("__cv")).getField("negc"))
       .withColumn("__cn", norm(col("__cv")))
+    // query side: descending struct sort = d desc, ties → lowest cell
+    // (larger negc first); one probed cell per exploded row
+    val qa = queries.select(col(idCol).as("q_id"), col(vecCol).as("__qv"))
+      .withColumn("__probe",
+        explode(slice(reverse(sort_array(scoredCells("__qv"))), 1, nProbe)))
+      .withColumn("c_id", -col("__probe").getField("negc"))
+      .drop("__probe")
+      .withColumn("__qn", norm(col("__qv")))
     val scored = qa.join(ca, Seq("c_id")).filter(col("q_id") =!= col("n_id"))
       .withColumn("sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
     scored.withColumn("rnk", row_number().over(

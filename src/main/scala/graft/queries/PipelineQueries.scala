@@ -1120,6 +1120,37 @@ object PipelineQueries {
         k = 5, nCells = 16))
     },
 
+    // multi-probe IVF (the recall knob): queries fan out to their 2
+    // nearest cells (cr <= 2), corpus vectors stay in their single
+    // home cell (cr = 1) — each (q, n) pair appears at most once
+    "s_ann_ivf_probe" -> Q(
+      s"""WITH cent AS (
+            SELECT rn - 1 AS cell, cv FROM (
+              SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS rn,
+                     embedding AS cv
+              FROM embeddings) WHERE rn <= 16),
+          ca AS (
+            SELECT vec_id, embedding, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS cr
+            FROM (SELECT e.vec_id, e.embedding, c.cell,
+                         ${dotSql("e.embedding", "c.cv")} AS d
+                  FROM embeddings e CROSS JOIN cent c)),
+          asg AS (SELECT vec_id, embedding, cell FROM ca WHERE cr = 1),
+          qrb AS (SELECT vec_id, embedding, cell FROM ca WHERE cr <= 2 AND vec_id < 10),
+          s AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+                       ${dotSql("q.embedding", "n.embedding")} /
+                       (sqrt(${dotSql("q.embedding", "q.embedding")}) *
+                        sqrt(${dotSql("n.embedding", "n.embedding")})) AS sim
+                FROM qrb q JOIN asg n ON q.cell = n.cell AND q.vec_id <> n.vec_id)
+          SELECT q_id, rnk, n_id, round(sim, 6) AS sim FROM (
+            SELECT q_id, n_id, sim,
+                   row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk
+            FROM s) WHERE rnk <= 5""") { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      r6(Similarity.ivfTopKWith(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+        k = 5, Similarity.ivfCentroids(emb, "vec_id", "embedding", 16), nProbe = 2))
+    },
+
     // PQ ANN replicated end-to-end: md5-ordered 8-vector codebook
     // sample sliced into 4×16-dim subspaces, per-subspace argmin code
     // assignment (metric -2·x·c + cᵀc, ties → lowest index), ADC

@@ -26,6 +26,31 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.05, s"$approx vs $exact")
   }
 
+  test("multi-probe IVF recovers a neighbor the single-probe scan misses") {
+    import org.apache.spark.sql.DataFrame
+    // EXPLICIT centroids on two orthogonal directions (ivfTopKWith
+    // takes any prebuilt index): query q assigns to cell A but sits
+    // near B too — its cell-B neighbors are invisible at nProbe=1
+    // and reachable at nProbe=2
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),      // cell A
+      (1L, Array(0f, 1f, 0f, 0f)),      // cell B
+      (2L, Array(0.8f, 0.6f, 0f, 0f)),  // q: argmax dot → cell A
+      (3L, Array(0.1f, 0.995f, 0f, 0f)) // cell B
+    ).toDF("vec_id", "embedding")
+    val cents = Array((0, Array(1f, 0f, 0f, 0f)), (1, Array(0f, 1f, 0f, 0f)))
+    def neighbors(nProbe: Int): Set[Long] =
+      Similarity.ivfTopKWith(vecs.filter($"vec_id" === 2), vecs,
+        "vec_id", "embedding", k = 3, cents, nProbe = nProbe)
+        .collect().map(_.getLong(2)).toSet
+    val single = neighbors(1)
+    val multi = neighbors(2)
+    assert(single.subsetOf(multi))
+    // with both cells probed, EVERY other vector is reachable
+    assert(multi == Set(0L, 1L, 3L), s"multi $multi")
+    assert(single.size < multi.size, s"single $single should miss a cell")
+  }
+
   test("semDedup: duplicates cluster together, lowest id is the kept representative") {
     // 0,1,2 are exactly parallel (cos = 1, and scaling preserves the
     // argmax cell for ANY sampled centroid set); 3 is orthogonal to
