@@ -325,7 +325,10 @@ object Multimodal {
     * end-to-end, so that path is real. Null for non-AVI payloads;
     * frames an installed codec can't decode are dropped AFTER
     * sampling (a corrupt frame in a 100 TB corpus must not kill the
-    * task — same contract as decodeStats). */
+    * task — same contract as decodeStats). The chunk walk is bounded
+    * to 4096 chunks (the adversarial-container guard, same rationale
+    * as the meta walk's 64-box cap) — sampling indexes into the
+    * frames seen within that bound; raise it for hour-long payloads. */
   def videoFramesKernel(bytes: Array[Byte], n: Int): Array[FrameStats] =
     try videoFramesWalk(bytes, n)
     catch { case scala.util.control.NonFatal(_) => null }

@@ -106,10 +106,16 @@ object Similarity {
                   vecCol: String, k: Int,
                   centroids: Array[(Int, Array[Float])],
                   nProbe: Int = 1): DataFrame = {
+    // assignment metric = dot/‖c‖ (spherical): raw dots let the
+    // largest-norm centroid swallow the corpus (measured 28% of 200k
+    // vectors in ONE cell on uniform synthetic data — quadratic death
+    // for any within-cell scan and a hot-cell probe for every query);
+    // the row's own norm is per-row constant and can't change argmax
     val scoredCells = (v: String) => array(centroids.toIndexedSeq.map { case (cell, vec) =>
-      struct(dot(col(v), lit(vec)).as("d"), lit(-cell).as("negc"))
+      struct((dot(col(v), lit(vec)) / lit(Dedup.centroidNorm(vec))).as("d"),
+        lit(-cell).as("negc"))
     }: _*)
-    // argmax over (dot, -cell) structs = highest dot, ties → lowest cell
+    // argmax over (d, -cell) structs = highest d, ties → lowest cell
     val ca = corpus.select(col(idCol).as("n_id"), col(vecCol).as("__cv"))
       .withColumn("c_id", -array_max(scoredCells("__cv")).getField("negc"))
       .withColumn("__cn", norm(col("__cv")))

@@ -429,7 +429,7 @@ object PipelineQueries {
             SELECT vec_id, embedding, cell,
                    row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS cr
             FROM (SELECT e.vec_id, e.embedding, c.cell,
-                         ${dotSql("e.embedding", "c.cv")} AS d
+                         ${dotSql("e.embedding", "c.cv")} / sqrt(${dotSql("c.cv", "c.cv")}) AS d
                   FROM embeddings e CROSS JOIN cent c)),
           asg AS (SELECT vec_id, embedding, cell FROM ca WHERE cr = 1),
           dup AS (SELECT DISTINCT b.vec_id
@@ -1102,7 +1102,7 @@ object PipelineQueries {
             SELECT vec_id, embedding, cell,
                    row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS cr
             FROM (SELECT e.vec_id, e.embedding, c.cell,
-                         ${dotSql("e.embedding", "c.cv")} AS d
+                         ${dotSql("e.embedding", "c.cv")} / sqrt(${dotSql("c.cv", "c.cv")}) AS d
                   FROM embeddings e CROSS JOIN cent c)),
           asg AS (SELECT vec_id, embedding, cell FROM ca WHERE cr = 1),
           s AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
@@ -1133,7 +1133,7 @@ object PipelineQueries {
             SELECT vec_id, embedding, cell,
                    row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) AS cr
             FROM (SELECT e.vec_id, e.embedding, c.cell,
-                         ${dotSql("e.embedding", "c.cv")} AS d
+                         ${dotSql("e.embedding", "c.cv")} / sqrt(${dotSql("c.cv", "c.cv")}) AS d
                   FROM embeddings e CROSS JOIN cent c)),
           asg AS (SELECT vec_id, embedding, cell FROM ca WHERE cr = 1),
           qrb AS (SELECT vec_id, embedding, cell FROM ca WHERE cr <= 2 AND vec_id < 10),

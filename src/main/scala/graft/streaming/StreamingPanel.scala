@@ -368,7 +368,7 @@ object StreamingPanel {
     * ingest-time form of [[graft.operators.Dedup.semDedup]]. The
     * reference corpus is reduced ONCE at plan time to (a) the same
     * md5-ordered centroid sample the batch operator uses (shared
-    * [[graft.operators.Dedup.clusterAssignCol]] — the two runtimes
+    * [[graft.operators.Dedup.clusterAssignAuto]] — the two runtimes
     * can never assign differently) and (b) ≤ `maxPerCluster`
     * md5-rank-capped member vectors per cluster. Both are bounded
     * (nClusters × dim and nClusters × maxPerCluster × dim) and ride
@@ -386,7 +386,7 @@ object StreamingPanel {
     val centroids = Dedup.sampleCentroids(referenceCorpus, idCol, vecCol, nClusters)
     val members: Map[Long, Array[(Array[Double], Double)]] =
       referenceCorpus
-        .withColumn("__c", Dedup.clusterAssignCol(col(vecCol), centroids))
+        .withColumn("__c", Dedup.clusterAssignAuto(col(vecCol), centroids))
         .withColumn("__rk", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("__c"))
             .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))))
@@ -412,7 +412,7 @@ object StreamingPanel {
           n > 0 && mn > 0 && d / (n * mn) >= tau
         }
     }
-    vecs.withColumn("cluster", Dedup.clusterAssignCol(col(vecCol), centroids))
+    vecs.withColumn("cluster", Dedup.clusterAssignAuto(col(vecCol), centroids))
       .withColumn("is_dup", isDup(col(vecCol), col("cluster")))
       .filter(!col("is_dup"))
   }

@@ -68,6 +68,23 @@ class PipelineSpec extends SparkSpec {
     assert(out(0L)._1 == out(1L)._1 && out(1L)._1 == out(2L)._1)
   }
 
+  test("cluster assignment: imperative kernel matches the column algebra bitwise") {
+    import org.apache.spark.sql.functions.transform
+    // 40 centroids forces the kernel on the auto path; compare it
+    // against the small-set column algebra on the same centroids
+    val vecs = SparkSpec.session.range(300).select($"id".as("vec_id"),
+      transform(sequence(lit(1), lit(16)),
+        i => (pmod(xxhash64($"id" * 31 + i), lit(2001)).cast("double") / 1000.0 - 1.0)
+          .cast("float")).as("embedding"))
+    val cents = graft.operators.Dedup.sampleCentroids(vecs, "vec_id", "embedding", 40)
+    assert(cents.length == 40)
+    val both = vecs
+      .withColumn("alg", graft.operators.Dedup.clusterAssignCol($"embedding", cents))
+      .withColumn("ker", graft.operators.Dedup.clusterAssignKernel(cents)($"embedding"))
+      .filter($"alg" =!= $"ker")
+    assert(both.count() == 0)
+  }
+
   test("nearDupGroups finds connected components of candidate pairs") {
     // components: {1,2,3,9} (chain 1-2, 2-3, 3-9), {5,7}, singleton via no edges
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 7L)).toDF("a", "b")
