@@ -96,6 +96,42 @@ object Similarity {
     ivfTopKWith(queries, corpus, idCol, vecCol, k,
       ivfCentroids(corpus, idCol, vecCol, nCells))
 
+  /** Lloyd refinement for a sampled centroid set (spherical k-means):
+    * each iteration assigns every vector to its nearest centroid
+    * (normalized-dot argmax — [[graft.operators.Dedup.clusterAssignAuto]],
+    * the kernel path above 32 cells) and replaces each centroid with
+    * its members' per-dimension mean; empty cells keep their previous
+    * centroid. Cost per iteration: ONE corpus scan + an
+    * nCells×dim aggregation (map-side combined) + an nCells-row
+    * collect — scale-safe at any corpus size. The sampled-centroid
+    * path stays the deterministic/oracle-replicable default
+    * (float-sum order across partitions makes refined means
+    * run-dependent at the last ulp); refine when recall matters more
+    * than replayability, then persist the result via
+    * [[graft.operators.ModelIO.saveIvfCentroids]] so serving IS
+    * deterministic against the frozen index. */
+  def kmeansRefine(corpus: DataFrame, vecCol: String,
+                   cents: Array[(Int, Array[Float])], iters: Int): Array[(Int, Array[Float])] = {
+    require(cents.nonEmpty && iters >= 0, "need centroids and iters >= 0")
+    val dim = cents(0)._2.length
+    var cur = cents
+    var it = 0
+    while (it < iters) {
+      val assigned = corpus.withColumn("__c",
+        graft.operators.Dedup.clusterAssignAuto(col(vecCol), cur))
+      val aggs = (0 until dim).map(i =>
+        avg(element_at(col(vecCol), i + 1)).as(s"__m$i"))
+      val means = assigned.groupBy(col("__c")).agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map(r => r.getLong(0).toInt ->
+          Array.tabulate(dim)(i => r.getDouble(i + 1).toFloat))
+        .toMap
+      cur = cur.map { case (c, v) => (c, means.getOrElse(c, v)) }
+      it += 1
+    }
+    cur
+  }
+
   /** [[ivfTopK]] against a prebuilt (possibly loaded) centroid index.
     * `nProbe` > 1 is the recall knob: each QUERY fans out to its
     * nProbe nearest cells (corpus vectors still live in exactly one

@@ -68,6 +68,31 @@ class PipelineSpec extends SparkSpec {
     assert(out(0L)._1 == out(1L)._1 && out(1L)._1 == out(2L)._1)
   }
 
+  test("kmeansRefine recovers blob centers from arbitrary member inits") {
+    import org.apache.spark.sql.functions.{transform => sqlTransform}
+    // two tight blobs on orthogonal directions; noise in [0, 0.1)
+    val vecs = SparkSpec.session.range(400).select($"id".as("vec_id"),
+      sqlTransform(sequence(lit(0), lit(3)), i => (
+        when(i === pmod($"id", lit(2)).cast("int"), lit(1.0)).otherwise(lit(0.0)) +
+          pmod(xxhash64($"id" * 7 + i), lit(100)).cast("double") / 1000.0
+        ).cast("float")).as("embedding"))
+    // init: two members of the SAME blob (id 0 and 2 — both even/blob-0);
+    // refinement must still separate the blobs
+    val init = Array(
+      (0, Array(1.05f, 0.02f, 0.01f, 0.03f)),
+      (1, Array(0.95f, 0.08f, 0.05f, 0.01f)))
+    val refined = Similarity.kmeansRefine(vecs, "embedding", init, iters = 3)
+    // after refinement the two centroids point at DIFFERENT blobs:
+    // exactly one has its max coordinate at dim 0, the other at dim 1
+    val maxDims = refined.map(_._2.zipWithIndex.maxBy(_._1)._2).toSet
+    assert(maxDims == Set(0, 1), s"maxDims $maxDims — centroids ${refined.map(_._2.mkString(","))}")
+    // and the full assignment splits the corpus into the two parity blobs
+    val assigned = vecs.withColumn("c",
+      graft.operators.Dedup.clusterAssignAuto($"embedding", refined))
+      .groupBy("c").count().collect().map(r => r.getLong(1)).sorted
+    assert(assigned.toSeq == Seq(200L, 200L), s"sizes ${assigned.toSeq}")
+  }
+
   test("cluster assignment: imperative kernel matches the column algebra bitwise") {
     import org.apache.spark.sql.functions.transform
     // 40 centroids forces the kernel on the auto path; compare it
