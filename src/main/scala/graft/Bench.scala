@@ -79,6 +79,16 @@ object Bench {
       graft.operators.StumpBoost.fit(tinyPanel, lags = 3, freq = "1d",
         rounds = 2, bins = 4).predict(tinyPanel, "ts", fh = 1).count()
     } catch { case _: Throwable => () }
+    // ...and the JDK image codec machinery (ImageIO plugin discovery +
+    // per-format reader/writer init costs ~4 s on first use — measured
+    // on mm_video_frames: 6.9 s cold vs 2.5 s warm)
+    try {
+      val png = graft.operators.MediaCodec.encodeSolid("png", 4, 4, 1, 2, 3)
+      graft.operators.MediaCodec.decodeStats(png)
+      val bmp = graft.operators.MediaCodec.encodeSolid("bmp", 4, 4, 1, 2, 3)
+      graft.operators.MediaCodec.decodeStats(bmp)
+      graft.operators.MediaCodec.encodeSolid("jpeg", 4, 4, 1, 2, 3)
+    } catch { case _: Throwable => () }
     // name-sorted: Map iteration order shifts as the registry grows,
     // which reorders warmup/JIT effects between rounds — a fixed order
     // keeps per-query timings comparable round-to-round
