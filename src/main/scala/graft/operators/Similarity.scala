@@ -96,11 +96,13 @@ object Similarity {
     ivfTopKWith(queries, corpus, idCol, vecCol, k,
       ivfCentroids(corpus, idCol, vecCol, nCells))
 
-  /** Lloyd refinement for a sampled centroid set (spherical k-means):
-    * each iteration assigns every vector to its nearest centroid
-    * (normalized-dot argmax — [[graft.operators.Dedup.clusterAssignAuto]],
-    * the kernel path above 32 cells) and replaces each centroid with
-    * its members' per-dimension mean; empty cells keep their previous
+  /** Lloyd refinement for a sampled centroid set: each iteration
+    * assigns every vector to its nearest centroid — `metric =
+    * "spherical"` (default) is the normalized-dot argmax shared with
+    * SemDedup/IVF ([[graft.operators.Dedup.clusterAssignAuto]], kernel
+    * path above 32 cells); `"l2"` is the −2·v·c + cᵀc argmin that
+    * [[pqCompress]] codes with — and replaces each centroid with its
+    * members' per-dimension mean; empty cells keep their previous
     * centroid. Cost per iteration: ONE corpus scan + an
     * nCells×dim aggregation (map-side combined) + an nCells-row
     * collect — scale-safe at any corpus size. The sampled-centroid
@@ -110,15 +112,44 @@ object Similarity {
     * than replayability, then persist the result via
     * [[graft.operators.ModelIO.saveIvfCentroids]] so serving IS
     * deterministic against the frozen index. */
+  /** Imperative L2 argmin assignment (−2·v·c + cᵀc; the vᵀv term is
+    * per-row constant), strict `<` keeps the lowest cell on ties —
+    * the metric [[pqCompress]] codes with, for L2-mode refinement. */
+  private def l2AssignKernel(
+      centroids: Array[(Int, Array[Float])]): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val cells = centroids.map(_._1.toLong)
+    val mats = centroids.map(_._2.map(_.toDouble))
+    val cn2 = mats.map(m => { var s = 0.0; var i = 0; while (i < m.length) { s += m(i) * m(i); i += 1 }; s })
+    udf { (vec: Seq[Float]) =>
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < mats.length) {
+        val m = mats(c)
+        var d = 0.0
+        var i = 0
+        while (i < m.length) { d += vec(i).toDouble * m(i); i += 1 }
+        d = d * -2.0 + cn2(c)
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      cells(best)
+    }
+  }
+
   def kmeansRefine(corpus: DataFrame, vecCol: String,
-                   cents: Array[(Int, Array[Float])], iters: Int): Array[(Int, Array[Float])] = {
+                   cents: Array[(Int, Array[Float])], iters: Int,
+                   metric: String = "spherical"): Array[(Int, Array[Float])] = {
     require(cents.nonEmpty && iters >= 0, "need centroids and iters >= 0")
+    require(metric == "spherical" || metric == "l2", s"unknown metric $metric")
     val dim = cents(0)._2.length
     var cur = cents
     var it = 0
     while (it < iters) {
-      val assigned = corpus.withColumn("__c",
-        graft.operators.Dedup.clusterAssignAuto(col(vecCol), cur))
+      val assignCol =
+        if (metric == "l2") l2AssignKernel(cur)(col(vecCol))
+        else graft.operators.Dedup.clusterAssignAuto(col(vecCol), cur)
+      val assigned = corpus.withColumn("__c", assignCol)
       val aggs = (0 until dim).map(i =>
         avg(element_at(col(vecCol), i + 1)).as(s"__m$i"))
       val means = assigned.groupBy(col("__c")).agg(aggs.head, aggs.tail: _*)
@@ -192,6 +223,27 @@ object Similarity {
     Array.tabulate(m, k) { (mi, j) =>
       sample(j).getSeq[Float](1).slice(mi * sub, (mi + 1) * sub)
         .map(_.toDouble).toArray
+    }
+  }
+
+  /** Per-subspace Lloyd-refined codebooks — the "swap in k-means when
+    * fidelity matters more than replayability" upgrade the sampled
+    * [[pqCodebooks]] documents: each subspace's k sampled centroids
+    * refine over the corpus SLICE via [[kmeansRefine]] (one scan +
+    * k×subDim aggregation per subspace-iteration). Refine offline,
+    * persist via [[graft.operators.ModelIO.savePqCodebooks]], and
+    * serving against the frozen codebook stays deterministic. */
+  def pqCodebooksRefined(corpus: DataFrame, idCol: String, vecCol: String,
+                         m: Int, k: Int, iters: Int): Array[Array[Array[Double]]] = {
+    val base = pqCodebooks(corpus, idCol, vecCol, m, k)
+    val sub = base(0)(0).length
+    Array.tabulate(m) { mi =>
+      val sliced = corpus.select(
+        slice(col(vecCol), mi * sub + 1, sub).as("__sub"))
+      val init = base(mi).zipWithIndex.map { case (c, j) => (j, c.map(_.toFloat)) }
+      kmeansRefine(sliced, "__sub", init, iters, metric = "l2")
+        .sortBy(_._1)
+        .map(_._2.map(_.toDouble))
     }
   }
 

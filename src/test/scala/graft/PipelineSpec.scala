@@ -93,6 +93,27 @@ class PipelineSpec extends SparkSpec {
     assert(assigned.toSeq == Seq(200L, 200L), s"sizes ${assigned.toSeq}")
   }
 
+  test("pqCodebooksRefined cuts quantization error vs the sampled codebook") {
+    import org.apache.spark.sql.functions.{transform => sqlTransform}
+    val m = 4; val kc = 4; val dim = 16; val sub = dim / m
+    val vecs = SparkSpec.session.range(256).select($"id".as("vec_id"),
+      sqlTransform(sequence(lit(1), lit(dim)),
+        i => (pmod(xxhash64($"id" * 13 + i), lit(1000)).cast("double") / 500.0 - 1.0)
+          .cast("float")).as("embedding"))
+    val sampled = Similarity.pqCodebooks(vecs, "vec_id", "embedding", m, kc)
+    val refined = Similarity.pqCodebooksRefined(vecs, "vec_id", "embedding", m, kc, iters = 3)
+    val data = vecs.collect().map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    def quantError(cb: Array[Array[Array[Double]]]): Double =
+      data.map { v =>
+        (0 until m).map { mi =>
+          val s = v.slice(mi * sub, (mi + 1) * sub)
+          cb(mi).map(c => s.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum).min
+        }.sum
+      }.sum
+    val (se, re) = (quantError(sampled), quantError(refined))
+    assert(re < se, s"refined error $re should beat sampled $se")
+  }
+
   test("cluster assignment: imperative kernel matches the column algebra bitwise") {
     import org.apache.spark.sql.functions.transform
     // 40 centroids forces the kernel on the auto path; compare it
