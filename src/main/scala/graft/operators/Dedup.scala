@@ -530,6 +530,10 @@ object Dedup {
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
                nClusters: Int, tau: Double): DataFrame = {
     val centroids = sampleCentroids(emb, idCol, vecCol, nClusters)
+    // empty corpus → empty result with the contract schema (an empty
+    // centroid array would otherwise fail getField at plan time)
+    if (centroids.isEmpty)
+      return emb.select(col(idCol), lit(-1L).as("cluster"), lit(false).as("is_dup"))
     val assigned = emb
       .withColumn("cluster", clusterAssignAuto(col(vecCol), centroids))
       .withColumn("__n", Similarity.norm(col(vecCol)))

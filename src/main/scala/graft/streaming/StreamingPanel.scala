@@ -384,6 +384,13 @@ object StreamingPanel {
                             maxPerCluster: Int = 256): DataFrame = {
     import graft.operators.Dedup
     val centroids = Dedup.sampleCentroids(referenceCorpus, idCol, vecCol, nClusters)
+    // an EMPTY reference means nothing to dedup against — every row
+    // passes. Without this guard the assignment column is null (argmax
+    // of an empty centroid array) and the !is_dup filter would drop
+    // every arriving row: the exact inverse of the right semantics.
+    if (centroids.isEmpty)
+      return vecs.withColumn("cluster", lit(-1L))
+        .withColumn("is_dup", lit(false))
     val members: Map[Long, Array[(Array[Double], Double)]] =
       referenceCorpus
         .withColumn("__c", Dedup.clusterAssignAuto(col(vecCol), centroids))

@@ -131,6 +131,16 @@ class PipelineSpec extends SparkSpec {
     assert(both.count() == 0)
   }
 
+  test("semDedup degenerate inputs: tiny and empty corpora behave") {
+    val one = Seq((7L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    // nClusters far above corpus size: sample yields 1 centroid, no pairs
+    val r = Dedup.semDedup(one, "vec_id", "embedding", nClusters = 16, tau = 0.9)
+      .collect()
+    assert(r.length == 1 && !r(0).getBoolean(2))
+    val empty = one.filter($"vec_id" === -1L)
+    assert(Dedup.semDedup(empty, "vec_id", "embedding", 16, 0.9).collect().isEmpty)
+  }
+
   test("nearDupGroups finds connected components of candidate pairs") {
     // components: {1,2,3,9} (chain 1-2, 2-3, 3-9), {5,7}, singleton via no edges
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 7L)).toDF("a", "b")
