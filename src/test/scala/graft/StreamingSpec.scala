@@ -421,6 +421,20 @@ class StreamingSpec extends SparkSpec {
     streamClusters.foreach { case (id, c) => assert(batchClusters(id) == c) }
   }
 
+  test("streaming SemDedup gate with an empty reference keeps every row") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val emptyRef = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val mem = MemoryStream[(Long, Array[Float])]
+    val out = StreamingPanel.streamingSemDedupGate(
+      mem.toDF.toDF("vec_id", "embedding"), emptyRef, "vec_id", "embedding",
+      nClusters = 4, tau = 0.9)
+    val q = out.writeStream.format("memory").queryName("sdg0").outputMode("append").start()
+    mem.addData(Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f))): _*)
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("sdg0").count() == 2)
+  }
+
   test("streaming LSH near-dup candidates match the batch operator's pairs") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
