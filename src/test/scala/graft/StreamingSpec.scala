@@ -421,6 +421,31 @@ class StreamingSpec extends SparkSpec {
     streamClusters.foreach { case (id, c) => assert(batchClusters(id) == c) }
   }
 
+  test("streaming MJPEG frame decode matches batch frame-for-frame") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{MediaCodec, MediaFixtures, Multimodal}
+    // withVideoFrames is a stateless per-row kernel — it runs on an
+    // unbounded stream unchanged (one definition, two runtimes)
+    val avi = MediaFixtures.aviMjpegKernel(Seq(
+      MediaCodec.encodeSolid("png", 4, 4, 9, 8, 7),
+      MediaCodec.encodeSolid("bmp", 5, 6, 1, 2, 3),
+      MediaCodec.encodeSolid("png", 7, 7, 250, 0, 5)))
+    val rows = Seq((1L, avi), (2L, avi))
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val out = Multimodal.withVideoFrames(
+      mem.toDF.toDF("doc_id", "payload"), "payload", n = 2)
+      .select($"doc_id", $"frame_idx", $"frame_stats.width", $"frame_stats.mean_r")
+    val q = out.writeStream.format("memory").queryName("svf").outputMode("append").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable(); q.stop()
+    val stream = spark.table("svf").collect().map(_.toSeq).toSet
+    val batch = Multimodal.withVideoFrames(rows.toDF("doc_id", "payload"), "payload", n = 2)
+      .select($"doc_id", $"frame_idx", $"frame_stats.width", $"frame_stats.mean_r")
+      .collect().map(_.toSeq).toSet
+    assert(stream == batch && stream.size == 4, s"stream $stream vs batch $batch")
+  }
+
   test("streaming SemDedup gate with an empty reference keeps every row") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
