@@ -163,4 +163,73 @@ object DataSelection {
         graft.queries.Q.rd6(score).as("score"))
       .withColumn("keep", col("score") >= 0.5)
   }
+
+  /** Exact global rank (1-based, dense total order over
+    * `(scoreCol, idCol)` ascending) computed WITHOUT a single-partition
+    * global window: uniform score-range shards → per-shard counts (one
+    * tiny agg, `nShards` rows) → driver exclusive cumsum → broadcast
+    * shard offsets → per-shard window `row_number`. The same
+    * distributed-prefix shape as [[Packing.packManifest]]; the rank is
+    * shard-boundary-invariant (rank of a row = #rows strictly before
+    * it in the total order, however the score range is cut), so a
+    * skewed score distribution only unbalances shards, never changes
+    * the answer. Degenerate corpora (all scores equal) collapse to one
+    * shard — the documented worst case, equivalent to the serial
+    * window. */
+  def rankByScore(scored: DataFrame, idCol: String, scoreCol: String,
+                  nShards: Int = 256): DataFrame = {
+    val row = scored.agg(min(col(scoreCol)), max(col(scoreCol))).collect()(0)
+    if (row.isNullAt(0)) return scored.withColumn("rank", lit(0L))
+    val (lo, hi) = (row.getDouble(0), row.getDouble(1))
+    val span = (hi - lo) / nShards
+    val shard =
+      if (span > 0)
+        least(floor((col(scoreCol) - lo) / span).cast("long"), lit(nShards - 1L))
+      else lit(0L)
+    val sharded = scored.withColumn("__s", shard)
+    val counts = sharded.groupBy("__s").agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0L) { case (acc, (_, n)) => acc + n })
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val offFrame = broadcast(offsets.toSeq.toDF("__s", "__off"))
+    val w = Window.partitionBy(col("__s"))
+      .orderBy(col(scoreCol).asc, col(idCol).asc)
+    sharded.join(offFrame, "__s")
+      .withColumn("rank", col("__off") + row_number().over(w))
+      .drop("__s", "__off")
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, §3 "LM
+    * filtering": each corpus is split into equal head/middle/tail
+    * thirds by language-model perplexity; head = most fluent). Scores
+    * every document with the corpus-trained trigram LM
+    * ([[TextAnalysis.trigramCrossEntropy]] — the cheap in-container
+    * stand-in for the KenLM score, reference pattern only), ranks by
+    * the 6-dp-rounded score via [[rankByScore]] (rounded so the total
+    * order is bit-identical across engines), and assigns
+    * `bucket = ⌊nBuckets·(rank−1)/n⌋` — exact long arithmetic, no
+    * float division. CCNet buckets per language; at 100 TB run this
+    * per language partition (the machinery is identical — filter, or
+    * loop over `langId` values) rather than one global window keyed by
+    * a low-cardinality language column, which would serialize each
+    * language onto one reducer. */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        nBuckets: Int = 3, nShards: Int = 256): DataFrame = {
+    val scored = TextAnalysis.trigramCrossEntropy(docs, idCol, textCol)
+      .select(col(idCol),
+        graft.queries.Q.rd6(col("cross_entropy")).as("cross_entropy"))
+    val n = scored.count()
+    val ranked = rankByScore(scored, idCol, "cross_entropy")
+    val bucket =
+      if (n == 0) lit(0L)
+      else Packing.intDiv(lit(nBuckets.toLong) * (col("rank") - 1L), n)
+    ranked
+      .withColumn("bucket", bucket)
+      .withColumn("bucket_label",
+        when(col("bucket") === 0, "head")
+          .when(col("bucket") === nBuckets - 1, "tail")
+          .otherwise("middle"))
+  }
 }

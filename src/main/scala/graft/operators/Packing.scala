@@ -29,7 +29,7 @@ object Packing {
     * silently rounds quotients above 2^53 (real for the global token
     * offsets of a 100-TB stream; same hazard RangeJoin.joinBand
     * documents for nanosecond epochs). */
-  private def intDiv(a: Column, b: Long): Column =
+  private[operators] def intDiv(a: Column, b: Long): Column =
     ((a - pmod(a, lit(b))).cast("decimal(38,0)") / lit(b)).cast("long")
 
   /** Per-document packing manifest: `n_tokens`, `start_offset` (global

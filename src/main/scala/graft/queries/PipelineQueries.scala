@@ -615,6 +615,37 @@ object PipelineQueries {
         r6(TextAnalysis.trigramCrossEntropy(tbl(s, dir, "documents"), "doc_id", "text"))
     },
 
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020 §3): rank
+    // every doc by the corpus-trained trigram-LM cross-entropy and cut
+    // the corpus into equal head/middle/tail thirds. The Spark side
+    // computes the exact global rank with a sharded distributed prefix
+    // (score-range shards -> driver cumsum -> per-shard window), never
+    // a single-partition global window; the oracle is the direct
+    // serial row_number, so identical ranks prove the sharded form
+    // exact. Buckets use exact integer division on both engines.
+    "t_perplexity_buckets" -> Q(
+      """WITH cleaned AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS c FROM documents),
+         tris AS (SELECT doc_id, substring(c, CAST(i AS INTEGER), 3) AS tri
+                  FROM cleaned, unnest(generate_series(1, len(c) - 2)) AS t(i)
+                  WHERE len(c) >= 3),
+         c3 AS (SELECT tri, count(*) AS c3 FROM tris GROUP BY 1),
+         model AS (SELECT tri, ln((c3 + 1.0) / (sum(c3) OVER (PARTITION BY substring(tri, 1, 2)) + 37.0)) AS logp FROM c3),
+         scores AS (SELECT doc_id, round(-avg(logp), 6) AS cross_entropy
+                    FROM tris JOIN model USING (tri) GROUP BY 1),
+         ranked AS (SELECT doc_id, cross_entropy,
+                           row_number() OVER (ORDER BY cross_entropy, doc_id) AS rank,
+                           count(*) OVER () AS n FROM scores)
+         SELECT doc_id, cross_entropy, CAST(rank AS BIGINT) AS rank,
+                CAST((3 * (rank - 1)) // n AS BIGINT) AS bucket,
+                CASE WHEN (3 * (rank - 1)) // n = 0 THEN 'head'
+                     WHEN (3 * (rank - 1)) // n = 2 THEN 'tail'
+                     ELSE 'middle' END AS bucket_label
+         FROM ranked""") {
+      (s, dir) =>
+        graft.operators.DataSelection.perplexityBuckets(
+          tbl(s, dir, "documents"), "doc_id", "text")
+    },
+
     // PII detection + redaction. The synthetic corpus carries no real
     // PII, so the query injects deterministic doc_id-derived PII
     // identically on both engines, then counts matches on the raw

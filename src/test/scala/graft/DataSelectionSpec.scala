@@ -102,4 +102,46 @@ class DataSelectionSpec extends SparkSpec {
     // scores actually separate (not all ~0.5)
     assert(out(0L)._2 > 0.9 && out(30L)._2 < 0.1)
   }
+
+  test("rankByScore equals the serial global row_number at any shard count") {
+    // skewed scores (half the mass piles up at 0.0) + ties broken by id
+    val scored = (0 until 97).map { i =>
+      val s = if (i % 2 == 0) 0.0 else math.sin(i.toDouble) * 10
+      (i.toLong, s)
+    }.toDF("doc_id", "score")
+    val serial = scored.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").asc, col("doc_id").asc)).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    for (shards <- Seq(1, 4, 64)) {
+      val got = DataSelection.rankByScore(scored, "doc_id", "score", shards)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == serial, s"nShards=$shards")
+    }
+  }
+
+  test("perplexityBuckets cuts the corpus into equal thirds by LM score") {
+    // fluent English docs vs consonant noise: noise must land in tail
+    val docs = (0 until 30).map { i =>
+      val t =
+        if (i < 20) s"the quick brown fox number $i jumps over the lazy dog and runs on"
+        else s"zqxv jkwp $i bfgt mzzd qqpl xkcv wwrt zzvb nmqp"
+      (i.toLong, t)
+    }.toDF("doc_id", "text")
+    val out = DataSelection.perplexityBuckets(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out.size == 30)
+    // thirds are exactly balanced (n divisible by 3)
+    val sizes = out.values.groupBy(_._3).map { case (b, v) => b -> v.size }
+    assert(sizes == Map(0L -> 10, 1L -> 10, 2L -> 10))
+    // rank order agrees with score order; buckets are rank-monotone
+    val byRank = out.values.toSeq.sortBy(_._2)
+    assert(byRank.map(_._1) == byRank.map(_._1).sorted)
+    assert(byRank.map(_._3) == byRank.map(_._3).sorted)
+    // all 10 noise docs have higher cross-entropy than any fluent doc
+    val noise = out.filterKeys(_ >= 20).values
+    assert(noise.forall(_._4 == "tail"))
+    assert(out.filterKeys(_ < 20).values.count(_._4 == "head") == 10)
+  }
 }
