@@ -416,6 +416,56 @@ object Dedup {
       .withColumn("contaminated", col("contamination_frac") >= threshold)
   }
 
+  /** Two-phase decontamination for eval suites too large to ship as a
+    * broadcast hash set: a Bloom filter over the eval n-grams rejects
+    * the overwhelming majority of training shingles MAP-SIDE (~10
+    * bits/key at 1% fpp vs tens of bytes/key for the exact set — a 1B
+    * n-gram suite is ~1.2 GB of bits, broadcastable where its hash set
+    * is not), then ONLY the bloom survivors shuffle-join the exact
+    * eval set to kill false positives. Bloom filters have no false
+    * negatives and the verify join removes every false positive, so
+    * the output is bit-identical to [[decontaminationScores]] — same
+    * columns, same oracle. The bloom probe is the one deliberate UDF:
+    * a broadcast-bitset membership test has no builtin Column form,
+    * and the probe is a couple of xxhash64s + bit reads per row —
+    * cheap next to the scan it prunes.
+    *
+    * Scale shape: eval is scanned twice (size estimate + bloom build:
+    * one `treeAggregate` each, both tiny next to training); training
+    * shingles are scanned once — the per-doc denominator is a
+    * map-side-combinable count on rows already partitioned by doc, and
+    * only the bloom survivors (true hits + fpp·misses) reach the
+    * shuffle join. */
+  def bloomDecontaminationScores(train: DataFrame, eval: DataFrame,
+                                 idCol: String, textCol: String, n: Int = 5,
+                                 threshold: Double = 0.5,
+                                 fpp: Double = 0.01): DataFrame = {
+    val evalG = shingleRows(eval, idCol, textCol, n)
+      .select(col("__sh")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEval = math.max(1L, evalG.count())
+    val bloom = evalG.stat.bloomFilter("__sh", nEval, fpp)
+    val bloomBc = train.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => s != null && bloomBc.value.mightContainString(s))
+    val trainG = shingleRows(train, idCol, textCol, n)
+      .select(col(idCol), col("__sh")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = trainG.groupBy(col(idCol)).agg(count(lit(1)).as("__total"))
+    val hits = trainG.filter(mightContain(col("__sh")))
+      .join(evalG.withColumn("__hit", lit(1)), Seq("__sh"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(coalesce(col("__hit"), lit(0))).as("__hits"))
+    val scored = totals.join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        (coalesce(col("__hits"), lit(0L)).cast("double") /
+          col("__total").cast("double")).as("contamination_frac"))
+    train.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("contamination_frac"), lit(0.0)).as("contamination_frac"))
+      .withColumn("contaminated", col("contamination_frac") >= threshold)
+  }
+
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
                         planes: Int, threshold: Double, seed: Long = 42L): DataFrame = {
     val bucketed = Similarity.randomHyperplaneBuckets(emb, vecCol, planes, seed)

@@ -711,6 +711,39 @@ object PipelineQueries {
           "doc_id", "text", n = 5, threshold = 0.5))
     },
 
+    // The 100-TB decontamination shape: Bloom-filter prefilter
+    // (map-side bit probe, no broadcast hash set) + exact verify join
+    // on the survivors only. Bit-identical to d_decontaminate by
+    // construction (no false negatives; verify kills false positives)
+    // — the oracle IS the exact computation, so a pass proves the
+    // two-phase path loses nothing.
+    "d_bloom_decontaminate" -> Q(
+      """WITH w AS MATERIALIZED (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+           FROM documents
+           WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 5),
+         g AS MATERIALIZED (
+           SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 3),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]))) AS sh
+           FROM w),
+         eg AS (SELECT DISTINCT sh FROM g WHERE doc_id % 10 = 0),
+         sc AS (SELECT g.doc_id,
+                  sum(CASE WHEN eg.sh IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                    / count(*) AS cf
+                FROM g LEFT JOIN eg USING (sh)
+                WHERE g.doc_id % 10 <> 0 GROUP BY 1)
+         SELECT d.doc_id, round(coalesce(sc.cf, 0.0), 6) AS contamination_frac,
+                coalesce(sc.cf, 0.0) >= 0.5 AS contaminated
+         FROM documents d LEFT JOIN sc USING (doc_id)
+         WHERE d.doc_id % 10 <> 0""") {
+      (s, dir) =>
+        val docs = tbl(s, dir, "documents")
+        r6(Dedup.bloomDecontaminationScores(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", n = 5, threshold = 0.5))
+    },
+
     // Gopher-rule document filter: per-rule booleans + overall keep
     // (token band, mean-word-length band, alphabetic-token fraction,
     // minimum stopword hits) — all regexp/length column algebra

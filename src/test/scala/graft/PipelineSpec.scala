@@ -373,6 +373,32 @@ class PipelineSpec extends SparkSpec {
     assert(out(3L) == ((0.0, false)))
   }
 
+  test("bloom-prefiltered decontamination is bit-identical to the exact path") {
+    // larger corpus so the bloom actually rejects most shingles, with
+    // partial-overlap docs (fractions strictly between 0 and 1)
+    val train = (0 until 60).map { i =>
+      val t =
+        if (i % 3 == 0) s"shared evaluation prefix words here tail token $i extra pad"
+        else s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f w${i}g"
+      (i.toLong, t)
+    }.toDF("doc_id", "text")
+    val eval = Seq((1000L, "shared evaluation prefix words here and more benchmark text"))
+      .toDF("doc_id", "text")
+    val exact = Dedup.decontaminationScores(train, eval, "doc_id", "text", n = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).sortBy(_._1)
+    // a high-fpp filter (many false positives reach the verify join)
+    // and a tight one must BOTH reproduce the exact output
+    for (fpp <- Seq(0.5, 0.01)) {
+      val got = Dedup.bloomDecontaminationScores(train, eval, "doc_id", "text",
+          n = 5, fpp = fpp)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).sortBy(_._1)
+      assert(got sameElements exact, s"fpp=$fpp")
+    }
+    // the overlap docs really are partially contaminated (non-trivial case)
+    val m = exact.map(e => e._1 -> e._2).toMap
+    assert(m(0L) > 0.0 && m(0L) < 1.0 && m(1L) == 0.0)
+  }
+
   test("gopher rules: word-salad passes bands, stopword-free doc fails r_stopwords") {
     val gd = Seq(
       (0L, "the cat and the dog sat near the mat while the sun was warm today"),
