@@ -175,11 +175,24 @@ object DataSelection {
     * skewed score distribution only unbalances shards, never changes
     * the answer. Degenerate corpora (all scores equal) collapse to one
     * shard — the documented worst case, equivalent to the serial
-    * window. */
+    * window.
+    *
+    * With `byCols` the rank is computed independently WITHIN each
+    * group (CCNet ranks per language): counts key on (group, shard) —
+    * bounded by group-key cardinality × nShards — and the score bins
+    * are shared across groups (bin edges don't affect ranks, only
+    * balance). This is how a low-cardinality group key gets per-group
+    * ranks WITHOUT `Window.partitionBy(group)` serializing each whole
+    * group onto one reducer. Appends `rank` and `group_n` (the group's
+    * total row count) to the input columns. */
   def rankByScore(scored: DataFrame, idCol: String, scoreCol: String,
-                  nShards: Int = 256): DataFrame = {
+                  nShards: Int = 256, byCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = scored.sparkSession
     val row = scored.agg(min(col(scoreCol)), max(col(scoreCol))).collect()(0)
-    if (row.isNullAt(0)) return scored.withColumn("rank", lit(0L))
+    if (row.isNullAt(0))
+      return scored.withColumn("rank", lit(0L)).withColumn("group_n", lit(0L))
     val (lo, hi) = (row.getDouble(0), row.getDouble(1))
     val span = (hi - lo) / nShards
     val shard =
@@ -187,19 +200,33 @@ object DataSelection {
         least(floor((col(scoreCol) - lo) / span).cast("long"), lit(nShards - 1L))
       else lit(0L)
     val sharded = scored.withColumn("__s", shard)
-    val counts = sharded.groupBy("__s").agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = counts.map(_._1)
-      .zip(counts.scanLeft(0L) { case (acc, (_, n)) => acc + n })
-    val spark = scored.sparkSession
-    import spark.implicits._
-    val offFrame = broadcast(offsets.toSeq.toDF("__s", "__off"))
-    val w = Window.partitionBy(col("__s"))
+    // per-(group, shard) counts: #groups × nShards rows — bounded by
+    // the group-key cardinality (languages, sources), never the corpus
+    val counts = sharded.groupBy(byCols.map(col) :+ col("__s"): _*)
+      .agg(count(lit(1)).as("__n")).collect()
+    val k = byCols.length
+    val offRows = counts.toSeq.groupBy(r => r.toSeq.take(k)).flatMap { case (g, rs) =>
+      val sorted = rs.map(r => r.getLong(k) -> r.getLong(k + 1)).sortBy(_._1)
+      val groupN = sorted.map(_._2).sum
+      sorted.map(_._1).zip(sorted.scanLeft(0L) { case (acc, (_, n)) => acc + n })
+        .map { case (s, off) => Row.fromSeq(g ++ Seq(s, off, groupN)) }
+    }.toSeq
+    val offSchema = StructType(byCols.map(c => scored.schema(c)) ++ Seq(
+      StructField("__s", LongType), StructField("__off", LongType),
+      StructField("group_n", LongType)))
+    val offFrame = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(offRows: _*), offSchema))
+    val w = Window.partitionBy(byCols.map(col) :+ col("__s"): _*)
       .orderBy(col(scoreCol).asc, col(idCol).asc)
-    sharded.join(offFrame, "__s")
+    sharded.join(offFrame, byCols :+ "__s")
       .withColumn("rank", col("__off") + row_number().over(w))
-      .drop("__s", "__off")
+      .select(scored.columns.map(col) ++ Seq(col("rank"), col("group_n")): _*)
   }
+
+  /** Exact integral floor-division with a COLUMN divisor — same
+    * decimal-widened shape as [[Packing.intDiv]]. */
+  private def intDivCol(a: Column, b: Column): Column =
+    ((a - pmod(a, b)).cast("decimal(38,0)") / b.cast("decimal(38,0)")).cast("long")
 
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, §3 "LM
     * filtering": each corpus is split into equal head/middle/tail
@@ -216,20 +243,26 @@ object DataSelection {
     * a low-cardinality language column, which would serialize each
     * language onto one reducer. */
   def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
-                        nBuckets: Int = 3, nShards: Int = 256): DataFrame = {
-    val scored = TextAnalysis.trigramCrossEntropy(docs, idCol, textCol)
+                        nBuckets: Int = 3, nShards: Int = 256,
+                        byCols: Seq[String] = Nil): DataFrame = {
+    val scored0 = TextAnalysis.trigramCrossEntropy(docs, idCol, textCol)
       .select(col(idCol),
         graft.queries.Q.rd6(col("cross_entropy")).as("cross_entropy"))
-    val n = scored.count()
-    val ranked = rankByScore(scored, idCol, "cross_entropy")
-    val bucket =
-      if (n == 0) lit(0L)
-      else Packing.intDiv(lit(nBuckets.toLong) * (col("rank") - 1L), n)
+    // group keys (e.g. the language) ride in via one narrow join; the
+    // LM itself stays corpus-global (CCNet trains per-language models —
+    // at that point run the whole operator per language slice)
+    val scored =
+      if (byCols.isEmpty) scored0
+      else scored0.join(docs.select(col(idCol) +: byCols.map(col): _*), idCol)
+        .select(col(idCol) +: (byCols.map(col) :+ col("cross_entropy")): _*)
+    val ranked = rankByScore(scored, idCol, "cross_entropy", nShards, byCols)
     ranked
-      .withColumn("bucket", bucket)
+      .withColumn("bucket",
+        intDivCol(lit(nBuckets.toLong) * (col("rank") - 1L), col("group_n")))
       .withColumn("bucket_label",
         when(col("bucket") === 0, "head")
           .when(col("bucket") === nBuckets - 1, "tail")
           .otherwise("middle"))
+      .drop("group_n")
   }
 }

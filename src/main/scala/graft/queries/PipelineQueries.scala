@@ -646,6 +646,49 @@ object PipelineQueries {
           tbl(s, dir, "documents"), "doc_id", "text")
     },
 
+    // CCNet buckets PER LANGUAGE (Wenzek et al. 2020 run the split
+    // within each language slice). rankByScore keys its sharded prefix
+    // on (lang, score-shard) — bounded counts, no per-language serial
+    // window; the oracle is the direct PARTITION BY lang row_number.
+    "t_perplexity_buckets_lang" -> Q(
+      s"""WITH lang AS (SELECT doc_id,
+            CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
+                 WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                 WHEN de >= fr AND de >= es THEN 'de'
+                 WHEN fr >= es THEN 'fr'
+                 ELSE 'es' END AS lang
+          FROM (SELECT doc_id, text,
+                  len(regexp_extract_all(lower(text), '${TextAnalysis.stopwordPattern("en")}')) AS en,
+                  len(regexp_extract_all(lower(text), '${TextAnalysis.stopwordPattern("de")}')) AS de,
+                  len(regexp_extract_all(lower(text), '${TextAnalysis.stopwordPattern("fr")}')) AS fr,
+                  len(regexp_extract_all(lower(text), '${TextAnalysis.stopwordPattern("es")}')) AS es
+                FROM documents)),
+         cleaned AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS c FROM documents),
+         tris AS (SELECT doc_id, substring(c, CAST(i AS INTEGER), 3) AS tri
+                  FROM cleaned, unnest(generate_series(1, len(c) - 2)) AS t(i)
+                  WHERE len(c) >= 3),
+         c3 AS (SELECT tri, count(*) AS c3 FROM tris GROUP BY 1),
+         model AS (SELECT tri, ln((c3 + 1.0) / (sum(c3) OVER (PARTITION BY substring(tri, 1, 2)) + 37.0)) AS logp FROM c3),
+         scores AS (SELECT doc_id, round(-avg(logp), 6) AS cross_entropy
+                    FROM tris JOIN model USING (tri) GROUP BY 1),
+         ranked AS (SELECT s.doc_id, l.lang, s.cross_entropy,
+                           row_number() OVER (PARTITION BY l.lang
+                             ORDER BY s.cross_entropy, s.doc_id) AS rank,
+                           count(*) OVER (PARTITION BY l.lang) AS n
+                    FROM scores s JOIN lang l USING (doc_id))
+         SELECT doc_id, lang, cross_entropy, CAST(rank AS BIGINT) AS rank,
+                CAST((3 * (rank - 1)) // n AS BIGINT) AS bucket,
+                CASE WHEN (3 * (rank - 1)) // n = 0 THEN 'head'
+                     WHEN (3 * (rank - 1)) // n = 2 THEN 'tail'
+                     ELSE 'middle' END AS bucket_label
+         FROM ranked""") {
+      (s, dir) =>
+        graft.operators.DataSelection.perplexityBuckets(
+          tbl(s, dir, "documents")
+            .withColumn("lang", TextAnalysis.langId(col("text"))),
+          "doc_id", "text", byCols = Seq("lang"))
+    },
+
     // PII detection + redaction. The synthetic corpus carries no real
     // PII, so the query injects deterministic doc_id-derived PII
     // identically on both engines, then counts matches on the raw

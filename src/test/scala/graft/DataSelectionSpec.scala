@@ -120,6 +120,25 @@ class DataSelectionSpec extends SparkSpec {
     }
   }
 
+  test("rankByScore with byCols ranks within each group, at any shard count") {
+    val scored = (0 until 90).map { i =>
+      (i.toLong, if (i % 3 == 0) "a" else "b", math.cos(i.toDouble) * 5)
+    }.toDF("doc_id", "grp", "score")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("score").asc, col("doc_id").asc)
+    val serial = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    for (shards <- Seq(1, 7, 64)) {
+      val out = DataSelection.rankByScore(scored, "doc_id", "score", shards,
+        byCols = Seq("grp")).collect()
+      val got = out.map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(got == serial, s"nShards=$shards")
+      // group_n carries each group's total
+      assert(out.forall(r =>
+        r.getLong(4) == (if (r.getString(1) == "a") 30L else 60L)))
+    }
+  }
+
   test("perplexityBuckets cuts the corpus into equal thirds by LM score") {
     // fluent English docs vs consonant noise: noise must land in tail
     val docs = (0 until 30).map { i =>
