@@ -226,6 +226,21 @@ object TextAnalysis {
       .agg((-avg(col("logp"))).as("cross_entropy"))
   }
 
+  /** The trigram LM's raw count frame: (tri, c3 = trigram count,
+    * c2 = context count over the first two chars) — the state behind
+    * [[trigramCrossEntropy]]'s smoothed logp, exposed so a serving
+    * path (e.g. the streaming LM gate) can ship the model as a
+    * bounded broadcast and score UNSEEN trigrams with the same
+    * add-one rule ((0+1)/(c2+37), c2 = 0 for unseen contexts).
+    * Bounded by alphabet³ regardless of corpus size. */
+  def trigramModelCounts(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    charTrigrams(docs, idCol, textCol)
+      .groupBy("tri").agg(count(lit(1)).as("c3"))
+      .withColumn("__ctx", substring(col("tri"), 1, 2))
+      .withColumn("c2", sum(col("c3")).over(Window.partitionBy(col("__ctx"))))
+      .select(col("tri"), col("c3"), col("c2"))
+
   /** Gopher-style within-document repetition signals (Rae et al. 2021
     * §A1.1: "duplicate n-gram fraction" quality filters): per doc, the
     * fraction of word-bigram occurrences that are repeats

@@ -363,6 +363,61 @@ object StreamingPanel {
       .filter(col("contamination_frac") < threshold)
   }
 
+  /** Streaming CCNet LM gate (Wenzek et al. 2020 serving shape): train
+    * the char-trigram LM and the head/middle/tail cutoffs ONCE on a
+    * static reference corpus (batch passes at plan time —
+    * [[graft.operators.DataSelection.perplexityBuckets]] defines each
+    * cutoff as its bucket's max cross-entropy), then label every
+    * arriving document statelessly. Trigrams come from the SAME column
+    * expressions as batch (normalized text + CharNGrams — the two
+    * runtimes can never tokenize differently); the model lookup + mean
+    * runs as a bounded imperative probe over the broadcast count maps
+    * (the SemDedup-gate precedent: a per-row hash probe, not
+    * interpreted per-element HOF algebra). Unseen trigrams score with
+    * the add-one smoothing the batch model implies — (0+1)/(c2+37),
+    * c2 = 0 for unseen contexts — so out-of-corpus text degrades
+    * gracefully toward the tail. Docs under 3 normalized chars carry
+    * no signal and drop, like the batch scorer. `keep` filters labels
+    * (CCNet discards or down-samples the tail). No state, no
+    * watermark, unbounded stream; the broadcast is alphabet³-bounded. */
+  def streamingLmBucketGate(docs: DataFrame, referenceCorpus: DataFrame,
+                            idCol: String, textCol: String,
+                            keep: Seq[String] = Seq("head", "middle")): DataFrame = {
+    import graft.operators.{DataSelection, TextAnalysis}
+    val buckets = DataSelection.perplexityBuckets(referenceCorpus, idCol, textCol)
+    val cuts = buckets.groupBy("bucket").agg(max("cross_entropy"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val t0 = cuts.getOrElse(0L, Double.NegativeInfinity)
+    val t1 = cuts.getOrElse(1L, t0)
+    val counts = TextAnalysis.trigramModelCounts(referenceCorpus, idCol, textCol)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+    val triCount = counts.map { case (t, (a, _)) => t -> a }.toMap
+    val ctxCount = counts.map { case (t, (_, b)) => t.substring(0, 2) -> b }.toMap
+    val bc = docs.sparkSession.sparkContext.broadcast((triCount, ctxCount))
+    val score = udf { (tris: Seq[String]) =>
+      if (tris == null || tris.isEmpty) null
+      else {
+        val (m3, m2) = bc.value
+        var s = 0.0
+        tris.foreach { t =>
+          s += math.log((m3.getOrElse(t, 0L) + 1.0) /
+            (m2.getOrElse(t.substring(0, 2), 0L) + 37.0))
+        }
+        java.lang.Double.valueOf(-(s / tris.length))
+      }
+    }
+    val tris = graft.functions.CharNGrams.ngrams(
+      TextAnalysis.normalized(col(textCol)), 3)
+    docs
+      .withColumn("cross_entropy", graft.queries.Q.rd6(score(tris)))
+      .filter(col("cross_entropy").isNotNull)
+      .withColumn("bucket_label",
+        when(col("cross_entropy") <= t0, "head")
+          .when(col("cross_entropy") <= t1, "middle")
+          .otherwise("tail"))
+      .filter(col("bucket_label").isin(keep: _*))
+  }
+
   /** Streaming SemDedup gate: drop arriving embeddings that are
     * semantic duplicates of a STATIC reference corpus — the
     * ingest-time form of [[graft.operators.Dedup.semDedup]]. The

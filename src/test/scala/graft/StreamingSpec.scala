@@ -388,6 +388,41 @@ class StreamingSpec extends SparkSpec {
     assert(batch == kept, s"batch $batch vs stream $kept")
   }
 
+  test("streaming LM bucket gate scores and labels like the batch buckets") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docsSeq = (0 until 30).map { i =>
+      val t =
+        if (i < 20) s"the quick brown fox number $i jumps over the lazy dog and runs on"
+        else s"zqxv jkwp $i bfgt mzzd qqpl xkcv wwrt zzvb nmqp"
+      (i.toLong, t)
+    }
+    val ref = docsSeq.toDF("doc_id", "text")
+    val batch = graft.operators.DataSelection.perplexityBuckets(ref, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(4)))).toMap
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamingPanel.streamingLmBucketGate(mem.toDF.toDF("doc_id", "text"),
+      ref, "doc_id", "text", keep = Seq("head", "middle", "tail"))
+    val q = out.writeStream.format("memory").queryName("lmg").outputMode("append").start()
+    mem.addData(docsSeq: _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("lmg").select("doc_id", "cross_entropy", "bucket_label")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2)))).toMap
+    assert(got.size == 30)
+    // rd6 scores are identical (same tokenization expressions, same
+    // smoothed model; rd6 absorbs the fold-order drift)
+    got.foreach { case (id, (ce, _)) => assert(ce == batch(id)._1, s"doc $id score") }
+    // labels agree wherever the score is unique (equal scores at a
+    // cutoff all threshold into the earlier bucket; batch splits ties
+    // by rank — the documented boundary semantics)
+    val multiplicity = batch.values.groupBy(_._1).map { case (k, v) => k -> v.size }
+    got.foreach { case (id, (ce, lbl)) =>
+      if (multiplicity(ce) == 1) assert(lbl == batch(id)._2, s"doc $id label")
+    }
+    // the noise docs land in tail; the default gate would drop them
+    assert((20 until 30).forall(i => got(i.toLong)._2 == "tail"))
+  }
+
   test("streaming SemDedup gate drops reference near-dups, assigns like batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
