@@ -130,6 +130,21 @@ object PipelineSoak {
       graft.operators.DataSelection.qualityClassifier(docs, "doc_id", "text")
         .filter(col("keep")).count()
     }
+    time("perplexity buckets (LM score + sharded global rank)", nDocs) {
+      val b = graft.operators.DataSelection.perplexityBuckets(
+        docs, "doc_id", "text")
+      val sizes = b.groupBy("bucket").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // thirds must be exactly balanced (within integer division)
+      require(sizes.values.max - sizes.values.min <= 1, s"unbalanced $sizes")
+      sizes.values.sum
+    }
+    time("bloom decontaminate vs 1% eval split (bit prefilter + verify)", nDocs) {
+      Dedup.bloomDecontaminationScores(
+        docs.filter(col("doc_id") % 100 =!= 0),
+        docs.filter(col("doc_id") % 100 === 0),
+        "doc_id", "text", n = 5).filter(col("contaminated")).count()
+    }
 
     val vecs = spark.range(nVecs).select(col("id").as("vec_id"),
       transform(sequence(lit(1), lit(64)),
