@@ -90,8 +90,8 @@ object PipelineSoak {
       TextAnalysis.bm25TopDocs(docs, "doc_id", "text",
         Seq("w1", "w42", "w999"), 10).count()
     }
-    time("trigram-LM cross-entropy (corpus-trained)", nDocs) {
-      TextAnalysis.trigramCrossEntropy(docs, "doc_id", "text").count()
+    time("trigram-LM cross-entropy (kernel probe — registry path)", nDocs) {
+      TextAnalysis.trigramCrossEntropyKernel(docs, "doc_id", "text").count()
     }
     time("duplicated 32-char-span fraction (window min/max)", nDocs) {
       Dedup.duplicatedSpanRatio(docs, "doc_id", "text", span = 32).count()

@@ -36,6 +36,12 @@ object SoakOne {
     time("qualityClassifier full") {
       graft.operators.DataSelection.qualityClassifier(docs, "doc_id", "text").count()
     }
+    // kernel FIRST so rep1 is genuinely cold (no shared cleaned cache)
+    (1 to 2).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = TextAnalysis.trigramCrossEntropyKernel(docs, "doc_id", "text").count()
+      println(f"[soakone] trigram KERNEL rep$i: ${(System.nanoTime() - t0) / 1e9}%.1f s out=$n")
+    }
     (1 to 2).foreach { i =>
       val t0 = System.nanoTime()
       val n = TextAnalysis.trigramCrossEntropy(docs, "doc_id", "text").count()

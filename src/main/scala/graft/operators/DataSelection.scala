@@ -52,8 +52,58 @@ object DataSelection {
     * last-ulp difference in exp() can never flip it). */
   def dsirScores(docs: DataFrame, idCol: String, textCol: String,
                  targetPred: Column, tau: Double = 50.0): DataFrame = {
-    // persist the corpus-width normalized text, not the ×3 exploded
-    // trigram rows — see trigramCrossEntropy for the measured tradeoff
+    // kernel scoring path (the trigramCrossEntropyKernel shape): both
+    // LMs reduce to ONE bounded (≤ alphabet³) count frame — collected,
+    // dlogp derived driver-side with the same Math.log arithmetic —
+    // and each doc scores as a per-row fold over its own trigram
+    // array. ZERO corpus-sized shuffle: the algebra twin
+    // ([[dsirScoresAlgebra]], which the driver oracle replays and
+    // DataSelectionSpec pins this path against) re-explodes the corpus
+    // through a broadcast join + per-doc aggregation — measured 16×
+    // slower cold at 1M docs for the cross-entropy analog.
+    val cleaned = TextAnalysis.parallelized(docs, idCol)
+      .select(col(idCol), targetPred.as("__tgt"),
+        TextAnalysis.normalized(col(textCol)).as("__c"))
+      .filter(length(col("__c")) >= 3)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val counts = cleaned.select(col("__tgt"),
+        explode(graft.functions.CharNGrams.ngrams(col("__c"), 3)).as("tri"))
+      .groupBy("tri").agg(
+        count(lit(1)).as("cr"),
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"))
+      .withColumn("__ctx", substring(col("tri"), 1, 2))
+      .withColumn("c2r", sum(col("cr")).over(Window.partitionBy(col("__ctx"))))
+      .withColumn("c2t", sum(col("ct")).over(Window.partitionBy(col("__ctx"))))
+      .select(col("tri"), col("cr"), col("ct"), col("c2r"), col("c2t"))
+      .collect()
+    val dlogp: Map[String, Double] = counts.map { r =>
+      r.getString(0) -> (
+        math.log((r.getLong(2) + 1.0) / (r.getLong(4) + 37.0)) -
+          math.log((r.getLong(1) + 1.0) / (r.getLong(3) + 37.0)))
+    }.toMap
+    val bc = docs.sparkSession.sparkContext.broadcast(dlogp)
+    val ratio = udf { (tris: Seq[String]) =>
+      if (tris == null || tris.isEmpty) null
+      else {
+        val m = bc.value
+        var s = 0.0
+        tris.foreach { t => s += m.getOrElse(t, 0.0) }
+        java.lang.Double.valueOf(s / tris.length)
+      }
+    }
+    cleaned.select(col(idCol),
+        ratio(graft.functions.CharNGrams.ngrams(col("__c"), 3)).as("log_ratio"))
+      .withColumn("weight",
+        graft.queries.Q.rd6(least(lit(1.0), exp(col("log_ratio") * tau))))
+      .withColumn("keep",
+        Sampling.uniformHash(col(idCol)) < col("weight"))
+  }
+
+  /** Algebra twin of [[dsirScores]]: the exploded-join scoring form
+    * whose arithmetic the DuckDB oracle replays — kept as the pin for
+    * the kernel path (the wavSampleStats twin precedent). */
+  def dsirScoresAlgebra(docs: DataFrame, idCol: String, textCol: String,
+                        targetPred: Column, tau: Double = 50.0): DataFrame = {
     val cleaned = TextAnalysis.parallelized(docs, idCol)
       .select(col(idCol), targetPred.as("__tgt"),
         TextAnalysis.normalized(col(textCol)).as("__c"))
@@ -245,7 +295,7 @@ object DataSelection {
   def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
                         nBuckets: Int = 3, nShards: Int = 256,
                         byCols: Seq[String] = Nil): DataFrame = {
-    val scored0 = TextAnalysis.trigramCrossEntropy(docs, idCol, textCol)
+    val scored0 = TextAnalysis.trigramCrossEntropyKernel(docs, idCol, textCol)
       .select(col(idCol),
         graft.queries.Q.rd6(col("cross_entropy")).as("cross_entropy"))
     // group keys (e.g. the language) ride in via one narrow join; the

@@ -168,8 +168,19 @@ object TextAnalysis {
 
   /** Casefolded, punctuation-stripped, space-collapsed text — the
     * normalization shared by the trigram LM (and close to
-    * [[fingerprint]]'s, which additionally hashes). */
+    * [[fingerprint]]'s, which additionally hashes). The clean step is
+    * the native byte-loop [[graft.functions.AsciiClean]] — bitwise
+    * equivalent to the regex chain the oracles replay
+    * (`trim(regexp_replace(regexp_replace(·, "[^a-z0-9 ]", ""),
+    * " +", " "))`, pinned by PipelineSpec on adversarial inputs) and
+    * ~40× faster, which matters because this fronts every
+    * trigram-based operator at corpus scale. */
   def normalized(text: Column): Column =
+    graft.functions.AsciiClean.asciiClean(lower(text))
+
+  /** The regex form of [[normalized]] — the oracle-shaped twin the
+    * native expression is pinned against. */
+  def normalizedRegex(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
 
   /** Character trigrams of the normalized text, one row per position:
@@ -240,6 +251,73 @@ object TextAnalysis {
       .withColumn("__ctx", substring(col("tri"), 1, 2))
       .withColumn("c2", sum(col("c3")).over(Window.partitionBy(col("__ctx"))))
       .select(col("tri"), col("c3"), col("c2"))
+
+  /** The model of [[trigramModelCounts]] collected to two bounded maps
+    * (trigram → count, context → count) — ≤ alphabet³ entries, the
+    * broadcastable serving form. */
+  def trigramModelMaps(docs: DataFrame, idCol: String, textCol: String)
+      : (Map[String, Long], Map[String, Long]) = {
+    val counts = trigramModelCounts(docs, idCol, textCol).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+    (counts.map { case (t, (a, _)) => t -> a }.toMap,
+      counts.map { case (t, (_, b)) => t.substring(0, 2) -> b }.toMap)
+  }
+
+  /** The per-row scoring fold shared by the batch kernel scorer and
+    * the streaming LM gate: mean −ln((c3+1)/(c2+37)) over a trigram
+    * array, probing the broadcast count maps (unseen trigram → c3=0;
+    * unseen context → c2=0 — the smoothing the model implies). One
+    * definition, two runtimes: identical fold order makes the stream
+    * score bit-equal to the batch kernel's, not just rd6-equal. */
+  def trigramScoreUdf(spark: org.apache.spark.sql.SparkSession,
+                      triCount: Map[String, Long], ctxCount: Map[String, Long])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val bc = spark.sparkContext.broadcast((triCount, ctxCount))
+    udf { (tris: Seq[String]) =>
+      if (tris == null || tris.isEmpty) null
+      else {
+        val (m3, m2) = bc.value
+        var s = 0.0
+        tris.foreach { t =>
+          s += math.log((m3.getOrElse(t, 0L) + 1.0) /
+            (m2.getOrElse(t.substring(0, 2), 0L) + 37.0))
+        }
+        java.lang.Double.valueOf(-(s / tris.length))
+      }
+    }
+  }
+
+  /** Kernel twin of [[trigramCrossEntropy]] — same model, same score,
+    * ZERO corpus-sized shuffle. The algebra path explodes the corpus a
+    * second time for scoring and shuffles ~tokens×3 rows through a
+    * broadcast join + per-doc aggregation; here the model (bounded,
+    * ≤ alphabet³) collects to two maps and scoring is one per-row fold
+    * over the doc's own trigram array — the scan-width pass a 100-TB
+    * corpus needs. Equality with the algebra path is pinned by
+    * PipelineSpec (the wavSampleStats twin precedent) and the driver
+    * oracle replays the algebraic form; rd6 absorbs the fold-order
+    * drift exactly as for the OLS moment sums. */
+  def trigramCrossEntropyKernel(docs: DataFrame, idCol: String,
+                                textCol: String): DataFrame = {
+    // one normalization pass, persisted corpus-width (the dominant
+    // per-row cost — see trigramCrossEntropy's cache rationale)
+    val cleaned = parallelized(docs, idCol)
+      .select(col(idCol), normalized(col(textCol)).as("__c"))
+      .filter(length(col("__c")) >= 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = cleaned
+      .select(explode(graft.functions.CharNGrams.ngrams(col("__c"), 3)).as("tri"))
+      .groupBy("tri").agg(count(lit(1)).as("c3"))
+      .withColumn("__ctx", substring(col("tri"), 1, 2))
+      .withColumn("c2", sum(col("c3")).over(Window.partitionBy(col("__ctx"))))
+      .select(col("tri"), col("c3"), col("c2"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+    val score = trigramScoreUdf(docs.sparkSession,
+      counts.map { case (t, (a, _)) => t -> a }.toMap,
+      counts.map { case (t, (_, b)) => t.substring(0, 2) -> b }.toMap)
+    cleaned.select(col(idCol),
+      score(graft.functions.CharNGrams.ngrams(col("__c"), 3)).as("cross_entropy"))
+  }
 
   /** Gopher-style within-document repetition signals (Rae et al. 2021
     * §A1.1: "duplicate n-gram fraction" quality filters): per doc, the

@@ -612,7 +612,9 @@ object PipelineQueries {
          SELECT doc_id, round(-avg(logp), 6) AS cross_entropy
          FROM tris JOIN model USING (tri) GROUP BY 1""") {
       (s, dir) =>
-        r6(TextAnalysis.trigramCrossEntropy(tbl(s, dir, "documents"), "doc_id", "text"))
+        // the kernel twin (zero corpus-sized shuffle); the algebra path
+        // it is pinned against IS this oracle's replica
+        r6(TextAnalysis.trigramCrossEntropyKernel(tbl(s, dir, "documents"), "doc_id", "text"))
     },
 
     // CCNet-style perplexity bucketing (Wenzek et al. 2020 §3): rank

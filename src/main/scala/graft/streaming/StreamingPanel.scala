@@ -389,23 +389,9 @@ object StreamingPanel {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val t0 = cuts.getOrElse(0L, Double.NegativeInfinity)
     val t1 = cuts.getOrElse(1L, t0)
-    val counts = TextAnalysis.trigramModelCounts(referenceCorpus, idCol, textCol)
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
-    val triCount = counts.map { case (t, (a, _)) => t -> a }.toMap
-    val ctxCount = counts.map { case (t, (_, b)) => t.substring(0, 2) -> b }.toMap
-    val bc = docs.sparkSession.sparkContext.broadcast((triCount, ctxCount))
-    val score = udf { (tris: Seq[String]) =>
-      if (tris == null || tris.isEmpty) null
-      else {
-        val (m3, m2) = bc.value
-        var s = 0.0
-        tris.foreach { t =>
-          s += math.log((m3.getOrElse(t, 0L) + 1.0) /
-            (m2.getOrElse(t.substring(0, 2), 0L) + 37.0))
-        }
-        java.lang.Double.valueOf(-(s / tris.length))
-      }
-    }
+    val (triCount, ctxCount) =
+      TextAnalysis.trigramModelMaps(referenceCorpus, idCol, textCol)
+    val score = TextAnalysis.trigramScoreUdf(docs.sparkSession, triCount, ctxCount)
     val tris = graft.functions.CharNGrams.ngrams(
       TextAnalysis.normalized(col(textCol)), 3)
     docs

@@ -103,6 +103,25 @@ class DataSelectionSpec extends SparkSpec {
     assert(out(0L)._2 > 0.9 && out(30L)._2 < 0.1)
   }
 
+  test("dsir kernel path matches the algebra twin after rd6") {
+    import graft.queries.Q
+    val docs = (0 until 240).map { i =>
+      val words = (0 until 6 + i % 13).map(j => s"w${(i * 17 + j * 5) % 300}")
+      (i.toLong, words.mkString(" "), i % 4 == 0)
+    }.toDF("doc_id", "text", "is_target")
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), Q.rd6(col("log_ratio")).as("lr"),
+        col("weight"), col("keep"))
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    val kernel = norm(DataSelection.dsirScores(docs, "doc_id", "text",
+      col("is_target"), tau = 25.0))
+    val algebra = norm(DataSelection.dsirScoresAlgebra(docs, "doc_id", "text",
+      col("is_target"), tau = 25.0))
+    assert(kernel.keySet == algebra.keySet)
+    kernel.foreach { case (id, v) => assert(v == algebra(id), s"doc $id") }
+  }
+
   test("rankByScore equals the serial global row_number at any shard count") {
     // skewed scores (half the mass piles up at 0.0) + ties broken by id
     val scored = (0 until 97).map { i =>

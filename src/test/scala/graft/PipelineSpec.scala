@@ -373,6 +373,41 @@ class PipelineSpec extends SparkSpec {
     assert(out(3L) == ((0.0, false)))
   }
 
+  test("ascii_clean matches the regex normalization chain byte-for-byte") {
+    val cases = Seq(
+      "", " ", "   ", "a", " a ", "a  b", "  a  b  c  ",
+      "Hello, World! 123", "tabs\tand\nnewlines", "é û ü ñ", "ümlaut Über",
+      "中文 text 混合", "İstanbul KELVIN K", "a!@#$%^&*()b", "1 2  3   4",
+      "é combining", " nbsp is not space", "🎉 emoji party 🎊",
+      "ends with space ", " starts", "UPPER lower MiXeD 42"
+    ) ++ (0 until 300).map { i =>
+      val r = new scala.util.Random(i)
+      (0 until 60).map(_ => r.nextInt(0x2000).toChar).mkString
+    }
+    val df = cases.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "t")
+    val out = df.select(col("id"),
+      TextAnalysis.normalized(col("t")).as("fast"),
+      TextAnalysis.normalizedRegex(col("t")).as("ref")).collect()
+    out.foreach(r => assert(r.getString(1) == r.getString(2),
+      s"case ${r.getLong(0)}: '${r.getString(1)}' vs '${r.getString(2)}'"))
+  }
+
+  test("trigram kernel scorer matches the algebra scorer after rd6") {
+    import graft.queries.Q
+    val docs = (0 until 300).map { i =>
+      val words = (0 until 5 + i % 17).map(j => s"w${(i * 31 + j * 7) % 400}")
+      (i.toLong, words.mkString(" ") + (if (i % 5 == 0) " Zq#xv!" else ""))
+    }.toDF("doc_id", "text")
+    val algebra = TextAnalysis.trigramCrossEntropy(docs, "doc_id", "text")
+      .select(col("doc_id"), Q.rd6(col("cross_entropy")).as("ce"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val kernel = TextAnalysis.trigramCrossEntropyKernel(docs, "doc_id", "text")
+      .select(col("doc_id"), Q.rd6(col("cross_entropy")).as("ce"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(kernel.keySet == algebra.keySet)
+    kernel.foreach { case (id, ce) => assert(ce == algebra(id), s"doc $id") }
+  }
+
   test("bloom-prefiltered decontamination is bit-identical to the exact path") {
     // larger corpus so the bloom actually rejects most shingles, with
     // partial-overlap docs (fractions strictly between 0 and 1)
