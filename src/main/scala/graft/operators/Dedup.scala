@@ -416,6 +416,23 @@ object Dedup {
       .withColumn("contaminated", col("contamination_frac") >= threshold)
   }
 
+  /** URL-level dedup — the CommonCrawl first-pass key (one fetch per
+    * canonical URL before any content comparison): canonicalize via
+    * [[TextAnalysis.canonicalUrl]], keep the lowest id per canonical
+    * form. One window pass partitioned by the canonical URL (a
+    * high-cardinality key — shuffles like exact content dedup and for
+    * the same reason). */
+  def urlDedup(docs: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val w = Window.partitionBy(col("canonical_url"))
+    docs
+      .withColumn("canonical_url", TextAnalysis.canonicalUrl(col(urlCol)))
+      .withColumn("keep_id", min(col(idCol)).over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("keep", col(idCol) === col("keep_id"))
+      .select(col(idCol), col("canonical_url"), col("keep_id"),
+        col("n_copies"), col("keep"))
+  }
+
   /** Two-phase decontamination for eval suites too large to ship as a
     * broadcast hash set: a Bloom filter over the eval n-grams rejects
     * the overwhelming majority of training shingles MAP-SIDE (~10

@@ -319,6 +319,36 @@ object TextAnalysis {
       score(graft.functions.CharNGrams.ngrams(col("__c"), 3)).as("cross_entropy"))
   }
 
+  /** URL canonicalization steps applied AFTER the authority-lowercase
+    * pass, in order: (pattern, replacement-with-$N-backrefs). Patterns
+    * are Java-regex ∩ RE2 (no lookaround — RE2 has none), so the
+    * DuckDB oracle embeds them verbatim (backrefs re-spelled \\N).
+    * Optional trailing groups rely on both engines rendering an
+    * unmatched group as "" in the replacement. */
+  val urlCanonSteps: Seq[(String, String)] = Seq(
+    "#.*$" -> "",                                        // fragment
+    "^(http://[^/?#:]*):80([/?#].*)?$" -> "$1$2",        // default port
+    "^(https://[^/?#:]*):443([/?#].*)?$" -> "$1$2",
+    "^(https?://)www\\." -> "$1",                        // bare host
+    "(utm_[a-z]+|gclid|fbclid)=[^&#]*&?" -> "",          // tracking params
+    "[?&]$" -> "",                                       // dangling ? / &
+    "/$" -> "")                                          // trailing slash
+
+  /** Canonical form of a URL — the CommonCrawl/C4 dedup key: lowercase
+    * scheme+authority (path and query stay case-sensitive), then
+    * [[urlCanonSteps]] (fragment, default ports, leading www., the
+    * utm_ / gclid / fbclid tracking params, dangling separators,
+    * trailing slash). Pure per-row regex algebra — rides the scan at
+    * any scale. */
+  def canonicalUrl(url: Column): Column = {
+    val auth = concat(
+      lower(regexp_extract(url, "^([^/?#]*//[^/?#]*)", 1)),
+      regexp_replace(url, "^[^/?#]*//[^/?#]*", ""))
+    urlCanonSteps.foldLeft(auth) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+  }
+
   /** Gopher-style within-document repetition signals (Rae et al. 2021
     * §A1.1: "duplicate n-gram fraction" quality filters): per doc, the
     * fraction of word-bigram occurrences that are repeats

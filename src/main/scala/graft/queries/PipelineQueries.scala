@@ -789,6 +789,49 @@ object PipelineQueries {
           "doc_id", "text", n = 5, threshold = 0.5))
     },
 
+    // URL-level dedup (the CommonCrawl first-pass key). The synthetic
+    // corpus has no URL column, so the query injects deterministic
+    // doc_id-derived URL VARIANTS (case-mangled authority, www + :80,
+    // tracking params + fragment) that all canonicalize to one form
+    // per group of 4 — exercising every canonicalization step for
+    // real. Patterns are Java-regex ∩ RE2 and embedded verbatim from
+    // TextAnalysis.urlCanonSteps (backrefs re-spelled \N).
+    "d_url_dedup" -> Q({
+      val chain = TextAnalysis.urlCanonSteps.foldLeft("c") {
+        case (c, (pat, repl)) =>
+          s"regexp_replace($c, '$pat', '${repl.replace("$", "\\")}', 'g')"
+      }
+      s"""WITH u AS (SELECT doc_id,
+            CASE doc_id % 4
+              WHEN 0 THEN 'http://example.com/a/item?id=' || (doc_id // 4)::VARCHAR || '&ref=home'
+              WHEN 1 THEN 'HTTP://Example.COM/a/item?id=' || (doc_id // 4)::VARCHAR || '&ref=home'
+              WHEN 2 THEN 'http://www.example.com:80/a/item?id=' || (doc_id // 4)::VARCHAR || '&ref=home'
+              ELSE 'http://example.com/a/item?id=' || (doc_id // 4)::VARCHAR || '&ref=home&utm_source=news&utm_campaign=x#frag'
+            END AS url FROM documents),
+          c0 AS (SELECT doc_id,
+            lower(regexp_extract(url, '^([^/?#]*//[^/?#]*)', 1)) ||
+              regexp_replace(url, '^[^/?#]*//[^/?#]*', '', 'g') AS c FROM u),
+          c1 AS (SELECT doc_id, $chain AS cu FROM c0)
+          SELECT doc_id, cu AS canonical_url,
+                 min(doc_id) OVER (PARTITION BY cu) AS keep_id,
+                 count(*) OVER (PARTITION BY cu) AS n_copies,
+                 doc_id = min(doc_id) OVER (PARTITION BY cu) AS keep
+          FROM c1"""
+    }) { (s, dir) =>
+      val g = (col("doc_id") / 4).cast("long")
+      val v = pmod(col("doc_id"), lit(4))
+      val url = when(v === 0,
+          concat(lit("http://example.com/a/item?id="), g, lit("&ref=home")))
+        .when(v === 1,
+          concat(lit("HTTP://Example.COM/a/item?id="), g, lit("&ref=home")))
+        .when(v === 2,
+          concat(lit("http://www.example.com:80/a/item?id="), g, lit("&ref=home")))
+        .otherwise(concat(lit("http://example.com/a/item?id="), g,
+          lit("&ref=home&utm_source=news&utm_campaign=x#frag")))
+      Dedup.urlDedup(
+        tbl(s, dir, "documents").withColumn("url", url), "doc_id", "url")
+    },
+
     // Gopher-rule document filter: per-rule booleans + overall keep
     // (token band, mean-word-length band, alphabetic-token fraction,
     // minimum stopword hits) — all regexp/length column algebra

@@ -373,6 +373,45 @@ class PipelineSpec extends SparkSpec {
     assert(out(3L) == ((0.0, false)))
   }
 
+  test("canonicalUrl normalizes authority case, ports, www, tracking, fragments") {
+    val cases = Seq(
+      "HTTP://Example.COM/Path/Item?Id=3" -> "http://example.com/Path/Item?Id=3",
+      "http://example.com:80/a" -> "http://example.com/a",
+      "https://example.com:443/a" -> "https://example.com/a",
+      "http://example.com:8080/a" -> "http://example.com:8080/a", // non-default kept
+      "http://www.example.com/a" -> "http://example.com/a",
+      "http://example.com/a?id=1&utm_source=x&utm_campaign=y" -> "http://example.com/a?id=1",
+      "http://example.com/a?utm_source=x" -> "http://example.com/a",
+      "http://example.com/a?utm_source=x&id=1" -> "http://example.com/a?id=1",
+      "http://example.com/a?id=1#section" -> "http://example.com/a?id=1",
+      "http://example.com/" -> "http://example.com",
+      "https://WWW.Example.com:443/b/?gclid=abc#x" -> "https://example.com/b",
+      "http://example.com/CaseSensitive/PATH" -> "http://example.com/CaseSensitive/PATH"
+    )
+    val df = cases.zipWithIndex.map { case ((u, w), i) => (i.toLong, u, w) }
+      .toDF("id", "u", "want")
+    val out = df.select(col("id"), TextAnalysis.canonicalUrl(col("u")).as("got"),
+      col("want")).collect()
+    out.foreach(r => assert(r.getString(1) == r.getString(2),
+      s"case ${r.getLong(0)}: got '${r.getString(1)}'"))
+  }
+
+  test("urlDedup keeps the lowest id per canonical URL") {
+    val docs = Seq(
+      (0L, "http://example.com/x?id=1"),
+      (1L, "HTTP://Example.com/x?id=1&utm_source=a#f"),
+      (2L, "http://www.example.com:80/x?id=1"),
+      (3L, "http://example.com/y")
+    ).toDF("doc_id", "url")
+    val out = Dedup.urlDedup(docs, "doc_id", "url")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(0L) == (("http://example.com/x?id=1", 0L, 3L, true)))
+    assert(out(1L) == (("http://example.com/x?id=1", 0L, 3L, false)))
+    assert(out(2L) == (("http://example.com/x?id=1", 0L, 3L, false)))
+    assert(out(3L) == (("http://example.com/y", 3L, 1L, true)))
+  }
+
   test("ascii_clean matches the regex normalization chain byte-for-byte") {
     val cases = Seq(
       "", " ", "   ", "a", " a ", "a  b", "  a  b  c  ",
