@@ -45,11 +45,17 @@ object PipelineSoak {
     time("exact dedup (hash groupBy)", nDocs) {
       Dedup.exactDedup(docs, "doc_id", "text").filter(col("n_copies") > 1).count()
     }
+    // NOTE: force every column through an aggregate — a bare .count()
+    // on a projection lets Catalyst PRUNE the projections and the
+    // stage measures nothing (the round-5 lesson; earlier rounds
+    // reported 0.3 s here for exactly that reason)
     time("token count + quality + langid (per-row algebra)", nDocs) {
       docs.select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n"),
         TextAnalysis.punctRatio(col("text")).as("p"),
-        TextAnalysis.langId(col("text")).as("l")).count()
+        TextAnalysis.langId(col("text")).as("l"))
+        .agg(sum(col("n") + col("p") + length(col("l"))))
+        .collect()(0).getDouble(0).toLong
     }
     time("simhash (64-bit bit-vote)", nDocs) {
       Dedup.simhash(docs, "doc_id", "text").count()
@@ -104,7 +110,9 @@ object PipelineSoak {
     }
     time("PII scrub (counts + redaction, per-row regexps)", nDocs) {
       docs.select(col("doc_id") +: TextAnalysis.piiCounts(col("text")) :+
-        TextAnalysis.piiRedact(col("text")).as("clean"): _*).count()
+          TextAnalysis.piiRedact(col("text")).as("clean"): _*)
+        .agg(sum(length(col("clean"))), sum(col("n_email")))
+        .collect()(0).getLong(0)
     }
     time("gopher rules + mixture sample (stateless filters)", nDocs) {
       graft.operators.Sampling.mixtureSample(
