@@ -38,8 +38,15 @@ object TextAnalysis {
   def stopwordPattern(lang: String): String =
     stopwords(lang).map(w => s"\\b$w\\b").mkString("|")
 
+  /** Native scan ([[graft.functions.WordSetHits]]) — bitwise-equal to
+    * [[stopwordHitsRegex]], the regex form the oracles embed
+    * (fuzz-pinned in PipelineSpec). */
   def stopwordHits(text: Column, lang: String): Column =
-    regexp_count(lower(text), lit(stopwordPattern(lang)))
+    graft.functions.WordSetHits.hits(lower(text), stopwords(lang))
+
+  /** The regex twin of [[stopwordHits]] — the oracle shape. */
+  def stopwordHitsRegex(text: Column, lang: String): Column =
+    regexp_count(lower(text), lit(stopwordPattern(lang))).cast("long")
 
   /** English-stopword density — the quality-score ingredient. */
   def stopwordRatio(text: Column): Column =

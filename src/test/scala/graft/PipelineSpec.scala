@@ -431,6 +431,30 @@ class PipelineSpec extends SparkSpec {
       s"case ${r.getLong(0)}: '${r.getString(1)}' vs '${r.getString(2)}'"))
   }
 
+  test("word_set_hits matches the \\b-alternation regex count exactly") {
+    val cases = Seq(
+      "", "the", " the ", "xthe them theory", "the the the", "a and an",
+      "of_to is", "de la casa", "de  la", "de,la", "esde la", "de lax",
+      "the\tand\nof", "THE AND", "thé ünd", "la de la de la", "is",
+      "w1 the w2 and w3", "und der die das", "le et les des dans",
+      "el y los de la es una que", "a", "a a a a", "1a a1 a_b the"
+    ) ++ (0 until 300).map { i =>
+      val r = new scala.util.Random(1000 + i)
+      val toks = Seq("the", "and", "de", "la", "de la", "xx", "a", "_",
+        "9", "é", ",", " ")
+      (0 until 20).map(_ => toks(r.nextInt(toks.length))).mkString(" ")
+    }
+    val df = cases.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "t")
+    for (lang <- Seq("en", "de", "fr", "es")) {
+      val out = df.select(col("id"),
+        TextAnalysis.stopwordHits(col("t"), lang).as("fast"),
+        TextAnalysis.stopwordHitsRegex(col("t"), lang).as("ref")).collect()
+      out.foreach(r => assert(r.getLong(1) == r.getLong(2),
+        s"$lang case ${r.getLong(0)}: '${cases(r.getLong(0).toInt)}' " +
+          s"${r.getLong(1)} vs ${r.getLong(2)}"))
+    }
+  }
+
   test("trigram kernel scorer matches the algebra scorer after rd6") {
     import graft.queries.Q
     val docs = (0 until 300).map { i =>
