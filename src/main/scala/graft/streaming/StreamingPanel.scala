@@ -43,6 +43,23 @@ object StreamingPanel {
       .withWatermark(timeCol, watermark)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** Streaming URL dedup — the ingest-time form of
+    * [[graft.operators.Dedup.urlDedup]]: canonicalize each arriving
+    * URL with the SAME per-row chain as batch
+    * ([[graft.operators.TextAnalysis.canonicalUrl]] — one definition,
+    * two runtimes), keep the first arrival per canonical form within
+    * the watermark. State is one 16-byte md5 key per distinct
+    * canonical URL inside the watermark horizon — the exact-dedup
+    * bound, independent of stream length. */
+  def streamingUrlDedup(stream: DataFrame, urlCol: String, timeCol: String,
+                        watermark: String): DataFrame =
+    stream
+      .withColumn("canonical_url",
+        graft.operators.TextAnalysis.canonicalUrl(col(urlCol)))
+      .withColumn("url_hash", md5(col("canonical_url").cast("binary")))
+      .withWatermark(timeCol, watermark)
+      .dropDuplicatesWithinWatermark("url_hash")
+
   /** One emitted forecast row: entity, horizon step, future event
     * time, predicted value. */
   final case class ForecastRow(entity: Long, h: Int,

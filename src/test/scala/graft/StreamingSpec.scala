@@ -240,6 +240,31 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 5L), s"kept $kept")
   }
 
+  test("streaming URL dedup keeps the first arrival per canonical URL") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val stream = mem.toDF.toDF("doc_id", "event_time", "url")
+    val out = StreamingPanel.streamingUrlDedup(stream, "url", "event_time", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("ud").outputMode("append").start()
+    // three spellings of one canonical URL + one distinct; then a
+    // cross-batch variant dup + one new
+    mem.addData(
+      (1L, ts(0), "http://example.com/x?id=1"),
+      (2L, ts(1), "HTTP://Example.com/x?id=1&utm_source=a#f"),
+      (3L, ts(2), "http://other.com/y"))
+    q.processAllAvailable()
+    mem.addData(
+      (4L, ts(3), "http://www.example.com:80/x?id=1"),
+      (5L, ts(4), "https://example.com/z"))
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("ud").select("doc_id", "canonical_url").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept.keySet == Set(1L, 3L, 5L), s"kept $kept")
+    // the canonical key matches the batch operator's on the same rows
+    assert(kept(1L) == "http://example.com/x?id=1")
+  }
+
   test("streaming media sniff + PCM stats match batch (stateless projections)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
