@@ -40,9 +40,13 @@ object Packing {
     * `n_bins`. `idCol` must be numeric: it defines the deterministic
     * concatenation order. */
   def packManifest(docs: DataFrame, idCol: String, textCol: String,
-                   ctxLen: Int, nShards: Int = 256): DataFrame = {
+                   ctxLen: Int, nShards: Int = 256,
+                   nTokens: Option[Column] = None): DataFrame = {
+    // nTokens swaps the tokenizer (e.g. the BPE state's separator
+    // count) without touching the packing layout machinery
     val base = docs.select(col(idCol),
-      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      nTokens.getOrElse(TextAnalysis.tokenCount(col(textCol)).cast("long"))
+        .as("n_tokens"))
     val Array(lo, hi) = base.agg(min(col(idCol)), max(col(idCol)))
       .collect()(0).toSeq.map(v => v.asInstanceOf[Number].longValue).toArray
     val span = math.max(1L, (hi - lo) / nShards + 1)

@@ -1161,6 +1161,39 @@ object PipelineQueries {
         "doc_id", "text", ctxLen = 128)
     },
 
+    // Composed tokenize-and-pack: the packing manifest laid out in
+    // REAL BPE tokens (the fixed 12-merge table of t_bpe_encode)
+    // instead of whitespace tokens — tokenizer and layout drift are
+    // both caught because the oracle chains the encode replace stages
+    // straight into the packing cumsum.
+    "pipe_pack_bpe" -> Q({
+      val stages = PipelineQueries.bpeMerges.zipWithIndex.map { case ((a, b), i) =>
+        s"""s${i + 1} AS MATERIALIZED (SELECT doc_id,
+              replace(s, chr(31)||'$a'||chr(31)||'$b', chr(31)||'$a$b') AS s
+            FROM s$i)"""
+      }
+      s"""WITH s0 AS MATERIALIZED (SELECT doc_id,
+               regexp_replace(text, '([\\s\\S])', chr(31) || '\\1', 'g') AS s
+             FROM documents),
+          ${stages.mkString(", ")},
+          t AS (SELECT doc_id,
+                  (length(s) - length(replace(s, chr(31), '')))::BIGINT AS n
+                FROM s${PipelineQueries.bpeMerges.length}),
+          c AS (SELECT doc_id, n,
+                       (sum(n + 1) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - (n + 1))::BIGINT AS s
+                FROM t)
+          SELECT doc_id, n AS n_tokens, s AS start_offset,
+                 (s // 512)::BIGINT AS bin_first,
+                 ((s + greatest(n, 1) - 1) // 512)::BIGINT AS bin_last,
+                 ((s + greatest(n, 1) - 1) // 512 - s // 512 + 1)::BIGINT AS n_bins
+          FROM c"""
+    }) { (s, dir) =>
+      val enc = TextAnalysis.bpeEncode(tbl(s, dir, "documents"), "text",
+        PipelineQueries.bpeMerges)
+      graft.operators.Packing.packManifest(enc, "doc_id", "text",
+        ctxLen = 512, nTokens = Some(col("bpe_n_tokens")))
+    },
+
     // packing-efficiency census per context window: docs starting in
     // the window + docs straddling out of it (the cross-boundary
     // fraction a packer wants low).

@@ -90,6 +90,20 @@ class DataSelectionSpec extends SparkSpec {
     assert(bins(10L) == ((0L, 0L, 1L)))
   }
 
+  test("packManifest with a custom token count lays out BPE tokens") {
+    import graft.operators.{Packing, TextAnalysis}
+    val docs = Seq((0L, "the the"), (1L, "in an")).toDF("doc_id", "text")
+    val enc = TextAnalysis.bpeEncode(docs, "text",
+      graft.queries.PipelineQueries.bpeMerges)
+    val m = Packing.packManifest(enc, "doc_id", "text", ctxLen = 8,
+        nTokens = Some(col("bpe_n_tokens")))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // "the the" -> [the][ ][the] = 3 BPE tokens (t+h then th+e merges);
+    // "in an" -> [in][ ][an] = 3
+    assert(m(0L) == ((3L, 0L)))
+    assert(m(1L) == ((3L, 4L))) // starts after 3 tokens + 1 separator
+  }
+
   test("qualityClassifier distills the gopher label with high agreement") {
     val good = (0 until 30).map(i =>
       (i.toLong, "the quick brown fox jumps over a lazy dog near the riverbank today"))
