@@ -56,7 +56,13 @@ object PlanAudit {
       "t_bpe_encode",                            // round 4: merge-chain replaces — 0 exchanges
       "d_semdedup",                              // round 5: literal centroids — only the cluster equi-join shuffles
       "mm_video_frames",                         // round 5: container walk + decode stay one UDF pass
-      "llm_analyze_prompt")                      // basket pushdown + tiny two-level concat
+      "llm_analyze_prompt",                      // basket pushdown + tiny two-level concat
+      "t_perplexity_buckets",                    // round 5: kernel LM probe + sharded rank — shuffles bounded by (shard) counts
+      "t_perplexity_buckets_lang",               // per-group rank: (lang, shard) offsets broadcast
+      "d_bloom_decontaminate",                   // bloom probe map-side; only survivors join
+      "d_url_dedup",                             // canonical key: regex chain + one window shuffle
+      "pipe_pack_bpe",                           // BPE count feeds the sharded prefix sum
+      "t_langid")                                // round 5: word_set_hits native scan, 0 exchanges
     picks.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(
