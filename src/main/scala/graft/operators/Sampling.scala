@@ -30,6 +30,36 @@ object Sampling {
   def mixtureSample(df: DataFrame, key: Column, weight: Column): DataFrame =
     df.filter(uniformHash(key) < weight)
 
+  /** Temperature-balanced source mixing — the Pile/LLaMA-style
+    * upweighting of small sources: draw probability of source s ∝
+    * p_s^α with p_s its token share, here α = 1/2 so the reweighting
+    * is `sqrt` — which IEEE 754 requires correctly rounded, making the
+    * rates BIT-identical across engines where a libm `pow` is not.
+    * Expected kept tokens ≈ `tokenBudget`; per-source keep rate =
+    * min(1, B·q_s/t_s) with q_s = √t_s / Σ√t (the Σ folds left in
+    * source-name order on both engines; the rate is 6-dp-rounded so
+    * the 48-bit dyadic hash draw can never flip on a last-ulp
+    * difference). One tiny per-source aggregate (driver-side rates,
+    * source cardinality is small), then the same stateless portable
+    * hash filter as [[mixtureSample]] — zero extra shuffle at any
+    * corpus size. Returns kept docs with their source rate. */
+  def temperatureMixture(docs: DataFrame, idCol: String, srcCol: String,
+                         textCol: String, tokenBudget: Long): DataFrame = {
+    val per = docs.groupBy(col(srcCol))
+      .agg(sum(graft.operators.TextAnalysis.tokenCount(col(textCol)).cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val denom = per.foldLeft(0.0) { case (acc, (_, t)) => acc + math.sqrt(t.toDouble) }
+    val rates = per.map { case (s, t) =>
+      s -> math.min(1.0, tokenBudget * (math.sqrt(t.toDouble) / denom) / t.toDouble)
+    }
+    val rate = rates.foldLeft(lit(Double.NaN)) { case (acc, (s, r)) =>
+      when(col(srcCol) === s, lit(r)).otherwise(acc)
+    }
+    val keyed = docs.withColumn("rate", graft.queries.Q.rd6(rate))
+    mixtureSample(keyed,
+      concat(col(srcCol), lit(":"), col(idCol).cast("string")), col("rate"))
+  }
+
   /** EXACT-size per-stratum sample: the k rows of each stratum with
     * the smallest md5(key) — a deterministic "random" rank, so the
     * sample is reproducible and join-stable like [[mixtureSample]]

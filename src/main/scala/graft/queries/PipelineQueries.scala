@@ -930,6 +930,33 @@ object PipelineQueries {
         .select(col("doc_id"), col("bpe_n_tokens").as("n_tokens"))
     },
 
+    // Temperature-balanced source mixing (alpha = 1/2 -> sqrt, which
+    // IEEE requires correctly rounded, so the rates are bit-identical
+    // cross-engine where pow is not). Small sources upweight toward
+    // the token budget; the keep draw is the portable hash filter.
+    "d_temperature_mixture" -> Q(
+      s"""WITH t AS (SELECT source,
+               sum(CASE WHEN len(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT AS tk
+             FROM documents GROUP BY 1),
+          d AS (SELECT list_reduce(list(sqrt(tk::DOUBLE) ORDER BY source),
+                                   (a, b) -> a + b) AS dn FROM t),
+          r AS (SELECT source,
+                  round(least(1.0, 20000.0 * (sqrt(tk::DOUBLE) / dn) / tk::DOUBLE), 6) AS rate
+                FROM t CROSS JOIN d),
+          h AS (SELECT doc_id, dd.source, rate,
+                  md5(dd.source || ':' || doc_id::VARCHAR) AS m
+                FROM documents dd JOIN r USING (source)),
+          u AS (SELECT doc_id, source, rate,
+                  (${hex12ToLongSql("m")})::DOUBLE / 281474976710656.0 AS u
+                FROM h)
+          SELECT doc_id, source, rate FROM u WHERE u < rate""") {
+      (s, dir) =>
+        graft.operators.Sampling.temperatureMixture(
+          tbl(s, dir, "documents"), "doc_id", "source", "text", 20000L)
+          .select("doc_id", "source", "rate")
+    },
+
     // REAL BPE training (TextAnalysis.bpeTrain): corpus touched once
     // (distinct-word freq), then 6 vocab-bounded pair-count rounds with
     // (count desc, a, b) tie-breaks; the oracle unrolls the SAME six

@@ -90,6 +90,30 @@ class DataSelectionSpec extends SparkSpec {
     assert(bins(10L) == ((0L, 0L, 1L)))
   }
 
+  test("temperatureMixture upweights the small source toward the budget") {
+    import graft.operators.Sampling
+    // source A: 900 tokens, source B: 100 tokens; budget 500.
+    // sqrt weights: qA=0.75 qB=0.25 -> rateA=500*0.75/900=0.41(6),
+    // rateB=min(1, 500*0.25/100)=1.0 — B kept whole, A downsampled
+    val docs = ((0 until 90).map(i => (i.toLong, "A", Seq.fill(10)("w").mkString(" "))) ++
+      (90 until 100).map(i => (i.toLong, "B", Seq.fill(10)("w").mkString(" "))))
+      .toDF("doc_id", "source", "text")
+    val out = Sampling.temperatureMixture(docs, "doc_id", "source", "text", 500L)
+      .select("doc_id", "source", "rate")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val bySource = out.groupBy(_._2)
+    assert(bySource("B").size == 10) // rate 1.0 keeps everything
+    assert(bySource("B").forall(_._3 == 1.0))
+    assert(bySource("A").forall(_._3 == 0.416667))
+    // the hash draw keeps roughly rate*n of A (deterministic exact set)
+    val nA = bySource("A").size
+    assert(nA > 20 && nA < 55, s"kept $nA of 90")
+    // rerun is bit-identical (pure hash draw, no RNG)
+    val again = Sampling.temperatureMixture(docs, "doc_id", "source", "text", 500L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == out.map(_._1).toSet)
+  }
+
   test("packManifest with a custom token count lays out BPE tokens") {
     import graft.operators.{Packing, TextAnalysis}
     val docs = Seq((0L, "the the"), (1L, "in an")).toDF("doc_id", "text")
