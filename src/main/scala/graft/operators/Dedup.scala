@@ -433,6 +433,35 @@ object Dedup {
         col("n_copies"), col("keep"))
   }
 
+  /** Per-EVAL-doc leakage report — the other direction of
+    * [[decontaminationScores]]: for each benchmark item, how much of
+    * it already sits in the training corpus (the "is my eval
+    * compromised" census run before trusting a benchmark number).
+    * Scale shape: the eval n-gram set broadcasts (it's the small
+    * side); the 100-TB training corpus is scanned ONCE map-side, and
+    * only the intersected shingles — bounded by the eval set, not the
+    * corpus — survive to the distinct + join-back. */
+  def decontaminationReport(train: DataFrame, eval: DataFrame, idCol: String,
+                            textCol: String, n: Int = 5): DataFrame = {
+    val evalG = shingleRows(eval, idCol, textCol, n)
+      .select(col(idCol), col("__sh")).distinct()
+    val evalSet = broadcast(evalG.select(col("__sh")).distinct())
+    val hit = shingleRows(train, idCol, textCol, n)
+      .select(col("__sh")).join(evalSet, "__sh")
+      .distinct().withColumn("__hit", lit(1L))
+    val perDoc = evalG.join(hit, Seq("__sh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_leaked"))
+    eval.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        coalesce(col("n_leaked").cast("double") /
+          col("n_grams").cast("double"), lit(0.0)).as("leaked_frac"))
+  }
+
   /** Two-phase decontamination for eval suites too large to ship as a
     * broadcast hash set: a Bloom filter over the eval n-grams rejects
     * the overwhelming majority of training shingles MAP-SIDE (~10

@@ -756,6 +756,38 @@ object PipelineQueries {
           "doc_id", "text", n = 5, threshold = 0.5))
     },
 
+    // The reverse direction: per-eval-doc leakage census (is THIS
+    // benchmark item compromised). Same eval/train split as
+    // d_decontaminate; the eval n-gram set broadcasts and the training
+    // corpus is scanned once map-side.
+    "d_decontaminate_report" -> Q(
+      """WITH w AS MATERIALIZED (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+           FROM documents
+           WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 5),
+         g AS MATERIALIZED (
+           SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 3),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]))) AS sh
+           FROM w),
+         tg AS (SELECT DISTINCT sh FROM g WHERE doc_id % 10 <> 0),
+         pd AS (SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+                       sum(CASE WHEN tg.sh IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_leaked
+                FROM g LEFT JOIN tg USING (sh)
+                WHERE g.doc_id % 10 = 0 GROUP BY 1)
+         SELECT d.doc_id,
+                coalesce(pd.n_grams, 0)::BIGINT AS n_grams,
+                coalesce(pd.n_leaked, 0)::BIGINT AS n_leaked,
+                round(coalesce(pd.n_leaked::DOUBLE / pd.n_grams::DOUBLE, 0.0), 6) AS leaked_frac
+         FROM documents d LEFT JOIN pd USING (doc_id)
+         WHERE d.doc_id % 10 = 0""") {
+      (s, dir) =>
+        val docs = tbl(s, dir, "documents")
+        r6(Dedup.decontaminationReport(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", n = 5))
+    },
+
     // The 100-TB decontamination shape: Bloom-filter prefilter
     // (map-side bit probe, no broadcast hash set) + exact verify join
     // on the survivors only. Bit-identical to d_decontaminate by

@@ -471,6 +471,22 @@ class PipelineSpec extends SparkSpec {
     kernel.foreach { case (id, ce) => assert(ce == algebra(id), s"doc $id") }
   }
 
+  test("decontaminationReport scores eval items by training-side leakage") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"), // fully inside train doc 1
+      (101L, "nine ten eleven twelve thirteen"),     // fresh
+      (102L, "tiny")).toDF("doc_id", "text")         // < n words -> 0 grams
+    val out = Dedup.decontaminationReport(train, eval, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(100L) == ((2L, 2L, 1.0)))
+    assert(out(101L) == ((1L, 0L, 0.0)))
+    assert(out(102L) == ((0L, 0L, 0.0)))
+  }
+
   test("bloom-prefiltered decontamination is bit-identical to the exact path") {
     // larger corpus so the bloom actually rejects most shingles, with
     // partial-overlap docs (fractions strictly between 0 and 1)
