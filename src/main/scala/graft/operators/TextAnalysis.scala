@@ -10,7 +10,14 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Whitespace token count. */
+  /** Native scan ([[graft.functions.WsTokenCount]]) — bitwise-equal
+    * to [[tokenCountBuiltins]], the builtin chain the oracles embed
+    * (fuzz-pinned in PipelineSpec). */
   def tokenCount(text: Column): Column =
+    graft.functions.WsTokenCount.of(text)
+
+  /** The builtin-composed twin of [[tokenCount]] — the oracle shape. */
+  def tokenCountBuiltins(text: Column): Column =
     when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))
 
   /** BPE-ish subword-unit count: alpha runs + digit runs + single

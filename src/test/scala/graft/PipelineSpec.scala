@@ -431,6 +431,25 @@ class PipelineSpec extends SparkSpec {
       s"case ${r.getLong(0)}: '${r.getString(1)}' vs '${r.getString(2)}'"))
   }
 
+  test("ws_token_count matches the trim+split builtin chain exactly") {
+    val cases = Seq(
+      "", " ", "   ", "a", " a ", "a b", "a  b", "  a  b  ",
+      "\t", "\ta", "a\t", "a\tb", "\t\t a \n b \r\n", "a\nb\nc",
+      "one two three", " leading", "trailing ", " vertical tab",
+      "mixé unicode ok", "中文 字", "a b" // nbsp is NOT \s
+    ) ++ (0 until 300).map { i =>
+      val r = new scala.util.Random(2000 + i)
+      val toks = Seq("a", "bb", " ", "\t", "\n", "\r", "\f", "", "é", "9")
+      (0 until 15).map(_ => toks(r.nextInt(toks.length))).mkString
+    }
+    val df = cases.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "t")
+    val out = df.select(col("id"),
+      TextAnalysis.tokenCount(col("t")).as("fast"),
+      TextAnalysis.tokenCountBuiltins(col("t")).as("ref")).collect()
+    out.foreach(r => assert(r.getInt(1) == r.getInt(2),
+      s"case ${r.getLong(0)}: ${r.getInt(1)} vs ${r.getInt(2)}"))
+  }
+
   test("word_set_hits matches the \\b-alternation regex count exactly") {
     val cases = Seq(
       "", "the", " the ", "xthe them theory", "the the the", "a and an",
