@@ -380,6 +380,34 @@ object StreamingPanel {
       .filter(col("contamination_frac") < threshold)
   }
 
+  /** Streaming temperature-mixture gate: per-source keep rates
+    * computed ONCE from a static reference corpus
+    * ([[graft.operators.Sampling.temperatureMixture]]'s α = 1/2
+    * reweighting) and inlined as a when-chain; each arriving doc
+    * decides with the same portable hash draw — stateless,
+    * join-stable, reproducible across reruns and engines. Sources
+    * unseen in the reference get rate 0 (nothing known about their
+    * weight — they'd silently skew the mixture). */
+  def streamingTemperatureMixture(docs: DataFrame, referenceCorpus: DataFrame,
+                                  idCol: String, srcCol: String,
+                                  textCol: String,
+                                  tokenBudget: Long): DataFrame = {
+    import graft.operators.{Sampling, TextAnalysis}
+    val per = referenceCorpus.groupBy(col(srcCol))
+      .agg(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val denom = per.foldLeft(0.0) { case (acc, (_, t)) => acc + math.sqrt(t.toDouble) }
+    val rates = per.map { case (s, t) =>
+      s -> math.min(1.0, tokenBudget * (math.sqrt(t.toDouble) / denom) / t.toDouble)
+    }
+    val rate = rates.foldLeft(lit(0.0)) { case (acc, (s, r)) =>
+      when(col(srcCol) === s, lit(r)).otherwise(acc)
+    }
+    docs.withColumn("rate", graft.queries.Q.rd6(rate))
+      .filter(Sampling.uniformHash(
+        concat(col(srcCol), lit(":"), col(idCol).cast("string"))) < col("rate"))
+  }
+
   /** Streaming CCNet LM gate (Wenzek et al. 2020 serving shape): train
     * the char-trigram LM and the head/middle/tail cutoffs ONCE on a
     * static reference corpus (batch passes at plan time —

@@ -413,6 +413,27 @@ class StreamingSpec extends SparkSpec {
     assert(batch == kept, s"batch $batch vs stream $kept")
   }
 
+  test("streaming temperature mixture keeps the batch operator's exact sample") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docsSeq = ((0 until 90).map(i => (i.toLong, "A", Seq.fill(10)("w").mkString(" "))) ++
+      (90 until 100).map(i => (i.toLong, "B", Seq.fill(10)("w").mkString(" "))))
+    val ref = docsSeq.toDF("doc_id", "source", "text")
+    val batch = graft.operators.Sampling
+      .temperatureMixture(ref, "doc_id", "source", "text", 500L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val mem = MemoryStream[(Long, String, String)]
+    val out = StreamingPanel.streamingTemperatureMixture(
+      mem.toDF.toDF("doc_id", "source", "text"), ref, "doc_id", "source", "text", 500L)
+    val q = out.writeStream.format("memory").queryName("tm").outputMode("append").start()
+    mem.addData(docsSeq: _*)
+    // an unseen source must be dropped, not silently admitted
+    mem.addData((1000L, "C", "x y z"))
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("tm").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == batch, s"stream $kept vs batch $batch")
+  }
+
   test("streaming LM bucket gate scores and labels like the batch buckets") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
