@@ -756,6 +756,112 @@ object PipelineQueries {
           "doc_id", "text", n = 5, threshold = 0.5))
     },
 
+    // The composed end-to-end curation pipeline (FineWeb-shaped):
+    // URL dedup -> Gopher quality -> PII redact -> corpus-LM
+    // perplexity tail-drop -> temperature source mixing. ONE oracle
+    // chains every stage's CTEs, so drift anywhere in the five
+    // operators (or their composition order) mismatches. The plan is
+    // the scale story in miniature: two bounded-key window shuffles
+    // (canonical URL, score shard), everything else scan-width or
+    // broadcast.
+    "pipe_curate_full" -> Q({
+      val urlChain = TextAnalysis.urlCanonSteps.foldLeft("c") {
+        case (c, (pat, repl)) =>
+          s"regexp_replace($c, '$pat', '${repl.replace("$", "\\")}', 'g')"
+      }
+      val redact = TextAnalysis.piiPatterns.foldLeft("text") {
+        case (c, (_, pat, repl)) => s"regexp_replace($c, '$pat', '$repl', 'g')"
+      }
+      val tokOf = (c: String) =>
+        s"(CASE WHEN len(trim($c)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim($c), '\\s+')) END)"
+      s"""WITH urls AS (SELECT doc_id,
+            CASE doc_id % 4
+              WHEN 0 THEN 'http://example.com/a/item?id=' || (doc_id // 4)::VARCHAR || '&ref=home'
+              WHEN 1 THEN 'HTTP://Example.COM/a/item?id=' || (doc_id // 4)::VARCHAR || '&ref=home'
+              WHEN 2 THEN 'http://www.example.com:80/a/item?id=' || (doc_id // 4)::VARCHAR || '&ref=home'
+              ELSE 'http://example.com/a/item?id=' || (doc_id // 4)::VARCHAR || '&ref=home&utm_source=news&utm_campaign=x#frag'
+            END AS url FROM documents),
+          cu0 AS (SELECT doc_id,
+            lower(regexp_extract(url, '^([^/?#]*//[^/?#]*)', 1)) ||
+              regexp_replace(url, '^[^/?#]*//[^/?#]*', '', 'g') AS c FROM urls),
+          cu1 AS (SELECT doc_id, $urlChain AS cu FROM cu0),
+          ukeep AS (SELECT doc_id FROM (
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY cu) AS k FROM cu1) WHERE doc_id = k),
+          d1 AS (SELECT d.doc_id, d.source, d.text FROM documents d JOIN ukeep USING (doc_id)),
+          gm AS (SELECT doc_id, ${tokOf("text")} AS toks,
+                   length(regexp_replace(trim(text), '\\s+', '', 'g'))::DOUBLE AS chars,
+                   len(regexp_extract_all(text, '(^|\\s)[^\\s]*[a-z][^\\s]*')) AS alpha,
+                   len(regexp_extract_all(lower(text), '${TextAnalysis.stopwordPattern("en")}')) AS stop
+                 FROM d1),
+          gk AS (SELECT doc_id FROM gm
+                 WHERE toks >= 10 AND toks <= 100000
+                   AND chars / greatest(toks, 1) >= 3.0 AND chars / greatest(toks, 1) <= 10.0
+                   AND alpha::DOUBLE / greatest(toks, 1) >= 0.8 AND stop >= 2),
+          d2 AS (SELECT d1.* FROM d1 JOIN gk USING (doc_id)),
+          d3 AS MATERIALIZED (SELECT doc_id, source, $redact AS ct FROM d2),
+          cleaned AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(ct), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS c FROM d3),
+          tris AS (SELECT doc_id, substring(c, CAST(i AS INTEGER), 3) AS tri
+                   FROM cleaned, unnest(generate_series(1, len(c) - 2)) AS t(i)
+                   WHERE len(c) >= 3),
+          tc3 AS (SELECT tri, count(*) AS c3 FROM tris GROUP BY 1),
+          model AS (SELECT tri, ln((c3 + 1.0) / (sum(c3) OVER (PARTITION BY substring(tri, 1, 2)) + 37.0)) AS logp FROM tc3),
+          scores AS (SELECT doc_id, round(-avg(logp), 6) AS cross_entropy
+                     FROM tris JOIN model USING (tri) GROUP BY 1),
+          ranked AS (SELECT doc_id, cross_entropy,
+                            row_number() OVER (ORDER BY cross_entropy, doc_id) AS rank,
+                            count(*) OVER () AS n FROM scores),
+          lm AS (SELECT doc_id, cross_entropy,
+                   CASE WHEN (3 * (rank - 1)) // n = 0 THEN 'head'
+                        WHEN (3 * (rank - 1)) // n = 2 THEN 'tail'
+                        ELSE 'middle' END AS bucket_label FROM ranked),
+          d4 AS (SELECT d3.doc_id, d3.source, d3.ct, lm.cross_entropy, lm.bucket_label
+                 FROM d3 JOIN lm USING (doc_id) WHERE lm.bucket_label <> 'tail'),
+          tt AS (SELECT source, sum(${tokOf("ct")})::BIGINT AS tk FROM d4 GROUP BY 1),
+          dn AS (SELECT list_reduce(list(sqrt(tk::DOUBLE) ORDER BY source), (a, b) -> a + b) AS dn FROM tt),
+          rr AS (SELECT source, round(least(1.0, 10000.0 * (sqrt(tk::DOUBLE) / dn) / tk::DOUBLE), 6) AS rate
+                 FROM tt CROSS JOIN dn),
+          hh AS (SELECT d4.doc_id, d4.source, d4.ct, d4.cross_entropy, d4.bucket_label, rr.rate,
+                   md5(d4.source || ':' || d4.doc_id::VARCHAR) AS m
+                 FROM d4 JOIN rr USING (source)),
+          uu AS (SELECT doc_id, source, ct, cross_entropy, bucket_label, rate,
+                   (${hex12ToLongSql("m")})::DOUBLE / 281474976710656.0 AS u FROM hh)
+          SELECT doc_id, source, cross_entropy, bucket_label, rate,
+                 md5(ct) AS text_fp
+          FROM uu WHERE u < rate"""
+    }) { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+      val g = (col("doc_id") / 4).cast("long")
+      val v = pmod(col("doc_id"), lit(4))
+      val url = when(v === 0,
+          concat(lit("http://example.com/a/item?id="), g, lit("&ref=home")))
+        .when(v === 1,
+          concat(lit("HTTP://Example.COM/a/item?id="), g, lit("&ref=home")))
+        .when(v === 2,
+          concat(lit("http://www.example.com:80/a/item?id="), g, lit("&ref=home")))
+        .otherwise(concat(lit("http://example.com/a/item?id="), g,
+          lit("&ref=home&utm_source=news&utm_campaign=x#frag")))
+      val afterUrl = docs.join(
+        Dedup.urlDedup(docs.withColumn("url", url), "doc_id", "url")
+          .filter(col("keep")).select("doc_id"),
+        "doc_id")
+      val afterGopher = afterUrl.join(
+        TextAnalysis.gopherRules(afterUrl, "doc_id", "text")
+          .filter(col("keep")).select("doc_id"),
+        "doc_id")
+      val redacted = afterGopher
+        .withColumn("ct", TextAnalysis.piiRedact(col("text")))
+      val keptLm = graft.operators.DataSelection
+        .perplexityBuckets(redacted, "doc_id", "ct")
+        .filter(col("bucket_label") =!= "tail")
+        .select(col("doc_id"), col("cross_entropy"), col("bucket_label"))
+      val afterLm = redacted.join(keptLm, "doc_id")
+      graft.operators.Sampling
+        .temperatureMixture(afterLm, "doc_id", "source", "ct", 10000L)
+        .select(col("doc_id"), col("source"), col("cross_entropy"),
+          col("bucket_label"), col("rate"),
+          md5(col("ct").cast("binary")).as("text_fp"))
+    },
+
     // The reverse direction: per-eval-doc leakage census (is THIS
     // benchmark item compromised). Same eval/train split as
     // d_decontaminate; the eval n-gram set broadcasts and the training
