@@ -137,9 +137,9 @@ object DataSelection {
     val safeToks = greatest(toks, lit(1)).cast("double")
     Seq(
       log(lit(1.0) + toks),
-      length(regexp_replace(trim(t), "\\s+", "")).cast("double") / safeToks,
+      graft.functions.TextScanKernels.nonWsCharCount(t).cast("double") / safeToks,
       TextAnalysis.stopwordHits(t, "en").cast("double") / safeToks,
-      regexp_count(t, lit("(^|\\s)[^\\s]*[a-z][^\\s]*")).cast("double") / safeToks)
+      graft.functions.TextScanKernels.alphaTokenCount(t).cast("double") / safeToks)
   }
 
   /** Quality-classifier feature/label frame: per document the cheap
@@ -156,9 +156,9 @@ object DataSelection {
     val t = col(textCol)
     val staged = docs.select(col(idCol),
       TextAnalysis.tokenCount(t).as("__toks"),
-      length(regexp_replace(trim(t), "\\s+", "")).cast("double").as("__chars"),
+      graft.functions.TextScanKernels.nonWsCharCount(t).cast("double").as("__chars"),
       TextAnalysis.stopwordHits(t, "en").as("__stops"),
-      regexp_count(t, lit("(^|\\s)[^\\s]*[a-z][^\\s]*")).as("__alphas"))
+      graft.functions.TextScanKernels.alphaTokenCount(t).as("__alphas"))
     val safeToks = greatest(col("__toks"), lit(1)).cast("double")
     val mwl = col("__chars") / safeToks
     val alphaR = col("__alphas").cast("double") / safeToks

@@ -21,18 +21,34 @@ object TextAnalysis {
     when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))
 
   /** BPE-ish subword-unit count: alpha runs + digit runs + single
-    * punctuation marks (a cheap proxy for tokenizer load). */
+    * punctuation marks (a cheap proxy for tokenizer load). Native
+    * scan; regex twin in [[bpeishCountRegex]] (fuzz-pinned). */
   def bpeishCount(text: Column): Column =
+    graft.functions.TextScanKernels.bpeishCount(text)
+
+  def bpeishCountRegex(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
 
-  /** Ratio of punctuation (non-alnum, non-space) characters. */
+  /** Ratio of [a-zA-Z0-9 ]-class characters (the quality-score
+    * "clean character" fraction). Native scan; regex twin in
+    * [[punctRatioRegex]] (fuzz-pinned). */
   def punctRatio(text: Column): Column =
+    graft.functions.TextScanKernels.alnumSpaceCount(text).cast("double") /
+      length(text)
+
+  def punctRatioRegex(text: Column): Column =
     (length(text) - length(regexp_replace(text, "[a-zA-Z0-9 ]", ""))).cast("double") /
       length(text)
 
-  /** Mean word length over whitespace tokens. */
+  /** Mean word length over whitespace tokens. Native numerator scan;
+    * regex twin in [[meanWordLenRegex]] (fuzz-pinned). */
   def meanWordLen(text: Column): Column =
-    (length(regexp_replace(trim(text), "\\s+", ""))).cast("double") / tokenCount(text)
+    graft.functions.TextScanKernels.nonWsCharCount(text).cast("double") /
+      tokenCount(text)
+
+  def meanWordLenRegex(text: Column): Column =
+    (length(regexp_replace(trim(text), "\\s+", ""))).cast("double") /
+      tokenCountBuiltins(text)
 
   private val stopwords = Map(
     "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
@@ -445,10 +461,13 @@ object TextAnalysis {
                   minAlphaFrac: Double = 0.8, minStopwordHits: Int = 2): DataFrame = {
     val t = col(textCol)
     val toks = tokenCount(t)
-    val alphaToks = regexp_count(t, lit("(^|\\s)[^\\s]*[a-z][^\\s]*"))
+    // native scans (fuzz-pinned twins of the regex forms the oracle
+    // embeds); alpha_token_count also kills the (^|\s)[^\s]*[a-z][^\s]*
+    // pattern's O(len²) backtracking on long a-z-free tokens
+    val alphaToks = graft.functions.TextScanKernels.alphaTokenCount(t)
     // divide by max(toks,1): whitespace-only docs otherwise hit 0/0,
     // where Spark (NaN) and DuckDB (NULL) comparison semantics diverge
-    val mwl = length(regexp_replace(trim(t), "\\s+", "")).cast("double") /
+    val mwl = graft.functions.TextScanKernels.nonWsCharCount(t).cast("double") /
       greatest(toks, lit(1))
     docs.select(col(idCol),
       (toks >= minTokens && toks <= maxTokens).as("r_tokens"),

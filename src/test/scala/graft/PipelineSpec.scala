@@ -431,6 +431,38 @@ class PipelineSpec extends SparkSpec {
       s"case ${r.getLong(0)}: '${r.getString(1)}' vs '${r.getString(2)}'"))
   }
 
+  test("text-scan kernels match their regex twins exactly") {
+    val cases = Seq(
+      "", " ", "abc", "ABC", "a1b2", "123 456", "hello, world!",
+      "NOLOWER TOKENS", "mixed Case tok3ns here", "  pad  ded  ",
+      "tabs\tand\nnewlines\rhere", "punct!!! ((()))", "a_b-c.d",
+      "é ünïcode mixé", "中文字 and ascii", "🎉🎉 double emoji",
+      "x" * 200, ("z" * 50) + " the " + ("9" * 40), "ab"
+    ) ++ (0 until 300).map { i =>
+      val r = new scala.util.Random(3000 + i)
+      val toks = Seq("ab", "AB", "12", ",.", " ", "\t", "é", "中", "a1",
+        "_", "\n", "🎉")
+      (0 until 25).map(_ => toks(r.nextInt(toks.length))).mkString
+    }
+    val df = cases.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "t")
+    val out = df.select(col("id"),
+      graft.functions.TextScanKernels.alphaTokenCount(col("t")).as("a1"),
+      regexp_count(col("t"), lit("(^|\\s)[^\\s]*[a-z][^\\s]*")).as("a2"),
+      graft.functions.TextScanKernels.nonWsCharCount(col("t")).as("b1"),
+      length(regexp_replace(col("t"), "\\s+", "")).as("b2"),
+      graft.functions.TextScanKernels.alnumSpaceCount(col("t")).as("c1"),
+      (length(col("t")) - length(regexp_replace(col("t"), "[a-zA-Z0-9 ]", ""))).as("c2"),
+      TextAnalysis.bpeishCount(col("t")).as("d1"),
+      TextAnalysis.bpeishCountRegex(col("t")).as("d2")).collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == r.getInt(2), s"alphaTokens case $id")
+      assert(r.getInt(3) == r.getInt(4), s"nonWsChars case $id")
+      assert(r.getInt(5) == r.getInt(6), s"alnumSpace case $id")
+      assert(r.getInt(7) == r.getInt(8), s"bpeish case $id")
+    }
+  }
+
   test("ws_token_count matches the trim+split builtin chain exactly") {
     val cases = Seq(
       "", " ", "   ", "a", " a ", "a b", "a  b", "  a  b  ",
