@@ -71,6 +71,20 @@ case class AlnumSpaceCount(child: Expression) extends TextScanKernel {
     copy(child = newChild)
 }
 
+/** ≡ `regexp_count(s, "[\x{4e00}-\x{9fff}]")` — the CJK-unified-
+  * ideograph count langId's zh branch runs per row. Code points in
+  * [U+4E00, U+9FFF] are exactly the 3-byte UTF-8 sequences from
+  * E4 B8 80 to E9 BF BF; decoded and range-checked directly. */
+case class CjkCharCount(child: Expression) extends TextScanKernel {
+  override def prettyName: String = "cjk_char_count"
+  override def nullSafeEval(s: Any): Any =
+    TextScanKernels.cjkChars(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextScanKernels.cjkChars($c)")
+  override protected def withNewChildInternal(newChild: Expression): CjkCharCount =
+    copy(child = newChild)
+}
+
 case class BpeishCount(child: Expression) extends TextScanKernel {
   override def prettyName: String = "bpeish_count"
   override def nullSafeEval(s: Any): Any =
@@ -162,6 +176,31 @@ object TextScanKernels {
     }
     cnt
   }
+
+  /** #code points in [U+4E00, U+9FFF]. 3-byte UTF-8 decode: lead
+    * 0xE4..0xE9, two continuation bytes; cp = ((l & 0x0F) << 12) |
+    * ((c1 & 0x3F) << 6) | (c2 & 0x3F). Malformed sequences never
+    * reach here (UTF8String holds validated UTF-8). */
+  def cjkChars(s: UTF8String): Int = {
+    val b = s.getBytes
+    var i = 0
+    var cnt = 0
+    while (i < b.length) {
+      val c = b(i) & 0xFF
+      if (c >= 0xE4 && c <= 0xE9 && i + 2 < b.length) {
+        val cp = ((c & 0x0F) << 12) | ((b(i + 1) & 0x3F) << 6) | (b(i + 2) & 0x3F)
+        if (cp >= 0x4E00 && cp <= 0x9FFF) cnt += 1
+        i += 3
+      } else if (c < 0x80) i += 1
+      else if (c < 0xE0) i += 2
+      else if (c < 0xF0) i += 3
+      else i += 4
+    }
+    cnt
+  }
+
+  def cjkCharCount(s: Column): Column =
+    GraftSqlBridge.column(CjkCharCount(GraftSqlBridge.expression(s)))
 
   def alphaTokenCount(s: Column): Column =
     GraftSqlBridge.column(AlphaTokenCount(GraftSqlBridge.expression(s)))

@@ -79,7 +79,7 @@ object TextAnalysis {
     * dominate, else argmax of stopword hits (ties resolved in fixed
     * order en,de,fr,es). */
   def langId(text: Column): Column = {
-    val zh = regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]"))
+    val zh = graft.functions.TextScanKernels.cjkCharCount(text)
     val en = stopwordHits(text, "en")
     val de = stopwordHits(text, "de")
     val fr = stopwordHits(text, "fr")

@@ -437,7 +437,8 @@ class PipelineSpec extends SparkSpec {
       "NOLOWER TOKENS", "mixed Case tok3ns here", "  pad  ded  ",
       "tabs\tand\nnewlines\rhere", "punct!!! ((()))", "a_b-c.d",
       "é ünïcode mixé", "中文字 and ascii", "🎉🎉 double emoji",
-      "x" * 200, ("z" * 50) + " the " + ("9" * 40), "ab"
+      "x" * 200, ("z" * 50) + " the " + ("9" * 40), "ab",
+      "\u4dff\u4e00\u9fff\ua000 cjk range edges", "\u30d2\u30e9 katakana"
     ) ++ (0 until 300).map { i =>
       val r = new scala.util.Random(3000 + i)
       val toks = Seq("ab", "AB", "12", ",.", " ", "\t", "é", "中", "a1",
@@ -453,13 +454,16 @@ class PipelineSpec extends SparkSpec {
       graft.functions.TextScanKernels.alnumSpaceCount(col("t")).as("c1"),
       (length(col("t")) - length(regexp_replace(col("t"), "[a-zA-Z0-9 ]", ""))).as("c2"),
       TextAnalysis.bpeishCount(col("t")).as("d1"),
-      TextAnalysis.bpeishCountRegex(col("t")).as("d2")).collect()
+      TextAnalysis.bpeishCountRegex(col("t")).as("d2"),
+      graft.functions.TextScanKernels.cjkCharCount(col("t")).as("e1"),
+      regexp_count(col("t"), lit("[\\x{4e00}-\\x{9fff}]")).as("e2")).collect()
     out.foreach { r =>
       val id = r.getLong(0)
       assert(r.getInt(1) == r.getInt(2), s"alphaTokens case $id")
       assert(r.getInt(3) == r.getInt(4), s"nonWsChars case $id")
       assert(r.getInt(5) == r.getInt(6), s"alnumSpace case $id")
       assert(r.getInt(7) == r.getInt(8), s"bpeish case $id")
+      assert(r.getInt(9) == r.getInt(10), s"cjk case $id")
     }
   }
 
