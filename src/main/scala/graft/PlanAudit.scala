@@ -62,7 +62,8 @@ object PlanAudit {
       "d_bloom_decontaminate",                   // bloom probe map-side; only survivors join
       "d_url_dedup",                             // canonical key: regex chain + one window shuffle
       "pipe_pack_bpe",                           // BPE count feeds the sharded prefix sum
-      "t_langid")                                // round 5: word_set_hits native scan, 0 exchanges
+      "t_langid",                                // round 5: native scans end to end, 0 exchanges
+      "pipe_curate_full")                        // composed pipeline: two bounded-key shuffles
     picks.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(
