@@ -380,6 +380,42 @@ object StreamingPanel {
       .filter(col("contamination_frac") < threshold)
   }
 
+  /** Streaming decontamination gate for eval suites too large to ship
+    * as a literal n-gram array ([[streamingDecontaminate]]'s regime
+    * bound): the eval set reduces ONCE to a Bloom filter (~10
+    * bits/key — a 1B-n-gram suite is ~1.2 GB of bits where its
+    * distinct-set literal cannot compile, let alone broadcast as a
+    * plan constant), and each arriving doc counts might-contain hits
+    * over its own distinct shingles. Bloom filters have no false
+    * negatives, so every doc the exact gate drops, this gate drops
+    * too (the spec asserts the superset property and exactness at
+    * tight fpp); false positives only make the gate STRICTER —
+    * the safe direction for decontamination. Stateless per-row, no
+    * watermark. */
+  def streamingBloomDecontaminate(docs: DataFrame, evalDocs: DataFrame,
+                                  idCol: String, textCol: String,
+                                  n: Int = 5, threshold: Double = 0.5,
+                                  fpp: Double = 0.01): DataFrame = {
+    import graft.operators.Dedup
+    val evalG = Dedup.shingleRows(evalDocs, idCol, textCol, n)
+      .select(col("__sh")).distinct()
+    val nEval = math.max(1L, evalG.count())
+    val bloom = evalG.stat.bloomFilter("__sh", nEval, fpp)
+    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val hitFrac = udf { (shingles: Seq[String]) =>
+      if (shingles == null || shingles.isEmpty) 0.0
+      else {
+        val b = bc.value
+        var hits = 0
+        shingles.foreach(s => if (b.mightContainString(s)) hits += 1)
+        hits.toDouble / shingles.length
+      }
+    }
+    docs
+      .withColumn("contamination_frac", hitFrac(Dedup.shingles(col(textCol), n)))
+      .filter(col("contamination_frac") < threshold)
+  }
+
   /** Streaming temperature-mixture gate: per-source keep rates
     * computed ONCE from a static reference corpus
     * ([[graft.operators.Sampling.temperatureMixture]]'s α = 1/2

@@ -469,6 +469,38 @@ class StreamingSpec extends SparkSpec {
     assert((20 until 30).forall(i => got(i.toLong)._2 == "tail"))
   }
 
+  test("streaming bloom decontamination gate never admits what exact drops") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val evalDocs = Seq(100L -> "alpha beta gamma delta epsilon zeta eta").toDF("doc_id", "text")
+    val docsSeq = (0 until 40).map { i =>
+      // clean docs carry 12 distinct shingles so ONE bloom false
+      // positive (frac 1/12) cannot cross the 0.5 threshold — the
+      // tight-fpp equality assertion is then robust, not lucky
+      val t =
+        if (i % 4 == 0) "alpha beta gamma delta epsilon zeta eta theta" // contaminated
+        else (0 until 16).map(j => s"u${i}w$j").mkString(" ")
+      (i.toLong, t)
+    }
+    val exactKept = StreamingPanel.streamingDecontaminate(
+      docsSeq.toDF("doc_id", "text"), evalDocs, "doc_id", "text", n = 5, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    for (fpp <- Seq(0.5, 0.01)) {
+      val mem = MemoryStream[(Long, String)]
+      val out = StreamingPanel.streamingBloomDecontaminate(
+        mem.toDF.toDF("doc_id", "text"), evalDocs, "doc_id", "text",
+        n = 5, threshold = 0.5, fpp = fpp)
+      val qn = s"bdc${(fpp * 100).toInt}"
+      val q = out.writeStream.format("memory").queryName(qn).outputMode("append").start()
+      mem.addData(docsSeq: _*)
+      q.processAllAvailable(); q.stop()
+      val kept = spark.table(qn).select("doc_id").collect().map(_.getLong(0)).toSet
+      // no false negatives: the bloom gate's kept set never exceeds exact's
+      assert(kept.subsetOf(exactKept), s"fpp=$fpp kept $kept")
+      if (fpp == 0.01) assert(kept == exactKept, s"tight fpp should equal exact")
+    }
+  }
+
   test("streaming SemDedup gate drops reference near-dups, assigns like batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
