@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayDotProduct, CharNGrams}
+import graft.functions.{AlnumSpaceCount, AlphaTokenCount, ArrayDotProduct, AsciiClean, BpeishCount, CharNGrams, CjkCharCount, NonWsCharCount, WsTokenCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -31,6 +31,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "char_ngrams takes exactly 2 arguments")
         CharNGrams(children.head, children(1))
+      }))
+    // the round-5 text-scan kernels: unary string expressions
+    def unary(name: String, cls: Class[_], mk: Expression => Expression): Unit =
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name),
+        (children: Seq[Expression]) => {
+          require(children.length == 1, s"$name takes exactly 1 argument")
+          mk(children.head)
+        }))
+    unary("ascii_clean", classOf[AsciiClean], AsciiClean(_))
+    unary("ws_token_count", classOf[WsTokenCount], WsTokenCount(_))
+    unary("alpha_token_count", classOf[AlphaTokenCount], AlphaTokenCount(_))
+    unary("non_ws_char_count", classOf[NonWsCharCount], NonWsCharCount(_))
+    unary("alnum_space_count", classOf[AlnumSpaceCount], AlnumSpaceCount(_))
+    unary("bpeish_count", classOf[BpeishCount], BpeishCount(_))
+    unary("cjk_char_count", classOf[CjkCharCount], CjkCharCount(_))
+    ext.injectFunction((
+      new FunctionIdentifier("word_set_hits"),
+      new ExpressionInfo(classOf[graft.functions.WordSetHits].getName, "word_set_hits"),
+      (children: Seq[Expression]) => {
+        require(children.length >= 2, "word_set_hits(text, word, ...)")
+        val pats = children.tail.map {
+          case org.apache.spark.sql.catalyst.expressions.Literal(
+              s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+          case other => throw new IllegalArgumentException(
+            s"word_set_hits patterns must be string literals, got $other")
+        }
+        graft.functions.WordSetHits(children.head, pats)
       }))
   }
 }
