@@ -23,6 +23,11 @@ object BenchOne {
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       println(f"[benchone] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.3f s rows=$n")
+      // match Bench semantics: every timed run starts cache-cold (Bench
+      // clears the cache after each query), otherwise reps 2+ reuse the
+      // previous rep's persisted intermediates via plan-equality and
+      // report flattered numbers
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
     }
     spark.stop()
   }

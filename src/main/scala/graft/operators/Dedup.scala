@@ -96,8 +96,12 @@ object Dedup {
     * references it four times (band self-join + two join-backs), and
     * Spark will otherwise recompute the shingle+hash pipeline per
     * reference — at corpus scale that is 4 full scans. */
-  def minhashCandidatePairs(signatures: DataFrame, idCol: String,
-                            numHashes: Int, rowsPerBand: Int): DataFrame = {
+  /** Distinct LSH candidate pairs (a < b) only — no signature
+    * join-back, no jaccard estimate. Use when the consumer (e.g.
+    * [[nearDupGroups]]) needs just the edge list: skips two joins that
+    * would drag the wide signature arrays back through the plan. */
+  def minhashCandidatePairIds(signatures: DataFrame, idCol: String,
+                              numHashes: Int, rowsPerBand: Int): DataFrame = {
     val nBands = numHashes / rowsPerBand
     // slim (id, band, key) rows for the bucket self-join — the wide
     // signature arrays stay out of the shuffle; they're joined back
@@ -108,9 +112,14 @@ object Dedup {
         sequence(lit(0), lit(nBands - 1)),
         b => struct(b.as("band"), slice(col("minhash"), b * rowsPerBand + 1, lit(rowsPerBand)).as("key")))))
       .select(col("a"), col("col.band"), col("col.key"))
-    val pairs = bands.join(bands.select(col("a").as("b"), col("band"), col("key")), Seq("band", "key"))
+    bands.join(bands.select(col("a").as("b"), col("band"), col("key")), Seq("band", "key"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
+  }
+
+  def minhashCandidatePairs(signatures: DataFrame, idCol: String,
+                            numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val pairs = minhashCandidatePairIds(signatures, idCol, numHashes, rowsPerBand)
     val sig = signatures.select(col(idCol), col("minhash"))
     pairs
       .join(sig.select(col(idCol).as("a"), col("minhash").as("__sa")), Seq("a"))
@@ -139,30 +148,43 @@ object Dedup {
     * connected components, adaptive. Candidate edges (near-dup pairs
     * surviving LSH banding) are a vanishing fraction of corpus size,
     * so below `driverUnionFindThreshold` edges the components are
-    * solved with a driver union-find — one collect, no shuffle
-    * rounds. Above it (pathological corpora), falls back to iterative
-    * minimum-label propagation: each round joins every node's label
-    * against its neighbors' and keeps the min until no label changes,
-    * O(diameter) distributed join+agg rounds. Returns (id, group)
-    * where group = the smallest doc id in the component; "keep"
-    * policy = keep id == group. */
+    * solved with a driver union-find — ONE limited collect (no
+    * separate count() probe), no shuffle rounds. Above it
+    * (pathological corpora), falls back to iterative minimum-label
+    * propagation with pointer jumping: O(log diameter) distributed
+    * join+agg rounds. `driverUnionFindThreshold = -1` (default)
+    * auto-sizes the crossover from the driver heap (~3% of max heap
+    * at ~150 B/edge, clamped to [100k, 8M]); pass an explicit value
+    * to pin it (0 forces the distributed path). Ids are cast to long.
+    * Returns (id, group) where group = the smallest doc id in the
+    * component; "keep" policy = keep id == group. */
   def nearDupGroups(pairs: DataFrame, idColA: String = "a", idColB: String = "b",
                     maxRounds: Int = 20,
-                    driverUnionFindThreshold: Long = 2_000_000L): DataFrame = {
+                    driverUnionFindThreshold: Long = -1L): DataFrame = {
     val spark = pairs.sparkSession
-    val edges = pairs.select(col(idColA).as("src"), col(idColB).as("dst"))
-      .unionByName(pairs.select(col(idColB).as("src"), col(idColA).as("dst")))
-      .distinct().cache()
-    val nEdges = edges.count()
-    if (nEdges <= driverUnionFindThreshold) {
-      // LSH-candidate edge sets are a vanishing fraction of the corpus
-      // (only near-dup pairs survive banding) — below the threshold a
-      // driver union-find replaces O(diameter) shuffle rounds with one
-      // collect + one broadcast-sized result. Above it, fall through to
-      // the fully distributed label-propagation loop.
-      val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-      edges.unpersist(blocking = false)
+    // Auto-size the driver-vs-distributed crossover from the actual
+    // driver heap when the caller doesn't pin it: each collected edge
+    // costs ~150 bytes on the driver (Row of 2 boxed longs + array +
+    // union-find map entries), and we budget at most ~3% of max heap
+    // for the edge list so the collect can never be the OOM. A 4 GiB
+    // driver auto-sizes to ~860k edges; 128 GiB to the 8M cap.
+    val threshold =
+      if (driverUnionFindThreshold >= 0) driverUnionFindThreshold
+      else math.min(8_000_000L, math.max(100_000L, Runtime.getRuntime.maxMemory / 32 / 150))
+    // Single action: collect up to threshold+1 DISTINCT undirected
+    // edges. LSH-candidate edge sets are a vanishing fraction of the
+    // corpus (only near-dup pairs survive banding) — when they fit, a
+    // driver union-find replaces O(diameter) shuffle rounds with one
+    // limited collect. The old shape (count() probe, then a second full
+    // collect pass, on a doubled src/dst union) ran the upstream pair
+    // pipeline twice and shuffled 2x the edges; this runs it once.
+    val distinctPairs = pairs
+      .select(col(idColA).cast("long").as("src"), col(idColB).cast("long").as("dst"))
+      .distinct()
+    val head = distinctPairs.head(
+      math.min(threshold + 1, Int.MaxValue - 1).toInt)
+    if (head.length <= threshold) {
+      val es = head.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -180,6 +202,13 @@ object Dedup {
       import spark.implicits._
       rows.toDF("id", "group")
     } else {
+      // pathological corpus: too many edges for the driver — fully
+      // distributed label propagation. Symmetrize the edges only here
+      // (the driver path never needs the doubled frame) and cache them:
+      // every propagation round scans them.
+      val edges = distinctPairs
+        .unionByName(distinctPairs.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().cache()
       // every round ends in an eager localCheckpoint: iterative plans
       // otherwise chain their lineage (the self-join below would DOUBLE
       // it per round — exponential plan growth OOMs the driver around

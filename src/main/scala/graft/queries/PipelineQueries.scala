@@ -359,8 +359,10 @@ object PipelineQueries {
       val docs = tbl(s, dir, "documents")
       val sigs = Dedup.minhashSignatures(docs, "doc_id", "text",
         shingleSize = 3, numHashes = 16, family = Dedup.HashFamily.Md5).persist()
-      val pairs = Dedup.minhashCandidatePairs(sigs, "doc_id", numHashes = 16, rowsPerBand = 4)
-      val groups = Dedup.nearDupGroups(pairs.select("a", "b"))
+      // ids-only pair path: nearDupGroups needs just the edge list, so
+      // skip the est_jaccard signature join-backs entirely
+      val pairs = Dedup.minhashCandidatePairIds(sigs, "doc_id", numHashes = 16, rowsPerBand = 4)
+      val groups = Dedup.nearDupGroups(pairs)
       docs.select(col("doc_id"))
         .join(groups.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("group"), col("doc_id")).as("group"))
