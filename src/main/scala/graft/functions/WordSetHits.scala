@@ -30,6 +30,21 @@ import org.apache.spark.unsafe.types.UTF8String
 case class WordSetHits(child: Expression, patterns: Seq[String])
     extends UnaryExpression {
 
+  // Construction-time contract check: patterns are matched as raw
+  // byte sequences, so a non-ASCII char would be lossily encoded by
+  // US_ASCII to '?' and the scanner would silently match the wrong
+  // literal (diverging from the regex twin with no error). The scan's
+  // skip-ahead also assumes every alternative starts and ends with a
+  // word byte ([a-zA-Z0-9_]) — enforce both here, not at eval time.
+  patterns.foreach { p =>
+    require(p.nonEmpty && p.forall(_ < 0x80),
+      s"word_set_hits pattern must be non-empty ASCII, got '$p'")
+    def isWordChar(c: Char) = c.isLetterOrDigit && c < 0x80 || c == '_'
+    require(isWordChar(p.head) && isWordChar(p.last),
+      s"word_set_hits pattern must start and end with a word char " +
+        s"[a-zA-Z0-9_], got '$p'")
+  }
+
   override def dataType: DataType = LongType
 
   override def prettyName: String = "word_set_hits"

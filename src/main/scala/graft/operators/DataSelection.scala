@@ -240,9 +240,23 @@ object DataSelection {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val spark = scored.sparkSession
-    val row = scored.agg(min(col(scoreCol)), max(col(scoreCol))).collect()(0)
-    if (row.isNullAt(0))
+    // NULL/NaN guard, folded into the min/max pass: a NULL group key
+    // would never match the offsets inner join (rows silently dropped)
+    // and a NULL/NaN score lands in the last shard via least()'s
+    // null-skipping with a rank that disagrees with the serial
+    // window's nulls-first order — fail fast instead of mis-ranking.
+    val badCond = byCols.foldLeft(
+      col(scoreCol).isNull || isnan(col(scoreCol).cast("double"))) {
+      (acc, c) => acc || col(c).isNull
+    }
+    val row = scored.agg(min(col(scoreCol)), max(col(scoreCol)),
+      count(lit(1)), sum(when(badCond, 1L).otherwise(0L))).collect()(0)
+    if (row.getLong(2) == 0L)
       return scored.withColumn("rank", lit(0L)).withColumn("group_n", lit(0L))
+    require(row.getLong(3) == 0L,
+      s"rankByScore: ${row.getLong(3)} row(s) have NULL/NaN '$scoreCol' " +
+        s"or NULL in group columns ${byCols.mkString("[", ",", "]")} — " +
+        "filter or impute them before ranking")
     val (lo, hi) = (row.getDouble(0), row.getDouble(1))
     val span = (hi - lo) / nShards
     val shard =

@@ -45,19 +45,37 @@ object Sampling {
     * corpus size. Returns kept docs with their source rate. */
   def temperatureMixture(docs: DataFrame, idCol: String, srcCol: String,
                          textCol: String, tokenBudget: Long): DataFrame = {
-    val per = docs.groupBy(col(srcCol))
-      .agg(sum(graft.operators.TextAnalysis.tokenCount(col(textCol)).cast("long")).as("t"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
-    val denom = per.foldLeft(0.0) { case (acc, (_, t)) => acc + math.sqrt(t.toDouble) }
-    val rates = per.map { case (s, t) =>
-      s -> math.min(1.0, tokenBudget * (math.sqrt(t.toDouble) / denom) / t.toDouble)
-    }
+    val rates = sourceRates(docs, srcCol, textCol, tokenBudget)
     val rate = rates.foldLeft(lit(Double.NaN)) { case (acc, (s, r)) =>
       when(col(srcCol) === s, lit(r)).otherwise(acc)
     }
     val keyed = docs.withColumn("rate", graft.queries.Q.rd6(rate))
     mixtureSample(keyed,
       concat(col(srcCol), lit(":"), col(idCol).cast("string")), col("rate"))
+  }
+
+  /** Per-source α=1/2 temperature keep rates from one tiny aggregate:
+    * (source, min(1, B·√t_s/Σ√t/t_s)) in source-name order. Fails fast
+    * (not NPE) on NULL source values and on sources whose token sum is
+    * NULL (every text NULL) — both would otherwise mis-mix silently. */
+  def sourceRates(corpus: DataFrame, srcCol: String, textCol: String,
+                  tokenBudget: Long): Seq[(String, Double)] = {
+    val rows = corpus.groupBy(col(srcCol))
+      .agg(sum(graft.operators.TextAnalysis.tokenCount(col(textCol)).cast("long")).as("t"))
+      .collect()
+    rows.foreach { r =>
+      require(!r.isNullAt(0),
+        s"temperature mixture: NULL value in source column '$srcCol' — " +
+          "drop or impute before mixing")
+      require(!r.isNullAt(1),
+        s"temperature mixture: source '${r.getString(0)}' has only NULL " +
+          s"'$textCol' values (token sum is NULL)")
+    }
+    val per = rows.map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    val denom = per.foldLeft(0.0) { case (acc, (_, t)) => acc + math.sqrt(t.toDouble) }
+    per.map { case (s, t) =>
+      s -> math.min(1.0, tokenBudget * (math.sqrt(t.toDouble) / denom) / t.toDouble)
+    }
   }
 
   /** EXACT-size per-stratum sample: the k rows of each stratum with

@@ -360,7 +360,19 @@ object TextAnalysis {
     "^(http://[^/?#:]*):80([/?#].*)?$" -> "$1$2",        // default port
     "^(https://[^/?#:]*):443([/?#].*)?$" -> "$1$2",
     "^(https?://)www\\." -> "$1",                        // bare host
-    "(utm_[a-z]+|gclid|fbclid)=[^&#]*&?" -> "",          // tracking params
+    // Tracking params must be anchored to a preceding separator (kept
+    // via backref) or the pattern substring-matches INSIDE longer
+    // param names ("?xgclid=1" would lose its value, "my_utm_source=v"
+    // its tail) and distinct URLs collapse to one corrupted key. No
+    // lookbehind in RE2, so each match consumes its separator and
+    // re-emits it via $1 — stripping N consecutive tracking params
+    // leaves an "?&…"/"&&…" separator run; the next step collapses
+    // those runs before the dangling-separator cleanup. (The pattern
+    // must NOT consume a trailing "&": that would swallow the next
+    // param's anchor and every second consecutive param would
+    // survive.)
+    "([?&])(utm_[a-z]+|gclid|fbclid)=[^&#]*" -> "$1",    // tracking params
+    "([?&])&+" -> "$1",                                  // ?&&.. / &&.. runs
     "[?&]$" -> "",                                       // dangling ? / &
     "/$" -> "")                                          // trailing slash
 

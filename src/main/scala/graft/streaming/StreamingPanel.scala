@@ -428,14 +428,8 @@ object StreamingPanel {
                                   idCol: String, srcCol: String,
                                   textCol: String,
                                   tokenBudget: Long): DataFrame = {
-    import graft.operators.{Sampling, TextAnalysis}
-    val per = referenceCorpus.groupBy(col(srcCol))
-      .agg(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("t"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
-    val denom = per.foldLeft(0.0) { case (acc, (_, t)) => acc + math.sqrt(t.toDouble) }
-    val rates = per.map { case (s, t) =>
-      s -> math.min(1.0, tokenBudget * (math.sqrt(t.toDouble) / denom) / t.toDouble)
-    }
+    import graft.operators.Sampling
+    val rates = Sampling.sourceRates(referenceCorpus, srcCol, textCol, tokenBudget)
     val rate = rates.foldLeft(lit(0.0)) { case (acc, (s, r)) =>
       when(col(srcCol) === s, lit(r)).otherwise(acc)
     }

@@ -386,7 +386,17 @@ class PipelineSpec extends SparkSpec {
       "http://example.com/a?id=1#section" -> "http://example.com/a?id=1",
       "http://example.com/" -> "http://example.com",
       "https://WWW.Example.com:443/b/?gclid=abc#x" -> "https://example.com/b",
-      "http://example.com/CaseSensitive/PATH" -> "http://example.com/CaseSensitive/PATH"
+      "http://example.com/CaseSensitive/PATH" -> "http://example.com/CaseSensitive/PATH",
+      // separator-anchoring regressions: params merely CONTAINING a
+      // tracking name must survive intact (unanchored strip corrupted
+      // them into colliding keys)
+      "http://a.com/?xgclid=1" -> "http://a.com/?xgclid=1",
+      "http://a.com/?my_utm_source=v" -> "http://a.com/?my_utm_source=v",
+      "http://a.com/?xgclid=1&utm_source=y" -> "http://a.com/?xgclid=1",
+      // consecutive tracking params (separator-run collapse)
+      "http://a.com/p?utm_source=a&utm_campaign=b" -> "http://a.com/p",
+      "http://a.com/p?utm_a=1&utm_b=2&id=3" -> "http://a.com/p?id=3",
+      "http://a.com/p?id=1&utm_a=x&utm_b=y&z=2" -> "http://a.com/p?id=1&z=2"
     )
     val df = cases.zipWithIndex.map { case ((u, w), i) => (i.toLong, u, w) }
       .toDF("id", "u", "want")
