@@ -250,6 +250,23 @@ object AutoForecast {
     * machinery); the tree count/depth are held small and fixed — the
     * reference sweeps them via FLAML, which SURVEY.md §2.5 scopes down
     * to the lag grid. */
+  /** auto_lightgbm's lag sweep over the ORACLE-CHECKED deterministic
+    * depth-2 tree boost ([[TreeBoost]]) — same sweep mechanics as
+    * [[autoGbt]] (automl.py:191-229) with a fit whose every split and
+    * leaf the DuckDB oracle replicates
+    * ([[graft.queries.OlsBacktestSql.backtestTree2]]/`fullTree2`).
+    * Refit on all data with the winning lag count. */
+  def autoTreeBoost(p: Panel, timeCol: String, freq: String, lagGrid: Seq[Int],
+                    rounds: Int = 3, bins: Int = 4, eta: Double = 0.3,
+                    testSize: Int = 10, nSplits: Int = 2, stepSize: Int = 5)
+      : (Int, Double, TreeBoost.Model) = {
+    val (bestLags, bestScore) = autoModel(p, timeCol, lagGrid, testSize, nSplits, stepSize) {
+      lags => (tr, fh) =>
+        TreeBoost.fit(tr, lags, freq, rounds, bins, eta).predict(tr, timeCol, fh)
+    }
+    (bestLags, bestScore, TreeBoost.fit(p, bestLags, freq, rounds, bins, eta))
+  }
+
   def autoGbt(p: Panel, timeCol: String, freq: String, lagGrid: Seq[Int],
               maxIter: Int = 5, maxDepth: Int = 3,
               testSize: Int = 10, nSplits: Int = 2, stepSize: Int = 5)

@@ -177,6 +177,37 @@ object ModelIO {
     StumpBoost.Model(getD(n, "b0"), stumps, n.get("lags").asInt(), n.get("freq").asText())
   }
 
+  // ----- depth-2 tree boosting -----
+
+  def save(m: TreeBoost.Model, path: String): Unit = {
+    val n = mapper.createObjectNode()
+    n.put("type", "tree_boost")
+    putD(n, "b0", m.b0)
+    n.put("lags", m.lags); n.put("freq", m.freq)
+    val ts = n.putArray("trees")
+    m.trees.foreach { t =>
+      val tn = ts.addObject()
+      tn.put("fi", t.fi); putD(tn, "thr", t.thr)
+      tn.put("fl", t.fl); putD(tn, "tl", t.tl)
+      putD(tn, "vll", t.vll); putD(tn, "vlr", t.vlr)
+      tn.put("fr", t.fr); putD(tn, "tr", t.tr)
+      putD(tn, "vrl", t.vrl); putD(tn, "vrr", t.vrr)
+    }
+    writeJson(n, path)
+  }
+
+  def loadTree(path: String): TreeBoost.Model = {
+    val n = readJson(path); expect(n, "tree_boost")
+    val ts = n.get("trees").asInstanceOf[ArrayNode]
+    val trees = (0 until ts.size()).map { i =>
+      val tn = ts.get(i).asInstanceOf[ObjectNode]
+      TreeBoost.Tree2(tn.get("fi").asInt(), getD(tn, "thr"),
+        tn.get("fl").asInt(), getD(tn, "tl"), getD(tn, "vll"), getD(tn, "vlr"),
+        tn.get("fr").asInt(), getD(tn, "tr"), getD(tn, "vrl"), getD(tn, "vrr"))
+    }
+    TreeBoost.Model(getD(n, "b0"), trees, n.get("lags").asInt(), n.get("freq").asText())
+  }
+
   // ----- MLlib GBT (native writer + sidecar meta) -----
 
   def save(m: GbtForecaster.Model, path: String): Unit = {

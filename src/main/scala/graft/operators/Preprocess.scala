@@ -310,12 +310,36 @@ object Preprocess {
   /** One-hot encode a categorical column via pivot —
     * preprocessing.py:213. Categories are a fit artifact (collected
     * once, small by definition). */
-  def oneHotEncode(df: DataFrame, column: String): DataFrame = {
-    val cats = df.select(col(column)).distinct()
-      .collect().map(_.getString(0)).sorted
+  def oneHotEncode(df: DataFrame, column: String): DataFrame =
+    oneHotApply(df, column, oneHotCategories(df, column))
+
+  /** The fit artifact: the column's distinct categories, sorted (the
+    * reference's `dummy_cols` modulo the column prefix). */
+  def oneHotCategories(df: DataFrame, column: String): Seq[String] =
+    df.select(col(column)).distinct().collect().map(_.getString(0)).sorted.toSeq
+
+  private def oneHotApply(df: DataFrame, column: String,
+                          cats: Seq[String]): DataFrame =
     cats.foldLeft(df) { (d, c) =>
       d.withColumn(s"${column}__$c", when(col(column) === c, 1).otherwise(0))
     }.drop(column)
+
+  /** Apply a FITTED one-hot encoding to new data —
+    * preprocessing.py:243-251 `transform_new`: the new frame is
+    * re-dummied on its OWN categories (unseen new categories get their
+    * own dummy columns, as Polars `to_dummies` gives the reference),
+    * then validated: every fit-time category must appear in the new
+    * data, else raise — a silently absent fitted dummy would feed
+    * all-zero columns to a downstream model trained expecting them. */
+  def oneHotTransformNew(df: DataFrame, column: String,
+                         fittedCats: Seq[String]): DataFrame = {
+    val newCats = oneHotCategories(df, column)
+    val missing = fittedCats.toSet -- newCats.toSet
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"Missing categories: ${missing.toSeq.sorted.mkString(", ")} — " +
+          s"'$column' in the new frame lacks categories seen at fit time")
+    oneHotApply(df, column, newCats)
   }
 
   /** Broadcast hint for per-entity artifact frames (small by

@@ -1,0 +1,184 @@
+package graft.operators
+
+import graft.core.Panel
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Depth-2 gradient-boosted trees over the AR reduction — the
+  * oracle-checked GBT-family forecaster.
+  *
+  * Reference semantics: functime/forecasting/lightgbm.py:103-121
+  * (gradient boosting over the lag-matrix reduction; LightGBM's
+  * histogram algorithm bins each feature once globally, then every
+  * node scans the shared bin edges). This forecaster follows that
+  * histogram design with every choice pinned deterministic so the
+  * DuckDB oracle ([[graft.queries.OlsBacktestSql.fullTree2]]) can
+  * replicate it step-exact: squared loss, leaf value = mean residual
+  * × learning rate, split candidates on a fixed uniform grid between
+  * each feature's exact global min/max (uniform instead of quantile
+  * so both engines derive bit-identical thresholds from bit-identical
+  * min/max), root split then one split per child from the SAME global
+  * grid — 4 leaves per tree.
+  *
+  * Each boosting round is TWO codegen'd conditional-aggregation
+  * passes over the cached reduction: pass A scores every (feature,
+  * threshold) root candidate (left-sums/counts), pass B — after the
+  * driver argmaxes the root — scores every candidate within each
+  * child region. The argmaxes and leaf values are driver arithmetic
+  * over the two collected rows, mirrored term-for-term by the oracle's
+  * per-round CTEs. The depth-1 sibling ([[StumpBoost]]) shares the
+  * grid/gain/leaf conventions; the full-depth MLlib ensemble
+  * ([[GbtForecaster]]) remains the production alternative whose tree
+  * internals stay out of SQL reach (spec-checked in ForecastSpec).
+  *
+  * Scale design: 2·`rounds` sequential scans of the cached reduction
+  * (each a map-side partial agg, no shuffle beyond the lag window), a
+  * collected row of O(lags·bins) doubles per pass, and a model of
+  * `rounds` 4-leaf trees broadcast into the recursive predict. No
+  * per-row state, no driver loop over entities.
+  */
+object TreeBoost {
+
+  /** One depth-2 tree: root split (1-based lag `fi`, threshold `thr`),
+    * per-child splits (`fl`/`tl`, `fr`/`tr`) and the 4 leaf values
+    * (already scaled by the learning rate). */
+  final case class Tree2(fi: Int, thr: Double,
+                         fl: Int, tl: Double, vll: Double, vlr: Double,
+                         fr: Int, tr: Double, vrl: Double, vrr: Double)
+
+  final case class Model(b0: Double, trees: Seq[Tree2], lags: Int, freq: String) {
+    def score(feats: Array[Double]): Double =
+      // ((b0 + c1) + c2)… — the oracle's (b0 + c1 + c2 …) fold order
+      trees.foldLeft(b0)((acc, t) =>
+        acc + (if (feats(t.fi - 1) <= t.thr) {
+          if (feats(t.fl - 1) <= t.tl) t.vll else t.vlr
+        } else {
+          if (feats(t.fr - 1) <= t.tr) t.vrl else t.vrr
+        }))
+
+    def predict(p: Panel, timeCol: String, fh: Int): DataFrame =
+      GbtForecaster.predictRecursiveModel(p, timeCol, fh, freq, lags, score)
+  }
+
+  /** The tree's contribution as a Column over named feature columns —
+    * used for the residual of the NEXT round (same nested-CASE shape
+    * the oracle's stumpTerm/treeTerm emit). */
+  private def treeCol(t: Tree2, featureCols: Seq[String]): Column =
+    when(col(featureCols(t.fi - 1)) <= t.thr,
+      when(col(featureCols(t.fl - 1)) <= t.tl, lit(t.vll)).otherwise(lit(t.vlr)))
+      .otherwise(
+        when(col(featureCols(t.fr - 1)) <= t.tr, lit(t.vrl)).otherwise(lit(t.vrr)))
+
+  def fit(p: Panel, lags: Int, freq: String, rounds: Int = 5,
+          bins: Int = 8, eta: Double = 0.3): Model = {
+    val reduction = Forecasters.makeReduction(p, lags)
+    val featureCols = (1 to lags).map(l => s"${p.value}__lag_$l")
+    val train0 = reduction.na.drop(featureCols :+ p.value)
+      .select((featureCols :+ p.value).map(col): _*).cache()
+    // the GBT-fit parallelism rule (see GbtForecaster.fit): the round
+    // loop runs 2·rounds sequential aggregation jobs plus a residual
+    // cache each — target ~100k rows/partition so a small reduction
+    // stops paying 32-task scheduling overhead per job, while a
+    // 100 TB reduction still fans out to thousands of tasks
+    val nRows = train0.count()
+    val parts = math.max(1L,
+      math.min(train0.rdd.getNumPartitions.toLong, nRows / 100000L)).toInt
+    val train =
+      if (parts < train0.rdd.getNumPartitions) {
+        val c = train0.coalesce(parts).cache()
+        train0.unpersist(blocking = false)
+        c
+      } else train0
+    try {
+      // one pass: exact per-feature min/max (no float-order drift) +
+      // the base prediction sum(y)/n — same expressions as the oracle
+      val mmAggs = featureCols.flatMap(f => Seq(min(col(f)), max(col(f)))) ++
+        Seq(sum(col(p.value)), count(lit(1)))
+      val mmRow = train.agg(mmAggs.head, mmAggs.tail: _*).collect()(0)
+      if (mmRow.getLong(2 * lags + 1) == 0L)
+        throw new IllegalArgumentException(
+          s"tree-boost fit has no complete training rows (every entity " +
+            s"shorter than lags=$lags, or all rows null in ${p.value})")
+      val mins = Array.tabulate(lags)(i => mmRow.getDouble(2 * i))
+      val maxs = Array.tabulate(lags)(i => mmRow.getDouble(2 * i + 1))
+      val b0 = mmRow.getDouble(2 * lags) / mmRow.getLong(2 * lags + 1)
+      // uniform-grid candidates: mn + k·(mx−mn)/bins, k = 1..bins−1 —
+      // identical IEEE op order to the oracle's threshold expression
+      val cands = for { i <- 1 to lags; k <- 1 until bins }
+        yield (i, k, mins(i - 1) + k * (maxs(i - 1) - mins(i - 1)) / bins.toDouble)
+
+      /** Best candidate inside a node with residual-sum `sn` over `nn`
+        * rows, given each candidate's in-node left sum/count — the
+        * shared SSE-reduction argmax (ties to lowest (feature, k), the
+        * oracle's ORDER BY gain DESC, i, k LIMIT 1) and the mean-leaf
+        * values ×η. Returns (feat, thr, vLeft, vRight). */
+      def pickSplit(stats: IndexedSeq[(Int, Int, Double, Double, Long)],
+                    sn: Double, nn: Long): (Int, Double, Double, Double) = {
+        val scored = stats.map { case (i, k, t, sl, nl) =>
+          val gain =
+            if (nl > 0 && nl < nn) sl * sl / nl + (sn - sl) * (sn - sl) / (nn - nl)
+            else -1e308
+          (gain, i, k, t, sl, nl)
+        }
+        val (_, bi, _, bt, bsl, bnl) = scored.minBy { case (g, i, k, _, _, _) => (-g, i, k) }
+        val vl = if (bnl > 0) bsl / bnl * eta else 0.0
+        val vr = if (nn > bnl) (sn - bsl) / (nn - bnl) * eta else 0.0
+        (bi, bt, vl, vr)
+      }
+
+      var trees = Vector.empty[Tree2]
+      (1 to rounds).foreach { _ =>
+        val rExpr = col(p.value) - trees.foldLeft(lit(b0): Column)((acc, t) =>
+          acc + treeCol(t, featureCols))
+        // Materialize the residual ONCE per round behind a cache
+        // barrier. Passing the raw expression into the O(lags·bins)
+        // conditional aggregates would duplicate the nested per-tree
+        // CASE chain into every aggregate expression — the plan (and
+        // its generated code) grows ~200× per round, blowing codegen
+        // method limits into interpreted fallback (measured 5-11 s per
+        // pass at sf0.1 vs <0.5 s with the barrier). The cache also
+        // lets pass B reuse pass A's materialization.
+        val rf = train.withColumn("__r", rExpr).cache()
+        try {
+        val r = col("__r")
+        // pass A: root candidates (left sum/count per (feature, thr))
+        val aggsA = cands.flatMap { case (i, _, t) =>
+          Seq(sum(when(col(featureCols(i - 1)) <= t, r)),
+              count(when(col(featureCols(i - 1)) <= t, r)))
+        } ++ Seq(sum(r), count(lit(1)))
+        val rowA = rf.agg(aggsA.head, aggsA.tail: _*).collect()(0)
+        val st = rowA.getDouble(2 * cands.size)
+        val nt = rowA.getLong(2 * cands.size + 1)
+        val statsA = cands.zipWithIndex.map { case ((i, k, t), ci) =>
+          val sl = if (rowA.isNullAt(2 * ci)) 0.0 else rowA.getDouble(2 * ci)
+          (i, k, t, sl, rowA.getLong(2 * ci + 1))
+        }
+        // root pick: leaf values are discarded (children refine them),
+        // but the picked candidate's sum/count become the node totals
+        val (rfi, rthr, _, _) = pickSplit(statsA, st, nt)
+        val (_, _, _, sL, nL) = statsA.find { case (i, _, t, _, _) =>
+          i == rfi && t == rthr
+        }.get
+        val (sR, nR) = (st - sL, nt - nL)
+        // pass B: every candidate scored inside each child region
+        val rootLeft = col(featureCols(rfi - 1)) <= rthr
+        val rootRight = col(featureCols(rfi - 1)) > rthr
+        val aggsB = cands.flatMap { case (i, _, t) =>
+          val c = col(featureCols(i - 1)) <= t
+          Seq(sum(when(rootLeft && c, r)), count(when(rootLeft && c, r)),
+              sum(when(rootRight && c, r)), count(when(rootRight && c, r)))
+        }
+        val rowB = rf.agg(aggsB.head, aggsB.tail: _*).collect()(0)
+        def statsB(off: Int) = cands.zipWithIndex.map { case ((i, k, t), ci) =>
+          val sl = if (rowB.isNullAt(4 * ci + off)) 0.0 else rowB.getDouble(4 * ci + off)
+          (i, k, t, sl, rowB.getLong(4 * ci + off + 1))
+        }
+        val (lfi, lthr, vll, vlr) = pickSplit(statsB(0), sL, nL)
+        val (rfi2, rthr2, vrl, vrr) = pickSplit(statsB(2), sR, nR)
+        trees :+= Tree2(rfi, rthr, lfi, lthr, vll, vlr, rfi2, rthr2, vrl, vrr)
+        } finally rf.unpersist(blocking = false)
+      }
+      Model(b0, trees, lags, freq)
+    } finally train.unpersist(blocking = false)
+  }
+}

@@ -507,24 +507,63 @@ object ConformalQueries {
       r6(resid.select(col("user_id"), col("event_id"), col("value")))
     },
 
-    // ----- forecasters: trees / censored / direct (MLlib fits) -----
-    "fc_gbt" -> Q.rowsOnly { (s, dir) =>
+    // ----- forecasters: trees / censored / direct -----
+    // GBT-family parity path: the deterministic depth-2 histogram
+    // boost (TreeBoost) with every round's two conditional-aggregation
+    // passes, three argmax split picks and mean-leaf values replicated
+    // step-exact in SQL. The full-depth MLlib ensemble (GbtForecaster)
+    // stays the production alternative, spec-checked in
+    // ConformalSpec/ModelIOSpec — its tree internals are out of SQL
+    // reach by nature.
+    "fc_gbt" -> Q(
+      s"""WITH ${OlsBacktestSql.lagdCte(7)},
+          ${OlsBacktestSql.fullTree2("gt", 7, fh = 3, rounds = 5, bins = 8, eta = 0.3)}
+          SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                 round(CASE h WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END, 6) AS value
+          FROM fp_gt CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)""") { (s, dir) =>
       val p = ev(s, dir)
-      GbtForecaster.fit(p, lags = 7, freq = "1d", maxIter = 5).predict(p, "ts", fh = 3)
+      r6(TreeBoost.fit(p, lags = 7, freq = "1d", rounds = 5, bins = 8, eta = 0.3)
+        .predict(p, "ts", fh = 3))
     },
 
-    // auto_lightgbm's lag sweep (automl.py:191-229) — rows-only like
-    // fc_gbt (MLlib tree internals; the boosting SEMANTICS are
-    // oracle-pinned by fc_gbt_stump, the sweep mechanics by the
-    // fc_auto_linear/auto_ridge oracles and AutoForecastSpec's argmin
-    // assertion)
-    "fc_auto_gbt" -> Q.rowsOnly { (s, dir) =>
+    // auto_lightgbm's lag sweep (automl.py:191-229) over the
+    // deterministic depth-2 boost: each candidate's expanding-window
+    // backtest (full tree fit per prefix + 10-step recursion) scores a
+    // mean per-entity SMAPE; argmin (first-wins ties, hence <=) picks
+    // which full-data fit's predictions to emit — the whole sweep
+    // replicated in SQL like fc_auto_linear
+    "fc_auto_gbt" -> Q({
+      val bts = Seq(3, 7).map(l => OlsBacktestSql.backtestTree2(s"g$l", l,
+        testSize = 10, nSplits = 2, stepSize = 5, rounds = 3, bins = 4, eta = 0.3))
+      val scores = Seq(3, 7).map(l =>
+        s"""s_g$l AS (SELECT avg(smape) AS s FROM (
+              SELECT user_id, sum(abs(pred - actual)) / sum(pred + actual) AS smape
+              FROM bt_g$l GROUP BY user_id))""")
+      val fulls = Seq(3, 7).map(l =>
+        OlsBacktestSql.fullTree2(s"f$l", l, fh = 3, rounds = 3, bins = 4, eta = 0.3))
+      s"""WITH ${OlsBacktestSql.lagdCte(7)},
+          ${bts.mkString(", ")},
+          ${scores.mkString(", ")},
+          ${fulls.mkString(", ")},
+          pick AS (SELECT CASE WHEN s_g3.s <= s_g7.s THEN 3 ELSE 7 END AS chosen
+                   FROM s_g3 CROSS JOIN s_g7),
+          pr AS (SELECT coalesce(a.user_id, b.user_id) AS user_id,
+                        coalesce(a.cutoff, b.cutoff) AS cutoff,
+                        a.p1 AS a1, a.p2 AS a2, a.p3 AS a3,
+                        b.p1 AS b1, b.p2 AS b2, b.p3 AS b3
+                 FROM fp_f3 a FULL OUTER JOIN fp_f7 b ON a.user_id = b.user_id)
+          SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                 round(CASE WHEN chosen = 3
+                            THEN (CASE h WHEN 1 THEN a1 WHEN 2 THEN a2 ELSE a3 END)
+                            ELSE (CASE h WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END) END, 6) AS value,
+                 chosen::BIGINT AS chosen_lags
+          FROM pr CROSS JOIN pick CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)
+          WHERE (chosen = 3 AND a1 IS NOT NULL) OR (chosen = 7 AND b1 IS NOT NULL)"""
+    }) { (s, dir) =>
       val p = ev(s, dir)
-      // small fixed tree budget: the sweep mechanics are what's under
-      // test (each candidate = one GBT fit per CV split)
-      val (_, _, model) = AutoForecast.autoGbt(p, "ts", "1d",
-        lagGrid = Seq(3, 7), maxIter = 3, maxDepth = 2)
-      model.predict(p, "ts", fh = 3)
+      val (lags, _, model) = AutoForecast.autoTreeBoost(p, "ts", "1d",
+        lagGrid = Seq(3, 7), rounds = 3, bins = 4, eta = 0.3, nSplits = 2)
+      r6(model.predict(p, "ts", fh = 3).withColumn("chosen_lags", lit(lags).cast("long")))
     },
 
     // gbt-family oracle: depth-1 gradient-boosted stumps with

@@ -311,6 +311,171 @@ object OlsBacktestSql {
         fp_$tag AS (SELECT * FROM ${tag}_h$fh)"""
   }
 
+  /** CTEs replicating [[graft.operators.TreeBoost.fit]] + its
+    * recursive predict, step-exact: per boosting round, TWO
+    * conditional-aggregation passes over the shared reduction (pass A
+    * scores every uniform-grid root candidate; pass B — cross-joined
+    * with the picked root — scores every candidate inside each child
+    * region), three `ORDER BY gain DESC, i, k LIMIT 1` argmaxes, and
+    * mean-leaf values ×η — the same IEEE expressions the Scala driver
+    * computes from its two collected rows. The picked root's
+    * (coalesced) left sum/count become the child node totals, exactly
+    * as the driver coerces NULL sums to 0.0 before deriving them.
+    * Emits fit CTEs and a prediction chain ending in `<t>_pred`
+    * (user_id, cutoff, p1..p<horizons>); `trainWhere` filters lagd
+    * into the training reduction and `endRn` anchors the tail (full
+    * fit: "rn > lags" / "cnt"; backtest split: prefix filters). */
+  private def tree2Core(t: String, lags: Int, horizons: Int, rounds: Int,
+                        bins: Int, eta: Double, trainWhere: String,
+                        endRn: String): String = {
+    val cands = (for { i <- 1 to lags; k <- 1 until bins } yield (i, k)).toIndexedSeq
+    def thr(i: Int, k: Int) =
+      s"(mn$i + $k * (mx$i - mn$i) / CAST($bins AS DOUBLE))"
+    // runtime dispatch of a picked feature index over the lag set
+    def featCase(fcol: String, xs: Int => String) =
+      s"CASE $fcol ${(1 to lags).map(i => s"WHEN $i THEN ${xs(i)}").mkString(" ")} END"
+    def treeTerm(j: Int, xs: Int => String) =
+      s""" + CASE WHEN ${featCase(s"fi_$j", xs)} <= thr_$j
+             THEN (CASE WHEN ${featCase(s"fl_$j", xs)} <= tl_$j THEN vll_$j ELSE vlr_$j END)
+             ELSE (CASE WHEN ${featCase(s"fr_$j", xs)} <= tr_$j THEN vrl_$j ELSE vrr_$j END) END"""
+    val eSql = s"CAST($eta AS DOUBLE)"
+    val mm = s"""${t}_mm AS MATERIALIZED (SELECT ${(1 to lags)
+      .map(i => s"min(f$i) AS mn$i, max(f$i) AS mx$i").mkString(", ")},
+          sum(value) / count(*) AS b0 FROM ${t}_red)"""
+    val mmCarry = (1 to lags).map(i => s"min(mn$i) AS mn$i, min(mx$i) AS mx$i")
+    // a child pick CTE: argmax gain over in-node candidate stats
+    // (i, k, thr, sl, nl, sn, nn) from `src`, leaf values ×η
+    def childPick(cte: String, src: String, fCol: String, tCol: String,
+                  vlCol: String, vrCol: String) =
+      s"""$cte AS MATERIALIZED (SELECT i AS $fCol, thr AS $tCol,
+            CASE WHEN nl > 0 THEN sl / nl * $eSql
+                 ELSE CAST(0.0 AS DOUBLE) END AS $vlCol,
+            CASE WHEN nn > nl THEN (sn - sl) / (nn - nl) * $eSql
+                 ELSE CAST(0.0 AS DOUBLE) END AS $vrCol
+          FROM $src
+          ORDER BY CASE WHEN nl > 0 AND nl < nn
+                        THEN sl * sl / nl + (sn - sl) * (sn - sl) / (nn - nl)
+                        ELSE -1e308 END DESC, i, k
+          LIMIT 1)"""
+    val roundCtes = (1 to rounds).map { m =>
+      val priorJoins = (1 until m)
+        .map(j => s" CROSS JOIN ${t}_b$j CROSS JOIN ${t}_bl$j CROSS JOIN ${t}_br$j")
+        .mkString
+      val fExpr = "b0" + (1 until m).map(j => treeTerm(j, i => s"f$i")).mkString
+      val rcte = s"""${t}_r$m AS MATERIALIZED (
+          SELECT *, value - ($fExpr) AS r
+          FROM ${t}_red CROSS JOIN ${t}_mm$priorJoins)"""
+      // pass A: root candidates
+      val sumsA = cands.zipWithIndex.map { case ((i, k), ci) =>
+        s"""sum(CASE WHEN f$i <= ${thr(i, k)} THEN r END) AS sl_$ci,
+            count(CASE WHEN f$i <= ${thr(i, k)} THEN 1 END) AS nl_$ci"""
+      }
+      // every 1-or-few-row stage below is MATERIALIZED: plain CTEs are
+      // inlined per consumer, and b/bl/br are each referenced by every
+      // LATER round's residual — un-materialized, the whole per-round
+      // aggregation chain re-expands per reference and the oracle's
+      // work grows exponentially in `rounds`
+      val acte = s"""${t}_a$m AS MATERIALIZED (SELECT ${(sumsA ++ mmCarry).mkString(", ")},
+          sum(r) AS st, count(*) AS nt FROM ${t}_r$m)"""
+      val brA = cands.zipWithIndex.map { case ((i, k), ci) =>
+        s"""SELECT $i AS i, $k AS k, ${thr(i, k)} AS thr,
+              sl_$ci AS sl, nl_$ci AS nl, st, nt FROM ${t}_a$m"""
+      }
+      val gcte = s"""${t}_g$m AS MATERIALIZED (${brA.mkString(" UNION ALL ")})"""
+      // root pick: no leaf values (the children refine them); the
+      // picked candidate's coalesced sum/count are the node totals
+      val bcte = s"""${t}_b$m AS MATERIALIZED (SELECT i AS fi_$m, thr AS thr_$m,
+            coalesce(sl, CAST(0.0 AS DOUBLE)) AS sa_$m, nl AS na_$m,
+            st AS stt_$m, nt AS ntt_$m
+          FROM ${t}_g$m
+          ORDER BY CASE WHEN nl > 0 AND nl < nt
+                        THEN sl * sl / nl + (st - sl) * (st - sl) / (nt - nl)
+                        ELSE -1e308 END DESC, i, k
+          LIMIT 1)"""
+      // pass B: every candidate inside each child region
+      val rootF = featCase(s"fi_$m", i => s"f$i")
+      val sumsB = cands.zipWithIndex.map { case ((i, k), ci) =>
+        s"""sum(CASE WHEN $rootF <= thr_$m AND f$i <= ${thr(i, k)} THEN r END) AS pl_$ci,
+            count(CASE WHEN $rootF <= thr_$m AND f$i <= ${thr(i, k)} THEN 1 END) AS ql_$ci,
+            sum(CASE WHEN $rootF > thr_$m AND f$i <= ${thr(i, k)} THEN r END) AS pr_$ci,
+            count(CASE WHEN $rootF > thr_$m AND f$i <= ${thr(i, k)} THEN 1 END) AS qr_$ci"""
+      }
+      val carryB = Seq(s"min(sa_$m) AS sa", s"min(na_$m) AS na",
+        s"min(stt_$m) AS stt", s"min(ntt_$m) AS ntt")
+      val a2cte = s"""${t}_a2$m AS MATERIALIZED (SELECT ${(sumsB ++ mmCarry ++ carryB).mkString(", ")}
+          FROM ${t}_r$m CROSS JOIN ${t}_b$m)"""
+      val brL = cands.zipWithIndex.map { case ((i, k), ci) =>
+        s"""SELECT $i AS i, $k AS k, ${thr(i, k)} AS thr,
+              coalesce(pl_$ci, CAST(0.0 AS DOUBLE)) AS sl, ql_$ci AS nl,
+              sa AS sn, na AS nn FROM ${t}_a2$m"""
+      }
+      val brR = cands.zipWithIndex.map { case ((i, k), ci) =>
+        s"""SELECT $i AS i, $k AS k, ${thr(i, k)} AS thr,
+              coalesce(pr_$ci, CAST(0.0 AS DOUBLE)) AS sl, qr_$ci AS nl,
+              stt - sa AS sn, ntt - na AS nn FROM ${t}_a2$m"""
+      }
+      val glcte = s"""${t}_gl$m AS MATERIALIZED (${brL.mkString(" UNION ALL ")})"""
+      val grcte = s"""${t}_gr$m AS MATERIALIZED (${brR.mkString(" UNION ALL ")})"""
+      val blcte = childPick(s"${t}_bl$m", s"${t}_gl$m",
+        s"fl_$m", s"tl_$m", s"vll_$m", s"vlr_$m")
+      val brcte = childPick(s"${t}_br$m", s"${t}_gr$m",
+        s"fr_$m", s"tr_$m", s"vrl_$m", s"vrr_$m")
+      Seq(rcte, acte, gcte, bcte, a2cte, glcte, grcte, blcte, brcte).mkString(", ")
+    }
+    val allBests = (1 to rounds)
+      .map(j => s" CROSS JOIN ${t}_b$j CROSS JOIN ${t}_bl$j CROSS JOIN ${t}_br$j")
+      .mkString
+    // per-horizon state: earlier predictions for j < h, tail values past
+    val stages = (1 to horizons).map { h =>
+      val src = if (h == 1) s"${t}_p0" else s"${t}_h${h - 1}"
+      val pExpr = "b0" + (1 to rounds).map(j =>
+        treeTerm(j, i => if (i < h) s"p${h - i}" else s"t${i - h + 1}")).mkString
+      s"""${t}_h$h AS MATERIALIZED (SELECT *, ($pExpr) AS p$h FROM $src)"""
+    }
+    s"""${t}_red AS MATERIALIZED (SELECT * FROM lagd WHERE $trainWhere),
+        $mm,
+        ${roundCtes.mkString(", ")},
+        ${tailCte(t, lags, endRn)},
+        ${t}_p0 AS (SELECT * FROM ${t}_tail
+          CROSS JOIN (SELECT b0 FROM ${t}_mm) ${t}_basej$allBests),
+        ${stages.mkString(", ")},
+        ${t}_pred AS (SELECT * FROM ${t}_h$horizons)"""
+  }
+
+  /** Full-data depth-2 tree-boost fit + fh-step recursive prediction
+    * ([[graft.operators.TreeBoost]]'s oracle). Emits `fp_<tag>` with
+    * (user_id, cutoff, p1..p<fh>). */
+  def fullTree2(tag: String, lags: Int, fh: Int, rounds: Int,
+                bins: Int, eta: Double): String =
+    s"""${tree2Core(tag, lags, fh, rounds, bins, eta, s"rn > $lags", "cnt")},
+        fp_$tag AS (SELECT * FROM ${tag}_pred)"""
+
+  /** CTEs for one expanding-window tree-boost backtest candidate:
+    * per split, a full depth-2 boost fit on the row-prefix
+    * (rn ≤ cnt − cutoff), recursive predictions for h = 1..testSize,
+    * inner-joined to actuals — the oracle of
+    * [[graft.operators.AutoForecast.autoTreeBoost]]'s per-candidate
+    * [[graft.operators.Conformal.backtest]]. Emits `bt_<tag>` with
+    * (user_id, h, split, actual, pred). */
+  def backtestTree2(tag: String, lags: Int, testSize: Int, nSplits: Int,
+                    stepSize: Int, rounds: Int, bins: Int, eta: Double): String = {
+    val splits = (0 until nSplits).map { i =>
+      val cutoff = testSize + (nSplits - 1 - i) * stepSize
+      val ts = s"${tag}_s$i"
+      val predCases = (1 to testSize).map(h => s"WHEN $h THEN p.p$h").mkString(" ")
+      s"""${tree2Core(ts, lags, testSize, rounds, bins, eta,
+             s"rn > $lags AND rn <= cnt - $cutoff", s"cnt - $cutoff")},
+          ${ts}_bt AS (
+            SELECT a.user_id, a.rn - (a.cnt - $cutoff) AS h, $i AS split,
+                   a.value AS actual, CASE a.rn - (a.cnt - $cutoff) $predCases END AS pred
+            FROM lagd a JOIN ${ts}_pred p ON a.user_id = p.user_id
+            WHERE a.rn > a.cnt - $cutoff AND a.rn <= a.cnt - $cutoff + $testSize)"""
+    }
+    val union = (0 until nSplits).map(i => s"SELECT * FROM ${tag}_s${i}_bt")
+      .mkString(" UNION ALL ")
+    (splits :+ s"bt_$tag AS ($union)").mkString(", ")
+  }
+
   /** Staged recursion for the censored predict (the oracle of
     * [[graft.operators.GbtForecaster.predictRecursiveModel]] with the
     * CensoredForecaster step): per horizon, z and ŷ are affine in the

@@ -278,6 +278,35 @@ object PreprocessQueries {
             "event_type__purchase", "event_type__signup", "event_type__view")
     },
 
+    // transform_new (preprocessing.py:243-251): fit on events'
+    // event_type, apply to a frame with an INJECTED unseen category —
+    // the new frame re-dummies on its own categories (the unseen one
+    // gets a column), and every fitted category present validates.
+    // The raise path (a fitted category missing from new data) is
+    // spec-checked in PreprocessSpec.
+    "p_onehot_new" -> Q(
+      """WITH n AS (SELECT event_id,
+             CASE WHEN event_id % 97 = 0 THEN 'zz_new' ELSE event_type END AS event_type
+           FROM events)
+         SELECT event_id,
+           CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS event_type__click,
+           CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS event_type__error,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS event_type__purchase,
+           CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS event_type__signup,
+           CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS event_type__view,
+           CASE WHEN event_type = 'zz_new' THEN 1 ELSE 0 END AS event_type__zz_new
+         FROM n""") {
+      (s, dir) =>
+        val events = tbl(s, dir, "events")
+        val fitted = Preprocess.oneHotCategories(events, "event_type")
+        val newFrame = events.withColumn("event_type",
+          when(col("event_id") % 97 === 0, lit("zz_new")).otherwise(col("event_type")))
+        Preprocess.oneHotTransformNew(newFrame, "event_type", fitted)
+          .select("event_id", "event_type__click", "event_type__error",
+            "event_type__purchase", "event_type__signup", "event_type__view",
+            "event_type__zz_new")
+    },
+
     "p_fourier_terms" -> Q(
       s"""WITH b AS (SELECT event_id, ((row_number() OVER ($W) - 1) % 24)::DOUBLE / 24 AS coef FROM events)
           SELECT event_id,

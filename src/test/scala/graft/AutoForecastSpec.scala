@@ -103,6 +103,55 @@ class AutoForecastSpec extends SparkSpec {
     assert(model.predict(p, "t", fh = 3).count() == 3L)
   }
 
+  test("depth-2 tree boosting converges on the step process and refines per child") {
+    val signal = (0 until 80).map(t => if (t % 2 == 0) 10.0 else 90.0)
+    val p = panel(signal)
+    val m = TreeBoost.fit(p, lags = 3, freq = "1i", rounds = 5, bins = 8, eta = 0.5)
+    assert(m.trees.length == 5)
+    // every root threshold separates the two levels, and the leaves of
+    // the two children straddle the base (one pushes up, one down)
+    assert(m.trees.forall(t => t.thr > 10.0 && t.thr < 90.0),
+      m.trees.map(_.thr).toString)
+    val preds = m.predict(p, "t", fh = 2).orderBy("t").collect()
+      .map(_.getAs[Double]("value"))
+    assert(math.abs(preds(0) - 10.0) < 4.0, s"h1 ${preds(0)}")
+    assert(math.abs(preds(1) - 90.0) < 4.0, s"h2 ${preds(1)}")
+  }
+
+  test("depth-2 trees capture a conditional split a single stump cannot") {
+    // 4-phase process 5,40,5,75: after a 5 the next value is 40 or 75
+    // depending on what PRECEDED the 5 — exactly a root-split-on-lag1
+    // + child-split-on-lag2 shape
+    val signal = (0 until 96).map(t => Seq(5.0, 40.0, 5.0, 75.0)(t % 4))
+    val p = panel(signal)
+    val m2 = TreeBoost.fit(p, lags = 2, freq = "1i", rounds = 6, bins = 8, eta = 0.5)
+    val preds = m2.predict(p, "t", fh = 4).orderBy("t").collect()
+      .map(_.getAs[Double]("value"))
+    // after t=95 (75) the cycle continues 5,40,5,75
+    val want = Seq(5.0, 40.0, 5.0, 75.0)
+    preds.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 8.0, s"$g vs $w (${preds.toSeq})")
+    }
+  }
+
+  test("tree boosting on an empty reduction throws an actionable error") {
+    val p = panel((0 until 2).map(_.toDouble))
+    val e = intercept[IllegalArgumentException] {
+      TreeBoost.fit(p, lags = 3, freq = "1i", rounds = 2, bins = 4)
+    }
+    assert(e.getMessage.contains("no complete training rows"))
+  }
+
+  test("autoTreeBoost sweeps lags over the deterministic depth-2 boost") {
+    val signal = (0 until 96).map(t => Seq(5.0, 40.0, 5.0, 75.0)(t % 4))
+    val p = panel(signal)
+    val (bestLags, score, model) = AutoForecast.autoTreeBoost(p, "t", "1i",
+      lagGrid = Seq(1, 3), rounds = 5, bins = 8, eta = 0.5,
+      testSize = 3, nSplits = 2, stepSize = 3)
+    assert(bestLags == 3, s"chose $bestLags (smape $score)")
+    assert(model.predict(p, "t", fh = 3).count() == 3L)
+  }
+
   test("autoKnn picks a k that scores the recurring pattern (auto_knn, automl.py)") {
     val signal = (0 until 64).map(t => Seq(1.0, 5.0, 9.0, 5.0)(t % 4))
     val p = panel(signal)

@@ -61,6 +61,16 @@ class ModelIOSpec extends SparkSpec {
     assert(rows(l.predict(p, "t", 3)) == rows(m.predict(p, "t", 3)))
   }
 
+  test("tree-boost model round-trips bit-identically") {
+    val p = panel(signal)
+    val m = TreeBoost.fit(p, lags = 3, freq = "1i", rounds = 3, bins = 8)
+    val path = tmp("tree") + "/m.json"
+    ModelIO.save(m, path)
+    val l = ModelIO.loadTree(path)
+    assert(l.trees == m.trees && l.b0 == m.b0)
+    assert(rows(l.predict(p, "t", 3)) == rows(m.predict(p, "t", 3)))
+  }
+
   test("MLlib GBT model round-trips via the native writer") {
     val p = panel(signal)
     val m = GbtForecaster.fit(p, lags = 3, freq = "1i", maxIter = 3, maxDepth = 2)

@@ -130,4 +130,24 @@ class PreprocessSpec extends SparkSpec {
     val out = Preprocess.trim(p, "t")
     assert(out.count() == 4) // t ∈ [1, 2] for both entities
   }
+
+  test("one-hot transform_new: unseen categories get columns, missing fitted categories raise") {
+    import spark.implicits._
+    val fitDf = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "cat")
+    val fitted = Preprocess.oneHotCategories(fitDf, "cat")
+    assert(fitted == Seq("a", "b"))
+    // new data has both fitted categories plus an unseen one → ok,
+    // re-dummied on its own categories (preprocessing.py:243-251)
+    val newDf = Seq((4L, "a"), (5L, "b"), (6L, "c")).toDF("id", "cat")
+    val out = Preprocess.oneHotTransformNew(newDf, "cat", fitted)
+    assert(out.columns.toSeq == Seq("id", "cat__a", "cat__b", "cat__c"))
+    assert(out.orderBy("id").collect().map(_.getInt(3)).toSeq == Seq(0, 0, 1))
+    // a fitted category absent from the new data must raise
+    val missingDf = Seq((7L, "a"), (8L, "c")).toDF("id", "cat")
+    val e = intercept[IllegalArgumentException] {
+      Preprocess.oneHotTransformNew(missingDf, "cat", fitted)
+    }
+    assert(e.getMessage.contains("Missing categories"))
+    assert(e.getMessage.contains("b"))
+  }
 }
