@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.core.Panel
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Composed forecaster — the reference's `Forecaster` object with
+  * target-transform chaining (base/forecaster.py:134-277): `fit`
+  * applies the target transforms IN ORDER (each step materialized,
+  * :147-159) and fits the base forecaster on the transformed panel;
+  * `predict` runs the base model in transformed space and then
+  * inverts the fitted steps in REVERSE order (:271-275), so the
+  * caller never hand-sequences inverts (the round-5 gap; exercised
+  * end-to-end by the reference's tests/test_forecasting.py:339).
+  *
+  * Each fitted step's invert must accept ANY (entity…, time, value)
+  * frame in the step's output space — including FUTURE prediction
+  * rows the training frame never saw. That rules out reusing the
+  * training-frame inverts blindly: a differencing invert on
+  * predictions anchors each seasonal lane on the LAST sp pre-diff
+  * levels of the training series (captured at fit time as a broadcast
+  * artifact), not on the training heads.
+  *
+  * Scale design: transforms stay declarative column algebra; fit
+  * caches the fully transformed panel once (the reference's forced
+  * materialization, and every downstream pass — moment aggregation,
+  * predict tail — reads that cache); invert artifacts are one-row-
+  * per-(entity, phase) broadcast joins. Nothing collects row data.
+  */
+object ForecastPipeline {
+
+  /** A fitted target-transform step: the transformed panel plus an
+    * invert applicable to prediction frames (entity…, timeCol, value)
+    * in the step's output space. */
+  final case class FittedStep(out: Panel, invert: DataFrame => DataFrame)
+
+  /** An unfitted step: (input panel, prediction time column) → fitted. */
+  type Step = (Panel, String) => FittedStep
+
+  /** Per-entity z-score step (preprocessing.py:340); invert is
+    * x·σ + μ via the broadcast artifact — valid for any rows. */
+  def scaleStep(useMean: Boolean = true, useStd: Boolean = true): Step = (p, _) => {
+    val (scaled, art) = Preprocess.scale(p, useMean, useStd)
+    FittedStep(p.copy(df = scaled),
+      pred => Preprocess.scaleInvert(pred, art, p.entity, p.value))
+  }
+
+  /** log1p step; rowwise invert (expm1). */
+  def log1pStep: Step = (p, _) =>
+    FittedStep(p.copy(df = Preprocess.log1pTransform(p)),
+      pred => Preprocess.log1pInvert(pred, p.value))
+
+  /** Seasonal differencing step (preprocessing.py:500-571). The
+    * future invert reconstructs levels lane-by-lane: prediction h
+    * (1-based in time order) has phase (h−1) mod sp, and its level is
+    * the captured anchor — the training input's value at position
+    * n − sp + phase + 1, i.e. descending row sp − phase — plus the
+    * cumulative sum of the lane's predictions up to h. Iterated
+    * differences invert outermost-last with each iteration's own
+    * anchors (the last sp rows of THAT iteration's input). */
+  def diffStep(order: Int = 1, sp: Int = 1): Step = (p, timeCol) => {
+    require(order >= 1 && sp >= 1, s"diffStep needs order/sp >= 1 (got $order/$sp)")
+    val wd = Window.partitionBy(p.entityCols: _*)
+      .orderBy(p.orderCols.map(_.desc): _*)
+    var cur = p.df
+    val anchors = (1 to order).map { _ =>
+      val a = cur.withColumn("__rnd", row_number().over(wd))
+        .filter(col("__rnd") <= sp)
+        .select((p.entityCols :+ (lit(sp) - col("__rnd")).as("__phase")
+          :+ p.x.as("__anchor")): _*)
+      cur = cur.withColumn(p.value,
+        p.x - lag(p.x, sp).over(p.w))
+      a
+    }
+    FittedStep(p.copy(df = cur), pred => {
+      val wh = Window.partitionBy(p.entityCols: _*).orderBy(col(timeCol))
+      anchors.reverse.foldLeft(pred) { (d, a) =>
+        val lane = Window.partitionBy((p.entityCols :+ col("__phase")): _*)
+          .orderBy(col(timeCol))
+        d.withColumn("__phase", ((row_number().over(wh) - 1) % sp).cast("int"))
+          .join(broadcast(a.withColumn("__phase", col("__phase").cast("int"))),
+            p.entity :+ "__phase")
+          .withColumn(p.value, col("__anchor") +
+            sum(col(p.value)).over(lane.rowsBetween(Window.unboundedPreceding, 0)))
+          .drop("__phase", "__anchor")
+      }
+    })
+  }
+
+  /** The fitted pipeline: transformed panel (cached), the fitted
+    * steps, and the base model's predict closure. */
+  final case class FittedPipeline(transformed: Panel, steps: Seq[FittedStep],
+                                  basePredict: (String, Int) => DataFrame) {
+    /** Base prediction in transformed space, then reverse-order
+      * inverts (base/forecaster.py:271-275). */
+    def predict(timeCol: String, fh: Int): DataFrame =
+      steps.reverse.foldLeft(basePredict(timeCol, fh))((df, s) => s.invert(df))
+  }
+
+  /** Fit: steps in order over the panel, then the base forecaster on
+    * the cached transformed result. `baseFit` receives the
+    * transformed panel and returns a (timeCol, fh) predict closure —
+    * see [[linear]] for the common case. */
+  def fit(p: Panel, timeCol: String, steps: Seq[Step],
+          baseFit: Panel => (String, Int) => DataFrame): FittedPipeline = {
+    val (pT, fitted) = steps.foldLeft((p, Vector.empty[FittedStep])) {
+      case ((cur, acc), step) =>
+        val fs = step(cur, timeCol)
+        (fs.out, acc :+ fs)
+    }
+    val cached = pT.copy(df = pT.df.cache())
+    FittedPipeline(cached, fitted, baseFit(cached))
+  }
+
+  /** The closed-form linear base forecaster as a `baseFit`. */
+  def linear(lags: Int, freq: String,
+             regParam: Double = 0.0, elasticNetParam: Double = 0.0)
+      : Panel => (String, Int) => DataFrame = { pT =>
+    val m = LinearForecaster.fit(pT, lags, freq, regParam, elasticNetParam)
+    (timeCol, fh) => m.predict(pT, timeCol, fh)
+  }
+}

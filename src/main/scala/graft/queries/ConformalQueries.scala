@@ -935,6 +935,42 @@ object ConformalQueries {
         .predict(p, "ts", fh = 3))
     },
 
+    // composed Forecaster with target-transform chaining
+    // (base/forecaster.py:134-277): fit applies scale -> diff(1,1) in
+    // order and fits the pooled OLS on the transformed panel; predict
+    // runs the 3-step recursion in transformed space and auto-inverts
+    // in reverse (diff: last-level anchor + prediction cumsum; scale:
+    // x*sigma + mu) — the whole chain replicated in SQL
+    "fc_pipeline" -> Q(
+      s"""WITH sc AS (SELECT user_id, ts, event_id,
+              (value - avg(value) OVER (PARTITION BY user_id))
+                / stddev_samp(value) OVER (PARTITION BY user_id) AS value
+            FROM events),
+          dfi AS (SELECT user_id, ts, event_id,
+              value - lag(value) OVER ($W) AS value FROM sc),
+          ${OlsBacktestSql.lagdCte(7, srcTable = "dfi")},
+          ${OlsBacktestSql.fullLinear("pl", 7, fh = 3, warmup = 1)},
+          scn AS (SELECT user_id, value, row_number() OVER ($W) AS rn,
+                         count(*) OVER (PARTITION BY user_id) AS cnt FROM sc),
+          anch AS (SELECT user_id, value AS anchor FROM scn WHERE rn = cnt),
+          art AS (SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sd
+                  FROM events GROUP BY user_id),
+          lvl AS (SELECT f.user_id, f.cutoff,
+                    anchor + (p1) AS l1,
+                    anchor + (p1 + p2) AS l2,
+                    anchor + (p1 + p2 + p3) AS l3
+                  FROM fp_pl f JOIN anch USING (user_id))
+          SELECT l.user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                 round((CASE h WHEN 1 THEN l1 WHEN 2 THEN l2 ELSE l3 END) * sd + mu, 6) AS value
+          FROM lvl l JOIN art USING (user_id)
+          CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)""") { (s, dir) =>
+      val p = ev(s, dir)
+      val fp = ForecastPipeline.fit(p, "ts",
+        Seq(ForecastPipeline.scaleStep(), ForecastPipeline.diffStep()),
+        ForecastPipeline.linear(7, "1d"))
+      r6(fp.predict("ts", fh = 3).select(col("user_id"), col("ts"), col("value")))
+    },
+
     // lag-grid sweep replicated: each candidate's expanding-window
     // backtest (pooled per-split OLS + 10-step recursion) scores a
     // mean per-entity SMAPE; argmin (first-wins on ties, hence <=)

@@ -107,11 +107,15 @@ object OlsBacktestSql {
         FROM bt_$tag GROUP BY user_id)"""
 
   /** Full-data fit + fh-step recursive prediction for one lag count.
-    * Emits `fp_<tag>` with (user_id, cutoff, p1..p<fh>). */
-  def fullLinear(tag: String, lags: Int, fh: Int, ridge: Double = 0.0): String = {
+    * Emits `fp_<tag>` with (user_id, cutoff, p1..p<fh>). `warmup`
+    * widens the training filter for lagd sources whose value column
+    * has leading nulls (e.g. a differenced series: warmup = order·sp
+    * extra rows are incomplete and Ols.fit's na.drop excludes them). */
+  def fullLinear(tag: String, lags: Int, fh: Int, ridge: Double = 0.0,
+                 warmup: Int = 0): String = {
     val xs = "1.0" +: (1 to lags).map(j => s"f$j")
     s"""${tag}_mom AS (SELECT ${Q.olsMomentsSql(xs, "value", ridge)}
-          FROM lagd WHERE rn > $lags),
+          FROM lagd WHERE rn > ${lags + warmup}),
         ${Q.cholSolveSql(lags + 1, s"${tag}_mom", s"${tag}_ch")},
         ${tailCte(tag, lags, "cnt")},
         ${tag}_p0 AS (SELECT * FROM ${tag}_tail
@@ -197,11 +201,12 @@ object OlsBacktestSql {
   /** The shared `lagd` CTE over events: f1..f<maxLag>, rn, cnt.
     * `valueExpr` substitutes a target transform (e.g. the
     * zero-inflated flooring) applied BEFORE the lag windows. */
-  def lagdCte(maxLag: Int, valueExpr: String = "value"): String = {
+  def lagdCte(maxLag: Int, valueExpr: String = "value",
+              srcTable: String = "events"): String = {
     val fs = (1 to maxLag).map(j => s"lag(value, $j) OVER w AS f$j").mkString(", ")
     val src =
-      if (valueExpr == "value") "events"
-      else s"(SELECT * REPLACE ($valueExpr AS value) FROM events)"
+      if (valueExpr == "value") srcTable
+      else s"(SELECT * REPLACE ($valueExpr AS value) FROM $srcTable)"
     s"""lagd AS (
           SELECT user_id, ts, event_id, value, $fs,
                  row_number() OVER w AS rn,
