@@ -192,7 +192,8 @@ object AutoForecast {
     * lag sweep with the matching regularization; refit on all data. */
   def autoRegularized(p: Panel, timeCol: String, freq: String, lagGrid: Seq[Int],
                       regParam: Double, elasticNetParam: Double,
-                      testSize: Int = 10, nSplits: Int = 3, stepSize: Int = 5)
+                      testSize: Int = 10, nSplits: Int = 3, stepSize: Int = 5,
+                      cdSweeps: Int = 40)
       : (Int, Double, LinearForecasterModel) = {
     val (bestLags, bestScore) = if (elasticNetParam == 0.0) {
       // pure L2 is closed-form — take the prefix-shared backtest path
@@ -215,9 +216,11 @@ object AutoForecast {
       } finally cached.df.unpersist(blocking = false)
     } else autoModel(p, timeCol, lagGrid, testSize, nSplits, stepSize) {
       lags => (tr, fh) =>
-        LinearForecaster.fit(tr, lags, freq, regParam, elasticNetParam).predict(tr, timeCol, fh)
+        LinearForecaster.fit(tr, lags, freq, regParam, elasticNetParam, cdSweeps)
+          .predict(tr, timeCol, fh)
     }
-    (bestLags, bestScore, LinearForecaster.fit(p, bestLags, freq, regParam, elasticNetParam))
+    (bestLags, bestScore,
+      LinearForecaster.fit(p, bestLags, freq, regParam, elasticNetParam, cdSweeps))
   }
 
   def autoRidge(p: Panel, timeCol: String, freq: String, lagGrid: Seq[Int],
@@ -225,13 +228,19 @@ object AutoForecast {
     autoRegularized(p, timeCol, freq, lagGrid, regParam, elasticNetParam = 0.0)
 
   def autoLasso(p: Panel, timeCol: String, freq: String, lagGrid: Seq[Int],
-                regParam: Double = 0.1): (Int, Double, LinearForecasterModel) =
-    autoRegularized(p, timeCol, freq, lagGrid, regParam, elasticNetParam = 1.0)
+                regParam: Double = 0.1, testSize: Int = 10, nSplits: Int = 3,
+                stepSize: Int = 5, cdSweeps: Int = 40)
+      : (Int, Double, LinearForecasterModel) =
+    autoRegularized(p, timeCol, freq, lagGrid, regParam, elasticNetParam = 1.0,
+      testSize, nSplits, stepSize, cdSweeps)
 
   def autoElasticNet(p: Panel, timeCol: String, freq: String, lagGrid: Seq[Int],
-                     regParam: Double = 0.1, l1Ratio: Double = 0.5)
+                     regParam: Double = 0.1, l1Ratio: Double = 0.5,
+                     testSize: Int = 10, nSplits: Int = 3, stepSize: Int = 5,
+                     cdSweeps: Int = 40)
       : (Int, Double, LinearForecasterModel) =
-    autoRegularized(p, timeCol, freq, lagGrid, regParam, elasticNetParam = l1Ratio)
+    autoRegularized(p, timeCol, freq, lagGrid, regParam, elasticNetParam = l1Ratio,
+      testSize, nSplits, stepSize, cdSweeps)
 
   /** auto_knn (automl.py): sweep k over CV with the exact KNN path.
     * Our KNN forecaster is one-step-ahead by design, so each split

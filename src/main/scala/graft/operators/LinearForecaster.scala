@@ -27,7 +27,8 @@ final case class LinearForecasterModel(
 object LinearForecaster {
 
   def fit(p: Panel, lags: Int, freq: String,
-          regParam: Double = 0.0, elasticNetParam: Double = 0.0): LinearForecasterModel = {
+          regParam: Double = 0.0, elasticNetParam: Double = 0.0,
+          cdSweeps: Int = 40): LinearForecasterModel = {
     val reduction = Forecasters.makeReduction(p, lags)
     val featureCols = (1 to lags).map(l => s"${p.value}__lag_$l")
     val (b0, w) =
@@ -41,7 +42,7 @@ object LinearForecaster {
         // one-pass moments (sklearn ElasticNet semantics) — still a
         // single pass over the data at any scale
         graft.functions.Ols.elasticNetCD(reduction, featureCols, p.value,
-          alpha = regParam, l1Ratio = elasticNetParam)
+          alpha = regParam, l1Ratio = elasticNetParam, sweeps = cdSweeps)
     LinearForecasterModel(b0, w, lags, freq)
   }
 

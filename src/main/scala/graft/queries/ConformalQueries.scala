@@ -566,6 +566,144 @@ object ConformalQueries {
       r6(model.predict(p, "ts", fh = 3).withColumn("chosen_lags", lit(lags).cast("long")))
     },
 
+    // auto_lasso (automl.py:64-96): lag sweep where every CV-split fit
+    // is the full 15-sweep cyclic CD on the slice's prefix moments —
+    // backtests, per-entity SMAPE pooling, argmin, and both full-data
+    // refits replicated in SQL
+    "fc_auto_lasso" -> Q({
+      val bts = Seq(3, 7).map(l => OlsBacktestSql.backtestElasticNet(s"al$l", l,
+        testSize = 10, nSplits = 2, stepSize = 5, alpha = 0.5, l1Ratio = 1.0, sweeps = 15))
+      val scores = Seq(3, 7).map(l =>
+        s"""s_al$l AS (SELECT avg(smape) AS s FROM (
+              SELECT user_id, sum(abs(pred - actual)) / sum(pred + actual) AS smape
+              FROM bt_al$l GROUP BY user_id))""")
+      val fulls = Seq(3, 7).map(l => OlsBacktestSql.fullElasticNet(s"alf$l", l,
+        fh = 3, alpha = 0.5, l1Ratio = 1.0, sweeps = 15))
+      s"""WITH ${OlsBacktestSql.lagdCte(7)},
+          ${bts.mkString(", ")},
+          ${scores.mkString(", ")},
+          ${fulls.mkString(", ")},
+          pick AS (SELECT CASE WHEN s_al3.s <= s_al7.s THEN 3 ELSE 7 END AS chosen
+                   FROM s_al3 CROSS JOIN s_al7),
+          pr AS (SELECT coalesce(a.user_id, b.user_id) AS user_id,
+                        coalesce(a.cutoff, b.cutoff) AS cutoff,
+                        a.p1 AS a1, a.p2 AS a2, a.p3 AS a3,
+                        b.p1 AS b1, b.p2 AS b2, b.p3 AS b3
+                 FROM fp_alf3 a FULL OUTER JOIN fp_alf7 b ON a.user_id = b.user_id)
+          SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                 round(CASE WHEN chosen = 3
+                            THEN (CASE h WHEN 1 THEN a1 WHEN 2 THEN a2 ELSE a3 END)
+                            ELSE (CASE h WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END) END, 6) AS value,
+                 chosen::BIGINT AS chosen_lags
+          FROM pr CROSS JOIN pick CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)
+          WHERE (chosen = 3 AND a1 IS NOT NULL) OR (chosen = 7 AND b1 IS NOT NULL)"""
+    }) { (s, dir) =>
+      val p = ev(s, dir)
+      val (lags, _, model) = AutoForecast.autoLasso(p, "ts", "1d",
+        lagGrid = Seq(3, 7), regParam = 0.5, nSplits = 2, cdSweeps = 15)
+      r6(model.predict(p, "ts", fh = 3).withColumn("chosen_lags", lit(lags).cast("long")))
+    },
+
+    // auto_elastic_net: the same sweep with the mixed L1/L2 penalty
+    "fc_auto_elastic_net" -> Q({
+      val bts = Seq(3, 7).map(l => OlsBacktestSql.backtestElasticNet(s"ae$l", l,
+        testSize = 10, nSplits = 2, stepSize = 5, alpha = 0.5, l1Ratio = 0.5, sweeps = 15))
+      val scores = Seq(3, 7).map(l =>
+        s"""s_ae$l AS (SELECT avg(smape) AS s FROM (
+              SELECT user_id, sum(abs(pred - actual)) / sum(pred + actual) AS smape
+              FROM bt_ae$l GROUP BY user_id))""")
+      val fulls = Seq(3, 7).map(l => OlsBacktestSql.fullElasticNet(s"aef$l", l,
+        fh = 3, alpha = 0.5, l1Ratio = 0.5, sweeps = 15))
+      s"""WITH ${OlsBacktestSql.lagdCte(7)},
+          ${bts.mkString(", ")},
+          ${scores.mkString(", ")},
+          ${fulls.mkString(", ")},
+          pick AS (SELECT CASE WHEN s_ae3.s <= s_ae7.s THEN 3 ELSE 7 END AS chosen
+                   FROM s_ae3 CROSS JOIN s_ae7),
+          pr AS (SELECT coalesce(a.user_id, b.user_id) AS user_id,
+                        coalesce(a.cutoff, b.cutoff) AS cutoff,
+                        a.p1 AS a1, a.p2 AS a2, a.p3 AS a3,
+                        b.p1 AS b1, b.p2 AS b2, b.p3 AS b3
+                 FROM fp_aef3 a FULL OUTER JOIN fp_aef7 b ON a.user_id = b.user_id)
+          SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                 round(CASE WHEN chosen = 3
+                            THEN (CASE h WHEN 1 THEN a1 WHEN 2 THEN a2 ELSE a3 END)
+                            ELSE (CASE h WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END) END, 6) AS value,
+                 chosen::BIGINT AS chosen_lags
+          FROM pr CROSS JOIN pick CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)
+          WHERE (chosen = 3 AND a1 IS NOT NULL) OR (chosen = 7 AND b1 IS NOT NULL)"""
+    }) { (s, dir) =>
+      val p = ev(s, dir)
+      val (lags, _, model) = AutoForecast.autoElasticNet(p, "ts", "1d",
+        lagGrid = Seq(3, 7), regParam = 0.5, l1Ratio = 0.5, nSplits = 2, cdSweeps = 15)
+      r6(model.predict(p, "ts", fh = 3).withColumn("chosen_lags", lit(lags).cast("long")))
+    },
+
+    // auto_knn (automl.py): k sweep over expanding-window CV with the
+    // exact one-step KNN — per split, the query tail at the prefix
+    // cutoff scans the prefix's complete lag rows (the slice's lag
+    // matrix IS the prefix filter), horizon-1 SMAPE pooled per entity,
+    // argmin k (first-wins), winner served from one shared full-data
+    // distance pass
+    "fc_auto_knn" -> Q({
+      val dist = (1 to 7).map(j => s"(t.f$j - q.q$j) * (t.f$j - q.q$j)")
+        .mkString("(", " + ", ")")
+      val qCols = "value AS q1, f1 AS q2, f2 AS q3, f3 AS q4, f4 AS q5, f5 AS q6, f6 AS q7"
+      val splits = Seq(0 -> 15, 1 -> 10).map { case (i, c) =>
+        s"""kq$i AS (SELECT user_id, $qCols FROM lagd
+              WHERE rn = cnt - $c AND f6 IS NOT NULL),
+            kt$i AS (SELECT value AS label, f1, f2, f3, f4, f5, f6, f7
+              FROM lagd WHERE f7 IS NOT NULL AND rn <= cnt - $c),
+            kd$i AS MATERIALIZED (
+              SELECT q.user_id, t.label,
+                     row_number() OVER (PARTITION BY q.user_id ORDER BY $dist) AS nn
+              FROM kq$i q CROSS JOIN kt$i t),
+            kp$i AS (SELECT user_id,
+                       avg(CASE WHEN nn <= 1 THEN label END) AS pk1,
+                       avg(CASE WHEN nn <= 5 THEN label END) AS pk5
+                     FROM kd$i WHERE nn <= 5 GROUP BY user_id),
+            ka$i AS (SELECT user_id, value AS actual FROM lagd WHERE rn = cnt - $c + 1)"""
+      }
+      def score(k: Int) =
+        s"""sc_k$k AS (SELECT avg(smape) AS s FROM (
+              SELECT user_id, sum(abs(pred - actual)) / sum(pred + actual) AS smape
+              FROM (SELECT a.user_id, p.pk$k AS pred, a.actual
+                    FROM kp0 p JOIN ka0 a USING (user_id)
+                    UNION ALL
+                    SELECT a.user_id, p.pk$k AS pred, a.actual
+                    FROM kp1 p JOIN ka1 a USING (user_id))
+              GROUP BY user_id))"""
+      s"""WITH ${OlsBacktestSql.lagdCte(7)},
+          ${splits.mkString(", ")},
+          ${score(1)}, ${score(5)},
+          pick AS (SELECT CASE WHEN sc_k1.s <= sc_k5.s THEN 1 ELSE 5 END AS chosen
+                   FROM sc_k1 CROSS JOIN sc_k5),
+          fq AS (SELECT user_id, ts AS cutoff, $qCols FROM (
+                   SELECT *, row_number() OVER (PARTITION BY user_id
+                     ORDER BY ts DESC, event_id DESC) AS rd FROM lagd)
+                 WHERE rd = 1 AND f6 IS NOT NULL),
+          ft AS (SELECT value AS label, f1, f2, f3, f4, f5, f6, f7
+                 FROM lagd WHERE f7 IS NOT NULL),
+          fd AS MATERIALIZED (
+            SELECT q.user_id, q.cutoff, t.label,
+                   row_number() OVER (PARTITION BY q.user_id ORDER BY $dist) AS nn
+            FROM fq q CROSS JOIN ft t),
+          fall AS (SELECT user_id, cutoff,
+                     avg(CASE WHEN nn <= 1 THEN label END) AS pk1,
+                     avg(CASE WHEN nn <= 5 THEN label END) AS pk5
+                   FROM fd WHERE nn <= 5 GROUP BY user_id, cutoff)
+          SELECT user_id, CAST(cutoff + INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                 round(CASE WHEN chosen = 1 THEN pk1 ELSE pk5 END, 6) AS value,
+                 chosen::BIGINT AS chosen_k
+          FROM fall CROSS JOIN pick"""
+    }) { (s, dir) =>
+      val p = ev(s, dir)
+      val (bestK, _) = AutoForecast.autoKnn(p, "ts", "1d", lags = 7,
+        kGrid = Seq(1, 5), testSize = 10, nSplits = 2, stepSize = 5)
+      r6(KnnForecaster.predictOneStep(p, "ts", "1d", lags = 7, k = bestK)
+        .withColumn("chosen_k", lit(bestK).cast("long")))
+    },
+
     // gbt-family oracle: depth-1 gradient-boosted stumps with
     // deterministic uniform-grid split candidates — every round's
     // conditional-aggregation pass, argmax split pick, and mean-leaf

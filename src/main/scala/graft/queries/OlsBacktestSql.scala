@@ -98,6 +98,41 @@ object OlsBacktestSql {
     (splits :+ s"bt_$tag AS ($union)").mkString(", ")
   }
 
+  /** CTEs for one expanding-window elastic-net/lasso backtest
+    * candidate: per split, cyclic-CD fit (fixed sweeps) on the
+    * row-prefix moments, recursive predictions for h = 1..testSize,
+    * inner-joined to actuals — the oracle of the generic
+    * [[graft.operators.AutoForecast.autoModel]] backtest with a CD
+    * fit per slice (the slice's lag matrix IS the prefix filter of
+    * the full one). Emits `bt_<tag>` with (user_id, h, split,
+    * actual, pred). */
+  def backtestElasticNet(tag: String, lags: Int, testSize: Int, nSplits: Int,
+                         stepSize: Int, alpha: Double, l1Ratio: Double,
+                         sweeps: Int): String = {
+    val xs = "1.0" +: (1 to lags).map(j => s"f$j")
+    val splits = (0 until nSplits).map { i =>
+      val cutoff = testSize + (nSplits - 1 - i) * stepSize
+      val t = s"${tag}_s$i"
+      val predCases = (1 to testSize)
+        .map(h => s"WHEN $h THEN p.p$h").mkString(" ")
+      s"""${t}_mom AS (SELECT ${Q.olsMomentsSql(xs, "value")}
+            FROM lagd WHERE rn > $lags AND rn <= cnt - $cutoff),
+          ${Q.cdSolveSql(lags, alpha, l1Ratio, sweeps, s"${t}_mom", s"${t}_cd")},
+          ${tailCte(s"$t", lags, s"cnt - $cutoff")},
+          ${t}_p0 AS (SELECT * FROM ${t}_tail
+            CROSS JOIN ${Q.cdSolveLast(lags, sweeps, s"${t}_cd")}),
+          ${predStages(s"${t}_", s"${t}_p0", testSize, lags)},
+          ${t}_bt AS (
+            SELECT a.user_id, a.rn - (a.cnt - $cutoff) AS h, $i AS split,
+                   a.value AS actual, CASE a.rn - (a.cnt - $cutoff) $predCases END AS pred
+            FROM lagd a JOIN ${t}_pred p ON a.user_id = p.user_id
+            WHERE a.rn > a.cnt - $cutoff AND a.rn <= a.cnt - $cutoff + $testSize)"""
+    }
+    val union = (0 until nSplits).map(i => s"SELECT * FROM ${tag}_s${i}_bt")
+      .mkString(" UNION ALL ")
+    (splits :+ s"bt_$tag AS ($union)").mkString(", ")
+  }
+
   /** Per-entity SMAPE of a backtest frame: Σ|p−a| / Σ(p+a) (NULL on a
     * zero denominator in BOTH engines — Spark try_divide, DuckDB
     * double/0). Emits `sc_<tag>` with (user_id, smape). */
