@@ -33,19 +33,28 @@ object M4Accuracy {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // (freq label, fh, lags, train path, test path)
+    // (freq label, fh, lags); paths derive from the label. 1h is not
+    // in the reference's five fixture frequencies but its parquets ARE
+    // in the reference data (M4 hourly: fh=48, sp=24), so it runs too.
+    // 1mo has no test parquet in the reference copy — its test split
+    // is synthesized as a per-entity last-fh holdout from the train
+    // parquet (conftest.py:76-80's protocol applied in reverse). 3mo
+    // has NO train parquet at all (only the 8-point test horizons), so
+    // nothing can fit — it skips with a message.
     val configs = Seq(
-      ("1d", 14, 30, s"$dataDir/m4_1d_train.parquet", s"$dataDir/m4_1d_test.parquet"),
-      ("1w", 13, 14, s"$dataDir/m4_1w_train.parquet", s"$dataDir/m4_1w_test.parquet"),
-      ("1mo", 18, 12, s"$dataDir/m4_1mo_train.parquet", s"$dataDir/m4_1mo_test.parquet"),
-      ("3mo", 8, 6, s"$dataDir/m4_3mo_train.parquet", s"$dataDir/m4_3mo_test.parquet"),
-      ("1y", 6, 3, s"$dataDir/m4_1y_train.parquet", s"$dataDir/m4_1y_test.parquet"))
+      ("1d", 14, 30), ("1h", 48, 24), ("1w", 13, 14),
+      ("1mo", 18, 12), ("3mo", 8, 6), ("1y", 6, 3))
 
-    val results = configs.filter { case (_, _, _, trainPath, testPath) =>
-      val ok = new java.io.File(trainPath).exists() && new java.io.File(testPath).exists()
-      if (!ok) println(s"[m4] skipping $trainPath / $testPath (not present in reference data)")
-      ok
-    }.map { case (freq, fh, lags, trainPath, testPath) =>
+    val results = configs.flatMap { case (freq, fh, lags) =>
+      val trainPath = s"$dataDir/m4_${freq}_train.parquet"
+      val testPath = s"$dataDir/m4_${freq}_test.parquet"
+      val haveTrain = new java.io.File(trainPath).exists()
+      val haveTest = new java.io.File(testPath).exists()
+      if (!haveTrain) {
+        println(s"[m4] skipping $freq: $trainPath absent (cannot fit, and a " +
+          "test-only parquet holds just the fh horizon points)")
+        None
+      } else Some {
       val t0 = System.nanoTime()
       def load(path: String) = {
         val raw = spark.read.parquet(path)
@@ -54,17 +63,35 @@ object M4Accuracy {
           col("time").cast("long").as("time"),
           col(target).cast("double").as("y"))
       }
-      val yTrain = load(trainPath)
+      val full = load(trainPath)
+      // Missing test parquet: hold out each entity's last fh points
+      // (only for series long enough to still fit after the holdout —
+      // shorter series stay whole in train and score no test rows).
+      val (yTrain, yTestRaw) = if (haveTest) (full, None) else {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("series").orderBy(col("time").desc)
+        val ranked = full
+          .withColumn("__rd", row_number().over(w))
+          .withColumn("__n", count(lit(1)).over(Window.partitionBy("series")))
+        val holdable = col("__n") >= fh + lags + 2
+        val tr = ranked.filter(!holdable || col("__rd") > fh)
+          .select("series", "time", "y")
+        val te = ranked.filter(holdable && col("__rd") <= fh)
+          .select("series", "time", "y")
+        println(s"[m4] $freq: test split synthesized as last-$fh holdout from train")
+        (tr, Some(te))
+      }
       val p = Panel(yTrain, Seq("series"), Seq("time"), "y")
       // drop series shorter than lags+1 (check_backtest_lengths analog)
       val long = yTrain.groupBy("series").count().filter(col("count") > lags + 1).select("series")
       val pf = Panel(yTrain.join(long, "series"), Seq("series"), Seq("time"), "y")
       val model = LinearForecaster.fit(pf, lags, "1i")
       val yPred = model.predict(pf, "time", fh)
-      // test times = train cutoff + relative time (conftest.py:97-108)
+      // test times = train cutoff + relative time (conftest.py:97-108);
+      // a synthesized holdout already carries absolute times
       val cutoffs = yTrain.groupBy("series").agg(max("time").as("__cutoff"))
-      val yTest = load(testPath).join(cutoffs, "series")
-        .select(col("series"), (col("time") + col("__cutoff")).as("time"), col("y"))
+      val yTest = yTestRaw.getOrElse(load(testPath).join(cutoffs, "series")
+        .select(col("series"), (col("time") + col("__cutoff")).as("time"), col("y")))
       val j = Metrics.aligned(yTest, yPred.withColumnRenamed("y", "pred"),
         Seq("series", "time"), "y", "pred")
       val smape = Metrics.smape(j.filter(col("__p").isNotNull), Seq("series"))
@@ -74,6 +101,7 @@ object M4Accuracy {
       println(f"[m4] freq=$freq%-4s lags=$lags%-3d fh=$fh%-3d entities=$n%-6d " +
         f"mean_smape=$mean%.4f pass=${mean < 0.30} fit_predict_score_s=$secs%.1f")
       (freq, mean, n, secs)
+      }
     }
     val overall = results.map(_._2).sum / results.size
     println(f"""{"m4_mean_smape_across_freqs":$overall%.4f,"all_below_0.30":${results.forall(_._2 < 0.30)}}""")

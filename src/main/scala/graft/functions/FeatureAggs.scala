@@ -133,6 +133,12 @@ object FeatureAggs {
     (i, v) => f(i, v)
   }
 
+  /** Per-entity Box-Cox λ, `method="pearsonr"` (preprocessing.py:577). */
+  def boxcoxLambdaPearsonr: (Column, Column) => Column = {
+    val f = u(mk(xs => Kernels.boxcoxLambdaPearsonr(xs)))
+    (i, v) => f(i, v)
+  }
+
   /** Helper: run an aggregator over a panel (adds the order index). */
   def over(p: Panel, agg: (Column, Column) => Column, out: String): DataFrame = {
     val pr = p.withRowIdx("__i")

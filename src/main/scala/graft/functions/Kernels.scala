@@ -399,6 +399,75 @@ object Kernels {
     goldenMin(negLl, -5.0, 5.0, 1e-9)
   }
 
+  /** Inverse normal CDF — Acklam's 2003 rational approximation
+    * (~1.15e-9 relative error; public-domain algorithm, coefficients
+    * verbatim). Deterministic closed-form arithmetic, so the DuckDB
+    * oracle can replicate it op-for-op. */
+  def normPpf(p: Double): Double = {
+    val pl = 0.02425
+    if (p < pl) {
+      val q = math.sqrt(-2.0 * math.log(p))
+      (((((-7.784894002430293e-03 * q + -3.223964580411365e-01) * q +
+        -2.400758277161838e+00) * q + -2.549732539343734e+00) * q +
+        4.374664141464968e+00) * q + 2.938163982698783e+00) /
+        ((((7.784695709041462e-03 * q + 3.224671290700398e-01) * q +
+          2.445134137142996e+00) * q + 3.754408661907416e+00) * q + 1.0)
+    } else if (p <= 1.0 - pl) {
+      val q = p - 0.5
+      val r = q * q
+      (((((-3.969683028665376e+01 * r + 2.209460984245205e+02) * r +
+        -2.759285104469687e+02) * r + 1.383577518672690e+02) * r +
+        -3.066479806614716e+01) * r + 2.506628277459239e+00) * q /
+        (((((-5.447609879822406e+01 * r + 1.615858368580409e+02) * r +
+          -1.556989798598866e+02) * r + 6.680131188771972e+01) * r +
+          -1.328068155288572e+01) * r + 1.0)
+    } else {
+      val q = math.sqrt(-2.0 * math.log(1.0 - p))
+      -((((((-7.784894002430293e-03 * q + -3.223964580411365e-01) * q +
+        -2.400758277161838e+00) * q + -2.549732539343734e+00) * q +
+        4.374664141464968e+00) * q + 2.938163982698783e+00) /
+        ((((7.784695709041462e-03 * q + 3.224671290700398e-01) * q +
+          2.445134137142996e+00) * q + 3.754408661907416e+00) * q + 1.0))
+    }
+  }
+
+  /** Box-Cox λ via Pearson correlation — preprocessing.py:577
+    * `method="pearsonr"` (scipy boxcox_normmax pearsonr under the
+    * reference's bounded optimizer on [-2, 2]): minimize 1 − r between
+    * the Filliben order-statistic normal quantiles and the sorted
+    * transformed sample. The transform is monotonic in x for every λ,
+    * so sort(transform(x)) = transform(sort(x)). Shares the
+    * golden-section scaffold with [[boxcoxLambdaMle]]. */
+  def boxcoxLambdaPearsonr(xs: Array[Double]): Double = {
+    val n = xs.length
+    val sorted = xs.sorted
+    val xv = Array.tabulate(n) { i0 =>
+      val i = i0 + 1
+      val u =
+        if (i == n) math.pow(0.5, 1.0 / n)
+        else if (i == 1) 1.0 - math.pow(0.5, 1.0 / n)
+        else (i - 0.3175) / (n + 0.365)
+      normPpf(u)
+    }
+    val xm = xv.sum / n
+    def obj(lmb: Double): Double = {
+      val y =
+        if (math.abs(lmb) < 1e-12) sorted.map(math.log)
+        else sorted.map(x => (math.pow(x, lmb) - 1) / lmb)
+      val ym = y.sum / n
+      var num = 0.0; var dx = 0.0; var dy = 0.0
+      var i = 0
+      while (i < n) {
+        num += (xv(i) - xm) * (y(i) - ym)
+        dx += (xv(i) - xm) * (xv(i) - xm)
+        dy += (y(i) - ym) * (y(i) - ym)
+        i += 1
+      }
+      1.0 - num / (math.sqrt(dx) * math.sqrt(dy))
+    }
+    goldenMin(obj, -2.0, 2.0, 1e-9)
+  }
+
   /** Number of CWT-ridge peaks — feature_extractors.py:1187-1222
     * (scipy.signal.find_peaks_cwt semantics, re-derived): smooth with
     * Ricker wavelets for widths 1..maxWidth, link per-width relative

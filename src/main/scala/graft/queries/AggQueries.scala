@@ -488,6 +488,105 @@ object AggQueries {
             FROM st WHERE hi - lo <= 1e-9""") { (s, dir) =>
         r6(FeatureAggs.over(ev(s, dir), FeatureAggs.boxcoxLambda, "boxcox_lambda"))
       }
+    },
+    "p_boxcox_pearsonr" -> {
+      // boxcox method="pearsonr" (preprocessing.py:577; scipy
+      // boxcox_normmax pearsonr under the reference's bounded
+      // optimizer on [-2, 2]): golden-section minimizing 1 − r between
+      // Filliben order-statistic normal quantiles (Acklam inverse-CDF,
+      // replicated op-for-op) and the sorted transformed sample. The
+      // quantile side (xv, centered xd, Σxd²) is λ-free — precomputed
+      // once; each objective eval is then one list pass like the MLE's
+      def lnj(x: String): String =
+        s"""CASE WHEN isnan($x) THEN 'nan'::DOUBLE
+                 WHEN $x < 0 THEN 'nan'::DOUBLE
+                 WHEN $x = 0 THEN '-infinity'::DOUBLE
+                 ELSE ln($x) END"""
+      // Acklam rational pieces over a pre-bound q (and r = q²); the
+      // literals are the Scala kernel's verbatim
+      def lowNum(q: String) =
+        s"""(((((-7.784894002430293e-03 * $q + -3.223964580411365e-01) * $q +
+             -2.400758277161838e+00) * $q + -2.549732539343734e+00) * $q +
+             4.374664141464968e+00) * $q + 2.938163982698783e+00)"""
+      def lowDen(q: String) =
+        s"""((((7.784695709041462e-03 * $q + 3.224671290700398e-01) * $q +
+             2.445134137142996e+00) * $q + 3.754408661907416e+00) * $q + 1.0)"""
+      def cenNum(r: String) =
+        s"""(((((-3.969683028665376e+01 * $r + 2.209460984245205e+02) * $r +
+             -2.759285104469687e+02) * $r + 1.383577518672690e+02) * $r +
+             -3.066479806614716e+01) * $r + 2.506628277459239e+00)"""
+      def cenDen(r: String) =
+        s"""(((((-5.447609879822406e+01 * $r + 1.615858368580409e+02) * $r +
+             -1.556989798598866e+02) * $r + 6.680131188771972e+01) * $r +
+             -1.328068155288572e+01) * $r + 1.0)"""
+      val ppf =
+        s"""CASE WHEN u < 0.02425 THEN
+              list_transform([sqrt(-2.0 * ln(u))], qq -> ${lowNum("qq")} / ${lowDen("qq")})[1]
+            WHEN u <= 1.0 - 0.02425 THEN
+              list_transform([u - 0.5], qq ->
+                list_transform([qq * qq], rr -> ${cenNum("rr")} * qq / ${cenDen("rr")})[1])[1]
+            ELSE
+              list_transform([sqrt(-2.0 * ln(1.0 - u))], qq -> -(${lowNum("qq")} / ${lowDen("qq")}))[1]
+            END"""
+      def obj(l: String): String = {
+        val y = s"""CASE WHEN abs($l) < 1e-12
+                      THEN list_transform(sv, x -> ${lnj("x")})
+                      ELSE list_transform(sv, x -> (pow(x, $l) - 1) / ($l)) END"""
+        s"""list_transform([$y], yy ->
+              list_transform([list_sum(yy) / n], ym ->
+                1.0 - list_sum(list_transform(range(1, CAST(n AS BIGINT) + 1),
+                        i -> xd[i] * (yy[i] - ym)))
+                    / (sqrt(dx) * sqrt(list_sum(list_transform(yy,
+                        t -> (t - ym) * (t - ym)))))
+              )[1])[1]"""
+      }
+      val phi = "((sqrt(5.0) - 1) / 2)"
+      val cond = "(NOT isnan(fc) AND NOT isnan(fd) AND fc < fd)"
+      val nlo = s"CASE WHEN $cond THEN lo ELSE c END"
+      val nhi = s"CASE WHEN $cond THEN d ELSE hi END"
+      Q(
+        s"""WITH RECURSIVE xs AS (
+              SELECT user_id, list(value ORDER BY value) AS sv,
+                     CAST(len(list(value)) AS DOUBLE) AS n
+              FROM events GROUP BY user_id),
+            xq AS (
+              SELECT user_id, sv, n,
+                list_transform(range(1, CAST(n AS BIGINT) + 1), i ->
+                  list_transform([CASE WHEN i = CAST(n AS BIGINT) THEN pow(0.5, 1.0 / n)
+                                       WHEN i = 1 THEN 1.0 - pow(0.5, 1.0 / n)
+                                       ELSE (i - 0.3175) / (n + 0.365) END],
+                    u -> $ppf)[1]) AS xv
+              FROM xs),
+            xc AS (
+              SELECT user_id, sv, n,
+                list_transform([list_sum(xv) / n], xm ->
+                  list_transform(xv, t -> t - xm))[1] AS xd
+              FROM xq),
+            xdm AS (
+              SELECT user_id, sv, n, xd,
+                     list_sum(list_transform(xd, t -> t * t)) AS dx
+              FROM xc),
+            init AS (
+              SELECT user_id, sv, n, xd, dx,
+                     CAST(-2.0 AS DOUBLE) AS lo, CAST(2.0 AS DOUBLE) AS hi,
+                     2.0 - $phi * (2.0 - (-2.0)) AS c, -2.0 + $phi * (2.0 - (-2.0)) AS d
+              FROM xdm),
+            st AS (
+              SELECT user_id, sv, n, xd, dx, lo, hi, c, d,
+                     ${obj("c")} AS fc, ${obj("d")} AS fd
+              FROM init
+              UNION ALL
+              SELECT user_id, sv, n, xd, dx,
+                $nlo, $nhi,
+                CASE WHEN $cond THEN ($nhi) - $phi * (($nhi) - ($nlo)) ELSE d END,
+                CASE WHEN $cond THEN c ELSE ($nlo) + $phi * (($nhi) - ($nlo)) END,
+                CASE WHEN $cond THEN ${obj(s"(($nhi) - $phi * (($nhi) - ($nlo)))")} ELSE fd END,
+                CASE WHEN $cond THEN fc ELSE ${obj(s"(($nlo) + $phi * (($nhi) - ($nlo)))")} END
+              FROM st WHERE hi - lo > 1e-9)
+            SELECT user_id, round((lo + hi) / 2, 6) AS boxcox_pearsonr
+            FROM st WHERE hi - lo <= 1e-9""") { (s, dir) =>
+        r6(FeatureAggs.over(ev(s, dir), FeatureAggs.boxcoxLambdaPearsonr, "boxcox_pearsonr"))
+      }
     }
   )
 }

@@ -52,4 +52,12 @@ class FeatureAggsSpec extends SparkSpec {
       .orderBy("entity").collect().map(_.getDouble(1))
     assertClose(got(0), Kernels.boxcoxLambdaMle(series), 1e-6)
   }
+
+  test("boxcox pearsonr lambda per entity") {
+    val p = panel(series.toSeq, series.map(_ * 2).toSeq)
+    val got = FeatureAggs.over(p, FeatureAggs.boxcoxLambdaPearsonr, "lmb")
+      .orderBy("entity").collect().map(_.getDouble(1))
+    assertClose(got(0), Kernels.boxcoxLambdaPearsonr(series), 1e-6)
+    assertClose(got(1), Kernels.boxcoxLambdaPearsonr(series.map(_ * 2)), 1e-6)
+  }
 }

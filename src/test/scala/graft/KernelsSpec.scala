@@ -73,6 +73,26 @@ class KernelsSpec extends AnyFunSuite {
     close(Kernels.boxcoxLambdaMle(xs), 0.796905, 1e-4)
   }
 
+  test("normPpf matches standard normal quantiles") {
+    close(Kernels.normPpf(0.5), 0.0, 1e-9)
+    close(Kernels.normPpf(0.975), 1.959963985, 1e-7)
+    close(Kernels.normPpf(0.84134474), 1.0, 1e-6)
+    // low/high branches (p < 0.02425) and antisymmetry
+    close(Kernels.normPpf(0.001), -3.090232306, 1e-7)
+    close(Kernels.normPpf(0.999), -Kernels.normPpf(0.001), 1e-9)
+  }
+
+  test("boxcox pearsonr lambda: log-normal data wants log, normal wants identity") {
+    val rng = new scala.util.Random(7)
+    val z = Array.fill(400)(rng.nextGaussian())
+    // exp(z) is log-normal: the normalizing transform is log, λ ≈ 0
+    val lmbLog = Kernels.boxcoxLambdaPearsonr(z.map(math.exp))
+    assert(math.abs(lmbLog) < 0.15, s"log-normal λ should be ≈0, got $lmbLog")
+    // z + 10 is already normal: λ ≈ 1 (identity up to affine)
+    val lmbId = Kernels.boxcoxLambdaPearsonr(z.map(_ + 10.0))
+    assert(math.abs(lmbId - 1.0) < 0.5, s"normal-data λ should be ≈1, got $lmbId")
+  }
+
   test("cusum flags a mean shift and re-warms") {
     val s = Array.fill(30)(0.0).zipWithIndex.map { case (_, i) => math.sin(i * 0.1) * 0.1 } ++
       Array.fill(30)(10.0)
