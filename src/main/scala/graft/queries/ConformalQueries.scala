@@ -343,6 +343,27 @@ object ConformalQueries {
           .select("event_id", "holiday")
     },
 
+    // add_holiday_effects from ISO country codes (calendar.py:57-106):
+    // the rule-generated tables (fixed + Easter-computus dates,
+    // HolidayCalendar) emitted as VALUES on the oracle side — the
+    // generator itself is pinned to known dates in HolidayCalendarSpec;
+    // this entry checks the per-code broadcast left-join plumbing and
+    // label normalization over real data
+    "s_holiday_codes" -> Q({
+      def values(code: String) = HolidayCalendar.holidays(code, 2015 to 2030)
+        .map { case (d, l) => s"('$d'::DATE, '$l')" }.mkString(", ")
+      s"""WITH h_us(d, l) AS (SELECT * FROM (VALUES ${values("US")})),
+              h_de(d, l) AS (SELECT * FROM (VALUES ${values("DE")}))
+          SELECT e.event_id, us.l AS "holiday__US", de.l AS "holiday__DE"
+          FROM events e
+          LEFT JOIN h_us us ON CAST(e.ts AS DATE) = us.d
+          LEFT JOIN h_de de ON CAST(e.ts AS DATE) = de.d"""
+    }) { (s, dir) =>
+      HolidayCalendar.addHolidayEffectsFromCodes(tbl(s, dir, "events"), "ts",
+        Seq("US", "DE"))
+        .select("event_id", "holiday__US", "holiday__DE")
+    },
+
     // ----- conversion: long↔wide (conversion.py:7-93) -----
     "conv_long_to_wide" -> Q(
       """SELECT user_id,
