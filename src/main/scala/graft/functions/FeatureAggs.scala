@@ -18,14 +18,82 @@ object FeatureAggs {
 
   final case class Pt(i: Long, v: Double)
 
+  /** Growable primitive (index, value) pair buffer: appends are
+    * amortized O(1) array stores, merges are two arraycopies, and the
+    * object lives un-serialized inside ObjectHashAggregate — Kryo only
+    * sees it on spill/shuffle, where the custom image writes exactly n
+    * longs + n doubles (no per-point boxing, no slack capacity). The
+    * previous Vector[Pt] buffer boxed two objects per row and paid a
+    * structural append per point — an O(n) GC/alloc tax that shows at
+    * 100k-point series (SCALE.md long-series soak). */
+  final class SeriesBuf(private var is: Array[Long], private var vs: Array[Double],
+                        private var n: Int)
+      extends Serializable with com.esotericsoftware.kryo.KryoSerializable {
+    def this() = this(new Array[Long](16), new Array[Double](16), 0)
+
+    def size: Int = n
+
+    def append(i: Long, v: Double): SeriesBuf = {
+      if (n == is.length) {
+        val cap = math.max(16, n * 2)
+        is = java.util.Arrays.copyOf(is, cap)
+        vs = java.util.Arrays.copyOf(vs, cap)
+      }
+      is(n) = i; vs(n) = v; n += 1
+      this
+    }
+
+    def mergeWith(o: SeriesBuf): SeriesBuf = {
+      val total = n + o.n
+      if (total > is.length) {
+        is = java.util.Arrays.copyOf(is, total)
+        vs = java.util.Arrays.copyOf(vs, total)
+      }
+      System.arraycopy(o.is, 0, is, n, o.n)
+      System.arraycopy(o.vs, 0, vs, n, o.n)
+      n = total
+      this
+    }
+
+    /** Values in index order (indices are unique per group — the row
+      * index from [[FeatureAggs.over]] — so the order is total). */
+    def sortedValues: Array[Double] = {
+      val idx = new Array[Integer](n)
+      var k = 0
+      while (k < n) { idx(k) = k; k += 1 }
+      java.util.Arrays.sort(idx, (a: Integer, b: Integer) =>
+        java.lang.Long.compare(is(a), is(b)))
+      val out = new Array[Double](n)
+      k = 0
+      while (k < n) { out(k) = vs(idx(k)); k += 1 }
+      out
+    }
+
+    override def write(kryo: com.esotericsoftware.kryo.Kryo,
+                       output: com.esotericsoftware.kryo.io.Output): Unit = {
+      output.writeInt(n)
+      // kryo-shaded 4 has no (array, offset, count) overloads — trim
+      // to n so the spill image never carries slack capacity
+      output.writeLongs(if (n == is.length) is else java.util.Arrays.copyOf(is, n))
+      output.writeDoubles(if (n == vs.length) vs else java.util.Arrays.copyOf(vs, n))
+    }
+
+    override def read(kryo: com.esotericsoftware.kryo.Kryo,
+                      input: com.esotericsoftware.kryo.io.Input): Unit = {
+      n = input.readInt()
+      is = input.readLongs(n)
+      vs = input.readDoubles(n)
+    }
+  }
+
   abstract class SeriesAgg[OUT](implicit outEnc: Encoder[OUT])
-      extends Aggregator[Pt, Seq[Pt], OUT] with Serializable {
+      extends Aggregator[Pt, SeriesBuf, OUT] with Serializable {
     def compute(xs: Array[Double]): OUT
-    override def zero: Seq[Pt] = Vector.empty
-    override def reduce(b: Seq[Pt], a: Pt): Seq[Pt] = b :+ a
-    override def merge(a: Seq[Pt], b: Seq[Pt]): Seq[Pt] = a ++ b
-    override def finish(b: Seq[Pt]): OUT = compute(b.sortBy(_.i).map(_.v).toArray)
-    override def bufferEncoder: Encoder[Seq[Pt]] = Encoders.kryo[Seq[Pt]]
+    override def zero: SeriesBuf = new SeriesBuf()
+    override def reduce(b: SeriesBuf, a: Pt): SeriesBuf = b.append(a.i, a.v)
+    override def merge(a: SeriesBuf, b: SeriesBuf): SeriesBuf = a.mergeWith(b)
+    override def finish(b: SeriesBuf): OUT = compute(b.sortedValues)
+    override def bufferEncoder: Encoder[SeriesBuf] = Encoders.kryo[SeriesBuf]
     override def outputEncoder: Encoder[OUT] = outEnc
   }
 
