@@ -48,14 +48,14 @@ object ScaleSoak {
         sqrt(avg(p.x * p.x)).as("rms"),
         try_divide(stddev_pop(p.x), avg(p.x)).as("var_coef"),
         max(p.x).as("max"), min(p.x).as("min"),
-        percentile(p.x, lit(0.5)).as("median")).count()
+        percentile(p.x, lit(0.5)).as("median")).rdd.count()  // .rdd defeats ColumnPruning — a bare count() drops the aggs
     }
     time("window pipeline: lag+diff+roll per entity") {
       val d = p.df
         .withColumn("l1", lag(p.x, 1).over(p.w))
         .withColumn("d1", p.x - lag(p.x, 1).over(p.w))
         .withColumn("roll5", avg(p.x).over(p.w.rowsBetween(-5, -1)))
-      d.filter(col("d1").isNotNull).count()
+      d.filter(col("d1").isNotNull).rdd.count()  // materialize l1/roll5 too
     }
     time("linear forecaster fit (lags=7, normal solver)") {
       val m = graft.operators.LinearForecaster.fit(p, lags = 7, freq = "1i")
@@ -63,11 +63,11 @@ object ScaleSoak {
     }
     time("recursive predict fh=14 (closed form)") {
       graft.operators.LinearForecaster.fit(p, lags = 7, freq = "1i")
-        .predict(p, "t", fh = 14).count()
+        .predict(p, "t", fh = 14).rdd.count()
     }
     time("expanding-window linear backtest (2 splits, shared prefix pass)") {
       graft.operators.AutoForecast.backtestLinearPrefix(
-        p, "t", lags = 7, testSize = 10, nSplits = 2, stepSize = 5).count()
+        p, "t", lags = 7, testSize = 10, nSplits = 2, stepSize = 5).rdd.count()
     }
     time("lasso fit (lags=7, CD on one-pass centered moments)") {
       val m = graft.operators.LinearForecaster.fit(p, lags = 7, freq = "1i",
