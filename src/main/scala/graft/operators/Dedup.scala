@@ -181,8 +181,10 @@ object Dedup {
     val distinctPairs = pairs
       .select(col(idColA).cast("long").as("src"), col(idColB).cast("long").as("dst"))
       .distinct()
+    // clamp BEFORE the +1: threshold = Long.MaxValue must not wrap
+    // negative (head(neg) silently returns nothing)
     val head = distinctPairs.head(
-      math.min(threshold + 1, Int.MaxValue - 1).toInt)
+      (math.min(threshold, Int.MaxValue - 2L) + 1).toInt)
     if (head.length <= threshold) {
       val es = head.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
