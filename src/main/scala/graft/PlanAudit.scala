@@ -63,7 +63,11 @@ object PlanAudit {
       "d_url_dedup",                             // canonical key: regex chain + one window shuffle
       "pipe_pack_bpe",                           // BPE count feeds the sharded prefix sum
       "t_langid",                                // round 5: native scans end to end, 0 exchanges
-      "pipe_curate_full")                        // composed pipeline: two bounded-key shuffles
+      "pipe_curate_full",                        // composed pipeline: two bounded-key shuffles
+      "s_holiday_codes",                         // round 6: per-code holiday tables must broadcast
+      "p_boxcox_pearsonr",                       // typed-agg λ search: one entity shuffle
+      "fc_pipeline",                             // composed fit→predict→invert chain
+      "fc_gbt")                                  // deterministic TreeBoost recursive predict
     picks.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(

@@ -101,15 +101,22 @@ object ForecastPipeline {
   /** Fit: steps in order over the panel, then the base forecaster on
     * the cached transformed result. `baseFit` receives the
     * transformed panel and returns a (timeCol, fh) predict closure —
-    * see [[linear]] for the common case. */
+    * see [[linear]] for the common case. `keepCols` names extra
+    * columns (e.g. exog regressors) to retain through the cache; by
+    * default only the panel's declared entity/order/value columns are
+    * cached — the cache is a pruning barrier, and materializing
+    * payload columns the fit never reads (observed: events' props
+    * string) multiplies its footprint for nothing. */
   def fit(p: Panel, timeCol: String, steps: Seq[Step],
-          baseFit: Panel => (String, Int) => DataFrame): FittedPipeline = {
+          baseFit: Panel => (String, Int) => DataFrame,
+          keepCols: Seq[String] = Nil): FittedPipeline = {
     val (pT, fitted) = steps.foldLeft((p, Vector.empty[FittedStep])) {
       case ((cur, acc), step) =>
         val fs = step(cur, timeCol)
         (fs.out, acc :+ fs)
     }
-    val cached = pT.copy(df = pT.df.cache())
+    val core = (p.entity ++ p.order ++ Seq(p.value) ++ keepCols).distinct
+    val cached = pT.copy(df = pT.df.select(core.map(col): _*).cache())
     FittedPipeline(cached, fitted, baseFit(cached))
   }
 
