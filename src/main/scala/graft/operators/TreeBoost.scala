@@ -160,15 +160,27 @@ object TreeBoost {
           i == rfi && t == rthr
         }.get
         val (sR, nR) = (st - sL, nt - nL)
-        // pass B: every candidate scored inside each child region
-        val rootLeft = col(featureCols(rfi - 1)) <= rthr
-        val rootRight = col(featureCols(rfi - 1)) > rthr
+        // pass B: every candidate scored inside each child region. The
+        // root decision is materialized as TWO boolean columns in a
+        // tiny per-round projection (<=/> kept separate so NaN rows
+        // stay out of both children, as before): inlining the picked
+        // (feature, threshold) literals into all 4·|cands| aggregates
+        // changes the wide aggregate's generated source every round
+        // and costs a fresh ~1 s Janino compile per round (measured —
+        // aggB 1.0 s/round vs aggA 0.25 s, whose fixed-grid source
+        // hits the codegen cache). With the literals confined to the
+        // cheap projection, the wide aggregate's source is
+        // round-invariant and compiles once.
+        val rfB = rf
+          .withColumn("__gl", col(featureCols(rfi - 1)) <= rthr)
+          .withColumn("__gr", col(featureCols(rfi - 1)) > rthr)
+        val (gl, gr) = (col("__gl"), col("__gr"))
         val aggsB = cands.flatMap { case (i, _, t) =>
           val c = col(featureCols(i - 1)) <= t
-          Seq(sum(when(rootLeft && c, r)), count(when(rootLeft && c, r)),
-              sum(when(rootRight && c, r)), count(when(rootRight && c, r)))
+          Seq(sum(when(gl && c, r)), count(when(gl && c, r)),
+              sum(when(gr && c, r)), count(when(gr && c, r)))
         }
-        val rowB = rf.agg(aggsB.head, aggsB.tail: _*).collect()(0)
+        val rowB = rfB.agg(aggsB.head, aggsB.tail: _*).collect()(0)
         def statsB(off: Int) = cands.zipWithIndex.map { case ((i, k, t), ci) =>
           val sl = if (rowB.isNullAt(4 * ci + off)) 0.0 else rowB.getDouble(4 * ci + off)
           (i, k, t, sl, rowB.getLong(4 * ci + off + 1))
