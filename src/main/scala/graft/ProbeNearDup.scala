@@ -33,7 +33,9 @@ object ProbeNearDup {
       s.count(); s
     }
     val pairs = t("candidate pairs count") {
-      val p = Dedup.minhashCandidatePairs(sigs, "doc_id", numHashes = 16, rowsPerBand = 4)
+      // ids-only path — what d_neardup_groups actually executes (the
+      // est_jaccard signature join-back variant is a different pipeline)
+      val p = Dedup.minhashCandidatePairIds(sigs, "doc_id", numHashes = 16, rowsPerBand = 4)
       println("pairs=" + p.count()); p
     }
     val groups = t("nearDupGroups") {

@@ -183,9 +183,13 @@ object Dedup {
       .distinct()
     // clamp BEFORE the +1: threshold = Long.MaxValue must not wrap
     // negative (head(neg) silently returns nothing)
-    val head = distinctPairs.head(
-      (math.min(threshold, Int.MaxValue - 2L) + 1).toInt)
-    if (head.length <= threshold) {
+    val limit = (math.min(threshold, Int.MaxValue - 2L) + 1).toInt
+    val head = distinctPairs.head(limit)
+    // driver path ONLY when the collect is provably complete:
+    // head.length == limit is ambiguous (exactly limit edges exist, or
+    // the collect truncated at a threshold pinned above the Int clamp)
+    // — either way the safe answer is the distributed path
+    if (head.length < limit) {
       val es = head.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {

@@ -78,9 +78,12 @@ object ForecastPipeline {
       anchors.reverse.foldLeft(pred) { (d, a) =>
         val lane = Window.partitionBy((p.entityCols :+ col("__phase")): _*)
           .orderBy(col(timeCol))
+        // LEFT join: an entity with fewer than sp pre-diff training
+        // rows has no anchor for some phases — its predictions must
+        // surface as NULL levels, not silently vanish from the output
         d.withColumn("__phase", ((row_number().over(wh) - 1) % sp).cast("int"))
           .join(broadcast(a.withColumn("__phase", col("__phase").cast("int"))),
-            p.entity :+ "__phase")
+            p.entity :+ "__phase", "left")
           .withColumn(p.value, col("__anchor") +
             sum(col(p.value)).over(lane.rowsBetween(Window.unboundedPreceding, 0)))
           .drop("__phase", "__anchor")
@@ -96,6 +99,11 @@ object ForecastPipeline {
       * inverts (base/forecaster.py:271-275). */
     def predict(timeCol: String, fh: Int): DataFrame =
       steps.reverse.foldLeft(basePredict(timeCol, fh))((df, s) => s.invert(df))
+
+    /** Release the fit-time cache. Call when done predicting — a
+      * session fitting many pipelines otherwise accumulates one live
+      * cached frame per fit. */
+    def unpersist(): Unit = transformed.df.unpersist(blocking = false)
   }
 
   /** Fit: steps in order over the panel, then the base forecaster on

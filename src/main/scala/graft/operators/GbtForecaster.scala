@@ -78,6 +78,11 @@ object GbtForecaster {
       max(col(timeCol)).as("__cutoff"))
       .withColumn("__state", sort_array(col("__s")).getField(p.value))
       .drop("__s")
+      // entities shorter than lags have no complete state — drop them,
+      // like the linear family's tail filter (and the oracle's
+      // longEnough condition); an undersized array would index past
+      // its end inside step() on the executor
+      .filter(size(col("__state")) === lags)
     val slim = state0.select((p.entityCols :+ col("__cutoff") :+ col("__state")): _*)
     val outSchema = StructType(slim.schema.dropRight(1)
       :+ StructField("__preds", ArrayType(DoubleType)))

@@ -84,17 +84,20 @@ object TreeBoost {
     val parts = math.max(1L,
       math.min(train0.rdd.getNumPartitions.toLong, nRows / 100000L)).toInt
     val train =
-      if (parts < train0.rdd.getNumPartitions) {
-        val c = train0.coalesce(parts).cache()
-        train0.unpersist(blocking = false)
-        c
-      } else train0
+      if (parts < train0.rdd.getNumPartitions) train0.coalesce(parts).cache()
+      else train0
     try {
       // one pass: exact per-feature min/max (no float-order drift) +
       // the base prediction sum(y)/n — same expressions as the oracle
       val mmAggs = featureCols.flatMap(f => Seq(min(col(f)), max(col(f)))) ++
         Seq(sum(col(p.value)), count(lit(1)))
       val mmRow = train.agg(mmAggs.head, mmAggs.tail: _*).collect()(0)
+      // the coalesced cache is materialized by the pass above (reading
+      // train0's cached blocks) — only NOW is train0 safe to drop;
+      // unpersisting before that first action threw away the
+      // materialization count() just paid for and recomputed the whole
+      // lag-window reduction from source
+      if (train ne train0) train0.unpersist(blocking = false)
       if (mmRow.getLong(2 * lags + 1) == 0L)
         throw new IllegalArgumentException(
           s"tree-boost fit has no complete training rows (every entity " +

@@ -350,7 +350,11 @@ object ConformalQueries {
     // this entry checks the per-code broadcast left-join plumbing and
     // label normalization over real data
     "s_holiday_codes" -> Q({
-      def values(code: String) = HolidayCalendar.holidays(code, 2015 to 2030)
+      // the oracle's VALUES span 2000-2040 while the Spark side
+      // derives its span from the data — the closure below asserts the
+      // data stays inside the oracle span so a regenerated corpus
+      // outside it fails LOUD instead of silently diverging
+      def values(code: String) = HolidayCalendar.holidays(code, 2000 to 2040)
         .map { case (d, l) => s"('$d'::DATE, '$l')" }.mkString(", ")
       s"""WITH h_us(d, l) AS (SELECT * FROM (VALUES ${values("US")})),
               h_de(d, l) AS (SELECT * FROM (VALUES ${values("DE")}))
@@ -359,8 +363,12 @@ object ConformalQueries {
           LEFT JOIN h_us us ON CAST(e.ts AS DATE) = us.d
           LEFT JOIN h_de de ON CAST(e.ts AS DATE) = de.d"""
     }) { (s, dir) =>
-      HolidayCalendar.addHolidayEffectsFromCodes(tbl(s, dir, "events"), "ts",
-        Seq("US", "DE"))
+      val ev = tbl(s, dir, "events")
+      val yr = ev.agg(min(year(col("ts"))), max(year(col("ts")))).head()
+      require(yr.getInt(0) >= 2000 && yr.getInt(1) <= 2040,
+        s"events span ${yr.getInt(0)}-${yr.getInt(1)} exceeds the oracle's " +
+          "2000-2040 holiday VALUES — widen both sides together")
+      HolidayCalendar.addHolidayEffectsFromCodes(ev, "ts", Seq("US", "DE"))
         .select("event_id", "holiday__US", "holiday__DE")
     },
 

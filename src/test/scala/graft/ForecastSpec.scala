@@ -174,6 +174,12 @@ class ForecastSpec extends SparkSpec {
       .toDF("entity", "ts", "x1")
     val exOut = m.predict(pt, "ts", fh = 1, xf)
     assert(exOut.select("entity").distinct().collect().map(_.getLong(0)).toSet == Set(0L))
+    // and the tree-family recursive predict (its executor-side state
+    // roll would index past an undersized lag array)
+    val tb = graft.operators.TreeBoost.fit(p, lags = 4, freq = "1i",
+      rounds = 2, bins = 4)
+    val tbOut = tb.predict(p, "t", fh = 2)
+    assert(tbOut.select("entity").distinct().collect().map(_.getLong(0)).toSet == Set(0L))
   }
 
   test("empty panels: forecasters return empty frames, fits throw actionable errors") {
