@@ -80,31 +80,35 @@ object TreeBoost {
     // cache each — target ~100k rows/partition so a small reduction
     // stops paying 32-task scheduling overhead per job, while a
     // 100 TB reduction still fans out to thousands of tasks
-    val nRows = train0.count()
+    // one pass on the PARALLEL cache: per-feature exact min/max and
+    // the row count — all order-independent aggregates (min/max/count
+    // are bitwise invariant to partial-merge order), so running them
+    // before the coalesce is both safe and faster, and the pass doubles
+    // as the cache materialization the coalesce below reads from. Only
+    // sum(y) is order-sensitive and waits for the coalesced frame.
+    val mmAggs = featureCols.flatMap(f => Seq(min(col(f)), max(col(f)))) :+
+      count(lit(1))
+    val mmRow = train0.agg(mmAggs.head, mmAggs.tail: _*).collect()(0)
+    val nRows = mmRow.getLong(2 * lags)
+    if (nRows == 0L)
+      throw new IllegalArgumentException(
+        s"tree-boost fit has no complete training rows (every entity " +
+          s"shorter than lags=$lags, or all rows null in ${p.value})")
     val parts = math.max(1L,
       math.min(train0.rdd.getNumPartitions.toLong, nRows / 100000L)).toInt
     val train =
       if (parts < train0.rdd.getNumPartitions) train0.coalesce(parts).cache()
       else train0
     try {
-      // one pass: exact per-feature min/max (no float-order drift) +
-      // the base prediction sum(y)/n — same expressions as the oracle
-      val mmAggs = featureCols.flatMap(f => Seq(min(col(f)), max(col(f)))) ++
-        Seq(sum(col(p.value)), count(lit(1)))
-      val mmRow = train.agg(mmAggs.head, mmAggs.tail: _*).collect()(0)
-      // the coalesced cache is materialized by the pass above (reading
-      // train0's cached blocks) — only NOW is train0 safe to drop;
-      // unpersisting before that first action threw away the
-      // materialization count() just paid for and recomputed the whole
-      // lag-window reduction from source
-      if (train ne train0) train0.unpersist(blocking = false)
-      if (mmRow.getLong(2 * lags + 1) == 0L)
-        throw new IllegalArgumentException(
-          s"tree-boost fit has no complete training rows (every entity " +
-            s"shorter than lags=$lags, or all rows null in ${p.value})")
       val mins = Array.tabulate(lags)(i => mmRow.getDouble(2 * i))
       val maxs = Array.tabulate(lags)(i => mmRow.getDouble(2 * i + 1))
-      val b0 = mmRow.getDouble(2 * lags) / mmRow.getLong(2 * lags + 1)
+      // base prediction sum(y)/n on the COALESCED frame — the sum's
+      // sequential fold order there is what the oracle replicates; this
+      // first action also materializes the coalesced cache (reading
+      // train0's cached blocks), after which train0 is safe to drop
+      val sumY = train.agg(sum(col(p.value))).collect()(0).getDouble(0)
+      if (train ne train0) train0.unpersist(blocking = false)
+      val b0 = sumY / nRows
       // uniform-grid candidates: mn + k·(mx−mn)/bins, k = 1..bins−1 —
       // identical IEEE op order to the oracle's threshold expression
       val cands = for { i <- 1 to lags; k <- 1 until bins }
