@@ -245,12 +245,52 @@ object AutoForecast {
   /** auto_knn (automl.py): sweep k over CV with the exact KNN path.
     * Our KNN forecaster is one-step-ahead by design, so each split
     * scores horizon 1 only (the pred↔actual join keeps matching
-    * horizons) — still a per-k ranking signal across all entities. */
+    * horizons) — still a per-k ranking signal across all entities.
+    *
+    * Unlike the generic [[autoModel]] sweep (one backtest per
+    * candidate), every split runs ONE distance pass with max(kGrid)
+    * heaps and every k is a rank cut over that shared ranking
+    * ([[KnnForecaster.predictOneStepMultiK]]) — the top-k set is a
+    * prefix of the top-max(k) ranking, so the scores are bitwise the
+    * per-candidate path's at |kGrid|× less corpus scanning. The
+    * oracle (fc_auto_knn) has the same shape: one kd ranking CTE per
+    * split serving both pk columns. */
   def autoKnn(p: Panel, timeCol: String, freq: String, lags: Int, kGrid: Seq[Int],
-              testSize: Int = 10, nSplits: Int = 3, stepSize: Int = 5): (Int, Double) =
-    autoModel(p, timeCol, kGrid, testSize, nSplits, stepSize) {
-      k => (tr, fh) => KnnForecaster.predictOneStep(tr, timeCol, freq, lags, k)
+              testSize: Int = 10, nSplits: Int = 3, stepSize: Int = 5): (Int, Double) = {
+    import org.apache.spark.sql.expressions.Window
+    require(nSplits > 0, s"auto_knn needs nSplits > 0 (got $nSplits)")
+    val positioned = CrossValidation.withPosition(p).localCheckpoint(true)
+    val splits = CrossValidation.expandingWindowSplit(p, testSize, nSplits, stepSize,
+      Some(positioned))
+    // per split: shared ranking → one (k -> pred) map; join each to the
+    // split's actuals exactly like Conformal.backtest's horizon join.
+    // The multiK checkpoint is EAGER, so the splits must overlap as
+    // concurrent jobs (autoModel's future shape) or they serialize.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val perSplit = Await.result(Future.sequence(splits.map { case (train, test) => Future {
+      val preds = KnnForecaster.predictOneStepMultiK(
+        p.copy(df = train), timeCol, freq, lags, kGrid)
+      val actual = test
+        .withColumn("__h", row_number().over(
+          Window.partitionBy(p.entityCols: _*).orderBy(p.orderCols: _*)))
+        .select((p.entityCols ++ Seq(col("__h"), p.x.as("__actual"))): _*)
+      kGrid.map { k =>
+        val pred = preds(k)
+          .withColumn("__h", row_number().over(
+            Window.partitionBy(p.entityCols: _*).orderBy(col(timeCol))))
+          .select((p.entityCols :+ col("__h") :+ col(p.value).as("__pred")): _*)
+        k -> actual.join(pred, p.entity :+ "__h", "inner")
+          .select((p.entityCols :+ col("__actual").as("actual") :+ col("__pred").as("pred")): _*)
+      }.toMap
+    } }), Duration.Inf)
+    val scored = kGrid.map { k =>
+      val bt = perSplit.map(_(k)).reduce(_ unionByName _)
+      k -> backtestScore(bt, p.entity).agg(avg("smape")).collect()(0).getDouble(0)
     }
+    scored.minBy(_._2)
+  }
 
   /** auto_lightgbm (automl.py:191-229): lag sweep over expanding-window
     * CV with the tree-boosted forecaster, refit on all data with the

@@ -29,6 +29,48 @@ object KnnForecaster {
 
   /** Exact one-step-ahead KNN prediction per entity (broadcast path). */
   def predictOneStep(p: Panel, timeCol: String, freq: String, lags: Int, k: Int): DataFrame = {
+    val (ranked, qMeta) = neighborRanking(p, timeCol, lags, kHeap = k)
+    finishOneStep(p, timeCol, freq, ranked, qMeta, k)
+  }
+
+  /** One-step predictions for SEVERAL k values from ONE distance pass:
+    * the partition heaps keep max(ks) candidates and the merged
+    * ranking is materialized once (localCheckpoint — it is tiny:
+    * partitions × entities × max(ks) rows), so each k is just a rank
+    * cut + mean over the shared ranking. The top-k by distance is a
+    * prefix of the top-max(ks) ranking, so every k's result is
+    * bitwise the single-k path's. Powers the auto_knn sweep, where
+    * the generic per-candidate path would re-scan the corpus per k. */
+  def predictOneStepMultiK(p: Panel, timeCol: String, freq: String, lags: Int,
+                           ks: Seq[Int]): Map[Int, DataFrame] = {
+    require(ks.nonEmpty, "predictOneStepMultiK needs at least one k")
+    val (ranked0, qMeta) = neighborRanking(p, timeCol, lags, kHeap = ks.max)
+    val ranked = ranked0.localCheckpoint(true)
+    ks.map(k => k -> finishOneStep(p, timeCol, freq, ranked, qMeta, k)).toMap
+  }
+
+  /** Rank cut + per-query mean + meta join shared by the one-step
+    * paths. `ranked` must carry (__qid, __nn, __label) with __nn the
+    * global distance rank from a heap of size ≥ k. */
+  private def finishOneStep(p: Panel, timeCol: String, freq: String,
+                            ranked: DataFrame, qMeta: DataFrame, k: Int): DataFrame = {
+    val topk = ranked
+      .filter(col("__nn") <= k)
+      .groupBy("__qid").agg(avg(col("__label")).as(p.value))
+    broadcast(qMeta)
+      .join(topk, "__qid")
+      .withColumn("__h", lit(1))
+      .withColumn(timeCol, Forecasters.futureTime(freq))
+      .select((p.entityCols ++ Seq(col(timeCol), col(p.value))): _*)
+  }
+
+  /** The broadcast-queries bounded-heap distance pass: returns the
+    * globally ranked neighbor frame (__qid, __dist, __label, __nn —
+    * __nn ordered by distance, heap size `kHeap` per partition) and
+    * the (entity…, __cutoff, __qid) meta frame. */
+  private def neighborRanking(p: Panel, timeCol: String, lags: Int,
+                              kHeap: Int): (DataFrame, DataFrame) = {
+    val k = kHeap
     val spark = p.df.sparkSession
     val featureCols = (1 to lags).map(l => s"${p.value}__lag_$l").toArray
     val reduction = Forecasters.makeReduction(p, lags).na.drop(featureCols :+ p.value)
@@ -83,16 +125,10 @@ object KnnForecaster {
     val partialDf = spark.createDataFrame(partials, StructType(Seq(
       StructField("__qid", LongType), StructField("__dist", DoubleType),
       StructField("__label", DoubleType))))
-    // global top-k merge per query (tiny: partitions × entities × k rows)
-    val topk = partialDf
+    // global rank merge per query (tiny: partitions × entities × k rows)
+    val ranked = partialDf
       .withColumn("__nn", row_number().over(Window.partitionBy("__qid").orderBy(col("__dist"))))
-      .filter(col("__nn") <= k)
-      .groupBy("__qid").agg(avg(col("__label")).as(p.value))
-    broadcast(qMeta)
-      .join(topk, "__qid")
-      .withColumn("__h", lit(1))
-      .withColumn(timeCol, Forecasters.futureTime(freq))
-      .select((p.entityCols ++ Seq(col(timeCol), col(p.value))): _*)
+    (ranked, qMeta)
   }
 
   /** IVF-cell variant — the Spark-first analog of the reference's
