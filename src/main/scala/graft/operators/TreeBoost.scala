@@ -169,15 +169,15 @@ object TreeBoost {
         val (sR, nR) = (st - sL, nt - nL)
         // pass B: every candidate scored inside each child region. The
         // root decision is materialized as TWO boolean columns in a
-        // tiny per-round projection (<=/> kept separate so NaN rows
-        // stay out of both children, as before): inlining the picked
+        // tiny fused projection (<=/> kept separate so NaN rows stay
+        // out of both children, as before): inlining the picked
         // (feature, threshold) literals into all 4·|cands| aggregates
-        // changes the wide aggregate's generated source every round
-        // and costs a fresh ~1 s Janino compile per round (measured —
-        // aggB 1.0 s/round vs aggA 0.25 s, whose fixed-grid source
-        // hits the codegen cache). With the literals confined to the
-        // cheap projection, the wide aggregate's source is
-        // round-invariant and compiles once.
+        // costs a fresh ~1 s Janino compile per round (the generated
+        // source changes); the projection form re-compiles a much
+        // smaller source (~0.6 s/round measured vs 1.0). A cache
+        // barrier under the agg and a broadcast-params join were both
+        // tried and measured SLOWER (materialization/join overhead
+        // exceeded the compile saved) — keep this shape.
         val rfB = rf
           .withColumn("__gl", col(featureCols(rfi - 1)) <= rthr)
           .withColumn("__gr", col(featureCols(rfi - 1)) > rthr)
