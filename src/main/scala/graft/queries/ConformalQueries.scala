@@ -565,29 +565,14 @@ object ConformalQueries {
       val bts = Seq(3, 7).map(l => OlsBacktestSql.backtestTree2(s"g$l", l,
         testSize = 10, nSplits = 2, stepSize = 5, rounds = 3, bins = 4, eta = 0.3))
       val scores = Seq(3, 7).map(l =>
-        s"""s_g$l AS (SELECT avg(smape) AS s FROM (
-              SELECT user_id, sum(abs(pred - actual)) / sum(pred + actual) AS smape
-              FROM bt_g$l GROUP BY user_id))""")
+        OlsBacktestSql.meanSmapeCte(s"g$l", s"g$l"))
       val fulls = Seq(3, 7).map(l =>
         OlsBacktestSql.fullTree2(s"f$l", l, fh = 3, rounds = 3, bins = 4, eta = 0.3))
       s"""WITH ${OlsBacktestSql.lagdCte(7)},
           ${bts.mkString(", ")},
           ${scores.mkString(", ")},
           ${fulls.mkString(", ")},
-          pick AS (SELECT CASE WHEN s_g3.s <= s_g7.s THEN 3 ELSE 7 END AS chosen
-                   FROM s_g3 CROSS JOIN s_g7),
-          pr AS (SELECT coalesce(a.user_id, b.user_id) AS user_id,
-                        coalesce(a.cutoff, b.cutoff) AS cutoff,
-                        a.p1 AS a1, a.p2 AS a2, a.p3 AS a3,
-                        b.p1 AS b1, b.p2 AS b2, b.p3 AS b3
-                 FROM fp_f3 a FULL OUTER JOIN fp_f7 b ON a.user_id = b.user_id)
-          SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
-                 round(CASE WHEN chosen = 3
-                            THEN (CASE h WHEN 1 THEN a1 WHEN 2 THEN a2 ELSE a3 END)
-                            ELSE (CASE h WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END) END, 6) AS value,
-                 chosen::BIGINT AS chosen_lags
-          FROM pr CROSS JOIN pick CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)
-          WHERE (chosen = 3 AND a1 IS NOT NULL) OR (chosen = 7 AND b1 IS NOT NULL)"""
+          ${OlsBacktestSql.autoPick2Sql("g3", "g7", "f3", "f7", 3, 7)}"""
     }) { (s, dir) =>
       val p = ev(s, dir)
       val (lags, _, model) = AutoForecast.autoTreeBoost(p, "ts", "1d",
@@ -603,29 +588,14 @@ object ConformalQueries {
       val bts = Seq(3, 7).map(l => OlsBacktestSql.backtestElasticNet(s"al$l", l,
         testSize = 10, nSplits = 2, stepSize = 5, alpha = 0.5, l1Ratio = 1.0, sweeps = 15))
       val scores = Seq(3, 7).map(l =>
-        s"""s_al$l AS (SELECT avg(smape) AS s FROM (
-              SELECT user_id, sum(abs(pred - actual)) / sum(pred + actual) AS smape
-              FROM bt_al$l GROUP BY user_id))""")
+        OlsBacktestSql.meanSmapeCte(s"al$l", s"al$l"))
       val fulls = Seq(3, 7).map(l => OlsBacktestSql.fullElasticNet(s"alf$l", l,
         fh = 3, alpha = 0.5, l1Ratio = 1.0, sweeps = 15))
       s"""WITH ${OlsBacktestSql.lagdCte(7)},
           ${bts.mkString(", ")},
           ${scores.mkString(", ")},
           ${fulls.mkString(", ")},
-          pick AS (SELECT CASE WHEN s_al3.s <= s_al7.s THEN 3 ELSE 7 END AS chosen
-                   FROM s_al3 CROSS JOIN s_al7),
-          pr AS (SELECT coalesce(a.user_id, b.user_id) AS user_id,
-                        coalesce(a.cutoff, b.cutoff) AS cutoff,
-                        a.p1 AS a1, a.p2 AS a2, a.p3 AS a3,
-                        b.p1 AS b1, b.p2 AS b2, b.p3 AS b3
-                 FROM fp_alf3 a FULL OUTER JOIN fp_alf7 b ON a.user_id = b.user_id)
-          SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
-                 round(CASE WHEN chosen = 3
-                            THEN (CASE h WHEN 1 THEN a1 WHEN 2 THEN a2 ELSE a3 END)
-                            ELSE (CASE h WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END) END, 6) AS value,
-                 chosen::BIGINT AS chosen_lags
-          FROM pr CROSS JOIN pick CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)
-          WHERE (chosen = 3 AND a1 IS NOT NULL) OR (chosen = 7 AND b1 IS NOT NULL)"""
+          ${OlsBacktestSql.autoPick2Sql("al3", "al7", "alf3", "alf7", 3, 7)}"""
     }) { (s, dir) =>
       val p = ev(s, dir)
       val (lags, _, model) = AutoForecast.autoLasso(p, "ts", "1d",
@@ -638,29 +608,14 @@ object ConformalQueries {
       val bts = Seq(3, 7).map(l => OlsBacktestSql.backtestElasticNet(s"ae$l", l,
         testSize = 10, nSplits = 2, stepSize = 5, alpha = 0.5, l1Ratio = 0.5, sweeps = 15))
       val scores = Seq(3, 7).map(l =>
-        s"""s_ae$l AS (SELECT avg(smape) AS s FROM (
-              SELECT user_id, sum(abs(pred - actual)) / sum(pred + actual) AS smape
-              FROM bt_ae$l GROUP BY user_id))""")
+        OlsBacktestSql.meanSmapeCte(s"ae$l", s"ae$l"))
       val fulls = Seq(3, 7).map(l => OlsBacktestSql.fullElasticNet(s"aef$l", l,
         fh = 3, alpha = 0.5, l1Ratio = 0.5, sweeps = 15))
       s"""WITH ${OlsBacktestSql.lagdCte(7)},
           ${bts.mkString(", ")},
           ${scores.mkString(", ")},
           ${fulls.mkString(", ")},
-          pick AS (SELECT CASE WHEN s_ae3.s <= s_ae7.s THEN 3 ELSE 7 END AS chosen
-                   FROM s_ae3 CROSS JOIN s_ae7),
-          pr AS (SELECT coalesce(a.user_id, b.user_id) AS user_id,
-                        coalesce(a.cutoff, b.cutoff) AS cutoff,
-                        a.p1 AS a1, a.p2 AS a2, a.p3 AS a3,
-                        b.p1 AS b1, b.p2 AS b2, b.p3 AS b3
-                 FROM fp_aef3 a FULL OUTER JOIN fp_aef7 b ON a.user_id = b.user_id)
-          SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
-                 round(CASE WHEN chosen = 3
-                            THEN (CASE h WHEN 1 THEN a1 WHEN 2 THEN a2 ELSE a3 END)
-                            ELSE (CASE h WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END) END, 6) AS value,
-                 chosen::BIGINT AS chosen_lags
-          FROM pr CROSS JOIN pick CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)
-          WHERE (chosen = 3 AND a1 IS NOT NULL) OR (chosen = 7 AND b1 IS NOT NULL)"""
+          ${OlsBacktestSql.autoPick2Sql("ae3", "ae7", "aef3", "aef7", 3, 7)}"""
     }) { (s, dir) =>
       val p = ev(s, dir)
       val (lags, _, model) = AutoForecast.autoElasticNet(p, "ts", "1d",
@@ -833,29 +788,14 @@ object ConformalQueries {
         OlsBacktestSql.backtestLinear(s"r$l", l, testSize = 10, nSplits = 3,
           stepSize = 5, ridge = 0.1))
       val scores = Seq(3, 7).map(l =>
-        s"""s_r$l AS (SELECT avg(smape) AS s FROM (
-              SELECT user_id, sum(abs(pred - actual)) / sum(pred + actual) AS smape
-              FROM bt_r$l GROUP BY user_id))""")
+        OlsBacktestSql.meanSmapeCte(s"r$l", s"r$l"))
       val fulls = Seq(3, 7).map(l =>
         OlsBacktestSql.fullLinear(s"g$l", l, fh = 3, ridge = 0.1))
       s"""WITH ${OlsBacktestSql.lagdCte(7)},
           ${bts.mkString(", ")},
           ${scores.mkString(", ")},
           ${fulls.mkString(", ")},
-          pick AS (SELECT CASE WHEN s_r3.s <= s_r7.s THEN 3 ELSE 7 END AS chosen
-                   FROM s_r3 CROSS JOIN s_r7),
-          pr AS (SELECT coalesce(a.user_id, b.user_id) AS user_id,
-                        coalesce(a.cutoff, b.cutoff) AS cutoff,
-                        a.p1 AS a1, a.p2 AS a2, a.p3 AS a3,
-                        b.p1 AS b1, b.p2 AS b2, b.p3 AS b3
-                 FROM fp_g3 a FULL OUTER JOIN fp_g7 b ON a.user_id = b.user_id)
-          SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
-                 round(CASE WHEN chosen = 3
-                            THEN (CASE h WHEN 1 THEN a1 WHEN 2 THEN a2 ELSE a3 END)
-                            ELSE (CASE h WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END) END, 6) AS value,
-                 chosen::BIGINT AS chosen_lags
-          FROM pr CROSS JOIN pick CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)
-          WHERE (chosen = 3 AND a1 IS NOT NULL) OR (chosen = 7 AND b1 IS NOT NULL)"""
+          ${OlsBacktestSql.autoPick2Sql("r3", "r7", "g3", "g7", 3, 7)}"""
     }) { (s, dir) =>
       val p = ev(s, dir)
       val (lags, _, model) =
@@ -1146,28 +1086,13 @@ object ConformalQueries {
       val bts = Seq(3, 7).map(l =>
         OlsBacktestSql.backtestLinear(s"l$l", l, testSize = 10, nSplits = 2, stepSize = 5))
       val scores = Seq(3, 7).map(l =>
-        s"""s_l$l AS (SELECT avg(smape) AS s FROM (
-              SELECT user_id, sum(abs(pred - actual)) / sum(pred + actual) AS smape
-              FROM bt_l$l GROUP BY user_id))""")
+        OlsBacktestSql.meanSmapeCte(s"l$l", s"l$l"))
       val fulls = Seq(3, 7).map(l => OlsBacktestSql.fullLinear(s"f$l", l, fh = 3))
       s"""WITH ${OlsBacktestSql.lagdCte(7)},
           ${bts.mkString(", ")},
           ${scores.mkString(", ")},
           ${fulls.mkString(", ")},
-          pick AS (SELECT CASE WHEN s_l3.s <= s_l7.s THEN 3 ELSE 7 END AS chosen
-                   FROM s_l3 CROSS JOIN s_l7),
-          pr AS (SELECT coalesce(a.user_id, b.user_id) AS user_id,
-                        coalesce(a.cutoff, b.cutoff) AS cutoff,
-                        a.p1 AS a1, a.p2 AS a2, a.p3 AS a3,
-                        b.p1 AS b1, b.p2 AS b2, b.p3 AS b3
-                 FROM fp_f3 a FULL OUTER JOIN fp_f7 b ON a.user_id = b.user_id)
-          SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
-                 round(CASE WHEN chosen = 3
-                            THEN (CASE h WHEN 1 THEN a1 WHEN 2 THEN a2 ELSE a3 END)
-                            ELSE (CASE h WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END) END, 6) AS value,
-                 chosen::BIGINT AS chosen_lags
-          FROM pr CROSS JOIN pick CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)
-          WHERE (chosen = 3 AND a1 IS NOT NULL) OR (chosen = 7 AND b1 IS NOT NULL)"""
+          ${OlsBacktestSql.autoPick2Sql("l3", "l7", "f3", "f7", 3, 7)}"""
     }) { (s, dir) =>
       val p = ev(s, dir)
       val (lags, _, model) =

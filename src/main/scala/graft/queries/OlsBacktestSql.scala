@@ -133,6 +133,36 @@ object OlsBacktestSql {
     (splits :+ s"bt_$tag AS ($union)").mkString(", ")
   }
 
+  /** Mean per-entity SMAPE CTE over `bt_<btTag>` — the candidate score
+    * of every auto sweep oracle (AutoForecast.backtestScore ∘ avg).
+    * Emits `s_<scoreTag>` with the single column `s`. */
+  def meanSmapeCte(scoreTag: String, btTag: String): String =
+    s"""s_$scoreTag AS (SELECT avg(smape) AS s FROM (
+          SELECT user_id, sum(abs(pred - actual)) / sum(pred + actual) AS smape
+          FROM bt_$btTag GROUP BY user_id))"""
+
+  /** The shared tail of every two-candidate auto-sweep oracle: argmin
+    * pick over the two `s_*` score CTEs (first-wins ties, hence <=),
+    * FULL OUTER JOIN of the two full-data fh=3 prediction frames, and
+    * the chosen-candidate projection. `candA`/`candB` are the emitted
+    * `chosen_lags` values; `fullA`/`fullB` name the `fp_*` frames. */
+  def autoPick2Sql(scoreA: String, scoreB: String, fullA: String, fullB: String,
+                   candA: Int, candB: Int): String =
+    s"""pick AS (SELECT CASE WHEN s_$scoreA.s <= s_$scoreB.s THEN $candA ELSE $candB END AS chosen
+                 FROM s_$scoreA CROSS JOIN s_$scoreB),
+        pr AS (SELECT coalesce(a.user_id, b.user_id) AS user_id,
+                      coalesce(a.cutoff, b.cutoff) AS cutoff,
+                      a.p1 AS a1, a.p2 AS a2, a.p3 AS a3,
+                      b.p1 AS b1, b.p2 AS b2, b.p3 AS b3
+               FROM fp_$fullA a FULL OUTER JOIN fp_$fullB b ON a.user_id = b.user_id)
+        SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+               round(CASE WHEN chosen = $candA
+                          THEN (CASE h WHEN 1 THEN a1 WHEN 2 THEN a2 ELSE a3 END)
+                          ELSE (CASE h WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END) END, 6) AS value,
+               chosen::BIGINT AS chosen_lags
+        FROM pr CROSS JOIN pick CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)
+        WHERE (chosen = $candA AND a1 IS NOT NULL) OR (chosen = $candB AND b1 IS NOT NULL)"""
+
   /** Per-entity SMAPE of a backtest frame: Σ|p−a| / Σ(p+a) (NULL on a
     * zero denominator in BOTH engines — Spark try_divide, DuckDB
     * double/0). Emits `sc_<tag>` with (user_id, smape). */
