@@ -345,6 +345,27 @@ object StreamingPanel {
       .filter(col("score") >= threshold)
   }
 
+  /** Streaming holiday enrichment: the rule-generated per-country
+    * tables ([[graft.operators.HolidayCalendar]]) broadcast-joined
+    * onto arriving rows — stateless, no watermark. Unlike the batch
+    * operator the year span cannot come from the (unbounded) data, so
+    * the caller supplies it; rows outside the span simply carry NULL
+    * labels, like any non-holiday date. */
+  def streamingHolidayEffects(stream: DataFrame, timeCol: String,
+                              countryCodes: Seq[String],
+                              years: Range): DataFrame = {
+    import graft.operators.HolidayCalendar
+    val spark = stream.sparkSession
+    import spark.implicits._
+    countryCodes.foldLeft(stream) { (d, code) =>
+      val tbl = HolidayCalendar.holidays(code, years)
+        .map { case (dt, l) => (java.sql.Date.valueOf(dt), l) }
+        .toDF("__hdate", s"holiday__$code")
+      d.join(broadcast(tbl), to_date(d(timeCol)) === tbl("__hdate"), "left")
+        .drop("__hdate")
+    }
+  }
+
   /** Streaming PII scrub: redact every PII match and attach the
     * per-type counts — the batch [[graft.operators.TextAnalysis]]
     * pattern set run unchanged on the stream (stateless per-row

@@ -82,6 +82,16 @@ class KernelsSpec extends AnyFunSuite {
     close(Kernels.normPpf(0.999), -Kernels.normPpf(0.001), 1e-9)
   }
 
+  test("boxcox pearsonr lambda: degenerate inputs stay deterministic, no crash") {
+    // constant series: the correlation objective is NaN everywhere
+    // (zero variance), so the golden walk takes the same NaN-guarded
+    // branch every step in BOTH engines — an arbitrary but
+    // deterministic λ, never an exception
+    val c = Array.fill(50)(3.0)
+    assert(Kernels.boxcoxLambdaPearsonr(c) == Kernels.boxcoxLambdaPearsonr(c))
+    assert(!Kernels.boxcoxLambdaPearsonr(Array(2.0)).isNaN)
+  }
+
   test("boxcox pearsonr lambda: log-normal data wants log, normal wants identity") {
     val rng = new scala.util.Random(7)
     val z = Array.fill(400)(rng.nextGaussian())

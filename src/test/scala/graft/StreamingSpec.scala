@@ -603,4 +603,25 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch, s"stream $got vs batch $batch")
     assert(batch.contains((1L, 2L)), "exact dup must collide")
   }
+
+  test("streaming holiday enrichment matches the batch generator join") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-07-04 10:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-07-05 10:00:00")),
+      (3L, java.sql.Timestamp.valueOf("2024-12-25 00:00:00")))
+    mem.addData(rows: _*)
+    val out = StreamingPanel.streamingHolidayEffects(
+      mem.toDF.toDF("id", "ts"), "ts", Seq("US", "GB"), 2024 to 2024)
+    val q = out.writeStream.format("memory").queryName("hol").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("hol").orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(2)), Option(r.getString(3))))
+    assert(got.toSeq == Seq(
+      (1L, Some("independence_day"), None),
+      (2L, None, None),
+      (3L, Some("christmas_day"), Some("christmas_day"))))
+  }
 }
