@@ -86,7 +86,13 @@ object M4Accuracy {
       val long = yTrain.groupBy("series").count().filter(col("count") > lags + 1).select("series")
       val pf = Panel(yTrain.join(long, "series"), Seq("series"), Seq("time"), "y")
       val model = LinearForecaster.fit(pf, lags, "1i")
-      val yPred = model.predict(pf, "time", fh)
+      // barrier: at fh=48 × lags=24 the recursive-predict projection is
+      // ~1200 expressions; fused into the SMAPE aggregate it blows the
+      // generated method limits into interpreted fallback (observed
+      // InternalCompilerException + slow hourly scoring). Materializing
+      // the (entities × fh)-row prediction first keeps both stages
+      // compiled.
+      val yPred = model.predict(pf, "time", fh).localCheckpoint(true)
       // test times = train cutoff + relative time (conftest.py:97-108);
       // a synthesized holdout already carries absolute times
       val cutoffs = yTrain.groupBy("series").agg(max("time").as("__cutoff"))

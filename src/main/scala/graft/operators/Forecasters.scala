@@ -118,6 +118,14 @@ object Forecasters {
       ah.zipWithIndex.collect { case (w, i) if w != 0.0 => lit(w) * element_at(col("__state"), i + 1) }
         .foldLeft(lit(bh): org.apache.spark.sql.Column)(_ + _)
     }
+    // NOTE at fh × lags ≳ 1000 terms (M4 hourly: 48 × 24) the array
+    // projection's generated method tops Janino's 64 KB limit and that
+    // one stage falls back to interpreted — harmless, because state0
+    // is ONE ROW PER ENTITY (naming the horizons as separate columns
+    // doesn't help: CollapseProject re-inlines single-use aliases).
+    // What must NOT happen is this projection fusing into a downstream
+    // row-scale aggregate — consumers scoring at that size put a
+    // barrier after predict (see M4Accuracy).
     state0.withColumn("__preds", array(preds: _*))
       .withColumn("__h", explode(sequence(lit(1), lit(fh))))
       .withColumn(p.value, element_at(col("__preds"), col("__h").cast("int")))
