@@ -49,8 +49,15 @@ object Kernels {
           t += 1
         }
         val z = (v - mu) / sigma
-        sPos = math.max(sPos + z - drift, 0.0)
-        sNeg = math.min(sNeg + z + drift, 0.0)
+        // Rust f64::max/min (cusum.rs:70-71) return the NON-NaN operand
+        // — Java's math.max propagates NaN. The difference matters on a
+        // zero-sigma (constant) warmup: z = 0/0 = NaN must leave the
+        // sums at 0 (reference behavior — a later level shift gives
+        // z = ±Inf and still fires), not poison them forever.
+        val sp = sPos + z - drift
+        val sn = sNeg + z + drift
+        sPos = if (sp.isNaN) 0.0 else math.max(sp, 0.0)
+        sNeg = if (sn.isNaN) 0.0 else math.min(sn, 0.0)
         if (sPos > threshold || sNeg < -threshold) {
           events(i) = 1; sPos = 0.0; sNeg = 0.0; t = 0; obs.clear()
         } else events(i) = 0

@@ -82,94 +82,62 @@ object AggQueries {
         FeatureAggs.lempelZivComplexity(threshold = 100.0, asRatio = true),
         "lempel_ziv_complexity"))
     },
-    // the CUSUM recurrence (warmup-estimate → standardized accumulate →
-    // fire-and-reset) replicated step-for-step in a DuckDB recursive
-    // CTE with the SAME float fold order — the counts are integers, so
-    // the compare is exact
-    "f_cusum" -> Q(
-      """WITH RECURSIVE xs AS (
-           SELECT user_id, list(value ORDER BY ts, event_id) AS v, len(list(value)) AS n
-           FROM events GROUP BY user_id),
-         st AS (
-           SELECT user_id, v, n, 1 AS i, 0 AS t,
-                  CAST(0.0 AS DOUBLE) AS mu, CAST(0.0 AS DOUBLE) AS sigma,
-                  CAST(0.0 AS DOUBLE) AS spos, CAST(0.0 AS DOUBLE) AS sneg,
-                  []::DOUBLE[] AS obs, 0 AS cnt
-           FROM xs
-           UNION ALL
-           SELECT user_id, v, n, i + 1,
-             CASE WHEN t < 20 THEN t + 1
-                  WHEN (greatest(spos + (v[i] - (CASE WHEN t = 20 THEN list_sum(obs)/len(obs) ELSE mu END))
-                          / (CASE WHEN t = 20 THEN sqrt(list_sum(list_transform(obs,
-                               x -> (x - list_sum(obs)/len(obs)) * (x - list_sum(obs)/len(obs))))/len(obs))
-                             ELSE sigma END) - 0.0, 0.0) > 5.0
-                     OR least(sneg + (v[i] - (CASE WHEN t = 20 THEN list_sum(obs)/len(obs) ELSE mu END))
-                          / (CASE WHEN t = 20 THEN sqrt(list_sum(list_transform(obs,
-                               x -> (x - list_sum(obs)/len(obs)) * (x - list_sum(obs)/len(obs))))/len(obs))
-                             ELSE sigma END) + 0.0, 0.0) < -5.0)
-                  THEN 0
-                  WHEN t = 20 THEN t + 1
-                  ELSE t END,
-             CASE WHEN t < 20 THEN mu
-                  WHEN t = 20 THEN list_sum(obs)/len(obs) ELSE mu END,
-             CASE WHEN t < 20 THEN sigma
-                  WHEN t = 20 THEN sqrt(list_sum(list_transform(obs,
-                     x -> (x - list_sum(obs)/len(obs)) * (x - list_sum(obs)/len(obs))))/len(obs))
-                  ELSE sigma END,
-             CASE WHEN t < 20 THEN spos
-                  WHEN (greatest(spos + (v[i] - (CASE WHEN t = 20 THEN list_sum(obs)/len(obs) ELSE mu END))
-                          / (CASE WHEN t = 20 THEN sqrt(list_sum(list_transform(obs,
-                               x -> (x - list_sum(obs)/len(obs)) * (x - list_sum(obs)/len(obs))))/len(obs))
-                             ELSE sigma END) - 0.0, 0.0) > 5.0
-                     OR least(sneg + (v[i] - (CASE WHEN t = 20 THEN list_sum(obs)/len(obs) ELSE mu END))
-                          / (CASE WHEN t = 20 THEN sqrt(list_sum(list_transform(obs,
-                               x -> (x - list_sum(obs)/len(obs)) * (x - list_sum(obs)/len(obs))))/len(obs))
-                             ELSE sigma END) + 0.0, 0.0) < -5.0)
-                  THEN 0.0
-                  ELSE greatest(spos + (v[i] - (CASE WHEN t = 20 THEN list_sum(obs)/len(obs) ELSE mu END))
-                          / (CASE WHEN t = 20 THEN sqrt(list_sum(list_transform(obs,
-                               x -> (x - list_sum(obs)/len(obs)) * (x - list_sum(obs)/len(obs))))/len(obs))
-                             ELSE sigma END) - 0.0, 0.0) END,
-             CASE WHEN t < 20 THEN sneg
-                  WHEN (greatest(spos + (v[i] - (CASE WHEN t = 20 THEN list_sum(obs)/len(obs) ELSE mu END))
-                          / (CASE WHEN t = 20 THEN sqrt(list_sum(list_transform(obs,
-                               x -> (x - list_sum(obs)/len(obs)) * (x - list_sum(obs)/len(obs))))/len(obs))
-                             ELSE sigma END) - 0.0, 0.0) > 5.0
-                     OR least(sneg + (v[i] - (CASE WHEN t = 20 THEN list_sum(obs)/len(obs) ELSE mu END))
-                          / (CASE WHEN t = 20 THEN sqrt(list_sum(list_transform(obs,
-                               x -> (x - list_sum(obs)/len(obs)) * (x - list_sum(obs)/len(obs))))/len(obs))
-                             ELSE sigma END) + 0.0, 0.0) < -5.0)
-                  THEN 0.0
-                  ELSE least(sneg + (v[i] - (CASE WHEN t = 20 THEN list_sum(obs)/len(obs) ELSE mu END))
-                          / (CASE WHEN t = 20 THEN sqrt(list_sum(list_transform(obs,
-                               x -> (x - list_sum(obs)/len(obs)) * (x - list_sum(obs)/len(obs))))/len(obs))
-                             ELSE sigma END) + 0.0, 0.0) END,
-             CASE WHEN t < 20 THEN list_append(obs, v[i])
-                  WHEN (greatest(spos + (v[i] - (CASE WHEN t = 20 THEN list_sum(obs)/len(obs) ELSE mu END))
-                          / (CASE WHEN t = 20 THEN sqrt(list_sum(list_transform(obs,
-                               x -> (x - list_sum(obs)/len(obs)) * (x - list_sum(obs)/len(obs))))/len(obs))
-                             ELSE sigma END) - 0.0, 0.0) > 5.0
-                     OR least(sneg + (v[i] - (CASE WHEN t = 20 THEN list_sum(obs)/len(obs) ELSE mu END))
-                          / (CASE WHEN t = 20 THEN sqrt(list_sum(list_transform(obs,
-                               x -> (x - list_sum(obs)/len(obs)) * (x - list_sum(obs)/len(obs))))/len(obs))
-                             ELSE sigma END) + 0.0, 0.0) < -5.0)
-                  THEN []::DOUBLE[]
-                  ELSE obs END,
-             cnt + CASE WHEN t >= 20 AND
-                  (greatest(spos + (v[i] - (CASE WHEN t = 20 THEN list_sum(obs)/len(obs) ELSE mu END))
-                          / (CASE WHEN t = 20 THEN sqrt(list_sum(list_transform(obs,
-                               x -> (x - list_sum(obs)/len(obs)) * (x - list_sum(obs)/len(obs))))/len(obs))
-                             ELSE sigma END) - 0.0, 0.0) > 5.0
-                     OR least(sneg + (v[i] - (CASE WHEN t = 20 THEN list_sum(obs)/len(obs) ELSE mu END))
-                          / (CASE WHEN t = 20 THEN sqrt(list_sum(list_transform(obs,
-                               x -> (x - list_sum(obs)/len(obs)) * (x - list_sum(obs)/len(obs))))/len(obs))
-                             ELSE sigma END) + 0.0, 0.0) < -5.0)
-                  THEN 1 ELSE 0 END
-           FROM st WHERE i <= n)
-         SELECT user_id, CAST(cnt AS DOUBLE) AS n_changepoints
-         FROM st WHERE i = n + 1""") { (s, dir) =>
-      r6(FeatureAggs.over(ev(s, dir),
-        FeatureAggs.cusumCount(threshold = 5.0, warmup = 20, drift = 0.0), "n_changepoints"))
+    "f_cusum" -> {
+      // the CUSUM recurrence (warmup-estimate -> standardized
+      // accumulate -> fire-and-reset) replicated step-for-step in a
+      // recursive CTE with the SAME float fold order; the counts are
+      // integers, so the compare is exact. The accumulate matches the
+      // kernel's Rust-max/min semantics (cusum.rs:70-71): a NaN sum
+      // (z = 0/0 on a zero-sigma warmup) resets to 0.0 instead of
+      // propagating -- a later level shift gives z = +-Inf and fires.
+      val muC = "(CASE WHEN t = 20 THEN list_sum(obs)/len(obs) ELSE mu END)"
+      val sigC = """(CASE WHEN t = 20 THEN sqrt(list_sum(list_transform(obs,
+                       x -> (x - list_sum(obs)/len(obs)) * (x - list_sum(obs)/len(obs))))/len(obs))
+                     ELSE sigma END)"""
+      val z = s"(v[i] - $muC) / $sigC"
+      val spSum = s"spos + $z - 0.0"
+      val snSum = s"sneg + $z + 0.0"
+      val spNew = s"(CASE WHEN isnan($spSum) THEN 0.0 ELSE greatest($spSum, 0.0) END)"
+      val snNew = s"(CASE WHEN isnan($snSum) THEN 0.0 ELSE least($snSum, 0.0) END)"
+      val fire = s"($spNew > 5.0 OR $snNew < -5.0)"
+      Q(
+        s"""WITH RECURSIVE xs AS (
+             SELECT user_id, list(value ORDER BY ts, event_id) AS v, len(list(value)) AS n
+             FROM events GROUP BY user_id),
+           st AS (
+             SELECT user_id, v, n, 1 AS i, 0 AS t,
+                    CAST(0.0 AS DOUBLE) AS mu, CAST(0.0 AS DOUBLE) AS sigma,
+                    CAST(0.0 AS DOUBLE) AS spos, CAST(0.0 AS DOUBLE) AS sneg,
+                    []::DOUBLE[] AS obs, 0 AS cnt
+             FROM xs
+             UNION ALL
+             SELECT user_id, v, n, i + 1,
+               CASE WHEN t < 20 THEN t + 1
+                    WHEN $fire THEN 0
+                    WHEN t = 20 THEN t + 1
+                    ELSE t END,
+               CASE WHEN t < 20 THEN mu
+                    WHEN t = 20 THEN list_sum(obs)/len(obs) ELSE mu END,
+               CASE WHEN t < 20 THEN sigma
+                    WHEN t = 20 THEN sqrt(list_sum(list_transform(obs,
+                       x -> (x - list_sum(obs)/len(obs)) * (x - list_sum(obs)/len(obs))))/len(obs))
+                    ELSE sigma END,
+               CASE WHEN t < 20 THEN spos
+                    WHEN $fire THEN 0.0
+                    ELSE $spNew END,
+               CASE WHEN t < 20 THEN sneg
+                    WHEN $fire THEN 0.0
+                    ELSE $snNew END,
+               CASE WHEN t < 20 THEN list_append(obs, v[i])
+                    WHEN $fire THEN []::DOUBLE[]
+                    ELSE obs END,
+               cnt + CASE WHEN t >= 20 AND $fire THEN 1 ELSE 0 END
+             FROM st WHERE i <= n)
+           SELECT user_id, CAST(cnt AS DOUBLE) AS n_changepoints
+           FROM st WHERE i = n + 1""") { (s, dir) =>
+        r6(FeatureAggs.over(ev(s, dir),
+          FeatureAggs.cusumCount(threshold = 5.0, warmup = 20, drift = 0.0), "n_changepoints"))
+      }
     },
     // ApEn/SampEn ARE oracle-expressible: the Chebyshev-ball counts are
     // integers, and the std/mean/log-sum folds are written in the SAME

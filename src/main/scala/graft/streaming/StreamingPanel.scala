@@ -235,8 +235,14 @@ object StreamingPanel {
                 t += 1
               }
               val z = (r.value - mu) / sigma
-              val sPos = math.max(s.sPos + z - drift, 0.0)
-              val sNeg = math.min(s.sNeg + z + drift, 0.0)
+              // Rust-max semantics like Kernels.cusum: a NaN sum (z =
+              // 0/0 on a zero-sigma warmup) resets to 0 instead of
+              // poisoning the unbounded state forever — a later level
+              // shift gives z = ±Inf and still fires
+              val sp = s.sPos + z - drift
+              val sn = s.sNeg + z + drift
+              val sPos = if (sp.isNaN) 0.0 else math.max(sp, 0.0)
+              val sNeg = if (sn.isNaN) 0.0 else math.min(sn, 0.0)
               if (sPos > threshold || sNeg < -threshold) {
                 out += CusumEvent(entity, r.eventTime, r.value)
                 s = CusumState(0, Vector.empty, 0.0, 0.0, 0.0, 0.0)

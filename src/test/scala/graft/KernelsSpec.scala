@@ -113,6 +113,17 @@ class KernelsSpec extends AnyFunSuite {
     assert(firstEvent >= 30 && firstEvent <= 35, s"event near the shift, got $firstEvent")
   }
 
+  test("cusum on a constant warmup still fires on a later shift (Rust max/min NaN semantics)") {
+    // sigma = 0 after a constant warmup: z = 0/0 = NaN while flat —
+    // the Rust kernel's f64::max(NaN, 0) = 0 keeps the sums clean, so
+    // the level shift (z = +Inf) must still fire. Java's math.max
+    // would have poisoned the state with NaN forever.
+    val s = Array.fill(25)(5.0) ++ Array.fill(5)(50.0)
+    val ev = Kernels.cusum(s, threshold = 5.0, warmupPeriod = 20, drift = 0.0)
+    assert(ev.take(25).sum == 0, "no events while flat")
+    assert(ev.drop(25).sum >= 1, "shift after a zero-sigma warmup must fire")
+  }
+
   test("ricker wavelet matches scipy formula") {
     val w = Kernels.ricker(5, 2.0)
     val amp = 2.0 / (math.sqrt(6.0) * math.pow(math.Pi, 0.25))
