@@ -249,7 +249,11 @@ object DataSelection {
       col(scoreCol).isNull || isnan(col(scoreCol).cast("double"))) {
       (acc, c) => acc || col(c).isNull
     }
-    val row = scored.agg(min(col(scoreCol)), max(col(scoreCol)),
+    // cast THROUGH double in the agg: an int/long/float score column
+    // (ranking by token count is a natural use) would otherwise come
+    // back as a boxed Integer and getDouble would ClassCastException
+    val row = scored.agg(min(col(scoreCol).cast("double")),
+      max(col(scoreCol).cast("double")),
       count(lit(1)), sum(when(badCond, 1L).otherwise(0L))).collect()(0)
     if (row.getLong(2) == 0L)
       return scored.withColumn("rank", lit(0L)).withColumn("group_n", lit(0L))

@@ -47,9 +47,30 @@ object Packing {
     val base = docs.select(col(idCol),
       nTokens.getOrElse(TextAnalysis.tokenCount(col(textCol)).cast("long"))
         .as("n_tokens"))
-    val Array(lo, hi) = base.agg(min(col(idCol)), max(col(idCol)))
-      .collect()(0).toSeq.map(v => v.asInstanceOf[Number].longValue).toArray
-    val span = math.max(1L, (hi - lo) / nShards + 1)
+    val mmRow = base.agg(min(col(idCol)), max(col(idCol)),
+      sum(when(col("n_tokens").isNull, 1L).otherwise(0L))).collect()(0)
+    // fail fast, not silently wrong: an empty corpus yields NULL
+    // min/max (the cast below would NPE opaquely), and a NULL token
+    // count would drop out of every cumulative sum while its own
+    // manifest row survives with all-NULL layout columns
+    require(!mmRow.isNullAt(0),
+      s"packManifest: empty corpus — nothing to lay out")
+    require(mmRow.getLong(2) == 0L,
+      s"packManifest: ${mmRow.getLong(2)} docs with NULL token count " +
+        s"(NULL '$textCol'?) — drop or impute before packing")
+    val (lo, hi) = (mmRow.toSeq(0).asInstanceOf[Number].longValue,
+      mmRow.toSeq(1).asInstanceOf[Number].longValue)
+    // subtractExact: full-range ids (e.g. raw xxhash64 keys) would wrap
+    // hi − lo negative, collapse span to 1 and interleave shard sort
+    // order with wrapped (id − lo) values — silently wrong offsets
+    val range =
+      try Math.subtractExact(hi, lo)
+      catch { case _: ArithmeticException =>
+        throw new IllegalArgumentException(
+          s"packManifest: id range [$lo, $hi] spans more than 2^63 — " +
+            "re-key (e.g. row_number) before packing")
+      }
+    val span = math.max(1L, range / nShards + 1)
     val sharded = base.withColumn("__s", intDiv(col(idCol) - lo, span))
     // per-shard totals -> driver-side exclusive prefix -> broadcast
     val totals = sharded.groupBy("__s")

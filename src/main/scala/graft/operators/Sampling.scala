@@ -70,6 +70,11 @@ object Sampling {
       require(!r.isNullAt(1),
         s"temperature mixture: source '${r.getString(0)}' has only NULL " +
           s"'$textCol' values (token sum is NULL)")
+      // 0 tokens would make the rate 0/0 = NaN and the hash-draw filter
+      // would silently drop the whole source — fail fast instead
+      require(r.getLong(1) > 0L,
+        s"temperature mixture: source '${r.getString(0)}' has zero tokens " +
+          s"in '$textCol' — its sqrt-weighted rate is undefined")
     }
     val per = rows.map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq
     val denom = per.foldLeft(0.0) { case (acc, (_, t)) => acc + math.sqrt(t.toDouble) }

@@ -38,10 +38,15 @@ object Similarity {
     * array's norm — but 1 array pass per pair instead of 3). */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                  vecCol: String, k: Int): DataFrame = {
+    // zero-norm vectors (failed/padded embeddings) have no cosine
+    // direction: sim = 0/0 = NaN, and Spark sorts NaN ABOVE all
+    // doubles in a descending order-by — one all-zeros corpus row
+    // would silently rank as the #1 neighbor of every query. Exclude
+    // both sides explicitly.
     val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("__qv"))
-      .withColumn("__qn", norm(col("__qv"))))
+      .withColumn("__qn", norm(col("__qv"))).filter(col("__qn") > 0))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("__cv"))
-      .withColumn("__cn", norm(col("__cv")))
+      .withColumn("__cn", norm(col("__cv"))).filter(col("__cn") > 0)
     val scored = q.join(c, col("q_id") =!= col("n_id"))
       .withColumn("sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
@@ -56,7 +61,14 @@ object Similarity {
     * identical across executors, no shuffle of the plane matrix. */
   def randomHyperplaneBuckets(emb: DataFrame, vecCol: String, planes: Int,
                               seed: Long): DataFrame = {
-    val dim = emb.select(size(col(vecCol))).first().getInt(0)
+    // shiftleft masks the shift mod 64: plane i ≥ 64 would silently
+    // alias plane i−64's bucket bit and degrade LSH recall unnoticed
+    require(planes >= 1 && planes <= 64,
+      s"planes must be in [1, 64] (sign bits pack into one long), got $planes")
+    val dim = emb.select(size(col(vecCol))).limit(1).collect().headOption
+      .map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        s"randomHyperplaneBuckets: empty input — cannot derive the embedding dim"))
     val rnd = new scala.util.Random(seed)
     val planeLits = (0 until planes).map { _ =>
       array((0 until dim).map(_ => lit(rnd.nextGaussian())): _*)
@@ -182,18 +194,26 @@ object Similarity {
       struct((dot(col(v), lit(vec)) / lit(Dedup.centroidNorm(vec))).as("d"),
         lit(-cell).as("negc"))
     }: _*)
-    // argmax over (d, -cell) structs = highest d, ties → lowest cell
+    // corpus-side argmax assignment via the shared auto-dispatching
+    // helper: identical (d, -cell) argmax semantics, but above 32
+    // cells it switches to the imperative kernel — the literal
+    // array_max-over-structs form is a CodegenFallback interpreted
+    // per row (~2.5 ms/row at 256 cells, Dedup.scala's measurement)
     val ca = corpus.select(col(idCol).as("n_id"), col(vecCol).as("__cv"))
-      .withColumn("c_id", -array_max(scoredCells("__cv")).getField("negc"))
-      .withColumn("__cn", norm(col("__cv")))
+      .withColumn("c_id", Dedup.clusterAssignAuto(col("__cv"), centroids))
+      // zero-norm rows have no cosine direction — one would NaN-rank
+      // as everyone's #1 neighbor (NaN sorts first in a desc order-by)
+      .withColumn("__cn", norm(col("__cv"))).filter(col("__cn") > 0)
     // query side: descending struct sort = d desc, ties → lowest cell
-    // (larger negc first); one probed cell per exploded row
+    // (larger negc first); one probed cell per exploded row (queries
+    // are the broadcast-small side — the literal form stays codegen'd
+    // enough, and top-nProbe needs the full sorted cell list anyway)
     val qa = queries.select(col(idCol).as("q_id"), col(vecCol).as("__qv"))
       .withColumn("__probe",
         explode(slice(reverse(sort_array(scoredCells("__qv"))), 1, nProbe)))
-      .withColumn("c_id", -col("__probe").getField("negc"))
+      .withColumn("c_id", (-col("__probe").getField("negc")).cast("long"))
       .drop("__probe")
-      .withColumn("__qn", norm(col("__qv")))
+      .withColumn("__qn", norm(col("__qv"))).filter(col("__qn") > 0)
     val scored = qa.join(ca, Seq("c_id")).filter(col("q_id") =!= col("n_id"))
       .withColumn("sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
     scored.withColumn("rnk", row_number().over(

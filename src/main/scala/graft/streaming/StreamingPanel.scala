@@ -77,17 +77,25 @@ object StreamingPanel {
     * with same-entity right events in its trailing `bandSeconds`
     * window, as a native watermarked stream-stream interval join
     * (state expires once the watermark passes the band — bounded by
-    * band width × arrival rate, not stream length). Column names must
-    * be disjoint apart from the entity key. */
+    * band width × arrival rate, not stream length). The two sides are
+    * alias-qualified, so shared column names (the entity key, or even
+    * the time column) resolve; duplicated names simply appear twice in
+    * the output. */
   def streamBandJoin(left: DataFrame, right: DataFrame,
                      leftEntity: String, rightEntity: String,
                      leftTime: String, rightTime: String,
-                     watermark: String, bandSeconds: Long): DataFrame =
-    left.withWatermark(leftTime, watermark)
-      .join(right.withWatermark(rightTime, watermark),
-        expr(s"""$leftEntity = $rightEntity AND
-                 $rightTime >= $leftTime - INTERVAL $bandSeconds seconds AND
-                 $rightTime < $leftTime"""))
+                     watermark: String, bandSeconds: Long): DataFrame = {
+    // a string expr("entity = entity AND ...") cannot name the sides —
+    // with equal column names analysis fails ambiguous; qualified refs
+    // over explicit aliases are the only form that always resolves
+    val l = left.withWatermark(leftTime, watermark).alias("__bj_l")
+    val r = right.withWatermark(rightTime, watermark).alias("__bj_r")
+    l.join(r,
+      col(s"__bj_l.$leftEntity") === col(s"__bj_r.$rightEntity") &&
+        col(s"__bj_r.$rightTime") >=
+          col(s"__bj_l.$leftTime") - expr(s"INTERVAL $bandSeconds seconds") &&
+        col(s"__bj_r.$rightTime") < col(s"__bj_l.$leftTime"))
+  }
 
   /** Streaming sessionization — the incremental form of
     * [[graft.operators.Sessionize.sessionStats]] using Spark's native
