@@ -44,7 +44,13 @@ object Conformal {
         when(size(col("__sorted")) > 0, element_at(col("__sorted"),
           floor(col("quantile") * (size(col("__sorted")) - 1) + 0.5).cast("int") + 1)))
       .drop("__sorted")
-    yPred.join(scores, entity, "left")
+    // fan the alphas out on the PREDICTION side and join per
+    // (entity, alpha): an entity with predictions but no residual rows
+    // at all still gets one null-band row per alpha (the
+    // one-band-per-alpha contract), instead of a single null-quantile
+    // row from a bare entity-keyed left join
+    yPred.withColumn("quantile", explode(typedLit(alphas)))
+      .join(scores, entity :+ "quantile", "left")
       .select(entity.map(col) ++ Seq(col(timeCol),
         (col(predCol) + col("__score")).as(predCol), col("quantile")): _*)
   }
@@ -57,7 +63,9 @@ object Conformal {
     val preds = yPred.select(entity.map(col) ++ Seq(col(timeCol), col(predCol)): _*)
       .unionByName(yPredBacktest.select(entity.map(col) ++ Seq(col(timeCol), col(predCol)): _*))
     enbpi(preds, yResid, entity, timeCol, predCol, residCol, alphas)
-      .withColumn("quantile", (col("quantile") * 100).cast("int"))
+      // round BEFORE the int cast: 0.29 * 100 = 28.999999999999996 in
+      // IEEE doubles and a bare cast truncates to band 28
+      .withColumn("quantile", round(col("quantile") * 100).cast("int"))
   }
 
   /** In-sample residuals (actual − predicted) for an aligned frame

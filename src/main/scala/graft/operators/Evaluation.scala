@@ -50,9 +50,17 @@ object Evaluation {
     val z2 = ((lit(1.0) - lit(2.0) / (lit(9.0) * aa)) -
       signum(term) * pow(abs(term), lit(1.0) / 3)) / sqrt(lit(2.0) / (lit(9.0) * aa))
     val k2 = z1 * z1 + z2 * z2
+    // the z1/z2 chains divide by (n-2), (n-3) and sqrt(varb2) — for
+    // n < 8 some divisor is exactly 0 and ANSI mode turns one short
+    // entity into a job-killing DIVIDE_BY_ZERO (scipy's normaltest
+    // refuses n < 8 outright). CASE WHEN short-circuits in codegen, so
+    // the guarded branch never evaluates for short entities — they get
+    // null stats instead.
+    val nOk = n >= 8.0
     m.select((p.entityCols ++ Seq(
       skew.as("skew"), (kurt - 3).as("kurtosis"),
-      k2.as("k2_stat"), exp(k2 * -0.5).as("p_value"))): _*)
+      when(nOk, k2).as("k2_stat"),
+      when(nOk, exp(k2 * -0.5)).as("p_value"))): _*)
   }
 
   /** Ljung-Box Q statistic over lags 1..maxLags —
@@ -118,7 +126,7 @@ object Evaluation {
                 scoreCol: String = "smape"): DataFrame = {
     val scores = metric(aligned, yTrain.entity)
     val cvs = yTrain.df.groupBy(yTrain.entityCols: _*)
-      .agg((var_samp(yTrain.x) / avg(yTrain.x)).as("cv"))
+      .agg(try_divide(var_samp(yTrain.x), avg(yTrain.x)).as("cv"))  // zero-mean entity: null CV (na.drop'd), not an ANSI DIVIDE_BY_ZERO job kill
     val meanScore = scores.agg(avg(col(scoreCol)).as("mean_score"))
     val meanCv = cvs.agg(avg(col("cv")).as("mean_cv"))
     scores.join(cvs, yTrain.entity, "left")
@@ -221,9 +229,13 @@ object Evaluation {
     * bin_lo, n). One agg for the bounds (broadcast) + one groupBy. */
   def residualsData(resids: DataFrame, entity: Seq[String],
                     residCol: String, nBins: Int): DataFrame = {
-    val mm = resids.agg(min(col(residCol)).as("__mn"), max(col(residCol)).as("__mx"))
+    // null residuals (e.g. a left-joined missing prediction) must not
+    // bin at all: floor(null/w) is null and least() SKIPS nulls, so
+    // they would silently count into the top bin
+    val nn = resids.filter(col(residCol).isNotNull)
+    val mm = nn.agg(min(col(residCol)).as("__mn"), max(col(residCol)).as("__mx"))
     val w = (col("__mx") - col("__mn")) / lit(nBins).cast("double")
-    resids.crossJoin(broadcast(mm))
+    nn.crossJoin(broadcast(mm))
       .withColumn("bin",
         when(col("__mx") === col("__mn"), lit(0L))
           .otherwise(least(floor((col(residCol) - col("__mn")) / w),

@@ -81,9 +81,12 @@ object Preprocess {
   def scale(p: Panel, useMean: Boolean = true, useStd: Boolean = true): (DataFrame, DataFrame) = {
     val art = p.agg(avg(p.x).as("__mean"), stddev_samp(p.x).as("__std"))
     val scaled = p.df.join(broadcastIfSmall(art), p.entity)
+      // try_divide: a constant entity has std = 0 and ANSI double
+      // division would kill the whole job; null-scaled rows match the
+      // DuckDB oracle's double/0 = NULL semantics
       .withColumn(p.value,
-        (p.x - (if (useMean) col("__mean") else lit(0.0)))
-          / (if (useStd) col("__std") else lit(1.0)))
+        try_divide(p.x - (if (useMean) col("__mean") else lit(0.0)),
+          if (useStd) col("__std") else lit(1.0)))
       .drop("__mean", "__std")
     (scaled, art)
   }
@@ -245,7 +248,10 @@ object Preprocess {
       .groupBy(p.entityCols: _*)
       .agg(first(col("__beta")).as("__beta"),
         expr("percentile(__y - __beta * __i, 0.5)").as("__alpha"))
-    val out = pr.df.join(broadcastIfSmall(art), p.entity)
+    // LEFT join: a single-observation entity has no pairwise slopes and
+    // no artifact row — it must keep its rows with a null residual
+    // (detrendLinear's behavior), not vanish through an inner join
+    val out = pr.df.join(broadcastIfSmall(art), p.entity, "left")
       .withColumn(p.value, p.x - (col("__beta") * col("__i").cast("double") + col("__alpha")))
       .drop("__beta", "__alpha")
     (out, art)
@@ -316,7 +322,10 @@ object Preprocess {
   /** The fit artifact: the column's distinct categories, sorted (the
     * reference's `dummy_cols` modulo the column prefix). */
   def oneHotCategories(df: DataFrame, column: String): Seq[String] =
-    df.select(col(column)).distinct().collect().map(_.getString(0)).sorted.toSeq
+    // nulls are not a category: a null row would NPE String.compareTo
+    // in the sort; null-category rows get all-zero dummies downstream
+    df.select(col(column)).distinct().collect()
+      .flatMap(r => Option(r.getString(0))).sorted.toSeq
 
   private def oneHotApply(df: DataFrame, column: String,
                           cats: Seq[String]): DataFrame =

@@ -94,7 +94,12 @@ object Seasonality {
     val moments =
       pairs.map { case (i, j) => sum(feats(i) * feats(j)).as(s"__xtx_${i}_$j") } ++
         (0 until nP).map(i => sum(feats(i) * p.x).as(s"__xty_$i"))
-    val mom = d0.groupBy(p.entityCols: _*).agg(moments.head, moments.tail: _*)
+    // rows with a null target must drop from BOTH sides of the normal
+    // equations — summing them into XtX but not Xty (sum() skips
+    // nulls) would silently bias the coefficients, and an all-null
+    // entity would NPE inside the solve UDF
+    val mom = d0.filter(p.x.isNotNull)
+      .groupBy(p.entityCols: _*).agg(moments.head, moments.tail: _*)
       .select(p.entityCols ++ Seq(
         array(pairs.map { case (i, j) => col(s"__xtx_${i}_$j") }: _*).as("__xtx"),
         array((0 until nP).map(i => col(s"__xty_$i")): _*).as("__xty")): _*)
@@ -113,13 +118,22 @@ object Seasonality {
     val seasonal = feats.zipWithIndex
       .map { case (f, i) => f * element_at(col("coef"), i + 1) }
       .reduce(_ + _)
-    val resid = d0.join(broadcast(artifact), p.entity)
+    // LEFT join: an entity absent from the artifact (all-null target)
+    // keeps its rows with null residuals instead of vanishing
+    val resid = d0.join(broadcast(artifact), p.entity, "left")
       .withColumn(p.value, p.x - seasonal)
       .drop((featNames :+ "coef"): _*)
     (resid, artifact)
   }
 
-  /** Invert: re-add the fitted seasonal term (preprocessing.py:1029). */
+  /** Invert: re-add the fitted seasonal term (preprocessing.py:1029).
+    *
+    * Phase is ROW-POSITION based (`arg_sort % sp` in the reference,
+    * row_number here — identical semantics): inverting a frame that
+    * starts mid-cycle (e.g. a future-only forecast frame when
+    * trainLen % sp != 0) restarts the phase at 0 exactly like the
+    * reference would. To invert forecasts phase-aligned with
+    * training, invert a frame spanning train+future rows. */
   def deseasonalizeFourierInvert(residuals: Panel, artifact: DataFrame,
                                  sp: Int, k: Int): DataFrame = {
     val d0 = addFourierTerms(residuals, sp, k)
