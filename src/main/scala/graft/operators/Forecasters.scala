@@ -40,9 +40,15 @@ object Forecasters {
       max(col(timeCol)).as("__cutoff"))
       .withColumn("__tail", col("__tailS").getField(p.value))
       .drop("__tailS")
+      // entities with fewer than sp observations have no full seasonal
+      // cycle: cycling mod size(__tail) would forecast a fabricated
+      // shorter period — drop them like every sibling forecaster's
+      // incomplete-state filter (the reference's y(cutoff − sp + ...)
+      // index does not exist for them either)
+      .filter(size(col("__tail")) === sp)
     explodeHorizon(state, p, timeCol, fh, freq)
       .withColumn(p.value,
-        element_at(col("__tail"), ((col("__h") - 1) % size(col("__tail"))).cast("int") + 1))
+        element_at(col("__tail"), ((col("__h") - 1) % sp).cast("int") + 1))
       .select((p.entityCols ++ Seq(col(timeCol), col(p.value))): _*)
   }
 

@@ -152,6 +152,10 @@ object KnnForecaster {
     val red = CrossValidation
       .withPosition(p.copy(df = Preprocess.lagKeepAll(p, 1 to lags)))
       .filter(col("__rn") > lags)
+      // complete rows only, like predictOneStep's reduction: a null
+      // value/lag would NPE row.getDouble in the centroid collect and
+      // the partition scan
+      .na.drop((1 to lags).map(l => s"${p.value}__lag_$l") :+ p.value)
     val tag = md5(concat_ws("_",
       (p.entityCols :+ col("__rn")).map(_.cast("string")): _*).cast("binary"))
     val centroids = red
@@ -291,7 +295,11 @@ object KnnForecaster {
       collect_list(struct(col("__rn_desc"), p.x)).as("__s"),
       max(col(timeCol)).as("__cutoff"))
       .withColumn("__state", sort_array(col("__s")).getField(p.value))
-      .filter(size(col("__state")) >= lags)
+      // a complete state also means NO null elements — collect_list
+      // keeps structs whose value field is null, and a null would NPE
+      // the driver-side getDouble on the collected tails
+      .filter(size(col("__state")) >= lags &&
+        !exists(col("__state"), x => x.isNull))
     (1 to lags).foldLeft(state) { (d, l) =>
       d.withColumn(s"${p.value}__lag_$l", element_at(col("__state"), l))
     }

@@ -92,12 +92,16 @@ object TextAnalysis {
   }
 
   /** Composite quality score in [0,1]: token-length band + stopword
-    * density − punctuation penalty (heuristic, monotone pieces). */
+    * density − punctuation penalty (heuristic, monotone pieces).
+    * NOTE [[punctRatio]] is (despite the name) the CLEAN-character
+    * fraction — alnum+space over length — so the penalty takes its
+    * complement; the original form penalized clean text and rewarded
+    * punctuation-heavy garbage. */
   def qualityScore(text: Column): Column = {
     val toks = tokenCount(text).cast("double")
     val lenScore = least(toks / 100.0, lit(1.0))
     val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
-    val punctPenalty = least(punctRatio(text) * 2.0, lit(1.0))
+    val punctPenalty = least((lit(1.0) - punctRatio(text)) * 2.0, lit(1.0))
     greatest(least((lenScore + stopScore) / 2.0 - punctPenalty * 0.25, lit(1.0)), lit(0.0))
   }
 
@@ -141,7 +145,11 @@ object TextAnalysis {
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
     // persisted: consumed by both the df build and the score probe —
-    // unpersisted it re-tokenizes the corpus twice
+    // unpersisted it re-tokenizes the corpus twice. NOTE the persist
+    // outlives the call (the returned frame reads it lazily); sessions
+    // calling this per shard should spark.catalog.clearCache()
+    // between batches (Bench's per-query pattern) or cache the result
+    // and unpersist upstream
     val tf = tokens(docs, idCol, textCol)
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
       .persist()
@@ -174,6 +182,17 @@ object TextAnalysis {
   def bm25TopDocs(docs: DataFrame, idCol: String, textCol: String,
                   query: Seq[String], k: Int,
                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // terms become tf_<t>/df_<t> COLUMN NAMES: a duplicate term is an
+    // ambiguous-reference AnalysisException at runtime, a non-[a-z0-9]
+    // term either never matches the lowercased tokens (silent zero
+    // scores) or misparses in col() as a nested-field path — validate
+    // up front with actionable messages
+    require(query.nonEmpty, "bm25TopDocs: empty query")
+    require(query.distinct.size == query.size,
+      s"bm25TopDocs: duplicate query terms ${query.diff(query.distinct).distinct.mkString(", ")}")
+    query.foreach(t => require(t.nonEmpty && t.forall(c => c.isDigit || (c >= 'a' && c <= 'z')),
+      s"bm25TopDocs: term '$t' is not lowercase-alphanumeric — it can never " +
+        "match the [a-z0-9]+ token stream"))
     // persisted: consumed by both the corpus stats and the score pass
     val perDoc = tokens(docs, idCol, textCol).groupBy(col(idCol)).agg(
       count(lit(1)).as("dl"),
@@ -426,7 +445,11 @@ object TextAnalysis {
     * but the order is part of the contract so redaction is
     * deterministic. */
   val piiPatterns: Seq[(String, String, String)] = Seq(
-    ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "[EMAIL]"),
+    // explicit a-zA-Z classes (not a case flag) keep the pattern
+    // portable between Java regex and DuckDB RE2 — a lowercase-only
+    // class let 'JOHN.DOE@EXAMPLE.COM' through the scrub entirely and
+    // mangled 'John@x.com' to 'J[EMAIL]'
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "[EMAIL]"),
     ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"),
     ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "[SSN]"),
     ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "[PHONE]"))
@@ -569,6 +592,13 @@ object TextAnalysis {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
         merges += ((a, b))
         cur = cur.withColumn("state", bpeApplyMerge(col("state"), a, b))
+        // flatten the plan every 24 merges: the chained replaces
+        // otherwise stack one projection per round, so round r replays
+        // all r previous replaces over the vocab AND Catalyst
+        // re-analyzes an r-deep plan — O(numMerges²) work for large
+        // vocabularies. The checkpointed frame is vocab-sized (one row
+        // per distinct word), not corpus-sized.
+        if (merges.size % 24 == 0) cur = cur.localCheckpoint(true)
       }
       merges.toSeq
     } finally words.unpersist()
