@@ -54,7 +54,9 @@ object Features {
 
   /** n_unique/n — feature_extractors.py:1428 */
   def ratioNUniqueToLength(x: Column): Column =
-    count_distinct(x).cast("double") / count(x)
+    // try_divide: an all-null entity has count = 0 and ANSI double/0
+    // would kill the job; null ratio matches DuckDB's double/0 = NULL
+    try_divide(count_distinct(x).cast("double"), count(x))
 
   /** √(Σx²/n) — feature_extractors.py:1444 */
   def rootMeanSquare(x: Column): Column = sqrt(avg(x * x))
@@ -69,8 +71,15 @@ object Features {
   /** var ≥ 1 — feature_extractors.py:1680 */
   def varGtStd(x: Column): Column = var_samp(x) >= 1.0
 
-  /** n/Σ(1/x) — feature_extractors.py:1698 */
-  def harmonicMean(x: Column): Column = try_divide(count(x).cast("double"), sum(try_divide(lit(1.0), x)))
+  /** n/Σ(1/x) — feature_extractors.py:1698. A zero VALUE must follow
+    * the reference's arithmetic (1/0 = inf ⇒ mean 0), not null-skip:
+    * try_divide on the reciprocal silently DROPPED zeros from the sum
+    * and returned a plausible wrong mean over the remainder. */
+  def harmonicMean(x: Column): Column = {
+    val recip = when(x === 0.0, lit(Double.PositiveInfinity))
+      .otherwise(try_divide(lit(1.0), x))
+    try_divide(count(x).cast("double"), sum(recip))
+  }
 
   /** (max−min)/μ — feature_extractors.py:1714 */
   def rangeOverMean(x: Column): Column = try_divide(max(x) - min(x), avg(x))
@@ -82,7 +91,9 @@ object Features {
   /** mean of k largest |x| — feature_extractors.py:1120 (top_k + mean) */
   def meanNAbsoluteMax(x: Column, k: Int): Column = {
     val arr = slice(sort_array(collect_list(abs(x)), asc = false), 1, k)
-    aggregate(arr, lit(0.0), (acc, v) => acc + v) / least(size(arr), lit(k))
+    // try_divide: an all-null entity gives an empty array (0.0 / 0
+    // would be an ANSI job-killer)
+    try_divide(aggregate(arr, lit(0.0), (acc, v) => acc + v), least(size(arr), lit(k)))
   }
 
   // ---------------------------------------------------------------
@@ -393,8 +404,11 @@ object Features {
     val sumCB = cnts.zip(benford).map { case (c, b) => c * lit(b) }.reduce(_ + _)
     val sumC2 = cnts.map(c => c * c).reduce(_ + _)
     val sumB2 = lit(benford.map(b => b * b).sum)
-    val corr = (n * sumCB - sumC * sumB) /
-      (sqrt(n * sumC2 - sumC * sumC) * sqrt(n * sumB2 - sumB * sumB))
+    // try_divide: a degenerate entity (all values 0/null ⇒ uniform
+    // digit counts) has zero count variance — ANSI double/0 would
+    // kill the job; null correlation matches DuckDB's double/0 = NULL
+    val corr = try_divide(n * sumCB - sumC * sumB,
+      sqrt(n * sumC2 - sumC * sumC) * sqrt(n * sumB2 - sumB * sumB))
     p.agg(corr.as("benford_correlation"))
   }
 
@@ -425,7 +439,7 @@ object Features {
       .withColumn("__rid", sum(col("__flip")).over(p.w.rowsBetween(Window.unboundedPreceding, 0)))
     val runs = d.filter(col("__c"))
       .groupBy((p.entityCols :+ col("__rid")): _*).agg(count(lit(1)).as("len"))
-    runs.groupBy(p.entityCols: _*).agg(
+    val stats = runs.groupBy(p.entityCols: _*).agg(
       min(col("len")).as("min_len"),
       max(col("len")).as("max_len"),
       avg(col("len")).as("mean_len"),
@@ -433,6 +447,10 @@ object Features {
       percentile(col("len"), lit(0.1)).as("p10_len"),
       percentile(col("len"), lit(0.5)).as("median_len"),
       percentile(col("len"), lit(0.9)).as("p90_len"))
+    // zero-run entities keep a row with null stats (the reference's
+    // empty-aggregation result), like the longestRun helper — a bare
+    // group-over-runs would silently drop them from the output
+    p.df.select(p.entityCols: _*).distinct().join(stats, p.entity, "left")
   }
 
   /** permutation entropy, embedding dim 3, τ=1 —

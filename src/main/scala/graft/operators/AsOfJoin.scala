@@ -29,12 +29,22 @@ object AsOfJoin {
                    leftTime: String, rightTime: String,
                    valueCols: Seq[String], tolerance: Option[Long] = None): DataFrame = {
     val lCols = left.columns.toSeq
+    // a left column named like a valueCol would be silently clobbered
+    // by the unpack below AND selected twice — fail loud instead
+    val clash = lCols.intersect(valueCols)
+    require(clash.isEmpty,
+      s"asofBackward: left already has column(s) ${clash.mkString(", ")} — " +
+        "rename before joining (the right value would overwrite them)")
     // right side reduced to (entity, time, values); the time + ALL value
     // columns ride in ONE struct so the carried match is a single right
     // ROW (a null in one value column must be attached verbatim, not
-    // replaced by an older row's non-null — polars/DuckDB semantics)
+    // replaced by an older row's non-null — polars/DuckDB semantics).
+    // Null right timestamps are excluded: they sort nulls-FIRST with a
+    // non-null row struct, and last(ignoreNulls) would attach them as a
+    // bogus match to every left row before the first real right row
     val r = right.select((entity.map(col) :+ col(rightTime).as("__t")) ++
       valueCols.map(col): _*)
+      .filter(col("__t").isNotNull)
       .withColumn("__side", lit(0))
       .withColumn("__row", struct(col("__t").as("__mt") +: valueCols.map(col): _*))
       .select((entity.map(col) :+ col("__t") :+ col("__side") :+ col("__row")): _*)
@@ -44,8 +54,13 @@ object AsOfJoin {
     val unioned = l.select((entity.map(col) :+ col("__t") :+ col("__side") :+ col("__row")) ++
       lCols.filterNot(entity.contains).map(col): _*)
       .unionByName(r, allowMissingColumns = true)
+    // __row as the final tiebreaker: two right rows with the SAME
+    // (entity, timestamp) would otherwise sort in arbitrary physical
+    // order and last() would pick nondeterministically run-to-run
+    // (Panel.scala's no-stable-row-order rule); struct ordering is
+    // lexicographic on (time, values…), so the pick is total
     val w = Window.partitionBy(entity.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(col("__t").asc, col("__side").asc, col("__row").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned
       .withColumn("__row", last(col("__row"), ignoreNulls = true).over(w))

@@ -81,8 +81,11 @@ object GbtForecaster {
       // entities shorter than lags have no complete state — drop them,
       // like the linear family's tail filter (and the oracle's
       // longEnough condition); an undersized array would index past
-      // its end inside step() on the executor
-      .filter(size(col("__state")) === lags)
+      // its end inside step() on the executor. A state CONTAINING a
+      // null is equally incomplete: getSeq[Double] would unbox it to a
+      // fabricated 0.0 lag and forecast from it silently
+      .filter(size(col("__state")) === lags &&
+        !exists(col("__state"), v => v.isNull))
     val slim = state0.select((p.entityCols :+ col("__cutoff") :+ col("__state")): _*)
     val outSchema = StructType(slim.schema.dropRight(1)
       :+ StructField("__preds", ArrayType(DoubleType)))

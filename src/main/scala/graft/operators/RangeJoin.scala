@@ -39,9 +39,15 @@ object RangeJoin {
     val r = right.select((entity.map(col) :+ col(rightTime).cast("long").as("__rt")) ++
       valueCols.map(col): _*)
       .withColumn("__bin", floorDiv("__rt"))
-    l.join(r, entity :+ "__bin")
+    val out = l.join(r, entity :+ "__bin")
       .filter(col("__rt") >= col("__lt") - widthSeconds && col("__rt") < col("__lt"))
       .drop("__bin", "__lt")
+    // restore the documented right-time name (it was renamed for the
+    // join plumbing); when the left already carries that name (e.g.
+    // self-join on the same time column), keep the internal __rt so
+    // the output has no ambiguous duplicate — callers select valueCols
+    if (left.columns.contains(rightTime)) out
+    else out.withColumnRenamed("__rt", rightTime)
   }
 
   /** Per-left-row count of same-entity right rows in the trailing

@@ -90,7 +90,12 @@ object FeatureQueries {
     },
 
     "f_harmonic_mean" -> Q(
-      "SELECT user_id, round(count(value)::DOUBLE / sum(CAST(1 AS DOUBLE)/value),6) AS harmonic_mean FROM events GROUP BY user_id") {
+      // zero values follow the reference's 1/0 = inf ⇒ mean 0 (DuckDB
+      // double/0 is NULL, so the inf branch is explicit on both sides)
+      """SELECT user_id, round(count(value)::DOUBLE /
+           sum(CASE WHEN value = 0.0 THEN 'infinity'::DOUBLE
+                    ELSE CAST(1 AS DOUBLE)/value END),6) AS harmonic_mean
+         FROM events GROUP BY user_id""") {
       (s, dir) => r6(ev(s, dir).agg(Features.harmonicMean(col("value")).as("harmonic_mean")))
     },
 
@@ -421,13 +426,15 @@ object FeatureQueries {
                      FROM c),
                r AS (SELECT user_id, c, sum(flip) OVER ($W ROWS UNBOUNDED PRECEDING) AS rid FROM f),
                runs AS (SELECT user_id, rid, count(*) AS len FROM r WHERE c GROUP BY user_id, rid)
-          SELECT user_id,
+          SELECT ents.u AS user_id,
                  CAST(min(len) AS BIGINT) AS min_len, CAST(max(len) AS BIGINT) AS max_len,
                  round(avg(len),6) AS mean_len, round(stddev_samp(len),6) AS std_len,
                  round(quantile_cont(len, 0.1),6) AS p10_len,
                  round(quantile_cont(len, 0.5),6) AS median_len,
                  round(quantile_cont(len, 0.9),6) AS p90_len
-          FROM runs GROUP BY user_id""") {
+          FROM runs RIGHT JOIN (SELECT DISTINCT user_id AS u FROM events) ents
+            ON runs.user_id = ents.u
+          GROUP BY ents.u, runs.user_id""") {
       (s, dir) => r6(Features.streakLengthStats(ev(s, dir), above = true, 0.0))
     }
   )
