@@ -210,7 +210,12 @@ object FeatureAggs {
   /** Helper: run an aggregator over a panel (adds the order index). */
   def over(p: Panel, agg: (Column, Column) => Column, out: String): DataFrame = {
     val pr = p.withRowIdx("__i")
-    pr.df.groupBy(p.entityCols: _*).agg(agg(col("__i"), p.x).as(out))
+    // nulls drop AFTER the index assignment (original positions kept,
+    // matching the oracle's list() which skips NULLs): Pt has primitive
+    // fields, so a null value would otherwise fail the typed encoder's
+    // AssertNotNull deep inside the aggregation with no data hint
+    pr.df.filter(p.x.isNotNull)
+      .groupBy(p.entityCols: _*).agg(agg(col("__i"), p.x).as(out))
   }
 
   final case class FftOut(real: Seq[Double], imag: Seq[Double], angle: Seq[Double])

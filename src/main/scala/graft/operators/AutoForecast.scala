@@ -21,11 +21,27 @@ import org.apache.spark.sql.functions._
   */
 object AutoForecast {
 
-  /** Mean per-entity SMAPE of a backtest frame (lower = better). */
+  /** Mean per-entity SMAPE of a backtest frame (lower = better).
+    * The pooled Σ|p−a| / Σ(p+a) with the SIGNED denominator is the
+    * reference's own smape (metrics/point.py:139-141) — kept verbatim
+    * for parity even though mostly-negative series can score
+    * counterintuitively. */
   private def backtestScore(bt: DataFrame, entity: Seq[String]): DataFrame =
     bt.groupBy(entity.map(col): _*)
       .agg(try_divide(sum(abs(col("pred") - col("actual"))), sum(col("pred") + col("actual")))
         .as("smape"))
+
+  /** Collect the candidate's mean score with an ACTIONABLE failure: an
+    * empty backtest (every series shorter than the CV plan) or
+    * all-null smapes would otherwise surface as a bare NPE from inside
+    * a future. */
+  private def meanScore(scored: DataFrame, what: => String): Double = {
+    val row = scored.agg(avg("smape")).collect()(0)
+    require(!row.isNullAt(0),
+      s"$what: the backtest scored no entities — are all series shorter " +
+        "than testSize + (nSplits-1)*stepSize, or every SMAPE denominator zero?")
+    row.getDouble(0)
+  }
 
   /** Expanding-window backtest of the linear AR forecaster sharing ONE
     * window pass across all splits: because each train slice is a row
@@ -157,7 +173,7 @@ object AutoForecast {
       // over the same cached panel
       val scored = Await.result(Future.sequence(lagGrid.map { lags => Future {
         val bt = backtestLinearPrefix(cached, timeCol, lags, testSize, nSplits, stepSize)
-        val mean = backtestScore(bt, p.entity).agg(avg("smape")).collect()(0).getDouble(0)
+        val mean = meanScore(backtestScore(bt, p.entity), s"autoLinear(lags=$lags)")
         (lags, mean)
       } }), Duration.Inf)
       val (bestLags, bestScore) = scored.minBy(_._2)
@@ -181,7 +197,7 @@ object AutoForecast {
     try {
       val scored = Await.result(Future.sequence(candidates.map { c => Future {
         val bt = Conformal.backtest(cached, timeCol, testSize, nSplits, stepSize, fitPredict(c))
-        val mean = backtestScore(bt, p.entity).agg(avg("smape")).collect()(0).getDouble(0)
+        val mean = meanScore(backtestScore(bt, p.entity), s"autoModel(candidate=$c)")
         (c, mean)
       } }), Duration.Inf)
       scored.minBy(_._2)
@@ -209,7 +225,7 @@ object AutoForecast {
         val scored = Await.result(Future.sequence(lagGrid.map { lags => Future {
           val bt = backtestLinearPrefix(cached, timeCol, lags, testSize, nSplits,
             stepSize, ridge = regParam)
-          val mean = backtestScore(bt, p.entity).agg(avg("smape")).collect()(0).getDouble(0)
+          val mean = meanScore(backtestScore(bt, p.entity), s"autoRegularized(lags=$lags)")
           (lags, mean)
         } }), Duration.Inf)
         scored.minBy(_._2)
@@ -287,7 +303,7 @@ object AutoForecast {
     } }), Duration.Inf)
     val scored = kGrid.map { k =>
       val bt = perSplit.map(_(k)).reduce(_ unionByName _)
-      k -> backtestScore(bt, p.entity).agg(avg("smape")).collect()(0).getDouble(0)
+      k -> meanScore(backtestScore(bt, p.entity), s"autoKnn(k=$k)")
     }
     scored.minBy(_._2)
   }

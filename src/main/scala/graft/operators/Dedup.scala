@@ -102,6 +102,11 @@ object Dedup {
     * would drag the wide signature arrays back through the plan. */
   def minhashCandidatePairIds(signatures: DataFrame, idCol: String,
                               numHashes: Int, rowsPerBand: Int): DataFrame = {
+    // rowsPerBand > numHashes would give nBands = 0 and sequence(0, -1)
+    // counts DOWN (fabricated bands, recall silently collapses); a
+    // non-divisible split would silently ignore the remainder hashes
+    require(rowsPerBand >= 1 && numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a positive multiple of rowsPerBand ($rowsPerBand)")
     val nBands = numHashes / rowsPerBand
     // slim (id, band, key) rows for the bucket self-join — the wide
     // signature arrays stay out of the shuffle; they're joined back
@@ -258,9 +263,12 @@ object Dedup {
         converged = changed == 0
         round += 1
       }
+      // unpersist BEFORE the convergence check: the symmetrized edge
+      // frame is the largest intermediate here and must not stay
+      // pinned on the failure path
+      edges.unpersist(blocking = false)
       require(converged,
         s"nearDupGroups label propagation did not converge in $maxRounds rounds")
-      edges.unpersist(blocking = false)
       labels
     }
   }
@@ -540,24 +548,39 @@ object Dedup {
       .select(col(idCol),
         (coalesce(col("__hits"), lit(0L)).cast("double") /
           col("__total").cast("double")).as("contamination_frac"))
-    train.select(col(idCol))
+    val out = train.select(col(idCol))
       .join(scored, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("contamination_frac"), lit(0.0)).as("contamination_frac"))
       .withColumn("contaminated", col("contamination_frac") >= threshold)
+      // eagerly materialize the SLIM per-doc result so the two
+      // corpus-scale shingle caches (and the bloom broadcast) release
+      // NOW — unreleased they pinned executor storage for the session
+      // lifetime, one full train-shingle frame per call
+      .localCheckpoint(true)
+    evalG.unpersist(blocking = false)
+    trainG.unpersist(blocking = false)
+    bloomBc.destroy()
+    out
   }
 
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
                         planes: Int, threshold: Double, seed: Long = 42L): DataFrame = {
+    // persisted: both self-join sides read it — unpersisted, the
+    // hyperplane projection re-runs per side
     val bucketed = Similarity.randomHyperplaneBuckets(emb, vecCol, planes, seed)
       .withColumn("__n", Similarity.norm(col(vecCol)))
+      .persist()
     val l = bucketed.select(col(idCol).as("a"), col(vecCol).as("__va"), col("__n").as("__na"), col("bucket"))
     val r = bucketed.select(col(idCol).as("b"), col(vecCol).as("__vb"), col("__n").as("__nb"), col("bucket"))
-    l.join(r, Seq("bucket")).filter(col("a") < col("b"))
+    val out = l.join(r, Seq("bucket")).filter(col("a") < col("b"))
       // norms precomputed per vector (same doubles, 1 pass per pair)
       .withColumn("cosine", Similarity.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .filter(col("cosine") >= threshold)
       .select("a", "b", "cosine").distinct()
+      .localCheckpoint(true)
+    bucketed.unpersist(blocking = false)
+    out
   }
 
   /** SemDedup (Abbas et al. 2023, arXiv:2303.09540 — semantic dedup
@@ -582,6 +605,14 @@ object Dedup {
   private[graft] def sampleCentroids(emb: DataFrame, idCol: String, vecCol: String,
                                      nClusters: Int): Array[(Int, Array[Float])] =
     emb.select(col(idCol), col(vecCol))
+      // a zero-norm embedding (failed/padded row) must never become a
+      // centroid: dot/0 = NaN scores, and NaN sorts ABOVE every finite
+      // struct in array_max — the whole corpus would silently collapse
+      // into that one cell (and the >32-cell kernel, where NaN never
+      // wins a comparison, would assign DIFFERENTLY — breaking the
+      // column/kernel parity contract)
+      .filter(col(vecCol).isNotNull &&
+        Similarity.dot(col(vecCol), col(vecCol)) > 0)
       .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
       .limit(nClusters)
       .collect()
@@ -665,9 +696,15 @@ object Dedup {
     // centroid array would otherwise fail getField at plan time)
     if (centroids.isEmpty)
       return emb.select(col(idCol), lit(-1L).as("cluster"), lit(false).as("is_dup"))
+    // persisted: referenced three times (both self-join sides + the
+    // final projection) — unpersisted, Spark re-runs the full per-row
+    // centroid assignment per reference (3× the dominant cost; the
+    // persist-before-multi-reference rule minhashCandidatePairs
+    // documents). Released after the eager output materialization.
     val assigned = emb
       .withColumn("cluster", clusterAssignAuto(col(vecCol), centroids))
       .withColumn("__n", Similarity.norm(col(vecCol)))
+      .persist()
     val l = assigned.select(col(idCol).as("__a"), col(vecCol).as("__va"),
       col("__n").as("__na"), col("cluster"))
     val r = assigned.select(col(idCol).as("__b"), col(vecCol).as("__vb"),
@@ -677,9 +714,12 @@ object Dedup {
         Similarity.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .filter(col("__cos") >= tau)
       .select(col("__b").as(idCol)).distinct()
-    assigned.select(col(idCol), col("cluster"))
+    val out = assigned.select(col(idCol), col("cluster"))
       .join(dupIds.withColumn("__dup", lit(true)), Seq(idCol), "left")
       .select(col(idCol), col("cluster"),
         coalesce(col("__dup"), lit(false)).as("is_dup"))
+      .localCheckpoint(true)
+    assigned.unpersist(blocking = false)
+    out
   }
 }

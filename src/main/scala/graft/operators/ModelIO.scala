@@ -20,16 +20,33 @@ object ModelIO {
 
   private val mapper = new ObjectMapper()
 
+  // Hadoop-FS I/O, not java.nio: the MLlib ensemble writer already
+  // resolves s3://... or hdfs://... schemes, and a java.nio sidecar
+  // would silently land on the DRIVER'S LOCAL DISK (Paths.get("s3://…")
+  // resolves as a relative local path named "s3:") — the saved model
+  // would split-brain across filesystems. Schemeless paths resolve to
+  // the default FS exactly like before.
+  private def hadoopConf =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
   private def writeJson(node: ObjectNode, path: String): Unit = {
-    val p = Paths.get(path)
-    Option(p.getParent).foreach(Files.createDirectories(_))
-    Files.write(p, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
-      StandardOpenOption.WRITE)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(hadoopConf)
+    Option(hp.getParent).foreach(fs.mkdirs)
+    val out = fs.create(hp, true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))
+    finally out.close()
   }
 
-  private def readJson(path: String): ObjectNode =
-    mapper.readTree(Files.readAllBytes(Paths.get(path))).asInstanceOf[ObjectNode]
+  private def readJson(path: String): ObjectNode = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(hadoopConf)
+    val in = fs.open(hp)
+    try mapper.readTree(in).asInstanceOf[ObjectNode]
+    finally in.close()
+  }
 
   private def putD(n: ObjectNode, key: String, v: Double): Unit = {
     n.put(key, java.lang.Double.doubleToRawLongBits(v))
