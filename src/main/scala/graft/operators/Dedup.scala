@@ -566,21 +566,19 @@ object Dedup {
 
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
                         planes: Int, threshold: Double, seed: Long = 42L): DataFrame = {
-    // persisted: both self-join sides read it — unpersisted, the
-    // hyperplane projection re-runs per side
+    // deliberately NOT persisted: recomputing the hyperplane
+    // projection per self-join side is a handful of dot products per
+    // row — cheaper than pinning the embedding frame (same measured
+    // trade as semDedup's assignment)
     val bucketed = Similarity.randomHyperplaneBuckets(emb, vecCol, planes, seed)
       .withColumn("__n", Similarity.norm(col(vecCol)))
-      .persist()
     val l = bucketed.select(col(idCol).as("a"), col(vecCol).as("__va"), col("__n").as("__na"), col("bucket"))
     val r = bucketed.select(col(idCol).as("b"), col(vecCol).as("__vb"), col("__n").as("__nb"), col("bucket"))
-    val out = l.join(r, Seq("bucket")).filter(col("a") < col("b"))
+    l.join(r, Seq("bucket")).filter(col("a") < col("b"))
       // norms precomputed per vector (same doubles, 1 pass per pair)
       .withColumn("cosine", Similarity.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .filter(col("cosine") >= threshold)
       .select("a", "b", "cosine").distinct()
-      .localCheckpoint(true)
-    bucketed.unpersist(blocking = false)
-    out
   }
 
   /** SemDedup (Abbas et al. 2023, arXiv:2303.09540 — semantic dedup
@@ -696,15 +694,15 @@ object Dedup {
     // centroid array would otherwise fail getField at plan time)
     if (centroids.isEmpty)
       return emb.select(col(idCol), lit(-1L).as("cluster"), lit(false).as("is_dup"))
-    // persisted: referenced three times (both self-join sides + the
-    // final projection) — unpersisted, Spark re-runs the full per-row
-    // centroid assignment per reference (3× the dominant cost; the
-    // persist-before-multi-reference rule minhashCandidatePairs
-    // documents). Released after the eager output materialization.
+    // deliberately NOT persisted: the assignment is recomputed per
+    // self-join side, but the kernel argmax is cheap relative to the
+    // within-cluster pair scan — a persist + eager-checkpoint variant
+    // measured SLOWER at the 200k soak (19.2 vs 15 s warm), and at
+    // corpus scale pinning the full embedding frame is its own memory
+    // hazard vs rescanning columnar storage
     val assigned = emb
       .withColumn("cluster", clusterAssignAuto(col(vecCol), centroids))
       .withColumn("__n", Similarity.norm(col(vecCol)))
-      .persist()
     val l = assigned.select(col(idCol).as("__a"), col(vecCol).as("__va"),
       col("__n").as("__na"), col("cluster"))
     val r = assigned.select(col(idCol).as("__b"), col(vecCol).as("__vb"),
@@ -714,12 +712,9 @@ object Dedup {
         Similarity.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .filter(col("__cos") >= tau)
       .select(col("__b").as(idCol)).distinct()
-    val out = assigned.select(col(idCol), col("cluster"))
+    assigned.select(col(idCol), col("cluster"))
       .join(dupIds.withColumn("__dup", lit(true)), Seq(idCol), "left")
       .select(col(idCol), col("cluster"),
         coalesce(col("__dup"), lit(false)).as("is_dup"))
-      .localCheckpoint(true)
-    assigned.unpersist(blocking = false)
-    out
   }
 }
