@@ -23,6 +23,30 @@ class ConformalSpec extends SparkSpec {
     assert(lo.map(_.getDouble(2)).toSeq == Seq(3.0, 4.0))
   }
 
+  test("enbpi: a cold-start entity (no residuals) still fans out per alpha with null bands") {
+    import spark.implicits._
+    val yPred = Seq((0, 10, 5.0), (1, 10, 7.0)).toDF("entity", "t", "pred")
+    val yResid = Seq((0, 1, -2.0), (0, 2, 2.0)).toDF("entity", "t", "residual")
+    val out = Conformal.enbpi(yPred, yResid, Seq("entity"), "t", "pred", "residual",
+      Seq(0.1, 0.9)).collect()
+    // entity 1 has no residual rows: one row PER ALPHA, null band value
+    val e1 = out.filter(_.getInt(0) == 1)
+    assert(e1.length == 2, s"expected 2 alpha rows for the cold entity, got ${e1.length}")
+    assert(e1.forall(_.isNullAt(2)), "cold-entity band must be null")
+    assert(e1.map(_.getDouble(3)).sorted.toSeq == Seq(0.1, 0.9))
+  }
+
+  test("conformalize alpha percent rounds, not truncates (0.29 -> 29)") {
+    import spark.implicits._
+    val yPred = Seq((0, 10, 5.0)).toDF("entity", "t", "pred")
+    val bt = Seq.empty[(Int, Int, Double)].toDF("entity", "t", "pred")
+    val yResid = Seq((0, 1, -1.0), (0, 2, 1.0)).toDF("entity", "t", "residual")
+    val out = Conformal.conformalize(yPred, bt, yResid, Seq("entity"), "t", "pred",
+      "residual", Seq(0.29, 0.57))
+    assert(out.select("quantile").distinct().collect().map(_.getInt(0)).sorted.toSeq ==
+      Seq(29, 57), "0.29 * 100 = 28.999... must round to 29, not truncate to 28")
+  }
+
   test("llm analyze prompt renders the sorted-wide markdown template (llm/api.py:38-76)") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")

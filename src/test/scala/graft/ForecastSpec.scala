@@ -182,6 +182,20 @@ class ForecastSpec extends SparkSpec {
     assert(tbOut.select("entity").distinct().collect().map(_.getLong(0)).toSet == Set(0L))
   }
 
+  test("snaive drops entities shorter than sp instead of cycling a fabricated period") {
+    import spark.implicits._
+    // entity 0: 10 points; entity 1: 4 points < sp=7
+    val rows = (0 until 10).map(t => (0L, t.toLong, t.toDouble)) ++
+      (0 until 4).map(t => (1L, t.toLong, t.toDouble))
+    val p = graft.core.Panel(rows.toDF("entity", "t", "value"), Seq("entity"), Seq("t"), "value")
+    val out = Forecasters.snaive(p, "t", fh = 7, sp = 7, freq = "1i")
+    assert(out.select("entity").distinct().collect().map(_.getLong(0)).toSet == Set(0L),
+      "a 4-point entity must not forecast a fake period-4 'seasonality'")
+    // the surviving entity cycles the true sp
+    val vals = out.filter(col("entity") === 0L).orderBy("t").collect().map(_.getDouble(2))
+    assert(vals.toSeq == Seq(3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0))
+  }
+
   test("empty panels: forecasters return empty frames, fits throw actionable errors") {
     import spark.implicits._
     val df = Seq.empty[(Long, Long, Double)].toDF("entity", "t", "value")
