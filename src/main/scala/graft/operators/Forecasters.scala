@@ -93,6 +93,14 @@ object Forecasters {
     * power) and every horizon becomes one flat codegen-able expression
     * over the lag-tail array. No recursive expression substitution
     * (which would grow the plan exponentially in fh), no per-step job. */
+  /* NOTE on the tail-state scaffold (rn_desc window → collect_list →
+   * sort_array → completeness filter) appearing here and in
+   * GbtForecaster.predictRecursiveModel, LinearForecaster (direct /
+   * ensemble / exog) and KnnForecaster.queryTails: the copies are
+   * DELIBERATE — each site's completeness filter and carried columns
+   * differ subtly (null-state handling, __cutoff, extra lag columns),
+   * and a shared helper would have to parameterize all of it. Change
+   * one, check all. */
   def predictRecursiveLinear(p: Panel, timeCol: String, fh: Int, freq: String,
                              intercept: Double, weights: Array[Double]): DataFrame = {
     val lags = weights.length

@@ -18,7 +18,15 @@ import org.apache.spark.sql.functions._
 object Metrics {
 
   /** Join y_true/y_pred on (entity ++ time) producing columns
-    * `__a` (actual) and `__p` (pred). */
+    * `__a` (actual) and `__p` (pred).
+    *
+    * LEFT join: truth rows without a prediction survive with a null
+    * `__p`, and the avg/sum-based metrics SKIP them — a forecaster
+    * that covers only a fraction of the requested horizon is scored
+    * on the rows it produced, with no built-in coverage penalty (the
+    * reference's positional sort-zip behaves the same way). When
+    * coverage matters, compare `count(__p IS NULL)` against the truth
+    * row count before trusting a score. */
   def aligned(yTrue: DataFrame, yPred: DataFrame, keys: Seq[String],
               actual: String, pred: String): DataFrame =
     yTrue.withColumn("__a", col(actual).cast("double"))
