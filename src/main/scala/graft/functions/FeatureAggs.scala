@@ -214,8 +214,13 @@ object FeatureAggs {
     // matching the oracle's list() which skips NULLs): Pt has primitive
     // fields, so a null value would otherwise fail the typed encoder's
     // AssertNotNull deep inside the aggregation with no data hint
-    pr.df.filter(p.x.isNotNull)
+    val aggd = pr.df.filter(p.x.isNotNull)
       .groupBy(p.entityCols: _*).agg(agg(col("__i"), p.x).as(out))
+    // an ALL-null entity has no surviving rows — left-join back onto
+    // the distinct entities (streakLengthStats' idiom) so it surfaces
+    // with a null feature like the oracle's row-per-entity GROUP BY,
+    // instead of silently vanishing from the output
+    p.df.select(p.entityCols: _*).distinct().join(aggd, p.entity, "left")
   }
 
   final case class FftOut(real: Seq[Double], imag: Seq[Double], angle: Seq[Double])

@@ -276,6 +276,7 @@ object AutoForecast {
     import org.apache.spark.sql.expressions.Window
     require(nSplits > 0, s"auto_knn needs nSplits > 0 (got $nSplits)")
     val positioned = CrossValidation.withPosition(p).localCheckpoint(true)
+    try {
     val splits = CrossValidation.expandingWindowSplit(p, testSize, nSplits, stepSize,
       Some(positioned))
     // per split: shared ranking → one (k -> pred) map; join each to the
@@ -285,27 +286,33 @@ object AutoForecast {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val perSplit = Await.result(Future.sequence(splits.map { case (train, test) => Future {
-      val preds = KnnForecaster.predictOneStepMultiK(
+    val perSplitR = Await.result(Future.sequence(splits.map { case (train, test) => Future {
+      val (preds, ranked) = KnnForecaster.predictOneStepMultiKReleasable(
         p.copy(df = train), timeCol, freq, lags, kGrid)
       val actual = test
         .withColumn("__h", row_number().over(
           Window.partitionBy(p.entityCols: _*).orderBy(p.orderCols: _*)))
         .select((p.entityCols ++ Seq(col("__h"), p.x.as("__actual"))): _*)
-      kGrid.map { k =>
+      (kGrid.map { k =>
         val pred = preds(k)
           .withColumn("__h", row_number().over(
             Window.partitionBy(p.entityCols: _*).orderBy(col(timeCol))))
           .select((p.entityCols :+ col("__h") :+ col(p.value).as("__pred")): _*)
         k -> actual.join(pred, p.entity :+ "__h", "inner")
           .select((p.entityCols :+ col("__actual").as("actual") :+ col("__pred").as("pred")): _*)
-      }.toMap
+      }.toMap, ranked)
     } }), Duration.Inf)
-    val scored = kGrid.map { k =>
-      val bt = perSplit.map(_(k)).reduce(_ unionByName _)
-      k -> meanScore(backtestScore(bt, p.entity), s"autoKnn(k=$k)")
-    }
-    scored.minBy(_._2)
+    try {
+      val scored = kGrid.map { k =>
+        val bt = perSplitR.map(_._1(k)).reduce(_ unionByName _)
+        k -> meanScore(backtestScore(bt, p.entity), s"autoKnn(k=$k)")
+      }
+      scored.minBy(_._2)
+    // the per-split ranking checkpoints are consumed by the scored
+    // collects above — release them (and the positioned frame, outer
+    // finally) instead of pinning storage until GC
+    } finally perSplitR.foreach(_._2.unpersist(blocking = false))
+    } finally positioned.unpersist(blocking = false)
   }
 
   /** auto_lightgbm (automl.py:191-229): lag sweep over expanding-window

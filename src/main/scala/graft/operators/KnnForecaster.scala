@@ -43,10 +43,22 @@ object KnnForecaster {
     * the generic per-candidate path would re-scan the corpus per k. */
   def predictOneStepMultiK(p: Panel, timeCol: String, freq: String, lags: Int,
                            ks: Seq[Int]): Map[Int, DataFrame] = {
+    val (preds, _) = predictOneStepMultiKReleasable(p, timeCol, freq, lags, ks)
+    preds
+  }
+
+  /** [[predictOneStepMultiK]] plus the shared ranking checkpoint it
+    * pins, so sweep callers (auto_knn) can unpersist it once every
+    * k's result is consumed — checkpoint blocks otherwise linger
+    * until GC, against the repo's cache-release discipline. */
+  def predictOneStepMultiKReleasable(p: Panel, timeCol: String, freq: String,
+                                     lags: Int, ks: Seq[Int])
+      : (Map[Int, DataFrame], DataFrame) = {
     require(ks.nonEmpty, "predictOneStepMultiK needs at least one k")
     val (ranked0, qMeta) = neighborRanking(p, timeCol, lags, kHeap = ks.max)
     val ranked = ranked0.localCheckpoint(true)
-    ks.map(k => k -> finishOneStep(p, timeCol, freq, ranked, qMeta, k)).toMap
+    (ks.map(k => k -> finishOneStep(p, timeCol, freq, ranked, qMeta, k)).toMap,
+      ranked)
   }
 
   /** Rank cut + per-query mean + meta join shared by the one-step

@@ -29,7 +29,14 @@ object ModelIO {
   private def hadoopConf =
     org.apache.spark.sql.SparkSession.getActiveSession
       .map(_.sparkContext.hadoopConfiguration)
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
+      // a bare `new Configuration()` would silently drop every
+      // spark.hadoop.* setting (credentials, endpoints, default FS)
+      // and resolve schemes against defaults — fail loud instead
+      .getOrElse(throw new IllegalStateException(
+        "ModelIO needs an active SparkSession: filesystem schemes and " +
+          "credentials resolve through its hadoopConfiguration " +
+          "(spark.hadoop.*); a default Configuration could read/write " +
+          "the wrong filesystem"))
 
   private def writeJson(node: ObjectNode, path: String): Unit = {
     val hp = new org.apache.hadoop.fs.Path(path)
