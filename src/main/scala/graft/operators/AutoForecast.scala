@@ -26,7 +26,7 @@ object AutoForecast {
     * reference's own smape (metrics/point.py:139-141) — kept verbatim
     * for parity even though mostly-negative series can score
     * counterintuitively. */
-  private def backtestScore(bt: DataFrame, entity: Seq[String]): DataFrame =
+  private[operators] def backtestScore(bt: DataFrame, entity: Seq[String]): DataFrame =
     bt.groupBy(entity.map(col): _*)
       .agg(try_divide(sum(abs(col("pred") - col("actual"))), sum(col("pred") + col("actual")))
         .as("smape"))

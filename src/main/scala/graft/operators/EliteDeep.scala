@@ -1,0 +1,194 @@
+package graft.operators
+
+import graft.core.Panel
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Elite ensemble at reference depth — elite.py:80-164 (the ~30-model
+  * base zoo), :269-286 (per-entity top-k selection), :303-308 and
+  * :356-374 (ensemble strategies incl. the lasso stacker and the
+  * naive random-walk fallback).
+  *
+  * [[AutoForecast.elite]] keeps the proven 4-model orchestration
+  * shape; this widens the zoo by COMPOSING existing machinery — the
+  * prefix-shared linear/ridge backtests, the generic slice backtest
+  * with per-split [[ForecastPipeline]] transform refits, the cyclic-CD
+  * lasso — exactly as the reference composes target_transform-wrapped
+  * sklearn regressors. Two stacking strategies:
+  *
+  *  - `mean` (elite.py:356-364): per-entity top-k models' full-data
+  *    predictions averaged per (entity, time).
+  *  - `lasso` (elite.py:303-308): a GLOBAL lasso (cyclic CD on
+  *    one-pass moments — our LassoLarsIC analog, α fixed instead of
+  *    IC-selected) fit on the rank-pivoted CV predictions
+  *    (X_stack, _get_X_stack:176-215) against the actuals, applied to
+  *    the rank-pivoted full-data predictions, with the reference's
+  *    random-walk fallback: entities whose rank-1 model is naive get
+  *    the pure naive forecast (:365-374).
+  *
+  * Scale design: every member backtest/full fit is an independent
+  * distributed job over ONE shared positioned lag frame (linear
+  * family) or the cached panel (pipeline family), overlapped as
+  * futures; ranking/pivot/blend are entity-keyed joins + window
+  * ranks + one conditional-aggregation pivot — no driver loop over
+  * entities, and the only collected state is the k+1-dimensional
+  * stack moments.
+  */
+object EliteDeep {
+
+  /** A zoo member: backtest frame (entity…, timeCol, split, actual,
+    * pred) and full-data prediction frame (entity…, timeCol, value). */
+  final case class Member(name: String,
+                          backtest: () => DataFrame,
+                          full: () => DataFrame)
+
+  /** The composed zoo over one cached panel + one shared positioned
+    * `maxLinLags`-lag frame. Lag-grid/regularization/transform
+    * variants mirror elite.py:80-164's families. */
+  private def zoo(cached: Panel, sharedLag: DataFrame, timeCol: String,
+                  freq: String, sp: Int, fh: Int, testSize: Int, nSplits: Int,
+                  stepSize: Int, cdSweeps: Int): Seq[Member] = {
+    val p = cached
+    def fitLinearShared(lags: Int, ridge: Double = 0.0): LinearForecasterModel = {
+      val featureCols = (1 to lags).map(l => s"${p.value}__lag_$l")
+      val (b0, w) = graft.functions.Ols.fit(
+        sharedLag.filter(col("__rn") > lags), featureCols, p.value, ridge)
+      LinearForecasterModel(b0, w, lags, freq)
+    }
+    def linearMember(name: String, lags: Int, ridge: Double = 0.0) = Member(name,
+      () => AutoForecast.backtestLinearPrefix(p, timeCol, lags, testSize, nSplits,
+        stepSize, ridge, preAssembled = Some(sharedLag)),
+      () => fitLinearShared(lags, ridge).predict(p, timeCol, fh))
+    // L1/elastic-net members refit the CD solver per train slice (the
+    // generic backtest), like the reference refits ElasticNet per split
+    def cdMember(name: String, lags: Int, alpha: Double, l1Ratio: Double,
+                 sweeps: Int) = Member(name,
+      () => Conformal.backtest(p, timeCol, testSize, nSplits, stepSize,
+        (tr, h) => LinearForecaster.fit(tr, lags, freq, alpha, l1Ratio, sweeps)
+          .predict(tr, timeCol, h)),
+      () => LinearForecaster.fit(p, lags, freq, alpha, l1Ratio, sweeps)
+        .predict(p, timeCol, fh))
+    Seq(
+      Member("naive",
+        () => AutoForecast.backtestNaivePrefix(p, timeCol, 1, testSize, nSplits,
+          stepSize, prePositioned = Some(sharedLag)),
+        () => Forecasters.naive(p, timeCol, fh, freq)),
+      Member("snaive",
+        () => AutoForecast.backtestNaivePrefix(p, timeCol, sp, testSize, nSplits,
+          stepSize, prePositioned = Some(sharedLag)),
+        () => Forecasters.snaive(p, timeCol, fh, sp, freq)),
+      linearMember("linear_7", 7),
+      linearMember("linear_14", 14),
+      // ridge at lags {3, 7}: model diversity at bounded oracle cost —
+      // every extra lag deepens the per-split Cholesky chains, and the
+      // DuckDB binder caps ~1000 chained CTEs per WITH (SKILL.md), so
+      // the zoo trades lag depth for family breadth
+      linearMember("ridge_3", 3, ridge = 0.1),
+      linearMember("ridge_7", 7, ridge = 0.1),
+      cdMember("lasso_7", 7, alpha = 0.1, l1Ratio = 1.0, sweeps = cdSweeps),
+      cdMember("elastic_net_7", 7, alpha = 0.1, l1Ratio = 0.5, sweeps = cdSweeps))
+  }
+
+  /** Run the deep elite. `strategy` ∈ {"mean", "lasso"}. Returns
+    * (entity…, timeCol, value). */
+  def run(p: Panel, timeCol: String, freq: String, fh: Int, topK: Int,
+          strategy: String = "mean", testSize: Int = 5, nSplits: Int = 2,
+          stepSize: Int = 5, sp: Int = 7, cdSweeps: Int = 8,
+          stackAlpha: Double = 0.01, stackSweeps: Int = 15): DataFrame = {
+    require(strategy == "mean" || strategy == "lasso",
+      s"eliteDeep strategy must be 'mean' or 'lasso' (got '$strategy')")
+    val cached = p.copy(df = p.df.cache())
+    val maxLinLags = 14
+    val sharedLag = CrossValidation
+      .withPosition(cached.copy(df = Preprocess.lagKeepAll(cached, 1 to maxLinLags)))
+      .cache()
+    try {
+      val members = zoo(cached, sharedLag, timeCol, freq, sp, fh,
+        testSize, nSplits, stepSize, cdSweeps)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      // member backtests and full-data predictions are independent
+      // distributed jobs — overlap them all (the elite pattern)
+      val btF = Future.sequence(members.map { m => Future {
+        m.name -> m.backtest().withColumn("model", lit(m.name))
+      } })
+      val predsF = Future.sequence(members.map { m => Future {
+        m.full().withColumn("model", lit(m.name))
+      } })
+      val bts = Await.result(btF, Duration.Inf)
+      val scores = bts.map { case (name, bt) =>
+        AutoForecast.backtestScore(bt, p.entity).withColumn("model", lit(name))
+      }.reduce(_ unionByName _)
+      // deterministic per-entity rank: smape asc nulls last, model name
+      // as tie-break (constant series backtest identically everywhere)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(p.entityCols: _*)
+        .orderBy(col("smape").asc_nulls_last, col("model"))
+      val ranked = scores.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= topK)
+        .select((p.entityCols ++ Seq(col("model"), col("__rk"))): _*)
+      val preds = Await.result(predsF, Duration.Inf).reduce(_ unionByName _)
+      val out = strategy match {
+        case "mean" =>
+          // top-k participation blend (the proven fc_elite semantic:
+          // average over the entity's PRESENT top-k predictions)
+          preds.join(ranked.drop("__rk"), p.entity :+ "model")
+            .groupBy((p.entityCols :+ col(timeCol)): _*)
+            .agg(avg(col(p.value)).as(p.value))
+        case "lasso" =>
+          stackLasso(cached, timeCol, bts.map(_._2), preds, ranked, topK,
+            stackAlpha, stackSweeps)
+      }
+      // eager materialization (entities × fh rows) so the caches can
+      // be released here rather than leaking past the call
+      out.localCheckpoint(eager = true)
+    } finally {
+      sharedLag.unpersist(blocking = false)
+      cached.df.unpersist(blocking = false)
+    }
+  }
+
+  /** The lasso stacker: rank-pivot the CV predictions into
+    * f_1..f_topK columns per (entity, split, time) — split stays a
+    * key so overlapping test windows never collapse — fit the global
+    * CD lasso against the actuals on rows where ALL ranks predicted,
+    * score the rank-pivoted full predictions, and apply the naive
+    * fallback for entities whose rank-1 model is naive. */
+  private def stackLasso(p: Panel, timeCol: String, bts: Seq[DataFrame],
+                         preds: DataFrame, ranked: DataFrame, topK: Int,
+                         alpha: Double, sweeps: Int): DataFrame = {
+    val feats = (1 to topK).map(i => s"f_$i")
+    val btAll = bts.reduce(_ unionByName _)
+    def pivot(df: DataFrame, valueCol: String, keys: Seq[String]): DataFrame =
+      df.join(ranked, p.entity :+ "model")
+        .groupBy(keys.map(col): _*)
+        .agg(max(when(col("__rk") === 1, col(valueCol))).as("f_1"),
+          (2 to topK).map(i =>
+            max(when(col("__rk") === i, col(valueCol))).as(s"f_$i")): _*)
+    val trainKeys = p.entity ++ Seq("split", timeCol)
+    val stackTrain = pivot(btAll, "pred", trainKeys)
+      // the actual is identical across members at a (entity, split,
+      // time) — re-attach it from any one backtest row
+      .join(btAll.groupBy(trainKeys.map(col): _*).agg(max(col("actual")).as("__y")),
+        trainKeys)
+      .na.drop(feats)
+    val (b0, ws) = graft.functions.Ols.elasticNetCD(stackTrain, feats, "__y",
+      alpha = alpha, l1Ratio = 1.0, sweeps = sweeps)
+    val stackFull = pivot(preds, p.value, p.entity :+ timeCol).na.drop(feats)
+    // (b0 + w1·f1 + w2·f2 + …) — the oracle's left-fold order
+    val yhat = ws.zipWithIndex.foldLeft(lit(b0)) { case (acc, (wi, i)) =>
+      acc + lit(wi) * col(s"f_${i + 1}")
+    }
+    val stacked = stackFull
+      .select((p.entityCols ++ Seq(col(timeCol), yhat.as(p.value))): _*)
+    // elite.py:365-374: entities whose best CV model is the naive
+    // random walk get the pure naive forecast, not the stack
+    val rw = ranked.filter(col("__rk") === 1 && col("model") === "naive")
+      .select(p.entityCols: _*)
+    val naivePreds = preds.filter(col("model") === "naive")
+      .select((p.entityCols ++ Seq(col(timeCol), col(p.value))): _*)
+    naivePreds.join(rw, p.entity, "leftsemi")
+      .unionByName(stacked.join(rw, p.entity, "leftanti"))
+  }
+}

@@ -1153,6 +1153,89 @@ object ConformalQueries {
       r6(AutoForecast.elite(ev(s, dir), "ts", "1d", fh = 3, topK = 2, nSplits = 2))
     },
 
+    // elite at reference DEPTH (elite.py:80-164): an 8-model zoo —
+    // naive, snaive, linear/ridge × {7,14} lags, CD lasso and
+    // elastic-net — each backtest and full fit replicated in SQL
+    // (Cholesky chains for the closed forms, the unrolled 15-sweep CD
+    // for the L1 family), per-entity SMAPE rank over all 8, top-4
+    // participation blend
+    "fc_elite_deep" -> Q({
+      // testSize=5 / cdSweeps=8 / ridge at lags {3,7}: keeps the total
+      // chained-CTE count (~830) under DuckDB's ~1000 binder depth cap
+      // — shrink per-member work, never the structure (SKILL.md)
+      val btLin = Seq(("lin7", 7, 0.0), ("lin14", 14, 0.0),
+        ("rdg3", 3, 0.1), ("rdg7", 7, 0.1)).map { case (t, l, r) =>
+        OlsBacktestSql.backtestLinear(t, l, testSize = 5, nSplits = 2,
+          stepSize = 5, ridge = r)
+      }
+      val btCd = Seq(("las7", 1.0), ("ene7", 0.5)).map { case (t, l1) =>
+        OlsBacktestSql.backtestElasticNet(t, 7, testSize = 5, nSplits = 2,
+          stepSize = 5, alpha = 0.1, l1Ratio = l1, sweeps = 8)
+      }
+      val btNv = Seq("nv" -> 1, "snv" -> 7).map { case (t, sp) =>
+        OlsBacktestSql.backtestNaive(t, sp, testSize = 5, nSplits = 2, stepSize = 5)
+      }
+      val tags = Seq("nv" -> "naive", "snv" -> "snaive",
+        "lin7" -> "linear_7", "lin14" -> "linear_14",
+        "rdg3" -> "ridge_3", "rdg7" -> "ridge_7",
+        "las7" -> "lasso_7", "ene7" -> "elastic_net_7")
+      val scs = tags.map(t => OlsBacktestSql.entityScore(t._1))
+      val allsc = tags.map { case (t, n) =>
+        s"SELECT user_id, smape, '$n' AS model FROM sc_$t"
+      }.mkString(" UNION ALL ")
+      val fulls = Seq(
+        OlsBacktestSql.fullLinear("f7", 7, fh = 3),
+        OlsBacktestSql.fullLinear("f14", 14, fh = 3),
+        OlsBacktestSql.fullLinear("fr3", 3, fh = 3, ridge = 0.1),
+        OlsBacktestSql.fullLinear("fr7", 7, fh = 3, ridge = 0.1),
+        OlsBacktestSql.fullElasticNet("fl7", 7, fh = 3, alpha = 0.1,
+          l1Ratio = 1.0, sweeps = 8),
+        OlsBacktestSql.fullElasticNet("fe7", 7, fh = 3, alpha = 0.1,
+          l1Ratio = 0.5, sweeps = 8))
+      def linPred(tag: String, name: String) =
+        s"""SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                   CASE h WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END AS value,
+                   '$name' AS model
+            FROM fp_$tag CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)"""
+      s"""WITH ${OlsBacktestSql.lagdCte(14)},
+          ${btLin.mkString(", ")},
+          ${btCd.mkString(", ")},
+          ${btNv.mkString(", ")},
+          ${scs.mkString(", ")},
+          allsc AS ($allsc),
+          winners AS (SELECT user_id, model FROM (
+              SELECT user_id, model, row_number() OVER (PARTITION BY user_id
+                       ORDER BY smape ASC NULLS LAST, model) AS rk
+              FROM allsc) WHERE rk <= 4),
+          ${fulls.mkString(", ")},
+          state AS (SELECT user_id, arg_max(value, ts) AS lastv, max(ts) AS cutoff
+                    FROM events GROUP BY user_id),
+          sntail AS (SELECT user_id, list(value ORDER BY ts) AS tail7, max(ts) AS cutoff
+                     FROM (SELECT user_id, ts, value, row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) AS rnd FROM events)
+                     WHERE rnd <= 7 GROUP BY user_id),
+          preds AS (
+            SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                   lastv AS value, 'naive' AS model
+            FROM state CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)
+            UNION ALL
+            SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                   tail7[((h - 1) % len(tail7)) + 1] AS value, 'snaive' AS model
+            FROM sntail CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)
+            UNION ALL ${linPred("f7", "linear_7")}
+            UNION ALL ${linPred("f14", "linear_14")}
+            UNION ALL ${linPred("fr3", "ridge_3")}
+            UNION ALL ${linPred("fr7", "ridge_7")}
+            UNION ALL ${linPred("fl7", "lasso_7")}
+            UNION ALL ${linPred("fe7", "elastic_net_7")})
+          SELECT p.user_id, p.ts, round(avg(p.value), 6) AS value
+          FROM preds p JOIN winners w ON p.user_id = w.user_id AND p.model = w.model
+          GROUP BY p.user_id, p.ts"""
+    }) { (s, dir) =>
+      r6(EliteDeep.run(ev(s, dir), "ts", "1d", fh = 3, topK = 4,
+        strategy = "mean", testSize = 5, nSplits = 2, cdSweeps = 8))
+    },
+
     // IVF ANN forecaster (the reference's Lance IVF regressor analog,
     // forecasting/lance.py): portable md5-ordered centroid row sample,
     // per-row argmin cell assignment, within-cell L2 top-5, mean label
