@@ -1236,6 +1236,119 @@ object ConformalQueries {
         strategy = "mean", testSize = 5, nSplits = 2, cdSweeps = 8))
     },
 
+    // elite with the LASSO STACKER (elite.py:303-308,356-374): same
+    // 8-model zoo and top-4 ranking, but the blend is a global CD
+    // lasso (our LassoLarsIC analog, fixed α) fit on the rank-pivoted
+    // CV predictions against the actuals, applied to the rank-pivoted
+    // full predictions — plus the reference's random-walk fallback
+    // (entities whose rank-1 model is naive get the pure naive
+    // forecast). The entire stack — pivot, k+1-dim moments, unrolled
+    // CD solve, fallback routing — is replicated in SQL.
+    "fc_elite_stack" -> Q({
+      val btLin = Seq(("lin7", 7, 0.0), ("lin14", 14, 0.0),
+        ("rdg3", 3, 0.1), ("rdg7", 7, 0.1)).map { case (t, l, r) =>
+        OlsBacktestSql.backtestLinear(t, l, testSize = 5, nSplits = 2,
+          stepSize = 5, ridge = r)
+      }
+      val btCd = Seq(("las7", 1.0), ("ene7", 0.5)).map { case (t, l1) =>
+        OlsBacktestSql.backtestElasticNet(t, 7, testSize = 5, nSplits = 2,
+          stepSize = 5, alpha = 0.1, l1Ratio = l1, sweeps = 8)
+      }
+      val btNv = Seq("nv" -> 1, "snv" -> 7).map { case (t, sp) =>
+        OlsBacktestSql.backtestNaive(t, sp, testSize = 5, nSplits = 2, stepSize = 5)
+      }
+      val tags = Seq("nv" -> "naive", "snv" -> "snaive",
+        "lin7" -> "linear_7", "lin14" -> "linear_14",
+        "rdg3" -> "ridge_3", "rdg7" -> "ridge_7",
+        "las7" -> "lasso_7", "ene7" -> "elastic_net_7")
+      val scs = tags.map(t => OlsBacktestSql.entityScore(t._1))
+      val allsc = tags.map { case (t, n) =>
+        s"SELECT user_id, smape, '$n' AS model FROM sc_$t"
+      }.mkString(" UNION ALL ")
+      val btall = tags.map { case (t, n) =>
+        s"SELECT user_id, h, split, actual, pred, '$n' AS model FROM bt_$t"
+      }.mkString(" UNION ALL ")
+      val fulls = Seq(
+        OlsBacktestSql.fullLinear("f7", 7, fh = 3),
+        OlsBacktestSql.fullLinear("f14", 14, fh = 3),
+        OlsBacktestSql.fullLinear("fr3", 3, fh = 3, ridge = 0.1),
+        OlsBacktestSql.fullLinear("fr7", 7, fh = 3, ridge = 0.1),
+        OlsBacktestSql.fullElasticNet("fl7", 7, fh = 3, alpha = 0.1,
+          l1Ratio = 1.0, sweeps = 8),
+        OlsBacktestSql.fullElasticNet("fe7", 7, fh = 3, alpha = 0.1,
+          l1Ratio = 0.5, sweeps = 8))
+      def linPred(tag: String, name: String) =
+        s"""SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                   CASE h WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END AS value,
+                   '$name' AS model
+            FROM fp_$tag CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)"""
+      val k = 4
+      val fks = (1 to k).map(i => s"f_$i")
+      val pivotBt = (1 to k)
+        .map(i => s"max(CASE rk WHEN $i THEN pred END) AS f_$i").mkString(", ")
+      val pivotFull = (1 to k)
+        .map(i => s"max(CASE rk WHEN $i THEN value END) AS f_$i").mkString(", ")
+      val nnAll = fks.map(f => s"$f IS NOT NULL").mkString(" AND ")
+      val yhat = "a_0" +: (1 to k).map(i => s"a_$i * f_$i")
+      s"""WITH ${OlsBacktestSql.lagdCte(14)},
+          ${btLin.mkString(", ")},
+          ${btCd.mkString(", ")},
+          ${btNv.mkString(", ")},
+          ${scs.mkString(", ")},
+          allsc AS ($allsc),
+          winnersrk AS (SELECT user_id, model, rk FROM (
+              SELECT user_id, model, row_number() OVER (PARTITION BY user_id
+                       ORDER BY smape ASC NULLS LAST, model) AS rk
+              FROM allsc) WHERE rk <= $k),
+          ${fulls.mkString(", ")},
+          state AS (SELECT user_id, arg_max(value, ts) AS lastv, max(ts) AS cutoff
+                    FROM events GROUP BY user_id),
+          sntail AS (SELECT user_id, list(value ORDER BY ts) AS tail7, max(ts) AS cutoff
+                     FROM (SELECT user_id, ts, value, row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) AS rnd FROM events)
+                     WHERE rnd <= 7 GROUP BY user_id),
+          preds AS (
+            SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                   lastv AS value, 'naive' AS model
+            FROM state CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)
+            UNION ALL
+            SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                   tail7[((h - 1) % len(tail7)) + 1] AS value, 'snaive' AS model
+            FROM sntail CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)
+            UNION ALL ${linPred("f7", "linear_7")}
+            UNION ALL ${linPred("f14", "linear_14")}
+            UNION ALL ${linPred("fr3", "ridge_3")}
+            UNION ALL ${linPred("fr7", "ridge_7")}
+            UNION ALL ${linPred("fl7", "lasso_7")}
+            UNION ALL ${linPred("fe7", "elastic_net_7")}),
+          btall AS ($btall),
+          stackp AS (SELECT b.user_id, b.split, b.h, $pivotBt, max(b.actual) AS yy
+                     FROM btall b JOIN winnersrk w
+                       ON b.user_id = w.user_id AND b.model = w.model
+                     GROUP BY b.user_id, b.split, b.h),
+          stackt AS (SELECT * FROM stackp WHERE $nnAll),
+          smom AS (SELECT ${Q.olsMomentsSql("1.0" +: fks, "yy")} FROM stackt),
+          ${Q.cdSolveSql(k, 0.01, 1.0, 10, "smom", "scd")},
+          ssol AS (SELECT * FROM ${Q.cdSolveLast(k, 10, "scd")}),
+          fullp AS (SELECT p.user_id, p.ts, $pivotFull
+                    FROM preds p JOIN winnersrk w
+                      ON p.user_id = w.user_id AND p.model = w.model
+                    GROUP BY p.user_id, p.ts),
+          stacked AS (SELECT user_id, ts, ${yhat.mkString("(", " + ", ")")} AS value
+                      FROM (SELECT * FROM fullp WHERE $nnAll) CROSS JOIN ssol),
+          rw AS (SELECT user_id FROM winnersrk WHERE rk = 1 AND model = 'naive')
+          SELECT user_id, ts, round(value, 6) AS value FROM (
+            SELECT p.user_id, p.ts, p.value FROM preds p
+            WHERE p.model = 'naive' AND p.user_id IN (SELECT user_id FROM rw)
+            UNION ALL
+            SELECT s.user_id, s.ts, s.value FROM stacked s
+            WHERE s.user_id NOT IN (SELECT user_id FROM rw))"""
+    }) { (s, dir) =>
+      r6(EliteDeep.run(ev(s, dir), "ts", "1d", fh = 3, topK = 4,
+        strategy = "lasso", testSize = 5, nSplits = 2, cdSweeps = 8,
+        stackAlpha = 0.01, stackSweeps = 10))
+    },
+
     // IVF ANN forecaster (the reference's Lance IVF regressor analog,
     // forecasting/lance.py): portable md5-ordered centroid row sample,
     // per-row argmin cell assignment, within-cell L2 top-5, mean label
