@@ -68,6 +68,16 @@ object EliteDeep {
           .predict(tr, timeCol, h)),
       () => LinearForecaster.fit(p, lags, freq, alpha, l1Ratio, sweeps)
         .predict(p, timeCol, fh))
+    // target-transform members refit the WHOLE pipeline (transform
+    // params included) per train slice, like the reference refits
+    // target_transform-wrapped regressors per split
+    def pipeMember(name: String, steps: Seq[ForecastPipeline.Step], lags: Int,
+                   alpha: Double = 0.0, l1Ratio: Double = 0.0) = Member(name,
+      () => Conformal.backtest(p, timeCol, testSize, nSplits, stepSize,
+        (tr, h) => ForecastPipeline.fit(tr, timeCol, steps,
+          ForecastPipeline.linear(lags, freq, alpha, l1Ratio)).predict(timeCol, h)),
+      () => ForecastPipeline.fit(p, timeCol, steps,
+        ForecastPipeline.linear(lags, freq, alpha, l1Ratio)).predict(timeCol, fh))
     Seq(
       Member("naive",
         () => AutoForecast.backtestNaivePrefix(p, timeCol, 1, testSize, nSplits,
@@ -86,15 +96,26 @@ object EliteDeep {
       linearMember("ridge_3", 3, ridge = 0.1),
       linearMember("ridge_7", 7, ridge = 0.1),
       cdMember("lasso_7", 7, alpha = 0.1, l1Ratio = 1.0, sweeps = cdSweeps),
-      cdMember("elastic_net_7", 7, alpha = 0.1, l1Ratio = 0.5, sweeps = cdSweeps))
+      cdMember("elastic_net_7", 7, alpha = 0.1, l1Ratio = 0.5, sweeps = cdSweeps),
+      // elite.py:97-109 ("AR models with local scaling" / "first
+      // differences") and :148-157 ("linear detrended")
+      pipeMember("linear_scaled_7", Seq(ForecastPipeline.scaleStep()), 7),
+      pipeMember("linear_diff_7", Seq(ForecastPipeline.diffStep()), 7),
+      pipeMember("linear_detrend_7", Seq(ForecastPipeline.detrendLinearStep), 7))
   }
 
   /** Run the deep elite. `strategy` ∈ {"mean", "lasso"}. Returns
     * (entity…, timeCol, value). */
+  /** Every zoo member name, in registry order. */
+  val allModels: Seq[String] = Seq("naive", "snaive", "linear_7", "linear_14",
+    "ridge_3", "ridge_7", "lasso_7", "elastic_net_7",
+    "linear_scaled_7", "linear_diff_7", "linear_detrend_7")
+
   def run(p: Panel, timeCol: String, freq: String, fh: Int, topK: Int,
           strategy: String = "mean", testSize: Int = 5, nSplits: Int = 2,
           stepSize: Int = 5, sp: Int = 7, cdSweeps: Int = 8,
-          stackAlpha: Double = 0.01, stackSweeps: Int = 15): DataFrame = {
+          stackAlpha: Double = 0.01, stackSweeps: Int = 15,
+          models: Seq[String] = allModels): DataFrame = {
     require(strategy == "mean" || strategy == "lasso",
       s"eliteDeep strategy must be 'mean' or 'lasso' (got '$strategy')")
     val cached = p.copy(df = p.df.cache())
@@ -103,8 +124,11 @@ object EliteDeep {
       .withPosition(cached.copy(df = Preprocess.lagKeepAll(cached, 1 to maxLinLags)))
       .cache()
     try {
-      val members = zoo(cached, sharedLag, timeCol, freq, sp, fh,
+      val all = zoo(cached, sharedLag, timeCol, freq, sp, fh,
         testSize, nSplits, stepSize, cdSweeps)
+      val unknown = models.filterNot(all.map(_.name).contains)
+      require(unknown.isEmpty, s"unknown eliteDeep models: ${unknown.mkString(", ")}")
+      val members = all.filter(m => models.contains(m.name))
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global

@@ -51,6 +51,47 @@ object ForecastPipeline {
     FittedStep(p.copy(df = Preprocess.log1pTransform(p)),
       pred => Preprocess.log1pInvert(pred, p.value))
 
+  /** Per-entity linear-detrend step (preprocessing.py:772, the elite
+    * zoo's `detrend(method="linear")` target transform). The invert
+    * must extrapolate the fitted trend to FUTURE rows: prediction h
+    * (1-based in time order) sits at 0-based index n − 1 + h of the
+    * entity's arange, so the artifact carries the training length n
+    * alongside (β, α).
+    *
+    * β/α come from exact DECIMAL moment sums (the p_detrend_linear
+    * fixture's formula, β = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²)): decimal sums
+    * are associative, so the coefficients are bit-identical across
+    * partition orders AND engines — covar_samp's double partial sums
+    * are not, and a backtest member's rank must not wobble with the
+    * merge order. Same estimator, deterministic arithmetic. */
+  def detrendLinearStep: Step = (p, timeCol) => {
+    val d = p.df
+      .withColumn("__i", (row_number().over(p.w) - lit(1)).cast("double"))
+      .withColumn("__vd", p.x.cast("decimal(28,10)"))
+    val m = d.groupBy(p.entityCols: _*).agg(
+      count(lit(1)).cast("double").as("__nn"),
+      sum(col("__vd")).cast("double").as("__sy"),
+      sum(col("__vd") * col("__i").cast("decimal(18,1)")).cast("double").as("__sxy"),
+      sum(col("__i")).as("__sx"),
+      sum(col("__i") * col("__i")).as("__sxx"))
+    val betaE = (col("__nn") * col("__sxy") - col("__sx") * col("__sy")) /
+      (col("__nn") * col("__sxx") - col("__sx") * col("__sx"))
+    val art = m.select((p.entityCols :+ betaE.as("__beta") :+
+      (col("__sy") / col("__nn") - betaE * (col("__sx") / col("__nn"))).as("__alpha") :+
+      col("__nn").as("__n")): _*)
+    val resid = d.join(broadcast(art), p.entity)
+      .withColumn(p.value, p.x - (col("__beta") * col("__i") + col("__alpha")))
+      .drop("__i", "__vd", "__beta", "__alpha", "__n")
+    FittedStep(p.copy(df = resid), pred => {
+      val wh = Window.partitionBy(p.entityCols: _*).orderBy(col(timeCol))
+      pred.withColumn("__h", row_number().over(wh))
+        .join(broadcast(art), p.entity)
+        .withColumn(p.value,
+          p.x + (col("__beta") * (col("__n") - 1 + col("__h")) + col("__alpha")))
+        .drop("__h", "__beta", "__alpha", "__n")
+    })
+  }
+
   /** Seasonal differencing step (preprocessing.py:500-571). The
     * future invert reconstructs levels lane-by-lane: prediction h
     * (1-based in time order) has phase (h−1) mod sp, and its level is

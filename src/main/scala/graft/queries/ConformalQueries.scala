@@ -1349,6 +1349,73 @@ object ConformalQueries {
         stackAlpha = 0.01, stackSweeps = 10))
     },
 
+    // elite's TARGET-TRANSFORM members (elite.py:97-109,148-157):
+    // scaled / first-difference / linear-detrend linear AR models,
+    // each refitting the whole pipeline (transform params included)
+    // per train slice. The oracle rebuilds every per-split transform
+    // as column algebra over the shared raw lagd + a per-(entity,
+    // split) artifact — an affine map commutes with the lag windows —
+    // then ranks all 5 members per entity and blends the top 3.
+    // (Split from fc_elite_deep so each WITH stays under the binder's
+    // ~1000-CTE cap.)
+    "fc_elite_pipe" -> Q({
+      val btLin = OlsBacktestSql.backtestLinear("lin7", 7, testSize = 5,
+        nSplits = 2, stepSize = 5)
+      val btXf = Seq(("scl7", "scale"), ("dif7", "diff"), ("det7", "detrend"))
+        .map { case (t, x) =>
+          OlsBacktestSql.backtestXformLinear(t, 7, testSize = 5, nSplits = 2,
+            stepSize = 5, xformName = x)
+        }
+      val btNv = OlsBacktestSql.backtestNaive("nv", 1, testSize = 5,
+        nSplits = 2, stepSize = 5)
+      val tags = Seq("nv" -> "naive", "lin7" -> "linear_7",
+        "scl7" -> "linear_scaled_7", "dif7" -> "linear_diff_7",
+        "det7" -> "linear_detrend_7")
+      val scs = tags.map(t => OlsBacktestSql.entityScore(t._1))
+      val allsc = tags.map { case (t, n) =>
+        s"SELECT user_id, smape, '$n' AS model FROM sc_$t"
+      }.mkString(" UNION ALL ")
+      val fulls = Seq(
+        OlsBacktestSql.fullLinear("f7", 7, fh = 3),
+        OlsBacktestSql.fullXformLinear("fs7", 7, fh = 3, xformName = "scale"),
+        OlsBacktestSql.fullXformLinear("fd7", 7, fh = 3, xformName = "diff"),
+        OlsBacktestSql.fullXformLinear("ft7", 7, fh = 3, xformName = "detrend"))
+      def linPred(tag: String, name: String) =
+        s"""SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                   CASE h WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END AS value,
+                   '$name' AS model
+            FROM fp_$tag CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)"""
+      s"""WITH ${OlsBacktestSql.lagdCte(14)},
+          $btLin,
+          ${btXf.mkString(", ")},
+          $btNv,
+          ${scs.mkString(", ")},
+          allsc AS ($allsc),
+          winners AS (SELECT user_id, model FROM (
+              SELECT user_id, model, row_number() OVER (PARTITION BY user_id
+                       ORDER BY smape ASC NULLS LAST, model) AS rk
+              FROM allsc) WHERE rk <= 3),
+          ${fulls.mkString(", ")},
+          state AS (SELECT user_id, arg_max(value, ts) AS lastv, max(ts) AS cutoff
+                    FROM events GROUP BY user_id),
+          preds AS (
+            SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                   lastv AS value, 'naive' AS model
+            FROM state CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)
+            UNION ALL ${linPred("f7", "linear_7")}
+            UNION ALL ${linPred("fs7", "linear_scaled_7")}
+            UNION ALL ${linPred("fd7", "linear_diff_7")}
+            UNION ALL ${linPred("ft7", "linear_detrend_7")})
+          SELECT p.user_id, p.ts, round(avg(p.value), 6) AS value
+          FROM preds p JOIN winners w ON p.user_id = w.user_id AND p.model = w.model
+          GROUP BY p.user_id, p.ts"""
+    }) { (s, dir) =>
+      r6(EliteDeep.run(ev(s, dir), "ts", "1d", fh = 3, topK = 3,
+        strategy = "mean", testSize = 5, nSplits = 2,
+        models = Seq("naive", "linear_7", "linear_scaled_7", "linear_diff_7",
+          "linear_detrend_7")))
+    },
+
     // IVF ANN forecaster (the reference's Lance IVF regressor analog,
     // forecasting/lance.py): portable md5-ordered centroid row sample,
     // per-row argmin cell assignment, within-cell L2 top-5, mean label

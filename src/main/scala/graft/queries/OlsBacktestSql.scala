@@ -133,6 +133,175 @@ object OlsBacktestSql {
     (splits :+ s"bt_$tag AS ($union)").mkString(", ")
   }
 
+  /** Target-transform plumbing for the elite pipeline members
+    * ([[graft.operators.ForecastPipeline]] refit per train slice):
+    * everything is column algebra over the SHARED raw `lagd` plus a
+    * per-(entity, split) artifact — a per-entity affine map commutes
+    * with the lag windows, so no per-split lagd rebuild is needed.
+    * For each transform: the artifact CTE over the row prefix, the
+    * transformed feature/target expressions, the transformed tail
+    * state, and the level-space invert of a horizon prediction. */
+  private sealed trait XForm {
+    /** artifact CTE named `art` alias columns; empty string if none */
+    def artCte(t: String, prefixCond: String): Option[String]
+    /** transformed lag-j feature over (lagd row ⋈ art) */
+    def x(j: Int): String
+    /** transformed target */
+    def y: String
+    /** training rows start after this many warmup rows */
+    def warmup(lags: Int): Int
+    /** extra carry columns on the tail (beyond t1..tlags, cutoff) */
+    def tailCarry: Seq[String]
+    /** transformed tail value t_j at the prefix-end row */
+    def tailT(j: Int): String
+    /** extra null-guard for mom/tail rows (ANDed; "TRUE" if none) */
+    def guard: String
+    /** horizon-h prediction p<h> (with tail carries in scope) back in
+      * level space; `pos` is the 0-based arange index of that row */
+    def invert(h: Int, pos: String): String
+  }
+
+  private object ScaleX extends XForm {
+    def artCte(t: String, prefixCond: String) = Some(
+      s"""${t}_art AS (SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sd
+            FROM lagd WHERE $prefixCond GROUP BY user_id)""")
+    def x(j: Int) = s"((f$j - mu) / sd)"
+    def y = "((value - mu) / sd)"
+    def warmup(lags: Int) = lags
+    def tailCarry = Seq("mu", "sd")
+    def tailT(j: Int) = if (j == 1) "((value - mu) / sd)" else s"((f${j - 1} - mu) / sd)"
+    // sd = 0 nulls every transformed row of the entity (Spark
+    // try_divide); drop those rows like Ols.fit's na.drop does
+    def guard = "sd IS NOT NULL AND sd <> 0"
+    def invert(h: Int, pos: String) = s"(p$h * sd + mu)"
+  }
+
+  /** First differences (order 1, sp 1). Needs lagd built with
+    * maxLag ≥ lags + 1 (d_{t−j} = f_j − f_{j+1}). */
+  private object DiffX extends XForm {
+    def artCte(t: String, prefixCond: String) = None
+    def x(j: Int) = s"(f$j - f${j + 1})"
+    def y = "(value - f1)"
+    def warmup(lags: Int) = lags + 1
+    def tailCarry = Seq("value AS anc")
+    def tailT(j: Int) = if (j == 1) "(value - f1)" else s"(f${j - 1} - f$j)"
+    def guard = "TRUE"
+    // anchor + left-assoc cumulative sum — diffStep's lane cumsum
+    def invert(h: Int, pos: String) =
+      s"(anc + ${(1 to h).map(i => s"p$i").mkString("(", " + ", ")")})"
+  }
+
+  /** Per-entity linear detrend with the DECIMAL-exact β/α moments
+    * (the p_detrend_linear fixture's formula — associative sums keep
+    * both engines bit-identical; detrendLinearStep mirrors it). */
+  private object DetrendX extends XForm {
+    def artCte(t: String, prefixCond: String) = Some(
+      s"""${t}_art AS (
+            SELECT user_id, (n*sxy - sx*sy) / (n*sxx - sx*sx) AS beta,
+                   sy/n - (n*sxy - sx*sy) / (n*sxx - sx*sx) * (sx/n) AS alpha
+            FROM (SELECT user_id, count(*)::DOUBLE AS n,
+                         CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+                         CAST(sum(CAST(value AS DECIMAL(28,10))
+                           * CAST((rn - 1)::DOUBLE AS DECIMAL(18,1))) AS DOUBLE) AS sxy,
+                         sum((rn - 1)::DOUBLE) AS sx,
+                         sum((rn - 1)::DOUBLE * (rn - 1)::DOUBLE) AS sxx
+                  FROM lagd WHERE $prefixCond GROUP BY user_id))""")
+    def x(j: Int) = s"(f$j - (beta * ((rn - 1 - $j)::DOUBLE) + alpha))"
+    def y = "(value - (beta * ((rn - 1)::DOUBLE) + alpha))"
+    def warmup(lags: Int) = lags
+    def tailCarry = Seq("beta", "alpha", "(rn - 1)::DOUBLE AS tpos")
+    def tailT(j: Int) =
+      if (j == 1) "(value - (beta * ((rn - 1)::DOUBLE) + alpha))"
+      else s"(f${j - 1} - (beta * ((rn - $j)::DOUBLE) + alpha))"
+    def guard = "beta IS NOT NULL"
+    // trend extrapolated to the prediction's own arange index
+    def invert(h: Int, pos: String) = s"(p$h + (beta * (($pos)::DOUBLE) + alpha))"
+  }
+
+  private def xformOf(name: String): XForm = name match {
+    case "scale"   => ScaleX
+    case "diff"    => DiffX
+    case "detrend" => DetrendX
+    case other     => throw new IllegalArgumentException(s"unknown xform: $other")
+  }
+
+  /** Expanding-window backtest of a target-transformed linear member
+    * (transform refit per split on the row prefix). Emits `bt_<tag>`
+    * with (user_id, h, split, actual, pred) — pred in LEVEL space. */
+  def backtestXformLinear(tag: String, lags: Int, testSize: Int, nSplits: Int,
+                          stepSize: Int, xformName: String,
+                          ridge: Double = 0.0): String = {
+    val xf = xformOf(xformName)
+    val xs = "1.0" +: (1 to lags).map(xf.x)
+    val splits = (0 until nSplits).map { i =>
+      val cutoff = testSize + (nSplits - 1 - i) * stepSize
+      val t = s"${tag}_s$i"
+      val artJoin = xf.artCte(t, s"rn <= cnt - $cutoff")
+        .map(_ => s" JOIN ${t}_art USING (user_id)").getOrElse("")
+      val ts = (1 to lags).map(j => s"${xf.tailT(j)} AS t$j")
+      val longEnough = if (lags == 1) "TRUE" else s"f${lags - 1} IS NOT NULL"
+      val diffGuard = if (xf == DiffX) s" AND f$lags IS NOT NULL" else ""
+      // h = rn − trainEnd, so the row's 0-based arange index is rn − 1
+      val predCases = (1 to testSize)
+        .map(h => s"WHEN $h THEN ${xf.invert(h, "a.rn - 1")}").mkString(" ")
+      s"""${xf.artCte(t, s"rn <= cnt - $cutoff").map(_ + ",").getOrElse("")}
+          ${t}_mom AS (SELECT ${Q.olsMomentsSql(xs, xf.y, ridge)}
+            FROM lagd$artJoin
+            WHERE rn > ${xf.warmup(lags)} AND rn <= cnt - $cutoff AND ${xf.guard}),
+          ${Q.cholSolveSql(lags + 1, s"${t}_mom", s"${t}_ch")},
+          ${t}_tail AS (SELECT user_id, ts AS cutoff,
+              ${(xf.tailCarry ++ ts).mkString(", ")}
+            FROM lagd$artJoin
+            WHERE rn = cnt - $cutoff AND $longEnough$diffGuard AND ${xf.guard}),
+          ${t}_p0 AS (SELECT * FROM ${t}_tail
+            CROSS JOIN ${Q.cholSolveLast(lags + 1, s"${t}_ch")}),
+          ${predStages(s"${t}_", s"${t}_p0", testSize, lags)},
+          ${t}_bt AS (
+            SELECT a.user_id, a.rn - (a.cnt - $cutoff) AS h, $i AS split,
+                   a.value AS actual,
+                   CASE a.rn - (a.cnt - $cutoff) $predCases END AS pred
+            FROM lagd a JOIN ${t}_pred p ON a.user_id = p.user_id
+            WHERE a.rn > a.cnt - $cutoff AND a.rn <= a.cnt - $cutoff + $testSize)"""
+    }
+    val union = (0 until nSplits).map(i => s"SELECT * FROM ${tag}_s${i}_bt")
+      .mkString(" UNION ALL ")
+    (splits :+ s"bt_$tag AS ($union)").mkString(", ")
+  }
+
+  /** Full-data transformed fit + fh-step recursive prediction, emitted
+    * ALREADY inverted to level space: `fp_<tag>` (user_id, cutoff,
+    * p1..p<fh>) — drop-in for the composite queries' linPred. */
+  def fullXformLinear(tag: String, lags: Int, fh: Int, xformName: String,
+                      ridge: Double = 0.0): String = {
+    val xf = xformOf(xformName)
+    val xs = "1.0" +: (1 to lags).map(xf.x)
+    val artJoin = xf.artCte(tag, "TRUE")
+      .map(_ => s" JOIN ${tag}_art USING (user_id)").getOrElse("")
+    val ts = (1 to lags).map(j => s"${xf.tailT(j)} AS t$j")
+    val longEnough = if (lags == 1) "TRUE" else s"f${lags - 1} IS NOT NULL"
+    val diffGuard = if (xf == DiffX) s" AND f$lags IS NOT NULL" else ""
+    // prediction h sits at 0-based arange index n − 1 + h (n = cnt,
+    // carried on the tail row as tpos = n − 1)
+    val lvls = (1 to fh).map(h => s"${xf.invert(h, s"tpos + $h")} AS p$h")
+    val tailCarry =
+      if (xf == DetrendX) xf.tailCarry
+      else xf.tailCarry :+ "(rn - 1)::DOUBLE AS tpos"
+    s"""${xf.artCte(tag, "TRUE").map(_ + ",").getOrElse("")}
+        ${tag}_mom AS (SELECT ${Q.olsMomentsSql(xs, xf.y, ridge)}
+          FROM lagd$artJoin
+          WHERE rn > ${xf.warmup(lags)} AND ${xf.guard}),
+        ${Q.cholSolveSql(lags + 1, s"${tag}_mom", s"${tag}_ch")},
+        ${tag}_tail AS (SELECT user_id, ts AS cutoff,
+            ${(tailCarry ++ ts).mkString(", ")}
+          FROM lagd$artJoin
+          WHERE rn = cnt AND $longEnough$diffGuard AND ${xf.guard}),
+        ${tag}_p0 AS (SELECT * FROM ${tag}_tail
+          CROSS JOIN ${Q.cholSolveLast(lags + 1, s"${tag}_ch")}),
+        ${predStages(s"${tag}_", s"${tag}_p0", fh, lags)},
+        fp_$tag AS (SELECT user_id, cutoff, ${lvls.mkString(", ")}
+          FROM ${tag}_pred)"""
+  }
+
   /** Mean per-entity SMAPE CTE over `bt_<btTag>` — the candidate score
     * of every auto sweep oracle (AutoForecast.backtestScore ∘ avg).
     * Emits `s_<scoreTag>` with the single column `s`. */
