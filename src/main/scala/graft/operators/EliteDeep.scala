@@ -78,6 +78,18 @@ object EliteDeep {
           ForecastPipeline.linear(lags, freq, alpha, l1Ratio)).predict(timeCol, h)),
       () => ForecastPipeline.fit(p, timeCol, steps,
         ForecastPipeline.linear(lags, freq, alpha, l1Ratio)).predict(timeCol, fh))
+    // recursive multi-horizon KNN, optionally behind the z-score
+    // target transform (elite's knn / knn_scaled)
+    def knnFit(lags: Int, k: Int, scaled: Boolean)(tr: Panel, h: Int): DataFrame =
+      if (scaled)
+        ForecastPipeline.fit(tr, timeCol, Seq(ForecastPipeline.scaleStep()),
+          pT => (tc, hh) => KnnForecaster.predictRecursive(pT, tc, freq, lags, k, hh))
+          .predict(timeCol, h)
+      else KnnForecaster.predictRecursive(tr, timeCol, freq, lags, k, h)
+    def knnMember(name: String, k: Int, lags: Int, scaled: Boolean) = Member(name,
+      () => Conformal.backtest(p, timeCol, testSize, nSplits, stepSize,
+        knnFit(lags, k, scaled)),
+      () => knnFit(lags, k, scaled)(p, fh))
     Seq(
       Member("naive",
         () => AutoForecast.backtestNaivePrefix(p, timeCol, 1, testSize, nSplits,
@@ -101,7 +113,10 @@ object EliteDeep {
       // differences") and :148-157 ("linear detrended")
       pipeMember("linear_scaled_7", Seq(ForecastPipeline.scaleStep()), 7),
       pipeMember("linear_diff_7", Seq(ForecastPipeline.diffStep()), 7),
-      pipeMember("linear_detrend_7", Seq(ForecastPipeline.detrendLinearStep), 7))
+      pipeMember("linear_detrend_7", Seq(ForecastPipeline.detrendLinearStep), 7),
+      // elite.py:83-88 "Seasonality" knn members, n_neighbors = lags//2
+      knnMember("knn_3", k = 3, lags = 7, scaled = false),
+      knnMember("knn_scaled_3", k = 3, lags = 7, scaled = true))
   }
 
   /** Run the deep elite. `strategy` ∈ {"mean", "lasso"}. Returns
@@ -109,7 +124,8 @@ object EliteDeep {
   /** Every zoo member name, in registry order. */
   val allModels: Seq[String] = Seq("naive", "snaive", "linear_7", "linear_14",
     "ridge_3", "ridge_7", "lasso_7", "elastic_net_7",
-    "linear_scaled_7", "linear_diff_7", "linear_detrend_7")
+    "linear_scaled_7", "linear_diff_7", "linear_detrend_7",
+    "knn_3", "knn_scaled_3")
 
   def run(p: Panel, timeCol: String, freq: String, fh: Int, topK: Int,
           strategy: String = "mean", testSize: Int = 5, nSplits: Int = 2,

@@ -107,6 +107,16 @@ object KnnForecaster {
           Row.fromSeq(r.toSeq.take(nEntity + 1) :+ i.toLong)
         }.toIndexedSeq, 1),
       StructType(sel.schema.fields.take(nEntity + 1) :+ StructField("__qid", LongType)))
+    (heapPass(spark, reduction, qRows, lags, k), qMeta)
+  }
+
+  /** One bounded-heap distance pass of `qRows` (qid, state[lags])
+    * against the (f1..flags, __label) `reduction`: per-partition
+    * top-k heaps per query, merged into the globally ranked
+    * (__qid, __dist, __label, __nn) frame. */
+  private def heapPass(spark: org.apache.spark.sql.SparkSession,
+                       reduction: DataFrame, qRows: Array[(Long, Array[Double])],
+                       lags: Int, k: Int): DataFrame = {
     val bq = spark.sparkContext.broadcast(qRows)
     // per-partition bounded heaps: local top-k per query
     val partials = reduction.rdd.mapPartitions { it =>
@@ -138,9 +148,70 @@ object KnnForecaster {
       StructField("__qid", LongType), StructField("__dist", DoubleType),
       StructField("__label", DoubleType))))
     // global rank merge per query (tiny: partitions × entities × k rows)
-    val ranked = partialDf
+    partialDf
       .withColumn("__nn", row_number().over(Window.partitionBy("__qid").orderBy(col("__dist"))))
-    (ranked, qMeta)
+  }
+
+  /** RECURSIVE multi-horizon KNN — the reference's knn predicts any
+    * fh by rolling the state forward (forecasting/knn.py:22 via
+    * base/forecaster recursion): horizon h's query vector is
+    * (ŷ_{h−1}, …) — one bounded-heap distance pass of the cached
+    * reduction per step, with the per-entity means (one double per
+    * entity per step) mediated through the driver like the rest of
+    * the broadcast-KNN path. fh sequential passes over ONE cached
+    * reduction; the per-step collected state is O(entities).
+    * [[predictOneStep]] stays the fh=1 fast path. */
+  def predictRecursive(p: Panel, timeCol: String, freq: String, lags: Int,
+                       k: Int, fh: Int): DataFrame = {
+    val spark = p.df.sparkSession
+    val featureCols = (1 to lags).map(l => s"${p.value}__lag_$l").toArray
+    val reduction = Forecasters.makeReduction(p, lags).na.drop(featureCols :+ p.value)
+      .select((featureCols.map(c => col(c).cast("double")).toIndexedSeq :+
+        col(p.value).cast("double").as("__label")): _*)
+      .cache()
+    try {
+      require(reduction.limit(1).count() > 0,
+        s"knn recursive predict has no complete training rows (lags=$lags)")
+      val nEntity = p.entityCols.length
+      val tails = queryTails(p, timeCol, lags)
+      val keep = p.entityCols ++ (col("__cutoff") +:
+        (1 to lags).map(l => col(s"${p.value}__lag_$l").cast("double")))
+      val sel = tails.select(keep: _*)
+      val collected = sel.collect()
+      var states = collected.map(r =>
+        Array.tabulate(lags)(j => r.getDouble(nEntity + 1 + j)))
+      val preds = Array.ofDim[Double](fh, collected.length)
+      (1 to fh).foreach { h =>
+        val qRows = states.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        val stepAvg = heapPass(spark, reduction, qRows, lags, k)
+          .filter(col("__nn") <= k)
+          .groupBy("__qid").agg(avg(col("__label")).as("__p"))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        states = states.zipWithIndex.map { case (s, i) =>
+          val pr = stepAvg(i.toLong)
+          preds(h - 1)(i) = pr
+          pr +: s.dropRight(1)
+        }
+      }
+      // (qid, h, pred) is tiny — build it driver-side, attach the
+      // entity/cutoff meta, and derive timestamps the shared way
+      val qMeta = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          collected.zipWithIndex.map { case (r, i) =>
+            Row.fromSeq(r.toSeq.take(nEntity + 1) :+ i.toLong)
+          }.toIndexedSeq, 1),
+        StructType(sel.schema.fields.take(nEntity + 1) :+ StructField("__qid", LongType)))
+      val predRows = for { h <- 1 to fh; i <- collected.indices }
+        yield Row(i.toLong, h, preds(h - 1)(i))
+      val predDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(predRows, 1),
+        StructType(Seq(StructField("__qid", LongType), StructField("__h", IntegerType),
+          StructField(p.value, DoubleType))))
+      broadcast(qMeta)
+        .join(predDf, "__qid")
+        .withColumn(timeCol, Forecasters.futureTime(freq))
+        .select((p.entityCols ++ Seq(col(timeCol), col(p.value))): _*)
+    } finally reduction.unpersist(blocking = false)
   }
 
   /** IVF-cell variant — the Spark-first analog of the reference's

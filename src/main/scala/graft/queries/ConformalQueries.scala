@@ -1492,6 +1492,77 @@ object ConformalQueries {
       r6(KnnForecaster.predictOneStep(ev(s, dir), "ts", "1d", lags = 7, k = 5))
     },
 
+    // RECURSIVE multi-horizon KNN (the reference's knn under the
+    // base-forecaster recursion): horizon h's query vector prepends
+    // ŷ_{h−1} to the shifted state; each step is a full distance
+    // rank + top-5 mean, replicated as staged CROSS JOIN CTEs
+    "fc_knn_recursive" -> Q(
+      s"""WITH ${OlsBacktestSql.lagdCte(7)},
+          ${OlsBacktestSql.knnRecursiveCtes("kr", 7, k = 5, horizons = 3,
+        endRn = "cnt", trainCond = "TRUE")}
+          SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                 round(CASE h WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END, 6) AS value
+          FROM fp_kr CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)""") { (s, dir) =>
+      r6(KnnForecaster.predictRecursive(ev(s, dir), "ts", "1d", lags = 7, k = 5, fh = 3))
+    },
+
+    // elite's knn members (elite.py:83-88, n_neighbors = lags//2 = 3):
+    // recursive KNN plain and behind the z-score target transform,
+    // ranked against naive and linear_7, top-2 mean blend
+    "fc_elite_knn" -> Q({
+      val btLin = OlsBacktestSql.backtestLinear("lin7", 7, testSize = 5,
+        nSplits = 2, stepSize = 5)
+      val btKnn = OlsBacktestSql.backtestKnnRecursive("kn3", 7, k = 3,
+        testSize = 5, nSplits = 2, stepSize = 5)
+      val btKnnS = OlsBacktestSql.backtestKnnRecursive("kns3", 7, k = 3,
+        testSize = 5, nSplits = 2, stepSize = 5, scaled = true)
+      val btNv = OlsBacktestSql.backtestNaive("nv", 1, testSize = 5,
+        nSplits = 2, stepSize = 5)
+      val tags = Seq("nv" -> "naive", "lin7" -> "linear_7",
+        "kn3" -> "knn_3", "kns3" -> "knn_scaled_3")
+      val scs = tags.map(t => OlsBacktestSql.entityScore(t._1))
+      val allsc = tags.map { case (t, n) =>
+        s"SELECT user_id, smape, '$n' AS model FROM sc_$t"
+      }.mkString(" UNION ALL ")
+      def linPred(tag: String, name: String) =
+        s"""SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                   CASE h WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END AS value,
+                   '$name' AS model
+            FROM fp_$tag CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)"""
+      s"""WITH ${OlsBacktestSql.lagdCte(7)},
+          $btLin,
+          $btKnn,
+          $btKnnS,
+          $btNv,
+          ${scs.mkString(", ")},
+          allsc AS ($allsc),
+          winners AS (SELECT user_id, model FROM (
+              SELECT user_id, model, row_number() OVER (PARTITION BY user_id
+                       ORDER BY smape ASC NULLS LAST, model) AS rk
+              FROM allsc) WHERE rk <= 2),
+          ${OlsBacktestSql.fullLinear("f7", 7, fh = 3)},
+          ${OlsBacktestSql.knnRecursiveCtes("fk3", 7, k = 3, horizons = 3,
+        endRn = "cnt", trainCond = "TRUE")},
+          ${OlsBacktestSql.knnRecursiveCtes("fks3", 7, k = 3, horizons = 3,
+        endRn = "cnt", trainCond = "TRUE", scaled = true)},
+          state AS (SELECT user_id, arg_max(value, ts) AS lastv, max(ts) AS cutoff
+                    FROM events GROUP BY user_id),
+          preds AS (
+            SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                   lastv AS value, 'naive' AS model
+            FROM state CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)
+            UNION ALL ${linPred("f7", "linear_7")}
+            UNION ALL ${linPred("fk3", "knn_3")}
+            UNION ALL ${linPred("fks3", "knn_scaled_3")})
+          SELECT p.user_id, p.ts, round(avg(p.value), 6) AS value
+          FROM preds p JOIN winners w ON p.user_id = w.user_id AND p.model = w.model
+          GROUP BY p.user_id, p.ts"""
+    }) { (s, dir) =>
+      r6(EliteDeep.run(ev(s, dir), "ts", "1d", fh = 3, topK = 2,
+        strategy = "mean", testSize = 5, nSplits = 2,
+        models = Seq("naive", "linear_7", "knn_3", "knn_scaled_3")))
+    },
+
     "p_coerce_dtypes" -> Q(
       """SELECT event_id, CAST(value AS FLOAT) AS value_f32,
                 CAST(floor(value) AS BIGINT) AS value_i64

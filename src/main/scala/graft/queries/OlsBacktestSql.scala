@@ -302,6 +302,95 @@ object OlsBacktestSql {
           FROM ${tag}_pred)"""
   }
 
+  /** CTE chain replicating [[graft.operators.KnnForecaster
+    * .predictRecursive]]: horizon h's query vector is (ŷ_{h−1}
+    * prepended to the shifted state), each step a CROSS JOIN distance
+    * rank + top-k mean — the oracle of the reference's recursive knn.
+    * `endRn`/`trainCond` parameterize the row prefix so the same
+    * chain serves full fits (`cnt`/TRUE) and backtest splits.
+    * `scaled` wraps the member in the per-entity z-score target
+    * transform (art over the prefix, recursion in scaled space,
+    * level-space invert at the emitters). Emits `fp_<tag>` with
+    * (user_id, cutoff, p1..p<horizons>) in LEVEL space. */
+  def knnRecursiveCtes(tag: String, lags: Int, k: Int, horizons: Int,
+                       endRn: String, trainCond: String,
+                       scaled: Boolean = false): String = {
+    val art =
+      if (scaled) Some(
+        s"""${tag}_art AS (SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sd
+              FROM lagd WHERE $trainCond GROUP BY user_id)""")
+      else None
+    val artJoin = if (scaled) s" JOIN ${tag}_art USING (user_id)" else ""
+    val guard = if (scaled) " AND sd IS NOT NULL AND sd <> 0" else ""
+    def tf(e: String) = if (scaled) s"(($e - mu) / sd)" else e
+    val trCols = (1 to lags).map(j => s"${tf(s"f$j")} AS f$j")
+    // train keeps user_id only when scaled (each row's transform is
+    // its OWN entity's): the scan is still global — every query
+    // scans every training row, as in the Spark heap pass
+    val tr =
+      s"""${tag}_tr AS MATERIALIZED (SELECT ${tf("value")} AS label,
+            ${trCols.mkString(", ")}
+          FROM lagd$artJoin WHERE $trainCond AND f$lags IS NOT NULL$guard)"""
+    val qCols = (1 to lags).map(j =>
+      if (j == 1) s"${tf("value")} AS q1" else s"${tf(s"f${j - 1}")} AS q$j")
+    val carryArt = if (scaled) ", mu, sd" else ""
+    val q0 =
+      s"""${tag}_q0 AS (SELECT user_id, ts AS cutoff$carryArt,
+            ${qCols.mkString(", ")}
+          FROM lagd$artJoin
+          WHERE rn = $endRn AND f${lags - 1} IS NOT NULL$guard)"""
+    val dist = (1 to lags)
+      .map(j => s"(t.f$j - q.q$j) * (t.f$j - q.q$j)").mkString("(", " + ", ")")
+    val steps = (1 to horizons).flatMap { h =>
+      val shift = (1 to lags).map(j =>
+        if (j == 1) "p.p AS q1" else s"q.q${j - 1} AS q$j")
+      val carryPr = (1 until h).map(j => s"q.pr$j") :+ s"p.p AS pr$h"
+      val carryArtQ = if (scaled) ", q.mu, q.sd" else ""
+      Seq(
+        s"""${tag}_d$h AS MATERIALIZED (
+              SELECT q.user_id, t.label, $dist AS d
+              FROM ${tag}_q${h - 1} q CROSS JOIN ${tag}_tr t)""",
+        s"""${tag}_p$h AS (SELECT user_id, avg(label) AS p FROM (
+              SELECT user_id, label,
+                     row_number() OVER (PARTITION BY user_id ORDER BY d) AS nn
+              FROM ${tag}_d$h) WHERE nn <= $k GROUP BY user_id)""",
+        s"""${tag}_q$h AS (SELECT q.user_id, q.cutoff$carryArtQ,
+              ${shift.mkString(", ")}, ${carryPr.mkString(", ")}
+            FROM ${tag}_q${h - 1} q JOIN ${tag}_p$h p USING (user_id))""")
+    }
+    def lvl(h: Int) = if (scaled) s"(pr$h * sd + mu)" else s"pr$h"
+    val fp =
+      s"""fp_$tag AS (SELECT user_id, cutoff,
+            ${(1 to horizons).map(h => s"${lvl(h)} AS p$h").mkString(", ")}
+          FROM ${tag}_q$horizons)"""
+    (art.toSeq ++ Seq(tr, q0) ++ steps :+ fp).mkString(", ")
+  }
+
+  /** Expanding-window backtest of the recursive-KNN member (knn refit
+    * per train slice — the reduction and query tails are prefix
+    * filters, so everything reads the shared lagd). Emits `bt_<tag>`
+    * with (user_id, h, split, actual, pred). */
+  def backtestKnnRecursive(tag: String, lags: Int, k: Int, testSize: Int,
+                           nSplits: Int, stepSize: Int,
+                           scaled: Boolean = false): String = {
+    val splits = (0 until nSplits).map { i =>
+      val cutoff = testSize + (nSplits - 1 - i) * stepSize
+      val t = s"${tag}_s$i"
+      val predCases = (1 to testSize)
+        .map(h => s"WHEN $h THEN p.p$h").mkString(" ")
+      s"""${knnRecursiveCtes(t, lags, k, testSize, s"cnt - $cutoff",
+        s"rn <= cnt - $cutoff", scaled)},
+          ${t}_bt AS (
+            SELECT a.user_id, a.rn - (a.cnt - $cutoff) AS h, $i AS split,
+                   a.value AS actual, CASE a.rn - (a.cnt - $cutoff) $predCases END AS pred
+            FROM lagd a JOIN fp_$t p ON a.user_id = p.user_id
+            WHERE a.rn > a.cnt - $cutoff AND a.rn <= a.cnt - $cutoff + $testSize)"""
+    }
+    val union = (0 until nSplits).map(i => s"SELECT * FROM ${tag}_s${i}_bt")
+      .mkString(" UNION ALL ")
+    (splits :+ s"bt_$tag AS ($union)").mkString(", ")
+  }
+
   /** Mean per-entity SMAPE CTE over `bt_<btTag>` — the candidate score
     * of every auto sweep oracle (AutoForecast.backtestScore ∘ avg).
     * Emits `s_<scoreTag>` with the single column `s`. */
