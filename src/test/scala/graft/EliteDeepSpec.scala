@@ -1,0 +1,88 @@
+package graft
+
+import graft.core.Panel
+import graft.operators.{EliteDeep, Forecasters, ForecastPipeline, KnnForecaster}
+import org.apache.spark.sql.functions._
+
+/** Elite-depth ensemble, recursive KNN, and the detrend pipeline step
+  * — semantics vs the reference (forecasting/elite.py:80-374,
+  * forecasting/knn.py:22, preprocessing.py:772). */
+class EliteDeepSpec extends SparkSpec {
+
+  private def trendPanel(n: Int = 40): Panel =
+    panel((0 until n).map(i => 2.0 * i + 5.0), (0 until n).map(i => 100.0 - i))
+
+  test("predictRecursive at fh=1 matches predictOneStep bitwise") {
+    val p = panel(Seq.tabulate(30)(i => math.sin(i * 0.7) * 3 + i * 0.1),
+      Seq.tabulate(30)(i => (i % 5).toDouble))
+    val one = KnnForecaster.predictOneStep(p, "t", "1i", lags = 4, k = 3)
+      .orderBy("entity").collect()
+    val rec = KnnForecaster.predictRecursive(p, "t", "1i", lags = 4, k = 3, fh = 1)
+      .orderBy("entity").collect()
+    assert(one.length == rec.length && one.length == 2)
+    one.zip(rec).foreach { case (a, b) =>
+      assert(a.getDouble(2) == b.getDouble(2), s"$a vs $b")
+    }
+  }
+
+  test("predictRecursive rolls the state: exact on a pure AR(1) memory corpus") {
+    // constant series: every training row equals the query state, so
+    // each recursive step predicts the constant again
+    val p = panel(Seq.fill(20)(7.0))
+    val out = KnnForecaster.predictRecursive(p, "t", "1i", lags = 3, k = 2, fh = 4)
+      .orderBy("t").collect()
+    assert(out.length == 4)
+    assert(out.forall(_.getDouble(2) == 7.0))
+  }
+
+  test("detrendLinearStep removes an exact linear trend and extrapolates it back") {
+    val p = trendPanel()
+    val fitted = ForecastPipeline.detrendLinearStep(p, "t")
+    // residuals of an exactly-linear series are ~0
+    val maxResid = fitted.out.df.agg(max(abs(col("value")))).collect()(0).getDouble(0)
+    assert(maxResid < 1e-8, s"residual $maxResid")
+    // invert of zero-residual predictions at future steps reproduces
+    // the trend line: entity 0 is y = 2i + 5, so h=1 (i=40) -> 85
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val preds = Seq((0, 40, 0.0), (0, 41, 0.0), (1, 40, 0.0))
+      .toDF("entity", "t", "value")
+    val lvl = fitted.invert(preds).orderBy("entity", "t").collect()
+    assert(math.abs(lvl(0).getDouble(2) - 85.0) < 1e-8)
+    assert(math.abs(lvl(1).getDouble(2) - 87.0) < 1e-8)
+    // entity 1 is y = 100 - i, so h=1 (i=40) -> 60
+    assert(math.abs(lvl(2).getDouble(2) - 60.0) < 1e-8)
+  }
+
+  test("eliteDeep mean: one row per (entity, step), averaging only ranked members") {
+    val p = panel(Seq.tabulate(30)(i => i * 1.0 + (i % 3)),
+      Seq.tabulate(30)(i => 50.0 - i * 0.5))
+    val out = EliteDeep.run(p, "t", "1i", fh = 2, topK = 2, strategy = "mean",
+      testSize = 4, nSplits = 2, stepSize = 4, sp = 3,
+      models = Seq("naive", "linear_7", "linear_detrend_7"))
+    val rows = out.collect()
+    assert(rows.length == 4, s"expected 2 entities x 2 steps, got ${rows.length}")
+    assert(rows.forall(r => !r.isNullAt(r.length - 1)))
+  }
+
+  test("eliteDeep lasso falls back to naive where naive ranks first") {
+    // pure random-walk-ish flat series: naive backtests perfectly and
+    // must win rank 1, routing the entity to the naive forecast
+    val p = panel(Seq.fill(30)(4.0), Seq.tabulate(30)(i => i * 2.0))
+    val out = EliteDeep.run(p, "t", "1i", fh = 2, topK = 2, strategy = "lasso",
+      testSize = 4, nSplits = 2, stepSize = 4, sp = 3,
+      models = Seq("naive", "linear_7", "linear_scaled_7"))
+    val e0 = out.filter(col("entity") === 0).collect()
+    assert(e0.length == 2)
+    // entity 0 is constant 4.0: the naive fallback forecasts 4.0
+    assert(e0.forall(_.getDouble(2) == 4.0), e0.mkString(","))
+  }
+
+  test("eliteDeep rejects unknown model names loudly") {
+    val p = panel(Seq.tabulate(25)(_ * 1.0))
+    val e = intercept[IllegalArgumentException] {
+      EliteDeep.run(p, "t", "1i", fh = 1, topK = 1, models = Seq("nope"))
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+}
