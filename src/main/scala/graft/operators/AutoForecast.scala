@@ -339,6 +339,74 @@ object AutoForecast {
     (bestLags, bestScore, TreeBoost.fit(p, bestLags, freq, rounds, bins, eta))
   }
 
+  /** Deterministic seeded hyperparameter draws over (lags, α,
+    * l1_ratio) — the adaptive-search analog of FLAML's sampler
+    * (automl.py:191-229), scoped to a reproducible md5 stream so the
+    * DuckDB oracle (built from the SAME Scala draw) replicates the
+    * whole search. lags ∈ 3..6 and the small α/l1 grids keep each
+    * candidate's unrolled oracle chain bounded. */
+  def searchCandidates(seed: Long, n: Int): Seq[(Int, Double, Double)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until n).map { i =>
+      val h = md.digest(s"graft:$seed:$i".getBytes("UTF-8"))
+      def b(j: Int): Int = h(j) & 0xff
+      val lags = 3 + b(0) % 4
+      val alpha = Seq(0.01, 0.05, 0.1, 0.5)(b(1) % 4)
+      val l1 = Seq(0.0, 0.5, 1.0)(b(2) % 3)
+      (lags, alpha, l1)
+    }
+  }
+
+  /** Successive-halving search over [[searchCandidates]] — adaptive
+    * in the FLAML sense: stage 1 backtests EVERY candidate on the
+    * cheapest window (the most recent split only), the top half
+    * survive, and only survivors pay the full nSplits backtest;
+    * argmin with index tie-break picks the winner, refit on all data.
+    * Stage-1's single split IS split nSplits−1 of the full plan
+    * (cutoff = testSize), so the oracle scores one shared 2-split
+    * backtest chain per candidate and replays both pruning rounds as
+    * rank CTEs. Returns (winner index, candidate, stage-2 score,
+    * fitted model). */
+  def autoSearchRegularized(p: Panel, timeCol: String, freq: String,
+                            seed: Long = 42L, nCandidates: Int = 4,
+                            testSize: Int = 5, nSplits: Int = 2,
+                            stepSize: Int = 5, cdSweeps: Int = 6)
+      : (Int, (Int, Double, Double), Double, LinearForecasterModel) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val cands = searchCandidates(seed, nCandidates)
+    val cached = p.copy(df = p.df.cache())
+    def bt(c: (Int, Double, Double), splits: Int): DataFrame = c match {
+      case (lags, alpha, l1) =>
+        if (l1 == 0.0)
+          backtestLinearPrefix(cached, timeCol, lags, testSize, splits, stepSize,
+            ridge = alpha)
+        else Conformal.backtest(cached, timeCol, testSize, splits, stepSize,
+          (tr, h) => LinearForecaster.fit(tr, lags, freq, alpha, l1, cdSweeps)
+            .predict(tr, timeCol, h))
+    }
+    def score(c: (Int, Double, Double), i: Int, splits: Int): Double =
+      meanScore(backtestScore(bt(c, splits), p.entity),
+        s"autoSearch(candidate=$i, $c, splits=$splits)")
+    try {
+      // stage 1: every candidate on the most recent window only
+      val s1 = Await.result(Future.sequence(cands.zipWithIndex.map { case (c, i) =>
+        Future(i -> score(c, i, 1))
+      }), Duration.Inf)
+      val keep = math.max(1, nCandidates / 2)
+      val survivors = s1.sortBy { case (i, s) => (s, i) }.take(keep).map(_._1)
+      // stage 2: survivors pay the full plan
+      val s2 = Await.result(Future.sequence(survivors.map { i =>
+        Future(i -> score(cands(i), i, nSplits))
+      }), Duration.Inf)
+      val (winner, best) = s2.sortBy { case (i, s) => (s, i) }.head
+      val (lags, alpha, l1) = cands(winner)
+      (winner, cands(winner), best,
+        LinearForecaster.fit(cached, lags, freq, alpha, l1, cdSweeps))
+    } finally cached.df.unpersist(blocking = false)
+  }
+
   def autoGbt(p: Panel, timeCol: String, freq: String, lagGrid: Seq[Int],
               maxIter: Int = 5, maxDepth: Int = 3,
               testSize: Int = 10, nSplits: Int = 2, stepSize: Int = 5)

@@ -580,6 +580,81 @@ object ConformalQueries {
       r6(model.predict(p, "ts", fh = 3).withColumn("chosen_lags", lit(lags).cast("long")))
     },
 
+    // ADAPTIVE hyperparameter search (automl.py:191-229, FLAML's
+    // sampler scoped to a seeded md5 draw): 4 seeded candidates over
+    // (lags, alpha, l1_ratio), successive halving — stage 1 scores
+    // every candidate on the most recent split only, the top half
+    // survive, stage 2 scores survivors on the full 2-split plan,
+    // argmin (index tie-break) wins and refits on all data. The
+    // oracle is built from the SAME Scala draw: one shared 2-split
+    // backtest chain per candidate (ridge -> Cholesky, l1 -> unrolled
+    // CD), both pruning rounds replayed as rank CTEs.
+    "fc_auto_search" -> Q({
+      val cands = AutoForecast.searchCandidates(42L, 4)
+      val bts = cands.zipWithIndex.map { case ((l, a, l1), i) =>
+        if (l1 == 0.0)
+          OlsBacktestSql.backtestLinear(s"as$i", l, testSize = 5, nSplits = 2,
+            stepSize = 5, ridge = a)
+        else OlsBacktestSql.backtestElasticNet(s"as$i", l, testSize = 5,
+          nSplits = 2, stepSize = 5, alpha = a, l1Ratio = l1, sweeps = 6)
+      }
+      val fulls = cands.zipWithIndex.map { case ((l, a, l1), i) =>
+        if (l1 == 0.0) OlsBacktestSql.fullLinear(s"asf$i", l, fh = 3, ridge = a)
+        else OlsBacktestSql.fullElasticNet(s"asf$i", l, fh = 3, alpha = a,
+          l1Ratio = l1, sweeps = 6)
+      }
+      val sAB = cands.indices.flatMap { i =>
+        Seq(
+          s"""sA_$i AS (SELECT avg(smape) AS s FROM (
+                SELECT user_id, sum(abs(pred - actual)) / sum(pred + actual) AS smape
+                FROM bt_as$i WHERE split = 1 GROUP BY user_id))""",
+          s"""sB_$i AS (SELECT avg(smape) AS s FROM (
+                SELECT user_id, sum(abs(pred - actual)) / sum(pred + actual) AS smape
+                FROM bt_as$i GROUP BY user_id))""")
+      }
+      val scoreRows = cands.indices.map(i =>
+        s"SELECT $i AS i, sA_$i.s AS s1, sB_$i.s AS s2 FROM sA_$i CROSS JOIN sB_$i")
+        .mkString(" UNION ALL ")
+      val predRows = cands.indices.map(i =>
+        s"SELECT user_id, cutoff, $i AS i, p1, p2, p3 FROM fp_asf$i")
+        .mkString(" UNION ALL ")
+      val chosenMeta = Seq(
+        ("chosen_lags", cands.map(_._1.toString), "BIGINT"),
+        ("chosen_alpha", cands.map(_._2.toString), "DOUBLE"),
+        ("chosen_l1", cands.map(_._3.toString), "DOUBLE")).map {
+        case (name, vals, typ) =>
+          val cases = vals.zipWithIndex
+            .map { case (v, i) => s"WHEN $i THEN $v" }.mkString(" ")
+          s"CAST(CASE chosen $cases END AS $typ) AS $name"
+      }
+      s"""WITH ${OlsBacktestSql.lagdCte(7)},
+          ${bts.mkString(", ")},
+          ${sAB.mkString(", ")},
+          scores AS ($scoreRows),
+          surv AS (SELECT i, s2 FROM (
+              SELECT i, s2, row_number() OVER (ORDER BY s1 ASC NULLS LAST, i) AS r1
+              FROM scores) WHERE r1 <= 2),
+          pick AS (SELECT i AS chosen FROM (
+              SELECT i, row_number() OVER (ORDER BY s2 ASC NULLS LAST, i) AS r2
+              FROM surv) WHERE r2 = 1),
+          ${fulls.mkString(", ")},
+          apreds AS ($predRows)
+          SELECT p.user_id, CAST(p.cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                 round(CASE h WHEN 1 THEN p.p1 WHEN 2 THEN p.p2 ELSE p.p3 END, 6) AS value,
+                 ${chosenMeta.mkString(", ")}
+          FROM apreds p JOIN pick ON p.i = pick.chosen
+          CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)"""
+    }) { (s, dir) =>
+      val p = ev(s, dir)
+      val (_, (lags, alpha, l1), _, model) = AutoForecast.autoSearchRegularized(
+        p, "ts", "1d", seed = 42L, nCandidates = 4, testSize = 5, nSplits = 2,
+        stepSize = 5, cdSweeps = 6)
+      r6(model.predict(p, "ts", fh = 3)
+        .withColumn("chosen_lags", lit(lags).cast("long"))
+        .withColumn("chosen_alpha", lit(alpha))
+        .withColumn("chosen_l1", lit(l1)))
+    },
+
     // auto_lasso (automl.py:64-96): lag sweep where every CV-split fit
     // is the full 15-sweep cyclic CD on the slice's prefix moments —
     // backtests, per-entity SMAPE pooling, argmin, and both full-data
