@@ -1,0 +1,52 @@
+package graft
+
+import graft.core.Panel
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measures the exact broadcast-KNN's O(rows × entities) scale wall
+  * against the IVF path as the ENTITY count grows (the family's
+  * documented scale assumption — KnnForecaster.maxExactEntities).
+  * Synthesizes E entities × 40 rows, times one-step exact vs IVF. */
+object KnnEntitySoak {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.buffer.pageSize", "4m")
+      .config("spark.driver.memory", "16g")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def mkPanel(entities: Int, len: Int): Panel = {
+      val df = spark.range(entities.toLong * len).select(
+        (col("id") / len).cast("long").as("entity"),
+        (col("id") % len).cast("int").as("t"),
+        (sin(col("id") * 0.37) * 5 + (col("id") % 11)).cast("double").as("value"))
+      Panel(df, Seq("entity"), Seq("t"), "value")
+    }
+    def t[A](l: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[knnsoak] $l: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    graft.operators.KnnForecaster.maxExactEntities = Int.MaxValue
+    Seq(1000, 5000, 20000).foreach { e =>
+      val p = mkPanel(e, 40)
+      p.df.cache().count()
+      t(s"exact one-step E=$e (rows=${e * 40})") {
+        graft.operators.KnnForecaster.predictOneStep(p, "t", "1i", lags = 7, k = 5)
+          .rdd.count()
+      }
+      p.df.unpersist(blocking = true)
+    }
+    Seq(20000, 200000).foreach { e =>
+      val p = mkPanel(e, 40)
+      p.df.cache().count()
+      t(s"ivf one-step E=$e (rows=${e * 40}, cells=64)") {
+        graft.operators.KnnForecaster.predictOneStepIvf(p, "t", "1i", lags = 7,
+          k = 5, nCells = 64).rdd.count()
+      }
+      p.df.unpersist(blocking = true)
+    }
+    spark.stop()
+  }
+}

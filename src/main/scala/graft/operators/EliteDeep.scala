@@ -114,6 +114,13 @@ object EliteDeep {
       pipeMember("linear_scaled_7", Seq(ForecastPipeline.scaleStep()), 7),
       pipeMember("linear_diff_7", Seq(ForecastPipeline.diffStep()), 7),
       pipeMember("linear_detrend_7", Seq(ForecastPipeline.detrendLinearStep), 7),
+      // ridge × transform grid slices (elite.py:110-147's
+      // ridge_scaled / ridge_detrend analogs; closed-form, so the
+      // oracle rides the same transformed-Cholesky chains)
+      pipeMember("ridge_scaled_7", Seq(ForecastPipeline.scaleStep()), 7,
+        alpha = 0.1),
+      pipeMember("ridge_detrend_7", Seq(ForecastPipeline.detrendLinearStep), 7,
+        alpha = 0.1),
       // elite.py:83-88 "Seasonality" knn members, n_neighbors = lags//2
       knnMember("knn_3", k = 3, lags = 7, scaled = false),
       knnMember("knn_scaled_3", k = 3, lags = 7, scaled = true))
@@ -125,7 +132,7 @@ object EliteDeep {
   val allModels: Seq[String] = Seq("naive", "snaive", "linear_7", "linear_14",
     "ridge_3", "ridge_7", "lasso_7", "elastic_net_7",
     "linear_scaled_7", "linear_diff_7", "linear_detrend_7",
-    "knn_3", "knn_scaled_3")
+    "ridge_scaled_7", "ridge_detrend_7", "knn_3", "knn_scaled_3")
 
   def run(p: Panel, timeCol: String, freq: String, fh: Int, topK: Int,
           strategy: String = "mean", testSize: Int = 5, nSplits: Int = 2,

@@ -97,7 +97,11 @@ object KnnForecaster {
       (1 to lags).map(l => col(s"${p.value}__lag_$l").cast("double")))
     val nEntity = p.entityCols.length
     val sel = tails.select(keep: _*)
+    // guard on the collected size (an extra count() job would recompute
+    // the tail window; the collect itself is survivable well past the
+    // cap — the per-pass scan is what the cap protects)
     val collected = sel.collect()
+    guardExactEntities(collected.length.toLong, "knn predictOneStep")
     val qRows = collected.zipWithIndex.map { case (r, i) =>
       (i.toLong, Array.tabulate(lags)(j => r.getDouble(nEntity + 1 + j)))
     }
@@ -178,6 +182,7 @@ object KnnForecaster {
         (1 to lags).map(l => col(s"${p.value}__lag_$l").cast("double")))
       val sel = tails.select(keep: _*)
       val collected = sel.collect()
+      guardExactEntities(collected.length.toLong, "knn predictRecursive")
       var states = collected.map(r =>
         Array.tabulate(lags)(j => r.getDouble(nEntity + 1 + j)))
       val preds = Array.ofDim[Double](fh, collected.length)
@@ -295,23 +300,32 @@ object KnnForecaster {
       val qs = bq.value
       val heaps = Array.fill(qs.length)(
         scala.collection.mutable.PriorityQueue.empty[(Double, Double)](Ordering.by(_._1)))
+      // queries pre-grouped by cell: each training row visits ONLY its
+      // own cell's queries. The former flat scan with an inner cell
+      // guard still enumerated every (row × query) pair — O(rows ·
+      // entities) guard checks that put a 21-minute wall at 200k
+      // entities (KnnEntitySoak) on the path whose whole point is
+      // dodging that product. Same surviving pairs, ×nCells less work.
+      val byCell: scala.collection.Map[Int, Array[Int]] =
+        qs.indices.toArray.groupBy(i => qs(i)._2)
+      val empty = Array.empty[Int]
       val feats = new Array[Double](lags)
       it.foreach { row =>
         val cell = row.getInt(0)
         var i = 0
         while (i < lags) { feats(i) = row.getDouble(i + 1); i += 1 }
         val label = row.getDouble(lags + 1)
-        var qi = 0
-        while (qi < qs.length) {
-          if (qs(qi)._2 == cell) {
-            val q = qs(qi)._3
-            var d = 0.0; var j = 0
-            while (j < lags) { val t = feats(j) - q(j); d += t * t; j += 1 }
-            val h = heaps(qi)
-            if (h.size < k) h.enqueue((d, label))
-            else if (d < h.head._1) { h.dequeue(); h.enqueue((d, label)) }
-          }
-          qi += 1
+        val cellQs = byCell.getOrElse(cell, empty)
+        var ci = 0
+        while (ci < cellQs.length) {
+          val qi = cellQs(ci)
+          val q = qs(qi)._3
+          var d = 0.0; var j = 0
+          while (j < lags) { val t = feats(j) - q(j); d += t * t; j += 1 }
+          val h = heaps(qi)
+          if (h.size < k) h.enqueue((d, label))
+          else if (d < h.head._1) { h.dequeue(); h.enqueue((d, label)) }
+          ci += 1
         }
       }
       heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
@@ -369,6 +383,26 @@ object KnnForecaster {
     * zipWithIndex after the fact; a global row_number window would
     * funnel the whole frame through a single partition, which the LSH
     * (huge-entity) path must never do. */
+  /** The exact broadcast path's scale assumption, made LOUD: it
+    * collects one query row per entity to the driver and scans every
+    * (training row × entity) pair per pass — O(rows · entities ·
+    * lags) work that is the family's scale-killer at millions of
+    * entities (measured in SCALE.md). Callers cross this line
+    * explicitly: raise the cap if the driver is sized for it, or
+    * switch to the bucketed [[predictOneStepIvf]] /
+    * [[predictOneStepLsh]] paths whose work is corpus-sized, not
+    * corpus×entities. */
+  private[graft] var maxExactEntities: Int = 100000
+
+  private def guardExactEntities(n: Long, what: String): Unit =
+    require(n <= maxExactEntities,
+      s"$what: $n entities exceed the exact broadcast-KNN cap " +
+        s"($maxExactEntities). The exact path costs O(rows x entities x lags) " +
+        "per pass and collects every entity tail to the driver - use " +
+        "predictOneStepIvf (IVF cells) or predictOneStepLsh (random-projection " +
+        "buckets) at this scale, or raise KnnForecaster.maxExactEntities if " +
+        "the driver is sized for it.")
+
   private def queryTails(p: Panel, timeCol: String, lags: Int): DataFrame = {
     val tail = p.df
       .withColumn("__rn_desc", row_number().over(

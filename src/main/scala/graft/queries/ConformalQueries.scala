@@ -1436,16 +1436,18 @@ object ConformalQueries {
     "fc_elite_pipe" -> Q({
       val btLin = OlsBacktestSql.backtestLinear("lin7", 7, testSize = 5,
         nSplits = 2, stepSize = 5)
-      val btXf = Seq(("scl7", "scale"), ("dif7", "diff"), ("det7", "detrend"))
-        .map { case (t, x) =>
+      val btXf = Seq(("scl7", "scale", 0.0), ("dif7", "diff", 0.0),
+        ("det7", "detrend", 0.0), ("rs7", "scale", 0.1), ("rd7", "detrend", 0.1))
+        .map { case (t, x, r) =>
           OlsBacktestSql.backtestXformLinear(t, 7, testSize = 5, nSplits = 2,
-            stepSize = 5, xformName = x)
+            stepSize = 5, xformName = x, ridge = r)
         }
       val btNv = OlsBacktestSql.backtestNaive("nv", 1, testSize = 5,
         nSplits = 2, stepSize = 5)
       val tags = Seq("nv" -> "naive", "lin7" -> "linear_7",
         "scl7" -> "linear_scaled_7", "dif7" -> "linear_diff_7",
-        "det7" -> "linear_detrend_7")
+        "det7" -> "linear_detrend_7",
+        "rs7" -> "ridge_scaled_7", "rd7" -> "ridge_detrend_7")
       val scs = tags.map(t => OlsBacktestSql.entityScore(t._1))
       val allsc = tags.map { case (t, n) =>
         s"SELECT user_id, smape, '$n' AS model FROM sc_$t"
@@ -1454,7 +1456,11 @@ object ConformalQueries {
         OlsBacktestSql.fullLinear("f7", 7, fh = 3),
         OlsBacktestSql.fullXformLinear("fs7", 7, fh = 3, xformName = "scale"),
         OlsBacktestSql.fullXformLinear("fd7", 7, fh = 3, xformName = "diff"),
-        OlsBacktestSql.fullXformLinear("ft7", 7, fh = 3, xformName = "detrend"))
+        OlsBacktestSql.fullXformLinear("ft7", 7, fh = 3, xformName = "detrend"),
+        OlsBacktestSql.fullXformLinear("frs7", 7, fh = 3, xformName = "scale",
+          ridge = 0.1),
+        OlsBacktestSql.fullXformLinear("frd7", 7, fh = 3, xformName = "detrend",
+          ridge = 0.1))
       def linPred(tag: String, name: String) =
         s"""SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
                    CASE h WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END AS value,
@@ -1480,7 +1486,9 @@ object ConformalQueries {
             UNION ALL ${linPred("f7", "linear_7")}
             UNION ALL ${linPred("fs7", "linear_scaled_7")}
             UNION ALL ${linPred("fd7", "linear_diff_7")}
-            UNION ALL ${linPred("ft7", "linear_detrend_7")})
+            UNION ALL ${linPred("ft7", "linear_detrend_7")}
+            UNION ALL ${linPred("frs7", "ridge_scaled_7")}
+            UNION ALL ${linPred("frd7", "ridge_detrend_7")})
           SELECT p.user_id, p.ts, round(avg(p.value), 6) AS value
           FROM preds p JOIN winners w ON p.user_id = w.user_id AND p.model = w.model
           GROUP BY p.user_id, p.ts"""
@@ -1488,7 +1496,7 @@ object ConformalQueries {
       r6(EliteDeep.run(ev(s, dir), "ts", "1d", fh = 3, topK = 3,
         strategy = "mean", testSize = 5, nSplits = 2,
         models = Seq("naive", "linear_7", "linear_scaled_7", "linear_diff_7",
-          "linear_detrend_7")))
+          "linear_detrend_7", "ridge_scaled_7", "ridge_detrend_7")))
     },
 
     // IVF ANN forecaster (the reference's Lance IVF regressor analog,

@@ -78,6 +78,26 @@ class EliteDeepSpec extends SparkSpec {
     assert(e0.forall(_.getDouble(2) == 4.0), e0.mkString(","))
   }
 
+  test("exact-KNN guards its O(rows x entities) scale assumption loudly") {
+    val p = panel(Seq.tabulate(12)(_ * 1.0), Seq.tabulate(12)(i => 5.0 - i),
+      Seq.tabulate(12)(i => (i % 4).toDouble))
+    val saved = KnnForecaster.maxExactEntities
+    try {
+      KnnForecaster.maxExactEntities = 2
+      val e = intercept[IllegalArgumentException] {
+        KnnForecaster.predictOneStep(p, "t", "1i", lags = 3, k = 2)
+      }
+      assert(e.getMessage.contains("predictOneStepIvf"), e.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        KnnForecaster.predictRecursive(p, "t", "1i", lags = 3, k = 2, fh = 2)
+      }
+      assert(e2.getMessage.contains("exact broadcast-KNN cap"), e2.getMessage)
+      // under the cap the same corpus predicts fine
+      KnnForecaster.maxExactEntities = 3
+      assert(KnnForecaster.predictOneStep(p, "t", "1i", lags = 3, k = 2).count() == 3)
+    } finally KnnForecaster.maxExactEntities = saved
+  }
+
   test("eliteDeep rejects unknown model names loudly") {
     val p = panel(Seq.tabulate(25)(_ * 1.0))
     val e = intercept[IllegalArgumentException] {
