@@ -224,14 +224,22 @@ object KnnForecaster {
     * every training row and every query tail to its nearest of
     * `nCells` sampled centroid rows (squared L2, ties → lowest cell),
     * then search ONLY the query's cell. The centroid matrix is tiny
-    * (nCells × lags): collected once and inlined as literals, so cell
-    * assignment is a pure per-row argmin projection — no shuffle, no
-    * per-row join against the centroid set. The within-cell search is
-    * the exact path's bounded-heap partition scan with a cell-id guard
-    * (one narrow shuffle for the top-k merge). The centroid sample is
-    * pseudo-random but ENGINE-PORTABLE (ordered by md5 of the row's
-    * (entity, position) tag), which is what lets the DuckDB oracle
-    * reproduce the whole path. */
+    * (nCells × lags): collected once and broadcast, so corpus cell
+    * assignment happens IN the bounded-heap partition scan itself —
+    * no shuffle, no per-row join against the centroid set, and no
+    * literal-inlined codegen projection (which bounded nCells: Janino
+    * chokes on thousands of inlined struct literals; the broadcast
+    * loop is unbounded, so nCells can track √corpus at scale). Query
+    * tails are assigned driver-side after their (already required)
+    * collect. Both assignments use the exact arithmetic the DuckDB
+    * oracle replicates: ascending-lag left-fold of squared diffs,
+    * strict-< argmin over ascending cells (ties → lowest cell — the
+    * array_min(struct(d, c)) ordering). The within-cell search is
+    * the exact path's bounded-heap partition scan over the query's
+    * cell group (one narrow shuffle for the top-k merge). The
+    * centroid sample is pseudo-random but ENGINE-PORTABLE (ordered by
+    * md5 of the row's (entity, position) tag), which is what lets the
+    * DuckDB oracle reproduce the whole path. */
   def predictOneStepIvf(p: Panel, timeCol: String, freq: String, lags: Int, k: Int,
                         nCells: Int): DataFrame = {
     val featureCols = (1 to lags).map(l => s"${p.value}__lag_$l")
@@ -256,38 +264,39 @@ object KnnForecaster {
       .map { case (r, i) =>
         (i, Array.tabulate(lags)(j => r.getDouble(p.entity.length + 2 + j)))
       }
-    def dist(xs: Seq[Column], c: Array[Double]): Column =
-      xs.zip(c).map { case (x, cj) => (x - lit(cj)) * (x - lit(cj)) }
-        .reduce(_ + _)
-    // argmin over (distance, cell) structs = smallest distance, ties →
-    // lowest cell
-    def assign(df: DataFrame, xs: Seq[Column]): DataFrame = {
-      val scored = array(centroids.toIndexedSeq.map { case (cell, c) =>
-        struct(dist(xs, c).as("d"), lit(cell).as("c"))
-      }: _*)
-      df.withColumn("__cell", array_min(scored).getField("c"))
+    // strict-< argmin over ascending cells with an ascending-j left
+    // fold: bit-identical to array_min over struct(d, c) literals
+    // (ties → lowest cell; a NaN distance never wins — NaN < x is
+    // false, matching Spark's NaN-greatest struct ordering)
+    val centMat = centroids.map(_._2)
+    def assignCell(feats: Array[Double]): Int = {
+      var bestD = Double.PositiveInfinity; var bestC = 0
+      var c = 0
+      while (c < centMat.length) {
+        val cent = centMat(c)
+        var d = 0.0; var j = 0
+        while (j < feats.length) { val t = feats(j) - cent(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; bestC = c }
+        c += 1
+      }
+      bestC
     }
     // within-cell search uses the SAME bounded-heap partition scan as
-    // the exact path (a cell-id compare guards the distance loop) —
-    // materializing the cell join + a global window sort instead was
-    // 25× slower under cell skew (one popular centroid makes the join
-    // quadratic-ish, while the scan stays one pass)
+    // the exact path (corpus rows visit only their own cell's query
+    // group) — materializing the cell join + a global window sort
+    // instead was 25× slower under cell skew (one popular centroid
+    // makes the join quadratic-ish, while the scan stays one pass)
     val spark = p.df.sparkSession
-    val corpus = assign(
-      red.select((featureCols.map(c => col(c).cast("double")) :+
-        col(p.value).cast("double").as("__label")): _*),
-      featureCols.map(col))
-      .select((col("__cell") +: featureCols.map(col)) :+ col("__label"): _*)
-    val queries = assign(queryTails(p, timeCol, lags)
+    val corpus = red.select((featureCols.map(c => col(c).cast("double")) :+
+      col(p.value).cast("double").as("__label")): _*)
+    val queries = queryTails(p, timeCol, lags)
       .select((p.entityCols :+ col("__cutoff")) ++
-        (1 to lags).map(l => col(s"${p.value}__lag_$l").cast("double").as(s"__q$l")): _*),
-      (1 to lags).map(l => col(s"__q$l")))
+        (1 to lags).map(l => col(s"${p.value}__lag_$l").cast("double").as(s"__q$l")): _*)
     val nEntity = p.entity.length
-    val collected = queries.select((p.entityCols :+ col("__cutoff") :+ col("__cell")) ++
-      (1 to lags).map(l => col(s"__q$l")): _*).collect()
+    val collected = queries.collect()
     val qRows = collected.zipWithIndex.map { case (r, i) =>
-      (i.toLong, r.getInt(nEntity + 1),
-        Array.tabulate(lags)(j => r.getDouble(nEntity + 2 + j)))
+      val feats = Array.tabulate(lags)(j => r.getDouble(nEntity + 1 + j))
+      (i.toLong, assignCell(feats), feats)
     }
     val qMeta = spark.createDataFrame(
       spark.sparkContext.parallelize(
@@ -296,8 +305,10 @@ object KnnForecaster {
         }.toIndexedSeq, 1),
       StructType(queries.schema.fields.take(nEntity + 1) :+ StructField("__qid", LongType)))
     val bq = spark.sparkContext.broadcast(qRows)
+    val bc = spark.sparkContext.broadcast(centMat)
     val partials = corpus.rdd.mapPartitions { it =>
       val qs = bq.value
+      val cents = bc.value
       val heaps = Array.fill(qs.length)(
         scala.collection.mutable.PriorityQueue.empty[(Double, Double)](Ordering.by(_._1)))
       // queries pre-grouped by cell: each training row visits ONLY its
@@ -311,10 +322,22 @@ object KnnForecaster {
       val empty = Array.empty[Int]
       val feats = new Array[Double](lags)
       it.foreach { row =>
-        val cell = row.getInt(0)
         var i = 0
-        while (i < lags) { feats(i) = row.getDouble(i + 1); i += 1 }
-        val label = row.getDouble(lags + 1)
+        while (i < lags) { feats(i) = row.getDouble(i); i += 1 }
+        val label = row.getDouble(lags)
+        // in-scan cell assignment against the broadcast centroid
+        // matrix — same strict-< ascending argmin as assignCell (the
+        // closure can't call it: serializing the method would drag
+        // the whole operator object into the task binary)
+        var bestD = Double.PositiveInfinity; var cell = 0
+        var c = 0
+        while (c < cents.length) {
+          val cent = cents(c)
+          var d = 0.0; var j = 0
+          while (j < lags) { val t = feats(j) - cent(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; cell = c }
+          c += 1
+        }
         val cellQs = byCell.getOrElse(cell, empty)
         var ci = 0
         while (ci < cellQs.length) {
