@@ -29,7 +29,8 @@ object KnnEntitySoak {
       println(f"[knnsoak] $l: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
     graft.operators.KnnForecaster.maxExactEntities = Int.MaxValue
-    Seq(1000, 5000, 20000).foreach { e =>
+    val exactEs = if (args.contains("--ivf-only")) Nil else Seq(1000, 5000, 20000)
+    exactEs.foreach { e =>
       val p = mkPanel(e, 40)
       p.df.cache().count()
       t(s"exact one-step E=$e (rows=${e * 40})") {
@@ -38,12 +39,16 @@ object KnnEntitySoak {
       }
       p.df.unpersist(blocking = true)
     }
-    Seq(20000, 200000).foreach { e =>
+    // per-row IVF work = nCells·lags (assignment) + (E/nCells)·lags
+    // (within-cell distances) — minimized at nCells ≈ √E, which the
+    // in-scan broadcast assignment makes reachable (the former
+    // literal-inlined projection walled out past ~100 cells)
+    Seq((20000, 64), (200000, 64), (200000, 448)).foreach { case (e, cells) =>
       val p = mkPanel(e, 40)
       p.df.cache().count()
-      t(s"ivf one-step E=$e (rows=${e * 40}, cells=64)") {
+      t(s"ivf one-step E=$e (rows=${e * 40}, cells=$cells)") {
         graft.operators.KnnForecaster.predictOneStepIvf(p, "t", "1i", lags = 7,
-          k = 5, nCells = 64).rdd.count()
+          k = 5, nCells = cells).rdd.count()
       }
       p.df.unpersist(blocking = true)
     }
