@@ -81,6 +81,19 @@ object Bench {
       val tinyPanel = graft.core.Panel(pdf, Seq("e"), Seq("ts"), "value")
       graft.operators.AutoForecast.elite(tinyPanel, "ts", "1d",
         fh = 2, topK = 2, nSplits = 2).count()
+      // ...and the DEEP elite paths fc_elite_deep/stack/pipe/knn run:
+      // the CD-member refits, the lasso stack pivot + solve, and the
+      // pipeline/KNN member machinery each compile their own wide
+      // shapes — r7's bench showed the four deep queries' cold
+      // compiles bleeding ~2-4x slowdowns into the alphabetically
+      // adjacent fc_ensemble/fc_gbt/fc_zero_inflated
+      graft.operators.EliteDeep.run(tinyPanel, "ts", "1d", fh = 2, topK = 2,
+        testSize = 2, nSplits = 2, stepSize = 2, cdSweeps = 2, strategy = "lasso",
+        models = graft.operators.EliteDeep.linearFamily).count()
+      graft.operators.EliteDeep.run(tinyPanel, "ts", "1d", fh = 2, topK = 2,
+        testSize = 2, nSplits = 2, stepSize = 2, cdSweeps = 2, strategy = "mean",
+        models = Seq("naive", "linear_scaled_7", "linear_diff_7",
+          "linear_detrend_7", "knn_3", "knn_scaled_3")).count()
       // ...and the stump-boosting conditional-agg pass (its 40+-column
       // aggregate compiles a distinctive codegen shape)
       graft.operators.StumpBoost.fit(tinyPanel, lags = 3, freq = "1d",

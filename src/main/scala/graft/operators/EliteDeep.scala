@@ -134,6 +134,13 @@ object EliteDeep {
     "linear_scaled_7", "linear_diff_7", "linear_detrend_7",
     "ridge_scaled_7", "ridge_detrend_7", "knn_3", "knn_scaled_3")
 
+  /** The closed-form/naive/CD members — the sub-zoo the DuckDB oracle
+    * can rank inside one WITH (the pipeline/knn members are oracled
+    * separately in fc_elite_pipe / fc_elite_knn; the binder caps
+    * ~1000 chained CTEs per statement). */
+  val linearFamily: Seq[String] = Seq("naive", "snaive", "linear_7", "linear_14",
+    "ridge_3", "ridge_7", "lasso_7", "elastic_net_7")
+
   def run(p: Panel, timeCol: String, freq: String, fh: Int, topK: Int,
           strategy: String = "mean", testSize: Int = 5, nSplits: Int = 2,
           stepSize: Int = 5, sp: Int = 7, cdSweeps: Int = 8,
@@ -222,17 +229,25 @@ object EliteDeep {
       .na.drop(feats)
     val (b0, ws) = graft.functions.Ols.elasticNetCD(stackTrain, feats, "__y",
       alpha = alpha, l1Ratio = 1.0, sweeps = sweeps)
-    val stackFull = pivot(preds, p.value, p.entity :+ timeCol).na.drop(feats)
+    val stackAll = pivot(preds, p.value, p.entity :+ timeCol)
     // (b0 + w1·f1 + w2·f2 + …) — the oracle's left-fold order
     val yhat = ws.zipWithIndex.foldLeft(lit(b0)) { case (acc, (wi, i)) =>
       acc + lit(wi) * col(s"f_${i + 1}")
     }
-    val stacked = stackFull
+    val stacked = stackAll.na.drop(feats)
       .select((p.entityCols ++ Seq(col(timeCol), yhat.as(p.value))): _*)
     // elite.py:365-374: entities whose best CV model is the naive
-    // random walk get the pure naive forecast, not the stack
+    // random walk get the pure naive forecast, not the stack. Entities
+    // whose rank pivot is INCOMPLETE anywhere (fewer than topK
+    // non-null full predictions — e.g. a top-k member produced null
+    // for a degenerate series) also fall back to naive rather than
+    // vanishing from the output.
+    val incomplete = stackAll
+      .filter(feats.map(col(_).isNull).reduce(_ || _))
+      .select(p.entityCols: _*).distinct()
     val rw = ranked.filter(col("__rk") === 1 && col("model") === "naive")
       .select(p.entityCols: _*)
+      .unionByName(incomplete).distinct()
     val naivePreds = preds.filter(col("model") === "naive")
       .select((p.entityCols ++ Seq(col(timeCol), col(p.value))): _*)
     naivePreds.join(rw, p.entity, "leftsemi")

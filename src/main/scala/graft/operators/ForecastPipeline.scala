@@ -74,11 +74,17 @@ object ForecastPipeline {
       sum(col("__vd") * col("__i").cast("decimal(18,1)")).cast("double").as("__sxy"),
       sum(col("__i")).as("__sx"),
       sum(col("__i") * col("__i")).as("__sxx"))
-    val betaE = (col("__nn") * col("__sxy") - col("__sx") * col("__sy")) /
-      (col("__nn") * col("__sxx") - col("__sx") * col("__sx"))
+    // a single-row entity has zero x-variance: β is undefined (0/0
+    // would be NaN in double arithmetic). Null it out instead — the
+    // inner joins below then drop the entity, matching the SQL
+    // oracle's `beta IS NOT NULL` guard under NULL division.
+    val denomE = col("__nn") * col("__sxx") - col("__sx") * col("__sx")
+    val betaE = when(denomE =!= 0d,
+      (col("__nn") * col("__sxy") - col("__sx") * col("__sy")) / denomE)
     val art = m.select((p.entityCols :+ betaE.as("__beta") :+
       (col("__sy") / col("__nn") - betaE * (col("__sx") / col("__nn"))).as("__alpha") :+
       col("__nn").as("__n")): _*)
+      .filter(col("__beta").isNotNull)
     val resid = d.join(broadcast(art), p.entity)
       .withColumn(p.value, p.x - (col("__beta") * col("__i") + col("__alpha")))
       .drop("__i", "__vd", "__beta", "__alpha", "__n")

@@ -415,7 +415,7 @@ object KnnForecaster {
     * switch to the bucketed [[predictOneStepIvf]] /
     * [[predictOneStepLsh]] paths whose work is corpus-sized, not
     * corpus×entities. */
-  private[graft] var maxExactEntities: Int = 100000
+  @volatile private[graft] var maxExactEntities: Int = 100000
 
   private def guardExactEntities(n: Long, what: String): Unit =
     require(n <= maxExactEntities,

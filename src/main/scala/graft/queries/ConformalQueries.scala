@@ -1308,7 +1308,8 @@ object ConformalQueries {
           GROUP BY p.user_id, p.ts"""
     }) { (s, dir) =>
       r6(EliteDeep.run(ev(s, dir), "ts", "1d", fh = 3, topK = 4,
-        strategy = "mean", testSize = 5, nSplits = 2, cdSweeps = 8))
+        strategy = "mean", testSize = 5, nSplits = 2, cdSweeps = 8,
+        models = EliteDeep.linearFamily))
     },
 
     // elite with the LASSO STACKER (elite.py:303-308,356-374): same
@@ -1364,6 +1365,7 @@ object ConformalQueries {
       val pivotFull = (1 to k)
         .map(i => s"max(CASE rk WHEN $i THEN value END) AS f_$i").mkString(", ")
       val nnAll = fks.map(f => s"$f IS NOT NULL").mkString(" AND ")
+      val anyNull = fks.map(f => s"$f IS NULL").mkString(" OR ")
       val yhat = "a_0" +: (1 to k).map(i => s"a_$i * f_$i")
       s"""WITH ${OlsBacktestSql.lagdCte(14)},
           ${btLin.mkString(", ")},
@@ -1411,7 +1413,9 @@ object ConformalQueries {
                     GROUP BY p.user_id, p.ts),
           stacked AS (SELECT user_id, ts, ${yhat.mkString("(", " + ", ")")} AS value
                       FROM (SELECT * FROM fullp WHERE $nnAll) CROSS JOIN ssol),
-          rw AS (SELECT user_id FROM winnersrk WHERE rk = 1 AND model = 'naive')
+          rw AS (SELECT user_id FROM winnersrk WHERE rk = 1 AND model = 'naive'
+                 UNION
+                 SELECT DISTINCT user_id FROM fullp WHERE $anyNull)
           SELECT user_id, ts, round(value, 6) AS value FROM (
             SELECT p.user_id, p.ts, p.value FROM preds p
             WHERE p.model = 'naive' AND p.user_id IN (SELECT user_id FROM rw)
@@ -1421,7 +1425,7 @@ object ConformalQueries {
     }) { (s, dir) =>
       r6(EliteDeep.run(ev(s, dir), "ts", "1d", fh = 3, topK = 4,
         strategy = "lasso", testSize = 5, nSplits = 2, cdSweeps = 8,
-        stackAlpha = 0.01, stackSweeps = 10))
+        stackAlpha = 0.01, stackSweeps = 10, models = EliteDeep.linearFamily))
     },
 
     // elite's TARGET-TRANSFORM members (elite.py:97-109,148-157):
