@@ -163,12 +163,20 @@ object EliteDeep {
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
       // member backtests and full-data predictions are independent
-      // distributed jobs — overlap them all (the elite pattern)
+      // distributed jobs — overlap them all (the elite pattern), and
+      // MATERIALIZE each member's result inside its future: the frames
+      // are tiny (entities × splits × testSize, entities × fh) but the
+      // plans behind them are not, and the lasso stacker references the
+      // member unions several times (train pivot, actual re-attach,
+      // moment collect, full pivot, fallback) — without the checkpoint
+      // every reference re-ran all eight member plans (fc_elite_stack
+      // 34.8 s vs fc_elite_deep's 6.5 s on the same zoo, r8 bench)
       val btF = Future.sequence(members.map { m => Future {
         m.name -> m.backtest().withColumn("model", lit(m.name))
+          .localCheckpoint(true)
       } })
       val predsF = Future.sequence(members.map { m => Future {
-        m.full().withColumn("model", lit(m.name))
+        m.full().withColumn("model", lit(m.name)).localCheckpoint(true)
       } })
       val bts = Await.result(btF, Duration.Inf)
       val scores = bts.map { case (name, bt) =>
@@ -179,9 +187,12 @@ object EliteDeep {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(p.entityCols: _*)
         .orderBy(col("smape").asc_nulls_last, col("model"))
+      // entities × topK rows, joined into every downstream pivot —
+      // materialize so the score union + window rank run exactly once
       val ranked = scores.withColumn("__rk", row_number().over(w))
         .filter(col("__rk") <= topK)
         .select((p.entityCols ++ Seq(col("model"), col("__rk"))): _*)
+        .localCheckpoint(true)
       val preds = Await.result(predsF, Duration.Inf).reduce(_ unionByName _)
       val out = strategy match {
         case "mean" =>
@@ -229,7 +240,9 @@ object EliteDeep {
       .na.drop(feats)
     val (b0, ws) = graft.functions.Ols.elasticNetCD(stackTrain, feats, "__y",
       alpha = alpha, l1Ratio = 1.0, sweeps = sweeps)
-    val stackAll = pivot(preds, p.value, p.entity :+ timeCol)
+    // entities × fh rows, read three times below (stack scoring, the
+    // incomplete-pivot fallback scan, and the anti-join) — materialize
+    val stackAll = pivot(preds, p.value, p.entity :+ timeCol).localCheckpoint(true)
     // (b0 + w1·f1 + w2·f2 + …) — the oracle's left-fold order
     val yhat = ws.zipWithIndex.foldLeft(lit(b0)) { case (acc, (wi, i)) =>
       acc + lit(wi) * col(s"f_${i + 1}")
