@@ -105,6 +105,37 @@ object Ols {
     (w(0), w.drop(1))
   }
 
+  /** Fit y ~ w·x with NO intercept — scikit-learn
+    * `LinearRegression/Ridge(fit_intercept=False)` semantics, the
+    * reference elite zoo's `*_no_drift` members
+    * (functime/forecasting/elite.py:92-95). With no unpenalized
+    * intercept column, `ridge` > 0 adds λ to EVERY diagonal entry.
+    * One codegen'd moment pass (p ≤ 16 in all callers), closed-form
+    * Cholesky solve. Returns the weight vector; callers model the
+    * fit as (0.0, w). */
+  def fitNoDrift(df: DataFrame, featureCols: Seq[String], labelCol: String,
+                 ridge: Double = 0.0): Array[Double] = {
+    import org.apache.spark.sql.functions.sum
+    val p = featureCols.length
+    val rows = df.na.drop(featureCols :+ labelCol)
+    val xs = featureCols.map(c => col(c).cast("double"))
+    val y = col(labelCol).cast("double")
+    val exprs = (for (i <- 0 until p; j <- i until p) yield sum(xs(i) * xs(j))) ++
+      (0 until p).map(i => sum(xs(i) * y))
+    val row = rows.agg(exprs.head, exprs.tail: _*).collect()(0)
+    if (row.isNullAt(0))
+      throw new IllegalArgumentException(
+        s"no-drift OLS fit has no complete training rows (all rows empty " +
+          s"or null in ${featureCols.mkString(", ")} / $labelCol)")
+    val tri = p * (p + 1) / 2
+    val a = expand(Array.tabulate(tri)(row.getDouble), p)
+    if (ridge != 0.0) {
+      var i = 0
+      while (i < p) { a(i)(i) += ridge; i += 1 }
+    }
+    choleskySolve(a, Array.tabulate(p)(i => row.getDouble(tri + i)))
+  }
+
   /** The one-pass SQL-aggregated normal-equation moments shared by
     * [[fitAgg]] and [[elasticNetCD]]: full symmetric (p+1)×(p+1)
     * X^T X (column 0 = intercept regressor 1.0, so row 0 carries n and

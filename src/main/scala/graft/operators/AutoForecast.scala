@@ -54,7 +54,8 @@ object AutoForecast {
   def backtestLinearPrefix(p: Panel, timeCol: String, lags: Int,
                            testSize: Int, nSplits: Int, stepSize: Int,
                            ridge: Double = 0.0,
-                           preAssembled: Option[DataFrame] = None): DataFrame = {
+                           preAssembled: Option[DataFrame] = None,
+                           drift: Boolean = true): DataFrame = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -74,9 +75,11 @@ object AutoForecast {
       val cutoff = testSize + (nSplits - 1 - i) * stepSize
       val trainEnd = col("__cnt") - cutoff
       // closed-form one-pass OLS per split over the shared cached frame
-      val (mIntercept, mWeights) = graft.functions.Ols.fit(
-        assembled.filter(col("__rn") <= trainEnd && col("__rn") > lags),
-        featureCols, p.value, ridge)
+      // (drift=false: the no-intercept *_no_drift elite members)
+      val trainSlice = assembled.filter(col("__rn") <= trainEnd && col("__rn") > lags)
+      val (mIntercept, mWeights) =
+        if (drift) graft.functions.Ols.fit(trainSlice, featureCols, p.value, ridge)
+        else (0.0, graft.functions.Ols.fitNoDrift(trainSlice, featureCols, p.value, ridge))
       // per-entity state at the split cutoff: values trainEnd..trainEnd−lags+1
       val tailRows = assembled
         .filter(col("__rn") > trainEnd - lags && col("__rn") <= trainEnd)

@@ -49,16 +49,20 @@ object EliteDeep {
                   freq: String, sp: Int, fh: Int, testSize: Int, nSplits: Int,
                   stepSize: Int, cdSweeps: Int): Seq[Member] = {
     val p = cached
-    def fitLinearShared(lags: Int, ridge: Double = 0.0): LinearForecasterModel = {
+    def fitLinearShared(lags: Int, ridge: Double = 0.0,
+                        drift: Boolean = true): LinearForecasterModel = {
       val featureCols = (1 to lags).map(l => s"${p.value}__lag_$l")
-      val (b0, w) = graft.functions.Ols.fit(
-        sharedLag.filter(col("__rn") > lags), featureCols, p.value, ridge)
+      val train = sharedLag.filter(col("__rn") > lags)
+      val (b0, w) =
+        if (drift) graft.functions.Ols.fit(train, featureCols, p.value, ridge)
+        else (0.0, graft.functions.Ols.fitNoDrift(train, featureCols, p.value, ridge))
       LinearForecasterModel(b0, w, lags, freq)
     }
-    def linearMember(name: String, lags: Int, ridge: Double = 0.0) = Member(name,
+    def linearMember(name: String, lags: Int, ridge: Double = 0.0,
+                     drift: Boolean = true) = Member(name,
       () => AutoForecast.backtestLinearPrefix(p, timeCol, lags, testSize, nSplits,
-        stepSize, ridge, preAssembled = Some(sharedLag)),
-      () => fitLinearShared(lags, ridge).predict(p, timeCol, fh))
+        stepSize, ridge, preAssembled = Some(sharedLag), drift = drift),
+      () => fitLinearShared(lags, ridge, drift).predict(p, timeCol, fh))
     // L1/elastic-net members refit the CD solver per train slice (the
     // generic backtest), like the reference refits ElasticNet per split
     def cdMember(name: String, lags: Int, alpha: Double, l1Ratio: Double,
@@ -78,18 +82,21 @@ object EliteDeep {
           ForecastPipeline.linear(lags, freq, alpha, l1Ratio)).predict(timeCol, h)),
       () => ForecastPipeline.fit(p, timeCol, steps,
         ForecastPipeline.linear(lags, freq, alpha, l1Ratio)).predict(timeCol, fh))
-    // recursive multi-horizon KNN, optionally behind the z-score
-    // target transform (elite's knn / knn_scaled)
-    def knnFit(lags: Int, k: Int, scaled: Boolean)(tr: Panel, h: Int): DataFrame =
-      if (scaled)
-        ForecastPipeline.fit(tr, timeCol, Seq(ForecastPipeline.scaleStep()),
+    // recursive multi-horizon KNN, optionally behind a target
+    // transform (elite's knn / knn_scaled / knn_detrend_linear)
+    def knnFit(lags: Int, k: Int, xform: Option[ForecastPipeline.Step])
+              (tr: Panel, h: Int): DataFrame = xform match {
+      case Some(step) =>
+        ForecastPipeline.fit(tr, timeCol, Seq(step),
           pT => (tc, hh) => KnnForecaster.predictRecursive(pT, tc, freq, lags, k, hh))
           .predict(timeCol, h)
-      else KnnForecaster.predictRecursive(tr, timeCol, freq, lags, k, h)
-    def knnMember(name: String, k: Int, lags: Int, scaled: Boolean) = Member(name,
+      case None => KnnForecaster.predictRecursive(tr, timeCol, freq, lags, k, h)
+    }
+    def knnMember(name: String, k: Int, lags: Int,
+                  xform: Option[ForecastPipeline.Step]) = Member(name,
       () => Conformal.backtest(p, timeCol, testSize, nSplits, stepSize,
-        knnFit(lags, k, scaled)),
-      () => knnFit(lags, k, scaled)(p, fh))
+        knnFit(lags, k, xform)),
+      () => knnFit(lags, k, xform)(p, fh))
     Seq(
       Member("naive",
         () => AutoForecast.backtestNaivePrefix(p, timeCol, 1, testSize, nSplits,
@@ -121,9 +128,21 @@ object EliteDeep {
         alpha = 0.1),
       pipeMember("ridge_detrend_7", Seq(ForecastPipeline.detrendLinearStep), 7,
         alpha = 0.1),
+      // elite.py:92-95 "AR linear models without drift"
+      // (fit_intercept=False — the no-intercept normal equations)
+      linearMember("linear_nodrift_7", 7, drift = false),
+      linearMember("ridge_nodrift_3", 3, ridge = 0.1, drift = false),
+      // elite.py:139-147 "Mean detrended models"
+      pipeMember("linear_demean_7", Seq(ForecastPipeline.detrendMeanStep), 7),
+      pipeMember("ridge_demean_7", Seq(ForecastPipeline.detrendMeanStep), 7,
+        alpha = 0.1),
       // elite.py:83-88 "Seasonality" knn members, n_neighbors = lags//2
-      knnMember("knn_3", k = 3, lags = 7, scaled = false),
-      knnMember("knn_scaled_3", k = 3, lags = 7, scaled = true))
+      knnMember("knn_3", k = 3, lags = 7, xform = None),
+      knnMember("knn_scaled_3", k = 3, lags = 7,
+        xform = Some(ForecastPipeline.scaleStep())),
+      // elite.py:85-88 knn_detrend_linear
+      knnMember("knn_detrend_3", k = 3, lags = 7,
+        xform = Some(ForecastPipeline.detrendLinearStep)))
   }
 
   /** Run the deep elite. `strategy` ∈ {"mean", "lasso"}. Returns
@@ -132,7 +151,10 @@ object EliteDeep {
   val allModels: Seq[String] = Seq("naive", "snaive", "linear_7", "linear_14",
     "ridge_3", "ridge_7", "lasso_7", "elastic_net_7",
     "linear_scaled_7", "linear_diff_7", "linear_detrend_7",
-    "ridge_scaled_7", "ridge_detrend_7", "knn_3", "knn_scaled_3")
+    "ridge_scaled_7", "ridge_detrend_7",
+    "linear_nodrift_7", "ridge_nodrift_3",
+    "linear_demean_7", "ridge_demean_7",
+    "knn_3", "knn_scaled_3", "knn_detrend_3")
 
   /** The closed-form/naive/CD members — the sub-zoo the DuckDB oracle
     * can rank inside one WITH (the pipeline/knn members are oracled

@@ -98,6 +98,22 @@ object ForecastPipeline {
     })
   }
 
+  /** Per-entity mean-detrend step — the elite zoo's
+    * `detrend(method="mean")` target transform (elite.py:139-147,
+    * preprocessing.py detrend mean). Residual = x − μ(train); the
+    * invert adds μ back, constant over any horizon, so future rows
+    * need no position bookkeeping. μ is a plain double avg (the same
+    * estimator ScaleX's oracle uses — rd6 absorbs sub-ULP sum-order
+    * drift). */
+  def detrendMeanStep: Step = (p, _) => {
+    val art = p.agg(avg(p.x).as("__mu"))
+    val resid = p.df.join(broadcast(art), p.entity)
+      .withColumn(p.value, p.x - col("__mu")).drop("__mu")
+    FittedStep(p.copy(df = resid),
+      pred => pred.join(broadcast(art), p.entity)
+        .withColumn(p.value, p.x + col("__mu")).drop("__mu"))
+  }
+
   /** Seasonal differencing step (preprocessing.py:500-571). The
     * future invert reconstructs levels lane-by-lane: prediction h
     * (1-based in time order) has phase (h−1) mod sp, and its level is

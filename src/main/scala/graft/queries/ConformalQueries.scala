@@ -1503,6 +1503,81 @@ object ConformalQueries {
           "linear_detrend_7", "ridge_scaled_7", "ridge_detrend_7")))
     },
 
+    // elite's remaining linear families (elite.py:92-95 "AR linear
+    // models without drift" = fit_intercept=False, every coefficient
+    // ridge-penalized; elite.py:139-147 "Mean detrended models" =
+    // detrend(method="mean") target transform), ranked against naive
+    // and linear_7, top-3 mean blend. The no-drift oracle drops the
+    // intercept regressor from the normal equations (d = lags) and
+    // shifts the Cholesky coefficient names; the demean oracle is the
+    // detrend_mean XForm refit per split.
+    "fc_elite_drift" -> Q({
+      val btLin = OlsBacktestSql.backtestLinear("lin7", 7, testSize = 5,
+        nSplits = 2, stepSize = 5)
+      val btNd7 = OlsBacktestSql.backtestLinear("lnd7", 7, testSize = 5,
+        nSplits = 2, stepSize = 5, drift = false)
+      val btNr3 = OlsBacktestSql.backtestLinear("rnd3", 3, testSize = 5,
+        nSplits = 2, stepSize = 5, ridge = 0.1, drift = false)
+      val btDm = Seq(("ldm7", 0.0), ("rdm7", 0.1)).map { case (t, r) =>
+        OlsBacktestSql.backtestXformLinear(t, 7, testSize = 5, nSplits = 2,
+          stepSize = 5, xformName = "detrend_mean", ridge = r)
+      }
+      val btNv = OlsBacktestSql.backtestNaive("nv", 1, testSize = 5,
+        nSplits = 2, stepSize = 5)
+      val tags = Seq("nv" -> "naive", "lin7" -> "linear_7",
+        "lnd7" -> "linear_nodrift_7", "rnd3" -> "ridge_nodrift_3",
+        "ldm7" -> "linear_demean_7", "rdm7" -> "ridge_demean_7")
+      val scs = tags.map(t => OlsBacktestSql.entityScore(t._1))
+      val allsc = tags.map { case (t, n) =>
+        s"SELECT user_id, smape, '$n' AS model FROM sc_$t"
+      }.mkString(" UNION ALL ")
+      val fulls = Seq(
+        OlsBacktestSql.fullLinear("f7", 7, fh = 3),
+        OlsBacktestSql.fullLinear("fnd7", 7, fh = 3, drift = false),
+        OlsBacktestSql.fullLinear("fnr3", 3, fh = 3, ridge = 0.1, drift = false),
+        OlsBacktestSql.fullXformLinear("fdm7", 7, fh = 3,
+          xformName = "detrend_mean"),
+        OlsBacktestSql.fullXformLinear("fdr7", 7, fh = 3,
+          xformName = "detrend_mean", ridge = 0.1))
+      def linPred(tag: String, name: String) =
+        s"""SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                   CASE h WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END AS value,
+                   '$name' AS model
+            FROM fp_$tag CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)"""
+      s"""WITH ${OlsBacktestSql.lagdCte(7)},
+          $btLin,
+          $btNd7,
+          $btNr3,
+          ${btDm.mkString(", ")},
+          $btNv,
+          ${scs.mkString(", ")},
+          allsc AS ($allsc),
+          winners AS (SELECT user_id, model FROM (
+              SELECT user_id, model, row_number() OVER (PARTITION BY user_id
+                       ORDER BY smape ASC NULLS LAST, model) AS rk
+              FROM allsc) WHERE rk <= 3),
+          ${fulls.mkString(", ")},
+          state AS (SELECT user_id, arg_max(value, ts) AS lastv, max(ts) AS cutoff
+                    FROM events GROUP BY user_id),
+          preds AS (
+            SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                   lastv AS value, 'naive' AS model
+            FROM state CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)
+            UNION ALL ${linPred("f7", "linear_7")}
+            UNION ALL ${linPred("fnd7", "linear_nodrift_7")}
+            UNION ALL ${linPred("fnr3", "ridge_nodrift_3")}
+            UNION ALL ${linPred("fdm7", "linear_demean_7")}
+            UNION ALL ${linPred("fdr7", "ridge_demean_7")})
+          SELECT p.user_id, p.ts, round(avg(p.value), 6) AS value
+          FROM preds p JOIN winners w ON p.user_id = w.user_id AND p.model = w.model
+          GROUP BY p.user_id, p.ts"""
+    }) { (s, dir) =>
+      r6(EliteDeep.run(ev(s, dir), "ts", "1d", fh = 3, topK = 3,
+        strategy = "mean", testSize = 5, nSplits = 2,
+        models = Seq("naive", "linear_7", "linear_nodrift_7",
+          "ridge_nodrift_3", "linear_demean_7", "ridge_demean_7")))
+    },
+
     // IVF ANN forecaster (the reference's Lance IVF regressor analog,
     // forecasting/lance.py): portable md5-ordered centroid row sample,
     // per-row argmin cell assignment, within-cell L2 top-5, mean label
@@ -1594,7 +1669,8 @@ object ConformalQueries {
     },
 
     // elite's knn members (elite.py:83-88, n_neighbors = lags//2 = 3):
-    // recursive KNN plain and behind the z-score target transform,
+    // recursive KNN plain, behind the z-score target transform, and
+    // behind the linear-detrend target transform (knn_detrend_linear),
     // ranked against naive and linear_7, top-2 mean blend
     "fc_elite_knn" -> Q({
       val btLin = OlsBacktestSql.backtestLinear("lin7", 7, testSize = 5,
@@ -1602,11 +1678,13 @@ object ConformalQueries {
       val btKnn = OlsBacktestSql.backtestKnnRecursive("kn3", 7, k = 3,
         testSize = 5, nSplits = 2, stepSize = 5)
       val btKnnS = OlsBacktestSql.backtestKnnRecursive("kns3", 7, k = 3,
-        testSize = 5, nSplits = 2, stepSize = 5, scaled = true)
+        testSize = 5, nSplits = 2, stepSize = 5, xform = "scale")
+      val btKnnD = OlsBacktestSql.backtestKnnRecursive("knd3", 7, k = 3,
+        testSize = 5, nSplits = 2, stepSize = 5, xform = "detrend")
       val btNv = OlsBacktestSql.backtestNaive("nv", 1, testSize = 5,
         nSplits = 2, stepSize = 5)
       val tags = Seq("nv" -> "naive", "lin7" -> "linear_7",
-        "kn3" -> "knn_3", "kns3" -> "knn_scaled_3")
+        "kn3" -> "knn_3", "kns3" -> "knn_scaled_3", "knd3" -> "knn_detrend_3")
       val scs = tags.map(t => OlsBacktestSql.entityScore(t._1))
       val allsc = tags.map { case (t, n) =>
         s"SELECT user_id, smape, '$n' AS model FROM sc_$t"
@@ -1620,6 +1698,7 @@ object ConformalQueries {
           $btLin,
           $btKnn,
           $btKnnS,
+          $btKnnD,
           $btNv,
           ${scs.mkString(", ")},
           allsc AS ($allsc),
@@ -1631,7 +1710,9 @@ object ConformalQueries {
           ${OlsBacktestSql.knnRecursiveCtes("fk3", 7, k = 3, horizons = 3,
         endRn = "cnt", trainCond = "TRUE")},
           ${OlsBacktestSql.knnRecursiveCtes("fks3", 7, k = 3, horizons = 3,
-        endRn = "cnt", trainCond = "TRUE", scaled = true)},
+        endRn = "cnt", trainCond = "TRUE", xform = "scale")},
+          ${OlsBacktestSql.knnRecursiveCtes("fkd3", 7, k = 3, horizons = 3,
+        endRn = "cnt", trainCond = "TRUE", xform = "detrend")},
           state AS (SELECT user_id, arg_max(value, ts) AS lastv, max(ts) AS cutoff
                     FROM events GROUP BY user_id),
           preds AS (
@@ -1640,14 +1721,16 @@ object ConformalQueries {
             FROM state CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)
             UNION ALL ${linPred("f7", "linear_7")}
             UNION ALL ${linPred("fk3", "knn_3")}
-            UNION ALL ${linPred("fks3", "knn_scaled_3")})
+            UNION ALL ${linPred("fks3", "knn_scaled_3")}
+            UNION ALL ${linPred("fkd3", "knn_detrend_3")})
           SELECT p.user_id, p.ts, round(avg(p.value), 6) AS value
           FROM preds p JOIN winners w ON p.user_id = w.user_id AND p.model = w.model
           GROUP BY p.user_id, p.ts"""
     }) { (s, dir) =>
       r6(EliteDeep.run(ev(s, dir), "ts", "1d", fh = 3, topK = 2,
         strategy = "mean", testSize = 5, nSplits = 2,
-        models = Seq("naive", "linear_7", "knn_3", "knn_scaled_3")))
+        models = Seq("naive", "linear_7", "knn_3", "knn_scaled_3",
+          "knn_detrend_3")))
     },
 
     "p_coerce_dtypes" -> Q(

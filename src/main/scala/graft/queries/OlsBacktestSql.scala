@@ -17,12 +17,15 @@ object OlsBacktestSql {
     * a_0..a_<lags> and tail columns t1..t<lags>: state(j) = p_{h-j}
     * for j < h (earlier horizons), else t_{j-h+1}. Mirrors the
     * foldLeft(bh)(+) order of predictRecursiveLinear. */
-  private def predExpr(h: Int, lags: Int): String = {
+  private def predExpr(h: Int, lags: Int, drift: Boolean = true): String = {
+    // drift=false (no-intercept fit): the Cholesky solution names
+    // a_0..a_{lags-1} for f1..f<lags> and there is no intercept term
     val terms = (1 to lags).map { j =>
       val s = if (j < h) s"p${h - j}" else s"t${j - h + 1}"
-      s"a_$j * $s"
+      if (drift) s"a_$j * $s" else s"a_${j - 1} * $s"
     }
-    (s"a_0" +: terms).mkString("(", " + ", s") AS p$h")
+    val all = if (drift) s"a_0" +: terms else terms
+    all.mkString("(", " + ", s") AS p$h")
   }
 
   /** Staged recursion: one MATERIALIZED CTE per horizon (lateral-alias
@@ -30,10 +33,11 @@ object OlsBacktestSql {
     * DuckDB's binder recursion limit at lags·horizons ≳ 128). `from0`
     * must carry t1..t<lags> and a_0..a_<lags>; the final CTE
     * `<p>pred` also carries p1..p<horizons>. */
-  private def predStages(p: String, from0: String, horizons: Int, lags: Int): String = {
+  private def predStages(p: String, from0: String, horizons: Int, lags: Int,
+                         drift: Boolean = true): String = {
     val stages = (1 to horizons).map { h =>
       val src = if (h == 1) from0 else s"${p}h${h - 1}"
-      s"${p}h$h AS MATERIALIZED (SELECT *, ${predExpr(h, lags)} FROM $src)"
+      s"${p}h$h AS MATERIALIZED (SELECT *, ${predExpr(h, lags, drift)} FROM $src)"
     }
     (stages :+ s"${p}pred AS (SELECT * FROM ${p}h$horizons)").mkString(", ")
   }
@@ -53,20 +57,26 @@ object OlsBacktestSql {
     * predictions for h = 1..testSize, inner-joined to actuals.
     * Emits `bt_<tag>` with (user_id, h, split, actual, pred). */
   def backtestLinear(tag: String, lags: Int, testSize: Int, nSplits: Int,
-                     stepSize: Int, ridge: Double = 0.0): String = {
-    val xs = "1.0" +: (1 to lags).map(j => s"f$j")
+                     stepSize: Int, ridge: Double = 0.0,
+                     drift: Boolean = true): String = {
+    // drift=false: no intercept regressor — every coefficient is
+    // penalized (sklearn fit_intercept=False), d = lags
+    val xs = if (drift) "1.0" +: (1 to lags).map(j => s"f$j")
+             else (1 to lags).map(j => s"f$j")
+    val d = xs.length
+    val pfrom = if (drift) 1 else 0
     val splits = (0 until nSplits).map { i =>
       val cutoff = testSize + (nSplits - 1 - i) * stepSize
       val t = s"${tag}_s$i"
       val predCases = (1 to testSize)
         .map(h => s"WHEN $h THEN p.p$h").mkString(" ")
-      s"""${t}_mom AS (SELECT ${Q.olsMomentsSql(xs, "value", ridge)}
+      s"""${t}_mom AS (SELECT ${Q.olsMomentsSql(xs, "value", ridge, pfrom)}
             FROM lagd WHERE rn > $lags AND rn <= cnt - $cutoff),
-          ${Q.cholSolveSql(lags + 1, s"${t}_mom", s"${t}_ch")},
+          ${Q.cholSolveSql(d, s"${t}_mom", s"${t}_ch")},
           ${tailCte(s"$t", lags, s"cnt - $cutoff")},
           ${t}_p0 AS (SELECT * FROM ${t}_tail
-            CROSS JOIN ${Q.cholSolveLast(lags + 1, s"${t}_ch")}),
-          ${predStages(s"${t}_", s"${t}_p0", testSize, lags)},
+            CROSS JOIN ${Q.cholSolveLast(d, s"${t}_ch")}),
+          ${predStages(s"${t}_", s"${t}_p0", testSize, lags, drift)},
           ${t}_bt AS (
             SELECT a.user_id, a.rn - (a.cnt - $cutoff) AS h, $i AS split,
                    a.value AS actual, CASE a.rn - (a.cnt - $cutoff) $predCases END AS pred
@@ -218,10 +228,28 @@ object OlsBacktestSql {
     def invert(h: Int, pos: String) = s"(p$h + (beta * (($pos)::DOUBLE) + alpha))"
   }
 
+  /** Per-entity mean detrend — detrendMeanStep's oracle (the elite
+    * zoo's detrend(method="mean") target transform, elite.py:139-147).
+    * μ is the plain double avg ScaleX also uses; the invert adds μ
+    * back, constant over any horizon. */
+  private object MeanX extends XForm {
+    def artCte(t: String, prefixCond: String) = Some(
+      s"""${t}_art AS (SELECT user_id, avg(value) AS mu
+            FROM lagd WHERE $prefixCond GROUP BY user_id)""")
+    def x(j: Int) = s"(f$j - mu)"
+    def y = "(value - mu)"
+    def warmup(lags: Int) = lags
+    def tailCarry = Seq("mu")
+    def tailT(j: Int) = if (j == 1) "(value - mu)" else s"(f${j - 1} - mu)"
+    def guard = "TRUE"
+    def invert(h: Int, pos: String) = s"(p$h + mu)"
+  }
+
   private def xformOf(name: String): XForm = name match {
-    case "scale"   => ScaleX
-    case "diff"    => DiffX
-    case "detrend" => DetrendX
+    case "scale"        => ScaleX
+    case "diff"         => DiffX
+    case "detrend"      => DetrendX
+    case "detrend_mean" => MeanX
     case other     => throw new IllegalArgumentException(s"unknown xform: $other")
   }
 
@@ -314,26 +342,57 @@ object OlsBacktestSql {
     * (user_id, cutoff, p1..p<horizons>) in LEVEL space. */
   def knnRecursiveCtes(tag: String, lags: Int, k: Int, horizons: Int,
                        endRn: String, trainCond: String,
-                       scaled: Boolean = false): String = {
-    val art =
-      if (scaled) Some(
+                       xform: String = "none"): String = {
+    require(Set("none", "scale", "detrend")(xform),
+      s"knnRecursiveCtes xform must be none/scale/detrend (got $xform)")
+    // per-entity transform artifact: z-score (mu, sd) or the
+    // DECIMAL-exact linear-trend (beta, alpha) — the same estimators
+    // ScaleX / DetrendX use, refit on the train prefix
+    val art = xform match {
+      case "scale" => Some(
         s"""${tag}_art AS (SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sd
               FROM lagd WHERE $trainCond GROUP BY user_id)""")
-      else None
-    val artJoin = if (scaled) s" JOIN ${tag}_art USING (user_id)" else ""
-    val guard = if (scaled) " AND sd IS NOT NULL AND sd <> 0" else ""
-    def tf(e: String) = if (scaled) s"(($e - mu) / sd)" else e
-    val trCols = (1 to lags).map(j => s"${tf(s"f$j")} AS f$j")
-    // train keeps user_id only when scaled (each row's transform is
-    // its OWN entity's): the scan is still global — every query
+      case "detrend" => Some(
+        s"""${tag}_art AS (
+              SELECT user_id, (n*sxy - sx*sy) / (n*sxx - sx*sx) AS beta,
+                     sy/n - (n*sxy - sx*sy) / (n*sxx - sx*sx) * (sx/n) AS alpha
+              FROM (SELECT user_id, count(*)::DOUBLE AS n,
+                           CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+                           CAST(sum(CAST(value AS DECIMAL(28,10))
+                             * CAST((rn - 1)::DOUBLE AS DECIMAL(18,1))) AS DOUBLE) AS sxy,
+                           sum((rn - 1)::DOUBLE) AS sx,
+                           sum((rn - 1)::DOUBLE * (rn - 1)::DOUBLE) AS sxx
+                    FROM lagd WHERE $trainCond GROUP BY user_id))""")
+      case _ => None
+    }
+    val artJoin = if (art.isDefined) s" JOIN ${tag}_art USING (user_id)" else ""
+    val guard = xform match {
+      case "scale"   => " AND sd IS NOT NULL AND sd <> 0"
+      case "detrend" => " AND beta IS NOT NULL"
+      case _         => ""
+    }
+    // value at row rn sits at 0-based trend position rn−1; lag j at rn−1−j
+    def tf(e: String, pos: String) = xform match {
+      case "scale"   => s"(($e - mu) / sd)"
+      case "detrend" => s"($e - (beta * (($pos)::DOUBLE) + alpha))"
+      case _         => e
+    }
+    val trCols = (1 to lags).map(j => s"${tf(s"f$j", s"rn - 1 - $j")} AS f$j")
+    // train keeps user_id only when transformed (each row's transform
+    // is its OWN entity's): the scan is still global — every query
     // scans every training row, as in the Spark heap pass
     val tr =
-      s"""${tag}_tr AS MATERIALIZED (SELECT ${tf("value")} AS label,
+      s"""${tag}_tr AS MATERIALIZED (SELECT ${tf("value", "rn - 1")} AS label,
             ${trCols.mkString(", ")}
           FROM lagd$artJoin WHERE $trainCond AND f$lags IS NOT NULL$guard)"""
     val qCols = (1 to lags).map(j =>
-      if (j == 1) s"${tf("value")} AS q1" else s"${tf(s"f${j - 1}")} AS q$j")
-    val carryArt = if (scaled) ", mu, sd" else ""
+      if (j == 1) s"${tf("value", "rn - 1")} AS q1"
+      else s"${tf(s"f${j - 1}", s"rn - $j")} AS q$j")
+    val carryArt = xform match {
+      case "scale"   => ", mu, sd"
+      case "detrend" => ", beta, alpha, (rn - 1)::DOUBLE AS tpos"
+      case _         => ""
+    }
     val q0 =
       s"""${tag}_q0 AS (SELECT user_id, ts AS cutoff$carryArt,
             ${qCols.mkString(", ")}
@@ -345,7 +404,11 @@ object OlsBacktestSql {
       val shift = (1 to lags).map(j =>
         if (j == 1) "p.p AS q1" else s"q.q${j - 1} AS q$j")
       val carryPr = (1 until h).map(j => s"q.pr$j") :+ s"p.p AS pr$h"
-      val carryArtQ = if (scaled) ", q.mu, q.sd" else ""
+      val carryArtQ = xform match {
+        case "scale"   => ", q.mu, q.sd"
+        case "detrend" => ", q.beta, q.alpha, q.tpos"
+        case _         => ""
+      }
       Seq(
         s"""${tag}_d$h AS MATERIALIZED (
               SELECT q.user_id, t.label, $dist AS d
@@ -358,7 +421,13 @@ object OlsBacktestSql {
               ${shift.mkString(", ")}, ${carryPr.mkString(", ")}
             FROM ${tag}_q${h - 1} q JOIN ${tag}_p$h p USING (user_id))""")
     }
-    def lvl(h: Int) = if (scaled) s"(pr$h * sd + mu)" else s"pr$h"
+    // prediction h (in transformed space) back to levels: z-score
+    // invert, or trend extrapolated to the arange index tpos + h
+    def lvl(h: Int) = xform match {
+      case "scale"   => s"(pr$h * sd + mu)"
+      case "detrend" => s"(pr$h + (beta * ((tpos + $h)::DOUBLE) + alpha))"
+      case _         => s"pr$h"
+    }
     val fp =
       s"""fp_$tag AS (SELECT user_id, cutoff,
             ${(1 to horizons).map(h => s"${lvl(h)} AS p$h").mkString(", ")}
@@ -372,14 +441,14 @@ object OlsBacktestSql {
     * with (user_id, h, split, actual, pred). */
   def backtestKnnRecursive(tag: String, lags: Int, k: Int, testSize: Int,
                            nSplits: Int, stepSize: Int,
-                           scaled: Boolean = false): String = {
+                           xform: String = "none"): String = {
     val splits = (0 until nSplits).map { i =>
       val cutoff = testSize + (nSplits - 1 - i) * stepSize
       val t = s"${tag}_s$i"
       val predCases = (1 to testSize)
         .map(h => s"WHEN $h THEN p.p$h").mkString(" ")
       s"""${knnRecursiveCtes(t, lags, k, testSize, s"cnt - $cutoff",
-        s"rn <= cnt - $cutoff", scaled)},
+        s"rn <= cnt - $cutoff", xform)},
           ${t}_bt AS (
             SELECT a.user_id, a.rn - (a.cnt - $cutoff) AS h, $i AS split,
                    a.value AS actual, CASE a.rn - (a.cnt - $cutoff) $predCases END AS pred
@@ -435,15 +504,18 @@ object OlsBacktestSql {
     * has leading nulls (e.g. a differenced series: warmup = order·sp
     * extra rows are incomplete and Ols.fit's na.drop excludes them). */
   def fullLinear(tag: String, lags: Int, fh: Int, ridge: Double = 0.0,
-                 warmup: Int = 0): String = {
-    val xs = "1.0" +: (1 to lags).map(j => s"f$j")
-    s"""${tag}_mom AS (SELECT ${Q.olsMomentsSql(xs, "value", ridge)}
+                 warmup: Int = 0, drift: Boolean = true): String = {
+    val xs = if (drift) "1.0" +: (1 to lags).map(j => s"f$j")
+             else (1 to lags).map(j => s"f$j")
+    val d = xs.length
+    val pfrom = if (drift) 1 else 0
+    s"""${tag}_mom AS (SELECT ${Q.olsMomentsSql(xs, "value", ridge, pfrom)}
           FROM lagd WHERE rn > ${lags + warmup}),
-        ${Q.cholSolveSql(lags + 1, s"${tag}_mom", s"${tag}_ch")},
+        ${Q.cholSolveSql(d, s"${tag}_mom", s"${tag}_ch")},
         ${tailCte(tag, lags, "cnt")},
         ${tag}_p0 AS (SELECT * FROM ${tag}_tail
-          CROSS JOIN ${Q.cholSolveLast(lags + 1, s"${tag}_ch")}),
-        ${predStages(s"${tag}_", s"${tag}_p0", fh, lags)},
+          CROSS JOIN ${Q.cholSolveLast(d, s"${tag}_ch")}),
+        ${predStages(s"${tag}_", s"${tag}_p0", fh, lags, drift)},
         fp_$tag AS (SELECT * FROM ${tag}_pred)"""
   }
 

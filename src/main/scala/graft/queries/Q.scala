@@ -167,10 +167,11 @@ object Q {
     * Σ xᵢxⱼ (upper triangle) and `b_<i>` = Σ xᵢ·y. `ridge` > 0 adds λ
     * to the non-intercept diagonal (sklearn-Ridge semantics, matching
     * Ols.fit). */
-  def olsMomentsSql(xs: Seq[String], y: String, ridge: Double = 0.0): String = {
+  def olsMomentsSql(xs: Seq[String], y: String, ridge: Double = 0.0,
+                    penalizeFrom: Int = 1): String = {
     val d = xs.length
     val ms = for (i <- 0 until d; j <- i until d) yield {
-      val pen = if (ridge != 0.0 && i == j && i > 0) s" + $ridge" else ""
+      val pen = if (ridge != 0.0 && i == j && i >= penalizeFrom) s" + $ridge" else ""
       s"sum(${xs(i)} * ${xs(j)})$pen AS m_${i}_$j"
     }
     val bs = (0 until d).map(i => s"sum(${xs(i)} * $y) AS b_$i")

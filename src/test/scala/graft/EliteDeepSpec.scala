@@ -98,6 +98,75 @@ class EliteDeepSpec extends SparkSpec {
     } finally KnnForecaster.maxExactEntities = saved
   }
 
+  test("fitNoDrift solves the intercept-free normal equations exactly") {
+    // y = 3·x with no intercept: the no-drift fit recovers w = 3
+    // exactly, while the drifted fit would also be exact here — so
+    // also check a shifted series where the two MUST differ
+    val spark0 = spark
+    import spark0.implicits._
+    val df = (1 to 20).map(i => (i.toDouble, 3.0 * i)).toDF("x", "y")
+    val w = graft.functions.Ols.fitNoDrift(df, Seq("x"), "y")
+    assert(math.abs(w(0) - 3.0) < 1e-12, w.mkString(","))
+    val dfShift = (1 to 20).map(i => (i.toDouble, 3.0 * i + 10.0)).toDF("x", "y")
+    val wS = graft.functions.Ols.fitNoDrift(dfShift, Seq("x"), "y")
+    val (b0, wD) = graft.functions.Ols.fit(dfShift, Seq("x"), "y")
+    // through-origin slope absorbs the +10 offset; drifted fit is exact
+    assert(wS(0) > 3.0 && math.abs(b0 - 10.0) < 1e-9 &&
+      math.abs(wD(0) - 3.0) < 1e-9, s"${wS(0)} / $b0 / ${wD(0)}")
+  }
+
+  test("fitNoDrift ridge penalizes every coefficient (no free intercept)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = (1 to 20).map(i => (i.toDouble, 3.0 * i)).toDF("x", "y")
+    val w = graft.functions.Ols.fitNoDrift(df, Seq("x"), "y", ridge = 100.0)
+    val w0 = graft.functions.Ols.fitNoDrift(df, Seq("x"), "y")
+    assert(w(0) < w0(0), s"ridge ${w(0)} !< ols ${w0(0)}")
+  }
+
+  test("detrendMeanStep centers the series and adds the mean back on futures") {
+    val p = panel(Seq.tabulate(10)(_ => 7.5), Seq.tabulate(10)(i => i.toDouble))
+    val fitted = ForecastPipeline.detrendMeanStep(p, "t")
+    val resid0 = fitted.out.df.filter(col("entity") === 0)
+      .agg(max(abs(col("value")))).collect()(0).getDouble(0)
+    assert(resid0 < 1e-12, s"constant series residual $resid0")
+    val spark0 = spark
+    import spark0.implicits._
+    val preds = Seq((0L, 10L, 0.0), (1L, 10L, 2.0)).toDF("entity", "t", "value")
+    val lvl = fitted.invert(preds).orderBy("entity").collect()
+    assert(lvl(0).getDouble(2) == 7.5, lvl(0).toString) // 0 + mean(7.5)
+    assert(lvl(1).getDouble(2) == 6.5, lvl(1).toString) // 2 + mean(4.5)
+  }
+
+  test("eliteDeep nodrift/demean members rank and blend") {
+    val p = panel(Seq.tabulate(30)(i => 1.0 * i),
+      Seq.tabulate(30)(i => 50.0 - i))
+    val out = EliteDeep.run(p, "t", "1i", fh = 2, topK = 2, strategy = "mean",
+      testSize = 3, nSplits = 2, stepSize = 3,
+      models = Seq("naive", "linear_nodrift_7", "ridge_nodrift_3",
+        "linear_demean_7", "ridge_demean_7"))
+    assert(out.count() == 4) // 2 entities x 2 steps
+  }
+
+  test("knn_detrend member: recursion in detrended space, levels restored") {
+    // exact linear trends: detrended series are ~0 everywhere, so the
+    // KNN in residual space predicts ~0 and the invert restores the
+    // extrapolated trend
+    val p = panel(Seq.tabulate(30)(i => 2.0 * i + 5.0),
+      Seq.tabulate(30)(i => 100.0 - 3.0 * i))
+    val out = EliteDeep.run(p, "t", "1i", fh = 2, topK = 1, strategy = "mean",
+      testSize = 3, nSplits = 2, stepSize = 3,
+      models = Seq("knn_detrend_3"))
+    val rows = out.orderBy("entity", "t").collect()
+    assert(rows.length == 4, rows.mkString(","))
+    // entity 0: next values 2*30+5=65, 2*31+5=67
+    assert(math.abs(rows(0).getDouble(2) - 65.0) < 1e-6, rows(0).toString)
+    assert(math.abs(rows(1).getDouble(2) - 67.0) < 1e-6, rows(1).toString)
+    // entity 1: 100-3*30=10, 100-3*31=7
+    assert(math.abs(rows(2).getDouble(2) - 10.0) < 1e-6, rows(2).toString)
+    assert(math.abs(rows(3).getDouble(2) - 7.0) < 1e-6, rows(3).toString)
+  }
+
   test("eliteDeep rejects unknown model names loudly") {
     val p = panel(Seq.tabulate(25)(_ * 1.0))
     val e = intercept[IllegalArgumentException] {
