@@ -92,6 +92,16 @@ object EliteDeep {
           .predict(timeCol, h)
       case None => KnnForecaster.predictRecursive(tr, timeCol, freq, lags, k, h)
     }
+    // AR + fourier feature-transform members: the fourier columns are
+    // position functions, so both backtest refits and the full fit go
+    // through the same closed-form fitPredict
+    def fourierMember(name: String, lags: Int, kTerms: Int,
+                      ridge: Double = 0.0) = Member(name,
+      () => Conformal.backtest(p, timeCol, testSize, nSplits, stepSize,
+        (tr, h) => FourierLinear.fitPredict(tr, timeCol, freq, lags, sp,
+          kTerms, ridge, h)),
+      () => FourierLinear.fitPredict(p, timeCol, freq, lags, sp, kTerms,
+        ridge, fh))
     def knnMember(name: String, k: Int, lags: Int,
                   xform: Option[ForecastPipeline.Step]) = Member(name,
       () => Conformal.backtest(p, timeCol, testSize, nSplits, stepSize,
@@ -136,6 +146,10 @@ object EliteDeep {
       pipeMember("linear_demean_7", Seq(ForecastPipeline.detrendMeanStep), 7),
       pipeMember("ridge_demean_7", Seq(ForecastPipeline.detrendMeanStep), 7,
         alpha = 0.1),
+      // elite.py:104-137 "AR models with Fourier terms"
+      // (feature_transform=add_fourier_terms; K=2 over the run's sp)
+      fourierMember("linear_fourier_3", lags = 3, kTerms = 2),
+      fourierMember("ridge_fourier_3", lags = 3, kTerms = 2, ridge = 0.1),
       // elite.py:83-88 "Seasonality" knn members, n_neighbors = lags//2
       knnMember("knn_3", k = 3, lags = 7, xform = None),
       knnMember("knn_scaled_3", k = 3, lags = 7,
@@ -154,6 +168,7 @@ object EliteDeep {
     "ridge_scaled_7", "ridge_detrend_7",
     "linear_nodrift_7", "ridge_nodrift_3",
     "linear_demean_7", "ridge_demean_7",
+    "linear_fourier_3", "ridge_fourier_3",
     "knn_3", "knn_scaled_3", "knn_detrend_3")
 
   /** The closed-form/naive/CD members — the sub-zoo the DuckDB oracle

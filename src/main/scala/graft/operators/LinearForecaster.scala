@@ -145,6 +145,68 @@ final case class DirectLinearModel(
   * vector (fh doubles, from one groupBy over the future frame) onto
   * the lag tail and unrolls the recursion as flat column algebra —
   * one equi-join shuffle on entity, no per-step job. */
+/** Linear AR + Fourier feature-transform forecaster — the elite zoo's
+  * `feature_transform=add_fourier_terms(sp, K)` members
+  * (elite.py:104-137; seasonality/fourier.py:10-49). The fourier
+  * features are pure position functions — coef(t) = ((t mod sp) / sp)
+  * over the 0-based per-entity arange — so future horizons are known
+  * exactly: horizon h of an n-row entity sits at position n − 1 + h.
+  * Fit is one closed-form moment pass over lag + fourier columns;
+  * predict unrolls the lag recursion with each horizon's fourier
+  * contribution added as per-entity column algebra (no collect).
+  * The additive fold is STRICTLY left-to-right (b0, lag terms
+  * ascending, then cos/sin pairs k-ascending) — the DuckDB oracle
+  * folds the same sequence, so the engines agree to sub-ULP. */
+object FourierLinear {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  def fitPredict(p: Panel, timeCol: String, freq: String, lags: Int,
+                 sp: Int, K: Int, ridge: Double, fh: Int): DataFrame = {
+    require(K < sp, s"fourier K must be < sp (got K=$K, sp=$sp)")
+    val pos = CrossValidation.withPosition(
+      p.copy(df = Preprocess.lagKeepAll(p, 1 to lags)))
+    val coef = ((col("__rn") - 1) % sp).cast("double") / lit(sp.toDouble)
+    val withF = (1 to K).foldLeft(pos) { (d, k) =>
+      d.withColumn(s"__fc_$k", cos(lit(2 * math.Pi * k) * coef))
+        .withColumn(s"__fs_$k", sin(lit(2 * math.Pi * k) * coef))
+    }
+    val fNames = (1 to K).flatMap(k => Seq(s"__fc_$k", s"__fs_$k"))
+    val featureCols = (1 to lags).map(l => s"${p.value}__lag_$l") ++ fNames
+    val (b0, w) = graft.functions.Ols.fit(
+      withF.filter(col("__rn") > lags), featureCols, p.value, ridge)
+    val lagW = w.take(lags)
+    val fW = w.drop(lags)
+    // per-entity tail state (newest lags values), train length n, cutoff
+    val tail = withF.filter(col("__rn") > col("__cnt") - lags)
+      .withColumn("__rn_desc", col("__cnt") - col("__rn") + 1)
+    val state = tail.groupBy(p.entityCols: _*).agg(
+      collect_list(struct(col("__rn_desc"), p.x)).as("__s"),
+      max(col(timeCol)).as("__cutoff"),
+      max(col("__cnt")).as("__n"))
+      .withColumn("__state", sort_array(col("__s")).getField(p.value))
+      .filter(size(col("__state")) >= lags)
+      .drop("__s")
+    val unrolled = (1 to fh).foldLeft(state) { (d, h) =>
+      val stateRef = (j: Int) =>
+        if (j < h) col(s"__p${h - j}") else element_at(col("__state"), j - h + 1)
+      val posH = ((col("__n") - 1 + h) % sp).cast("double") / lit(sp.toDouble)
+      val terms: Seq[Column] =
+        (1 to lags).map(j => lit(lagW(j - 1)) * stateRef(j)) ++
+          (1 to K).flatMap(k => Seq(
+            lit(fW(2 * (k - 1))) * cos(lit(2 * math.Pi * k) * posH),
+            lit(fW(2 * k - 1)) * sin(lit(2 * math.Pi * k) * posH)))
+      d.withColumn(s"__p$h", terms.foldLeft(lit(b0): Column)(_ + _))
+    }
+    unrolled
+      .withColumn("__h", explode(sequence(lit(1), lit(fh))))
+      .withColumn(p.value,
+        element_at(array((1 to fh).map(h => col(s"__p$h")): _*), col("__h").cast("int")))
+      .withColumn(timeCol, Forecasters.futureTime(freq))
+      .select((p.entityCols ++ Seq(col(timeCol), col(p.value))): _*)
+  }
+}
+
 object ExogLinear {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.expressions.Window

@@ -1578,6 +1578,68 @@ object ConformalQueries {
           "ridge_nodrift_3", "linear_demean_7", "ridge_demean_7")))
     },
 
+    // elite's fourier feature-transform members (elite.py:104-137,
+    // feature_transform=add_fourier_terms(sp=7, K=2)): AR(3) + 4
+    // position-derived cos/sin regressors, future positions known
+    // exactly (tn − 1 + h), ranked against naive and linear_7,
+    // top-2 mean blend. Both engines fold the prediction terms in
+    // the identical left-to-right order.
+    "fc_elite_fourier" -> Q({
+      val btLin = OlsBacktestSql.backtestLinear("lin7", 7, testSize = 5,
+        nSplits = 2, stepSize = 5)
+      val btF = OlsBacktestSql.backtestFourierLinear("lfo3", 3, sp = 7,
+        kTerms = 2, testSize = 5, nSplits = 2, stepSize = 5)
+      val btFr = OlsBacktestSql.backtestFourierLinear("rfo3", 3, sp = 7,
+        kTerms = 2, testSize = 5, nSplits = 2, stepSize = 5, ridge = 0.1)
+      val btNv = OlsBacktestSql.backtestNaive("nv", 1, testSize = 5,
+        nSplits = 2, stepSize = 5)
+      val tags = Seq("nv" -> "naive", "lin7" -> "linear_7",
+        "lfo3" -> "linear_fourier_3", "rfo3" -> "ridge_fourier_3")
+      val scs = tags.map(t => OlsBacktestSql.entityScore(t._1))
+      val allsc = tags.map { case (t, n) =>
+        s"SELECT user_id, smape, '$n' AS model FROM sc_$t"
+      }.mkString(" UNION ALL ")
+      val fulls = Seq(
+        OlsBacktestSql.fullLinear("f7", 7, fh = 3),
+        OlsBacktestSql.fullFourierLinear("ffo3", 3, sp = 7, kTerms = 2, fh = 3),
+        OlsBacktestSql.fullFourierLinear("ffr3", 3, sp = 7, kTerms = 2, fh = 3,
+          ridge = 0.1))
+      def linPred(tag: String, name: String) =
+        s"""SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                   CASE h WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END AS value,
+                   '$name' AS model
+            FROM fp_$tag CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)"""
+      s"""WITH ${OlsBacktestSql.lagdCte(7)},
+          $btLin,
+          $btF,
+          $btFr,
+          $btNv,
+          ${scs.mkString(", ")},
+          allsc AS ($allsc),
+          winners AS (SELECT user_id, model FROM (
+              SELECT user_id, model, row_number() OVER (PARTITION BY user_id
+                       ORDER BY smape ASC NULLS LAST, model) AS rk
+              FROM allsc) WHERE rk <= 2),
+          ${fulls.mkString(", ")},
+          state AS (SELECT user_id, arg_max(value, ts) AS lastv, max(ts) AS cutoff
+                    FROM events GROUP BY user_id),
+          preds AS (
+            SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                   lastv AS value, 'naive' AS model
+            FROM state CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)
+            UNION ALL ${linPred("f7", "linear_7")}
+            UNION ALL ${linPred("ffo3", "linear_fourier_3")}
+            UNION ALL ${linPred("ffr3", "ridge_fourier_3")})
+          SELECT p.user_id, p.ts, round(avg(p.value), 6) AS value
+          FROM preds p JOIN winners w ON p.user_id = w.user_id AND p.model = w.model
+          GROUP BY p.user_id, p.ts"""
+    }) { (s, dir) =>
+      r6(EliteDeep.run(ev(s, dir), "ts", "1d", fh = 3, topK = 2,
+        strategy = "mean", testSize = 5, nSplits = 2,
+        models = Seq("naive", "linear_7", "linear_fourier_3",
+          "ridge_fourier_3")))
+    },
+
     // IVF ANN forecaster (the reference's Lance IVF regressor analog,
     // forecasting/lance.py): portable md5-ordered centroid row sample,
     // per-row argmin cell assignment, within-cell L2 top-5, mean label

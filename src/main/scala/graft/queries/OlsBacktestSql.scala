@@ -253,6 +253,98 @@ object OlsBacktestSql {
     case other     => throw new IllegalArgumentException(s"unknown xform: $other")
   }
 
+  /** cos/sin fourier regressor expressions at 0-based position `pos`
+    * (seasonality/fourier.py:41-45: coef = (t mod sp)/sp), cos-then-sin
+    * per ascending k — the exact column order FourierLinear's moment
+    * pass uses, so the Cholesky solutions line up index-for-index. */
+  private def fourierTerms(sp: Int, kTerms: Int, pos: String): Seq[String] =
+    (1 to kTerms).flatMap(k => Seq(
+      s"cos(2 * pi() * $k * ((($pos) % $sp)::DOUBLE / $sp))",
+      s"sin(2 * pi() * $k * ((($pos) % $sp)::DOUBLE / $sp))"))
+
+  /** predExpr for the AR+fourier member: horizon h reads lag state as
+    * usual plus the fourier terms at the FUTURE position tn − 1 + h
+    * (tn = train length, carried on the tail row). Strict left fold:
+    * a_0, lag terms ascending, cos/sin pairs k-ascending — matching
+    * FourierLinear.fitPredict's foldLeft. */
+  private def predExprFourier(h: Int, lags: Int, sp: Int, kTerms: Int): String = {
+    val lagTerms = (1 to lags).map { j =>
+      val s = if (j < h) s"p${h - j}" else s"t${j - h + 1}"
+      s"a_$j * $s"
+    }
+    val fTerms = fourierTerms(sp, kTerms, s"tn - 1 + $h").zipWithIndex.map {
+      case (e, m) => s"a_${lags + 1 + m} * $e"
+    }
+    ("a_0" +: (lagTerms ++ fTerms)).mkString("(", " + ", s") AS p$h")
+  }
+
+  /** Tail CTE variant that also carries tn = the train length the
+    * fourier prediction positions extrapolate from. */
+  private def tailCteF(tag: String, lags: Int, endRn: String): String = {
+    val ts = (1 to lags).map(j => if (j == 1) "value AS t1" else s"f${j - 1} AS t$j")
+    val longEnough = if (lags == 1) "TRUE" else s"f${lags - 1} IS NOT NULL"
+    s"""${tag}_tail AS (SELECT user_id, ts AS cutoff, ($endRn) AS tn,
+          ${ts.mkString(", ")}
+        FROM lagd WHERE rn = $endRn AND $longEnough)"""
+  }
+
+  /** Expanding-window backtest of the AR+fourier member — the oracle
+    * of FourierLinear.fitPredict under Conformal.backtest. Emits
+    * `bt_<tag>`. */
+  def backtestFourierLinear(tag: String, lags: Int, sp: Int, kTerms: Int,
+                            testSize: Int, nSplits: Int, stepSize: Int,
+                            ridge: Double = 0.0): String = {
+    val xs = ("1.0" +: (1 to lags).map(j => s"f$j")) ++
+      fourierTerms(sp, kTerms, "rn - 1")
+    val d = xs.length
+    val splits = (0 until nSplits).map { i =>
+      val cutoff = testSize + (nSplits - 1 - i) * stepSize
+      val t = s"${tag}_s$i"
+      val predCases = (1 to testSize)
+        .map(h => s"WHEN $h THEN p.p$h").mkString(" ")
+      val stages = (1 to testSize).map { h =>
+        val src = if (h == 1) s"${t}_p0" else s"${t}_h${h - 1}"
+        s"${t}_h$h AS MATERIALIZED (SELECT *, ${predExprFourier(h, lags, sp, kTerms)} FROM $src)"
+      }
+      s"""${t}_mom AS (SELECT ${Q.olsMomentsSql(xs, "value", ridge)}
+            FROM lagd WHERE rn > $lags AND rn <= cnt - $cutoff),
+          ${Q.cholSolveSql(d, s"${t}_mom", s"${t}_ch")},
+          ${tailCteF(s"$t", lags, s"cnt - $cutoff")},
+          ${t}_p0 AS (SELECT * FROM ${t}_tail
+            CROSS JOIN ${Q.cholSolveLast(d, s"${t}_ch")}),
+          ${stages.mkString(", ")},
+          ${t}_bt AS (
+            SELECT a.user_id, a.rn - (a.cnt - $cutoff) AS h, $i AS split,
+                   a.value AS actual, CASE a.rn - (a.cnt - $cutoff) $predCases END AS pred
+            FROM lagd a JOIN ${t}_h$testSize p ON a.user_id = p.user_id
+            WHERE a.rn > a.cnt - $cutoff AND a.rn <= a.cnt - $cutoff + $testSize)"""
+    }
+    val union = (0 until nSplits).map(i => s"SELECT * FROM ${tag}_s${i}_bt")
+      .mkString(" UNION ALL ")
+    (splits :+ s"bt_$tag AS ($union)").mkString(", ")
+  }
+
+  /** Full-data AR+fourier fit + fh-step prediction. Emits `fp_<tag>`
+    * with (user_id, cutoff, p1..p<fh>). */
+  def fullFourierLinear(tag: String, lags: Int, sp: Int, kTerms: Int,
+                        fh: Int, ridge: Double = 0.0): String = {
+    val xs = ("1.0" +: (1 to lags).map(j => s"f$j")) ++
+      fourierTerms(sp, kTerms, "rn - 1")
+    val d = xs.length
+    val stages = (1 to fh).map { h =>
+      val src = if (h == 1) s"${tag}_p0" else s"${tag}_h${h - 1}"
+      s"${tag}_h$h AS MATERIALIZED (SELECT *, ${predExprFourier(h, lags, sp, kTerms)} FROM $src)"
+    }
+    s"""${tag}_mom AS (SELECT ${Q.olsMomentsSql(xs, "value", ridge)}
+          FROM lagd WHERE rn > $lags),
+        ${Q.cholSolveSql(d, s"${tag}_mom", s"${tag}_ch")},
+        ${tailCteF(tag, lags, "cnt")},
+        ${tag}_p0 AS (SELECT * FROM ${tag}_tail
+          CROSS JOIN ${Q.cholSolveLast(d, s"${tag}_ch")}),
+        ${stages.mkString(", ")},
+        fp_$tag AS (SELECT * FROM ${tag}_h$fh)"""
+  }
+
   /** Expanding-window backtest of a target-transformed linear member
     * (transform refit per split on the row prefix). Emits `bt_<tag>`
     * with (user_id, h, split, actual, pred) — pred in LEVEL space. */

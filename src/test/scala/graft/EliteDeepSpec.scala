@@ -167,6 +167,31 @@ class EliteDeepSpec extends SparkSpec {
     assert(math.abs(rows(3).getDouble(2) - 7.0) < 1e-6, rows(3).toString)
   }
 
+  test("fourier member models a pure seasonal signal the plain AR misses") {
+    // period-4 seasonal pattern over 32 points: with lags=2 the plain
+    // AR cannot see a full period back, but the fourier features
+    // (sp=4, K=1) carry the phase exactly
+    val wave = Seq.tabulate(32)(i => Seq(1.0, 5.0, 9.0, 5.0)(i % 4))
+    val p = panel(wave)
+    val out = graft.operators.FourierLinear.fitPredict(
+      p, "t", "1i", lags = 2, sp = 4, K = 1, ridge = 0.0, fh = 4)
+      .orderBy("t").collect()
+    assert(out.length == 4)
+    // next 4 values continue the wave: positions 32..35 -> 1,5,9,5
+    val expect = Seq(1.0, 5.0, 9.0, 5.0)
+    out.zip(expect).foreach { case (r, e) =>
+      assert(math.abs(r.getDouble(2) - e) < 1e-6, s"$r vs $e") }
+  }
+
+  test("eliteDeep fourier members rank and blend") {
+    val p = panel(Seq.tabulate(32)(i => Seq(2.0, 8.0, 5.0, 1.0)(i % 4) + i),
+      Seq.tabulate(32)(_ * 1.0))
+    val out = EliteDeep.run(p, "t", "1i", fh = 2, topK = 2, strategy = "mean",
+      testSize = 3, nSplits = 2, stepSize = 3, sp = 4,
+      models = Seq("naive", "linear_fourier_3", "ridge_fourier_3"))
+    assert(out.count() == 4)
+  }
+
   test("eliteDeep rejects unknown model names loudly") {
     val p = panel(Seq.tabulate(25)(_ * 1.0))
     val e = intercept[IllegalArgumentException] {
