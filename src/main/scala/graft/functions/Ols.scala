@@ -184,6 +184,73 @@ object Ols {
     cdFromMoments(a, b, alpha, l1Ratio, sweeps)
   }
 
+  /** LassoLarsIC analog — the reference elite's final stacking
+    * regressor (`sklearn.linear_model.LassoLarsIC`, elite.py:9,
+    * :304-308) selects its regularization by information criterion
+    * along the LARS path; this deterministic, oracle-replicable
+    * analog sweeps a FIXED alpha grid of lasso CD solves on ONE
+    * collected moment set and picks the minimum-AIC candidate:
+    *
+    *   AIC = n·ln(RSS/n) + 2·df,   df = #nonzero coefficients + 1
+    *
+    * RSS is recovered from the same raw moments (Σy², the X^T y
+    * vector, and X^T X), so the whole sweep is one data pass plus
+    * O(grid·sweeps·p²) driver flops. Ties break toward the smaller
+    * alpha. Returns (chosenAlpha, intercept, weights).
+    *
+    * The RSS fold order (ŷ·y then ŷ² with j-then-k ascending
+    * accumulation) is replicated term-for-term by the SQL oracle —
+    * keep them in lockstep. */
+  def lassoAicCD(df: DataFrame, featureCols: Seq[String], labelCol: String,
+                 alphaGrid: Seq[Double], sweeps: Int = 40)
+      : (Double, Double, Array[Double]) = {
+    require(alphaGrid.nonEmpty, "lassoAicCD needs a non-empty alpha grid")
+    import org.apache.spark.sql.functions.{lit, sum}
+    val d = featureCols.length + 1
+    val rows = df.na.drop(featureCols :+ labelCol)
+    val xs = lit(1.0) +: featureCols.map(c => col(c).cast("double"))
+    val y = col(labelCol).cast("double")
+    val exprs = (for (i <- 0 until d; j <- i until d) yield sum(xs(i) * xs(j))) ++
+      (0 until d).map(i => sum(xs(i) * y)) :+ sum(y * y)
+    val row = rows.agg(exprs.head, exprs.tail: _*).collect()(0)
+    if (row.isNullAt(0))
+      throw new IllegalArgumentException(
+        s"lassoAicCD has no complete training rows " +
+          s"(${featureCols.mkString(", ")} / $labelCol)")
+    val tri = d * (d + 1) / 2
+    val a = expand(Array.tabulate(tri)(row.getDouble), d)
+    val b = Array.tabulate(d)(i => row.getDouble(tri + i))
+    val syy = row.getDouble(tri + d)
+    val p = featureCols.length
+    val nn = a(0)(0)
+    val cands = alphaGrid.map { al =>
+      val (b0, w) = cdFromMoments(a, b, al, 1.0, sweeps)
+      // RSS = Σy² − 2·Σy·ŷ + Σŷ² from raw moments, fixed fold order
+      var yhatY = b0 * b(0)
+      var j = 0
+      while (j < p) { yhatY += w(j) * b(j + 1); j += 1 }
+      var cross = 0.0
+      j = 0
+      while (j < p) { cross += w(j) * a(0)(j + 1); j += 1 }
+      var quad = 0.0
+      j = 0
+      while (j < p) {
+        var kk = 0
+        while (kk < p) { quad += w(j) * w(kk) * a(j + 1)(kk + 1); kk += 1 }
+        j += 1
+      }
+      val rss = syy - 2.0 * yhatY + (b0 * b0 * nn + 2.0 * b0 * cross + quad)
+      val dfree = w.count(_ != 0.0) + 1
+      // ln(<=0) differs across engines (Java -Inf/NaN, DuckDB errors):
+      // a non-positive RSS is a perfect fit — pin its AIC to the floor
+      val aic = if (rss <= 0.0) -1e308
+                else nn * math.log(rss / nn) + 2.0 * dfree
+      (aic, al, b0, w)
+    }
+    val best = cands.minBy(c => (c._1, c._2))
+    (best._2, best._3, best._4)
+  }
+
   /** The driver-side CD loop; arithmetic order (centering, the ρ
     * accumulation k-ascending, soft-threshold branches, the intercept
     * recovery) is replicated term-for-term by Q.cdSolveSql — keep the

@@ -182,6 +182,7 @@ object EliteDeep {
           strategy: String = "mean", testSize: Int = 5, nSplits: Int = 2,
           stepSize: Int = 5, sp: Int = 7, cdSweeps: Int = 8,
           stackAlpha: Double = 0.01, stackSweeps: Int = 15,
+          stackAlphaGrid: Seq[Double] = Nil,
           models: Seq[String] = allModels): DataFrame = {
     require(strategy == "mean" || strategy == "lasso",
       s"eliteDeep strategy must be 'mean' or 'lasso' (got '$strategy')")
@@ -240,7 +241,7 @@ object EliteDeep {
             .agg(avg(col(p.value)).as(p.value))
         case "lasso" =>
           stackLasso(cached, timeCol, bts.map(_._2), preds, ranked, topK,
-            stackAlpha, stackSweeps)
+            stackAlpha, stackSweeps, stackAlphaGrid)
       }
       // eager materialization (entities × fh rows) so the caches can
       // be released here rather than leaking past the call
@@ -259,8 +260,10 @@ object EliteDeep {
     * fallback for entities whose rank-1 model is naive. */
   private def stackLasso(p: Panel, timeCol: String, bts: Seq[DataFrame],
                          preds: DataFrame, ranked: DataFrame, topK: Int,
-                         alpha: Double, sweeps: Int): DataFrame = {
+                         alpha: Double, sweeps: Int,
+                         alphaGrid: Seq[Double] = Nil): DataFrame = {
     val feats = (1 to topK).map(i => s"f_$i")
+    val featsT = feats :+ "trend"
     val btAll = bts.reduce(_ unionByName _)
     def pivot(df: DataFrame, valueCol: String, keys: Seq[String]): DataFrame =
       df.join(ranked, p.entity :+ "model")
@@ -268,21 +271,40 @@ object EliteDeep {
         .agg(max(when(col("__rk") === 1, col(valueCol))).as("f_1"),
           (2 to topK).map(i =>
             max(when(col("__rk") === i, col(valueCol))).as(s"f_$i")): _*)
+    // the reference's X_stack carries a per-entity `trend` regressor
+    // (elite.py:210-213: arg_sort of the time column over the entity,
+    // 0-based) computed over ALL pivot rows, BEFORE any
+    // incomplete-row filtering — replicated on both pivots here
+    val wTrend = org.apache.spark.sql.expressions.Window
+      .partitionBy(p.entityCols: _*).orderBy(col(timeCol))
     val trainKeys = p.entity ++ Seq("split", timeCol)
     val stackTrain = pivot(btAll, "pred", trainKeys)
       // the actual is identical across members at a (entity, split,
       // time) — re-attach it from any one backtest row
       .join(btAll.groupBy(trainKeys.map(col): _*).agg(max(col("actual")).as("__y")),
         trainKeys)
+      .withColumn("trend", (row_number().over(wTrend) - 1).cast("double"))
       .na.drop(feats)
-    val (b0, ws) = graft.functions.Ols.elasticNetCD(stackTrain, feats, "__y",
-      alpha = alpha, l1Ratio = 1.0, sweeps = sweeps)
+    // fixed alpha, or the LassoLarsIC-analog AIC sweep when a grid is
+    // supplied (same moments either way — one data pass)
+    val (b0, ws) =
+      if (alphaGrid.isEmpty)
+        graft.functions.Ols.elasticNetCD(stackTrain, featsT, "__y",
+          alpha = alpha, l1Ratio = 1.0, sweeps = sweeps)
+      else {
+        val (_, i, w) = graft.functions.Ols.lassoAicCD(stackTrain, featsT, "__y",
+          alphaGrid, sweeps)
+        (i, w)
+      }
     // entities × fh rows, read three times below (stack scoring, the
     // incomplete-pivot fallback scan, and the anti-join) — materialize
-    val stackAll = pivot(preds, p.value, p.entity :+ timeCol).localCheckpoint(true)
-    // (b0 + w1·f1 + w2·f2 + …) — the oracle's left-fold order
+    val stackAll = pivot(preds, p.value, p.entity :+ timeCol)
+      .withColumn("trend", (row_number().over(wTrend) - 1).cast("double"))
+      .localCheckpoint(true)
+    // (b0 + w1·f1 + … + wk·fk + w_{k+1}·trend) — the oracle's
+    // left-fold order
     val yhat = ws.zipWithIndex.foldLeft(lit(b0)) { case (acc, (wi, i)) =>
-      acc + lit(wi) * col(s"f_${i + 1}")
+      acc + lit(wi) * col(featsT(i))
     }
     val stacked = stackAll.na.drop(feats)
       .select((p.entityCols ++ Seq(col(timeCol), yhat.as(p.value))): _*)

@@ -1366,7 +1366,9 @@ object ConformalQueries {
         .map(i => s"max(CASE rk WHEN $i THEN value END) AS f_$i").mkString(", ")
       val nnAll = fks.map(f => s"$f IS NOT NULL").mkString(" AND ")
       val anyNull = fks.map(f => s"$f IS NULL").mkString(" OR ")
-      val yhat = "a_0" +: (1 to k).map(i => s"a_$i * f_$i")
+      // X_stack's trend regressor (elite.py:210-213) joins the k
+      // pivoted predictions: a_{k+1} carries its weight
+      val yhat = ("a_0" +: (1 to k).map(i => s"a_$i * f_$i")) :+ s"a_${k + 1} * trend"
       s"""WITH ${OlsBacktestSql.lagdCte(14)},
           ${btLin.mkString(", ")},
           ${btCd.mkString(", ")},
@@ -1399,18 +1401,22 @@ object ConformalQueries {
             UNION ALL ${linPred("fl7", "lasso_7")}
             UNION ALL ${linPred("fe7", "elastic_net_7")}),
           btall AS ($btall),
-          stackp AS (SELECT b.user_id, b.split, b.h, $pivotBt, max(b.actual) AS yy
+          stackp AS (SELECT *, (row_number() OVER (PARTITION BY user_id
+                       ORDER BY split, h) - 1)::DOUBLE AS trend FROM (
+                     SELECT b.user_id, b.split, b.h, $pivotBt, max(b.actual) AS yy
                      FROM btall b JOIN winnersrk w
                        ON b.user_id = w.user_id AND b.model = w.model
-                     GROUP BY b.user_id, b.split, b.h),
+                     GROUP BY b.user_id, b.split, b.h)),
           stackt AS (SELECT * FROM stackp WHERE $nnAll),
-          smom AS (SELECT ${Q.olsMomentsSql("1.0" +: fks, "yy")} FROM stackt),
-          ${Q.cdSolveSql(k, 0.01, 1.0, 10, "smom", "scd")},
-          ssol AS (SELECT * FROM ${Q.cdSolveLast(k, 10, "scd")}),
-          fullp AS (SELECT p.user_id, p.ts, $pivotFull
+          smom AS (SELECT ${Q.olsMomentsSql(("1.0" +: fks) :+ "trend", "yy")} FROM stackt),
+          ${Q.cdSolveSql(k + 1, 0.01, 1.0, 10, "smom", "scd")},
+          ssol AS (SELECT * FROM ${Q.cdSolveLast(k + 1, 10, "scd")}),
+          fullp AS (SELECT *, (row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts) - 1)::DOUBLE AS trend FROM (
+                    SELECT p.user_id, p.ts, $pivotFull
                     FROM preds p JOIN winnersrk w
                       ON p.user_id = w.user_id AND p.model = w.model
-                    GROUP BY p.user_id, p.ts),
+                    GROUP BY p.user_id, p.ts)),
           stacked AS (SELECT user_id, ts, ${yhat.mkString("(", " + ", ")")} AS value
                       FROM (SELECT * FROM fullp WHERE $nnAll) CROSS JOIN ssol),
           rw AS (SELECT user_id FROM winnersrk WHERE rk = 1 AND model = 'naive'
@@ -1501,6 +1507,132 @@ object ConformalQueries {
         strategy = "mean", testSize = 5, nSplits = 2,
         models = Seq("naive", "linear_7", "linear_scaled_7", "linear_diff_7",
           "linear_detrend_7", "ridge_scaled_7", "ridge_detrend_7")))
+    },
+
+    // elite stacking with the LassoLarsIC-analog IC-selected alpha
+    // (elite.py:304-308: the final stacker picks regularization by
+    // information criterion; here a fixed 3-alpha grid of lasso CD
+    // solves on ONE moment set, AIC = n·ln(RSS/n) + 2·df, ties to
+    // the smaller alpha). 4-member zoo, top-3 rank pivot + trend.
+    "fc_elite_stack_ic" -> Q({
+      val k = 3
+      val grid = Seq(0.001, 0.01, 0.1)
+      val sweeps = 10
+      val btLin = Seq(("lin7", 7, 0.0), ("rdg3", 3, 0.1)).map { case (t, l, r) =>
+        OlsBacktestSql.backtestLinear(t, l, testSize = 5, nSplits = 2,
+          stepSize = 5, ridge = r)
+      }
+      val btCd = OlsBacktestSql.backtestElasticNet("las7", 7, testSize = 5,
+        nSplits = 2, stepSize = 5, alpha = 0.1, l1Ratio = 1.0, sweeps = 8)
+      val btNv = OlsBacktestSql.backtestNaive("nv", 1, testSize = 5,
+        nSplits = 2, stepSize = 5)
+      val tags = Seq("nv" -> "naive", "lin7" -> "linear_7",
+        "rdg3" -> "ridge_3", "las7" -> "lasso_7")
+      val scs = tags.map(t => OlsBacktestSql.entityScore(t._1))
+      val allsc = tags.map { case (t, n) =>
+        s"SELECT user_id, smape, '$n' AS model FROM sc_$t"
+      }.mkString(" UNION ALL ")
+      val btall = tags.map { case (t, n) =>
+        s"SELECT user_id, h, split, actual, pred, '$n' AS model FROM bt_$t"
+      }.mkString(" UNION ALL ")
+      val fulls = Seq(
+        OlsBacktestSql.fullLinear("f7", 7, fh = 3),
+        OlsBacktestSql.fullLinear("fr3", 3, fh = 3, ridge = 0.1),
+        OlsBacktestSql.fullElasticNet("fl7", 7, fh = 3, alpha = 0.1,
+          l1Ratio = 1.0, sweeps = 8))
+      def linPred(tag: String, name: String) =
+        s"""SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                   CASE h WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END AS value,
+                   '$name' AS model
+            FROM fp_$tag CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)"""
+      val fks = (1 to k).map(i => s"f_$i")
+      val p = k + 1 // pivot features + trend
+      val pivotBt = (1 to k)
+        .map(i => s"max(CASE rk WHEN $i THEN pred END) AS f_$i").mkString(", ")
+      val pivotFull = (1 to k)
+        .map(i => s"max(CASE rk WHEN $i THEN value END) AS f_$i").mkString(", ")
+      val nnAll = fks.map(f => s"$f IS NOT NULL").mkString(" AND ")
+      val anyNull = fks.map(f => s"$f IS NULL").mkString(" OR ")
+      // AIC from the raw moments + the chain's a_0..a_p, replicating
+      // Ols.lassoAicCD's fold order term-for-term
+      val aicExpr = {
+        def mN(i: Int, j: Int) = s"m_${math.min(i, j)}_${math.max(i, j)}"
+        val yhatY = (s"a_0 * b_0" +: (1 to p).map(j => s"a_$j * b_$j"))
+          .mkString("(", " + ", ")")
+        val cross = (1 to p).map(j => s"a_$j * m_0_$j").mkString("(", " + ", ")")
+        val quad = (for (j <- 1 to p; kk <- 1 to p)
+          yield s"a_$j * a_$kk * ${mN(j, kk)}").mkString("(", " + ", ")")
+        val rss = s"(syy - 2 * $yhatY + (a_0 * a_0 * m_0_0 + 2 * a_0 * $cross + $quad))"
+        val dfree = ((1 to p).map(j => s"(CASE WHEN a_$j <> 0 THEN 1 ELSE 0 END)")
+          :+ "1").mkString("(", " + ", ")")
+        s"""CASE WHEN $rss <= 0 THEN -1e308
+             ELSE m_0_0 * ln($rss / m_0_0) + 2.0 * $dfree END"""
+      }
+      val chains = grid.zipWithIndex.map { case (al, i) =>
+        Q.cdSolveSql(p, al, 1.0, sweeps, "smom", s"scd$i")
+      }
+      val cands = grid.zipWithIndex.map { case (al, i) =>
+        s"""SELECT $al AS alpha, $aicExpr AS aic,
+              ${(0 to p).map(j => s"a_$j").mkString(", ")}
+            FROM ${Q.cdSolveLast(p, sweeps, s"scd$i")}"""
+      }.mkString(" UNION ALL ")
+      val yhat = ("a_0" +: (1 to k).map(i => s"a_$i * f_$i")) :+ s"a_$p * trend"
+      s"""WITH ${OlsBacktestSql.lagdCte(7)},
+          ${btLin.mkString(", ")},
+          $btCd,
+          $btNv,
+          ${scs.mkString(", ")},
+          allsc AS ($allsc),
+          winnersrk AS (SELECT user_id, model, rk FROM (
+              SELECT user_id, model, row_number() OVER (PARTITION BY user_id
+                       ORDER BY smape ASC NULLS LAST, model) AS rk
+              FROM allsc) WHERE rk <= $k),
+          ${fulls.mkString(", ")},
+          state AS (SELECT user_id, arg_max(value, ts) AS lastv, max(ts) AS cutoff
+                    FROM events GROUP BY user_id),
+          preds AS (
+            SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                   lastv AS value, 'naive' AS model
+            FROM state CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)
+            UNION ALL ${linPred("f7", "linear_7")}
+            UNION ALL ${linPred("fr3", "ridge_3")}
+            UNION ALL ${linPred("fl7", "lasso_7")}),
+          btall AS ($btall),
+          stackp AS (SELECT *, (row_number() OVER (PARTITION BY user_id
+                       ORDER BY split, h) - 1)::DOUBLE AS trend FROM (
+                     SELECT b.user_id, b.split, b.h, $pivotBt, max(b.actual) AS yy
+                     FROM btall b JOIN winnersrk w
+                       ON b.user_id = w.user_id AND b.model = w.model
+                     GROUP BY b.user_id, b.split, b.h)),
+          stackt AS (SELECT * FROM stackp WHERE $nnAll),
+          smom AS (SELECT ${Q.olsMomentsSql(("1.0" +: fks) :+ "trend", "yy")},
+                          sum(yy * yy) AS syy FROM stackt),
+          ${chains.mkString(", ")},
+          cands AS ($cands),
+          ssol AS (SELECT * FROM (SELECT *, row_number() OVER (ORDER BY aic, alpha) AS crk
+                   FROM cands) WHERE crk = 1),
+          fullp AS (SELECT *, (row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts) - 1)::DOUBLE AS trend FROM (
+                    SELECT p.user_id, p.ts, $pivotFull
+                    FROM preds p JOIN winnersrk w
+                      ON p.user_id = w.user_id AND p.model = w.model
+                    GROUP BY p.user_id, p.ts)),
+          stacked AS (SELECT user_id, ts, ${yhat.mkString("(", " + ", ")")} AS value
+                      FROM (SELECT * FROM fullp WHERE $nnAll) CROSS JOIN ssol),
+          rw AS (SELECT user_id FROM winnersrk WHERE rk = 1 AND model = 'naive'
+                 UNION
+                 SELECT DISTINCT user_id FROM fullp WHERE $anyNull)
+          SELECT user_id, ts, round(value, 6) AS value FROM (
+            SELECT p.user_id, p.ts, p.value FROM preds p
+            WHERE p.model = 'naive' AND p.user_id IN (SELECT user_id FROM rw)
+            UNION ALL
+            SELECT s.user_id, s.ts, s.value FROM stacked s
+            WHERE s.user_id NOT IN (SELECT user_id FROM rw))"""
+    }) { (s, dir) =>
+      r6(EliteDeep.run(ev(s, dir), "ts", "1d", fh = 3, topK = 3,
+        strategy = "lasso", testSize = 5, nSplits = 2, cdSweeps = 8,
+        stackSweeps = 10, stackAlphaGrid = Seq(0.001, 0.01, 0.1),
+        models = Seq("naive", "linear_7", "ridge_3", "lasso_7")))
     },
 
     // elite's remaining linear families (elite.py:92-95 "AR linear

@@ -192,6 +192,21 @@ class EliteDeepSpec extends SparkSpec {
     assert(out.count() == 4)
   }
 
+  test("lassoAicCD picks by AIC and matches the fixed-alpha CD solve") {
+    val spark0 = spark
+    import spark0.implicits._
+    // clean y = 2x + 1: tiny alphas fit near-perfectly, a huge alpha
+    // zeroes the coefficient — AIC must prefer a small alpha, and the
+    // chosen solution must equal elasticNetCD at that alpha exactly
+    val df = (1 to 50).map(i => (i.toDouble, 2.0 * i + 1.0)).toDF("x", "y")
+    val (al, b0, w) = graft.functions.Ols.lassoAicCD(
+      df, Seq("x"), "y", Seq(0.001, 1000.0), sweeps = 20)
+    assert(al == 0.001, s"chose alpha $al")
+    val (b0f, wf) = graft.functions.Ols.elasticNetCD(
+      df, Seq("x"), "y", alpha = 0.001, l1Ratio = 1.0, sweeps = 20)
+    assert(b0 == b0f && w.sameElements(wf), s"$b0/$b0f ${w.toSeq}/${wf.toSeq}")
+  }
+
   test("eliteDeep rejects unknown model names loudly") {
     val p = panel(Seq.tabulate(25)(_ * 1.0))
     val e = intercept[IllegalArgumentException] {
