@@ -94,6 +94,17 @@ object Bench {
         testSize = 2, nSplits = 2, stepSize = 2, cdSweeps = 2, strategy = "mean",
         models = Seq("naive", "linear_scaled_7", "linear_diff_7",
           "linear_detrend_7", "knn_3", "knn_scaled_3")).count()
+      // ...and the round-8 zoo families: no-drift/demean/fourier
+      // members, the knn-detrend pipeline, and the IC-grid stacker
+      // each compile their own fit/predict shapes
+      graft.operators.EliteDeep.run(tinyPanel, "ts", "1d", fh = 2, topK = 2,
+        testSize = 2, nSplits = 2, stepSize = 2, cdSweeps = 2, strategy = "mean",
+        models = Seq("naive", "linear_nodrift_7", "ridge_nodrift_3",
+          "linear_demean_7", "linear_fourier_3", "knn_detrend_3")).count()
+      graft.operators.EliteDeep.run(tinyPanel, "ts", "1d", fh = 2, topK = 2,
+        testSize = 2, nSplits = 2, stepSize = 2, cdSweeps = 2, strategy = "lasso",
+        stackAlphaGrid = Seq(0.01, 0.1),
+        models = Seq("naive", "linear_7", "ridge_3", "lasso_7")).count()
       // ...and the stump-boosting conditional-agg pass (its 40+-column
       // aggregate compiles a distinctive codegen shape)
       graft.operators.StumpBoost.fit(tinyPanel, lags = 3, freq = "1d",

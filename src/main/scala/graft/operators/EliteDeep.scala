@@ -79,9 +79,11 @@ object EliteDeep {
                    alpha: Double = 0.0, l1Ratio: Double = 0.0) = Member(name,
       () => Conformal.backtest(p, timeCol, testSize, nSplits, stepSize,
         (tr, h) => ForecastPipeline.fit(tr, timeCol, steps,
-          ForecastPipeline.linear(lags, freq, alpha, l1Ratio)).predict(timeCol, h)),
+          ForecastPipeline.linear(lags, freq, alpha, l1Ratio, cdSweeps))
+          .predict(timeCol, h)),
       () => ForecastPipeline.fit(p, timeCol, steps,
-        ForecastPipeline.linear(lags, freq, alpha, l1Ratio)).predict(timeCol, fh))
+        ForecastPipeline.linear(lags, freq, alpha, l1Ratio, cdSweeps))
+        .predict(timeCol, fh))
     // recursive multi-horizon KNN, optionally behind a target
     // transform (elite's knn / knn_scaled / knn_detrend_linear)
     def knnFit(lags: Int, k: Int, xform: Option[ForecastPipeline.Step])
@@ -138,6 +140,15 @@ object EliteDeep {
         alpha = 0.1),
       pipeMember("ridge_detrend_7", Seq(ForecastPipeline.detrendLinearStep), 7,
         alpha = 0.1),
+      // lasso × transform slices (elite.py:98-147's lasso_scaled /
+      // lasso_diff / lasso_detrend analogs; CD refit per train slice
+      // behind the same target transforms)
+      pipeMember("lasso_scaled_7", Seq(ForecastPipeline.scaleStep()), 7,
+        alpha = 0.1, l1Ratio = 1.0),
+      pipeMember("lasso_detrend_7", Seq(ForecastPipeline.detrendLinearStep), 7,
+        alpha = 0.1, l1Ratio = 1.0),
+      pipeMember("lasso_demean_7", Seq(ForecastPipeline.detrendMeanStep), 7,
+        alpha = 0.1, l1Ratio = 1.0),
       // elite.py:92-95 "AR linear models without drift"
       // (fit_intercept=False — the no-intercept normal equations)
       linearMember("linear_nodrift_7", 7, drift = false),
@@ -166,6 +177,7 @@ object EliteDeep {
     "ridge_3", "ridge_7", "lasso_7", "elastic_net_7",
     "linear_scaled_7", "linear_diff_7", "linear_detrend_7",
     "ridge_scaled_7", "ridge_detrend_7",
+    "lasso_scaled_7", "lasso_detrend_7", "lasso_demean_7",
     "linear_nodrift_7", "ridge_nodrift_3",
     "linear_demean_7", "ridge_demean_7",
     "linear_fourier_3", "ridge_fourier_3",

@@ -193,9 +193,10 @@ object ForecastPipeline {
 
   /** The closed-form linear base forecaster as a `baseFit`. */
   def linear(lags: Int, freq: String,
-             regParam: Double = 0.0, elasticNetParam: Double = 0.0)
+             regParam: Double = 0.0, elasticNetParam: Double = 0.0,
+             cdSweeps: Int = 40)
       : Panel => (String, Int) => DataFrame = { pT =>
-    val m = LinearForecaster.fit(pT, lags, freq, regParam, elasticNetParam)
+    val m = LinearForecaster.fit(pT, lags, freq, regParam, elasticNetParam, cdSweeps)
     (timeCol, fh) => m.predict(pT, timeCol, fh)
   }
 }

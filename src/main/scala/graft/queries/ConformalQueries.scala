@@ -1509,6 +1509,73 @@ object ConformalQueries {
           "linear_detrend_7", "ridge_scaled_7", "ridge_detrend_7")))
     },
 
+    // elite's lasso × target-transform slices (elite.py:98-147's
+    // lasso_scaled / lasso_detrend / lasso_demean analogs): the CD
+    // solve refit per train slice behind each transform, 6 fixed
+    // sweeps (mirrored by cdSweeps=6), ranked against naive and
+    // linear_7, top-3 mean blend.
+    "fc_elite_lasso_pipe" -> Q({
+      val sw = 6
+      val btLin = OlsBacktestSql.backtestLinear("lin7", 7, testSize = 5,
+        nSplits = 2, stepSize = 5)
+      val btXf = Seq(("lsc7", "scale"), ("ldt7", "detrend"), ("ldm7", "detrend_mean"))
+        .map { case (t, x) =>
+          OlsBacktestSql.backtestXformElasticNet(t, 7, testSize = 5, nSplits = 2,
+            stepSize = 5, xformName = x, alpha = 0.1, l1Ratio = 1.0, sweeps = sw)
+        }
+      val btNv = OlsBacktestSql.backtestNaive("nv", 1, testSize = 5,
+        nSplits = 2, stepSize = 5)
+      val tags = Seq("nv" -> "naive", "lin7" -> "linear_7",
+        "lsc7" -> "lasso_scaled_7", "ldt7" -> "lasso_detrend_7",
+        "ldm7" -> "lasso_demean_7")
+      val scs = tags.map(t => OlsBacktestSql.entityScore(t._1))
+      val allsc = tags.map { case (t, n) =>
+        s"SELECT user_id, smape, '$n' AS model FROM sc_$t"
+      }.mkString(" UNION ALL ")
+      val fulls = Seq(
+        OlsBacktestSql.fullLinear("f7", 7, fh = 3),
+        OlsBacktestSql.fullXformElasticNet("fls7", 7, fh = 3, xformName = "scale",
+          alpha = 0.1, l1Ratio = 1.0, sweeps = sw),
+        OlsBacktestSql.fullXformElasticNet("fld7", 7, fh = 3, xformName = "detrend",
+          alpha = 0.1, l1Ratio = 1.0, sweeps = sw),
+        OlsBacktestSql.fullXformElasticNet("flm7", 7, fh = 3,
+          xformName = "detrend_mean", alpha = 0.1, l1Ratio = 1.0, sweeps = sw))
+      def linPred(tag: String, name: String) =
+        s"""SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                   CASE h WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END AS value,
+                   '$name' AS model
+            FROM fp_$tag CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)"""
+      s"""WITH ${OlsBacktestSql.lagdCte(7)},
+          $btLin,
+          ${btXf.mkString(", ")},
+          $btNv,
+          ${scs.mkString(", ")},
+          allsc AS ($allsc),
+          winners AS (SELECT user_id, model FROM (
+              SELECT user_id, model, row_number() OVER (PARTITION BY user_id
+                       ORDER BY smape ASC NULLS LAST, model) AS rk
+              FROM allsc) WHERE rk <= 3),
+          ${fulls.mkString(", ")},
+          state AS (SELECT user_id, arg_max(value, ts) AS lastv, max(ts) AS cutoff
+                    FROM events GROUP BY user_id),
+          preds AS (
+            SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                   lastv AS value, 'naive' AS model
+            FROM state CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)
+            UNION ALL ${linPred("f7", "linear_7")}
+            UNION ALL ${linPred("fls7", "lasso_scaled_7")}
+            UNION ALL ${linPred("fld7", "lasso_detrend_7")}
+            UNION ALL ${linPred("flm7", "lasso_demean_7")})
+          SELECT p.user_id, p.ts, round(avg(p.value), 6) AS value
+          FROM preds p JOIN winners w ON p.user_id = w.user_id AND p.model = w.model
+          GROUP BY p.user_id, p.ts"""
+    }) { (s, dir) =>
+      r6(EliteDeep.run(ev(s, dir), "ts", "1d", fh = 3, topK = 3,
+        strategy = "mean", testSize = 5, nSplits = 2, cdSweeps = 6,
+        models = Seq("naive", "linear_7", "lasso_scaled_7",
+          "lasso_detrend_7", "lasso_demean_7")))
+    },
+
     // elite stacking with the LassoLarsIC-analog IC-selected alpha
     // (elite.py:304-308: the final stacker picks regularization by
     // information criterion; here a fixed 3-alpha grid of lasso CD

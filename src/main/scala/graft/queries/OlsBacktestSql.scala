@@ -388,6 +388,85 @@ object OlsBacktestSql {
     (splits :+ s"bt_$tag AS ($union)").mkString(", ")
   }
 
+  /** Expanding-window backtest of a target-transformed LASSO /
+    * elastic-net member — [[backtestXformLinear]] with the closed-form
+    * Cholesky replaced by the fixed-sweep cyclic-CD solve
+    * (Ols.cdFromMoments's oracle), same transform artifacts and
+    * invert. Emits `bt_<tag>`. */
+  def backtestXformElasticNet(tag: String, lags: Int, testSize: Int,
+                              nSplits: Int, stepSize: Int, xformName: String,
+                              alpha: Double, l1Ratio: Double,
+                              sweeps: Int): String = {
+    val xf = xformOf(xformName)
+    val xs = "1.0" +: (1 to lags).map(xf.x)
+    val splits = (0 until nSplits).map { i =>
+      val cutoff = testSize + (nSplits - 1 - i) * stepSize
+      val t = s"${tag}_s$i"
+      val artJoin = xf.artCte(t, s"rn <= cnt - $cutoff")
+        .map(_ => s" JOIN ${t}_art USING (user_id)").getOrElse("")
+      val ts = (1 to lags).map(j => s"${xf.tailT(j)} AS t$j")
+      val longEnough = if (lags == 1) "TRUE" else s"f${lags - 1} IS NOT NULL"
+      val diffGuard = if (xf == DiffX) s" AND f$lags IS NOT NULL" else ""
+      val predCases = (1 to testSize)
+        .map(h => s"WHEN $h THEN ${xf.invert(h, "a.rn - 1")}").mkString(" ")
+      s"""${xf.artCte(t, s"rn <= cnt - $cutoff").map(_ + ",").getOrElse("")}
+          ${t}_mom AS (SELECT ${Q.olsMomentsSql(xs, xf.y)}
+            FROM lagd$artJoin
+            WHERE rn > ${xf.warmup(lags)} AND rn <= cnt - $cutoff AND ${xf.guard}),
+          ${Q.cdSolveSql(lags, alpha, l1Ratio, sweeps, s"${t}_mom", s"${t}_cd")},
+          ${t}_tail AS (SELECT user_id, ts AS cutoff,
+              ${(xf.tailCarry ++ ts).mkString(", ")}
+            FROM lagd$artJoin
+            WHERE rn = cnt - $cutoff AND $longEnough$diffGuard AND ${xf.guard}),
+          ${t}_p0 AS (SELECT * FROM ${t}_tail
+            CROSS JOIN (SELECT ${(0 to lags).map(j => s"a_$j").mkString(", ")}
+              FROM ${Q.cdSolveLast(lags, sweeps, s"${t}_cd")})),
+          ${predStages(s"${t}_", s"${t}_p0", testSize, lags)},
+          ${t}_bt AS (
+            SELECT a.user_id, a.rn - (a.cnt - $cutoff) AS h, $i AS split,
+                   a.value AS actual,
+                   CASE a.rn - (a.cnt - $cutoff) $predCases END AS pred
+            FROM lagd a JOIN ${t}_pred p ON a.user_id = p.user_id
+            WHERE a.rn > a.cnt - $cutoff AND a.rn <= a.cnt - $cutoff + $testSize)"""
+    }
+    val union = (0 until nSplits).map(i => s"SELECT * FROM ${tag}_s${i}_bt")
+      .mkString(" UNION ALL ")
+    (splits :+ s"bt_$tag AS ($union)").mkString(", ")
+  }
+
+  /** Full-data transformed CD fit + fh-step prediction in level space.
+    * Emits `fp_<tag>` (user_id, cutoff, p1..p<fh>). */
+  def fullXformElasticNet(tag: String, lags: Int, fh: Int, xformName: String,
+                          alpha: Double, l1Ratio: Double,
+                          sweeps: Int): String = {
+    val xf = xformOf(xformName)
+    val xs = "1.0" +: (1 to lags).map(xf.x)
+    val artJoin = xf.artCte(tag, "TRUE")
+      .map(_ => s" JOIN ${tag}_art USING (user_id)").getOrElse("")
+    val ts = (1 to lags).map(j => s"${xf.tailT(j)} AS t$j")
+    val longEnough = if (lags == 1) "TRUE" else s"f${lags - 1} IS NOT NULL"
+    val diffGuard = if (xf == DiffX) s" AND f$lags IS NOT NULL" else ""
+    val lvls = (1 to fh).map(h => s"${xf.invert(h, s"tpos + $h")} AS p$h")
+    val tailCarry =
+      if (xf == DetrendX) xf.tailCarry
+      else xf.tailCarry :+ "(rn - 1)::DOUBLE AS tpos"
+    s"""${xf.artCte(tag, "TRUE").map(_ + ",").getOrElse("")}
+        ${tag}_mom AS (SELECT ${Q.olsMomentsSql(xs, xf.y)}
+          FROM lagd$artJoin
+          WHERE rn > ${xf.warmup(lags)} AND ${xf.guard}),
+        ${Q.cdSolveSql(lags, alpha, l1Ratio, sweeps, s"${tag}_mom", s"${tag}_cd")},
+        ${tag}_tail AS (SELECT user_id, ts AS cutoff,
+            ${(tailCarry ++ ts).mkString(", ")}
+          FROM lagd$artJoin
+          WHERE rn = cnt AND $longEnough$diffGuard AND ${xf.guard}),
+        ${tag}_p0 AS (SELECT * FROM ${tag}_tail
+          CROSS JOIN (SELECT ${(0 to lags).map(j => s"a_$j").mkString(", ")}
+            FROM ${Q.cdSolveLast(lags, sweeps, s"${tag}_cd")})),
+        ${predStages(s"${tag}_", s"${tag}_p0", fh, lags)},
+        fp_$tag AS (SELECT user_id, cutoff, ${lvls.mkString(", ")}
+          FROM ${tag}_pred)"""
+  }
+
   /** Full-data transformed fit + fh-step recursive prediction, emitted
     * ALREADY inverted to level space: `fp_<tag>` (user_id, cutoff,
     * p1..p<fh>) — drop-in for the composite queries' linPred. */

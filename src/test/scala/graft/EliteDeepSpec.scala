@@ -192,6 +192,15 @@ class EliteDeepSpec extends SparkSpec {
     assert(out.count() == 4)
   }
 
+  test("lasso pipe members: CD refits behind each transform rank and blend") {
+    val p = panel(Seq.tabulate(30)(i => 3.0 * i + 2.0),
+      Seq.tabulate(30)(i => 60.0 - 2.0 * i))
+    val out = EliteDeep.run(p, "t", "1i", fh = 2, topK = 2, strategy = "mean",
+      testSize = 3, nSplits = 2, stepSize = 3, cdSweeps = 6,
+      models = Seq("lasso_scaled_7", "lasso_detrend_7", "lasso_demean_7"))
+    assert(out.count() == 4)
+  }
+
   test("lassoAicCD picks by AIC and matches the fixed-alpha CD solve") {
     val spark0 = spark
     import spark0.implicits._
