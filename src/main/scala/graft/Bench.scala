@@ -102,6 +102,10 @@ object Bench {
         models = Seq("naive", "linear_nodrift_7", "ridge_nodrift_3",
           "linear_demean_7", "linear_fourier_3", "knn_detrend_3")).count()
       graft.operators.EliteDeep.run(tinyPanel, "ts", "1d", fh = 2, topK = 2,
+        testSize = 2, nSplits = 2, stepSize = 2, cdSweeps = 2, strategy = "mean",
+        models = Seq("naive", "linear_scaled_fourier_3",
+          "linear_detrend_fourier_3", "lasso_scaled_7", "lasso_demean_7")).count()
+      graft.operators.EliteDeep.run(tinyPanel, "ts", "1d", fh = 2, topK = 2,
         testSize = 2, nSplits = 2, stepSize = 2, cdSweeps = 2, strategy = "lasso",
         stackAlphaGrid = Seq(0.01, 0.1),
         models = Seq("naive", "linear_7", "ridge_3", "lasso_7")).count()

@@ -104,6 +104,20 @@ object EliteDeep {
           kTerms, ridge, h)),
       () => FourierLinear.fitPredict(p, timeCol, freq, lags, sp, kTerms,
         ridge, fh))
+    // target-transform × fourier combos (elite.py:115-137
+    // *_scaled_fourier, :148-164 *_detrend_linear_fourier): the
+    // transform refits per slice, the AR+fourier fit runs in
+    // transformed space (positions are transform-invariant)
+    def pipeFourierMember(name: String, steps: Seq[ForecastPipeline.Step],
+                          lags: Int, kTerms: Int, ridge: Double = 0.0) = {
+      def fitP(tr: Panel, h: Int): DataFrame =
+        ForecastPipeline.fit(tr, timeCol, steps,
+          pT => (tc, hh) => FourierLinear.fitPredict(pT, tc, freq, lags, sp,
+            kTerms, ridge, hh)).predict(timeCol, h)
+      Member(name,
+        () => Conformal.backtest(p, timeCol, testSize, nSplits, stepSize, fitP),
+        () => fitP(p, fh))
+    }
     def knnMember(name: String, k: Int, lags: Int,
                   xform: Option[ForecastPipeline.Step]) = Member(name,
       () => Conformal.backtest(p, timeCol, testSize, nSplits, stepSize,
@@ -161,6 +175,12 @@ object EliteDeep {
       // (feature_transform=add_fourier_terms; K=2 over the run's sp)
       fourierMember("linear_fourier_3", lags = 3, kTerms = 2),
       fourierMember("ridge_fourier_3", lags = 3, kTerms = 2, ridge = 0.1),
+      pipeFourierMember("linear_scaled_fourier_3",
+        Seq(ForecastPipeline.scaleStep()), 3, kTerms = 2),
+      pipeFourierMember("ridge_scaled_fourier_3",
+        Seq(ForecastPipeline.scaleStep()), 3, kTerms = 2, ridge = 0.1),
+      pipeFourierMember("linear_detrend_fourier_3",
+        Seq(ForecastPipeline.detrendLinearStep), 3, kTerms = 2),
       // elite.py:83-88 "Seasonality" knn members, n_neighbors = lags//2
       knnMember("knn_3", k = 3, lags = 7, xform = None),
       knnMember("knn_scaled_3", k = 3, lags = 7,
@@ -181,6 +201,8 @@ object EliteDeep {
     "linear_nodrift_7", "ridge_nodrift_3",
     "linear_demean_7", "ridge_demean_7",
     "linear_fourier_3", "ridge_fourier_3",
+    "linear_scaled_fourier_3", "ridge_scaled_fourier_3",
+    "linear_detrend_fourier_3",
     "knn_3", "knn_scaled_3", "knn_detrend_3")
 
   /** The closed-form/naive/CD members — the sub-zoo the DuckDB oracle

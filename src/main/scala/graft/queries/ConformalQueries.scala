@@ -1509,6 +1509,72 @@ object ConformalQueries {
           "linear_detrend_7", "ridge_scaled_7", "ridge_detrend_7")))
     },
 
+    // elite's target-transform × fourier combos (elite.py:115-137
+    // *_scaled_fourier, :148-164 linear_detrend_linear_fourier): the
+    // z-score / linear-trend artifact refits per split, the AR(3)+4
+    // fourier regression runs in transformed space, predictions invert
+    // to levels. Ranked against naive and linear_7, top-3 mean blend.
+    "fc_elite_fourier_pipe" -> Q({
+      val btLin = OlsBacktestSql.backtestLinear("lin7", 7, testSize = 5,
+        nSplits = 2, stepSize = 5)
+      val btXf = Seq(("lsf3", "scale", 0.0), ("rsf3", "scale", 0.1),
+        ("ldf3", "detrend", 0.0)).map { case (t, x, r) =>
+        OlsBacktestSql.backtestXformFourier(t, 3, sp = 7, kTerms = 2,
+          testSize = 5, nSplits = 2, stepSize = 5, xformName = x, ridge = r)
+      }
+      val btNv = OlsBacktestSql.backtestNaive("nv", 1, testSize = 5,
+        nSplits = 2, stepSize = 5)
+      val tags = Seq("nv" -> "naive", "lin7" -> "linear_7",
+        "lsf3" -> "linear_scaled_fourier_3", "rsf3" -> "ridge_scaled_fourier_3",
+        "ldf3" -> "linear_detrend_fourier_3")
+      val scs = tags.map(t => OlsBacktestSql.entityScore(t._1))
+      val allsc = tags.map { case (t, n) =>
+        s"SELECT user_id, smape, '$n' AS model FROM sc_$t"
+      }.mkString(" UNION ALL ")
+      val fulls = Seq(
+        OlsBacktestSql.fullLinear("f7", 7, fh = 3),
+        OlsBacktestSql.fullXformFourier("fsf3", 3, sp = 7, kTerms = 2, fh = 3,
+          xformName = "scale"),
+        OlsBacktestSql.fullXformFourier("frf3", 3, sp = 7, kTerms = 2, fh = 3,
+          xformName = "scale", ridge = 0.1),
+        OlsBacktestSql.fullXformFourier("fdf3", 3, sp = 7, kTerms = 2, fh = 3,
+          xformName = "detrend"))
+      def linPred(tag: String, name: String) =
+        s"""SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                   CASE h WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END AS value,
+                   '$name' AS model
+            FROM fp_$tag CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)"""
+      s"""WITH ${OlsBacktestSql.lagdCte(7)},
+          $btLin,
+          ${btXf.mkString(", ")},
+          $btNv,
+          ${scs.mkString(", ")},
+          allsc AS ($allsc),
+          winners AS (SELECT user_id, model FROM (
+              SELECT user_id, model, row_number() OVER (PARTITION BY user_id
+                       ORDER BY smape ASC NULLS LAST, model) AS rk
+              FROM allsc) WHERE rk <= 3),
+          ${fulls.mkString(", ")},
+          state AS (SELECT user_id, arg_max(value, ts) AS lastv, max(ts) AS cutoff
+                    FROM events GROUP BY user_id),
+          preds AS (
+            SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                   lastv AS value, 'naive' AS model
+            FROM state CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)
+            UNION ALL ${linPred("f7", "linear_7")}
+            UNION ALL ${linPred("fsf3", "linear_scaled_fourier_3")}
+            UNION ALL ${linPred("frf3", "ridge_scaled_fourier_3")}
+            UNION ALL ${linPred("fdf3", "linear_detrend_fourier_3")})
+          SELECT p.user_id, p.ts, round(avg(p.value), 6) AS value
+          FROM preds p JOIN winners w ON p.user_id = w.user_id AND p.model = w.model
+          GROUP BY p.user_id, p.ts"""
+    }) { (s, dir) =>
+      r6(EliteDeep.run(ev(s, dir), "ts", "1d", fh = 3, topK = 3,
+        strategy = "mean", testSize = 5, nSplits = 2,
+        models = Seq("naive", "linear_7", "linear_scaled_fourier_3",
+          "ridge_scaled_fourier_3", "linear_detrend_fourier_3")))
+    },
+
     // elite's lasso × target-transform slices (elite.py:98-147's
     // lasso_scaled / lasso_detrend / lasso_demean analogs): the CD
     // solve refit per train slice behind each transform, 6 fixed

@@ -345,6 +345,97 @@ object OlsBacktestSql {
         fp_$tag AS (SELECT * FROM ${tag}_h$fh)"""
   }
 
+  /** predExpr for a target-transformed AR+fourier member: lag state
+    * in TRANSFORMED space plus fourier terms at tn − 1 + h. */
+  private def predExprXfFourier(h: Int, lags: Int, sp: Int, kTerms: Int): String =
+    predExprFourier(h, lags, sp, kTerms)
+
+  /** Expanding-window backtest of a target-transformed AR+fourier
+    * member (elite.py:115-137's *_scaled_fourier and :148-164's
+    * *_detrend_linear_fourier analogs): the transform artifact is
+    * refit per split, the regression runs in transformed space over
+    * lag + fourier regressors, and predictions invert to levels.
+    * Emits `bt_<tag>`. */
+  def backtestXformFourier(tag: String, lags: Int, sp: Int, kTerms: Int,
+                           testSize: Int, nSplits: Int, stepSize: Int,
+                           xformName: String, ridge: Double = 0.0): String = {
+    val xf = xformOf(xformName)
+    val xs = ("1.0" +: (1 to lags).map(xf.x)) ++ fourierTerms(sp, kTerms, "rn - 1")
+    val d = xs.length
+    val splits = (0 until nSplits).map { i =>
+      val cutoff = testSize + (nSplits - 1 - i) * stepSize
+      val t = s"${tag}_s$i"
+      val artJoin = xf.artCte(t, s"rn <= cnt - $cutoff")
+        .map(_ => s" JOIN ${t}_art USING (user_id)").getOrElse("")
+      val ts = (1 to lags).map(j => s"${xf.tailT(j)} AS t$j")
+      val longEnough = if (lags == 1) "TRUE" else s"f${lags - 1} IS NOT NULL"
+      val diffGuard = if (xf == DiffX) s" AND f$lags IS NOT NULL" else ""
+      val predCases = (1 to testSize)
+        .map(h => s"WHEN $h THEN ${xf.invert(h, "a.rn - 1")}").mkString(" ")
+      val stages = (1 to testSize).map { h =>
+        val src = if (h == 1) s"${t}_p0" else s"${t}_h${h - 1}"
+        s"${t}_h$h AS MATERIALIZED (SELECT *, ${predExprXfFourier(h, lags, sp, kTerms)} FROM $src)"
+      }
+      s"""${xf.artCte(t, s"rn <= cnt - $cutoff").map(_ + ",").getOrElse("")}
+          ${t}_mom AS (SELECT ${Q.olsMomentsSql(xs, xf.y, ridge)}
+            FROM lagd$artJoin
+            WHERE rn > ${xf.warmup(lags)} AND rn <= cnt - $cutoff AND ${xf.guard}),
+          ${Q.cholSolveSql(d, s"${t}_mom", s"${t}_ch")},
+          ${t}_tail AS (SELECT user_id, ts AS cutoff, (cnt - $cutoff) AS tn,
+              ${(xf.tailCarry ++ ts).mkString(", ")}
+            FROM lagd$artJoin
+            WHERE rn = cnt - $cutoff AND $longEnough$diffGuard AND ${xf.guard}),
+          ${t}_p0 AS (SELECT * FROM ${t}_tail
+            CROSS JOIN ${Q.cholSolveLast(d, s"${t}_ch")}),
+          ${stages.mkString(", ")},
+          ${t}_bt AS (
+            SELECT a.user_id, a.rn - (a.cnt - $cutoff) AS h, $i AS split,
+                   a.value AS actual,
+                   CASE a.rn - (a.cnt - $cutoff) $predCases END AS pred
+            FROM lagd a JOIN ${t}_h$testSize p ON a.user_id = p.user_id
+            WHERE a.rn > a.cnt - $cutoff AND a.rn <= a.cnt - $cutoff + $testSize)"""
+    }
+    val union = (0 until nSplits).map(i => s"SELECT * FROM ${tag}_s${i}_bt")
+      .mkString(" UNION ALL ")
+    (splits :+ s"bt_$tag AS ($union)").mkString(", ")
+  }
+
+  /** Full-data transformed AR+fourier fit + fh-step prediction in
+    * level space. Emits `fp_<tag>` (user_id, cutoff, p1..p<fh>). */
+  def fullXformFourier(tag: String, lags: Int, sp: Int, kTerms: Int, fh: Int,
+                       xformName: String, ridge: Double = 0.0): String = {
+    val xf = xformOf(xformName)
+    val xs = ("1.0" +: (1 to lags).map(xf.x)) ++ fourierTerms(sp, kTerms, "rn - 1")
+    val d = xs.length
+    val artJoin = xf.artCte(tag, "TRUE")
+      .map(_ => s" JOIN ${tag}_art USING (user_id)").getOrElse("")
+    val ts = (1 to lags).map(j => s"${xf.tailT(j)} AS t$j")
+    val longEnough = if (lags == 1) "TRUE" else s"f${lags - 1} IS NOT NULL"
+    val diffGuard = if (xf == DiffX) s" AND f$lags IS NOT NULL" else ""
+    val lvls = (1 to fh).map(h => s"${xf.invert(h, s"tpos + $h")} AS p$h")
+    val tailCarry =
+      if (xf == DetrendX) xf.tailCarry
+      else xf.tailCarry :+ "(rn - 1)::DOUBLE AS tpos"
+    val stages = (1 to fh).map { h =>
+      val src = if (h == 1) s"${tag}_p0" else s"${tag}_h${h - 1}"
+      s"${tag}_h$h AS MATERIALIZED (SELECT *, ${predExprXfFourier(h, lags, sp, kTerms)} FROM $src)"
+    }
+    s"""${xf.artCte(tag, "TRUE").map(_ + ",").getOrElse("")}
+        ${tag}_mom AS (SELECT ${Q.olsMomentsSql(xs, xf.y, ridge)}
+          FROM lagd$artJoin
+          WHERE rn > ${xf.warmup(lags)} AND ${xf.guard}),
+        ${Q.cholSolveSql(d, s"${tag}_mom", s"${tag}_ch")},
+        ${tag}_tail AS (SELECT user_id, ts AS cutoff, cnt AS tn,
+            ${(tailCarry ++ ts).mkString(", ")}
+          FROM lagd$artJoin
+          WHERE rn = cnt AND $longEnough$diffGuard AND ${xf.guard}),
+        ${tag}_p0 AS (SELECT * FROM ${tag}_tail
+          CROSS JOIN ${Q.cholSolveLast(d, s"${tag}_ch")}),
+        ${stages.mkString(", ")},
+        fp_$tag AS (SELECT user_id, cutoff, ${lvls.mkString(", ")}
+          FROM ${tag}_h$fh)"""
+  }
+
   /** Expanding-window backtest of a target-transformed linear member
     * (transform refit per split on the row prefix). Emits `bt_<tag>`
     * with (user_id, h, split, actual, pred) — pred in LEVEL space. */

@@ -201,6 +201,22 @@ class EliteDeepSpec extends SparkSpec {
     assert(out.count() == 4)
   }
 
+  test("scaled_fourier combo: transform + fourier track a scaled seasonal wave") {
+    // seasonal wave on a large offset/scale: the z-score transform
+    // normalizes, the fourier features (sp=4) carry the phase; the
+    // invert restores the original scale
+    val wave = Seq.tabulate(32)(i => 1000.0 + 50.0 * Seq(0.0, 1.0, 2.0, 1.0)(i % 4))
+    val p = panel(wave)
+    val out = EliteDeep.run(p, "t", "1i", fh = 4, topK = 1, strategy = "mean",
+      testSize = 4, nSplits = 2, stepSize = 4, sp = 4,
+      models = Seq("linear_scaled_fourier_3"))
+    val rows = out.orderBy("t").collect()
+    assert(rows.length == 4)
+    val expect = Seq(1000.0, 1050.0, 1100.0, 1050.0) // positions 32..35
+    rows.zip(expect).foreach { case (r, e) =>
+      assert(math.abs(r.getDouble(2) - e) < 1e-4, s"$r vs $e") }
+  }
+
   test("lassoAicCD picks by AIC and matches the fixed-alpha CD solve") {
     val spark0 = spark
     import spark0.implicits._
