@@ -184,6 +184,54 @@ object Ols {
     cdFromMoments(a, b, alpha, l1Ratio, sweeps)
   }
 
+  /** Lasso / elastic-net CD with NO intercept — scikit-learn
+    * `ElasticNet(fit_intercept=False)`, the elite zoo's
+    * `lasso_no_drift` (elite.py:95). CD runs on the RAW Gram system
+    * (no centering, no intercept recovery), fixed sweep count; the
+    * SQL oracle (Q.cdSolveNoDriftSql) replicates the update sequence
+    * term-for-term. Returns the weight vector. */
+  def elasticNetCDNoDrift(df: DataFrame, featureCols: Seq[String],
+                          labelCol: String, alpha: Double, l1Ratio: Double,
+                          sweeps: Int): Array[Double] = {
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    val p = featureCols.length
+    val rows = df.na.drop(featureCols :+ labelCol)
+    val xs = featureCols.map(c => col(c).cast("double"))
+    val y = col(labelCol).cast("double")
+    val exprs = ((for (i <- 0 until p; j <- i until p) yield sum(xs(i) * xs(j))) ++
+      (0 until p).map(i => sum(xs(i) * y))) :+ count(lit(1)).cast("double")
+    val row = rows.agg(exprs.head, exprs.tail: _*).collect()(0)
+    if (row.isNullAt(0))
+      throw new IllegalArgumentException(
+        s"no-drift CD fit has no complete training rows " +
+          s"(${featureCols.mkString(", ")} / $labelCol)")
+    val tri = p * (p + 1) / 2
+    val g = expand(Array.tabulate(tri)(row.getDouble), p)
+    val b = Array.tabulate(p)(i => row.getDouble(tri + i))
+    val nn = row.getDouble(tri + p)
+    val thr = nn * (alpha * l1Ratio)
+    val l2 = nn * (alpha * (1.0 - l1Ratio))
+    val w = new Array[Double](p)
+    var t = 0
+    while (t < sweeps) {
+      var j = 0
+      while (j < p) {
+        var rho = b(j)
+        var k = 0
+        while (k < p) { if (k != j) rho -= g(j)(k) * w(k); k += 1 }
+        val den = g(j)(j) + l2
+        w(j) =
+          if (den <= 0.0) 0.0
+          else if (rho > thr) (rho - thr) / den
+          else if (rho < -thr) (rho + thr) / den
+          else 0.0
+        j += 1
+      }
+      t += 1
+    }
+    w
+  }
+
   /** LassoLarsIC analog — the reference elite's final stacking
     * regressor (`sklearn.linear_model.LassoLarsIC`, elite.py:9,
     * :304-308) selects its regularization by information criterion

@@ -98,22 +98,38 @@ object EliteDeep {
     // position functions, so both backtest refits and the full fit go
     // through the same closed-form fitPredict
     def fourierMember(name: String, lags: Int, kTerms: Int,
-                      ridge: Double = 0.0) = Member(name,
+                      ridge: Double = 0.0, l1Ratio: Double = 0.0) = Member(name,
       () => Conformal.backtest(p, timeCol, testSize, nSplits, stepSize,
         (tr, h) => FourierLinear.fitPredict(tr, timeCol, freq, lags, sp,
-          kTerms, ridge, h)),
+          kTerms, ridge, h, l1Ratio, cdSweeps)),
       () => FourierLinear.fitPredict(p, timeCol, freq, lags, sp, kTerms,
-        ridge, fh))
+        ridge, fh, l1Ratio, cdSweeps))
     // target-transform × fourier combos (elite.py:115-137
     // *_scaled_fourier, :148-164 *_detrend_linear_fourier): the
     // transform refits per slice, the AR+fourier fit runs in
     // transformed space (positions are transform-invariant)
     def pipeFourierMember(name: String, steps: Seq[ForecastPipeline.Step],
-                          lags: Int, kTerms: Int, ridge: Double = 0.0) = {
+                          lags: Int, kTerms: Int, ridge: Double = 0.0,
+                          l1Ratio: Double = 0.0) = {
       def fitP(tr: Panel, h: Int): DataFrame =
         ForecastPipeline.fit(tr, timeCol, steps,
           pT => (tc, hh) => FourierLinear.fitPredict(pT, tc, freq, lags, sp,
-            kTerms, ridge, hh)).predict(timeCol, h)
+            kTerms, ridge, hh, l1Ratio, cdSweeps)).predict(timeCol, h)
+      Member(name,
+        () => Conformal.backtest(p, timeCol, testSize, nSplits, stepSize, fitP),
+        () => fitP(p, fh))
+    }
+    // no-intercept lasso (elite.py:95 lasso_no_drift): CD on the raw
+    // Gram, refit per train slice
+    def cdNoDriftMember(name: String, lags: Int, alpha: Double,
+                        l1Ratio: Double) = {
+      val featureCols = (1 to lags).map(l => s"${p.value}__lag_$l")
+      def fitP(tr: Panel, h: Int): DataFrame = {
+        val red = Forecasters.makeReduction(tr, lags)
+        val w = graft.functions.Ols.elasticNetCDNoDrift(
+          red, featureCols, tr.value, alpha, l1Ratio, cdSweeps)
+        LinearForecasterModel(0.0, w, lags, freq).predict(tr, timeCol, h)
+      }
       Member(name,
         () => Conformal.backtest(p, timeCol, testSize, nSplits, stepSize, fitP),
         () => fitP(p, fh))
@@ -167,6 +183,12 @@ object EliteDeep {
       // (fit_intercept=False — the no-intercept normal equations)
       linearMember("linear_nodrift_7", 7, drift = false),
       linearMember("ridge_nodrift_3", 3, ridge = 0.1, drift = false),
+      cdNoDriftMember("lasso_nodrift_7", 7, alpha = 0.1, l1Ratio = 1.0),
+      // elite.py:98-103's remaining diff slices
+      pipeMember("ridge_diff_7", Seq(ForecastPipeline.diffStep()), 7,
+        alpha = 0.1),
+      pipeMember("lasso_diff_7", Seq(ForecastPipeline.diffStep()), 7,
+        alpha = 0.1, l1Ratio = 1.0),
       // elite.py:139-147 "Mean detrended models"
       pipeMember("linear_demean_7", Seq(ForecastPipeline.detrendMeanStep), 7),
       pipeMember("ridge_demean_7", Seq(ForecastPipeline.detrendMeanStep), 7,
@@ -175,12 +197,22 @@ object EliteDeep {
       // (feature_transform=add_fourier_terms; K=2 over the run's sp)
       fourierMember("linear_fourier_3", lags = 3, kTerms = 2),
       fourierMember("ridge_fourier_3", lags = 3, kTerms = 2, ridge = 0.1),
+      fourierMember("lasso_fourier_3", lags = 3, kTerms = 2, ridge = 0.1,
+        l1Ratio = 1.0),
       pipeFourierMember("linear_scaled_fourier_3",
         Seq(ForecastPipeline.scaleStep()), 3, kTerms = 2),
       pipeFourierMember("ridge_scaled_fourier_3",
         Seq(ForecastPipeline.scaleStep()), 3, kTerms = 2, ridge = 0.1),
+      pipeFourierMember("lasso_scaled_fourier_3",
+        Seq(ForecastPipeline.scaleStep()), 3, kTerms = 2, ridge = 0.1,
+        l1Ratio = 1.0),
       pipeFourierMember("linear_detrend_fourier_3",
         Seq(ForecastPipeline.detrendLinearStep), 3, kTerms = 2),
+      pipeFourierMember("ridge_detrend_fourier_3",
+        Seq(ForecastPipeline.detrendLinearStep), 3, kTerms = 2, ridge = 0.1),
+      pipeFourierMember("lasso_detrend_fourier_3",
+        Seq(ForecastPipeline.detrendLinearStep), 3, kTerms = 2, ridge = 0.1,
+        l1Ratio = 1.0),
       // elite.py:83-88 "Seasonality" knn members, n_neighbors = lags//2
       knnMember("knn_3", k = 3, lags = 7, xform = None),
       knnMember("knn_scaled_3", k = 3, lags = 7,
@@ -198,11 +230,14 @@ object EliteDeep {
     "linear_scaled_7", "linear_diff_7", "linear_detrend_7",
     "ridge_scaled_7", "ridge_detrend_7",
     "lasso_scaled_7", "lasso_detrend_7", "lasso_demean_7",
-    "linear_nodrift_7", "ridge_nodrift_3",
+    "linear_nodrift_7", "ridge_nodrift_3", "lasso_nodrift_7",
+    "ridge_diff_7", "lasso_diff_7",
     "linear_demean_7", "ridge_demean_7",
-    "linear_fourier_3", "ridge_fourier_3",
+    "linear_fourier_3", "ridge_fourier_3", "lasso_fourier_3",
     "linear_scaled_fourier_3", "ridge_scaled_fourier_3",
-    "linear_detrend_fourier_3",
+    "lasso_scaled_fourier_3",
+    "linear_detrend_fourier_3", "ridge_detrend_fourier_3",
+    "lasso_detrend_fourier_3",
     "knn_3", "knn_scaled_3", "knn_detrend_3")
 
   /** The closed-form/naive/CD members — the sub-zoo the DuckDB oracle

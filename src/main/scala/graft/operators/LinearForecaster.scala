@@ -162,7 +162,8 @@ object FourierLinear {
   import org.apache.spark.sql.functions._
 
   def fitPredict(p: Panel, timeCol: String, freq: String, lags: Int,
-                 sp: Int, K: Int, ridge: Double, fh: Int): DataFrame = {
+                 sp: Int, K: Int, ridge: Double, fh: Int,
+                 l1Ratio: Double = 0.0, cdSweeps: Int = 40): DataFrame = {
     require(K < sp, s"fourier K must be < sp (got K=$K, sp=$sp)")
     val pos = CrossValidation.withPosition(
       p.copy(df = Preprocess.lagKeepAll(p, 1 to lags)))
@@ -173,8 +174,16 @@ object FourierLinear {
     }
     val fNames = (1 to K).flatMap(k => Seq(s"__fc_$k", s"__fs_$k"))
     val featureCols = (1 to lags).map(l => s"${p.value}__lag_$l") ++ fNames
-    val (b0, w) = graft.functions.Ols.fit(
-      withF.filter(col("__rn") > lags), featureCols, p.value, ridge)
+    // l1Ratio > 0: the lasso/elastic-net fourier members — same
+    // dispatch as LinearForecaster.fit (CD on the identical moments)
+    val (b0, w) =
+      if (l1Ratio == 0.0)
+        graft.functions.Ols.fit(
+          withF.filter(col("__rn") > lags), featureCols, p.value, ridge)
+      else
+        graft.functions.Ols.elasticNetCD(
+          withF.filter(col("__rn") > lags), featureCols, p.value,
+          alpha = ridge, l1Ratio = l1Ratio, sweeps = cdSweeps)
     val lagW = w.take(lags)
     val fW = w.drop(lags)
     // per-entity tail state (newest lags values), train length n, cutoff

@@ -1575,6 +1575,86 @@ object ConformalQueries {
           "ridge_scaled_fourier_3", "linear_detrend_fourier_3")))
     },
 
+    // elite's lasso/ridge × fourier combo slices (elite.py:104-164's
+    // lasso_fourier, lasso_scaled_fourier, ridge/lasso_detrend_linear_
+    // fourier): centered CD (6 fixed sweeps) or closed-form ridge over
+    // lag + fourier regressors, behind per-split transform artifacts.
+    "fc_elite_fourier_lasso" -> Q({
+      val sw = 6
+      val btLin = OlsBacktestSql.backtestLinear("lin7", 7, testSize = 5,
+        nSplits = 2, stepSize = 5)
+      val btLf = OlsBacktestSql.backtestFourierLinear("laf3", 3, sp = 7,
+        kTerms = 2, testSize = 5, nSplits = 2, stepSize = 5, ridge = 0.1,
+        l1Ratio = 1.0, cdSweeps = sw)
+      val btLsf = OlsBacktestSql.backtestXformFourier("lsf3", 3, sp = 7,
+        kTerms = 2, testSize = 5, nSplits = 2, stepSize = 5,
+        xformName = "scale", ridge = 0.1, l1Ratio = 1.0, cdSweeps = sw)
+      val btRdf = OlsBacktestSql.backtestXformFourier("rdf3", 3, sp = 7,
+        kTerms = 2, testSize = 5, nSplits = 2, stepSize = 5,
+        xformName = "detrend", ridge = 0.1)
+      val btLdf = OlsBacktestSql.backtestXformFourier("ldf3", 3, sp = 7,
+        kTerms = 2, testSize = 5, nSplits = 2, stepSize = 5,
+        xformName = "detrend", ridge = 0.1, l1Ratio = 1.0, cdSweeps = sw)
+      val btNv = OlsBacktestSql.backtestNaive("nv", 1, testSize = 5,
+        nSplits = 2, stepSize = 5)
+      val tags = Seq("nv" -> "naive", "lin7" -> "linear_7",
+        "laf3" -> "lasso_fourier_3", "lsf3" -> "lasso_scaled_fourier_3",
+        "rdf3" -> "ridge_detrend_fourier_3", "ldf3" -> "lasso_detrend_fourier_3")
+      val scs = tags.map(t => OlsBacktestSql.entityScore(t._1))
+      val allsc = tags.map { case (t, n) =>
+        s"SELECT user_id, smape, '$n' AS model FROM sc_$t"
+      }.mkString(" UNION ALL ")
+      val fulls = Seq(
+        OlsBacktestSql.fullLinear("f7", 7, fh = 3),
+        OlsBacktestSql.fullFourierLinear("flaf3", 3, sp = 7, kTerms = 2, fh = 3,
+          ridge = 0.1, l1Ratio = 1.0, cdSweeps = sw),
+        OlsBacktestSql.fullXformFourier("flsf3", 3, sp = 7, kTerms = 2, fh = 3,
+          xformName = "scale", ridge = 0.1, l1Ratio = 1.0, cdSweeps = sw),
+        OlsBacktestSql.fullXformFourier("frdf3", 3, sp = 7, kTerms = 2, fh = 3,
+          xformName = "detrend", ridge = 0.1),
+        OlsBacktestSql.fullXformFourier("fldf3", 3, sp = 7, kTerms = 2, fh = 3,
+          xformName = "detrend", ridge = 0.1, l1Ratio = 1.0, cdSweeps = sw))
+      def linPred(tag: String, name: String) =
+        s"""SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                   CASE h WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END AS value,
+                   '$name' AS model
+            FROM fp_$tag CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)"""
+      s"""WITH ${OlsBacktestSql.lagdCte(7)},
+          $btLin,
+          $btLf,
+          $btLsf,
+          $btRdf,
+          $btLdf,
+          $btNv,
+          ${scs.mkString(", ")},
+          allsc AS ($allsc),
+          winners AS (SELECT user_id, model FROM (
+              SELECT user_id, model, row_number() OVER (PARTITION BY user_id
+                       ORDER BY smape ASC NULLS LAST, model) AS rk
+              FROM allsc) WHERE rk <= 3),
+          ${fulls.mkString(", ")},
+          state AS (SELECT user_id, arg_max(value, ts) AS lastv, max(ts) AS cutoff
+                    FROM events GROUP BY user_id),
+          preds AS (
+            SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                   lastv AS value, 'naive' AS model
+            FROM state CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)
+            UNION ALL ${linPred("f7", "linear_7")}
+            UNION ALL ${linPred("flaf3", "lasso_fourier_3")}
+            UNION ALL ${linPred("flsf3", "lasso_scaled_fourier_3")}
+            UNION ALL ${linPred("frdf3", "ridge_detrend_fourier_3")}
+            UNION ALL ${linPred("fldf3", "lasso_detrend_fourier_3")})
+          SELECT p.user_id, p.ts, round(avg(p.value), 6) AS value
+          FROM preds p JOIN winners w ON p.user_id = w.user_id AND p.model = w.model
+          GROUP BY p.user_id, p.ts"""
+    }) { (s, dir) =>
+      r6(EliteDeep.run(ev(s, dir), "ts", "1d", fh = 3, topK = 3,
+        strategy = "mean", testSize = 5, nSplits = 2, cdSweeps = 6,
+        models = Seq("naive", "linear_7", "lasso_fourier_3",
+          "lasso_scaled_fourier_3", "ridge_detrend_fourier_3",
+          "lasso_detrend_fourier_3")))
+    },
+
     // elite's lasso × target-transform slices (elite.py:98-147's
     // lasso_scaled / lasso_detrend / lasso_demean analogs): the CD
     // solve refit per train slice behind each transform, 6 fixed
@@ -1584,16 +1664,20 @@ object ConformalQueries {
       val sw = 6
       val btLin = OlsBacktestSql.backtestLinear("lin7", 7, testSize = 5,
         nSplits = 2, stepSize = 5)
-      val btXf = Seq(("lsc7", "scale"), ("ldt7", "detrend"), ("ldm7", "detrend_mean"))
+      val btXf = Seq(("lsc7", "scale"), ("ldt7", "detrend"), ("ldm7", "detrend_mean"),
+        ("ldf7", "diff"))
         .map { case (t, x) =>
           OlsBacktestSql.backtestXformElasticNet(t, 7, testSize = 5, nSplits = 2,
             stepSize = 5, xformName = x, alpha = 0.1, l1Ratio = 1.0, sweeps = sw)
         }
+      val btRd = OlsBacktestSql.backtestXformLinear("rdf7", 7, testSize = 5,
+        nSplits = 2, stepSize = 5, xformName = "diff", ridge = 0.1)
       val btNv = OlsBacktestSql.backtestNaive("nv", 1, testSize = 5,
         nSplits = 2, stepSize = 5)
       val tags = Seq("nv" -> "naive", "lin7" -> "linear_7",
         "lsc7" -> "lasso_scaled_7", "ldt7" -> "lasso_detrend_7",
-        "ldm7" -> "lasso_demean_7")
+        "ldm7" -> "lasso_demean_7",
+        "ldf7" -> "lasso_diff_7", "rdf7" -> "ridge_diff_7")
       val scs = tags.map(t => OlsBacktestSql.entityScore(t._1))
       val allsc = tags.map { case (t, n) =>
         s"SELECT user_id, smape, '$n' AS model FROM sc_$t"
@@ -1605,15 +1689,20 @@ object ConformalQueries {
         OlsBacktestSql.fullXformElasticNet("fld7", 7, fh = 3, xformName = "detrend",
           alpha = 0.1, l1Ratio = 1.0, sweeps = sw),
         OlsBacktestSql.fullXformElasticNet("flm7", 7, fh = 3,
-          xformName = "detrend_mean", alpha = 0.1, l1Ratio = 1.0, sweeps = sw))
+          xformName = "detrend_mean", alpha = 0.1, l1Ratio = 1.0, sweeps = sw),
+        OlsBacktestSql.fullXformElasticNet("flf7", 7, fh = 3, xformName = "diff",
+          alpha = 0.1, l1Ratio = 1.0, sweeps = sw),
+        OlsBacktestSql.fullXformLinear("frf7", 7, fh = 3, xformName = "diff",
+          ridge = 0.1))
       def linPred(tag: String, name: String) =
         s"""SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
                    CASE h WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END AS value,
                    '$name' AS model
             FROM fp_$tag CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)"""
-      s"""WITH ${OlsBacktestSql.lagdCte(7)},
+      s"""WITH ${OlsBacktestSql.lagdCte(8)},
           $btLin,
           ${btXf.mkString(", ")},
+          $btRd,
           $btNv,
           ${scs.mkString(", ")},
           allsc AS ($allsc),
@@ -1631,7 +1720,9 @@ object ConformalQueries {
             UNION ALL ${linPred("f7", "linear_7")}
             UNION ALL ${linPred("fls7", "lasso_scaled_7")}
             UNION ALL ${linPred("fld7", "lasso_detrend_7")}
-            UNION ALL ${linPred("flm7", "lasso_demean_7")})
+            UNION ALL ${linPred("flm7", "lasso_demean_7")}
+            UNION ALL ${linPred("flf7", "lasso_diff_7")}
+            UNION ALL ${linPred("frf7", "ridge_diff_7")})
           SELECT p.user_id, p.ts, round(avg(p.value), 6) AS value
           FROM preds p JOIN winners w ON p.user_id = w.user_id AND p.model = w.model
           GROUP BY p.user_id, p.ts"""
@@ -1639,7 +1730,8 @@ object ConformalQueries {
       r6(EliteDeep.run(ev(s, dir), "ts", "1d", fh = 3, topK = 3,
         strategy = "mean", testSize = 5, nSplits = 2, cdSweeps = 6,
         models = Seq("naive", "linear_7", "lasso_scaled_7",
-          "lasso_detrend_7", "lasso_demean_7")))
+          "lasso_detrend_7", "lasso_demean_7", "lasso_diff_7",
+          "ridge_diff_7")))
     },
 
     // elite stacking with the LassoLarsIC-analog IC-selected alpha
@@ -1783,6 +1875,9 @@ object ConformalQueries {
         nSplits = 2, stepSize = 5, drift = false)
       val btNr3 = OlsBacktestSql.backtestLinear("rnd3", 3, testSize = 5,
         nSplits = 2, stepSize = 5, ridge = 0.1, drift = false)
+      val btLn7 = OlsBacktestSql.backtestElasticNetNoDrift("lan7", 7,
+        testSize = 5, nSplits = 2, stepSize = 5, alpha = 0.1, l1Ratio = 1.0,
+        sweeps = 8)
       val btDm = Seq(("ldm7", 0.0), ("rdm7", 0.1)).map { case (t, r) =>
         OlsBacktestSql.backtestXformLinear(t, 7, testSize = 5, nSplits = 2,
           stepSize = 5, xformName = "detrend_mean", ridge = r)
@@ -1791,6 +1886,7 @@ object ConformalQueries {
         nSplits = 2, stepSize = 5)
       val tags = Seq("nv" -> "naive", "lin7" -> "linear_7",
         "lnd7" -> "linear_nodrift_7", "rnd3" -> "ridge_nodrift_3",
+        "lan7" -> "lasso_nodrift_7",
         "ldm7" -> "linear_demean_7", "rdm7" -> "ridge_demean_7")
       val scs = tags.map(t => OlsBacktestSql.entityScore(t._1))
       val allsc = tags.map { case (t, n) =>
@@ -1800,6 +1896,8 @@ object ConformalQueries {
         OlsBacktestSql.fullLinear("f7", 7, fh = 3),
         OlsBacktestSql.fullLinear("fnd7", 7, fh = 3, drift = false),
         OlsBacktestSql.fullLinear("fnr3", 3, fh = 3, ridge = 0.1, drift = false),
+        OlsBacktestSql.fullElasticNetNoDrift("fln7", 7, fh = 3, alpha = 0.1,
+          l1Ratio = 1.0, sweeps = 8),
         OlsBacktestSql.fullXformLinear("fdm7", 7, fh = 3,
           xformName = "detrend_mean"),
         OlsBacktestSql.fullXformLinear("fdr7", 7, fh = 3,
@@ -1813,6 +1911,7 @@ object ConformalQueries {
           $btLin,
           $btNd7,
           $btNr3,
+          $btLn7,
           ${btDm.mkString(", ")},
           $btNv,
           ${scs.mkString(", ")},
@@ -1831,6 +1930,7 @@ object ConformalQueries {
             UNION ALL ${linPred("f7", "linear_7")}
             UNION ALL ${linPred("fnd7", "linear_nodrift_7")}
             UNION ALL ${linPred("fnr3", "ridge_nodrift_3")}
+            UNION ALL ${linPred("fln7", "lasso_nodrift_7")}
             UNION ALL ${linPred("fdm7", "linear_demean_7")}
             UNION ALL ${linPred("fdr7", "ridge_demean_7")})
           SELECT p.user_id, p.ts, round(avg(p.value), 6) AS value
@@ -1840,7 +1940,8 @@ object ConformalQueries {
       r6(EliteDeep.run(ev(s, dir), "ts", "1d", fh = 3, topK = 3,
         strategy = "mean", testSize = 5, nSplits = 2,
         models = Seq("naive", "linear_7", "linear_nodrift_7",
-          "ridge_nodrift_3", "linear_demean_7", "ridge_demean_7")))
+          "ridge_nodrift_3", "lasso_nodrift_7",
+          "linear_demean_7", "ridge_demean_7")))
     },
 
     // elite's fourier feature-transform members (elite.py:104-137,

@@ -293,7 +293,8 @@ object OlsBacktestSql {
     * `bt_<tag>`. */
   def backtestFourierLinear(tag: String, lags: Int, sp: Int, kTerms: Int,
                             testSize: Int, nSplits: Int, stepSize: Int,
-                            ridge: Double = 0.0): String = {
+                            ridge: Double = 0.0, l1Ratio: Double = 0.0,
+                            cdSweeps: Int = 8): String = {
     val xs = ("1.0" +: (1 to lags).map(j => s"f$j")) ++
       fourierTerms(sp, kTerms, "rn - 1")
     val d = xs.length
@@ -306,12 +307,21 @@ object OlsBacktestSql {
         val src = if (h == 1) s"${t}_p0" else s"${t}_h${h - 1}"
         s"${t}_h$h AS MATERIALIZED (SELECT *, ${predExprFourier(h, lags, sp, kTerms)} FROM $src)"
       }
-      s"""${t}_mom AS (SELECT ${Q.olsMomentsSql(xs, "value", ridge)}
+      // l1Ratio > 0: lasso_fourier — centered CD instead of Cholesky,
+      // `ridge` routed as the CD alpha (both emit a_0..a_{d−1})
+      val (solve, solLast) =
+        if (l1Ratio > 0)
+          (Q.cdSolveSql(d - 1, ridge, l1Ratio, cdSweeps, s"${t}_mom", s"${t}_cd"),
+            Q.cdSolveLast(d - 1, cdSweeps, s"${t}_cd"))
+        else (Q.cholSolveSql(d, s"${t}_mom", s"${t}_ch"),
+          Q.cholSolveLast(d, s"${t}_ch"))
+      val momRidge = if (l1Ratio > 0) 0.0 else ridge
+      s"""${t}_mom AS (SELECT ${Q.olsMomentsSql(xs, "value", momRidge)}
             FROM lagd WHERE rn > $lags AND rn <= cnt - $cutoff),
-          ${Q.cholSolveSql(d, s"${t}_mom", s"${t}_ch")},
+          $solve,
           ${tailCteF(s"$t", lags, s"cnt - $cutoff")},
           ${t}_p0 AS (SELECT * FROM ${t}_tail
-            CROSS JOIN ${Q.cholSolveLast(d, s"${t}_ch")}),
+            CROSS JOIN $solLast),
           ${stages.mkString(", ")},
           ${t}_bt AS (
             SELECT a.user_id, a.rn - (a.cnt - $cutoff) AS h, $i AS split,
@@ -327,7 +337,8 @@ object OlsBacktestSql {
   /** Full-data AR+fourier fit + fh-step prediction. Emits `fp_<tag>`
     * with (user_id, cutoff, p1..p<fh>). */
   def fullFourierLinear(tag: String, lags: Int, sp: Int, kTerms: Int,
-                        fh: Int, ridge: Double = 0.0): String = {
+                        fh: Int, ridge: Double = 0.0, l1Ratio: Double = 0.0,
+                        cdSweeps: Int = 8): String = {
     val xs = ("1.0" +: (1 to lags).map(j => s"f$j")) ++
       fourierTerms(sp, kTerms, "rn - 1")
     val d = xs.length
@@ -335,14 +346,66 @@ object OlsBacktestSql {
       val src = if (h == 1) s"${tag}_p0" else s"${tag}_h${h - 1}"
       s"${tag}_h$h AS MATERIALIZED (SELECT *, ${predExprFourier(h, lags, sp, kTerms)} FROM $src)"
     }
-    s"""${tag}_mom AS (SELECT ${Q.olsMomentsSql(xs, "value", ridge)}
+    val (solve, solLast) =
+      if (l1Ratio > 0)
+        (Q.cdSolveSql(d - 1, ridge, l1Ratio, cdSweeps, s"${tag}_mom", s"${tag}_cd"),
+          Q.cdSolveLast(d - 1, cdSweeps, s"${tag}_cd"))
+      else (Q.cholSolveSql(d, s"${tag}_mom", s"${tag}_ch"),
+        Q.cholSolveLast(d, s"${tag}_ch"))
+    val momRidge = if (l1Ratio > 0) 0.0 else ridge
+    s"""${tag}_mom AS (SELECT ${Q.olsMomentsSql(xs, "value", momRidge)}
           FROM lagd WHERE rn > $lags),
-        ${Q.cholSolveSql(d, s"${tag}_mom", s"${tag}_ch")},
+        $solve,
         ${tailCteF(tag, lags, "cnt")},
         ${tag}_p0 AS (SELECT * FROM ${tag}_tail
-          CROSS JOIN ${Q.cholSolveLast(d, s"${tag}_ch")}),
+          CROSS JOIN $solLast),
         ${stages.mkString(", ")},
         fp_$tag AS (SELECT * FROM ${tag}_h$fh)"""
+  }
+
+  /** No-intercept elastic-net backtest (elite.py:95 lasso_no_drift):
+    * CD on the raw feature Gram (no centering), coefficients named for
+    * drift=false predStages. Emits `bt_<tag>`. */
+  def backtestElasticNetNoDrift(tag: String, lags: Int, testSize: Int,
+                                nSplits: Int, stepSize: Int, alpha: Double,
+                                l1Ratio: Double, sweeps: Int): String = {
+    val xs = (1 to lags).map(j => s"f$j")
+    val splits = (0 until nSplits).map { i =>
+      val cutoff = testSize + (nSplits - 1 - i) * stepSize
+      val t = s"${tag}_s$i"
+      val predCases = (1 to testSize)
+        .map(h => s"WHEN $h THEN p.p$h").mkString(" ")
+      s"""${t}_mom AS (SELECT ${Q.olsMomentsSql(xs, "value")}, count(*)::DOUBLE AS nn
+            FROM lagd WHERE rn > $lags AND rn <= cnt - $cutoff),
+          ${Q.cdSolveNoDriftSql(lags, alpha, l1Ratio, sweeps, s"${t}_mom", s"${t}_cn")},
+          ${tailCte(s"$t", lags, s"cnt - $cutoff")},
+          ${t}_p0 AS (SELECT * FROM ${t}_tail
+            CROSS JOIN ${Q.cdSolveNoDriftLast(lags, sweeps, s"${t}_cn")}),
+          ${predStages(s"${t}_", s"${t}_p0", testSize, lags, drift = false)},
+          ${t}_bt AS (
+            SELECT a.user_id, a.rn - (a.cnt - $cutoff) AS h, $i AS split,
+                   a.value AS actual, CASE a.rn - (a.cnt - $cutoff) $predCases END AS pred
+            FROM lagd a JOIN ${t}_pred p ON a.user_id = p.user_id
+            WHERE a.rn > a.cnt - $cutoff AND a.rn <= a.cnt - $cutoff + $testSize)"""
+    }
+    val union = (0 until nSplits).map(i => s"SELECT * FROM ${tag}_s${i}_bt")
+      .mkString(" UNION ALL ")
+    (splits :+ s"bt_$tag AS ($union)").mkString(", ")
+  }
+
+  /** Full-data no-intercept CD fit + fh-step prediction. Emits
+    * `fp_<tag>`. */
+  def fullElasticNetNoDrift(tag: String, lags: Int, fh: Int, alpha: Double,
+                            l1Ratio: Double, sweeps: Int): String = {
+    val xs = (1 to lags).map(j => s"f$j")
+    s"""${tag}_mom AS (SELECT ${Q.olsMomentsSql(xs, "value")}, count(*)::DOUBLE AS nn
+          FROM lagd WHERE rn > $lags),
+        ${Q.cdSolveNoDriftSql(lags, alpha, l1Ratio, sweeps, s"${tag}_mom", s"${tag}_cn")},
+        ${tailCte(tag, lags, "cnt")},
+        ${tag}_p0 AS (SELECT * FROM ${tag}_tail
+          CROSS JOIN ${Q.cdSolveNoDriftLast(lags, sweeps, s"${tag}_cn")}),
+        ${predStages(s"${tag}_", s"${tag}_p0", fh, lags, drift = false)},
+        fp_$tag AS (SELECT * FROM ${tag}_pred)"""
   }
 
   /** predExpr for a target-transformed AR+fourier member: lag state
@@ -358,7 +421,8 @@ object OlsBacktestSql {
     * Emits `bt_<tag>`. */
   def backtestXformFourier(tag: String, lags: Int, sp: Int, kTerms: Int,
                            testSize: Int, nSplits: Int, stepSize: Int,
-                           xformName: String, ridge: Double = 0.0): String = {
+                           xformName: String, ridge: Double = 0.0,
+                           l1Ratio: Double = 0.0, cdSweeps: Int = 8): String = {
     val xf = xformOf(xformName)
     val xs = ("1.0" +: (1 to lags).map(xf.x)) ++ fourierTerms(sp, kTerms, "rn - 1")
     val d = xs.length
@@ -376,17 +440,24 @@ object OlsBacktestSql {
         val src = if (h == 1) s"${t}_p0" else s"${t}_h${h - 1}"
         s"${t}_h$h AS MATERIALIZED (SELECT *, ${predExprXfFourier(h, lags, sp, kTerms)} FROM $src)"
       }
+      val (solve, solLast) =
+        if (l1Ratio > 0)
+          (Q.cdSolveSql(d - 1, ridge, l1Ratio, cdSweeps, s"${t}_mom", s"${t}_cd"),
+            Q.cdSolveLast(d - 1, cdSweeps, s"${t}_cd"))
+        else (Q.cholSolveSql(d, s"${t}_mom", s"${t}_ch"),
+          Q.cholSolveLast(d, s"${t}_ch"))
+      val momRidge = if (l1Ratio > 0) 0.0 else ridge
       s"""${xf.artCte(t, s"rn <= cnt - $cutoff").map(_ + ",").getOrElse("")}
-          ${t}_mom AS (SELECT ${Q.olsMomentsSql(xs, xf.y, ridge)}
+          ${t}_mom AS (SELECT ${Q.olsMomentsSql(xs, xf.y, momRidge)}
             FROM lagd$artJoin
             WHERE rn > ${xf.warmup(lags)} AND rn <= cnt - $cutoff AND ${xf.guard}),
-          ${Q.cholSolveSql(d, s"${t}_mom", s"${t}_ch")},
+          $solve,
           ${t}_tail AS (SELECT user_id, ts AS cutoff, (cnt - $cutoff) AS tn,
               ${(xf.tailCarry ++ ts).mkString(", ")}
             FROM lagd$artJoin
             WHERE rn = cnt - $cutoff AND $longEnough$diffGuard AND ${xf.guard}),
           ${t}_p0 AS (SELECT * FROM ${t}_tail
-            CROSS JOIN ${Q.cholSolveLast(d, s"${t}_ch")}),
+            CROSS JOIN $solLast),
           ${stages.mkString(", ")},
           ${t}_bt AS (
             SELECT a.user_id, a.rn - (a.cnt - $cutoff) AS h, $i AS split,
@@ -403,7 +474,8 @@ object OlsBacktestSql {
   /** Full-data transformed AR+fourier fit + fh-step prediction in
     * level space. Emits `fp_<tag>` (user_id, cutoff, p1..p<fh>). */
   def fullXformFourier(tag: String, lags: Int, sp: Int, kTerms: Int, fh: Int,
-                       xformName: String, ridge: Double = 0.0): String = {
+                       xformName: String, ridge: Double = 0.0,
+                       l1Ratio: Double = 0.0, cdSweeps: Int = 8): String = {
     val xf = xformOf(xformName)
     val xs = ("1.0" +: (1 to lags).map(xf.x)) ++ fourierTerms(sp, kTerms, "rn - 1")
     val d = xs.length
@@ -420,17 +492,24 @@ object OlsBacktestSql {
       val src = if (h == 1) s"${tag}_p0" else s"${tag}_h${h - 1}"
       s"${tag}_h$h AS MATERIALIZED (SELECT *, ${predExprXfFourier(h, lags, sp, kTerms)} FROM $src)"
     }
+    val (solve, solLast) =
+      if (l1Ratio > 0)
+        (Q.cdSolveSql(d - 1, ridge, l1Ratio, cdSweeps, s"${tag}_mom", s"${tag}_cd"),
+          Q.cdSolveLast(d - 1, cdSweeps, s"${tag}_cd"))
+      else (Q.cholSolveSql(d, s"${tag}_mom", s"${tag}_ch"),
+        Q.cholSolveLast(d, s"${tag}_ch"))
+    val momRidge = if (l1Ratio > 0) 0.0 else ridge
     s"""${xf.artCte(tag, "TRUE").map(_ + ",").getOrElse("")}
-        ${tag}_mom AS (SELECT ${Q.olsMomentsSql(xs, xf.y, ridge)}
+        ${tag}_mom AS (SELECT ${Q.olsMomentsSql(xs, xf.y, momRidge)}
           FROM lagd$artJoin
           WHERE rn > ${xf.warmup(lags)} AND ${xf.guard}),
-        ${Q.cholSolveSql(d, s"${tag}_mom", s"${tag}_ch")},
+        $solve,
         ${tag}_tail AS (SELECT user_id, ts AS cutoff, cnt AS tn,
             ${(tailCarry ++ ts).mkString(", ")}
           FROM lagd$artJoin
           WHERE rn = cnt AND $longEnough$diffGuard AND ${xf.guard}),
         ${tag}_p0 AS (SELECT * FROM ${tag}_tail
-          CROSS JOIN ${Q.cholSolveLast(d, s"${tag}_ch")}),
+          CROSS JOIN $solLast),
         ${stages.mkString(", ")},
         fp_$tag AS (SELECT user_id, cutoff, ${lvls.mkString(", ")}
           FROM ${tag}_h$fh)"""

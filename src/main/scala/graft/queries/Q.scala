@@ -154,6 +154,47 @@ object Q {
   def cdSolveLast(p: Int, sweeps: Int, pre: String = "cd"): String =
     s"$pre${1 + sweeps * p}"
 
+  /** NO-INTERCEPT cyclic-CD elastic-net solve
+    * ([[graft.functions.Ols.elasticNetCDNoDrift]]'s oracle): CD on the
+    * RAW Gram system — no centering, no intercept recovery. Input CTE
+    * `from0` must carry `m_<i>_<j>` (0-based FEATURE indices, upper
+    * triangle), `b_<i>`, and `nn` (row count). The final CTE
+    * ([[cdSolveNoDriftLast]]) carries `a_0..a_{p-1}` aligned with the
+    * drift=false predStages naming. */
+  def cdSolveNoDriftSql(p: Int, alpha: Double, l1Ratio: Double, sweeps: Int,
+                        from0: String, pre: String = "cnd"): String = {
+    def mName(j: Int, k: Int) = s"m_${math.min(j, k)}_${math.max(j, k)}"
+    val ctr = {
+      val consts = Seq(
+        s"nn * ${alpha * l1Ratio} AS ${pre}_thr",
+        s"nn * ${alpha * (1.0 - l1Ratio)} AS ${pre}_l2")
+      val w0 = (0 until p).map(j => s"CAST(0.0 AS DOUBLE) AS w0_$j")
+      (consts ++ w0).mkString(", ")
+    }
+    val stages = scala.collection.mutable.ArrayBuffer[String](ctr)
+    for (t <- 1 to sweeps; j <- 0 until p) {
+      val wref = (k: Int) => if (k < j) s"w${t}_$k" else s"w${t - 1}_$k"
+      val rho = (s"b_$j" +: (0 until p).filter(_ != j).toSeq
+        .map(k => s"- ${mName(j, k)} * ${wref(k)}")).mkString(" ")
+      val r = s"r${t}_$j"
+      val den = s"(${mName(j, j)} + ${pre}_l2)"
+      stages += s"""($rho) AS $r,
+          CASE WHEN $den <= 0.0 THEN CAST(0.0 AS DOUBLE)
+               WHEN $r > ${pre}_thr THEN ($r - ${pre}_thr) / $den
+               WHEN $r < -${pre}_thr THEN ($r + ${pre}_thr) / $den
+               ELSE CAST(0.0 AS DOUBLE) END AS w${t}_$j"""
+    }
+    stages += (0 until p).map(j => s"w${sweeps}_$j AS a_$j").mkString(", ")
+    stages.zipWithIndex.map { case (cols, n) =>
+      val src = if (n == 0) from0 else s"$pre${n - 1}"
+      s"$pre$n AS MATERIALIZED (SELECT *, $cols FROM $src)"
+    }.mkString(", ")
+  }
+
+  /** Name of the final CTE emitted by [[cdSolveNoDriftSql]]. */
+  def cdSolveNoDriftLast(p: Int, sweeps: Int, pre: String = "cnd"): String =
+    s"$pre${1 + sweeps * p}"
+
   /** DuckDB fragment: 12 hex nibbles of hex-string expression `h`
     * starting at 1-based position `off+1`, as a BIGINT — the oracle
     * side of the portable 48-bit md5-half hashes
