@@ -171,6 +171,16 @@ object Bench {
       // 178 queries of leaked cache blocks otherwise squeeze the
       // storage pool and perturb later timings
       try spark.catalog.clearCache() catch { case _: Throwable => () }
+      // ...and localCheckpoint blocks: clearCache only covers catalog-
+      // cached plans, while the elite family materializes member frames
+      // via localCheckpoint (RDD-persisted, lineage-truncated). Those
+      // blocks are only freed when the ContextCleaner GCs the RDD — in
+      // a 245-query session they accumulate and squeeze the unified
+      // memory pool for every later query (r7: fc_ensemble 11.6 s vs
+      // 1.9 budget, alphabetically after the six elite queries). The
+      // result has been counted; the data is never re-read.
+      try spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      catch { case _: Throwable => () }
       name -> dt
     }
     val total = results.map(_._2).sum

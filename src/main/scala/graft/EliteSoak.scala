@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale soak for the FULL 27-member EliteDeep zoo (the reference's
+  * 30-model elite default, elite.py:80-164) on a synthetic panel of
+  * `nEntities` × `nPoints` rows — proves the member orchestration
+  * (concurrent backtest/fit futures over one shared lag cache, rank
+  * window, stack pivot) holds when the entity dimension is 100× the
+  * sf0.1 events table, and records the wall split between the linear
+  * (moment-collect) members and the knn (broadcast-scan) members.
+  *
+  * Usage: runMain graft.EliteSoak [nEntities] [nPoints] [strategy]
+  */
+object EliteSoak {
+  def main(args: Array[String]): Unit = {
+    val nEntities = if (args.length > 0) args(0).toInt else 50000
+    val nPoints = if (args.length > 1) args(1).toInt else 100
+    val strategy = if (args.length > 2) args(2) else "lasso"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.buffer.pageSize", "4m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[T](tag: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[elite-soak] $tag: ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+    }
+    // deterministic mixed-process panel: trend + weekly seasonality +
+    // entity-hashed phase noise — every member family has signal to fit
+    val df = spark.range(nEntities.toLong * nPoints).select(
+      (col("id") % nEntities).as("user_id"),
+      expr("timestampadd(DAY, CAST(id / " + nEntities +
+        " AS INT), timestamp'2020-01-01 00:00:00')").as("ts"),
+      col("id").as("event_id"))
+      .withColumn("t", (col("id") / nEntities).cast("double"))
+      .withColumn("value",
+        lit(10.0) + col("t") * (pmod(col("user_id"), lit(5)) * 0.1) +
+          sin(col("t") * (2 * math.Pi / 7) + pmod(col("user_id"), lit(11))) * 3.0 +
+          pmod(hash(col("user_id"), col("t").cast("long")), lit(100)).cast("double") / 50.0)
+      .drop("t")
+      .repartition(cpus.toInt, col("user_id"))
+    val p = graft.core.Panel(df, Seq("user_id"), Seq("ts", "event_id"), "value")
+    val rows = time("materialize panel")(p.df.cache().count())
+    println(s"[elite-soak] $nEntities entities x $nPoints points = $rows rows")
+    // knn members scan all entity queries per partition — keep the
+    // documented exact-path guard honest (soak stays under the cap;
+    // past it the IVF path is the design, KnnForecaster.scala:418)
+    require(nEntities <= KnnForecaster.maxExactEntities,
+      s"soak nEntities=$nEntities exceeds the exact-KNN cap " +
+        s"${KnnForecaster.maxExactEntities} — the zoo's knn members " +
+        "would (correctly) refuse; soak at or below the cap")
+    val out = time(s"EliteDeep.run(full zoo, strategy=$strategy)") {
+      EliteDeep.run(p, "ts", "1d", fh = 3, topK = 12, strategy = strategy,
+        testSize = 5, nSplits = 2, cdSweeps = 8)
+    }
+    val n = time("materialize forecasts")(out.rdd.count())
+    println(s"[elite-soak] forecast rows: $n (expect ${nEntities * 3L})")
+    spark.stop()
+  }
+}
