@@ -40,8 +40,8 @@ object EliteSoak {
       (col("id") % nEntities).as("user_id"),
       expr("timestampadd(DAY, CAST(id / " + nEntities +
         " AS INT), timestamp'2020-01-01 00:00:00')").as("ts"),
-      col("id").as("event_id"))
-      .withColumn("t", (col("id") / nEntities).cast("double"))
+      col("id").as("event_id"),
+      (col("id") / nEntities).cast("double").as("t"))
       .withColumn("value",
         lit(10.0) + col("t") * (pmod(col("user_id"), lit(5)) * 0.1) +
           sin(col("t") * (2 * math.Pi / 7) + pmod(col("user_id"), lit(11))) * 3.0 +

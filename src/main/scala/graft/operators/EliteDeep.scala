@@ -253,8 +253,12 @@ object EliteDeep {
           stackAlpha: Double = 0.01, stackSweeps: Int = 15,
           stackAlphaGrid: Seq[Double] = Nil,
           models: Seq[String] = allModels): DataFrame = {
-    require(strategy == "mean" || strategy == "lasso",
-      s"eliteDeep strategy must be 'mean' or 'lasso' (got '$strategy')")
+    // "log_lasso" is accepted for API parity: in the reference both
+    // lasso strategies take the identical code path (elite.py:304-308
+    // and :367-368 — same LassoLarsIC fit/predict, no log transform
+    // anywhere), so it is an alias of "lasso" here too.
+    require(strategy == "mean" || strategy == "lasso" || strategy == "log_lasso",
+      s"eliteDeep strategy must be 'mean', 'lasso' or 'log_lasso' (got '$strategy')")
     val cached = p.copy(df = p.df.cache())
     val maxLinLags = 14
     val sharedLag = CrossValidation
@@ -308,7 +312,7 @@ object EliteDeep {
           preds.join(ranked.drop("__rk"), p.entity :+ "model")
             .groupBy((p.entityCols :+ col(timeCol)): _*)
             .agg(avg(col(p.value)).as(p.value))
-        case "lasso" =>
+        case "lasso" | "log_lasso" =>
           stackLasso(cached, timeCol, bts.map(_._2), preds, ranked, topK,
             stackAlpha, stackSweeps, stackAlphaGrid)
       }

@@ -78,6 +78,19 @@ class EliteDeepSpec extends SparkSpec {
     assert(e0.forall(_.getDouble(2) == 4.0), e0.mkString(","))
   }
 
+  test("eliteDeep log_lasso is an exact alias of lasso (elite.py:304-308)") {
+    val p = panel(Seq.tabulate(30)(i => i * 1.0 + (i % 3)),
+      Seq.tabulate(30)(i => 50.0 - i * 0.5))
+    val models = Seq("naive", "linear_7", "linear_detrend_7")
+    val a = EliteDeep.run(p, "t", "1i", fh = 2, topK = 2, strategy = "lasso",
+      testSize = 4, nSplits = 2, stepSize = 4, sp = 3, models = models)
+      .orderBy("entity", "t").collect()
+    val b = EliteDeep.run(p, "t", "1i", fh = 2, topK = 2, strategy = "log_lasso",
+      testSize = 4, nSplits = 2, stepSize = 4, sp = 3, models = models)
+      .orderBy("entity", "t").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("exact-KNN guards its O(rows x entities) scale assumption loudly") {
     val p = panel(Seq.tabulate(12)(_ * 1.0), Seq.tabulate(12)(i => 5.0 - i),
       Seq.tabulate(12)(i => (i % 4).toDouble))
