@@ -12,13 +12,22 @@ import org.apache.spark.sql.functions._
   * sf0.1 events table, and records the wall split between the linear
   * (moment-collect) members and the knn (broadcast-scan) members.
   *
-  * Usage: runMain graft.EliteSoak [nEntities] [nPoints] [strategy]
+  * Usage: runMain graft.EliteSoak [nEntities] [nPoints] [strategy] [models]
+  * `models` = "all" | "linear" (closed-form/CD members) | "knn"
+  * (broadcast-scan members) | comma-separated member names — lets the
+  * soak attribute wall time to member families.
   */
 object EliteSoak {
   def main(args: Array[String]): Unit = {
     val nEntities = if (args.length > 0) args(0).toInt else 50000
     val nPoints = if (args.length > 1) args(1).toInt else 100
     val strategy = if (args.length > 2) args(2) else "lasso"
+    val models: Seq[String] = (if (args.length > 3) args(3) else "all") match {
+      case "all" => EliteDeep.allModels
+      case "linear" => EliteDeep.allModels.filterNot(_.startsWith("knn"))
+      case "knn" => "naive" +: EliteDeep.allModels.filter(_.startsWith("knn"))
+      case csv => csv.split(",").toSeq
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -51,16 +60,19 @@ object EliteSoak {
     val p = graft.core.Panel(df, Seq("user_id"), Seq("ts", "event_id"), "value")
     val rows = time("materialize panel")(p.df.cache().count())
     println(s"[elite-soak] $nEntities entities x $nPoints points = $rows rows")
-    // knn members scan all entity queries per partition — keep the
-    // documented exact-path guard honest (soak stays under the cap;
-    // past it the IVF path is the design, KnnForecaster.scala:418)
-    require(nEntities <= KnnForecaster.maxExactEntities,
-      s"soak nEntities=$nEntities exceeds the exact-KNN cap " +
-        s"${KnnForecaster.maxExactEntities} — the zoo's knn members " +
-        "would (correctly) refuse; soak at or below the cap")
-    val out = time(s"EliteDeep.run(full zoo, strategy=$strategy)") {
-      EliteDeep.run(p, "ts", "1d", fh = 3, topK = 12, strategy = strategy,
-        testSize = 5, nSplits = 2, cdSweeps = 8)
+    // the zoo's knn members auto-route: exact broadcast scan under
+    // KnnForecaster.maxExactEntities, IVF cell index past it. An
+    // optional 5th arg lowers the cap so the IVF path can be A/B'd
+    // against the exact path at the SAME entity count.
+    if (args.length > 4) {
+      KnnForecaster.maxExactEntities = args(4).toInt
+      println(s"[elite-soak] exact-KNN cap overridden to ${args(4).toInt} " +
+        s"(knn members route ${if (nEntities > args(4).toInt) "IVF" else "exact"})")
+    }
+    val out = time(s"EliteDeep.run(${models.length} members, strategy=$strategy)") {
+      EliteDeep.run(p, "ts", "1d", fh = 3, topK = math.min(12, models.length),
+        strategy = strategy, testSize = 5, nSplits = 2, cdSweeps = 8,
+        models = models)
     }
     val n = time("materialize forecasts")(out.rdd.count())
     println(s"[elite-soak] forecast rows: $n (expect ${nEntities * 3L})")

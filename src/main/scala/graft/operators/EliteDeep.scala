@@ -88,11 +88,14 @@ object EliteDeep {
     // transform (elite's knn / knn_scaled / knn_detrend_linear)
     def knnFit(lags: Int, k: Int, xform: Option[ForecastPipeline.Step])
               (tr: Panel, h: Int): DataFrame = xform match {
+      // auto dispatch: exact broadcast scan under the entity cap
+      // (bitwise the oracle path at test SFs), IVF cell index past it
+      // so the zoo holds where the exact guard would fail loud
       case Some(step) =>
         ForecastPipeline.fit(tr, timeCol, Seq(step),
-          pT => (tc, hh) => KnnForecaster.predictRecursive(pT, tc, freq, lags, k, hh))
+          pT => (tc, hh) => KnnForecaster.predictRecursiveAuto(pT, tc, freq, lags, k, hh))
           .predict(timeCol, h)
-      case None => KnnForecaster.predictRecursive(tr, timeCol, freq, lags, k, h)
+      case None => KnnForecaster.predictRecursiveAuto(tr, timeCol, freq, lags, k, h)
     }
     // AR + fourier feature-transform members: the fourier columns are
     // position functions, so both backtest refits and the full fit go

@@ -369,6 +369,186 @@ object KnnForecaster {
       .select((p.entityCols ++ Seq(col(timeCol), col(p.value))): _*)
   }
 
+  /** RECURSIVE multi-horizon KNN over an IVF cell index — the scale
+    * path for the elite zoo's knn members past [[maxExactEntities]]
+    * (the exact path's O(rows × entities × lags) per pass is the KNN
+    * family's scale-killer; measured 373 s of the 543 s full-zoo wall
+    * at 10k entities, EliteSoak). Same centroid construction as
+    * [[predictOneStepIvf]] (portable md5-tag sample, strict-< ascending
+    * argmin), but the corpus's cell assignment is computed ONCE into a
+    * cached `__cell` column — the fh sequential passes then skip the
+    * per-row nCells-distance assignment and scan only each query's
+    * cell group. State rolls forward exactly like [[predictRecursive]]:
+    * horizon h's query vector is (ŷ_{h−1}, …), re-assigned to its
+    * (possibly different) nearest cell each step. Per-row work per
+    * pass = entities/nCells on average instead of entities; with
+    * nCells ≈ √entities the index build (one nCells-distance scan)
+    * and the probes balance. */
+  def predictRecursiveIvf(p: Panel, timeCol: String, freq: String, lags: Int,
+                          k: Int, fh: Int, nCells: Int): DataFrame = {
+    val spark = p.df.sparkSession
+    val featureCols = (1 to lags).map(l => s"${p.value}__lag_$l")
+    val red = CrossValidation
+      .withPosition(p.copy(df = Preprocess.lagKeepAll(p, 1 to lags)))
+      .filter(col("__rn") > lags)
+      .na.drop(featureCols :+ p.value)
+    val tag = md5(concat_ws("_",
+      (p.entityCols :+ col("__rn")).map(_.cast("string")): _*).cast("binary"))
+    val nEntity = p.entityCols.length
+    val centMat = red
+      .select((p.entityCols :+ col("__rn") :+ tag.as("__tag")) ++
+        featureCols.map(c => col(c).cast("double")): _*)
+      .orderBy((col("__tag") +: (p.entityCols :+ col("__rn"))): _*)
+      .limit(nCells)
+      .collect()
+      .map(r => Array.tabulate(lags)(j => r.getDouble(nEntity + 2 + j)))
+    require(centMat.nonEmpty,
+      s"knn recursive IVF has no complete training rows (lags=$lags)")
+    val bcCents = spark.sparkContext.broadcast(centMat)
+    // corpus with its cell materialized once (fh passes reuse it);
+    // sampled-from-corpus centroids guarantee every queried cell is
+    // non-empty (a query assigns to cell c only under the same
+    // strict-< argmin that sends c's own centroid row there)
+    val corpusSchema = StructType(
+      (1 to lags).map(l => StructField(s"__f$l", DoubleType)) ++
+        Seq(StructField("__label", DoubleType), StructField("__cell", IntegerType)))
+    val corpusRdd = red.select((featureCols.map(c => col(c).cast("double")) :+
+        col(p.value).cast("double")): _*).rdd.mapPartitions { it =>
+      val cents = bcCents.value
+      it.map { row =>
+        val feats = Array.tabulate(cents(0).length)(row.getDouble)
+        var bestD = Double.PositiveInfinity; var cell = 0
+        var c = 0
+        while (c < cents.length) {
+          val cent = cents(c)
+          var d = 0.0; var j = 0
+          while (j < feats.length) { val t = feats(j) - cent(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; cell = c }
+          c += 1
+        }
+        Row.fromSeq(feats.toIndexedSeq :+ row.getDouble(feats.length) :+ cell)
+      }
+    }
+    val corpus = spark.createDataFrame(corpusRdd, corpusSchema).cache()
+    try {
+      corpus.count() // materialize the index before the sequential passes
+      val tails = queryTails(p, timeCol, lags)
+      val keep = p.entityCols ++ (col("__cutoff") +:
+        (1 to lags).map(l => col(s"${p.value}__lag_$l").cast("double")))
+      val sel = tails.select(keep: _*)
+      val collected = sel.collect()
+      var states = collected.map(r =>
+        Array.tabulate(lags)(j => r.getDouble(nEntity + 1 + j)))
+      def assignCell(feats: Array[Double]): Int = {
+        var bestD = Double.PositiveInfinity; var bestC = 0
+        var c = 0
+        while (c < centMat.length) {
+          val cent = centMat(c)
+          var d = 0.0; var j = 0
+          while (j < feats.length) { val t = feats(j) - cent(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; bestC = c }
+          c += 1
+        }
+        bestC
+      }
+      val preds = Array.ofDim[Double](fh, collected.length)
+      (1 to fh).foreach { h =>
+        val qRows = states.zipWithIndex.map { case (s, i) =>
+          (i.toLong, assignCell(s), s)
+        }
+        val stepAvg = ivfHeapPass(spark, corpus, qRows, lags, k)
+          .filter(col("__nn") <= k)
+          .groupBy("__qid").agg(avg(col("__label")).as("__p"))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        states = states.zipWithIndex.map { case (s, i) =>
+          val pr = stepAvg(i.toLong)
+          preds(h - 1)(i) = pr
+          pr +: s.dropRight(1)
+        }
+      }
+      val qMeta = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          collected.zipWithIndex.map { case (r, i) =>
+            Row.fromSeq(r.toSeq.take(nEntity + 1) :+ i.toLong)
+          }.toIndexedSeq, 1),
+        StructType(sel.schema.fields.take(nEntity + 1) :+ StructField("__qid", LongType)))
+      val predRows = for { h <- 1 to fh; i <- collected.indices }
+        yield Row(i.toLong, h, preds(h - 1)(i))
+      val predDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(predRows, 1),
+        StructType(Seq(StructField("__qid", LongType), StructField("__h", IntegerType),
+          StructField(p.value, DoubleType))))
+      broadcast(qMeta)
+        .join(predDf, "__qid")
+        .withColumn(timeCol, Forecasters.futureTime(freq))
+        .select((p.entityCols ++ Seq(col(timeCol), col(p.value))): _*)
+    } finally corpus.unpersist(blocking = false)
+  }
+
+  /** One cell-grouped bounded-heap pass of `qRows` (qid, cell,
+    * state[lags]) against a corpus carrying a precomputed `__cell`
+    * column: each corpus row visits only its own cell's queries. */
+  private def ivfHeapPass(spark: org.apache.spark.sql.SparkSession,
+                          corpus: DataFrame,
+                          qRows: Array[(Long, Int, Array[Double])],
+                          lags: Int, k: Int): DataFrame = {
+    val bq = spark.sparkContext.broadcast(qRows)
+    val partials = corpus.rdd.mapPartitions { it =>
+      val qs = bq.value
+      val heaps = Array.fill(qs.length)(
+        scala.collection.mutable.PriorityQueue.empty[(Double, Double)](Ordering.by(_._1)))
+      val byCell: scala.collection.Map[Int, Array[Int]] =
+        qs.indices.toArray.groupBy(i => qs(i)._2)
+      val empty = Array.empty[Int]
+      val feats = new Array[Double](lags)
+      it.foreach { row =>
+        val cellQs = byCell.getOrElse(row.getInt(lags + 1), empty)
+        if (cellQs.length > 0) {
+          var i = 0
+          while (i < lags) { feats(i) = row.getDouble(i); i += 1 }
+          val label = row.getDouble(lags)
+          var ci = 0
+          while (ci < cellQs.length) {
+            val qi = cellQs(ci)
+            val q = qs(qi)._3
+            var d = 0.0; var j = 0
+            while (j < lags) { val t = feats(j) - q(j); d += t * t; j += 1 }
+            val h = heaps(qi)
+            if (h.size < k) h.enqueue((d, label))
+            else if (d < h.head._1) { h.dequeue(); h.enqueue((d, label)) }
+            ci += 1
+          }
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.iterator.map { case (d, label) => Row(qs(qi)._1, d, label) }
+      }
+    }
+    val partialDf = spark.createDataFrame(partials, StructType(Seq(
+      StructField("__qid", LongType), StructField("__dist", DoubleType),
+      StructField("__label", DoubleType))))
+    partialDf
+      .withColumn("__nn", row_number().over(Window.partitionBy("__qid").orderBy(col("__dist"))))
+  }
+
+  /** Entity-count dispatch for multi-horizon KNN: the exact broadcast
+    * scan under [[maxExactEntities]] (bitwise the reference semantics),
+    * the IVF cell index past it (nCells ≈ √entities unless given) —
+    * the elite zoo's knn members route through this, so the zoo holds
+    * at millions of entities instead of failing the exact guard. */
+  def predictRecursiveAuto(p: Panel, timeCol: String, freq: String, lags: Int,
+                           k: Int, fh: Int, nCells: Int = 0): DataFrame = {
+    val nEntities = p.df.select(p.entityCols: _*).distinct().count()
+    if (nEntities <= maxExactEntities)
+      predictRecursive(p, timeCol, freq, lags, k, fh)
+    else {
+      val cells =
+        if (nCells > 0) nCells
+        else math.max(16, math.sqrt(nEntities.toDouble).toInt)
+      predictRecursiveIvf(p, timeCol, freq, lags, k, fh, cells)
+    }
+  }
+
   /** LSH-join variant for huge entity counts. */
   def predictOneStepLsh(p: Panel, timeCol: String, freq: String, lags: Int, k: Int,
                         bucketLength: Double = 2.0): DataFrame = {

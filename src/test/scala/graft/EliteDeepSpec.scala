@@ -35,6 +35,35 @@ class EliteDeepSpec extends SparkSpec {
     assert(out.forall(_.getDouble(2) == 7.0))
   }
 
+  test("predictRecursiveIvf with one cell matches the exact recursive path bitwise") {
+    // nCells=1: every corpus row and every query land in the single
+    // cell, so the cell-grouped pass degenerates to the exact scan
+    val p = panel(Seq.tabulate(30)(i => math.sin(i * 0.7) * 3 + i * 0.1),
+      Seq.tabulate(30)(i => (i % 5).toDouble))
+    val exact = KnnForecaster.predictRecursive(p, "t", "1i", lags = 4, k = 3, fh = 3)
+      .orderBy("entity", "t").collect()
+    val ivf = KnnForecaster.predictRecursiveIvf(p, "t", "1i", lags = 4, k = 3,
+      fh = 3, nCells = 1).orderBy("entity", "t").collect()
+    assert(exact.length == ivf.length && exact.length == 6)
+    exact.zip(ivf).foreach { case (a, b) =>
+      assert(a.getDouble(2) == b.getDouble(2), s"$a vs $b")
+    }
+  }
+
+  test("predictRecursiveAuto switches to IVF past the entity cap instead of failing") {
+    val p = panel(Seq.tabulate(12)(_ * 1.0), Seq.tabulate(12)(i => 5.0 - i),
+      Seq.tabulate(12)(i => (i % 4).toDouble))
+    val saved = KnnForecaster.maxExactEntities
+    try {
+      KnnForecaster.maxExactEntities = 2
+      // 3 entities > cap 2: the exact path refuses, auto must route to
+      // IVF and still produce fh rows per entity
+      val out = KnnForecaster.predictRecursiveAuto(p, "t", "1i", lags = 3,
+        k = 2, fh = 2)
+      assert(out.count() == 6)
+    } finally KnnForecaster.maxExactEntities = saved
+  }
+
   test("detrendLinearStep removes an exact linear trend and extrapolates it back") {
     val p = trendPanel()
     val fitted = ForecastPipeline.detrendLinearStep(p, "t")
