@@ -49,6 +49,10 @@ object EliteDeep {
                   freq: String, sp: Int, fh: Int, testSize: Int, nSplits: Int,
                   stepSize: Int, cdSweeps: Int): Seq[Member] = {
     val p = cached
+    // one distinct-count job shared by every knn fit (the dispatch
+    // hint for exact-vs-IVF); lazy so zoos without knn members — or
+    // runs whose `models` filter drops them — never pay it
+    lazy val entityCount = p.df.select(p.entityCols: _*).distinct().count()
     def fitLinearShared(lags: Int, ridge: Double = 0.0,
                         drift: Boolean = true): LinearForecasterModel = {
       val featureCols = (1 to lags).map(l => s"${p.value}__lag_$l")
@@ -90,12 +94,16 @@ object EliteDeep {
               (tr: Panel, h: Int): DataFrame = xform match {
       // auto dispatch: exact broadcast scan under the entity cap
       // (bitwise the oracle path at test SFs), IVF cell index past it
-      // so the zoo holds where the exact guard would fail loud
+      // so the zoo holds where the exact guard would fail loud. The
+      // full-panel entity count is computed once per run (lazy below)
+      // — ~15 knn fits share it instead of each paying a count job
       case Some(step) =>
         ForecastPipeline.fit(tr, timeCol, Seq(step),
-          pT => (tc, hh) => KnnForecaster.predictRecursiveAuto(pT, tc, freq, lags, k, hh))
+          pT => (tc, hh) => KnnForecaster.predictRecursiveAuto(pT, tc, freq, lags, k, hh,
+            entityCountHint = entityCount))
           .predict(timeCol, h)
-      case None => KnnForecaster.predictRecursiveAuto(tr, timeCol, freq, lags, k, h)
+      case None => KnnForecaster.predictRecursiveAuto(tr, timeCol, freq, lags, k, h,
+        entityCountHint = entityCount)
     }
     // AR + fourier feature-transform members: the fourier columns are
     // position functions, so both backtest refits and the full fit go

@@ -537,8 +537,15 @@ object KnnForecaster {
     * the elite zoo's knn members route through this, so the zoo holds
     * at millions of entities instead of failing the exact guard. */
   def predictRecursiveAuto(p: Panel, timeCol: String, freq: String, lags: Int,
-                           k: Int, fh: Int, nCells: Int = 0): DataFrame = {
-    val nEntities = p.df.select(p.entityCols: _*).distinct().count()
+                           k: Int, fh: Int, nCells: Int = 0,
+                           entityCountHint: Long = -1L): DataFrame = {
+    // callers that fit many members/slices on the same panel (the
+    // elite zoo: ~15 knn fits per run) pass the count once instead of
+    // paying a distinct-count job per fit; a hint from the FULL panel
+    // is conservative for train slices (slice entities <= full)
+    val nEntities =
+      if (entityCountHint >= 0) entityCountHint
+      else p.df.select(p.entityCols: _*).distinct().count()
     if (nEntities <= maxExactEntities)
       predictRecursive(p, timeCol, freq, lags, k, fh)
     else {
