@@ -4,7 +4,7 @@ import graft.operators._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scale soak for the FULL 27-member EliteDeep zoo (the reference's
+/** Scale soak for the FULL 35-member EliteDeep zoo (the reference's
   * 30-model elite default, elite.py:80-164) on a synthetic panel of
   * `nEntities` × `nPoints` rows — proves the member orchestration
   * (concurrent backtest/fit futures over one shared lag cache, rank

@@ -115,50 +115,67 @@ object Ols {
     * fit as (0.0, w). */
   def fitNoDrift(df: DataFrame, featureCols: Seq[String], labelCol: String,
                  ridge: Double = 0.0): Array[Double] = {
-    import org.apache.spark.sql.functions.sum
     val p = featureCols.length
-    val rows = df.na.drop(featureCols :+ labelCol)
-    val xs = featureCols.map(c => col(c).cast("double"))
-    val y = col(labelCol).cast("double")
-    val exprs = (for (i <- 0 until p; j <- i until p) yield sum(xs(i) * xs(j))) ++
-      (0 until p).map(i => sum(xs(i) * y))
-    val row = rows.agg(exprs.head, exprs.tail: _*).collect()(0)
-    if (row.isNullAt(0))
-      throw new IllegalArgumentException(
-        s"no-drift OLS fit has no complete training rows (all rows empty " +
-          s"or null in ${featureCols.mkString(", ")} / $labelCol)")
-    val tri = p * (p + 1) / 2
-    val a = expand(Array.tabulate(tri)(row.getDouble), p)
+    val (a, b, _, _) = gramMoments(df, featureCols, labelCol,
+      intercept = false, what = "no-drift OLS fit")
     if (ridge != 0.0) {
       var i = 0
       while (i < p) { a(i)(i) += ridge; i += 1 }
     }
-    choleskySolve(a, Array.tabulate(p)(i => row.getDouble(tri + i)))
+    choleskySolve(a, b)
   }
 
-  /** The one-pass SQL-aggregated normal-equation moments shared by
-    * [[fitAgg]] and [[elasticNetCD]]: full symmetric (p+1)×(p+1)
-    * X^T X (column 0 = intercept regressor 1.0, so row 0 carries n and
-    * the feature sums) and X^T y. */
-  private def momentsAgg(df: DataFrame, featureCols: Seq[String],
-                         labelCol: String): (Array[Array[Double]], Array[Double]) = {
-    import org.apache.spark.sql.functions.{lit, sum}
-    val d = featureCols.length + 1
+  /** The one-pass SQL-aggregated Gram/moment collection behind every
+    * closed-form and CD fit: the upper-triangle X^T X sums (optionally
+    * with the implicit 1.0 intercept regressor as column 0 — its (0,0)
+    * entry is then n), the X^T y vector, and optionally a trailing
+    * count(1) (no-intercept CD needs n) and Σy² (the AIC sweep's RSS
+    * recovery). One codegen'd aggregate, one data pass, regardless of
+    * which extras are requested — keeping the four fit families on one
+    * collection path so null-row handling and cast discipline can't
+    * drift apart. Returns (full symmetric X^T X, X^T y, n, Σy²) with
+    * NaN for extras not requested (n is a(0)(0) when intercept). */
+  private def gramMoments(df: DataFrame, featureCols: Seq[String],
+                          labelCol: String, intercept: Boolean,
+                          withCount: Boolean = false, withSyy: Boolean = false,
+                          what: String = "OLS fit")
+      : (Array[Array[Double]], Array[Double], Double, Double) = {
+    import org.apache.spark.sql.functions.{count, lit, sum}
     val rows = df.na.drop(featureCols :+ labelCol)
-    val xs = lit(1.0) +: featureCols.map(c => col(c).cast("double"))
+    val base = featureCols.map(c => col(c).cast("double"))
+    val xs = if (intercept) lit(1.0) +: base else base
+    val d = xs.length
     val y = col(labelCol).cast("double")
-    val exprs = (for (i <- 0 until d; j <- i until d) yield sum(xs(i) * xs(j))) ++
-      (0 until d).map(i => sum(xs(i) * y))
+    val exprs = ((for (i <- 0 until d; j <- i until d) yield sum(xs(i) * xs(j))) ++
+      (0 until d).map(i => sum(xs(i) * y))) ++
+      (if (withCount) Seq(count(lit(1)).cast("double")) else Nil) ++
+      (if (withSyy) Seq(sum(y * y)) else Nil)
     val row = rows.agg(exprs.head, exprs.tail: _*).collect()(0)
     // sum() over zero rows is NULL — surface an actionable error, not
     // the opaque ROW_VALUE_IS_NULL getDouble failure
     if (row.isNullAt(0))
       throw new IllegalArgumentException(
-        s"OLS fit has no complete training rows (all rows empty or null " +
+        s"$what has no complete training rows (all rows empty or null " +
           s"in ${featureCols.mkString(", ")} / $labelCol)")
     val tri = d * (d + 1) / 2
-    (expand(Array.tabulate(tri)(row.getDouble), d),
-      Array.tabulate(d)(i => row.getDouble(tri + i)))
+    val a = expand(Array.tabulate(tri)(row.getDouble), d)
+    val b = Array.tabulate(d)(i => row.getDouble(tri + i))
+    val nn =
+      if (withCount) row.getDouble(tri + d)
+      else if (intercept) a(0)(0)
+      else Double.NaN
+    val syy =
+      if (withSyy) row.getDouble(tri + d + (if (withCount) 1 else 0))
+      else Double.NaN
+    (a, b, nn, syy)
+  }
+
+  /** The intercept-carrying moments shared by [[fitAgg]] and
+    * [[elasticNetCD]]. */
+  private def momentsAgg(df: DataFrame, featureCols: Seq[String],
+                         labelCol: String): (Array[Array[Double]], Array[Double]) = {
+    val (a, b, _, _) = gramMoments(df, featureCols, labelCol, intercept = true)
+    (a, b)
   }
 
   /** Lasso / elastic-net by cyclic coordinate descent on the CENTERED
@@ -193,22 +210,9 @@ object Ols {
   def elasticNetCDNoDrift(df: DataFrame, featureCols: Seq[String],
                           labelCol: String, alpha: Double, l1Ratio: Double,
                           sweeps: Int): Array[Double] = {
-    import org.apache.spark.sql.functions.{count, lit, sum}
     val p = featureCols.length
-    val rows = df.na.drop(featureCols :+ labelCol)
-    val xs = featureCols.map(c => col(c).cast("double"))
-    val y = col(labelCol).cast("double")
-    val exprs = ((for (i <- 0 until p; j <- i until p) yield sum(xs(i) * xs(j))) ++
-      (0 until p).map(i => sum(xs(i) * y))) :+ count(lit(1)).cast("double")
-    val row = rows.agg(exprs.head, exprs.tail: _*).collect()(0)
-    if (row.isNullAt(0))
-      throw new IllegalArgumentException(
-        s"no-drift CD fit has no complete training rows " +
-          s"(${featureCols.mkString(", ")} / $labelCol)")
-    val tri = p * (p + 1) / 2
-    val g = expand(Array.tabulate(tri)(row.getDouble), p)
-    val b = Array.tabulate(p)(i => row.getDouble(tri + i))
-    val nn = row.getDouble(tri + p)
+    val (g, b, nn, _) = gramMoments(df, featureCols, labelCol,
+      intercept = false, withCount = true, what = "no-drift CD fit")
     val thr = nn * (alpha * l1Ratio)
     val l2 = nn * (alpha * (1.0 - l1Ratio))
     val w = new Array[Double](p)
@@ -253,24 +257,9 @@ object Ols {
                  alphaGrid: Seq[Double], sweeps: Int = 40)
       : (Double, Double, Array[Double]) = {
     require(alphaGrid.nonEmpty, "lassoAicCD needs a non-empty alpha grid")
-    import org.apache.spark.sql.functions.{lit, sum}
-    val d = featureCols.length + 1
-    val rows = df.na.drop(featureCols :+ labelCol)
-    val xs = lit(1.0) +: featureCols.map(c => col(c).cast("double"))
-    val y = col(labelCol).cast("double")
-    val exprs = (for (i <- 0 until d; j <- i until d) yield sum(xs(i) * xs(j))) ++
-      (0 until d).map(i => sum(xs(i) * y)) :+ sum(y * y)
-    val row = rows.agg(exprs.head, exprs.tail: _*).collect()(0)
-    if (row.isNullAt(0))
-      throw new IllegalArgumentException(
-        s"lassoAicCD has no complete training rows " +
-          s"(${featureCols.mkString(", ")} / $labelCol)")
-    val tri = d * (d + 1) / 2
-    val a = expand(Array.tabulate(tri)(row.getDouble), d)
-    val b = Array.tabulate(d)(i => row.getDouble(tri + i))
-    val syy = row.getDouble(tri + d)
+    val (a, b, nn, syy) = gramMoments(df, featureCols, labelCol,
+      intercept = true, withSyy = true, what = "lassoAicCD")
     val p = featureCols.length
-    val nn = a(0)(0)
     val cands = alphaGrid.map { al =>
       val (b0, w) = cdFromMoments(a, b, al, 1.0, sweeps)
       // RSS = Σy² − 2·Σy·ŷ + Σŷ² from raw moments, fixed fold order

@@ -325,11 +325,20 @@ object EliteDeep {
             .agg(avg(col(p.value)).as(p.value))
         case "lasso" | "log_lasso" =>
           stackLasso(cached, timeCol, bts.map(_._2), preds, ranked, topK,
-            stackAlpha, stackSweeps, stackAlphaGrid)
+            stackAlpha, stackSweeps, stackAlphaGrid,
+            hasNaive = members.exists(_.name == "naive"))
       }
       // eager materialization (entities × fh rows) so the caches can
       // be released here rather than leaking past the call
-      out.localCheckpoint(eager = true)
+      val res = out.localCheckpoint(eager = true)
+      // free every intermediate checkpoint now that the result is its
+      // own block: member backtests/predictions, the rank set, and
+      // (lasso) the stacker's internal result frame — without this
+      // each run() pinned ~2·members+2 checkpointed block sets until
+      // the ContextCleaner happened to GC them (the r7 bench-pressure
+      // source that Bench papers over with its global sweep)
+      (bts.map(_._2) :+ preds :+ ranked :+ out).foreach(releaseCheckpoint)
+      res
     } finally {
       sharedLag.unpersist(blocking = false)
       cached.df.unpersist(blocking = false)
@@ -345,7 +354,8 @@ object EliteDeep {
   private def stackLasso(p: Panel, timeCol: String, bts: Seq[DataFrame],
                          preds: DataFrame, ranked: DataFrame, topK: Int,
                          alpha: Double, sweeps: Int,
-                         alphaGrid: Seq[Double] = Nil): DataFrame = {
+                         alphaGrid: Seq[Double] = Nil,
+                         hasNaive: Boolean = true): DataFrame = {
     val feats = (1 to topK).map(i => s"f_$i")
     val featsT = feats :+ "trend"
     val btAll = bts.reduce(_ unionByName _)
@@ -358,7 +368,15 @@ object EliteDeep {
     // the reference's X_stack carries a per-entity `trend` regressor
     // (elite.py:210-213: arg_sort of the time column over the entity,
     // 0-based) computed over ALL pivot rows, BEFORE any
-    // incomplete-row filtering — replicated on both pivots here
+    // incomplete-row filtering — replicated on both pivots here.
+    // TRAIN rows are keyed (entity, split, time): with overlapping
+    // test windows (stepSize < testSize) the same (entity, time) can
+    // appear under two splits, so the train trend MUST order by
+    // (split, time) — matching the oracle's ORDER BY split, h — or
+    // the rank is nondeterministic across runs. The full pivot's keys
+    // are unique per (entity, time), so it orders by time alone.
+    val wTrendTrain = org.apache.spark.sql.expressions.Window
+      .partitionBy(p.entityCols: _*).orderBy(col("split"), col(timeCol))
     val wTrend = org.apache.spark.sql.expressions.Window
       .partitionBy(p.entityCols: _*).orderBy(col(timeCol))
     val trainKeys = p.entity ++ Seq("split", timeCol)
@@ -367,7 +385,7 @@ object EliteDeep {
       // time) — re-attach it from any one backtest row
       .join(btAll.groupBy(trainKeys.map(col): _*).agg(max(col("actual")).as("__y")),
         trainKeys)
-      .withColumn("trend", (row_number().over(wTrend) - 1).cast("double"))
+      .withColumn("trend", (row_number().over(wTrendTrain) - 1).cast("double"))
       .na.drop(feats)
     // fixed alpha, or the LassoLarsIC-analog AIC sweep when a grid is
     // supplied (same moments either way — one data pass)
@@ -396,17 +414,41 @@ object EliteDeep {
     // random walk get the pure naive forecast, not the stack. Entities
     // whose rank pivot is INCOMPLETE anywhere (fewer than topK
     // non-null full predictions — e.g. a top-k member produced null
-    // for a degenerate series) also fall back to naive rather than
-    // vanishing from the output.
+    // for a degenerate series) also fall back rather than vanishing
+    // from the output. The fallback forecast is naive's when naive is
+    // among the members (the reference always fits it, elite.py:235);
+    // a zoo run WITHOUT naive falls back to each entity's rank-1
+    // member instead — same rows, never a silently dropped entity.
     val incomplete = stackAll
       .filter(feats.map(col(_).isNull).reduce(_ || _))
       .select(p.entityCols: _*).distinct()
     val rw = ranked.filter(col("__rk") === 1 && col("model") === "naive")
       .select(p.entityCols: _*)
       .unionByName(incomplete).distinct()
-    val naivePreds = preds.filter(col("model") === "naive")
-      .select((p.entityCols ++ Seq(col(timeCol), col(p.value))): _*)
-    naivePreds.join(rw, p.entity, "leftsemi")
+    val fallbackPreds =
+      if (hasNaive)
+        preds.filter(col("model") === "naive")
+          .select((p.entityCols ++ Seq(col(timeCol), col(p.value))): _*)
+      else
+        preds.join(ranked.filter(col("__rk") === 1), p.entity :+ "model")
+          .select((p.entityCols ++ Seq(col(timeCol), col(p.value))): _*)
+    val result = fallbackPreds.join(rw, p.entity, "leftsemi")
       .unionByName(stacked.join(rw, p.entity, "leftanti"))
+      // entities × fh rows — materialize so stackAll's checkpoint
+      // blocks can be released before returning (run()'s own eager
+      // checkpoint would otherwise be the first thing to force this
+      // plan, with stackAll already gone)
+      .localCheckpoint(true)
+    releaseCheckpoint(stackAll)
+    result
   }
+
+  /** Free the block-manager storage behind a localCheckpoint'ed frame
+    * (Dataset.unpersist only clears CacheManager entries; checkpoint
+    * RDDs otherwise linger until the ContextCleaner GC-discovers
+    * them — the round-7 bench-pressure source). */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(false))
 }

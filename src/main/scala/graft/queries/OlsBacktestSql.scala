@@ -408,11 +408,6 @@ object OlsBacktestSql {
         fp_$tag AS (SELECT * FROM ${tag}_pred)"""
   }
 
-  /** predExpr for a target-transformed AR+fourier member: lag state
-    * in TRANSFORMED space plus fourier terms at tn − 1 + h. */
-  private def predExprXfFourier(h: Int, lags: Int, sp: Int, kTerms: Int): String =
-    predExprFourier(h, lags, sp, kTerms)
-
   /** Expanding-window backtest of a target-transformed AR+fourier
     * member (elite.py:115-137's *_scaled_fourier and :148-164's
     * *_detrend_linear_fourier analogs): the transform artifact is
@@ -438,7 +433,7 @@ object OlsBacktestSql {
         .map(h => s"WHEN $h THEN ${xf.invert(h, "a.rn - 1")}").mkString(" ")
       val stages = (1 to testSize).map { h =>
         val src = if (h == 1) s"${t}_p0" else s"${t}_h${h - 1}"
-        s"${t}_h$h AS MATERIALIZED (SELECT *, ${predExprXfFourier(h, lags, sp, kTerms)} FROM $src)"
+        s"${t}_h$h AS MATERIALIZED (SELECT *, ${predExprFourier(h, lags, sp, kTerms)} FROM $src)"
       }
       val (solve, solLast) =
         if (l1Ratio > 0)
@@ -490,7 +485,7 @@ object OlsBacktestSql {
       else xf.tailCarry :+ "(rn - 1)::DOUBLE AS tpos"
     val stages = (1 to fh).map { h =>
       val src = if (h == 1) s"${tag}_p0" else s"${tag}_h${h - 1}"
-      s"${tag}_h$h AS MATERIALIZED (SELECT *, ${predExprXfFourier(h, lags, sp, kTerms)} FROM $src)"
+      s"${tag}_h$h AS MATERIALIZED (SELECT *, ${predExprFourier(h, lags, sp, kTerms)} FROM $src)"
     }
     val (solve, solLast) =
       if (l1Ratio > 0)

@@ -120,6 +120,23 @@ class EliteDeepSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("lasso without naive: incomplete-pivot entities fall back to rank-1, not dropped") {
+    // entity 0: 30 points (all members fit); entity 1: 12 points —
+    // enough for linear_7's 7-lag tail but NOT linear_14's, so its
+    // rank pivot is incomplete. With naive absent from the zoo the
+    // old fallback produced zero rows for entity 1 (naive predictions
+    // don't exist); it must now fall back to its rank-1 member.
+    val p = panel(Seq.tabulate(30)(i => i * 1.0 + (i % 3)),
+      Seq.tabulate(12)(i => 5.0 + i * 0.5))
+    val out = EliteDeep.run(p, "t", "1i", fh = 2, topK = 2, strategy = "lasso",
+      testSize = 4, nSplits = 2, stepSize = 4, sp = 3,
+      models = Seq("linear_7", "linear_14"))
+    val byEntity = out.collect().groupBy(_.getInt(0))
+    assert(byEntity.contains(1), s"short entity dropped: ${byEntity.keySet}")
+    assert(byEntity(1).length == 2, byEntity(1).mkString(","))
+    assert(byEntity(1).forall(r => !r.isNullAt(2)))
+  }
+
   test("exact-KNN guards its O(rows x entities) scale assumption loudly") {
     val p = panel(Seq.tabulate(12)(_ * 1.0), Seq.tabulate(12)(i => 5.0 - i),
       Seq.tabulate(12)(i => (i % 4).toDouble))
