@@ -1,0 +1,110 @@
+package graft
+
+import graft.core.Panel
+import graft.operators.{EliteDeep, Forecasters, Metrics}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Elite-vs-naive forecast value add (FVA) on real M4 data — the
+  * reference's `test_elite_on_m4` (tests/test_forecasting.py:239-273)
+  * is marked `@pytest.mark.skip("WIP")` there; this harness runs the
+  * same protocol for real: fit the full elite zoo on an M4 train
+  * split, forecast fh, score smape_original per entity against the
+  * test split, join the naive scores, and report FVA = naive − elite
+  * (positive = elite adds value over the random walk).
+  *
+  * Usage: runMain graft.EliteM4 [freq] [strategy] [models]
+  *   freq ∈ {1d, 1h, 1w, 1mo, 1y} (fh/lags per M4Accuracy, sp per
+  *   offsets.py:44-55); models as in EliteSoak ("all"|"linear"|"knn"|
+  *   csv — "linear" excludes the knn members, the right default for
+  *   the 23k-entity yearly split where exact-KNN per-pass cost bites).
+  */
+object EliteM4 {
+  def main(args: Array[String]): Unit = {
+    val freq = args.headOption.getOrElse("1w")
+    val strategy = if (args.length > 1) args(1) else "mean"
+    val models: Seq[String] = (if (args.length > 2) args(2) else "all") match {
+      case "all" => EliteDeep.allModels
+      case "linear" => EliteDeep.allModels.filterNot(_.startsWith("knn"))
+      case "knn" => "naive" +: EliteDeep.allModels.filter(_.startsWith("knn"))
+      case csv => csv.split(",").toSeq
+    }
+    val (fh, lags, sp) = freq match {
+      case "1d" => (14, 30, 7)
+      case "1h" => (48, 24, 24)
+      case "1w" => (13, 14, 52)
+      case "1mo" => (18, 12, 12)
+      case "1y" => (6, 3, 1)
+      case other => throw new IllegalArgumentException(s"unknown M4 freq $other")
+    }
+    // fourier members need K(=2) < sp — at yearly sp=1 there is no
+    // sub-period to model, so those members drop (the engine's
+    // FourierLinear require stays loud by design)
+    val usable =
+      if (sp > 2) models else models.filterNot(_.contains("fourier"))
+    val dataDir = sys.env.getOrElse("M4_DATA_DIR", "/root/reference/data")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+      .appName("graft-elite-m4")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.buffer.pageSize", "4m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def load(path: String) = {
+      val raw = spark.read.parquet(path)
+      val target = raw.columns
+        .filterNot(c => c == "series" || c == "time" || c == "partition_id").head
+      raw.select(regexp_replace(col("series"), " ", "").as("series"),
+        col("time").cast("long").as("time"),
+        col(target).cast("double").as("y"))
+    }
+    val yTrainAll = load(s"$dataDir/m4_${freq}_train.parquet")
+    // series long enough for the deepest member's lag depth AND the
+    // CV splits (check_backtest_lengths analog, cross_validation.py)
+    val minLen = math.max(lags, 14) + 2 * fh + 2 // holdable under either CV protocol
+    val long = yTrainAll.groupBy("series").count()
+      .filter(col("count") >= minLen).select("series")
+    val yTrain = yTrainAll.join(long, "series")
+    val p = Panel(yTrain, Seq("series"), Seq("time"), "y")
+    val nSeries = long.count()
+    println(s"[elite-m4] $freq: $nSeries series >= $minLen points, " +
+      s"fh=$fh lags=$lags sp=$sp strategy=$strategy members=${usable.length}")
+
+    def time[T](tag: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[elite-m4] $tag: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+    }
+    val yElite = time("elite fit+predict") {
+      // the reference protocol: test_size=1, n_splits=3 (elite.py:169
+      // defaults) — members are ranked on one-step-ahead backtests
+      EliteDeep.run(p, "time", "1i", fh = fh, topK = math.min(12, usable.length),
+        strategy = strategy, testSize = 1, nSplits = 3, stepSize = 1, sp = sp,
+        models = usable)
+    }
+    val yNaive = Forecasters.naive(p, "time", fh, "1i")
+
+    val cutoffs = yTrain.groupBy("series").agg(max("time").as("__cutoff"))
+    val yTest = load(s"$dataDir/m4_${freq}_test.parquet")
+      .join(cutoffs, "series")
+      .select(col("series"), (col("time") + col("__cutoff")).as("time"), col("y"))
+    def scoreOf(pred: org.apache.spark.sql.DataFrame, name: String) = {
+      val j = Metrics.aligned(yTest, pred.withColumnRenamed("y", "pred"),
+        Seq("series", "time"), "y", "pred")
+      Metrics.smapeOriginal(j.filter(col("__p").isNotNull), Seq("series"))
+        .withColumnRenamed("smape_original", name)
+    }
+    val scores = scoreOf(yElite, "s_elite").join(scoreOf(yNaive, "s_naive"), Seq("series"))
+      .withColumn("fva", col("s_naive") - col("s_elite"))
+      .localCheckpoint(true)
+    val agg = scores.agg(
+      avg("s_elite").as("elite"), avg("s_naive").as("naive"),
+      avg("fva").as("fva"),
+      avg(when(col("fva") > 0, 1.0).otherwise(0.0)).as("frac_pos"),
+      count(lit(1)).as("n")).collect()(0)
+    println(f"""{"freq":"$freq","strategy":"$strategy","mean_smape_original_elite":${agg.getDouble(0)}%.4f,"mean_smape_original_naive":${agg.getDouble(1)}%.4f,"mean_fva":${agg.getDouble(2)}%.4f,"frac_entities_improved":${agg.getDouble(3)}%.4f,"n_series":${agg.getLong(4)}}""")
+    spark.stop()
+  }
+}
