@@ -61,7 +61,23 @@ object EliteM4 {
         col("time").cast("long").as("time"),
         col(target).cast("double").as("y"))
     }
-    val yTrainAll = load(s"$dataDir/m4_${freq}_train.parquet")
+    val fullTrain = load(s"$dataDir/m4_${freq}_train.parquet")
+    val testPath = s"$dataDir/m4_${freq}_test.parquet"
+    val haveTest = new java.io.File(testPath).exists()
+    // 1mo has no test parquet in the reference data copy: synthesize
+    // the test split as each entity's last-fh holdout (M4Accuracy's
+    // protocol — conftest.py:76-80 applied in reverse)
+    val (yTrainAll, synthTest) = if (haveTest) (fullTrain, None) else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("series").orderBy(col("time").desc)
+      val ranked = fullTrain
+        .withColumn("__rd", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy("series")))
+      val holdable = col("__n") >= fh + lags + 2
+      println(s"[elite-m4] $freq: test split synthesized as last-$fh holdout")
+      (ranked.filter(!holdable || col("__rd") > fh).select("series", "time", "y"),
+        Some(ranked.filter(holdable && col("__rd") <= fh).select("series", "time", "y")))
+    }
     // series long enough for the deepest member's lag depth AND the
     // CV splits (check_backtest_lengths analog, cross_validation.py)
     val minLen = math.max(lags, 14) + 2 * fh + 2 // holdable under either CV protocol
@@ -87,9 +103,9 @@ object EliteM4 {
     val yNaive = Forecasters.naive(p, "time", fh, "1i")
 
     val cutoffs = yTrain.groupBy("series").agg(max("time").as("__cutoff"))
-    val yTest = load(s"$dataDir/m4_${freq}_test.parquet")
+    val yTest = synthTest.getOrElse(load(testPath)
       .join(cutoffs, "series")
-      .select(col("series"), (col("time") + col("__cutoff")).as("time"), col("y"))
+      .select(col("series"), (col("time") + col("__cutoff")).as("time"), col("y")))
     def scoreOf(pred: org.apache.spark.sql.DataFrame, name: String) = {
       val j = Metrics.aligned(yTest, pred.withColumnRenamed("y", "pred"),
         Seq("series", "time"), "y", "pred")
