@@ -556,6 +556,24 @@ object KnnForecaster {
     }
   }
 
+  /** One-step twin of [[predictRecursiveAuto]]: exact broadcast scan
+    * under [[maxExactEntities]], the IVF cell index past it. */
+  def predictOneStepAuto(p: Panel, timeCol: String, freq: String, lags: Int,
+                         k: Int, nCells: Int = 0,
+                         entityCountHint: Long = -1L): DataFrame = {
+    val nEntities =
+      if (entityCountHint >= 0) entityCountHint
+      else p.df.select(p.entityCols: _*).distinct().count()
+    if (nEntities <= maxExactEntities)
+      predictOneStep(p, timeCol, freq, lags, k)
+    else {
+      val cells =
+        if (nCells > 0) nCells
+        else math.max(16, math.sqrt(nEntities.toDouble).toInt)
+      predictOneStepIvf(p, timeCol, freq, lags, k, cells)
+    }
+  }
+
   /** LSH-join variant for huge entity counts. */
   def predictOneStepLsh(p: Panel, timeCol: String, freq: String, lags: Int, k: Int,
                         bucketLength: Double = 2.0): DataFrame = {

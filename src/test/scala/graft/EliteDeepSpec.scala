@@ -61,6 +61,9 @@ class EliteDeepSpec extends SparkSpec {
       val out = KnnForecaster.predictRecursiveAuto(p, "t", "1i", lags = 3,
         k = 2, fh = 2)
       assert(out.count() == 6)
+      // the one-step twin routes the same way
+      val one = KnnForecaster.predictOneStepAuto(p, "t", "1i", lags = 3, k = 2)
+      assert(one.count() == 3)
     } finally KnnForecaster.maxExactEntities = saved
   }
 
