@@ -13,7 +13,10 @@ import org.apache.spark.sql.functions._
   * test split, join the naive scores, and report FVA = naive − elite
   * (positive = elite adds value over the random walk).
   *
-  * Usage: runMain graft.EliteM4 [freq] [strategy] [models]
+  * Usage: runMain graft.EliteM4 [freq] [strategy] [models] [deepLags]
+  *   deepLags (>14) appends the caller-depth members
+  *   (EliteDeep.deepModels) to the zoo — the reference builds its zoo
+  *   over the forecaster's lag budget (elite.py:80-164), commonly 24+.
   *   freq ∈ {1d, 1h, 1w, 1mo, 1y} (fh/lags per M4Accuracy, sp per
   *   offsets.py:44-55); models as in EliteSoak ("all"|"linear"|"knn"|
   *   csv — "linear" excludes the knn members, the right default for
@@ -29,6 +32,7 @@ object EliteM4 {
       case "knn" => "naive" +: EliteDeep.allModels.filter(_.startsWith("knn"))
       case csv => csv.split(",").toSeq
     }
+    val deepLags = if (args.length > 3) args(3).toInt else 0
     val (fh, lags, sp) = freq match {
       case "1d" => (14, 30, 7)
       case "1h" => (48, 24, 24)
@@ -40,8 +44,13 @@ object EliteM4 {
     // fourier members need K(=2) < sp — at yearly sp=1 there is no
     // sub-period to model, so those members drop (the engine's
     // FourierLinear require stays loud by design)
-    val usable =
+    val usable0 =
       if (sp > 2) models else models.filterNot(_.contains("fourier"))
+    // caller-depth members ride along explicitly (run()'s automatic
+    // extension only fires when the selection is left at allModels)
+    val usable =
+      if (deepLags > 0) usable0 ++ EliteDeep.deepModels(deepLags, sp)
+      else usable0
     val dataDir = sys.env.getOrElse("M4_DATA_DIR", "/root/reference/data")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
@@ -80,7 +89,8 @@ object EliteM4 {
     }
     // series long enough for the deepest member's lag depth AND the
     // CV splits (check_backtest_lengths analog, cross_validation.py)
-    val minLen = math.max(lags, 14) + 2 * fh + 2 // holdable under either CV protocol
+    val minLen = // holdable under either CV protocol, at the deepest member's lags
+      math.max(math.max(lags, 14), deepLags) + 2 * fh + 2
     val long = yTrainAll.groupBy("series").count()
       .filter(col("count") >= minLen).select("series")
     val yTrain = yTrainAll.join(long, "series")
@@ -98,7 +108,7 @@ object EliteM4 {
       // defaults) — members are ranked on one-step-ahead backtests
       EliteDeep.run(p, "time", "1i", fh = fh, topK = math.min(12, usable.length),
         strategy = strategy, testSize = 1, nSplits = 3, stepSize = 1, sp = sp,
-        models = usable)
+        models = usable, deepLags = deepLags)
     }
     val yNaive = Forecasters.naive(p, "time", fh, "1i")
 

@@ -43,13 +43,39 @@ object KnnEntitySoak {
     // (within-cell distances) — minimized at nCells ≈ √E, which the
     // in-scan broadcast assignment makes reachable (the former
     // literal-inlined projection walled out past ~100 cells)
-    Seq((20000, 64), (200000, 64), (200000, 448)).foreach { case (e, cells) =>
+    val ivfEs = if (args.contains("--recursive-only")) Nil
+      else Seq((20000, 64), (200000, 64), (200000, 448))
+    ivfEs.foreach { case (e, cells) =>
       val p = mkPanel(e, 40)
       p.df.cache().count()
       t(s"ivf one-step E=$e (rows=${e * 40}, cells=$cells)") {
         graft.operators.KnnForecaster.predictOneStepIvf(p, "t", "1i", lags = 7,
           k = 5, nCells = cells).rdd.count()
       }
+      p.df.unpersist(blocking = true)
+    }
+    // the distributed recursive roll at 1M entities: the point is the
+    // STRUCTURE — no entity-scale collect or broadcast anywhere in the
+    // per-step plan (states live in a checkpointed distributed frame;
+    // only the nCells×lags centroid matrix crosses the driver), so
+    // heap stays flat in fh. local[32] shares one JVM between driver
+    // and executors, so the peak below is the whole pipeline's working
+    // set, an upper bound on any driver share.
+    if (args.contains("--recursive")) {
+      val e = 1000000; val len = 12; val fh = 3; val cells = 3162
+      val p = mkPanel(e, len)
+      p.df.cache().count()
+      val rt = Runtime.getRuntime
+      @volatile var peak = 0L
+      val sampler = new Thread(() => while (true) {
+        peak = math.max(peak, rt.totalMemory - rt.freeMemory); Thread.sleep(200)
+      })
+      sampler.setDaemon(true); sampler.start()
+      t(s"ivf recursive E=$e fh=$fh (rows=${e * len}, cells=$cells)") {
+        graft.operators.KnnForecaster.predictRecursiveIvf(p, "t", "1i", lags = 7,
+          k = 5, fh = fh, nCells = cells).rdd.count()
+      }
+      println(f"[knnsoak] peak JVM heap ${peak / 1e9}%.2f GB (driver+executors share it in local mode)")
       p.df.unpersist(blocking = true)
     }
     spark.stop()

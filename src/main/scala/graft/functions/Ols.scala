@@ -250,6 +250,13 @@ object Ols {
     * O(grid·sweeps·p²) driver flops. Ties break toward the smaller
     * alpha. Returns (chosenAlpha, intercept, weights).
     *
+    * This is a LOOSE analog by design: sklearn's LassoLarsIC walks
+    * the LARS path and scores candidates with a noise-variance-scaled
+    * criterion, so grid selection here is NOT expected to numerically
+    * match the reference stacker's chosen regularization (even
+    * directionally on some inputs) — it trades path-exactness for a
+    * deterministic, single-pass, oracle-replicable rule.
+    *
     * The RSS fold order (ŷ·y then ŷ² with j-then-k ascending
     * accumulation) is replicated term-for-term by the SQL oracle —
     * keep them in lockstep. */

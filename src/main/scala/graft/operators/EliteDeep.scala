@@ -47,7 +47,7 @@ object EliteDeep {
     * variants mirror elite.py:80-164's families. */
   private def zoo(cached: Panel, sharedLag: DataFrame, timeCol: String,
                   freq: String, sp: Int, fh: Int, testSize: Int, nSplits: Int,
-                  stepSize: Int, cdSweeps: Int): Seq[Member] = {
+                  stepSize: Int, cdSweeps: Int, deepLags: Int): Seq[Member] = {
     val p = cached
     // one distinct-count job shared by every knn fit (the dispatch
     // hint for exact-vs-IVF); lazy so zoos without knn members — or
@@ -205,7 +205,15 @@ object EliteDeep {
       pipeMember("ridge_demean_7", Seq(ForecastPipeline.detrendMeanStep), 7,
         alpha = 0.1),
       // elite.py:104-137 "AR models with Fourier terms"
-      // (feature_transform=add_fourier_terms; K=2 over the run's sp)
+      // (feature_transform=add_fourier_terms). K=2 over lags=3 is a
+      // deliberate scale-down of the reference defaults (K=6, and K=12
+      // for the detrend-fourier family, over the constructor's lags —
+      // elite.py:104-164): like the fixed alphas standing in for the
+      // *_cv members, it bounds the DuckDB oracle's per-member CTE
+      // chains (the binder caps ~1000 chained CTEs per WITH) while
+      // keeping one member per reference family. Production callers
+      // wanting reference-depth fourier members get them through
+      // `deepLags` below (K = min(6, sp−1) over the caller's lags).
       fourierMember("linear_fourier_3", lags = 3, kTerms = 2),
       fourierMember("ridge_fourier_3", lags = 3, kTerms = 2, ridge = 0.1),
       fourierMember("lasso_fourier_3", lags = 3, kTerms = 2, ridge = 0.1,
@@ -230,7 +238,38 @@ object EliteDeep {
         xform = Some(ForecastPipeline.scaleStep())),
       // elite.py:85-88 knn_detrend_linear
       knnMember("knn_detrend_3", k = 3, lags = 7,
-        xform = Some(ForecastPipeline.detrendLinearStep)))
+        xform = Some(ForecastPipeline.detrendLinearStep))) ++
+      // caller-depth members (the reference zoo inherits the
+      // forecaster's lag budget, elite.py:80-164 — commonly 24+; the
+      // fixed-lag members above are the oracle-rankable sub-zoo).
+      // One member per family at the caller's depth; fourier at the
+      // reference's K=6 capped below sp (FourierLinear requires
+      // K < sp); knn at the reference's n_neighbors = lags//2
+      // (elite.py:83-88).
+      (if (deepLags <= 0) Nil else {
+        val d = deepLags
+        Seq(
+          linearMember(s"linear_$d", d),
+          linearMember(s"ridge_$d", d, ridge = 0.1),
+          cdMember(s"lasso_$d", d, alpha = 0.1, l1Ratio = 1.0, sweeps = cdSweeps),
+          pipeMember(s"linear_scaled_$d", Seq(ForecastPipeline.scaleStep()), d),
+          pipeMember(s"linear_detrend_$d", Seq(ForecastPipeline.detrendLinearStep), d)) ++
+          (if (sp > 2) Seq(fourierMember(s"linear_fourier_$d", lags = d,
+            kTerms = math.min(6, sp - 1))) else Nil) ++
+          Seq(knnMember(s"knn_deep_${d / 2}", k = math.max(1, d / 2), lags = d,
+            xform = None))
+      })
+  }
+
+  /** Names of the caller-depth members [[run]]'s `deepLags` adds —
+    * appended to the default selection when `models` is left at
+    * [[allModels]], or composable explicitly. */
+  def deepModels(deepLags: Int, sp: Int = 7): Seq[String] = {
+    val d = deepLags
+    Seq(s"linear_$d", s"ridge_$d", s"lasso_$d", s"linear_scaled_$d",
+      s"linear_detrend_$d") ++
+      (if (sp > 2) Seq(s"linear_fourier_$d") else Nil) :+
+      s"knn_deep_${d / 2}"
   }
 
   /** Run the deep elite. `strategy` ∈ {"mean", "lasso"}. Returns
@@ -263,7 +302,10 @@ object EliteDeep {
           stepSize: Int = 5, sp: Int = 7, cdSweeps: Int = 8,
           stackAlpha: Double = 0.01, stackSweeps: Int = 15,
           stackAlphaGrid: Seq[Double] = Nil,
-          models: Seq[String] = allModels): DataFrame = {
+          models: Seq[String] = allModels,
+          deepLags: Int = 0): DataFrame = {
+    require(deepLags <= 0 || deepLags > 14,
+      s"deepLags must exceed the default zoo's max depth 14 (got $deepLags)")
     // "log_lasso" is accepted for API parity: in the reference both
     // lasso strategies take the identical code path (elite.py:304-308
     // and :367-368 — same LassoLarsIC fit/predict, no log transform
@@ -271,16 +313,24 @@ object EliteDeep {
     require(strategy == "mean" || strategy == "lasso" || strategy == "log_lasso",
       s"eliteDeep strategy must be 'mean', 'lasso' or 'log_lasso' (got '$strategy')")
     val cached = p.copy(df = p.df.cache())
-    val maxLinLags = 14
+    // the shared lag frame carries columns up to the deepest member's
+    // budget; 14 is the default zoo's max (the trade documented at the
+    // fourier members: oracle CTE depth vs lag depth)
+    val maxLinLags = math.max(14, deepLags)
     val sharedLag = CrossValidation
       .withPosition(cached.copy(df = Preprocess.lagKeepAll(cached, 1 to maxLinLags)))
       .cache()
     try {
       val all = zoo(cached, sharedLag, timeCol, freq, sp, fh,
-        testSize, nSplits, stepSize, cdSweeps)
-      val unknown = models.filterNot(all.map(_.name).contains)
+        testSize, nSplits, stepSize, cdSweeps, deepLags)
+      // deepLags with the selection left at the default: the deep
+      // members join the zoo rather than being silently filtered out
+      val selected =
+        if (deepLags > 0 && models == allModels) models ++ deepModels(deepLags, sp)
+        else models
+      val unknown = selected.filterNot(all.map(_.name).contains)
       require(unknown.isEmpty, s"unknown eliteDeep models: ${unknown.mkString(", ")}")
-      val members = all.filter(m => models.contains(m.name))
+      val members = all.filter(m => selected.contains(m.name))
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
@@ -369,6 +419,13 @@ object EliteDeep {
     // (elite.py:210-213: arg_sort of the time column over the entity,
     // 0-based) computed over ALL pivot rows, BEFORE any
     // incomplete-row filtering — replicated on both pivots here.
+    // NOTE (inherited quirk, not a modeling choice): the reference
+    // rebuilds that arg_sort per X_stack, so the trend RESTARTS at 0
+    // on the predict pivot instead of continuing from the training
+    // span — the fitted trend coefficient is applied
+    // out-of-distribution at predict time. We replicate the restart
+    // for parity; a from-scratch design would offset the predict
+    // trend by the training length.
     // TRAIN rows are keyed (entity, split, time): with overlapping
     // test windows (stepSize < testSize) the same (entity, time) can
     // appear under two splits, so the train trend MUST order by

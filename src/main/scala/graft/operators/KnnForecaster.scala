@@ -125,9 +125,12 @@ object KnnForecaster {
     // per-partition bounded heaps: local top-k per query
     val partials = reduction.rdd.mapPartitions { it =>
       val qs = bq.value
-      // max-heaps of size k on distance
+      // max-heaps of size k on (distance, label) — the label tiebreak
+      // makes tied-distance boundary picks deterministic across runs
+      // (partition scheduling order decided them before); it matches
+      // the ranking window's (__dist, __label) order below
       val heaps = Array.fill(qs.length)(
-        scala.collection.mutable.PriorityQueue.empty[(Double, Double)](Ordering.by(_._1)))
+        scala.collection.mutable.PriorityQueue.empty[(Double, Double)](heapOrd))
       val feats = new Array[Double](lags)
       it.foreach { row =>
         var i = 0
@@ -140,7 +143,12 @@ object KnnForecaster {
           while (j < lags) { val t = feats(j) - q(j); d += t * t; j += 1 }
           val h = heaps(qi)
           if (h.size < k) h.enqueue((d, label))
-          else if (d < h.head._1) { h.dequeue(); h.enqueue((d, label)) }
+          else {
+            val hd = h.head
+            if (d < hd._1 || (d == hd._1 && label < hd._2)) {
+              h.dequeue(); h.enqueue((d, label))
+            }
+          }
           qi += 1
         }
       }
@@ -153,8 +161,15 @@ object KnnForecaster {
       StructField("__label", DoubleType))))
     // global rank merge per query (tiny: partitions × entities × k rows)
     partialDf
-      .withColumn("__nn", row_number().over(Window.partitionBy("__qid").orderBy(col("__dist"))))
+      .withColumn("__nn", row_number().over(
+        Window.partitionBy("__qid").orderBy(col("__dist"), col("__label"))))
   }
+
+  /** Max-heap ordering for the bounded k-heaps: lexicographic
+    * (distance, label), so tied-distance candidates resolve
+    * deterministically instead of by partition scheduling order. */
+  private val heapOrd: Ordering[(Double, Double)] =
+    Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Double.TotalOrdering)
 
   /** RECURSIVE multi-horizon KNN — the reference's knn predicts any
     * fh by rolling the state forward (forecasting/knn.py:22 via
@@ -310,7 +325,7 @@ object KnnForecaster {
       val qs = bq.value
       val cents = bc.value
       val heaps = Array.fill(qs.length)(
-        scala.collection.mutable.PriorityQueue.empty[(Double, Double)](Ordering.by(_._1)))
+        scala.collection.mutable.PriorityQueue.empty[(Double, Double)](heapOrd))
       // queries pre-grouped by cell: each training row visits ONLY its
       // own cell's queries. The former flat scan with an inner cell
       // guard still enumerated every (row × query) pair — O(rows ·
@@ -347,7 +362,12 @@ object KnnForecaster {
           while (j < lags) { val t = feats(j) - q(j); d += t * t; j += 1 }
           val h = heaps(qi)
           if (h.size < k) h.enqueue((d, label))
-          else if (d < h.head._1) { h.dequeue(); h.enqueue((d, label)) }
+          else {
+            val hd = h.head
+            if (d < hd._1 || (d == hd._1 && label < hd._2)) {
+              h.dequeue(); h.enqueue((d, label))
+            }
+          }
           ci += 1
         }
       }
@@ -359,7 +379,8 @@ object KnnForecaster {
       StructField("__qid", LongType), StructField("__dist", DoubleType),
       StructField("__label", DoubleType))))
     val topk = partialDf
-      .withColumn("__nn", row_number().over(Window.partitionBy("__qid").orderBy(col("__dist"))))
+      .withColumn("__nn", row_number().over(
+        Window.partitionBy("__qid").orderBy(col("__dist"), col("__label"))))
       .filter(col("__nn") <= k)
       .groupBy("__qid").agg(avg(col("__label")).as(p.value))
     broadcast(qMeta)
@@ -375,18 +396,34 @@ object KnnForecaster {
     * family's scale-killer; measured 373 s of the 543 s full-zoo wall
     * at 10k entities, EliteSoak). Same centroid construction as
     * [[predictOneStepIvf]] (portable md5-tag sample, strict-< ascending
-    * argmin), but the corpus's cell assignment is computed ONCE into a
-    * cached `__cell` column — the fh sequential passes then skip the
-    * per-row nCells-distance assignment and scan only each query's
-    * cell group. State rolls forward exactly like [[predictRecursive]]:
-    * horizon h's query vector is (ŷ_{h−1}, …), re-assigned to its
-    * (possibly different) nearest cell each step. Per-row work per
-    * pass = entities/nCells on average instead of entities; with
-    * nCells ≈ √entities the index build (one nCells-distance scan)
-    * and the probes balance. */
+    * argmin); the corpus's cell assignment is computed ONCE into a
+    * `__cell` column, hash-partitioned by cell and cached, so the fh
+    * per-step probes reuse that partitioning — the corpus never moves
+    * again.
+    *
+    * FULLY DISTRIBUTED state roll (unlike [[predictRecursive]], whose
+    * driver-mediated roll is what [[maxExactEntities]] caps): the
+    * per-entity lag state lives in a distributed (qid, state[lags])
+    * frame. Each horizon step (a) re-assigns every state to its
+    * nearest cell (broadcast centroid matrix — the only state that
+    * ever touches the driver is the nCells × lags centroid sample),
+    * (b) joins states to the cell-partitioned corpus (only the
+    * entity-sized state side shuffles), (c) reduces the streamed
+    * (corpus-row × query) pairs through the map-side-combining
+    * [[graft.functions.TopKAvgAgg]] — pairs never hit a shuffle, only
+    * O(partitions × entities) bounded k-buffers do — and (d) shifts
+    * the state with the step's prediction. Per-step frames are
+    * eagerly localCheckpoint-ed (entity-sized) and the previous step's
+    * state is released, so driver AND executor memory stay flat in fh.
+    * Semantics are bit-identical to the exact roll restricted to the
+    * query's cell: same ascending-lag distance fold, same
+    * (distance, label) top-k order, same ascending-order mean.
+    * Reference: forecasting/knn.py:22 + base recursion _ar.py:216-270,
+    * IVF analog forecasting/lance.py:40-101. */
   def predictRecursiveIvf(p: Panel, timeCol: String, freq: String, lags: Int,
                           k: Int, fh: Int, nCells: Int): DataFrame = {
     val spark = p.df.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
     val featureCols = (1 to lags).map(l => s"${p.value}__lag_$l")
     val red = CrossValidation
       .withPosition(p.copy(df = Preprocess.lagKeepAll(p, 1 to lags)))
@@ -417,118 +454,78 @@ object KnnForecaster {
       val cents = bcCents.value
       it.map { row =>
         val feats = Array.tabulate(cents(0).length)(row.getDouble)
-        var bestD = Double.PositiveInfinity; var cell = 0
-        var c = 0
-        while (c < cents.length) {
-          val cent = cents(c)
-          var d = 0.0; var j = 0
-          while (j < feats.length) { val t = feats(j) - cent(j); d += t * t; j += 1 }
-          if (d < bestD) { bestD = d; cell = c }
-          c += 1
-        }
-        Row.fromSeq(feats.toIndexedSeq :+ row.getDouble(feats.length) :+ cell)
+        Row.fromSeq(feats.toIndexedSeq :+ row.getDouble(feats.length) :+
+          nearestCell(feats, cents))
       }
     }
-    val corpus = spark.createDataFrame(corpusRdd, corpusSchema).cache()
+    val corpus = spark.createDataFrame(corpusRdd, corpusSchema)
+      .repartition(nPart, col("__cell")).cache()
     try {
       corpus.count() // materialize the index before the sequential passes
-      val tails = queryTails(p, timeCol, lags)
-      val keep = p.entityCols ++ (col("__cutoff") +:
-        (1 to lags).map(l => col(s"${p.value}__lag_$l").cast("double")))
-      val sel = tails.select(keep: _*)
-      val collected = sel.collect()
-      var states = collected.map(r =>
-        Array.tabulate(lags)(j => r.getDouble(nEntity + 1 + j)))
-      def assignCell(feats: Array[Double]): Int = {
-        var bestD = Double.PositiveInfinity; var bestC = 0
-        var c = 0
-        while (c < centMat.length) {
-          val cent = centMat(c)
-          var d = 0.0; var j = 0
-          while (j < feats.length) { val t = feats(j) - cent(j); d += t * t; j += 1 }
-          if (d < bestD) { bestD = d; bestC = c }
-          c += 1
-        }
-        bestC
+      // distributed query base: one row per entity with its lag state
+      // as an array column. monotonically_increasing_id is the query
+      // key — unique (not dense), stable once checkpointed. This frame
+      // is pinned for the method's lifetime (the final meta join reads
+      // it); it is entity-sized, never collected.
+      val base = queryTails(p, timeCol, lags)
+        .select((p.entityCols :+ col("__cutoff") :+
+          slice(col("__state"), 1, lags).as("__state")): _*)
+        .withColumn("__qid", monotonically_increasing_id())
+        .localCheckpoint(true)
+      val assignCellUdf = udf((s: Seq[Double]) =>
+        nearestCell(s.toArray, bcCents.value))
+      // ascending-lag left fold of squared diffs — the exact path's
+      // d += t*t loop, as a codegen'd column expression
+      val dExpr = (1 to lags).map { l =>
+        val t = col(s"__f$l") - element_at(col("__state"), l); t * t
+      }.reduce(_ + _)
+      val topkAvg = graft.functions.TopKAvg(k)
+      var states = base.select(col("__qid"), col("__state"))
+      val stepPreds = (1 to fh).map { h =>
+        val q = states.withColumn("__cell", assignCellUdf(col("__state")))
+        // states side shuffles by __cell (entity-sized); corpus side
+        // reuses its cached partitioning. shuffle_hash keeps Spark
+        // from broadcasting an entity-scale build side through the
+        // driver — the exact anti-pattern this path exists to avoid.
+        val sp = corpus.join(q.hint("shuffle_hash"), Seq("__cell"))
+          .select(col("__qid"), dExpr.as("__d"), col("__label"))
+          .groupBy("__qid").agg(topkAvg(col("__d"), col("__label")).as("__p"))
+          .localCheckpoint(true)
+        val next = states.join(sp, "__qid")
+          .select(col("__qid"),
+            concat(array(col("__p")), slice(col("__state"), 1, lags - 1)).as("__state"))
+          .localCheckpoint(true)
+        // the previous step's state frame is no longer referenced by
+        // anything unmaterialized — release it (base stays pinned)
+        if (h > 1) states.unpersist(blocking = false)
+        states = next
+        sp.select(col("__qid"), lit(h).as("__h"), col("__p").as(p.value))
       }
-      val preds = Array.ofDim[Double](fh, collected.length)
-      (1 to fh).foreach { h =>
-        val qRows = states.zipWithIndex.map { case (s, i) =>
-          (i.toLong, assignCell(s), s)
-        }
-        val stepAvg = ivfHeapPass(spark, corpus, qRows, lags, k)
-          .filter(col("__nn") <= k)
-          .groupBy("__qid").agg(avg(col("__label")).as("__p"))
-          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-        states = states.zipWithIndex.map { case (s, i) =>
-          val pr = stepAvg(i.toLong)
-          preds(h - 1)(i) = pr
-          pr +: s.dropRight(1)
-        }
-      }
-      val qMeta = spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          collected.zipWithIndex.map { case (r, i) =>
-            Row.fromSeq(r.toSeq.take(nEntity + 1) :+ i.toLong)
-          }.toIndexedSeq, 1),
-        StructType(sel.schema.fields.take(nEntity + 1) :+ StructField("__qid", LongType)))
-      val predRows = for { h <- 1 to fh; i <- collected.indices }
-        yield Row(i.toLong, h, preds(h - 1)(i))
-      val predDf = spark.createDataFrame(
-        spark.sparkContext.parallelize(predRows, 1),
-        StructType(Seq(StructField("__qid", LongType), StructField("__h", IntegerType),
-          StructField(p.value, DoubleType))))
-      broadcast(qMeta)
-        .join(predDf, "__qid")
+      states.unpersist(blocking = false)
+      val predsAll = stepPreds.reduce(_ unionAll _)
+      base.select((p.entityCols :+ col("__cutoff") :+ col("__qid")): _*)
+        .join(predsAll, "__qid")
         .withColumn(timeCol, Forecasters.futureTime(freq))
         .select((p.entityCols ++ Seq(col(timeCol), col(p.value))): _*)
     } finally corpus.unpersist(blocking = false)
   }
 
-  /** One cell-grouped bounded-heap pass of `qRows` (qid, cell,
-    * state[lags]) against a corpus carrying a precomputed `__cell`
-    * column: each corpus row visits only its own cell's queries. */
-  private def ivfHeapPass(spark: org.apache.spark.sql.SparkSession,
-                          corpus: DataFrame,
-                          qRows: Array[(Long, Int, Array[Double])],
-                          lags: Int, k: Int): DataFrame = {
-    val bq = spark.sparkContext.broadcast(qRows)
-    val partials = corpus.rdd.mapPartitions { it =>
-      val qs = bq.value
-      val heaps = Array.fill(qs.length)(
-        scala.collection.mutable.PriorityQueue.empty[(Double, Double)](Ordering.by(_._1)))
-      val byCell: scala.collection.Map[Int, Array[Int]] =
-        qs.indices.toArray.groupBy(i => qs(i)._2)
-      val empty = Array.empty[Int]
-      val feats = new Array[Double](lags)
-      it.foreach { row =>
-        val cellQs = byCell.getOrElse(row.getInt(lags + 1), empty)
-        if (cellQs.length > 0) {
-          var i = 0
-          while (i < lags) { feats(i) = row.getDouble(i); i += 1 }
-          val label = row.getDouble(lags)
-          var ci = 0
-          while (ci < cellQs.length) {
-            val qi = cellQs(ci)
-            val q = qs(qi)._3
-            var d = 0.0; var j = 0
-            while (j < lags) { val t = feats(j) - q(j); d += t * t; j += 1 }
-            val h = heaps(qi)
-            if (h.size < k) h.enqueue((d, label))
-            else if (d < h.head._1) { h.dequeue(); h.enqueue((d, label)) }
-            ci += 1
-          }
-        }
-      }
-      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
-        h.iterator.map { case (d, label) => Row(qs(qi)._1, d, label) }
-      }
+  /** Strict-< ascending argmin of squared L2 against the centroid
+    * matrix (ties → lowest cell — array_min(struct(d, c)) ordering; a
+    * NaN distance never wins). Top-level so task closures reference it
+    * through the module's static field instead of capturing an
+    * enclosing method frame. */
+  private[graft] def nearestCell(feats: Array[Double], cents: Array[Array[Double]]): Int = {
+    var bestD = Double.PositiveInfinity; var bestC = 0
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var d = 0.0; var j = 0
+      while (j < feats.length) { val t = feats(j) - cent(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; bestC = c }
+      c += 1
     }
-    val partialDf = spark.createDataFrame(partials, StructType(Seq(
-      StructField("__qid", LongType), StructField("__dist", DoubleType),
-      StructField("__label", DoubleType))))
-    partialDf
-      .withColumn("__nn", row_number().over(Window.partitionBy("__qid").orderBy(col("__dist"))))
+    bestC
   }
 
   /** Entity-count dispatch for multi-horizon KNN: the exact broadcast
@@ -570,7 +567,10 @@ object KnnForecaster {
       val cells =
         if (nCells > 0) nCells
         else math.max(16, math.sqrt(nEntities.toDouble).toInt)
-      predictOneStepIvf(p, timeCol, freq, lags, k, cells)
+      // the fh=1 distributed roll, NOT predictOneStepIvf: past the cap
+      // the query side is exactly what must not be collected and
+      // broadcast through the driver
+      predictRecursiveIvf(p, timeCol, freq, lags, k, fh = 1, nCells = cells)
     }
   }
 
@@ -597,7 +597,7 @@ object KnnForecaster {
       .select(col("datasetB.*"), col("datasetA.__label").as("__label"), col("__dist"))
     val ranked = joined
       .withColumn("__nn", row_number().over(
-        Window.partitionBy(p.entityCols: _*).orderBy(col("__dist"))))
+        Window.partitionBy(p.entityCols: _*).orderBy(col("__dist"), col("__label"))))
       .filter(col("__nn") <= k)
     ranked.groupBy(p.entityCols: _*)
       .agg(avg(col("__label")).as(p.value), max(col("__cutoff")).as("__cutoff"))

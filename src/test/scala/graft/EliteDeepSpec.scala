@@ -86,6 +86,39 @@ class EliteDeepSpec extends SparkSpec {
     assert(math.abs(lvl(2).getDouble(2) - 60.0) < 1e-8)
   }
 
+  test("deepLags widens the zoo to caller lag depth (elite.py:80-164 inherits lags)") {
+    // period-24 seasonality + mild trend: invisible to the default
+    // zoo's max lag budget of 14, captured by a lags=24 member — the
+    // case the caller-depth zoo exists for
+    val n = 96
+    // offset keeps the series positive: smape's signed denominator
+    // (the reference's convention) misranks near-zero-sum series
+    def f(i: Int): Double = 50 + math.sin(2 * math.Pi * i / 24) * 10 + 0.05 * i
+    val train = (0 until n).map(f)
+    val p = panel(train, train.map(_ + 1.0))
+    val out = EliteDeep.run(p, "t", "1i", fh = 4, topK = 1, strategy = "mean",
+      testSize = 4, nSplits = 2, stepSize = 4, sp = 12, deepLags = 24,
+      models = Seq("naive", "linear_24", "ridge_24", "lasso_24"))
+      .filter(col("entity") === 0).orderBy("t").collect()
+    assert(out.length == 4)
+    val truth = (n until n + 4).map(f)
+    val err = out.zip(truth).map { case (r, y) => math.abs(r.getDouble(2) - y) }.sum
+    val naiveErr = truth.map(y => math.abs(train.last - y)).sum
+    assert(err < naiveErr * 0.5, s"deep zoo err $err vs naive err $naiveErr")
+  }
+
+  test("deepLags guards the default depth; deepModels names the caller-depth members") {
+    val p = panel(Seq.tabulate(30)(_ * 1.0))
+    intercept[IllegalArgumentException] {
+      EliteDeep.run(p, "t", "1i", fh = 1, topK = 1, deepLags = 10)
+    }
+    assert(EliteDeep.deepModels(24, sp = 12) == Seq("linear_24", "ridge_24",
+      "lasso_24", "linear_scaled_24", "linear_detrend_24", "linear_fourier_24",
+      "knn_deep_12"))
+    // yearly-style sp <= 2 drops the fourier member, like the zoo does
+    assert(!EliteDeep.deepModels(24, sp = 1).contains("linear_fourier_24"))
+  }
+
   test("eliteDeep mean: one row per (entity, step), averaging only ranked members") {
     val p = panel(Seq.tabulate(30)(i => i * 1.0 + (i % 3)),
       Seq.tabulate(30)(i => 50.0 - i * 0.5))
