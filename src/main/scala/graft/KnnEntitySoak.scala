@@ -29,7 +29,8 @@ object KnnEntitySoak {
       println(f"[knnsoak] $l: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
     graft.operators.KnnForecaster.maxExactEntities = Int.MaxValue
-    val exactEs = if (args.contains("--ivf-only")) Nil else Seq(1000, 5000, 20000)
+    val skipExact = args.contains("--ivf-only") || args.contains("--recursive-only")
+    val exactEs = if (skipExact) Nil else Seq(1000, 5000, 20000)
     exactEs.foreach { e =>
       val p = mkPanel(e, 40)
       p.df.cache().count()

@@ -146,26 +146,83 @@ object Ols {
     val xs = if (intercept) lit(1.0) +: base else base
     val d = xs.length
     val y = col(labelCol).cast("double")
-    val exprs = ((for (i <- 0 until d; j <- i until d) yield sum(xs(i) * xs(j))) ++
-      (0 until d).map(i => sum(xs(i) * y))) ++
-      (if (withCount) Seq(count(lit(1)).cast("double")) else Nil) ++
-      (if (withSyy) Seq(sum(y * y)) else Nil)
-    val row = rows.agg(exprs.head, exprs.tail: _*).collect()(0)
-    // sum() over zero rows is NULL — surface an actionable error, not
-    // the opaque ROW_VALUE_IS_NULL getDouble failure
-    if (row.isNullAt(0))
-      throw new IllegalArgumentException(
-        s"$what has no complete training rows (all rows empty or null " +
-          s"in ${featureCols.mkString(", ")} / $labelCol)")
     val tri = d * (d + 1) / 2
-    val a = expand(Array.tabulate(tri)(row.getDouble), d)
-    val b = Array.tabulate(d)(i => row.getDouble(tri + i))
+    val nExtra = (if (withCount) 1 else 0) + (if (withSyy) 1 else 0)
+    val width = tri + d + nExtra
+    // Past ~600 sum expressions the generated hashAgg method exceeds
+    // Janino's size limits and the WHOLE aggregate stage silently
+    // falls back to interpreted mode (observed at lags=64 on the M5
+    // panel: d=65 → 2210 sums). The wide path below accumulates the
+    // identical sums in one primitive per-partition buffer — same
+    // row-order accumulation as codegen'd Sum — and folds partials in
+    // ascending partition order. Every oracle-gated fit (lags ≤ 14,
+    // d ≤ 15 → ≤ 137 exprs) stays on the codegen'd aggregate,
+    // bit-for-bit untouched.
+    val vals: Array[Double] =
+      if (width <= 600) {
+        val exprs = ((for (i <- 0 until d; j <- i until d) yield sum(xs(i) * xs(j))) ++
+          (0 until d).map(i => sum(xs(i) * y))) ++
+          (if (withCount) Seq(count(lit(1)).cast("double")) else Nil) ++
+          (if (withSyy) Seq(sum(y * y)) else Nil)
+        val row = rows.agg(exprs.head, exprs.tail: _*).collect()(0)
+        // sum() over zero rows is NULL — surface an actionable error,
+        // not the opaque ROW_VALUE_IS_NULL getDouble failure
+        if (row.isNullAt(0))
+          throw new IllegalArgumentException(
+            s"$what has no complete training rows (all rows empty or null " +
+              s"in ${featureCols.mkString(", ")} / $labelCol)")
+        Array.tabulate(width)(row.getDouble)
+      } else {
+        val dd = d
+        val parts = rows.select((xs :+ y): _*).rdd
+          .mapPartitionsWithIndex { (pid, it) =>
+            // layout: tri Gram sums, d X^T y sums, count, Σy²
+            val buf = new Array[Double](tri + dd + 2)
+            val x = new Array[Double](dd + 1)
+            var any = false
+            it.foreach { r =>
+              var i = 0
+              while (i <= dd) { x(i) = r.getDouble(i); i += 1 }
+              var idx = 0
+              i = 0
+              while (i < dd) {
+                val xi = x(i)
+                var j = i
+                while (j < dd) { buf(idx) += xi * x(j); idx += 1; j += 1 }
+                i += 1
+              }
+              i = 0
+              while (i < dd) { buf(tri + i) += x(i) * x(dd); i += 1 }
+              buf(tri + dd) += 1.0
+              buf(tri + dd + 1) += x(dd) * x(dd)
+              any = true
+            }
+            if (any) Iterator((pid, buf)) else Iterator.empty
+          }.collect().sortBy(_._1).map(_._2)
+        if (parts.isEmpty)
+          throw new IllegalArgumentException(
+            s"$what has no complete training rows (all rows empty or null " +
+              s"in ${featureCols.mkString(", ")} / $labelCol)")
+        val acc = new Array[Double](tri + dd + 2)
+        parts.foreach { pbuf =>
+          var i = 0
+          while (i < acc.length) { acc(i) += pbuf(i); i += 1 }
+        }
+        val out = new Array[Double](width)
+        System.arraycopy(acc, 0, out, 0, tri + dd)
+        var o = tri + dd
+        if (withCount) { out(o) = acc(tri + dd); o += 1 }
+        if (withSyy) out(o) = acc(tri + dd + 1)
+        out
+      }
+    val a = expand(Array.tabulate(tri)(vals), d)
+    val b = Array.tabulate(d)(i => vals(tri + i))
     val nn =
-      if (withCount) row.getDouble(tri + d)
+      if (withCount) vals(tri + d)
       else if (intercept) a(0)(0)
       else Double.NaN
     val syy =
-      if (withSyy) row.getDouble(tri + d + (if (withCount) 1 else 0))
+      if (withSyy) vals(tri + d + (if (withCount) 1 else 0))
       else Double.NaN
     (a, b, nn, syy)
   }

@@ -11,12 +11,16 @@ import org.apache.spark.sql.functions.udaf
   * mean-of-k-nearest, forecasting/knn.py:22).
   *
   * This is the piece that makes the distributed KNN state roll
-  * scale-correct: it is a typed Aggregator, so Spark runs it with
-  * map-side partial aggregation (ObjectHashAggregate) — the
-  * (corpus-row × query) pairs produced by the cell join stream through
-  * the partial buffers inside the join stage and only
-  * O(partitions × queries) k-pair buffers ever hit the shuffle,
-  * never the pairs themselves.
+  * scale-correct: pairs produced by the cell join reduce into these
+  * bounded buffers where they are born, and only
+  * O(partitions × queries × k) candidate rows ever hit a shuffle,
+  * never the pairs themselves. KnnForecaster drives `reduce` directly
+  * from a mapPartitions accumulator rather than through groupBy(udaf):
+  * ObjectHashAggregate falls back to SORT-based aggregation past 128
+  * distinct keys per task (spark.sql.objectHashAggregate.sortBased.
+  * fallbackThreshold), which would sort the corpus-sized pair stream —
+  * measured as an executor OOM at 1M entities. The udaf form below
+  * remains correct (and map-side-combining) for modest group counts.
   *
   * Buffer layout: a sorted ascending interleaved array
   * [d0,l0, d1,l1, …] of at most k pairs. k is small (3-10), so O(k)

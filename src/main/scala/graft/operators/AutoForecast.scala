@@ -410,6 +410,68 @@ object AutoForecast {
     } finally cached.df.unpersist(blocking = false)
   }
 
+  /** Seeded draws over TreeBoost's (lags, rounds, bins, η) — the
+    * GBT arm of the adaptive search (FLAML samples num_leaves /
+    * learning_rate analogs per model family, automl.py:191-229).
+    * Same reproducible md5 stream idea as [[searchCandidates]], its
+    * own namespace so the two arms draw independently; the small
+    * grids bound each candidate's unrolled tree2 oracle chain. */
+  def searchCandidatesGbt(seed: Long, n: Int): Seq[(Int, Int, Int, Double)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until n).map { i =>
+      val h = md.digest(s"graft:gbt:$seed:$i".getBytes("UTF-8"))
+      def b(j: Int): Int = h(j) & 0xff
+      val lags = Seq(3, 5)(b(0) % 2)
+      val rounds = 2 + b(1) % 2
+      val bins = Seq(3, 4)(b(2) % 2)
+      val eta = Seq(0.3, 0.5, 1.0)(b(3) % 3)
+      (lags, rounds, bins, eta)
+    }
+  }
+
+  /** Successive-halving search over [[searchCandidatesGbt]] — the
+    * TreeBoost twin of [[autoSearchRegularized]]: stage 1 backtests
+    * every candidate on the most recent split only, the top half
+    * survive and pay the full nSplits plan, argmin with index
+    * tie-break wins and refits on all data. Stage-1's single split IS
+    * split nSplits−1 of the full plan (cutoff = testSize), which is
+    * what lets the oracle score one shared backtest chain per
+    * candidate. Returns (winner index, candidate, stage-2 score,
+    * fitted model). */
+  def autoSearchTreeBoost(p: Panel, timeCol: String, freq: String,
+                          seed: Long = 42L, nCandidates: Int = 6,
+                          testSize: Int = 5, nSplits: Int = 2,
+                          stepSize: Int = 5)
+      : (Int, (Int, Int, Int, Double), Double, TreeBoost.Model) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val cands = searchCandidatesGbt(seed, nCandidates)
+    val cached = p.copy(df = p.df.cache())
+    def score(c: (Int, Int, Int, Double), i: Int, splits: Int): Double = c match {
+      case (lags, rounds, bins, eta) =>
+        val bt = Conformal.backtest(cached, timeCol, testSize, splits, stepSize,
+          (tr, h) => TreeBoost.fit(tr, lags, freq, rounds, bins, eta)
+            .predict(tr, timeCol, h))
+        meanScore(backtestScore(bt, p.entity),
+          s"autoSearchGbt(candidate=$i, $c, splits=$splits)")
+    }
+    try {
+      val s1 = Await.result(Future.sequence(cands.zipWithIndex.map { case (c, i) =>
+        Future(i -> score(c, i, 1))
+      }), Duration.Inf)
+      val keep = math.max(1, nCandidates / 2)
+      val survivors = s1.sortBy { case (i, s) => (s, i) }.take(keep).map(_._1)
+      val s2 = Await.result(Future.sequence(survivors.map { i =>
+        Future(i -> score(cands(i), i, nSplits))
+      }), Duration.Inf)
+      val (winner, best) = s2.sortBy { case (i, s) => (s, i) }.head
+      val (lags, rounds, bins, eta) = cands(winner)
+      (winner, cands(winner), best,
+        TreeBoost.fit(cached, lags, freq, rounds, bins, eta))
+    } finally cached.df.unpersist(blocking = false)
+  }
+
   def autoGbt(p: Panel, timeCol: String, freq: String, lagGrid: Seq[Int],
               maxIter: Int = 5, maxDepth: Int = 3,
               testSize: Int = 10, nSplits: Int = 2, stepSize: Int = 5)

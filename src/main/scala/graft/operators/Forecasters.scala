@@ -128,19 +128,37 @@ object Forecasters {
       c = bh +: c.dropRight(1)
       (ah, bh)
     }
-    val preds = horizons.map { case (ah, bh) =>
-      ah.zipWithIndex.collect { case (w, i) if w != 0.0 => lit(w) * element_at(col("__state"), i + 1) }
-        .foldLeft(lit(bh): org.apache.spark.sql.Column)(_ + _)
-    }
-    // NOTE at fh × lags ≳ 1000 terms (M4 hourly: 48 × 24) the array
-    // projection's generated method tops Janino's 64 KB limit and that
-    // one stage falls back to interpreted — harmless, because state0
-    // is ONE ROW PER ENTITY (naming the horizons as separate columns
-    // doesn't help: CollapseProject re-inlines single-use aliases).
-    // What must NOT happen is this projection fusing into a downstream
-    // row-scale aggregate — consumers scoring at that size put a
-    // barrier after predict (see M4Accuracy).
-    state0.withColumn("__preds", array(preds: _*))
+    // Two physical forms of the same affine map:
+    //  - unrolled literal terms (zero weights skipped), fully
+    //    codegen'd — every oracle-gated shape (fh ≤ 3, lags ≤ 14)
+    //    stays on this bit-pinned path;
+    //  - past ~700 terms (M5: 28 × 64; M4 hourly: 48 × 24) the
+    //    unrolled projection's generated method topped Janino's 64 KB
+    //    limit and the stage fell back to interpreted WITH a logged
+    //    compile ERROR — worse, fused into the state0 aggregate it
+    //    dragged the whole hashAgg stage down with it. The compact
+    //    form carries A (flattened) and b as array literals and folds
+    //    with transform/aggregate higher-order functions — same
+    //    initial-b ascending-j association, evaluated per entity row
+    //    (this frame is ONE ROW PER ENTITY, so the HOF's interpreted
+    //    evaluation is free and nothing row-scale ever sees it).
+    val predsCol: org.apache.spark.sql.Column =
+      if (fh.toLong * lags <= 700) {
+        val preds = horizons.map { case (ah, bh) =>
+          ah.zipWithIndex.collect { case (w, i) if w != 0.0 => lit(w) * element_at(col("__state"), i + 1) }
+            .foldLeft(lit(bh): org.apache.spark.sql.Column)(_ + _)
+        }
+        array(preds: _*)
+      } else {
+        val aFlat = typedLit(horizons.flatMap(_._1.toSeq))
+        val bArr = typedLit(horizons.map(_._2))
+        transform(sequence(lit(1), lit(fh)), h =>
+          aggregate(sequence(lit(1), lit(lags)), element_at(bArr, h),
+            (acc, j) => acc +
+              element_at(aFlat, (h - lit(1)) * lit(lags) + j) *
+                element_at(col("__state"), j)))
+      }
+    state0.withColumn("__preds", predsCol)
       .withColumn("__h", explode(sequence(lit(1), lit(fh))))
       .withColumn(p.value, element_at(col("__preds"), col("__h").cast("int")))
       .withColumn(timeCol, futureTime(freq))

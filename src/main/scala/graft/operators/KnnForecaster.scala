@@ -409,10 +409,10 @@ object KnnForecaster {
     * ever touches the driver is the nCells × lags centroid sample),
     * (b) joins states to the cell-partitioned corpus (only the
     * entity-sized state side shuffles), (c) reduces the streamed
-    * (corpus-row × query) pairs through the map-side-combining
-    * [[graft.functions.TopKAvgAgg]] — pairs never hit a shuffle, only
-    * O(partitions × entities) bounded k-buffers do — and (d) shifts
-    * the state with the step's prediction. Per-step frames are
+    * (corpus-row × query) pairs in-partition through bounded
+    * [[graft.functions.TopKAvgAgg]] k-buffers — pairs never hit a
+    * shuffle, only O(partitions × entities × k) candidate rows do —
+    * and (d) shifts the state with the step's prediction. Per-step frames are
     * eagerly localCheckpoint-ed (entity-sized) and the previous step's
     * state is released, so driver AND executor memory stay flat in fh.
     * Semantics are bit-identical to the exact roll restricted to the
@@ -479,7 +479,15 @@ object KnnForecaster {
       val dExpr = (1 to lags).map { l =>
         val t = col(s"__f$l") - element_at(col("__state"), l); t * t
       }.reduce(_ + _)
-      val topkAvg = graft.functions.TopKAvg(k)
+      // bounded-pair maintenance shared with the aggregate form; used
+      // imperatively here because a groupBy-udaf over the pair stream
+      // trips ObjectHashAggregate's sort-based fallback past 128 keys
+      // per task — which SORTS the corpus-sized pair stream (measured:
+      // OOM at 1M entities × 5M corpus rows under an 8g heap)
+      val topk = new graft.functions.TopKAvgAgg(k)
+      val partialSchema = StructType(Seq(
+        StructField("__qid", LongType), StructField("__dist", DoubleType),
+        StructField("__label", DoubleType)))
       var states = base.select(col("__qid"), col("__state"))
       val stepPreds = (1 to fh).map { h =>
         val q = states.withColumn("__cell", assignCellUdf(col("__state")))
@@ -487,9 +495,34 @@ object KnnForecaster {
         // reuses its cached partitioning. shuffle_hash keeps Spark
         // from broadcasting an entity-scale build side through the
         // driver — the exact anti-pattern this path exists to avoid.
-        val sp = corpus.join(q.hint("shuffle_hash"), Seq("__cell"))
+        val joined = corpus.join(q.hint("shuffle_hash"), Seq("__cell"))
           .select(col("__qid"), dExpr.as("__d"), col("__label"))
-          .groupBy("__qid").agg(topkAvg(col("__d"), col("__label")).as("__p"))
+        // per-partition bounded k-buffers per query (memory ∝ queries
+        // in the partition, never pairs), then the exact path's tiny
+        // rank-merge: ≤ partitions-touched × queries × k rows. A qid's
+        // pairs normally live in one partition (cell co-location), but
+        // the merge stays correct even if AQE ever splits a skewed one.
+        val partialRdd = joined.rdd.mapPartitions { it =>
+          val acc = new java.util.HashMap[java.lang.Long, Array[Double]]()
+          it.foreach { row =>
+            val qid = java.lang.Long.valueOf(row.getLong(0))
+            val b = acc.get(qid)
+            acc.put(qid, topk.reduce(
+              if (b == null) Array.emptyDoubleArray else b,
+              (row.getDouble(1), row.getDouble(2))))
+          }
+          import scala.jdk.CollectionConverters._
+          acc.entrySet().iterator().asScala.flatMap { e =>
+            val b = e.getValue
+            (0 until b.length / 2).iterator.map(j =>
+              Row(e.getKey.longValue(), b(2 * j), b(2 * j + 1)))
+          }
+        }
+        val sp = spark.createDataFrame(partialRdd, partialSchema)
+          .withColumn("__nn", row_number().over(
+            Window.partitionBy("__qid").orderBy(col("__dist"), col("__label"))))
+          .filter(col("__nn") <= k)
+          .groupBy("__qid").agg(avg(col("__label")).as("__p"))
           .localCheckpoint(true)
         val next = states.join(sp, "__qid")
           .select(col("__qid"),

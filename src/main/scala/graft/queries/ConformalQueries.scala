@@ -174,6 +174,107 @@ object ConformalQueries {
         r6(Conformal.conformalize(yPred, bt, yResid, Seq("user_id"), "ts", "value", "residual"))
     },
 
+    // conformalize composed over the ELITE forecaster — the
+    // reference's forecaster.conformalize works with ANY forecaster
+    // (base/forecaster.py:327-361); this exercises the composition the
+    // linear-path c_conformalize cannot: a NESTED CV (an EliteDeep fit
+    // per outer backtest split, each with its own inner member
+    // backtests on the outer train prefix — the offset= cutoff shift),
+    // residuals = actual − elite pred over both outer splits, ENBPI
+    // bands 10/90 over the union of final elite predictions and
+    // backtest predictions. Zoo = {naive, linear_7}, topK=1 mean:
+    // per-entity winner-takes-all, every stage SQL-replicable.
+    "c_conformalize_elite" -> Q({
+      // outer member predictions at outer cutoffs {10, 5} — ALSO the
+      // final elite's inner backtest (same cutoffs on full data)
+      val outer = Seq(
+        OlsBacktestSql.backtestLinear("ol", 7, testSize = 5, nSplits = 2,
+          stepSize = 5),
+        OlsBacktestSql.backtestNaive("onv", 1, testSize = 5, nSplits = 2,
+          stepSize = 5))
+      // inner backtests per outer split: cutoffs shifted by the outer
+      // train prefix (split 0 → offset 10, split 1 → offset 5)
+      val inner = Seq(0 -> 10, 1 -> 5).flatMap { case (i, off) =>
+        Seq(
+          OlsBacktestSql.backtestLinear(s"il$i", 7, testSize = 5, nSplits = 2,
+            stepSize = 5, offset = off),
+          OlsBacktestSql.backtestNaive(s"inv$i", 1, testSize = 5, nSplits = 2,
+            stepSize = 5, offset = off))
+      }
+      val scores = Seq("ol", "onv", "il0", "inv0", "il1", "inv1")
+        .map(OlsBacktestSql.entityScore)
+      // per-entity winner (topK=1, smape asc nulls last, model name
+      // tie-break) — one per outer split + one for the final fit
+      def winner(w: String, lin: String, nv: String) =
+        s"""${w}src AS (SELECT user_id, smape, 'linear_7' AS model FROM sc_$lin
+              UNION ALL SELECT user_id, smape, 'naive' FROM sc_$nv),
+            $w AS (SELECT user_id, model FROM (
+                SELECT user_id, model, row_number() OVER (PARTITION BY user_id
+                  ORDER BY smape ASC NULLS LAST, model) AS rk
+                FROM ${w}src) WHERE rk = 1)"""
+      // outer elite backtest rows with the ACTUAL row's timestamp
+      def eliteBt(i: Int, cutoff: Int) =
+        s"""eb$i AS (
+              SELECT a.user_id, a.ts, a.value AS actual,
+                     CASE WHEN w$i.model = 'linear_7' THEN l.pred ELSE n.pred END AS pred
+              FROM lagd a
+              JOIN (SELECT * FROM bt_ol WHERE split = $i) l
+                ON a.user_id = l.user_id AND l.h = a.rn - (a.cnt - $cutoff)
+              JOIN (SELECT * FROM bt_onv WHERE split = $i) n
+                ON a.user_id = n.user_id AND n.h = a.rn - (a.cnt - $cutoff)
+              JOIN w$i ON a.user_id = w$i.user_id
+              WHERE a.rn > a.cnt - $cutoff AND a.rn <= a.cnt - $cutoff + 5)"""
+      s"""WITH ${OlsBacktestSql.lagdCte(7)},
+          ${outer.mkString(", ")},
+          ${inner.mkString(", ")},
+          ${scores.mkString(", ")},
+          ${winner("w0", "il0", "inv0")},
+          ${winner("w1", "il1", "inv1")},
+          ${winner("wf", "ol", "onv")},
+          ${eliteBt(0, 10)},
+          ${eliteBt(1, 5)},
+          eball AS (SELECT * FROM eb0 UNION ALL SELECT * FROM eb1),
+          ${OlsBacktestSql.fullLinear("fel", 7, fh = 3)},
+          state AS (SELECT user_id, arg_max(value, ts) AS lastv, max(ts) AS cutoff
+                    FROM events GROUP BY user_id),
+          fpred AS (
+            SELECT s.user_id, CAST(s.cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                   CASE WHEN wf.model = 'linear_7'
+                        THEN (CASE h WHEN 1 THEN f.p1 WHEN 2 THEN f.p2 ELSE f.p3 END)
+                        ELSE s.lastv END AS value
+            FROM state s JOIN wf ON s.user_id = wf.user_id
+            LEFT JOIN fp_fel f ON s.user_id = f.user_id
+            CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)),
+          r AS (SELECT user_id, actual - pred AS r FROM eball),
+          sc AS (SELECT user_id,
+                   list_sort(list(r))[CAST(round(0.1 * (count(*) - 1)) AS BIGINT) + 1] AS score,
+                   10 AS quantile
+                 FROM r WHERE r IS NOT NULL GROUP BY user_id
+                 UNION ALL
+                 SELECT user_id,
+                   list_sort(list(r))[CAST(round(0.9 * (count(*) - 1)) AS BIGINT) + 1] AS score,
+                   90 AS quantile
+                 FROM r WHERE r IS NOT NULL GROUP BY user_id),
+          preds AS (SELECT user_id, ts, value FROM fpred
+                    UNION ALL SELECT user_id, ts, pred AS value FROM eball)
+          SELECT p.user_id, p.ts, round(p.value + sc.score, 6) AS value,
+                 CAST(sc.quantile AS INT) AS quantile
+          FROM preds p LEFT JOIN sc ON p.user_id = sc.user_id"""
+    }) { (s, dir) =>
+      val p = Panel.events(s, dir)
+      val models = Seq("naive", "linear_7")
+      def eliteFit(tr: Panel, h: Int) =
+        EliteDeep.run(tr, "ts", "1d", fh = h, topK = 1, strategy = "mean",
+          testSize = 5, nSplits = 2, stepSize = 5, models = models)
+      val bt = Conformal.backtest(p, "ts", testSize = 5, nSplits = 2,
+        stepSize = 5, eliteFit _).localCheckpoint(true)
+      val yPred = eliteFit(p, 3)
+      val yResid = bt.withColumn("residual", col("actual") - col("pred"))
+      val btPreds = bt.select(col("user_id"), col("ts"), col("pred").as("value"))
+      r6(Conformal.conformalize(yPred, btPreds, yResid, Seq("user_id"), "ts",
+        "value", "residual"))
+    },
+
     // ----- invert round-trips: transform → invert == identity, so the
     // oracle is simply the original column (the strongest driver-gate
     // form of the reference's round-trip tests, test_preprocessing.py)
@@ -653,6 +754,79 @@ object ConformalQueries {
         .withColumn("chosen_lags", lit(lags).cast("long"))
         .withColumn("chosen_alpha", lit(alpha))
         .withColumn("chosen_l1", lit(l1)))
+    },
+
+    // ADAPTIVE search, GBT arm (automl.py:191-229 — FLAML's per-model
+    // spaces sample num_leaves/learning_rate analogs, here TreeBoost's
+    // (lags, rounds, bins, eta)): 6 seeded candidates, successive
+    // halving exactly as fc_auto_search — stage 1 scores every
+    // candidate on the most recent split only, the top 3 survive the
+    // full 2-split plan, argmin with index tie-break wins and refits
+    // on all data. Every candidate's backtest and full fit are
+    // complete step-exact tree2 chains (two conditional-agg passes +
+    // three argmax picks per round, recursive multi-horizon predict).
+    "fc_auto_search_gbt" -> Q({
+      val cands = AutoForecast.searchCandidatesGbt(42L, 6)
+      val bts = cands.zipWithIndex.map { case ((l, r, b, e), i) =>
+        OlsBacktestSql.backtestTree2(s"asg$i", l, testSize = 5, nSplits = 2,
+          stepSize = 5, rounds = r, bins = b, eta = e)
+      }
+      val fulls = cands.zipWithIndex.map { case ((l, r, b, e), i) =>
+        OlsBacktestSql.fullTree2(s"asgf$i", l, fh = 3, rounds = r, bins = b,
+          eta = e)
+      }
+      val sAB = cands.indices.flatMap { i =>
+        Seq(
+          s"""sga_$i AS (SELECT avg(smape) AS s FROM (
+                SELECT user_id, sum(abs(pred - actual)) / sum(pred + actual) AS smape
+                FROM bt_asg$i WHERE split = 1 GROUP BY user_id))""",
+          s"""sgb_$i AS (SELECT avg(smape) AS s FROM (
+                SELECT user_id, sum(abs(pred - actual)) / sum(pred + actual) AS smape
+                FROM bt_asg$i GROUP BY user_id))""")
+      }
+      val scoreRows = cands.indices.map(i =>
+        s"SELECT $i AS i, sga_$i.s AS s1, sgb_$i.s AS s2 FROM sga_$i CROSS JOIN sgb_$i")
+        .mkString(" UNION ALL ")
+      val predRows = cands.indices.map(i =>
+        s"SELECT user_id, cutoff, $i AS i, p1, p2, p3 FROM fp_asgf$i")
+        .mkString(" UNION ALL ")
+      val chosenMeta = Seq(
+        ("chosen_lags", cands.map(_._1.toString), "BIGINT"),
+        ("chosen_rounds", cands.map(_._2.toString), "BIGINT"),
+        ("chosen_bins", cands.map(_._3.toString), "BIGINT"),
+        ("chosen_eta", cands.map(_._4.toString), "DOUBLE")).map {
+        case (name, vals, typ) =>
+          val cases = vals.zipWithIndex
+            .map { case (v, i) => s"WHEN $i THEN $v" }.mkString(" ")
+          s"CAST(CASE chosen $cases END AS $typ) AS $name"
+      }
+      s"""WITH ${OlsBacktestSql.lagdCte(7)},
+          ${bts.mkString(", ")},
+          ${sAB.mkString(", ")},
+          gscores AS ($scoreRows),
+          gsurv AS (SELECT i, s2 FROM (
+              SELECT i, s2, row_number() OVER (ORDER BY s1 ASC NULLS LAST, i) AS r1
+              FROM gscores) WHERE r1 <= 3),
+          gpick AS (SELECT i AS chosen FROM (
+              SELECT i, row_number() OVER (ORDER BY s2 ASC NULLS LAST, i) AS r2
+              FROM gsurv) WHERE r2 = 1),
+          ${fulls.mkString(", ")},
+          gapreds AS ($predRows)
+          SELECT p.user_id, CAST(p.cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                 round(CASE h WHEN 1 THEN p.p1 WHEN 2 THEN p.p2 ELSE p.p3 END, 6) AS value,
+                 ${chosenMeta.mkString(", ")}
+          FROM gapreds p JOIN gpick ON p.i = gpick.chosen
+          CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)"""
+    }) { (s, dir) =>
+      val p = ev(s, dir)
+      val (_, (lags, rounds, bins, eta), _, model) = AutoForecast.autoSearchTreeBoost(
+        p, "ts", "1d", seed = 42L, nCandidates = 6, testSize = 5, nSplits = 2,
+        stepSize = 5)
+      r6(model.predict(p, "ts", fh = 3)
+        .withColumn("chosen_lags", lit(lags).cast("long"))
+        .withColumn("chosen_rounds", lit(rounds).cast("long"))
+        .withColumn("chosen_bins", lit(bins).cast("long"))
+        .withColumn("chosen_eta", lit(eta)))
     },
 
     // auto_lasso (automl.py:64-96): lag sweep where every CV-split fit

@@ -55,10 +55,14 @@ object OlsBacktestSql {
   /** CTEs for one expanding-window linear backtest candidate: pooled
     * per-split OLS on the row-prefix (rn ≤ cnt − cutoff), recursive
     * predictions for h = 1..testSize, inner-joined to actuals.
-    * Emits `bt_<tag>` with (user_id, h, split, actual, pred). */
+    * Emits `bt_<tag>` with (user_id, h, split, actual, pred).
+    * `offset` shifts every cutoff: the backtest runs on the row-prefix
+    * cnt − offset instead of the full series — the inner backtest a
+    * NESTED CV (an elite fit per outer split) performs on an outer
+    * train slice. */
   def backtestLinear(tag: String, lags: Int, testSize: Int, nSplits: Int,
                      stepSize: Int, ridge: Double = 0.0,
-                     drift: Boolean = true): String = {
+                     drift: Boolean = true, offset: Int = 0): String = {
     // drift=false: no intercept regressor — every coefficient is
     // penalized (sklearn fit_intercept=False), d = lags
     val xs = if (drift) "1.0" +: (1 to lags).map(j => s"f$j")
@@ -66,7 +70,7 @@ object OlsBacktestSql {
     val d = xs.length
     val pfrom = if (drift) 1 else 0
     val splits = (0 until nSplits).map { i =>
-      val cutoff = testSize + (nSplits - 1 - i) * stepSize
+      val cutoff = offset + testSize + (nSplits - 1 - i) * stepSize
       val t = s"${tag}_s$i"
       val predCases = (1 to testSize)
         .map(h => s"WHEN $h THEN p.p$h").mkString(" ")
@@ -92,9 +96,9 @@ object OlsBacktestSql {
     * h's prediction is the train-slice value at position
     * trainEnd − sp + ((h−1) mod sp) + 1. Emits `bt_<tag>`. */
   def backtestNaive(tag: String, sp: Int, testSize: Int, nSplits: Int,
-                    stepSize: Int): String = {
+                    stepSize: Int, offset: Int = 0): String = {
     val splits = (0 until nSplits).map { i =>
-      val cutoff = testSize + (nSplits - 1 - i) * stepSize
+      val cutoff = offset + testSize + (nSplits - 1 - i) * stepSize
       s"""${tag}_s${i}_bt AS (
             SELECT a.user_id, a.rn - (a.cnt - $cutoff) AS h, $i AS split,
                    a.value AS actual, pr.value AS pred

@@ -178,6 +178,38 @@ class ConformalSpec extends SparkSpec {
     out.foreach(r => assert(!r.getAs[Double]("value").isNaN))
   }
 
+  test("conformalize over the elite forecaster: bands exist and never cross") {
+    // the reference's forecaster.conformalize composes with ANY
+    // forecaster (base/forecaster.py:327-361; accuracy analog
+    // test_forecasting.py:280-337) — here over EliteDeep with the
+    // {naive, linear_7} zoo, asserting the ENBPI quantile bands are
+    // non-crossing per (entity, time): q90 ≥ q10 always, because both
+    // index the same sorted residual list
+    import graft.operators.{Conformal, EliteDeep}
+    val p = panel(Seq.tabulate(40)(i => 50.0 + i * 2.0 + (i % 3)),
+      Seq.tabulate(40)(i => 80.0 - i * 0.5))
+    def eliteFit(tr: graft.core.Panel, h: Int) =
+      EliteDeep.run(tr, "t", "1i", fh = h, topK = 1, strategy = "mean",
+        testSize = 4, nSplits = 2, stepSize = 4, sp = 3,
+        models = Seq("naive", "linear_7"))
+    val bt = Conformal.backtest(p, "t", testSize = 4, nSplits = 2, stepSize = 4,
+      eliteFit _).localCheckpoint(true)
+    val yPred = eliteFit(p, 3)
+    val yResid = bt.withColumn("residual", col("actual") - col("pred"))
+    val btPreds = bt.select(col("entity"), col("t"), col("pred").as("value"))
+    val out = Conformal.conformalize(yPred, btPreds, yResid, Seq("entity"), "t",
+      "value", "residual").collect()
+    // (3 final + 8 backtest) preds × 2 bands × 2 entities
+    assert(out.length == 44, s"got ${out.length}")
+    val byKey = out.groupBy(r => (r.getInt(0), r.get(1)))
+    byKey.foreach { case (k, rows) =>
+      assert(rows.length == 2, s"$k: ${rows.length} bands")
+      val lo = rows.find(_.getAs[Int]("quantile") == 10).get.getAs[Double]("value")
+      val hi = rows.find(_.getAs[Int]("quantile") == 90).get.getAs[Double]("value")
+      assert(hi >= lo, s"$k: band 90 ($hi) crosses band 10 ($lo)")
+    }
+  }
+
   test("direct linear strategy recovers per-horizon AR powers") {
     // x_t = 0.8·x_{t-1} exactly → horizon-h direct weight ≈ 0.8^h
     val signal = Iterator.iterate(100.0)(_ * 0.8).take(40).toSeq
