@@ -47,10 +47,15 @@ object EliteM4 {
     val usable0 =
       if (sp > 2) models else models.filterNot(_.contains("fourier"))
     // caller-depth members ride along explicitly (run()'s automatic
-    // extension only fires when the selection is left at allModels)
+    // extension only fires when the selection is left at allModels);
+    // a base selection that excludes knn members (the "linear" mode's
+    // entity-scale guard) keeps the deep knn member out too
     val usable =
-      if (deepLags > 0) usable0 ++ EliteDeep.deepModels(deepLags, sp)
-      else usable0
+      if (deepLags > 0) {
+        val deep = EliteDeep.deepModels(deepLags, sp)
+        usable0 ++ (if (usable0.exists(_.startsWith("knn"))) deep
+                    else deep.filterNot(_.startsWith("knn")))
+      } else usable0
     val dataDir = sys.env.getOrElse("M4_DATA_DIR", "/root/reference/data")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
