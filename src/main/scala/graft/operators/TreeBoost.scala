@@ -46,7 +46,8 @@ object TreeBoost {
                          fl: Int, tl: Double, vll: Double, vlr: Double,
                          fr: Int, tr: Double, vrl: Double, vrr: Double)
 
-  final case class Model(b0: Double, trees: Seq[Tree2], lags: Int, freq: String) {
+  final case class Model(b0: Double, trees: Seq[Tree2], lags: Int, freq: String,
+                         objective: String = "l2") {
     def score(feats: Array[Double]): Double =
       // ((b0 + c1) + c2)… — the oracle's (b0 + c1 + c2 …) fold order
       trees.foldLeft(b0)((acc, t) =>
@@ -56,8 +57,15 @@ object TreeBoost {
           if (feats(t.fr - 1) <= t.tr) t.vrl else t.vrr
         }))
 
-    def predict(p: Panel, timeCol: String, fh: Int): DataFrame =
-      GbtForecaster.predictRecursiveModel(p, timeCol, fh, freq, lags, score)
+    def predict(p: Panel, timeCol: String, fh: Int): DataFrame = {
+      // log-link objectives score on the log scale and emit exp(F);
+      // the recursion then rolls the ORIGINAL-scale prediction into
+      // the lag state, exactly like the oracle's exp(p-expr) stages
+      val emit: Array[Double] => Double =
+        if (objective == "l2") score
+        else feats => math.exp(score(feats))
+      GbtForecaster.predictRecursiveModel(p, timeCol, fh, freq, lags, emit)
+    }
   }
 
   /** The tree's contribution as a Column — used for the residual of
@@ -81,8 +89,25 @@ object TreeBoost {
         when(f(t.fr) <= sd(t.tr), sd(t.vrl)).otherwise(sd(t.vrr)))
   }
 
+  /** `objective` — the label-constraint analogs of the reference's
+    * LightGBM objective options (lightgbm.py:103):
+    *  - "l2" (default): squared loss, residual y − F, F IS the
+    *    prediction;
+    *  - "poisson": log link — F is the log-scale score, pseudo-
+    *    residual y − exp(F) (the Poisson deviance gradient), base
+    *    score ln(ȳ), prediction exp(F);
+    *  - "gamma": log link — pseudo-residual y·exp(−F) − 1 (gamma
+    *    deviance gradient), base score ln(ȳ), prediction exp(F).
+    * Both log-link objectives keep the SAME deterministic histogram
+    * machinery (uniform-grid candidates over the original-scale lags,
+    * SSE-argmax on the pseudo-residuals, mean-leaf × η — a plain
+    * Friedman gradient step, unit-hessian, NOT LightGBM's Newton
+    * leaves), so the DuckDB oracle replicates them step-exact; they
+    * require a positive target mean (log link). */
   def fit(p: Panel, lags: Int, freq: String, rounds: Int = 5,
-          bins: Int = 8, eta: Double = 0.3): Model = {
+          bins: Int = 8, eta: Double = 0.3, objective: String = "l2"): Model = {
+    require(Set("l2", "poisson", "gamma")(objective),
+      s"tree-boost objective must be l2, poisson or gamma (got '$objective')")
     val reduction = Forecasters.makeReduction(p, lags)
     val featureCols = (1 to lags).map(l => s"${p.value}__lag_$l")
     val train0 = reduction.na.drop(featureCols :+ p.value)
@@ -120,7 +145,14 @@ object TreeBoost {
       // train0's cached blocks), after which train0 is safe to drop
       val sumY = train.agg(sum(col(p.value))).collect()(0).getDouble(0)
       if (train ne train0) train0.unpersist(blocking = false)
-      val b0 = sumY / nRows
+      val b0 = objective match {
+        case "l2" => sumY / nRows
+        case _ =>
+          require(sumY > 0,
+            s"$objective objective needs a positive target mean (log link); " +
+              s"sum(y) = $sumY")
+          math.log(sumY / nRows)
+      }
       // uniform-grid candidates: mn + k·(mx−mn)/bins, k = 1..bins−1 —
       // identical IEEE op order to the oracle's threshold expression
       val cands = for { i <- 1 to lags; k <- 1 until bins }
@@ -149,8 +181,13 @@ object TreeBoost {
       val featsArr = array(featureCols.map(col): _*)
       var trees = Vector.empty[Tree2]
       (1 to rounds).foreach { _ =>
-        val rExpr = col(p.value) - trees.foldLeft(sd(b0): Column)((acc, t) =>
+        val fExpr = trees.foldLeft(sd(b0): Column)((acc, t) =>
           acc + treeCol(t, featsArr))
+        val rExpr = objective match {
+          case "l2" => col(p.value) - fExpr
+          case "poisson" => col(p.value) - exp(fExpr)
+          case "gamma" => col(p.value) * exp(-fExpr) - lit(1.0)
+        }
         // Materialize the residual ONCE per round behind a cache
         // barrier. Passing the raw expression into the O(lags·bins)
         // conditional aggregates would duplicate the nested per-tree
@@ -221,7 +258,7 @@ object TreeBoost {
         trees :+= Tree2(rfi, rthr, lfi, lthr, vll, vlr, rfi2, rthr2, vrl, vrr)
         } finally rf.unpersist(blocking = false)
       }
-      Model(b0, trees, lags, freq)
+      Model(b0, trees, lags, freq, objective)
     } finally train.unpersist(blocking = false)
   }
 }

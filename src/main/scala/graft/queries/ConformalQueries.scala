@@ -656,6 +656,37 @@ object ConformalQueries {
         .predict(p, "ts", fh = 3))
     },
 
+    // label-constraint objectives (lightgbm.py:103's objective
+    // options): Poisson deviance gradient boosting with a log link —
+    // base score ln(ȳ), pseudo-residual y − exp(F), prediction
+    // exp(F) rolled into the recursion — same deterministic histogram
+    // machinery, every round and every exp stage replicated in SQL
+    "fc_gbt_poisson" -> Q(
+      s"""WITH ${OlsBacktestSql.lagdCte(7)},
+          ${OlsBacktestSql.fullTree2("gpo", 7, fh = 3, rounds = 3, bins = 4,
+             eta = 0.3, objective = "poisson")}
+          SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                 round(CASE h WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END, 6) AS value
+          FROM fp_gpo CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)""") { (s, dir) =>
+      val p = ev(s, dir)
+      r6(TreeBoost.fit(p, lags = 7, freq = "1d", rounds = 3, bins = 4,
+        eta = 0.3, objective = "poisson").predict(p, "ts", fh = 3))
+    },
+
+    // gamma deviance gradient (log link): pseudo-residual
+    // y·exp(−F) − 1 — the strictly-positive-target objective
+    "fc_gbt_gamma" -> Q(
+      s"""WITH ${OlsBacktestSql.lagdCte(7)},
+          ${OlsBacktestSql.fullTree2("gga", 7, fh = 3, rounds = 3, bins = 4,
+             eta = 0.3, objective = "gamma")}
+          SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                 round(CASE h WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END, 6) AS value
+          FROM fp_gga CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)""") { (s, dir) =>
+      val p = ev(s, dir)
+      r6(TreeBoost.fit(p, lags = 7, freq = "1d", rounds = 3, bins = 4,
+        eta = 0.3, objective = "gamma").predict(p, "ts", fh = 3))
+    },
+
     // auto_lightgbm's lag sweep (automl.py:191-229) over the
     // deterministic depth-2 boost: each candidate's expanding-window
     // backtest (full tree fit per prefix + 10-step recursion) scores a

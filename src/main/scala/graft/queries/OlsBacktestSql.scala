@@ -1067,7 +1067,11 @@ object OlsBacktestSql {
     * fit: "rn > lags" / "cnt"; backtest split: prefix filters). */
   private def tree2Core(t: String, lags: Int, horizons: Int, rounds: Int,
                         bins: Int, eta: Double, trainWhere: String,
-                        endRn: String): String = {
+                        endRn: String, objective: String = "l2"): String = {
+    // log-link objectives (TreeBoost poisson/gamma): base score ln(ȳ),
+    // pseudo-residual on exp(F), prediction exp(F) — the same three
+    // touch points the Scala fit switches on
+    val logLink = objective != "l2"
     val cands = (for { i <- 1 to lags; k <- 1 until bins } yield (i, k)).toIndexedSeq
     def thr(i: Int, k: Int) =
       s"(mn$i + $k * (mx$i - mn$i) / CAST($bins AS DOUBLE))"
@@ -1079,9 +1083,11 @@ object OlsBacktestSql {
              THEN (CASE WHEN ${featCase(s"fl_$j", xs)} <= tl_$j THEN vll_$j ELSE vlr_$j END)
              ELSE (CASE WHEN ${featCase(s"fr_$j", xs)} <= tr_$j THEN vrl_$j ELSE vrr_$j END) END"""
     val eSql = s"CAST($eta AS DOUBLE)"
+    val b0Sql =
+      if (logLink) "ln(sum(value) / count(*))" else "sum(value) / count(*)"
     val mm = s"""${t}_mm AS MATERIALIZED (SELECT ${(1 to lags)
       .map(i => s"min(f$i) AS mn$i, max(f$i) AS mx$i").mkString(", ")},
-          sum(value) / count(*) AS b0 FROM ${t}_red)"""
+          $b0Sql AS b0 FROM ${t}_red)"""
     val mmCarry = (1 to lags).map(i => s"min(mn$i) AS mn$i, min(mx$i) AS mx$i")
     // a child pick CTE: argmax gain over in-node candidate stats
     // (i, k, thr, sl, nl, sn, nn) from `src`, leaf values ×η
@@ -1102,8 +1108,13 @@ object OlsBacktestSql {
         .map(j => s" CROSS JOIN ${t}_b$j CROSS JOIN ${t}_bl$j CROSS JOIN ${t}_br$j")
         .mkString
       val fExpr = "b0" + (1 until m).map(j => treeTerm(j, i => s"f$i")).mkString
+      val rSql = objective match {
+        case "poisson" => s"value - exp($fExpr)"
+        case "gamma" => s"value * exp(-($fExpr)) - 1.0"
+        case _ => s"value - ($fExpr)"
+      }
       val rcte = s"""${t}_r$m AS MATERIALIZED (
-          SELECT *, value - ($fExpr) AS r
+          SELECT *, $rSql AS r
           FROM ${t}_red CROSS JOIN ${t}_mm$priorJoins)"""
       // pass A: root candidates
       val sumsA = cands.zipWithIndex.map { case ((i, k), ci) =>
@@ -1170,7 +1181,8 @@ object OlsBacktestSql {
       val src = if (h == 1) s"${t}_p0" else s"${t}_h${h - 1}"
       val pExpr = "b0" + (1 to rounds).map(j =>
         treeTerm(j, i => if (i < h) s"p${h - i}" else s"t${i - h + 1}")).mkString
-      s"""${t}_h$h AS MATERIALIZED (SELECT *, ($pExpr) AS p$h FROM $src)"""
+      val emit = if (logLink) s"exp($pExpr)" else s"($pExpr)"
+      s"""${t}_h$h AS MATERIALIZED (SELECT *, $emit AS p$h FROM $src)"""
     }
     s"""${t}_red AS MATERIALIZED (SELECT * FROM lagd WHERE $trainWhere),
         $mm,
@@ -1186,8 +1198,9 @@ object OlsBacktestSql {
     * ([[graft.operators.TreeBoost]]'s oracle). Emits `fp_<tag>` with
     * (user_id, cutoff, p1..p<fh>). */
   def fullTree2(tag: String, lags: Int, fh: Int, rounds: Int,
-                bins: Int, eta: Double): String =
-    s"""${tree2Core(tag, lags, fh, rounds, bins, eta, s"rn > $lags", "cnt")},
+                bins: Int, eta: Double, objective: String = "l2"): String =
+    s"""${tree2Core(tag, lags, fh, rounds, bins, eta, s"rn > $lags", "cnt",
+           objective)},
         fp_$tag AS (SELECT * FROM ${tag}_pred)"""
 
   /** CTEs for one expanding-window tree-boost backtest candidate:

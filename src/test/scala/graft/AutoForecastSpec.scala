@@ -142,6 +142,28 @@ class AutoForecastSpec extends SparkSpec {
     assert(e.getMessage.contains("no complete training rows"))
   }
 
+  test("tree boosting poisson/gamma objectives: log-link recursion recovers the level") {
+    // constant positive series: every deviance gradient vanishes at
+    // F = ln(ȳ), so both log-link objectives must predict the
+    // constant back through the exp recursion (lightgbm.py:103's
+    // objective options, re-derived as deterministic gradient steps)
+    val p = panel(Seq.fill(30)(12.0))
+    Seq("poisson", "gamma").foreach { obj =>
+      val out = TreeBoost.fit(p, lags = 3, freq = "1i", rounds = 3, bins = 4,
+        eta = 0.3, objective = obj).predict(p, "t", fh = 3).collect()
+      assert(out.length == 3, obj)
+      out.foreach(r => assertClose(r.getDouble(2), 12.0, 1e-9))
+    }
+    // log link needs a positive target mean — fail loud, not NaN
+    intercept[IllegalArgumentException] {
+      TreeBoost.fit(panel(Seq.fill(20)(-1.0)), lags = 2, freq = "1i",
+        objective = "poisson")
+    }
+    intercept[IllegalArgumentException] {
+      TreeBoost.fit(p, lags = 2, freq = "1i", objective = "tweedie")
+    }
+  }
+
   test("autoTreeBoost sweeps lags over the deterministic depth-2 boost") {
     val signal = (0 until 96).map(t => Seq(5.0, 40.0, 5.0, 75.0)(t % 4))
     val p = panel(signal)
