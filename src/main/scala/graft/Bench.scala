@@ -141,6 +141,22 @@ object Bench {
       graft.operators.AutoForecast.autoTreeBoost(ep, "ts", "1d",
         lagGrid = Seq(3, 7), rounds = 3, bins = 4, eta = 0.3, nSplits = 2)
         ._3.predict(ep, "ts", fh = 3).count()
+      // round-9 shapes: the adaptive search's candidate (lags, rounds)
+      // grid — StableConst makes generated classes depend only on
+      // (lags, chain length), so one tiny fit per distinct pair warms
+      // all 6 candidates — and the log-link objectives' exp residual /
+      // exp-recursion classes (fc_gbt_poisson / fc_gbt_gamma configs)
+      graft.operators.AutoForecast.searchCandidatesGbt(42L, 6)
+        .map { case (l, r, _, _) => (l, r) }.distinct
+        .foreach { case (l, r) =>
+          graft.operators.TreeBoost.fit(ep, lags = l, freq = "1d",
+            rounds = r, bins = 3, eta = 0.3).predict(ep, "ts", fh = 1).count()
+        }
+      Seq("poisson", "gamma").foreach { obj =>
+        graft.operators.TreeBoost.fit(ep, lags = 7, freq = "1d",
+          rounds = 3, bins = 4, eta = 0.3, objective = obj)
+          .predict(ep, "ts", fh = 3).count()
+      }
     } catch { case _: Throwable => () }
     // ...and the JDK image codec machinery (ImageIO plugin discovery +
     // per-format reader/writer init costs ~4 s on first use — measured
