@@ -208,6 +208,7 @@ object ModelIO {
     n.put("type", "tree_boost")
     putD(n, "b0", m.b0)
     n.put("lags", m.lags); n.put("freq", m.freq)
+    n.put("objective", m.objective)
     val ts = n.putArray("trees")
     m.trees.foreach { t =>
       val tn = ts.addObject()
@@ -229,7 +230,9 @@ object ModelIO {
         tn.get("fl").asInt(), getD(tn, "tl"), getD(tn, "vll"), getD(tn, "vlr"),
         tn.get("fr").asInt(), getD(tn, "tr"), getD(tn, "vrl"), getD(tn, "vrr"))
     }
-    TreeBoost.Model(getD(n, "b0"), trees, n.get("lags").asInt(), n.get("freq").asText())
+    TreeBoost.Model(getD(n, "b0"), trees, n.get("lags").asInt(), n.get("freq").asText(),
+      // models saved before the objective field existed are l2
+      if (n.has("objective")) n.get("objective").asText() else "l2")
   }
 
   // ----- MLlib GBT (native writer + sidecar meta) -----

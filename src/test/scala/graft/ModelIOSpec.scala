@@ -71,6 +71,19 @@ class ModelIOSpec extends SparkSpec {
     assert(rows(l.predict(p, "t", 3)) == rows(m.predict(p, "t", 3)))
   }
 
+  test("tree-boost log-link objective survives the round trip") {
+    // a poisson model reloaded as l2 would emit the raw log-scale
+    // score instead of exp(F) — the objective must persist
+    val p = panel(signal.map(v => math.abs(v) + 1.0))
+    val m = TreeBoost.fit(p, lags = 3, freq = "1i", rounds = 2, bins = 4,
+      objective = "poisson")
+    val path = tmp("tree_pois") + "/m.json"
+    ModelIO.save(m, path)
+    val l = ModelIO.loadTree(path)
+    assert(l.objective == "poisson")
+    assert(rows(l.predict(p, "t", 3)) == rows(m.predict(p, "t", 3)))
+  }
+
   test("MLlib GBT model round-trips via the native writer") {
     val p = panel(signal)
     val m = GbtForecaster.fit(p, lags = 3, freq = "1i", maxIter = 3, maxDepth = 2)
