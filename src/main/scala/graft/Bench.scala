@@ -141,16 +141,19 @@ object Bench {
       graft.operators.AutoForecast.autoTreeBoost(ep, "ts", "1d",
         lagGrid = Seq(3, 7), rounds = 3, bins = 4, eta = 0.3, nSplits = 2)
         ._3.predict(ep, "ts", fh = 3).count()
-      // round-9 shapes: the adaptive search's candidate (lags, rounds)
-      // grid — StableConst makes generated classes depend only on
-      // (lags, chain length), so one tiny fit per distinct pair warms
-      // all 6 candidates — and the log-link objectives' exp residual /
-      // exp-recursion classes (fc_gbt_poisson / fc_gbt_gamma configs)
+      // round-9 shapes: the adaptive search's candidate grid — the
+      // pass-A/B aggregate classes have 2·lags·(bins−1)+2 and
+      // 4·lags·(bins−1) expressions, so the generated source depends
+      // on (lags, rounds, BINS); StableConst only erases the fitted
+      // values (thresholds/leaves), not the candidate count. One tiny
+      // fit per distinct triple warms all 6 candidates — plus the
+      // log-link objectives' exp residual / exp-recursion classes
+      // (fc_gbt_poisson / fc_gbt_gamma configs)
       graft.operators.AutoForecast.searchCandidatesGbt(42L, 6)
-        .map { case (l, r, _, _) => (l, r) }.distinct
-        .foreach { case (l, r) =>
+        .map { case (l, r, b, _) => (l, r, b) }.distinct
+        .foreach { case (l, r, b) =>
           graft.operators.TreeBoost.fit(ep, lags = l, freq = "1d",
-            rounds = r, bins = 3, eta = 0.3).predict(ep, "ts", fh = 1).count()
+            rounds = r, bins = b, eta = 0.3).predict(ep, "ts", fh = 1).count()
         }
       Seq("poisson", "gamma").foreach { obj =>
         graft.operators.TreeBoost.fit(ep, lags = 7, freq = "1d",

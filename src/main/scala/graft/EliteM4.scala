@@ -48,13 +48,18 @@ object EliteM4 {
       if (sp > 2) models else models.filterNot(_.contains("fourier"))
     // caller-depth members ride along explicitly (run()'s automatic
     // extension only fires when the selection is left at allModels);
-    // a base selection that excludes knn members (the "linear" mode's
-    // entity-scale guard) keeps the deep knn member out too
+    // the family-mode filters apply to the deep members too — "linear"
+    // keeps its entity-scale guard (no deep knn), "knn" stays a
+    // knn-family benchmark (no deep linear members diluting the rank)
     val usable =
       if (deepLags > 0) {
-        val deep = EliteDeep.deepModels(deepLags, sp)
-        usable0 ++ (if (usable0.exists(_.startsWith("knn"))) deep
-                    else deep.filterNot(_.startsWith("knn")))
+        val deepAll = EliteDeep.deepModels(deepLags, sp)
+        val deep = (if (args.length > 2) args(2) else "all") match {
+          case "linear" => deepAll.filterNot(_.startsWith("knn"))
+          case "knn" => deepAll.filter(_.startsWith("knn"))
+          case _ => deepAll
+        }
+        usable0 ++ deep
       } else usable0
     val dataDir = sys.env.getOrElse("M4_DATA_DIR", "/root/reference/data")
     val spark = SparkSession.builder()

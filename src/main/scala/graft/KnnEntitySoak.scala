@@ -62,7 +62,7 @@ object KnnEntitySoak {
     // heap stays flat in fh. local[32] shares one JVM between driver
     // and executors, so the peak below is the whole pipeline's working
     // set, an upper bound on any driver share.
-    if (args.contains("--recursive")) {
+    if (args.contains("--recursive") || args.contains("--recursive-only")) {
       val e = 1000000; val len = 12; val fh = 3; val cells = 3162
       val p = mkPanel(e, len)
       p.df.cache().count()

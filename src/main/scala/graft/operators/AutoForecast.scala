@@ -360,24 +360,42 @@ object AutoForecast {
     }
   }
 
+  /** The shared successive-halving protocol (both adaptive-search
+    * arms): stage 1 scores EVERY candidate on the cheapest window
+    * (splits = 1 — which IS split nSplits−1 of the full plan, cutoff =
+    * testSize, what lets the oracle score one shared backtest chain
+    * per candidate), the top half survive, survivors pay the full
+    * nSplits plan, argmin with index tie-break. Both stages overlap
+    * their candidates as concurrent jobs. The sort keys (score asc —
+    * NaN last in Scala's Double ordering — then index) are replayed by
+    * the oracles' `ORDER BY s ASC NULLS LAST, i` rank CTEs; a change
+    * here changes BOTH arms and both oracles. Returns
+    * (winner index, stage-2 score). */
+  private def successiveHalving[C](cands: Seq[C], nSplits: Int)
+                                  (score: (C, Int, Int) => Double): (Int, Double) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val s1 = Await.result(Future.sequence(cands.zipWithIndex.map { case (c, i) =>
+      Future(i -> score(c, i, 1))
+    }), Duration.Inf)
+    val keep = math.max(1, cands.length / 2)
+    val survivors = s1.sortBy { case (i, s) => (s, i) }.take(keep).map(_._1)
+    val s2 = Await.result(Future.sequence(survivors.map { i =>
+      Future(i -> score(cands(i), i, nSplits))
+    }), Duration.Inf)
+    s2.sortBy { case (i, s) => (s, i) }.head
+  }
+
   /** Successive-halving search over [[searchCandidates]] — adaptive
-    * in the FLAML sense: stage 1 backtests EVERY candidate on the
-    * cheapest window (the most recent split only), the top half
-    * survive, and only survivors pay the full nSplits backtest;
-    * argmin with index tie-break picks the winner, refit on all data.
-    * Stage-1's single split IS split nSplits−1 of the full plan
-    * (cutoff = testSize), so the oracle scores one shared 2-split
-    * backtest chain per candidate and replays both pruning rounds as
-    * rank CTEs. Returns (winner index, candidate, stage-2 score,
-    * fitted model). */
+    * in the FLAML sense; the protocol is [[successiveHalving]], the
+    * winner refits on all data. Returns (winner index, candidate,
+    * stage-2 score, fitted model). */
   def autoSearchRegularized(p: Panel, timeCol: String, freq: String,
                             seed: Long = 42L, nCandidates: Int = 4,
                             testSize: Int = 5, nSplits: Int = 2,
                             stepSize: Int = 5, cdSweeps: Int = 6)
       : (Int, (Int, Double, Double), Double, LinearForecasterModel) = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
     val cands = searchCandidates(seed, nCandidates)
     val cached = p.copy(df = p.df.cache())
     def bt(c: (Int, Double, Double), splits: Int): DataFrame = c match {
@@ -389,21 +407,11 @@ object AutoForecast {
           (tr, h) => LinearForecaster.fit(tr, lags, freq, alpha, l1, cdSweeps)
             .predict(tr, timeCol, h))
     }
-    def score(c: (Int, Double, Double), i: Int, splits: Int): Double =
-      meanScore(backtestScore(bt(c, splits), p.entity),
-        s"autoSearch(candidate=$i, $c, splits=$splits)")
     try {
-      // stage 1: every candidate on the most recent window only
-      val s1 = Await.result(Future.sequence(cands.zipWithIndex.map { case (c, i) =>
-        Future(i -> score(c, i, 1))
-      }), Duration.Inf)
-      val keep = math.max(1, nCandidates / 2)
-      val survivors = s1.sortBy { case (i, s) => (s, i) }.take(keep).map(_._1)
-      // stage 2: survivors pay the full plan
-      val s2 = Await.result(Future.sequence(survivors.map { i =>
-        Future(i -> score(cands(i), i, nSplits))
-      }), Duration.Inf)
-      val (winner, best) = s2.sortBy { case (i, s) => (s, i) }.head
+      val (winner, best) = successiveHalving(cands, nSplits) { (c, i, splits) =>
+        meanScore(backtestScore(bt(c, splits), p.entity),
+          s"autoSearch(candidate=$i, $c, splits=$splits)")
+      }
       val (lags, alpha, l1) = cands(winner)
       (winner, cands(winner), best,
         LinearForecaster.fit(cached, lags, freq, alpha, l1, cdSweeps))
@@ -430,42 +438,25 @@ object AutoForecast {
   }
 
   /** Successive-halving search over [[searchCandidatesGbt]] — the
-    * TreeBoost twin of [[autoSearchRegularized]]: stage 1 backtests
-    * every candidate on the most recent split only, the top half
-    * survive and pay the full nSplits plan, argmin with index
-    * tie-break wins and refits on all data. Stage-1's single split IS
-    * split nSplits−1 of the full plan (cutoff = testSize), which is
-    * what lets the oracle score one shared backtest chain per
-    * candidate. Returns (winner index, candidate, stage-2 score,
-    * fitted model). */
+    * TreeBoost twin of [[autoSearchRegularized]] on the same
+    * [[successiveHalving]] protocol, refit on all data. Returns
+    * (winner index, candidate, stage-2 score, fitted model). */
   def autoSearchTreeBoost(p: Panel, timeCol: String, freq: String,
                           seed: Long = 42L, nCandidates: Int = 6,
                           testSize: Int = 5, nSplits: Int = 2,
                           stepSize: Int = 5)
       : (Int, (Int, Int, Int, Double), Double, TreeBoost.Model) = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
     val cands = searchCandidatesGbt(seed, nCandidates)
     val cached = p.copy(df = p.df.cache())
-    def score(c: (Int, Int, Int, Double), i: Int, splits: Int): Double = c match {
-      case (lags, rounds, bins, eta) =>
-        val bt = Conformal.backtest(cached, timeCol, testSize, splits, stepSize,
-          (tr, h) => TreeBoost.fit(tr, lags, freq, rounds, bins, eta)
-            .predict(tr, timeCol, h))
-        meanScore(backtestScore(bt, p.entity),
-          s"autoSearchGbt(candidate=$i, $c, splits=$splits)")
-    }
     try {
-      val s1 = Await.result(Future.sequence(cands.zipWithIndex.map { case (c, i) =>
-        Future(i -> score(c, i, 1))
-      }), Duration.Inf)
-      val keep = math.max(1, nCandidates / 2)
-      val survivors = s1.sortBy { case (i, s) => (s, i) }.take(keep).map(_._1)
-      val s2 = Await.result(Future.sequence(survivors.map { i =>
-        Future(i -> score(cands(i), i, nSplits))
-      }), Duration.Inf)
-      val (winner, best) = s2.sortBy { case (i, s) => (s, i) }.head
+      val (winner, best) = successiveHalving(cands, nSplits) {
+        case ((lags, rounds, bins, eta), i, splits) =>
+          val bt = Conformal.backtest(cached, timeCol, testSize, splits, stepSize,
+            (tr, h) => TreeBoost.fit(tr, lags, freq, rounds, bins, eta)
+              .predict(tr, timeCol, h))
+          meanScore(backtestScore(bt, p.entity),
+            s"autoSearchGbt(candidate=$i, (${(lags, rounds, bins, eta)}), splits=$splits)")
+      }
       val (lags, rounds, bins, eta) = cands(winner)
       (winner, cands(winner), best,
         TreeBoost.fit(cached, lags, freq, rounds, bins, eta))

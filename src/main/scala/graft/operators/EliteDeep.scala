@@ -503,8 +503,10 @@ object EliteDeep {
   /** Free the block-manager storage behind a localCheckpoint'ed frame
     * (Dataset.unpersist only clears CacheManager entries; checkpoint
     * RDDs otherwise linger until the ContextCleaner GC-discovers
-    * them — the round-7 bench-pressure source). */
-  private def releaseCheckpoint(df: DataFrame): Unit =
+    * them — the round-7 bench-pressure source). Shared with the
+    * distributed KNN roll, which has the same eager-result /
+    * release-intermediates lifecycle. */
+  private[operators] def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collect {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }.foreach(_.unpersist(false))

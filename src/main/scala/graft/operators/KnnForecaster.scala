@@ -279,23 +279,7 @@ object KnnForecaster {
       .map { case (r, i) =>
         (i, Array.tabulate(lags)(j => r.getDouble(p.entity.length + 2 + j)))
       }
-    // strict-< argmin over ascending cells with an ascending-j left
-    // fold: bit-identical to array_min over struct(d, c) literals
-    // (ties → lowest cell; a NaN distance never wins — NaN < x is
-    // false, matching Spark's NaN-greatest struct ordering)
     val centMat = centroids.map(_._2)
-    def assignCell(feats: Array[Double]): Int = {
-      var bestD = Double.PositiveInfinity; var bestC = 0
-      var c = 0
-      while (c < centMat.length) {
-        val cent = centMat(c)
-        var d = 0.0; var j = 0
-        while (j < feats.length) { val t = feats(j) - cent(j); d += t * t; j += 1 }
-        if (d < bestD) { bestD = d; bestC = c }
-        c += 1
-      }
-      bestC
-    }
     // within-cell search uses the SAME bounded-heap partition scan as
     // the exact path (corpus rows visit only their own cell's query
     // group) — materializing the cell join + a global window sort
@@ -311,7 +295,7 @@ object KnnForecaster {
     val collected = queries.collect()
     val qRows = collected.zipWithIndex.map { case (r, i) =>
       val feats = Array.tabulate(lags)(j => r.getDouble(nEntity + 1 + j))
-      (i.toLong, assignCell(feats), feats)
+      (i.toLong, nearestCell(feats, centMat), feats)
     }
     val qMeta = spark.createDataFrame(
       spark.sparkContext.parallelize(
@@ -341,19 +325,10 @@ object KnnForecaster {
         while (i < lags) { feats(i) = row.getDouble(i); i += 1 }
         val label = row.getDouble(lags)
         // in-scan cell assignment against the broadcast centroid
-        // matrix — same strict-< ascending argmin as assignCell (the
-        // closure can't call it: serializing the method would drag
-        // the whole operator object into the task binary)
-        var bestD = Double.PositiveInfinity; var cell = 0
-        var c = 0
-        while (c < cents.length) {
-          val cent = cents(c)
-          var d = 0.0; var j = 0
-          while (j < lags) { val t = feats(j) - cent(j); d += t * t; j += 1 }
-          if (d < bestD) { bestD = d; cell = c }
-          c += 1
-        }
-        val cellQs = byCell.getOrElse(cell, empty)
+        // matrix — the shared [[nearestCell]] argmin (a top-level
+        // object method compiles to a static MODULE$ call, so the
+        // closure captures nothing)
+        val cellQs = byCell.getOrElse(nearestCell(feats, cents), empty)
         var ci = 0
         while (ci < cellQs.length) {
           val qi = cellQs(ci)
@@ -489,6 +464,7 @@ object KnnForecaster {
         StructField("__qid", LongType), StructField("__dist", DoubleType),
         StructField("__label", DoubleType)))
       var states = base.select(col("__qid"), col("__state"))
+      val spFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       val stepPreds = (1 to fh).map { h =>
         val q = states.withColumn("__cell", assignCellUdf(col("__state")))
         // states side shuffles by __cell (entity-sized); corpus side
@@ -524,22 +500,32 @@ object KnnForecaster {
           .filter(col("__nn") <= k)
           .groupBy("__qid").agg(avg(col("__label")).as("__p"))
           .localCheckpoint(true)
+        spFrames += sp
         val next = states.join(sp, "__qid")
           .select(col("__qid"),
             concat(array(col("__p")), slice(col("__state"), 1, lags - 1)).as("__state"))
           .localCheckpoint(true)
         // the previous step's state frame is no longer referenced by
-        // anything unmaterialized — release it (base stays pinned)
-        if (h > 1) states.unpersist(blocking = false)
+        // anything unmaterialized — release its checkpoint blocks now
+        // (base stays pinned; h=1's states is a mere projection of it)
+        if (h > 1) EliteDeep.releaseCheckpoint(states)
         states = next
         sp.select(col("__qid"), lit(h).as("__h"), col("__p").as(p.value))
       }
-      states.unpersist(blocking = false)
+      if (fh > 0) EliteDeep.releaseCheckpoint(states)
       val predsAll = stepPreds.reduce(_ unionAll _)
-      base.select((p.entityCols :+ col("__cutoff") :+ col("__qid")): _*)
+      val out = base.select((p.entityCols :+ col("__cutoff") :+ col("__qid")): _*)
         .join(predsAll, "__qid")
         .withColumn(timeCol, Forecasters.futureTime(freq))
         .select((p.entityCols ++ Seq(col(timeCol), col(p.value))): _*)
+        // eager result (entities × fh rows) so every intermediate
+        // checkpoint can be RELEASED here instead of pinning
+        // 2·fh+1 entity-sized block sets until the ContextCleaner
+        // happens to GC them (EliteDeep's r7 lesson; the elite zoo
+        // calls this once per knn member per CV split past the cap)
+        .localCheckpoint(true)
+      (base +: spFrames.toSeq).foreach(EliteDeep.releaseCheckpoint)
+      out
     } finally corpus.unpersist(blocking = false)
   }
 
