@@ -94,16 +94,25 @@ object TreeBoost {
     *  - "l2" (default): squared loss, residual y − F, F IS the
     *    prediction;
     *  - "poisson": log link — F is the log-scale score, pseudo-
-    *    residual y − exp(F) (the Poisson deviance gradient), base
-    *    score ln(ȳ), prediction exp(F);
-    *  - "gamma": log link — pseudo-residual y·exp(−F) − 1 (gamma
-    *    deviance gradient), base score ln(ȳ), prediction exp(F).
+    *    residual y·exp(−F) − 1 (the per-row NEWTON ratio
+    *    gradient/hessian of the Poisson deviance: (y − exp F)/exp F),
+    *    base score ln(ȳ), prediction exp(F);
+    *  - "gamma": log link — pseudo-residual 1 − exp(F)/y (gamma
+    *    deviance per-row Newton ratio, hessian y·exp(−F)), base score
+    *    ln(ȳ), prediction exp(F).
     * Both log-link objectives keep the SAME deterministic histogram
     * machinery (uniform-grid candidates over the original-scale lags,
-    * SSE-argmax on the pseudo-residuals, mean-leaf × η — a plain
-    * Friedman gradient step, unit-hessian, NOT LightGBM's Newton
-    * leaves), so the DuckDB oracle replicates them step-exact; they
-    * require a positive target mean (log link). */
+    * SSE-argmax on the pseudo-residuals, mean-leaf × η) applied to the
+    * per-row Newton RATIOS, i.e. a diagonal-Newton step rather than
+    * LightGBM's leaf-aggregated Newton. The ratio form is load-bearing:
+    * a raw-gradient leaf (mean of y − exp F) lives on the DATA scale
+    * but is added to the LOG-scale score, so the recursion explodes
+    * multiplicatively (observed 3.4e6 forecasts on a ≤327-valued
+    * panel) and cross-engine exp drift breaks the rd6 gate at large
+    * magnitudes; the ratio keeps leaves as bounded RELATIVE
+    * corrections. The DuckDB oracle replicates both step-exact; they
+    * require a positive target mean (log link; gamma additionally
+    * divides by y, so zero targets yield null rows in both engines). */
   def fit(p: Panel, lags: Int, freq: String, rounds: Int = 5,
           bins: Int = 8, eta: Double = 0.3, objective: String = "l2"): Model = {
     require(Set("l2", "poisson", "gamma")(objective),
@@ -185,8 +194,8 @@ object TreeBoost {
           acc + treeCol(t, featsArr))
         val rExpr = objective match {
           case "l2" => col(p.value) - fExpr
-          case "poisson" => col(p.value) - exp(fExpr)
-          case "gamma" => col(p.value) * exp(-fExpr) - lit(1.0)
+          case "poisson" => col(p.value) * exp(-fExpr) - lit(1.0)
+          case "gamma" => lit(1.0) - exp(fExpr) / col(p.value)
         }
         // Materialize the residual ONCE per round behind a cache
         // barrier. Passing the raw expression into the O(lags·bins)

@@ -1109,8 +1109,8 @@ object OlsBacktestSql {
         .mkString
       val fExpr = "b0" + (1 until m).map(j => treeTerm(j, i => s"f$i")).mkString
       val rSql = objective match {
-        case "poisson" => s"value - exp($fExpr)"
-        case "gamma" => s"value * exp(-($fExpr)) - 1.0"
+        case "poisson" => s"value * exp(-($fExpr)) - 1.0"
+        case "gamma" => s"1.0 - exp($fExpr) / value"
         case _ => s"value - ($fExpr)"
       }
       val rcte = s"""${t}_r$m AS MATERIALIZED (
