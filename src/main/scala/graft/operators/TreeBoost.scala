@@ -195,7 +195,12 @@ object TreeBoost {
         val rExpr = objective match {
           case "l2" => col(p.value) - fExpr
           case "poisson" => col(p.value) * exp(-fExpr) - lit(1.0)
-          case "gamma" => lit(1.0) - exp(fExpr) / col(p.value)
+          // try_divide: a zero target yields a NULL residual (exactly
+          // DuckDB's double/0) — the row still counts in node sizes
+          // and leaf denominators (the aggregates below count matching
+          // ROWS, like the oracle's CASE WHEN … THEN 1), it just
+          // contributes no gradient
+          case "gamma" => lit(1.0) - try_divide(exp(fExpr), col(p.value))
         }
         // Materialize the residual ONCE per round behind a cache
         // barrier. Passing the raw expression into the O(lags·bins)
@@ -213,9 +218,13 @@ object TreeBoost {
         // all of them) so the column reference stays direct; only the
         // threshold values are fitted → StableConst keeps the ~100-agg
         // generated class dataset-invariant.
+        // counts tally matching ROWS (THEN 1, the oracle's form), not
+        // non-null residuals — identical whenever r is non-null (l2 /
+        // poisson always; gamma except zero targets), and it keeps the
+        // two engines' node sizes aligned when gamma nulls a residual
         val aggsA = cands.flatMap { case (i, _, t) =>
           Seq(sum(when(col(featureCols(i - 1)) <= sd(t), r)),
-              count(when(col(featureCols(i - 1)) <= sd(t), r)))
+              count(when(col(featureCols(i - 1)) <= sd(t), lit(1))))
         } ++ Seq(sum(r), count(lit(1)))
         val rowA = rf.agg(aggsA.head, aggsA.tail: _*).collect()(0)
         val st = rowA.getDouble(2 * cands.size)
@@ -254,8 +263,8 @@ object TreeBoost {
         val (gl, gr) = (col("__gl"), col("__gr"))
         val aggsB = cands.flatMap { case (i, _, t) =>
           val c = col(featureCols(i - 1)) <= sd(t)
-          Seq(sum(when(gl && c, r)), count(when(gl && c, r)),
-              sum(when(gr && c, r)), count(when(gr && c, r)))
+          Seq(sum(when(gl && c, r)), count(when(gl && c, lit(1))),
+              sum(when(gr && c, r)), count(when(gr && c, lit(1))))
         }
         val rowB = rfB.agg(aggsB.head, aggsB.tail: _*).collect()(0)
         def statsB(off: Int) = cands.zipWithIndex.map { case ((i, k, t), ci) =>
