@@ -47,7 +47,8 @@ object TreeBoost {
                          fr: Int, tr: Double, vrl: Double, vrr: Double)
 
   final case class Model(b0: Double, trees: Seq[Tree2], lags: Int, freq: String,
-                         objective: String = "l2") {
+                         objective: String = "l2",
+                         labelClamp: Boolean = false) {
     def score(feats: Array[Double]): Double =
       // ((b0 + c1) + c2)… — the oracle's (b0 + c1 + c2 …) fold order
       trees.foldLeft(b0)((acc, t) =>
@@ -60,11 +61,36 @@ object TreeBoost {
     def predict(p: Panel, timeCol: String, fh: Int): DataFrame = {
       // log-link objectives score on the log scale and emit exp(F);
       // the recursion then rolls the ORIGINAL-scale prediction into
-      // the lag state, exactly like the oracle's exp(p-expr) stages
+      // the lag state, exactly like the oracle's exp(p-expr) stages.
+      // "quantile" scores on the data scale like l2 (pinball leaves
+      // are additive corrections, no link).
       val emit: Array[Double] => Double =
-        if (objective == "l2") score
+        if (objective == "l2" || objective == "quantile") score
         else feats => math.exp(score(feats))
-      GbtForecaster.predictRecursiveModel(p, timeCol, fh, freq, lags, emit)
+      // a clamp-fitted model rolls its lag state from the CLAMPED
+      // series: the reference stores y_lag from the transformed y
+      // (_enforce_label_constraint runs before fit_autoreg,
+      // lightgbm.py:109-112), so the predict tail must see the same
+      // values the fit saw
+      val src = if (labelClamp) TreeBoost.clampPanel(p, objective) else p
+      GbtForecaster.predictRecursiveModel(src, timeCol, fh, freq, lags, emit)
+    }
+  }
+
+  /** The reference's `_enforce_label_constraint` (lightgbm.py:30-47),
+    * opt-in via `labelClamp`: gamma maps y ≤ 0 → 1; poisson/tweedie
+    * map y < 0 → 0; other objectives pass through. Applied to the
+    * panel BEFORE the lag reduction, so lag features are built from
+    * the clamped series exactly as the reference's fit_autoreg sees
+    * them. */
+  def clampPanel(p: Panel, objective: String): Panel = {
+    val y = col(p.value)
+    objective match {
+      case "gamma" =>
+        p.copy(df = p.df.withColumn(p.value, when(y <= 0, lit(1.0)).otherwise(y)))
+      case "poisson" | "tweedie" =>
+        p.copy(df = p.df.withColumn(p.value, when(y < 0, lit(0.0)).otherwise(y)))
+      case _ => p
     }
   }
 
@@ -112,12 +138,58 @@ object TreeBoost {
     * magnitudes; the ratio keeps leaves as bounded RELATIVE
     * corrections. The DuckDB oracle replicates both step-exact; they
     * require a positive target mean (log link; gamma additionally
-    * divides by y, so zero targets yield null rows in both engines). */
+    * divides by y, so zero targets yield null rows in both engines).
+    * Negative targets under poisson/tweedie are rejected LOUDLY at
+    * fit time (LightGBM likewise refuses negative labels for these
+    * objectives) unless `labelClamp` pre-clamps them away.
+    *
+    * Two further objectives (reference: `_prepare_kwargs` maps
+    * `alpha` → objective="quantile", lightgbm.py:25-27; xgboost.py:25
+    * lists reg:tweedie):
+    *  - "tweedie": log link with variance power p = `objParam` ∈
+    *    (1,2) — per-row Newton ratio (y − e^F) / ((p−1)·y + (2−p)·e^F)
+    *    (the poisson↔gamma interpolation: p→1 gives y·e^(−F) − 1,
+    *    p→2 gives 1 − e^F/y), base score ln(ȳ), prediction exp(F).
+    *    Zero targets are native (denominator (2−p)·e^F > 0).
+    *  - "quantile": pinball loss at level α = `objParam` ∈ (0,1) —
+    *    splits by SSE-argmax on the constant-magnitude gradient
+    *    α − 1{y ≤ F}, then LightGBM-style LEAF RENEWAL: each leaf's
+    *    value is η·Q_α(y − F | leaf) (exact interpolated quantile,
+    *    Spark `percentile` ≡ DuckDB `quantile_cont` bit-for-bit),
+    *    base score Q_α(y). Renewal is load-bearing: mean-gradient
+    *    leaves are scale-free (|g| ≤ 1) so convergence would need
+    *    O(scale/η) rounds; the renewed leaf jumps straight to the
+    *    in-leaf conditional quantile. One extra aggregation pass per
+    *    round. NOTE the renewal quantile buffers a value→count map
+    *    per leaf (order-independent, hence bitwise-stable) — exact
+    *    percentile memory is O(distinct residuals); at 100 TB swap in
+    *    approx_percentile and drop the bitwise-oracle claim.
+    *
+    * `labelClamp` opts into the reference's pre-fit label transform
+    * ([[clampPanel]]); the default keeps this engine's null-gradient
+    * gamma behavior (documented above) — the two modes differ on
+    * zero-heavy gamma targets, see TreeBoostSpec. */
   def fit(p: Panel, lags: Int, freq: String, rounds: Int = 5,
-          bins: Int = 8, eta: Double = 0.3, objective: String = "l2"): Model = {
-    require(Set("l2", "poisson", "gamma")(objective),
-      s"tree-boost objective must be l2, poisson or gamma (got '$objective')")
-    val reduction = Forecasters.makeReduction(p, lags)
+          bins: Int = 8, eta: Double = 0.3, objective: String = "l2",
+          objParam: Double = Double.NaN, labelClamp: Boolean = false): Model = {
+    require(Set("l2", "poisson", "gamma", "tweedie", "quantile")(objective),
+      s"tree-boost objective must be l2, poisson, gamma, tweedie or quantile " +
+        s"(got '$objective')")
+    // objective parameter: quantile level α, or tweedie variance power
+    val alpha =
+      if (objective == "quantile") { if (objParam.isNaN) 0.5 else objParam }
+      else Double.NaN
+    val tweedieP =
+      if (objective == "tweedie") { if (objParam.isNaN) 1.5 else objParam }
+      else Double.NaN
+    if (objective == "quantile")
+      require(alpha > 0.0 && alpha < 1.0,
+        s"quantile objective needs objParam = alpha in (0,1), got $alpha")
+    if (objective == "tweedie")
+      require(tweedieP > 1.0 && tweedieP < 2.0,
+        s"tweedie objective needs objParam = variance power in (1,2), got $tweedieP")
+    val pc = if (labelClamp) clampPanel(p, objective) else p
+    val reduction = Forecasters.makeReduction(pc, lags)
     val featureCols = (1 to lags).map(l => s"${p.value}__lag_$l")
     val train0 = reduction.na.drop(featureCols :+ p.value)
       .select((featureCols :+ p.value).map(col): _*).cache()
@@ -132,10 +204,22 @@ object TreeBoost {
     // before the coalesce is both safe and faster, and the pass doubles
     // as the cache materialization the coalesce below reads from. Only
     // sum(y) is order-sensitive and waits for the coalesced frame.
-    val mmAggs = featureCols.flatMap(f => Seq(min(col(f)), max(col(f)))) :+
-      count(lit(1))
+    val mmAggs = featureCols.flatMap(f => Seq(min(col(f)), max(col(f)))) ++
+      Seq(count(lit(1)), count(when(col(p.value) < 0, lit(1))))
     val mmRow = train0.agg(mmAggs.head, mmAggs.tail: _*).collect()(0)
     val nRows = mmRow.getLong(2 * lags)
+    // loud label guard (ADVICE r9): LightGBM rejects negative labels
+    // for poisson/tweedie; a negative target under a log link makes
+    // the deviance gradient meaningless. labelClamp removes them by
+    // construction. Gamma's y ≤ 0 handling (null residual) is
+    // documented above and exercised by TreeBoostSpec.
+    if ((objective == "poisson" || objective == "tweedie") && !labelClamp) {
+      val nNeg = mmRow.getLong(2 * lags + 1)
+      require(nNeg == 0L,
+        s"$objective objective rejects negative targets ($nNeg rows < 0); " +
+          s"pre-validate the panel or opt into labelClamp = true " +
+          s"(the reference's _enforce_label_constraint, lightgbm.py:30-47)")
+    }
     if (nRows == 0L)
       throw new IllegalArgumentException(
         s"tree-boost fit has no complete training rows (every entity " +
@@ -152,15 +236,26 @@ object TreeBoost {
       // sequential fold order there is what the oracle replicates; this
       // first action also materializes the coalesced cache (reading
       // train0's cached blocks), after which train0 is safe to drop
-      val sumY = train.agg(sum(col(p.value))).collect()(0).getDouble(0)
-      if (train ne train0) train0.unpersist(blocking = false)
-      val b0 = objective match {
-        case "l2" => sumY / nRows
-        case _ =>
-          require(sumY > 0,
-            s"$objective objective needs a positive target mean (log link); " +
-              s"sum(y) = $sumY")
-          math.log(sumY / nRows)
+      // quantile: base score Q_α(y) — Spark's exact interpolated
+      // percentile, whose value is a pure function of the value
+      // MULTISET (the buffer is a value→count map), so unlike the
+      // sum it is partial-merge-order independent; the agg still
+      // doubles as the coalesced-cache materialization
+      val b0 = if (objective == "quantile") {
+        val q = train.agg(percentile(col(p.value), lit(alpha))).collect()(0)
+        if (train ne train0) train0.unpersist(blocking = false)
+        q.getDouble(0)
+      } else {
+        val sumY = train.agg(sum(col(p.value))).collect()(0).getDouble(0)
+        if (train ne train0) train0.unpersist(blocking = false)
+        objective match {
+          case "l2" => sumY / nRows
+          case _ =>
+            require(sumY > 0,
+              s"$objective objective needs a positive target mean (log link); " +
+                s"sum(y) = $sumY")
+            math.log(sumY / nRows)
+        }
       }
       // uniform-grid candidates: mn + k·(mx−mn)/bins, k = 1..bins−1 —
       // identical IEEE op order to the oracle's threshold expression
@@ -201,6 +296,17 @@ object TreeBoost {
           // ROWS, like the oracle's CASE WHEN … THEN 1), it just
           // contributes no gradient
           case "gamma" => lit(1.0) - try_divide(exp(fExpr), col(p.value))
+          // tweedie Newton ratio (see fit doc): driver-precomputed
+          // (p−1)/(2−p) literals keep the SQL oracle's arithmetic
+          // byte-identical; try_divide for the (unreachable after the
+          // guard/clamp) zero denominator, matching DuckDB's NULL
+          case "tweedie" =>
+            try_divide(col(p.value) - exp(fExpr),
+              lit(tweedieP - 1.0) * col(p.value) + lit(2.0 - tweedieP) * exp(fExpr))
+          // pinball gradient α − 1{y ≤ F}: constant-magnitude, used
+          // ONLY to pick splits; leaf values come from pass C renewal
+          case "quantile" =>
+            when(col(p.value) <= fExpr, lit(alpha - 1.0)).otherwise(lit(alpha))
         }
         // Materialize the residual ONCE per round behind a cache
         // barrier. Passing the raw expression into the O(lags·bins)
@@ -209,8 +315,13 @@ object TreeBoost {
         // its generated code) grows ~200× per round, blowing codegen
         // method limits into interpreted fallback (measured 5-11 s per
         // pass at sf0.1 vs <0.5 s with the barrier). The cache also
-        // lets pass B reuse pass A's materialization.
-        val rf = train.withColumn("__r", rExpr).cache()
+        // lets pass B reuse pass A's materialization. Quantile also
+        // materializes the raw residual y − F ("__d") behind the same
+        // barrier — pass C renews leaves from its in-leaf quantiles.
+        val rf0 = train.withColumn("__r", rExpr)
+        val rf = (if (objective == "quantile")
+          rf0.withColumn("__d", col(p.value) - fExpr)
+        else rf0).cache()
         try {
         val r = col("__r")
         // pass A: root candidates (left sum/count per (feature, thr)).
@@ -271,12 +382,34 @@ object TreeBoost {
           val sl = if (rowB.isNullAt(4 * ci + off)) 0.0 else rowB.getDouble(4 * ci + off)
           (i, k, t, sl, rowB.getLong(4 * ci + off + 1))
         }
-        val (lfi, lthr, vll, vlr) = pickSplit(statsB(0), sL, nL)
-        val (rfi2, rthr2, vrl, vrr) = pickSplit(statsB(2), sR, nR)
+        val (lfi, lthr, vllG, vlrG) = pickSplit(statsB(0), sL, nL)
+        val (rfi2, rthr2, vrlG, vrrG) = pickSplit(statsB(2), sR, nR)
+        // pass C (quantile only): leaf renewal — replace each leaf's
+        // mean-gradient value with η·Q_α(y − F | leaf). The leaf
+        // conditions reuse pass B's explicit __gl/__gr gates plus the
+        // picked child split via StableConst/element_at (same NaN→
+        // right-child and codegen-shape conventions as pass B); an
+        // empty leaf's percentile is NULL → 0.0, like the mean path.
+        val (vll, vlr, vrl, vrr) =
+          if (objective != "quantile") (vllG, vlrG, vrlG, vrrG)
+          else {
+            val d = col("__d")
+            val lF = element_at(featsArr, si(lfi))
+            val rF2 = element_at(featsArr, si(rfi2))
+            val aggsC = Seq(
+              percentile(when(gl && lF <= sd(lthr), d), lit(alpha)),
+              percentile(when(gl && lF > sd(lthr), d), lit(alpha)),
+              percentile(when(gr && rF2 <= sd(rthr2), d), lit(alpha)),
+              percentile(when(gr && rF2 > sd(rthr2), d), lit(alpha)))
+            val rowC = rfB.agg(aggsC.head, aggsC.tail: _*).collect()(0)
+            def lv(i: Int) =
+              if (rowC.isNullAt(i)) 0.0 else rowC.getDouble(i) * eta
+            (lv(0), lv(1), lv(2), lv(3))
+          }
         trees :+= Tree2(rfi, rthr, lfi, lthr, vll, vlr, rfi2, rthr2, vrl, vrr)
         } finally rf.unpersist(blocking = false)
       }
-      Model(b0, trees, lags, freq, objective)
+      Model(b0, trees, lags, freq, objective, labelClamp)
     } finally train.unpersist(blocking = false)
   }
 }

@@ -658,9 +658,10 @@ object ConformalQueries {
 
     // label-constraint objectives (lightgbm.py:103's objective
     // options): Poisson deviance gradient boosting with a log link —
-    // base score ln(ȳ), pseudo-residual y − exp(F), prediction
-    // exp(F) rolled into the recursion — same deterministic histogram
-    // machinery, every round and every exp stage replicated in SQL
+    // base score ln(ȳ), pseudo-residual y·exp(−F) − 1 (the per-row
+    // Newton ratio), prediction exp(F) rolled into the recursion —
+    // same deterministic histogram machinery, every round and every
+    // exp stage replicated in SQL
     "fc_gbt_poisson" -> Q(
       s"""WITH ${OlsBacktestSql.lagdCte(7)},
           ${OlsBacktestSql.fullTree2("gpo", 7, fh = 3, rounds = 3, bins = 4,
@@ -674,7 +675,8 @@ object ConformalQueries {
     },
 
     // gamma deviance gradient (log link): pseudo-residual
-    // y·exp(−F) − 1 — the strictly-positive-target objective
+    // 1 − exp(F)/y (the per-row Newton ratio) — the
+    // strictly-positive-target objective
     "fc_gbt_gamma" -> Q(
       s"""WITH ${OlsBacktestSql.lagdCte(7)},
           ${OlsBacktestSql.fullTree2("gga", 7, fh = 3, rounds = 3, bins = 4,
@@ -685,6 +687,62 @@ object ConformalQueries {
       val p = ev(s, dir)
       r6(TreeBoost.fit(p, lags = 7, freq = "1d", rounds = 3, bins = 4,
         eta = 0.3, objective = "gamma").predict(p, "ts", fh = 3))
+    },
+
+    // tweedie deviance gradient (log link, variance power p = 1.5 —
+    // lightgbm.py:39, xgboost.py:25 reg:tweedie): per-row Newton
+    // ratio (y − e^F)/((p−1)·y + (2−p)·e^F) — the poisson↔gamma
+    // interpolation, the standard retail/demand objective; zero
+    // targets are native (denominator (2−p)·e^F > 0)
+    "fc_gbt_tweedie" -> Q(
+      s"""WITH ${OlsBacktestSql.lagdCte(7)},
+          ${OlsBacktestSql.fullTree2("gtw", 7, fh = 3, rounds = 3, bins = 4,
+             eta = 0.3, objective = "tweedie", objParam = 1.5)}
+          SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                 round(CASE h WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END, 6) AS value
+          FROM fp_gtw CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)""") { (s, dir) =>
+      val p = ev(s, dir)
+      r6(TreeBoost.fit(p, lags = 7, freq = "1d", rounds = 3, bins = 4,
+        eta = 0.3, objective = "tweedie", objParam = 1.5).predict(p, "ts", fh = 3))
+    },
+
+    // quantile objective at α = 0.9 (the reference maps alpha →
+    // objective="quantile", lightgbm.py:25-27): splits on the pinball
+    // gradient, LightGBM-style leaf RENEWAL η·Q_α(y − F | leaf) via
+    // quantile_cont ≡ Spark percentile (bit-identical interpolation),
+    // base score Q_α(y) — every round's three argmax picks plus the
+    // pass-C renewal quantiles replicated in SQL
+    "fc_gbt_quantile" -> Q(
+      s"""WITH ${OlsBacktestSql.lagdCte(7)},
+          ${OlsBacktestSql.fullTree2("gqt", 7, fh = 3, rounds = 3, bins = 4,
+             eta = 0.3, objective = "quantile", objParam = 0.9)}
+          SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                 round(CASE h WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END, 6) AS value
+          FROM fp_gqt CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)""") { (s, dir) =>
+      val p = ev(s, dir)
+      r6(TreeBoost.fit(p, lags = 7, freq = "1d", rounds = 3, bins = 4,
+        eta = 0.3, objective = "quantile", objParam = 0.9).predict(p, "ts", fh = 3))
+    },
+
+    // the reference's label clamp as a compat mode
+    // (_enforce_label_constraint, lightgbm.py:30-47: gamma y≤0→1):
+    // the target is shifted zero-heavy (value − 50, ~half the rows
+    // fall ≤ 0), the clamp rewrites those to 1 BEFORE the lag
+    // reduction, and the predict tail rolls from the clamped series —
+    // the default (labelClamp=false) null-gradient mode on the same
+    // target is contrasted in TreeBoostSpec
+    "fc_gbt_gamma_clamp" -> Q(
+      s"""WITH ${OlsBacktestSql.lagdCte(7, valueExpr =
+             "CASE WHEN value - 50.0 <= 0 THEN 1.0 ELSE value - 50.0 END")},
+          ${OlsBacktestSql.fullTree2("ggc", 7, fh = 3, rounds = 3, bins = 4,
+             eta = 0.3, objective = "gamma")}
+          SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                 round(CASE h WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END, 6) AS value
+          FROM fp_ggc CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)""") { (s, dir) =>
+      val p0 = ev(s, dir)
+      val p = p0.copy(df = p0.df.withColumn("value", col("value") - lit(50.0)))
+      r6(TreeBoost.fit(p, lags = 7, freq = "1d", rounds = 3, bins = 4,
+        eta = 0.3, objective = "gamma", labelClamp = true).predict(p, "ts", fh = 3))
     },
 
     // auto_lightgbm's lag sweep (automl.py:191-229) over the

@@ -1067,11 +1067,18 @@ object OlsBacktestSql {
     * fit: "rn > lags" / "cnt"; backtest split: prefix filters). */
   private def tree2Core(t: String, lags: Int, horizons: Int, rounds: Int,
                         bins: Int, eta: Double, trainWhere: String,
-                        endRn: String, objective: String = "l2"): String = {
-    // log-link objectives (TreeBoost poisson/gamma): base score ln(ȳ),
-    // pseudo-residual on exp(F), prediction exp(F) — the same three
-    // touch points the Scala fit switches on
-    val logLink = objective != "l2"
+                        endRn: String, objective: String = "l2",
+                        objParam: Double = Double.NaN): String = {
+    // log-link objectives (TreeBoost poisson/gamma/tweedie): base
+    // score ln(ȳ), pseudo-residual on exp(F), prediction exp(F) — the
+    // same touch points the Scala fit switches on. "quantile" stays on
+    // the data scale but swaps the base score / leaf values for
+    // quantile_cont renewal (bit-identical to Spark `percentile`) and
+    // adds a pass-C CTE per round.
+    val logLink = Set("poisson", "gamma", "tweedie")(objective)
+    val isQ = objective == "quantile"
+    val alpha = if (isQ && objParam.isNaN) 0.5 else objParam
+    val tweedieP = if (objective == "tweedie" && objParam.isNaN) 1.5 else objParam
     val cands = (for { i <- 1 to lags; k <- 1 until bins } yield (i, k)).toIndexedSeq
     def thr(i: Int, k: Int) =
       s"(mn$i + $k * (mx$i - mn$i) / CAST($bins AS DOUBLE))"
@@ -1084,7 +1091,9 @@ object OlsBacktestSql {
              ELSE (CASE WHEN ${featCase(s"fr_$j", xs)} <= tr_$j THEN vrl_$j ELSE vrr_$j END) END"""
     val eSql = s"CAST($eta AS DOUBLE)"
     val b0Sql =
-      if (logLink) "ln(sum(value) / count(*))" else "sum(value) / count(*)"
+      if (isQ) s"quantile_cont(value, CAST($alpha AS DOUBLE))"
+      else if (logLink) "ln(sum(value) / count(*))"
+      else "sum(value) / count(*)"
     val mm = s"""${t}_mm AS MATERIALIZED (SELECT ${(1 to lags)
       .map(i => s"min(f$i) AS mn$i, max(f$i) AS mx$i").mkString(", ")},
           $b0Sql AS b0 FROM ${t}_red)"""
@@ -1105,16 +1114,27 @@ object OlsBacktestSql {
           LIMIT 1)"""
     val roundCtes = (1 to rounds).map { m =>
       val priorJoins = (1 until m)
-        .map(j => s" CROSS JOIN ${t}_b$j CROSS JOIN ${t}_bl$j CROSS JOIN ${t}_br$j")
+        .map(j => s" CROSS JOIN ${t}_b$j CROSS JOIN ${t}_bl$j CROSS JOIN ${t}_br$j" +
+          (if (isQ) s" CROSS JOIN ${t}_c$j" else ""))
         .mkString
       val fExpr = "b0" + (1 until m).map(j => treeTerm(j, i => s"f$i")).mkString
       val rSql = objective match {
         case "poisson" => s"value * exp(-($fExpr)) - 1.0"
         case "gamma" => s"1.0 - exp($fExpr) / value"
+        // driver-precomputed (p−1)/(2−p) literals — byte-identical to
+        // the Scala fit's lit(tweedieP - 1.0)/lit(2.0 - tweedieP)
+        case "tweedie" =>
+          s"""(value - exp($fExpr)) / (CAST(${tweedieP - 1.0} AS DOUBLE) * value
+              + CAST(${2.0 - tweedieP} AS DOUBLE) * exp($fExpr))"""
+        case "quantile" =>
+          s"""CASE WHEN value <= ($fExpr) THEN CAST(${alpha - 1.0} AS DOUBLE)
+              ELSE CAST($alpha AS DOUBLE) END"""
         case _ => s"value - ($fExpr)"
       }
+      // quantile also carries the raw residual d = y − F for pass C
+      val dSql = if (isQ) s", value - ($fExpr) AS d" else ""
       val rcte = s"""${t}_r$m AS MATERIALIZED (
-          SELECT *, $rSql AS r
+          SELECT *, $rSql AS r$dSql
           FROM ${t}_red CROSS JOIN ${t}_mm$priorJoins)"""
       // pass A: root candidates
       val sumsA = cands.zipWithIndex.map { case ((i, k), ci) =>
@@ -1167,14 +1187,37 @@ object OlsBacktestSql {
       }
       val glcte = s"""${t}_gl$m AS MATERIALIZED (${brL.mkString(" UNION ALL ")})"""
       val grcte = s"""${t}_gr$m AS MATERIALIZED (${brR.mkString(" UNION ALL ")})"""
-      val blcte = childPick(s"${t}_bl$m", s"${t}_gl$m",
-        s"fl_$m", s"tl_$m", s"vll_$m", s"vlr_$m")
-      val brcte = childPick(s"${t}_br$m", s"${t}_gr$m",
-        s"fr_$m", s"tr_$m", s"vrl_$m", s"vrr_$m")
-      Seq(rcte, acte, gcte, bcte, a2cte, glcte, grcte, blcte, brcte).mkString(", ")
+      // quantile: childPick still argmaxes the split on gradient sums,
+      // but its mean leaves are placeholders (mll/…, unreferenced) —
+      // the REAL leaf values come from the pass-C renewal CTE below
+      val blcte = childPick(s"${t}_bl$m", s"${t}_gl$m", s"fl_$m", s"tl_$m",
+        if (isQ) s"mll_$m" else s"vll_$m", if (isQ) s"mlr_$m" else s"vlr_$m")
+      val brcte = childPick(s"${t}_br$m", s"${t}_gr$m", s"fr_$m", s"tr_$m",
+        if (isQ) s"mrl_$m" else s"vrl_$m", if (isQ) s"mrr_$m" else s"vrr_$m")
+      // pass C (quantile only): η·Q_α(y − F | leaf) per leaf, NULL
+      // (empty leaf) → 0.0 — [[graft.operators.TreeBoost.fit]]'s
+      // renewal aggregation. Conditions mirror pass B's explicit
+      // <=/> gates (NaN features fall right in both engines).
+      val rootFC = featCase(s"fi_$m", i => s"f$i")
+      val lFC = featCase(s"fl_$m", i => s"f$i")
+      val rFC = featCase(s"fr_$m", i => s"f$i")
+      val aSql = s"CAST($alpha AS DOUBLE)"
+      val ccte = s"""${t}_c$m AS MATERIALIZED (SELECT
+            coalesce(quantile_cont(CASE WHEN $rootFC <= thr_$m AND $lFC <= tl_$m
+              THEN d END, $aSql) * $eSql, CAST(0.0 AS DOUBLE)) AS vll_$m,
+            coalesce(quantile_cont(CASE WHEN $rootFC <= thr_$m AND $lFC > tl_$m
+              THEN d END, $aSql) * $eSql, CAST(0.0 AS DOUBLE)) AS vlr_$m,
+            coalesce(quantile_cont(CASE WHEN $rootFC > thr_$m AND $rFC <= tr_$m
+              THEN d END, $aSql) * $eSql, CAST(0.0 AS DOUBLE)) AS vrl_$m,
+            coalesce(quantile_cont(CASE WHEN $rootFC > thr_$m AND $rFC > tr_$m
+              THEN d END, $aSql) * $eSql, CAST(0.0 AS DOUBLE)) AS vrr_$m
+          FROM ${t}_r$m CROSS JOIN ${t}_b$m CROSS JOIN ${t}_bl$m CROSS JOIN ${t}_br$m)"""
+      (Seq(rcte, acte, gcte, bcte, a2cte, glcte, grcte, blcte, brcte) ++
+        (if (isQ) Seq(ccte) else Nil)).mkString(", ")
     }
     val allBests = (1 to rounds)
-      .map(j => s" CROSS JOIN ${t}_b$j CROSS JOIN ${t}_bl$j CROSS JOIN ${t}_br$j")
+      .map(j => s" CROSS JOIN ${t}_b$j CROSS JOIN ${t}_bl$j CROSS JOIN ${t}_br$j" +
+        (if (isQ) s" CROSS JOIN ${t}_c$j" else ""))
       .mkString
     // per-horizon state: earlier predictions for j < h, tail values past
     val stages = (1 to horizons).map { h =>
@@ -1198,9 +1241,10 @@ object OlsBacktestSql {
     * ([[graft.operators.TreeBoost]]'s oracle). Emits `fp_<tag>` with
     * (user_id, cutoff, p1..p<fh>). */
   def fullTree2(tag: String, lags: Int, fh: Int, rounds: Int,
-                bins: Int, eta: Double, objective: String = "l2"): String =
+                bins: Int, eta: Double, objective: String = "l2",
+                objParam: Double = Double.NaN): String =
     s"""${tree2Core(tag, lags, fh, rounds, bins, eta, s"rn > $lags", "cnt",
-           objective)},
+           objective, objParam)},
         fp_$tag AS (SELECT * FROM ${tag}_pred)"""
 
   /** CTEs for one expanding-window tree-boost backtest candidate:

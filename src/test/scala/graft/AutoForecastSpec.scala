@@ -160,8 +160,98 @@ class AutoForecastSpec extends SparkSpec {
         objective = "poisson")
     }
     intercept[IllegalArgumentException] {
-      TreeBoost.fit(p, lags = 2, freq = "1i", objective = "tweedie")
+      TreeBoost.fit(p, lags = 2, freq = "1i", objective = "huber")
     }
+  }
+
+  test("tree boosting tweedie objective: log-link level recovery, zero targets native") {
+    // constant positive series: the tweedie Newton ratio
+    // (y − e^F)/((p−1)y + (2−p)e^F) vanishes at F = ln(ȳ) for any
+    // variance power, so the recursion returns the constant
+    val p = panel(Seq.fill(30)(12.0))
+    val out = TreeBoost.fit(p, lags = 3, freq = "1i", rounds = 3, bins = 4,
+      eta = 0.3, objective = "tweedie", objParam = 1.5)
+      .predict(p, "t", fh = 3).collect()
+    assert(out.length == 3)
+    out.foreach(r => assertClose(r.getDouble(2), 12.0, 1e-9))
+    // zero targets are native to tweedie (denominator (2−p)e^F > 0):
+    // a zero-heavy count-like series fits and emits finite forecasts
+    val zs = panel((0 until 40).map(t => if (t % 3 == 0) 0.0 else 6.0))
+    val outZ = TreeBoost.fit(zs, lags = 2, freq = "1i", rounds = 3, bins = 4,
+      eta = 0.3, objective = "tweedie", objParam = 1.3)
+      .predict(zs, "t", fh = 2).collect()
+    assert(outZ.length == 2)
+    outZ.foreach(r => assert(java.lang.Double.isFinite(r.getDouble(2)), r.toString))
+    // variance power is constrained to the compound-poisson range
+    intercept[IllegalArgumentException] {
+      TreeBoost.fit(p, lags = 2, freq = "1i", objective = "tweedie", objParam = 2.5)
+    }
+  }
+
+  test("quantile objective: leaf renewal puts coverage at alpha (lightgbm.py:25-27)") {
+    // hash-like noise (no lag structure): the empirical coverage of
+    // the FITTED score — fraction of training rows with y ≤ F(lags) —
+    // must sit at alpha: renewal sets every leaf to the conditional
+    // Q_alpha, the pinball fixed point. Mean-gradient leaves would
+    // FAIL this: the pinball gradient has |g| ≤ 1, so without renewal
+    // the score barely moves off anything in 4 rounds when the data
+    // scale is 100.
+    val noise = (0 until 200).map { t =>
+      val h = math.abs(math.sin(t * 12.9898) * 43758.5453)
+      (h - math.floor(h)) * 100.0
+    }
+    val p = panel(noise)
+    val lags = 2
+    // training rows exactly as fit sees them: (lag1, lag2, y)
+    val rows = noise.sliding(lags + 1).map(w => (w.take(lags).reverse.toArray, w.last)).toSeq
+    def coverageAt(alpha: Double): (Double, Double) = {
+      val m = TreeBoost.fit(p, lags = lags, freq = "1i", rounds = 4, bins = 4,
+        eta = 0.5, objective = "quantile", objParam = alpha)
+      val cov = rows.count { case (f, y) => y <= m.score(f) }.toDouble / rows.length
+      (cov, m.predict(p, "t", fh = 1).collect()(0).getDouble(2))
+    }
+    val (cov80, p80) = coverageAt(0.8)
+    val (cov20, p20) = coverageAt(0.2)
+    assert(math.abs(cov80 - 0.8) < 0.1, s"coverage at 0.8: $cov80 (pred $p80)")
+    assert(math.abs(cov20 - 0.2) < 0.1, s"coverage at 0.2: $cov20 (pred $p20)")
+    assert(p20 < p80, s"quantile monotonicity: $p20 vs $p80")
+    intercept[IllegalArgumentException] {
+      TreeBoost.fit(p, lags = 2, freq = "1i", objective = "quantile", objParam = 1.5)
+    }
+  }
+
+  test("labelClamp replicates _enforce_label_constraint (lightgbm.py:30-47)") {
+    // zero-heavy gamma target: default mode nulls the gradient on
+    // zero targets; clamp mode rewrites y<=0 to 1 BEFORE the lag
+    // reduction — a functime user with zero-heavy gamma targets gets
+    // the clamped fit. The two modes must differ, and the clamp mode
+    // must equal an explicit pre-clamped fit exactly.
+    val zsSeq = (0 until 40).map(t => if (t % 3 == 0) 0.0 else 6.0)
+    val zs = panel(zsSeq)
+    val dflt = TreeBoost.fit(zs, lags = 2, freq = "1i", rounds = 3, bins = 4,
+      eta = 0.3, objective = "gamma")
+      .predict(zs, "t", fh = 2).orderBy("t").collect().map(_.getDouble(2))
+    val clamped = TreeBoost.fit(zs, lags = 2, freq = "1i", rounds = 3, bins = 4,
+      eta = 0.3, objective = "gamma", labelClamp = true)
+      .predict(zs, "t", fh = 2).orderBy("t").collect().map(_.getDouble(2))
+    val manual = panel(zsSeq.map(v => if (v <= 0) 1.0 else v))
+    val explicit = TreeBoost.fit(manual, lags = 2, freq = "1i", rounds = 3,
+      bins = 4, eta = 0.3, objective = "gamma")
+      .predict(manual, "t", fh = 2).orderBy("t").collect().map(_.getDouble(2))
+    assert(clamped.sameElements(explicit),
+      s"clamp != explicit pre-clamp: ${clamped.toSeq} vs ${explicit.toSeq}")
+    assert(!clamped.sameElements(dflt),
+      s"clamp mode should differ from null-gradient default on zero-heavy " +
+        s"targets: ${clamped.toSeq}")
+    // poisson rejects negative labels LOUDLY unless clamped (ADVICE r9)
+    val neg = panel((0 until 30).map(t => if (t % 5 == 0) -2.0 else 8.0))
+    val e = intercept[IllegalArgumentException] {
+      TreeBoost.fit(neg, lags = 2, freq = "1i", objective = "poisson")
+    }
+    assert(e.getMessage.contains("labelClamp"), e.getMessage)
+    val outNeg = TreeBoost.fit(neg, lags = 2, freq = "1i", rounds = 2, bins = 4,
+      objective = "poisson", labelClamp = true).predict(neg, "t", fh = 1).collect()
+    assert(outNeg.length == 1 && java.lang.Double.isFinite(outNeg(0).getDouble(2)))
   }
 
   test("autoTreeBoost sweeps lags over the deterministic depth-2 boost") {
