@@ -352,6 +352,177 @@ object Ols {
     (best._2, best._3, best._4)
   }
 
+  /** Lasso-LARS homotopy path from CENTERED moments — the exact piece
+    * sklearn's `lars_path(method="lasso")` computes (Efron et al.,
+    * "Least Angle Regression", Annals of Statistics 2004): descending
+    * the penalty λ from max|Xᵀy|, the active-set solution
+    * w_A(λ) = G_AA⁻¹(c_A − λ·s_A) is LINEAR in λ, so the path is a
+    * sequence of knots where a feature JOINS (an inactive correlation
+    * catches up to λ) or, the lasso modification, LEAVES (an active
+    * coefficient crosses zero). Returns knots (alpha = λ/n, w)
+    * descending, first knot at the all-zero solution, last at λ ≈ 0
+    * (the OLS solution) — sklearn's `alphas_`/`coef_path_` pairs.
+    * `cm`/`cv` are the centered Gram and Xᵀy, `nn` the row count.
+    * Small-p driver arithmetic (the stack uses p = topK+1). */
+  private[graft] def lassoLarsPath(cm: Array[Array[Double]], cv: Array[Double],
+                                   nn: Double): Seq[(Double, Array[Double])] = {
+    val p = cv.length
+    // dense LU solve with partial pivoting for the tiny G_AA systems
+    def solve(m: Array[Array[Double]], rhs: Array[Double]): Array[Double] = {
+      val d = rhs.length
+      val a = Array.tabulate(d, d)((i, j) => m(i)(j))
+      val x = rhs.clone()
+      var i = 0
+      while (i < d) {
+        var piv = i
+        var j = i + 1
+        while (j < d) { if (math.abs(a(j)(i)) > math.abs(a(piv)(i))) piv = j; j += 1 }
+        if (piv != i) { val t = a(i); a(i) = a(piv); a(piv) = t
+          val tv = x(i); x(i) = x(piv); x(piv) = tv }
+        require(a(i)(i) != 0.0, "lassoLarsPath: singular active Gram")
+        j = i + 1
+        while (j < d) {
+          val f = a(j)(i) / a(i)(i)
+          var k = i
+          while (k < d) { a(j)(k) -= f * a(i)(k); k += 1 }
+          x(j) -= f * x(i)
+          j += 1
+        }
+        i += 1
+      }
+      i = d - 1
+      while (i >= 0) {
+        var k = i + 1
+        while (k < d) { x(i) -= a(i)(k) * x(k); k += 1 }
+        x(i) /= a(i)(i)
+        i -= 1
+      }
+      x
+    }
+    val eps = 1e-12
+    val w = new Array[Double](p)
+    var active = Vector.empty[Int]
+    var lam = cv.map(math.abs).max
+    val knots = scala.collection.mutable.ArrayBuffer((lam / nn, w.clone()))
+    var guard = 0
+    while (lam > eps && guard < 8 * p * p) {
+      guard += 1
+      // current correlations c_j − G_j· w
+      val corr = Array.tabulate(p) { j =>
+        var s = cv(j)
+        var k = 0
+        while (k < p) { s -= cm(j)(k) * w(k); k += 1 }
+        s
+      }
+      // admit every inactive feature whose correlation has caught up
+      (0 until p).foreach { j =>
+        if (!active.contains(j) && math.abs(corr(j)) >= lam * (1.0 - 1e-9))
+          active :+= j
+      }
+      if (active.isEmpty) { lam = 0.0 }
+      else {
+        val aIdx = active.toArray
+        val s = aIdx.map(j => math.signum(corr(j)))
+        val gAA = Array.tabulate(aIdx.length, aIdx.length)((i, j) => cm(aIdx(i))(aIdx(j)))
+        val dir = solve(gAA, s) // dw per unit DECREASE of λ
+        // inactive correlation drift per unit decrease of λ
+        val aDrift = Array.tabulate(p) { j =>
+          var v = 0.0
+          var k = 0
+          while (k < aIdx.length) { v += cm(j)(aIdx(k)) * dir(k); k += 1 }
+          v
+        }
+        var gamma = lam // default: ride to the end of the path
+        var joiner = -1
+        (0 until p).foreach { j =>
+          if (!active.contains(j)) {
+            // |corr_j − γ·a_j| = λ − γ
+            val g1 = (lam - corr(j)) / (1.0 - aDrift(j))
+            val g2 = (lam + corr(j)) / (1.0 + aDrift(j))
+            Seq(g1, g2).foreach { g =>
+              if (g > eps && g < gamma - eps) { gamma = g; joiner = j }
+            }
+          }
+        }
+        var dropper = -1
+        aIdx.zipWithIndex.foreach { case (j, i) =>
+          if (dir(i) != 0.0) {
+            val g = -w(j) / dir(i)
+            if (g > eps && g < gamma - eps) { gamma = g; dropper = j; joiner = -1 }
+          }
+        }
+        aIdx.zipWithIndex.foreach { case (j, i) => w(j) += gamma * dir(i) }
+        lam -= gamma
+        if (dropper >= 0) { w(dropper) = 0.0; active = active.filterNot(_ == dropper) }
+        knots += ((math.max(lam, 0.0) / nn, w.clone()))
+      }
+    }
+    knots.toSeq
+  }
+
+  /** sklearn-faithful `LassoLarsIC` (the reference elite stacker,
+    * elite.py:9,:304-308): select the lasso regularization along the
+    * LARS path by a NOISE-VARIANCE-SCALED information criterion —
+    * sklearn ≥ 1.1's formula
+    *
+    *   crit_k = n·ln(2π·σ̂²) + RSS_k/σ̂² + K·df_k,
+    *   σ̂² = RSS_OLS / (n − p − 1),  K = 2 (aic) | ln n (bic),
+    *   df_k = #nonzero coefficients at knot k,
+    *
+    * argmin over the path knots (first minimum wins, numpy argmin).
+    * This is the path-exact sibling of [[lassoAicCD]] (which sweeps a
+    * FIXED alpha grid with the unscaled n·ln(RSS/n)+2df criterion —
+    * kept as the deterministic SQL-oracle mode); the two can pick
+    * different alphas, see EliteDeepSpec. RSS is recovered from the
+    * same one-pass moments. Returns (chosenAlpha, intercept, weights).
+    * Requires n > p + 1 rows (the OLS noise-variance denominator). */
+  def lassoLarsIC(df: DataFrame, featureCols: Seq[String], labelCol: String,
+                  criterion: String = "aic"): (Double, Double, Array[Double]) = {
+    require(criterion == "aic" || criterion == "bic",
+      s"lassoLarsIC criterion must be aic or bic (got '$criterion')")
+    val (a, b, nn, syy) = gramMoments(df, featureCols, labelCol,
+      intercept = true, withSyy = true, what = "lassoLarsIC")
+    val p = featureCols.length
+    require(nn > p + 1,
+      s"lassoLarsIC needs n > p + 1 rows for the noise variance (n=$nn, p=$p)")
+    val cm = Array.tabulate(p, p)((j, k) => a(j + 1)(k + 1) - a(0)(j + 1) * a(0)(k + 1) / nn)
+    val cv = Array.tabulate(p)(j => b(j + 1) - a(0)(j + 1) * b(0) / nn)
+    val syyC = syy - b(0) * b(0) / nn
+    def rss(w: Array[Double]): Double = {
+      var lin = 0.0
+      var j = 0
+      while (j < p) { lin += w(j) * cv(j); j += 1 }
+      var quad = 0.0
+      j = 0
+      while (j < p) {
+        var k = 0
+        while (k < p) { quad += w(j) * w(k) * cm(j)(k); k += 1 }
+        j += 1
+      }
+      syyC - 2.0 * lin + quad
+    }
+    // σ̂² from the full OLS on the centered system (sklearn's
+    // _estimate_noise_variance: lstsq residuals / (n − p − 1))
+    val wOls = choleskySolve(cm, cv)
+    val sigma2 = math.max(rss(wOls), 0.0) / (nn - p - 1)
+    require(sigma2 > 0.0,
+      "lassoLarsIC: zero noise variance (perfect OLS fit) — criterion undefined")
+    val kFactor = if (criterion == "aic") 2.0 else math.log(nn)
+    val path = lassoLarsPath(cm, cv, nn)
+    val scored = path.map { case (al, w) =>
+      val dfree = w.count(_ != 0.0)
+      (nn * math.log(2.0 * math.Pi * sigma2) + rss(w) / sigma2 + kFactor * dfree,
+        al, w)
+    }
+    // numpy argmin: first index of the minimum
+    val best = scored.minBy(_._1)
+    val (_, alpha, w) = scored.find(_._1 == best._1).get
+    var dot = 0.0
+    var j = 0
+    while (j < p) { dot += w(j) * a(0)(j + 1); j += 1 }
+    (alpha, (b(0) - dot) / nn, w)
+  }
+
   /** The driver-side CD loop; arithmetic order (centering, the ρ
     * accumulation k-ascending, soft-threshold branches, the intercept
     * recovery) is replicated term-for-term by Q.cdSolveSql — keep the

@@ -272,8 +272,6 @@ object EliteDeep {
       s"knn_deep_${d / 2}"
   }
 
-  /** Run the deep elite. `strategy` ∈ {"mean", "lasso"}. Returns
-    * (entity…, timeCol, value). */
   /** Every zoo member name, in registry order. */
   val allModels: Seq[String] = Seq("naive", "snaive", "linear_7", "linear_14",
     "ridge_3", "ridge_7", "lasso_7", "elastic_net_7",
@@ -297,11 +295,23 @@ object EliteDeep {
   val linearFamily: Seq[String] = Seq("naive", "snaive", "linear_7", "linear_14",
     "ridge_3", "ridge_7", "lasso_7", "elastic_net_7")
 
+  /** Run the deep elite. `strategy` ∈ {"mean", "lasso", "log_lasso"}.
+    * Stacker regularization (lasso strategies): `stackCriterion`
+    * "lars-aic"/"lars-bic" is the reference-faithful mode
+    * (sklearn LassoLarsIC — path-exact LARS knots, noise-variance-
+    * scaled criterion, elite.py:304-308); the default "cd" keeps the
+    * deterministic SQL-oracle modes (fixed `stackAlpha`, or — when
+    * `stackAlphaGrid` is supplied — the grid-AIC sweep, whose
+    * UNSCALED n·ln(RSS/n)+2df criterion can pick a different alpha
+    * than sklearn's: see Ols.lassoAicCD's caveat and the
+    * EliteDeepSpec case where the two disagree).
+    * Returns (entity…, timeCol, value). */
   def run(p: Panel, timeCol: String, freq: String, fh: Int, topK: Int,
           strategy: String = "mean", testSize: Int = 5, nSplits: Int = 2,
           stepSize: Int = 5, sp: Int = 7, cdSweeps: Int = 8,
           stackAlpha: Double = 0.01, stackSweeps: Int = 15,
           stackAlphaGrid: Seq[Double] = Nil,
+          stackCriterion: String = "cd",
           models: Seq[String] = allModels,
           deepLags: Int = 0): DataFrame = {
     require(deepLags <= 0 || deepLags > 14,
@@ -375,7 +385,7 @@ object EliteDeep {
             .agg(avg(col(p.value)).as(p.value))
         case "lasso" | "log_lasso" =>
           stackLasso(cached, timeCol, bts.map(_._2), preds, ranked, topK,
-            stackAlpha, stackSweeps, stackAlphaGrid,
+            stackAlpha, stackSweeps, stackAlphaGrid, stackCriterion,
             hasNaive = members.exists(_.name == "naive"))
       }
       // eager materialization (entities × fh rows) so the caches can
@@ -405,6 +415,7 @@ object EliteDeep {
                          preds: DataFrame, ranked: DataFrame, topK: Int,
                          alpha: Double, sweeps: Int,
                          alphaGrid: Seq[Double] = Nil,
+                         criterion: String = "cd",
                          hasNaive: Boolean = true): DataFrame = {
     val feats = (1 to topK).map(i => s"f_$i")
     val featsT = feats :+ "trend"
@@ -444,17 +455,29 @@ object EliteDeep {
         trainKeys)
       .withColumn("trend", (row_number().over(wTrendTrain) - 1).cast("double"))
       .na.drop(feats)
-    // fixed alpha, or the LassoLarsIC-analog AIC sweep when a grid is
-    // supplied (same moments either way — one data pass)
-    val (b0, ws) =
-      if (alphaGrid.isEmpty)
+    // three stacker-fit modes, all one data pass over the same moments:
+    //  - criterion "lars-aic"/"lars-bic": the sklearn-faithful
+    //    LassoLarsIC — path-exact LARS knots scored by the
+    //    noise-variance-scaled criterion (elite.py:304-308's actual
+    //    regressor). The reference-faithful mode.
+    //  - criterion "cd" + alphaGrid: the deterministic grid-AIC sweep
+    //    (lassoAicCD) — the SQL-oracle mode (fc_elite_stack_ic).
+    //  - criterion "cd", no grid: fixed-alpha CD (fc_elite_stack).
+    val (b0, ws) = criterion match {
+      case "lars-aic" | "lars-bic" =>
+        val (_, i, w) = graft.functions.Ols.lassoLarsIC(stackTrain, featsT,
+          "__y", criterion.stripPrefix("lars-"))
+        (i, w)
+      case "cd" if alphaGrid.isEmpty =>
         graft.functions.Ols.elasticNetCD(stackTrain, featsT, "__y",
           alpha = alpha, l1Ratio = 1.0, sweeps = sweeps)
-      else {
+      case "cd" =>
         val (_, i, w) = graft.functions.Ols.lassoAicCD(stackTrain, featsT, "__y",
           alphaGrid, sweeps)
         (i, w)
-      }
+      case other => throw new IllegalArgumentException(
+        s"stackCriterion must be cd, lars-aic or lars-bic (got '$other')")
+    }
     // entities × fh rows, read three times below (stack scoring, the
     // incomplete-pivot fallback scan, and the anti-join) — materialize
     val stackAll = pivot(preds, p.value, p.entity :+ timeCol)

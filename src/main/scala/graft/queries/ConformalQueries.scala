@@ -752,8 +752,11 @@ object ConformalQueries {
     // which full-data fit's predictions to emit — the whole sweep
     // replicated in SQL like fc_auto_linear
     "fc_auto_gbt" -> Q({
+      // testSize 5 (was 10): halves every backtest chain's unrolled
+      // horizon stages — same oracle-cost rationale as
+      // fc_auto_search_gbt below; the lag-sweep protocol is unchanged
       val bts = Seq(3, 7).map(l => OlsBacktestSql.backtestTree2(s"g$l", l,
-        testSize = 10, nSplits = 2, stepSize = 5, rounds = 3, bins = 4, eta = 0.3))
+        testSize = 5, nSplits = 2, stepSize = 5, rounds = 3, bins = 4, eta = 0.3))
       val scores = Seq(3, 7).map(l =>
         OlsBacktestSql.meanSmapeCte(s"g$l", s"g$l"))
       val fulls = Seq(3, 7).map(l =>
@@ -766,7 +769,8 @@ object ConformalQueries {
     }) { (s, dir) =>
       val p = ev(s, dir)
       val (lags, _, model) = AutoForecast.autoTreeBoost(p, "ts", "1d",
-        lagGrid = Seq(3, 7), rounds = 3, bins = 4, eta = 0.3, nSplits = 2)
+        lagGrid = Seq(3, 7), rounds = 3, bins = 4, eta = 0.3, testSize = 5,
+        nSplits = 2)
       r6(model.predict(p, "ts", fh = 3).withColumn("chosen_lags", lit(lags).cast("long")))
     },
 
@@ -855,9 +859,17 @@ object ConformalQueries {
     // complete step-exact tree2 chains (two conditional-agg passes +
     // three argmax picks per round, recursive multi-horizon predict).
     "fc_auto_search_gbt" -> Q({
-      val cands = AutoForecast.searchCandidatesGbt(42L, 6)
+      // 4 candidates / testSize 3 (was 6 / 5): each candidate is a
+      // complete step-exact tree2 chain ×3 (2 backtest splits + full
+      // fit), and DuckDB's planner cost is superlinear in the unrolled
+      // stanza count — the 6-candidate replica alone was 1 MB of SQL /
+      // 154 s at sf0.01, which starved the driver's whole correctness
+      // gate (round-9 CORRECTNESS came back empty). The two-stage
+      // halving protocol is intact: stage 1 ranks all 4 on the most
+      // recent split, the top 2 survive the full plan.
+      val cands = AutoForecast.searchCandidatesGbt(42L, 4)
       val bts = cands.zipWithIndex.map { case ((l, r, b, e), i) =>
-        OlsBacktestSql.backtestTree2(s"asg$i", l, testSize = 5, nSplits = 2,
+        OlsBacktestSql.backtestTree2(s"asg$i", l, testSize = 3, nSplits = 2,
           stepSize = 5, rounds = r, bins = b, eta = e)
       }
       val fulls = cands.zipWithIndex.map { case ((l, r, b, e), i) =>
@@ -895,7 +907,7 @@ object ConformalQueries {
           gscores AS ($scoreRows),
           gsurv AS (SELECT i, s2 FROM (
               SELECT i, s2, row_number() OVER (ORDER BY s1 ASC NULLS LAST, i) AS r1
-              FROM gscores) WHERE r1 <= 3),
+              FROM gscores) WHERE r1 <= 2),
           gpick AS (SELECT i AS chosen FROM (
               SELECT i, row_number() OVER (ORDER BY s2 ASC NULLS LAST, i) AS r2
               FROM gsurv) WHERE r2 = 1),
@@ -909,7 +921,7 @@ object ConformalQueries {
     }) { (s, dir) =>
       val p = ev(s, dir)
       val (_, (lags, rounds, bins, eta), _, model) = AutoForecast.autoSearchTreeBoost(
-        p, "ts", "1d", seed = 42L, nCandidates = 6, testSize = 5, nSplits = 2,
+        p, "ts", "1d", seed = 42L, nCandidates = 4, testSize = 3, nSplits = 2,
         stepSize = 5)
       r6(model.predict(p, "ts", fh = 3)
         .withColumn("chosen_lags", lit(lags).cast("long"))

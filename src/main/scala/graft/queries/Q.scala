@@ -14,8 +14,15 @@ final case class Q(
     oracle: Option[String])
 
 object Q {
-  def apply(oracle: String)(fn: (SparkSession, String) => DataFrame): Q =
-    Q(fn, Some(oracle))
+  def apply(oracle: String)(fn: (SparkSession, String) => DataFrame): Q = {
+    // the recursive CD fold ([[cdSolveSql]]) needs the embedding
+    // statement's WITH to be RECURSIVE; declaring it on every oracle
+    // is harmless in DuckDB (checked: no oracle CTE shadows a base
+    // table, which is the only semantic RECURSIVE could change) and
+    // saves threading a flag through every composed builder
+    val o = oracle.replaceFirst("^(\\s*)WITH\\s+(?!RECURSIVE)", "$1WITH RECURSIVE ")
+    Q(fn, Some(o))
+  }
   def rowsOnly(fn: (SparkSession, String) => DataFrame): Q = Q(fn, None)
 
   def tbl(s: SparkSession, dir: String, name: String): DataFrame =
@@ -66,93 +73,152 @@ object Q {
   val W = "PARTITION BY user_id ORDER BY ts, event_id"
   val WE = "PARTITION BY user_id"
 
-  /** Unrolled Cholesky solve of a d-dim SPD system as a chain of
-    * MATERIALIZED CTE stages (DuckDB substitutes lateral aliases
-    * textually, so a single-SELECT unroll blows up exponentially in d
-    * — the 8-dim variant hung the oracle). Input CTE `from0` must have
-    * columns `m_<i>_<j>` (upper triangle, i ≤ j) and `b_<i>`; the
-    * returned fragment defines CTEs `<p>0.. <p>N`, the last of which
-    * carries the solution `a_0..a_{d-1}`. Append it inside WITH and
-    * select from [[cholSolveLast]]. Mirrors
-    * [[graft.functions.Ols.choleskySolve]]'s arithmetic so the engines
-    * agree to well under the rd6 rounding grain. */
+  /** Cholesky solve of a d-dim SPD system as THREE RECURSIVE-CTE
+    * folds (factor columns / forward substitution / back
+    * substitution) over list-typed state — the oracle side of
+    * [[graft.functions.Ols.choleskySolve]], arithmetic mirrored
+    * term-for-term: every accumulation is a `list_reduce` over an
+    * ordered `list_transform` product list prepended with the anchor
+    * (the left-associated sequential subtraction the Scala loop
+    * runs), element extraction is exact, sqrt is correctly rounded,
+    * so the two engines agree bitwise (prototyped at d = 5/8/15
+    * against a replica of the Scala loop).
+    *
+    * Replaced the 3d-MATERIALIZED-stage unroll in round 10: the
+    * elite-family oracles carried hundreds of Cholesky stanzas each
+    * and DuckDB's planner cost is superlinear in stanza count (see
+    * [[cdSolveSql]]). Statements embedding this must be WITH
+    * RECURSIVE — [[Q.apply]] rewrites that centrally.
+    *
+    * Input CTE `from0` must have columns `m_<i>_<j>` (upper triangle,
+    * i ≤ j) and `b_<i>`; MULTI-ROW inputs fold each row independently
+    * (the per-entity deseasonalize solve), every source column is
+    * carried through the fold. The final CTE ([[cholSolveLast]])
+    * carries `from0`'s columns plus the solution `a_0..a_{d-1}`. */
   def cholSolveSql(d: Int, from0: String, p: String = "ch"): String = {
-    val stages = scala.collection.mutable.ArrayBuffer.empty[String]
-    for (j <- 0 until d) {
-      val diag = (s"m_${j}_$j" +: (0 until j).map(k => s"- l_${j}_$k * l_${j}_$k")).mkString(" ")
-      val cols = s"sqrt($diag) AS l_${j}_$j" +: (j + 1 until d).map { i =>
-        val num = (s"m_${j}_$i" +: (0 until j).map(k => s"- l_${i}_$k * l_${j}_$k")).mkString(" ")
-        s"($num) / sqrt($diag) AS l_${i}_$j"
-      }
-      stages += cols.mkString(", ")
-    }
-    for (i <- 0 until d) {
-      val num = (s"b_$i" +: (0 until i).map(k => s"- l_${i}_$k * y_$k")).mkString(" ")
-      stages += s"($num) / l_${i}_$i AS y_$i"
-    }
-    for (i <- d - 1 to 0 by -1) {
-      val num = (s"y_$i" +: (i + 1 until d).map(k => s"- l_${k}_$i * a_$k")).mkString(" ")
-      stages += s"($num) / l_${i}_$i AS a_$i"
-    }
-    stages.zipWithIndex.map { case (cols, n) =>
-      val src = if (n == 0) from0 else s"$p${n - 1}"
-      s"$p$n AS MATERIALIZED (SELECT *, $cols FROM $src)"
-    }.mkString(", ")
+    val mRows = (0 until d).map(i =>
+      (0 until d).map(j => s"m_${math.min(i, j)}_${math.max(i, j)}")
+        .mkString("[", ", ", "]")).mkString(", ")
+    val bList = (0 until d).map(i => s"b_$i").mkString("[", ", ", "]")
+    val (qm, qb, qj, ql) = (s"${p}_qm", s"${p}_qb", s"${p}_qj", s"${p}_ql")
+    val (qi, qy, qn, qa) = (s"${p}_qi", s"${p}_qy", s"${p}_qn", s"${p}_qa")
+    val colDiag =
+      s"""list_reduce(list_prepend($qm[$qj + 1][$qj + 1],
+            list_transform(range($qj), k -> $ql[$qj + 1][k + 1] * $ql[$qj + 1][k + 1])),
+          (x, y) -> x - y)"""
+    s"""${p}_mm AS MATERIALIZED (SELECT *, [$mRows] AS $qm, $bList AS $qb FROM $from0),
+        ${p}_ch AS (
+          SELECT *, 0 AS $qj, list_transform(range(1, ${d + 1}),
+            i -> CAST([] AS DOUBLE[])) AS $ql FROM ${p}_mm
+          UNION ALL
+          SELECT * REPLACE ($qj + 1 AS $qj,
+            list_transform(range(1, ${d + 1}), i ->
+              CASE WHEN i - 1 < $qj THEN $ql[i]
+              ELSE list_append($ql[i],
+                list_transform([list_reduce(
+                    list_prepend($qm[i][$qj + 1],
+                      list_transform(range($qj), k -> $ql[i][k + 1] * $ql[$qj + 1][k + 1])),
+                    (x, y) -> x - y)], s ->
+                  CASE WHEN i - 1 = $qj THEN sqrt(s)
+                       ELSE s / sqrt($colDiag) END)[1])
+              END) AS $ql)
+          FROM ${p}_ch WHERE $qj < $d),
+        ${p}_fw AS (
+          SELECT *, 0 AS $qi, CAST([] AS DOUBLE[]) AS $qy
+          FROM ${p}_ch WHERE $qj = $d
+          UNION ALL
+          SELECT * REPLACE ($qi + 1 AS $qi, list_append($qy,
+            list_reduce(list_prepend($qb[$qi + 1],
+              list_transform(range($qi), k -> $ql[$qi + 1][k + 1] * $qy[k + 1])),
+              (x, z) -> x - z)
+            / $ql[$qi + 1][$qi + 1]) AS $qy)
+          FROM ${p}_fw WHERE $qi < $d),
+        ${p}_bw AS (
+          SELECT *, 0 AS $qn, CAST([] AS DOUBLE[]) AS $qa
+          FROM ${p}_fw WHERE $qi = $d
+          UNION ALL
+          SELECT * REPLACE ($qn + 1 AS $qn, list_prepend(
+            list_reduce(list_prepend($qy[$d - $qn],
+              list_transform(range($d - $qn, $d, 1),
+                k -> $ql[k + 1][$d - $qn] * $qa[k - $d + $qn + 1])),
+              (x, z) -> x - z)
+            / $ql[$d - $qn][$d - $qn], $qa) AS $qa)
+          FROM ${p}_bw WHERE $qn < $d),
+        ${p}_fin AS MATERIALIZED (
+          SELECT * EXCLUDE ($qm, $qb, $qj, $ql, $qi, $qy, $qn, $qa),
+            ${(0 until d).map(i => s"$qa[${i + 1}] AS a_$i").mkString(", ")}
+          FROM ${p}_bw WHERE $qn = $d)"""
   }
 
   /** Name of the final CTE emitted by [[cholSolveSql]]. */
-  def cholSolveLast(d: Int, p: String = "ch"): String = s"$p${3 * d - 1}"
+  def cholSolveLast(d: Int, p: String = "ch"): String = s"${p}_fin"
 
-  /** Unrolled cyclic-coordinate-descent elastic-net solve (the sklearn
-    * `ElasticNet`/`Lasso` objective) as MATERIALIZED CTE stages — the
+  /** Cyclic-coordinate-descent elastic-net solve (the sklearn
+    * `ElasticNet`/`Lasso` objective) as ONE RECURSIVE-CTE fold — the
     * oracle side of [[graft.functions.Ols.cdFromMoments]], replicating
     * its arithmetic term-for-term: moment centering, the k-ascending ρ
-    * accumulation, the soft-threshold branches, and the intercept
-    * recovery, all at a FIXED sweep count so both engines run the
-    * identical update sequence. One CTE per coordinate update (a
-    * single-SELECT unroll would re-expand each lateral ρ alias 4× per
-    * CASE branch — exponential text blowup, same hazard cholSolveSql
-    * documents). Input CTE `from0` must carry `m_<i>_<j>` (upper
-    * triangle incl. intercept row 0) and `b_<i>`; the final CTE
-    * ([[cdSolveLast]]) carries the solution `a_0..a_<p>`. */
+    * accumulation (left-associated subtraction chain, element
+    * extraction from the packed lists is exact), the soft-threshold
+    * branches (ρ let-bound once via the single-element-list lambda),
+    * and the intercept recovery, all at a FIXED sweep count so both
+    * engines run the identical update sequence.
+    *
+    * This replaced the per-coordinate-update CTE unroll in round 10:
+    * O(sweeps·p) MATERIALIZED stanzas made the CD family ~60% of the
+    * whole oracle suite's text, and DuckDB's planner cost is
+    * superlinear in stanza count (suite wall >20 min at sf0.01, which
+    * starved the driver's correctness gate). The fold is O(p²) text
+    * ONCE regardless of sweeps, bitwise-identical output (prototyped
+    * against a Python replica of cdFromMoments). Statements embedding
+    * it must be WITH RECURSIVE — [[Q.apply]] rewrites that centrally.
+    *
+    * Input CTE `from0` must carry `m_<i>_<j>` (upper triangle incl.
+    * intercept row 0) and `b_<i>`, ONE ROW (pooled global moments);
+    * the final CTE ([[cdSolveLast]]) carries `from0`'s columns plus
+    * the solution `a_0..a_<p>`. */
   def cdSolveSql(p: Int, alpha: Double, l1Ratio: Double, sweeps: Int,
                  from0: String, pre: String = "cd"): String = {
     def cName(j: Int, k: Int) = s"c_${math.min(j, k)}_${math.max(j, k)}"
-    val ctr = {
-      val cs = for (j <- 1 to p; k <- j to p)
-        yield s"m_${j}_$k - m_0_$j * m_0_$k / m_0_0 AS c_${j}_$k"
-      val ccs = (1 to p).map(j => s"b_$j - m_0_$j * b_0 / m_0_0 AS cc_$j")
-      val consts = Seq(
-        s"m_0_0 * ${alpha * l1Ratio} AS ${pre}_thr",
-        s"m_0_0 * ${alpha * (1.0 - l1Ratio)} AS ${pre}_l2")
-      val w0 = (1 to p).map(j => s"CAST(0.0 AS DOUBLE) AS w0_$j")
-      (cs ++ ccs ++ consts ++ w0).mkString(", ")
-    }
-    val stages = scala.collection.mutable.ArrayBuffer[String](ctr)
-    for (t <- 1 to sweeps; j <- 1 to p) {
-      val wref = (k: Int) => if (k < j) s"w${t}_$k" else s"w${t - 1}_$k"
-      val rho = (s"cc_$j" +: (1 to p).filter(_ != j).toSeq
-        .map(k => s"- ${cName(j, k)} * ${wref(k)}")).mkString(" ")
-      val r = s"r${t}_$j"
-      val den = s"(c_${j}_$j + ${pre}_l2)"
-      stages += s"""($rho) AS $r,
+    val cs = for (j <- 1 to p; k <- j to p)
+      yield s"m_${j}_$k - m_0_$j * m_0_$k / m_0_0 AS c_${j}_$k"
+    val ccs = (1 to p).map(j => s"b_$j - m_0_$j * b_0 / m_0_0 AS cc_$j")
+    val consts = Seq(
+      s"m_0_0 * ${alpha * l1Ratio} AS ${pre}_thr",
+      s"m_0_0 * ${alpha * (1.0 - l1Ratio)} AS ${pre}_l2")
+    val cmRows = (1 to p).map(j =>
+      (1 to p).map(k => cName(j, k)).mkString("[", ", ", "]")).mkString(", ")
+    val cvList = (1 to p).map(j => s"cc_$j").mkString("[", ", ", "]")
+    val zeros = Seq.fill(p)("CAST(0.0 AS DOUBLE)").mkString("[", ", ", "]")
+    val branches = (1 to p).map { j =>
+      val chain = s"cv[$j]" + (1 to p).filter(_ != j)
+        .map(k => s" - cm[$j][$k] * w[$k]").mkString
+      val den = s"(cm[$j][$j] + l2)"
+      val vj = s"""list_transform([($chain)], rr ->
           CASE WHEN $den <= 0.0 THEN CAST(0.0 AS DOUBLE)
-               WHEN $r > ${pre}_thr THEN ($r - ${pre}_thr) / $den
-               WHEN $r < -${pre}_thr THEN ($r + ${pre}_thr) / $den
-               ELSE CAST(0.0 AS DOUBLE) END AS w${t}_$j"""
-    }
-    val dot = (s"0.0" +: (1 to p).map(j => s"+ w${sweeps}_$j * m_0_$j")).mkString(" ")
-    stages += (s"(b_0 - ($dot)) / m_0_0 AS a_0" +:
-      (1 to p).map(j => s"w${sweeps}_$j AS a_$j")).mkString(", ")
-    stages.zipWithIndex.map { case (cols, n) =>
-      val src = if (n == 0) from0 else s"$pre${n - 1}"
-      s"$pre$n AS MATERIALIZED (SELECT *, $cols FROM $src)"
-    }.mkString(", ")
+               WHEN rr > thr THEN (rr - thr) / $den
+               WHEN rr < -thr THEN (rr + thr) / $den
+               ELSE CAST(0.0 AS DOUBLE) END)[1]"""
+      s"WHEN ${j - 1} THEN w[1:${j - 1}] || [$vj] || w[${j + 1}:$p]"
+    }.mkString(" ")
+    val aDot = (1 to p).map(j => s"+ it.w[$j] * m_0_$j").mkString(" ")
+    s"""${pre}_c AS MATERIALIZED (SELECT *, ${(cs ++ ccs ++ consts).mkString(", ")}
+          FROM $from0),
+        ${pre}_m AS MATERIALIZED (SELECT [$cmRows] AS cm, $cvList AS cv,
+          ${pre}_thr AS thr, ${pre}_l2 AS l2 FROM ${pre}_c),
+        ${pre}_it AS (
+          SELECT 0 AS s, $zeros AS w FROM ${pre}_m
+          UNION ALL
+          SELECT s + 1, CASE (s % $p) $branches END
+          FROM ${pre}_it, ${pre}_m WHERE s < ${sweeps * p}),
+        ${pre}_fin AS MATERIALIZED (SELECT ${pre}_c.*,
+          (b_0 - (0.0 $aDot)) / m_0_0 AS a_0,
+          ${(1 to p).map(j => s"it.w[$j] AS a_$j").mkString(", ")}
+        FROM ${pre}_it it, ${pre}_c WHERE it.s = ${sweeps * p})"""
   }
 
   /** Name of the final CTE emitted by [[cdSolveSql]]. */
   def cdSolveLast(p: Int, sweeps: Int, pre: String = "cd"): String =
-    s"$pre${1 + sweeps * p}"
+    s"${pre}_fin"
 
   /** NO-INTERCEPT cyclic-CD elastic-net solve
     * ([[graft.functions.Ols.elasticNetCDNoDrift]]'s oracle): CD on the
@@ -163,37 +229,43 @@ object Q {
     * drift=false predStages naming. */
   def cdSolveNoDriftSql(p: Int, alpha: Double, l1Ratio: Double, sweeps: Int,
                         from0: String, pre: String = "cnd"): String = {
+    // same recursive fold as [[cdSolveSql]], on the RAW Gram (0-based
+    // feature indices, no centering, no intercept recovery)
     def mName(j: Int, k: Int) = s"m_${math.min(j, k)}_${math.max(j, k)}"
-    val ctr = {
-      val consts = Seq(
-        s"nn * ${alpha * l1Ratio} AS ${pre}_thr",
-        s"nn * ${alpha * (1.0 - l1Ratio)} AS ${pre}_l2")
-      val w0 = (0 until p).map(j => s"CAST(0.0 AS DOUBLE) AS w0_$j")
-      (consts ++ w0).mkString(", ")
-    }
-    val stages = scala.collection.mutable.ArrayBuffer[String](ctr)
-    for (t <- 1 to sweeps; j <- 0 until p) {
-      val wref = (k: Int) => if (k < j) s"w${t}_$k" else s"w${t - 1}_$k"
-      val rho = (s"b_$j" +: (0 until p).filter(_ != j).toSeq
-        .map(k => s"- ${mName(j, k)} * ${wref(k)}")).mkString(" ")
-      val r = s"r${t}_$j"
-      val den = s"(${mName(j, j)} + ${pre}_l2)"
-      stages += s"""($rho) AS $r,
+    val consts = Seq(
+      s"nn * ${alpha * l1Ratio} AS ${pre}_thr",
+      s"nn * ${alpha * (1.0 - l1Ratio)} AS ${pre}_l2")
+    val cmRows = (0 until p).map(j =>
+      (0 until p).map(k => mName(j, k)).mkString("[", ", ", "]")).mkString(", ")
+    val cvList = (0 until p).map(j => s"b_$j").mkString("[", ", ", "]")
+    val zeros = Seq.fill(p)("CAST(0.0 AS DOUBLE)").mkString("[", ", ", "]")
+    val branches = (1 to p).map { j =>
+      val chain = s"cv[$j]" + (1 to p).filter(_ != j)
+        .map(k => s" - cm[$j][$k] * w[$k]").mkString
+      val den = s"(cm[$j][$j] + l2)"
+      val vj = s"""list_transform([($chain)], rr ->
           CASE WHEN $den <= 0.0 THEN CAST(0.0 AS DOUBLE)
-               WHEN $r > ${pre}_thr THEN ($r - ${pre}_thr) / $den
-               WHEN $r < -${pre}_thr THEN ($r + ${pre}_thr) / $den
-               ELSE CAST(0.0 AS DOUBLE) END AS w${t}_$j"""
-    }
-    stages += (0 until p).map(j => s"w${sweeps}_$j AS a_$j").mkString(", ")
-    stages.zipWithIndex.map { case (cols, n) =>
-      val src = if (n == 0) from0 else s"$pre${n - 1}"
-      s"$pre$n AS MATERIALIZED (SELECT *, $cols FROM $src)"
-    }.mkString(", ")
+               WHEN rr > thr THEN (rr - thr) / $den
+               WHEN rr < -thr THEN (rr + thr) / $den
+               ELSE CAST(0.0 AS DOUBLE) END)[1]"""
+      s"WHEN ${j - 1} THEN w[1:${j - 1}] || [$vj] || w[${j + 1}:$p]"
+    }.mkString(" ")
+    s"""${pre}_c AS MATERIALIZED (SELECT *, ${consts.mkString(", ")} FROM $from0),
+        ${pre}_m AS MATERIALIZED (SELECT [$cmRows] AS cm, $cvList AS cv,
+          ${pre}_thr AS thr, ${pre}_l2 AS l2 FROM ${pre}_c),
+        ${pre}_it AS (
+          SELECT 0 AS s, $zeros AS w FROM ${pre}_m
+          UNION ALL
+          SELECT s + 1, CASE (s % $p) $branches END
+          FROM ${pre}_it, ${pre}_m WHERE s < ${sweeps * p}),
+        ${pre}_fin AS MATERIALIZED (SELECT ${pre}_c.*,
+          ${(0 until p).map(j => s"it.w[${j + 1}] AS a_$j").mkString(", ")}
+        FROM ${pre}_it it, ${pre}_c WHERE it.s = ${sweeps * p})"""
   }
 
   /** Name of the final CTE emitted by [[cdSolveNoDriftSql]]. */
   def cdSolveNoDriftLast(p: Int, sweeps: Int, pre: String = "cnd"): String =
-    s"$pre${1 + sweeps * p}"
+    s"${pre}_fin"
 
   /** DuckDB fragment: 12 hex nibbles of hex-string expression `h`
     * starting at 1-based position `off+1`, as a BIGINT — the oracle
