@@ -372,4 +372,74 @@ class EliteDeepSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("nope"))
   }
+
+  // Goldens precomputed by an INDEPENDENT NumPy homotopy + sklearn's
+  // documented criterion (n·ln(2πσ̂²) + RSS/σ̂² + 2·df with
+  // σ̂² = RSS_OLS/(n−p−1)) on this exact dataset. The dataset is the
+  // stack shape (collinear member forecasts + trend); path knots:
+  // alphas [48.050858, 2.663759, 0.059754, 0.008902, 0], criterion
+  // [2010.724, 174.742, 74.076, 75.401, 77.382] → knot 3 wins.
+  private def larsFixture = {
+    import spark.implicits._
+    (0 until 40).map { t =>
+      val f1 = 10 + 0.5 * t + math.sin(t * 1.7) * 2
+      val f2 = 10 + 0.5 * t + math.cos(t * 0.9) * 3
+      val f3 = 5 + 0.1 * t + math.sin(t * 2.3)
+      val y = 0.7 * f1 + 0.1 * f3 + 2.0 + math.sin(t * 3.1) * 0.8
+      (f1, f2, f3, t.toDouble, y)
+    }.toDF("f_1", "f_2", "f_3", "trend", "__y")
+  }
+
+  test("lassoLarsIC matches the sklearn-criterion golden (elite.py:304-308)") {
+    val (alpha, b0, w) = graft.functions.Ols.lassoLarsIC(
+      larsFixture, Seq("f_1", "f_2", "f_3", "trend"), "__y")
+    assertClose(alpha, 0.059753503089813975, 1e-9)
+    assertClose(b0, 2.815680953661335, 1e-7)
+    val golden = Seq(0.6676240009343879, 0.0, 0.0, 0.027278883745869842)
+    w.toSeq.zip(golden).foreach { case (g, e) => assertClose(g, e, 1e-7) }
+    // path-exactness cross-check: a fully-converged CD lasso at the
+    // chosen alpha must land on the same coefficients (LARS-lasso
+    // knots ARE lasso solutions)
+    val (b0cd, wcd) = graft.functions.Ols.elasticNetCD(
+      larsFixture, Seq("f_1", "f_2", "f_3", "trend"), "__y",
+      alpha = alpha, l1Ratio = 1.0, sweeps = 400)
+    assertClose(b0cd, b0, 1e-6)
+    w.toSeq.zip(wcd.toSeq).foreach { case (g, e) => assertClose(g, e, 1e-6) }
+  }
+
+  test("grid-AIC and LARS-IC can disagree; LARS-IC matches sklearn's pick") {
+    // on the same fixture the fixed grid {0.001, 0.01, 0.1} with the
+    // UNSCALED n·ln(RSS/n)+2df criterion picks alpha = 0.1 (NumPy
+    // replica confirms), while the sklearn-faithful path criterion
+    // picks the 0.0598 knot — the documented lassoAicCD caveat
+    val feats = Seq("f_1", "f_2", "f_3", "trend")
+    val (gridAlpha, _, _) = graft.functions.Ols.lassoAicCD(
+      larsFixture, feats, "__y", Seq(0.001, 0.01, 0.1), sweeps = 60)
+    val (larsAlpha, _, _) = graft.functions.Ols.lassoLarsIC(
+      larsFixture, feats, "__y")
+    assert(gridAlpha == 0.1, s"grid pick $gridAlpha")
+    assert(math.abs(larsAlpha - 0.059753503089813975) < 1e-9,
+      s"lars pick $larsAlpha")
+    assert(math.abs(gridAlpha - larsAlpha) > 1e-3, "expected disagreement")
+  }
+
+  test("eliteDeep lasso stacker runs end-to-end under stackCriterion=lars-aic") {
+    // enough rows per entity for the noise-variance denominator, and
+    // hash-like noise so no member fits PERFECTLY (a zero OLS residual
+    // makes the sklearn criterion undefined — lassoLarsIC fails loud);
+    // the reference-faithful mode must produce a full forecast panel
+    def noisy(f: Int => Double): Seq[Double] = Seq.tabulate(40) { t =>
+      val h = math.abs(math.sin(t * 12.9898 + f(0)) * 43758.5453)
+      f(t) + (h - math.floor(h)) * 4.0
+    }
+    val p = panel(
+      noisy(t => 10.0 + t + math.sin(t * 2.1) * 3),
+      noisy(t => 5.0 + 0.5 * t + math.cos(t * 1.3) * 2),
+      noisy(t => 20.0 - 0.2 * t + math.sin(t * 0.7)))
+    val out = EliteDeep.run(p, "t", "1i", fh = 2, topK = 3,
+      strategy = "lasso", stackCriterion = "lars-aic",
+      models = EliteDeep.linearFamily)
+    assert(out.count() == 6L)
+    assert(out.collect().forall(r => java.lang.Double.isFinite(r.getDouble(2))))
+  }
 }
