@@ -13,7 +13,10 @@ import org.apache.spark.sql.functions._
   * test split, join the naive scores, and report FVA = naive − elite
   * (positive = elite adds value over the random walk).
   *
-  * Usage: runMain graft.EliteM4 [freq] [strategy] [models] [deepLags]
+  * Usage: runMain graft.EliteM4 [freq] [strategy] [models] [deepLags] [fourierK]
+  *   fourierK (>0) runs the zoo's fourier families at reference depth
+  *   (K = min(fourierK, sp−1), detrend family 2·fourierK — elite.py's
+  *   K=6/K=12 tiering at fourierK=6) instead of the oracle-bounded K=2.
   *   deepLags (>14) appends the caller-depth members
   *   (EliteDeep.deepModels) to the zoo — the reference builds its zoo
   *   over the forecaster's lag budget (elite.py:80-164), commonly 24+.
@@ -33,6 +36,7 @@ object EliteM4 {
       case csv => csv.split(",").toSeq
     }
     val deepLags = if (args.length > 3) args(3).toInt else 0
+    val fourierK = if (args.length > 4) args(4).toInt else 0
     val (fh, lags, sp) = freq match {
       case "1d" => (14, 30, 7)
       case "1h" => (48, 24, 24)
@@ -118,7 +122,7 @@ object EliteM4 {
       // defaults) — members are ranked on one-step-ahead backtests
       EliteDeep.run(p, "time", "1i", fh = fh, topK = math.min(12, usable.length),
         strategy = strategy, testSize = 1, nSplits = 3, stepSize = 1, sp = sp,
-        models = usable, deepLags = deepLags)
+        models = usable, deepLags = deepLags, fourierK = fourierK)
     }
     val yNaive = Forecasters.naive(p, "time", fh, "1i")
 

@@ -69,6 +69,12 @@ final class TopKAvgAgg(k: Int)
 
   override def finish(b: Array[Double]): Double = {
     val n = b.length / 2
+    // fail LOUD on an empty buffer rather than silently emitting
+    // 0.0/0 = NaN into a forecast panel (ADVICE r9): a group that
+    // reduced nothing means the caller fed an empty neighbor set —
+    // a bug upstream, never a valid average
+    require(n > 0, s"TopKAvg(k=$k): empty buffer — no (distance, label) " +
+      "pairs were reduced for this group")
     var s = 0.0
     var i = 0
     while (i < n) { s += b(2 * i + 1); i += 1 }

@@ -47,8 +47,14 @@ object EliteDeep {
     * variants mirror elite.py:80-164's families. */
   private def zoo(cached: Panel, sharedLag: DataFrame, timeCol: String,
                   freq: String, sp: Int, fh: Int, testSize: Int, nSplits: Int,
-                  stepSize: Int, cdSweeps: Int, deepLags: Int): Seq[Member] = {
+                  stepSize: Int, cdSweeps: Int, deepLags: Int,
+                  fourierK: Int = 0): Seq[Member] = {
     val p = cached
+    // fourier depth: 0 = the oracle-bounded default (K=2 everywhere);
+    // > 0 = reference tiering, capped below sp (see the fourier
+    // member comment)
+    val kF = if (fourierK <= 0) 2 else math.min(fourierK, sp - 1)
+    val kFD = if (fourierK <= 0) 2 else math.min(2 * fourierK, sp - 1)
     // one distinct-count job shared by every knn fit (the dispatch
     // hint for exact-vs-IVF); lazy so zoos without knn members — or
     // runs whose `models` filter drops them — never pay it
@@ -205,32 +211,36 @@ object EliteDeep {
       pipeMember("ridge_demean_7", Seq(ForecastPipeline.detrendMeanStep), 7,
         alpha = 0.1),
       // elite.py:104-137 "AR models with Fourier terms"
-      // (feature_transform=add_fourier_terms). K=2 over lags=3 is a
-      // deliberate scale-down of the reference defaults (K=6, and K=12
-      // for the detrend-fourier family, over the constructor's lags —
-      // elite.py:104-164): like the fixed alphas standing in for the
-      // *_cv members, it bounds the DuckDB oracle's per-member CTE
-      // chains (the binder caps ~1000 chained CTEs per WITH) while
-      // keeping one member per reference family. Production callers
-      // wanting reference-depth fourier members get them through
-      // `deepLags` below (K = min(6, sp−1) over the caller's lags).
-      fourierMember("linear_fourier_3", lags = 3, kTerms = 2),
-      fourierMember("ridge_fourier_3", lags = 3, kTerms = 2, ridge = 0.1),
-      fourierMember("lasso_fourier_3", lags = 3, kTerms = 2, ridge = 0.1,
+      // (feature_transform=add_fourier_terms). The DEFAULT K=2 over
+      // lags=3 is a deliberate scale-down of the reference defaults
+      // (K=6, and K=12 for the detrend-fourier family, over the
+      // constructor's lags — elite.py:104-164): like the fixed alphas
+      // standing in for the *_cv members, it bounds the DuckDB
+      // oracle's per-member CTE chains (the binder caps ~1000 chained
+      // CTEs per WITH) while keeping one member per reference family.
+      // Reference-depth callers pass `fourierK` (> 0): the plain and
+      // scaled families then run K = min(fourierK, sp−1) and the
+      // detrend family the reference's doubled K = min(2·fourierK,
+      // sp−1) — fourierK = 6 reproduces elite.py's K=6/K=12 tiering
+      // (capped below sp, FourierLinear's identifiability bound).
+      // `deepLags` additionally appends a caller-depth fourier member.
+      fourierMember("linear_fourier_3", lags = 3, kTerms = kF),
+      fourierMember("ridge_fourier_3", lags = 3, kTerms = kF, ridge = 0.1),
+      fourierMember("lasso_fourier_3", lags = 3, kTerms = kF, ridge = 0.1,
         l1Ratio = 1.0),
       pipeFourierMember("linear_scaled_fourier_3",
-        Seq(ForecastPipeline.scaleStep()), 3, kTerms = 2),
+        Seq(ForecastPipeline.scaleStep()), 3, kTerms = kF),
       pipeFourierMember("ridge_scaled_fourier_3",
-        Seq(ForecastPipeline.scaleStep()), 3, kTerms = 2, ridge = 0.1),
+        Seq(ForecastPipeline.scaleStep()), 3, kTerms = kF, ridge = 0.1),
       pipeFourierMember("lasso_scaled_fourier_3",
-        Seq(ForecastPipeline.scaleStep()), 3, kTerms = 2, ridge = 0.1,
+        Seq(ForecastPipeline.scaleStep()), 3, kTerms = kF, ridge = 0.1,
         l1Ratio = 1.0),
       pipeFourierMember("linear_detrend_fourier_3",
-        Seq(ForecastPipeline.detrendLinearStep), 3, kTerms = 2),
+        Seq(ForecastPipeline.detrendLinearStep), 3, kTerms = kFD),
       pipeFourierMember("ridge_detrend_fourier_3",
-        Seq(ForecastPipeline.detrendLinearStep), 3, kTerms = 2, ridge = 0.1),
+        Seq(ForecastPipeline.detrendLinearStep), 3, kTerms = kFD, ridge = 0.1),
       pipeFourierMember("lasso_detrend_fourier_3",
-        Seq(ForecastPipeline.detrendLinearStep), 3, kTerms = 2, ridge = 0.1,
+        Seq(ForecastPipeline.detrendLinearStep), 3, kTerms = kFD, ridge = 0.1,
         l1Ratio = 1.0),
       // elite.py:83-88 "Seasonality" knn members, n_neighbors = lags//2
       knnMember("knn_3", k = 3, lags = 7, xform = None),
@@ -313,7 +323,8 @@ object EliteDeep {
           stackAlphaGrid: Seq[Double] = Nil,
           stackCriterion: String = "cd",
           models: Seq[String] = allModels,
-          deepLags: Int = 0): DataFrame = {
+          deepLags: Int = 0,
+          fourierK: Int = 0): DataFrame = {
     require(deepLags <= 0 || deepLags > 14,
       s"deepLags must exceed the default zoo's max depth 14 (got $deepLags)")
     // "log_lasso" is accepted for API parity: in the reference both
@@ -332,7 +343,7 @@ object EliteDeep {
       .cache()
     try {
       val all = zoo(cached, sharedLag, timeCol, freq, sp, fh,
-        testSize, nSplits, stepSize, cdSweeps, deepLags)
+        testSize, nSplits, stepSize, cdSweeps, deepLags, fourierK)
       // deepLags with the selection left at the default: the deep
       // members join the zoo rather than being silently filtered out
       val selected =

@@ -152,11 +152,17 @@ object Forecasters {
       } else {
         val aFlat = typedLit(horizons.flatMap(_._1.toSeq))
         val bArr = typedLit(horizons.map(_._2))
+        // zero weights are SKIPPED (acc passes through), matching the
+        // unrolled path's `w != 0.0` collect — without the guard a
+        // non-finite __state element under a zero weight would NaN
+        // the compact form but not the unrolled one (ADVICE r9)
         transform(sequence(lit(1), lit(fh)), h =>
           aggregate(sequence(lit(1), lit(lags)), element_at(bArr, h),
-            (acc, j) => acc +
-              element_at(aFlat, (h - lit(1)) * lit(lags) + j) *
-                element_at(col("__state"), j)))
+            (acc, j) => {
+              val w = element_at(aFlat, (h - lit(1)) * lit(lags) + j)
+              when(w === lit(0.0), acc)
+                .otherwise(acc + w * element_at(col("__state"), j))
+            }))
       }
     state0.withColumn("__preds", predsCol)
       .withColumn("__h", explode(sequence(lit(1), lit(fh))))

@@ -501,6 +501,17 @@ object KnnForecaster {
           .groupBy("__qid").agg(avg(col("__label")).as("__p"))
           .localCheckpoint(true)
         spFrames += sp
+        // loud invariant (ADVICE r9): every entity must produce a
+        // step prediction, or the inner join below would silently
+        // drop it from ALL remaining horizons. Guaranteed today by
+        // sampled-from-corpus centroids (queried cells are non-empty);
+        // if a future centroid-sampling change breaks that, fail here
+        // instead of shrinking the forecast panel. Both frames are
+        // entity-sized and already materialized — the counts are cheap.
+        val (nStates, nPreds) = (states.count(), sp.count())
+        require(nPreds == nStates,
+          s"knn recursive roll step $h: ${nStates - nPreds} of $nStates " +
+            "entities produced no prediction (empty candidate cell?)")
         val next = states.join(sp, "__qid")
           .select(col("__qid"),
             concat(array(col("__p")), slice(col("__state"), 1, lags - 1)).as("__state"))
