@@ -235,6 +235,40 @@ object Ols {
     (a, b)
   }
 
+  /** Weighted least squares — the sample-weight hook of the
+    * reference's regressors (base/model.py:48 `fit(..., sample_weight)`;
+    * `weight_transform` pipes y through a user callable to produce the
+    * weights, _regressors.py:39-42): minimize Σ wᵢ·(yᵢ − b₀ − xᵢ·β)².
+    * Weighted raw normal equations — every sum is `w·(xᵢ·xⱼ)` (that
+    * exact association is mirrored by Q.olsMomentsSql's weighted
+    * form — keep them in lockstep) including the intercept row, solved
+    * by the same Cholesky. Still ONE data pass at any scale. Rows with
+    * a null weight are dropped like null features; weights are taken
+    * as-is (no normalization — WLS is scale-invariant in w). */
+  def fitWeighted(df: DataFrame, featureCols: Seq[String], labelCol: String,
+                  weightCol: String): (Double, Array[Double]) = {
+    import org.apache.spark.sql.functions.{col, lit, sum}
+    val rows = df.na.drop(featureCols ++ Seq(labelCol, weightCol))
+    val base = featureCols.map(c => col(c).cast("double"))
+    val xs = lit(1.0) +: base
+    val wgt = col(weightCol).cast("double")
+    val y = col(labelCol).cast("double")
+    val d = xs.length
+    val exprs = (for (i <- 0 until d; j <- i until d)
+      yield sum(wgt * (xs(i) * xs(j)))) ++
+      (0 until d).map(i => sum(wgt * (xs(i) * y)))
+    val row = rows.agg(exprs.head, exprs.tail: _*).collect()(0)
+    if (row.isNullAt(0))
+      throw new IllegalArgumentException(
+        s"weighted OLS fit has no complete training rows (all rows empty " +
+          s"or null in ${featureCols.mkString(", ")} / $labelCol / $weightCol)")
+    val tri = d * (d + 1) / 2
+    val a = expand(Array.tabulate(tri)(row.getDouble), d)
+    val b = Array.tabulate(d)(i => row.getDouble(tri + i))
+    val w = choleskySolve(a, b)
+    (w(0), w.drop(1))
+  }
+
   /** Lasso / elastic-net by cyclic coordinate descent on the CENTERED
     * normal-equation moments — scikit-learn `ElasticNet(alpha,
     * l1_ratio, fit_intercept=True)` semantics (the reference's lasso /

@@ -46,6 +46,32 @@ object LinearForecaster {
     LinearForecasterModel(b0, w, lags, freq)
   }
 
+  /** Sample-weighted fit — the reference's `weight_transform` hook
+    * (lightgbm.py:50 / catboost.py:28 / _regressors.py:19-42 pipe the
+    * target frame through a user callable to produce per-row sample
+    * weights; base/model.py:48 threads them into `fit`). Spark-first
+    * analog: the caller supplies a Column EXPRESSION over the
+    * per-entity position — `(rn, cnt) => weight`, rn 1-based in time
+    * order, cnt the series length — e.g. recency weighting
+    * `(rn, cnt) => lit(1.0) / (lit(1.0) + (cnt - rn) / lit(14.0))`.
+    * WLS on the same one-pass (weighted) moments ([[graft.functions
+    * .Ols.fitWeighted]]); the fitted model predicts through the same
+    * recursive path. */
+  def fitWeighted(p: Panel, lags: Int, freq: String,
+                  weight: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+                    => org.apache.spark.sql.Column): LinearForecasterModel = {
+    import org.apache.spark.sql.functions.col
+    val reduction = Forecasters.makeReduction(p, lags)
+    // positions over the reduction equal positions over the raw panel
+    // (the lag projection preserves rows and ordering columns)
+    val pos = CrossValidation.withPosition(p.copy(df = reduction))
+      .withColumn("__wgt", weight(col("__rn"), col("__cnt")))
+    val featureCols = (1 to lags).map(l => s"${p.value}__lag_$l")
+    val (b0, w) =
+      graft.functions.Ols.fitWeighted(pos, featureCols, p.value, "__wgt")
+    LinearForecasterModel(b0, w, lags, freq)
+  }
+
   /** "ensemble" strategy — _ar.py:83-114, :356-371: the recursive and
     * direct models fit independently, predictions averaged per
     * (entity, step). ONE shared null-keeping lag pass feeds all

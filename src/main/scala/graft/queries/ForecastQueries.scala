@@ -214,6 +214,25 @@ object ForecastQueries {
       r6(model.predict(p, "ts", fh = 3))
     },
 
+    // sample-weighted fit — the reference's weight_transform hook
+    // (_regressors.py:19-42, base/model.py:48): per-row weights enter
+    // the normal equations as w·(xᵢ·xⱼ). The demo weighting is
+    // inverse-age recency 1/(1 + age/14) built from in-engine
+    // divisions only (a pow()-based exponential decay is NOT
+    // bitwise-portable across engines; division is)
+    "fc_linear_weighted" -> Q(
+      s"""WITH ${OlsBacktestSql.lagdCte(7)},
+          ${OlsBacktestSql.fullLinear("lw", 7, fh = 3,
+             weight = "(1.0 / (1.0 + (cnt - rn) / 14.0))")}
+          SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                 round(CASE h WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END, 6) AS value
+          FROM fp_lw CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)""") { (s, dir) =>
+      val p = ev(s, dir)
+      val model = LinearForecaster.fitWeighted(p, lags = 7, freq = "1d",
+        (rn, cnt) => lit(1.0) / (lit(1.0) + (cnt - rn) / lit(14.0)))
+      r6(model.predict(p, "ts", fh = 3))
+    },
+
     "e_acf" -> Q(
       s"""WITH b AS (SELECT user_id, value,
                             lag(value, 1) OVER ($W) AS l1,

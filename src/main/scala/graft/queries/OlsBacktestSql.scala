@@ -844,12 +844,13 @@ object OlsBacktestSql {
     * has leading nulls (e.g. a differenced series: warmup = order·sp
     * extra rows are incomplete and Ols.fit's na.drop excludes them). */
   def fullLinear(tag: String, lags: Int, fh: Int, ridge: Double = 0.0,
-                 warmup: Int = 0, drift: Boolean = true): String = {
+                 warmup: Int = 0, drift: Boolean = true,
+                 weight: String = ""): String = {
     val xs = if (drift) "1.0" +: (1 to lags).map(j => s"f$j")
              else (1 to lags).map(j => s"f$j")
     val d = xs.length
     val pfrom = if (drift) 1 else 0
-    s"""${tag}_mom AS (SELECT ${Q.olsMomentsSql(xs, "value", ridge, pfrom)}
+    s"""${tag}_mom AS (SELECT ${Q.olsMomentsSql(xs, "value", ridge, pfrom, weight)}
           FROM lagd WHERE rn > ${lags + warmup}),
         ${Q.cholSolveSql(d, s"${tag}_mom", s"${tag}_ch")},
         ${tailCte(tag, lags, "cnt")},

@@ -281,13 +281,16 @@ object Q {
     * to the non-intercept diagonal (sklearn-Ridge semantics, matching
     * Ols.fit). */
   def olsMomentsSql(xs: Seq[String], y: String, ridge: Double = 0.0,
-                    penalizeFrom: Int = 1): String = {
+                    penalizeFrom: Int = 1, weight: String = ""): String = {
     val d = xs.length
+    // weighted moments enter as w·(xᵢ·xⱼ) — the same association
+    // Ols.fitWeighted's Spark aggregates use; keep them in lockstep
+    def t(prod: String) = if (weight.isEmpty) prod else s"$weight * ($prod)"
     val ms = for (i <- 0 until d; j <- i until d) yield {
       val pen = if (ridge != 0.0 && i == j && i >= penalizeFrom) s" + $ridge" else ""
-      s"sum(${xs(i)} * ${xs(j)})$pen AS m_${i}_$j"
+      s"sum(${t(s"${xs(i)} * ${xs(j)}")})$pen AS m_${i}_$j"
     }
-    val bs = (0 until d).map(i => s"sum(${xs(i)} * $y) AS b_$i")
+    val bs = (0 until d).map(i => s"sum(${t(s"${xs(i)} * $y")}) AS b_$i")
     (ms ++ bs).mkString(", ")
   }
 }

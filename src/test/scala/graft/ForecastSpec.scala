@@ -226,4 +226,37 @@ class ForecastSpec extends SparkSpec {
     assert(Seasonality.stripFreqAlias("1y") == ((1, "y")))
     intercept[IllegalArgumentException](Seasonality.freqToSp("2fortnights"))
   }
+
+  test("fitWeighted: constant weights reproduce the unweighted fit exactly") {
+    // WLS with w ≡ c is OLS with every moment scaled by c — the
+    // Cholesky solve of the scaled system returns identical
+    // coefficients (scaling cancels), bit-for-bit with c = 1.0
+    val p = panel(Seq.tabulate(40)(t => 3.0 + 0.7 * t + math.sin(t * 1.3) * 2))
+    val u = LinearForecaster.fit(p, lags = 3, freq = "1i")
+    val w1 = LinearForecaster.fitWeighted(p, lags = 3, freq = "1i",
+      (_, _) => org.apache.spark.sql.functions.lit(1.0))
+    assert(u.intercept == w1.intercept &&
+      u.weights.sameElements(w1.weights),
+      s"${u.intercept}/${w1.intercept} ${u.weights.toSeq}/${w1.weights.toSeq}")
+  }
+
+  test("fitWeighted recency weighting tracks a regime change (weight_transform)") {
+    import org.apache.spark.sql.functions.{lit, when}
+    // regime change: first 60 points oscillate around 10, last 20
+    // around 100. A hard recency weight (1 for the last 20 training
+    // rows, ~0 before) must forecast near the NEW level while the
+    // unweighted fit is dragged toward the old one.
+    val series = Seq.tabulate(80)(t =>
+      if (t < 60) 10.0 + math.sin(t * 2.1) else 100.0 + math.sin(t * 2.1))
+    val p = panel(series)
+    def lastPred(m: graft.operators.LinearForecasterModel): Double =
+      m.predict(p, "t", fh = 1).collect()(0).getDouble(2)
+    val unweighted = lastPred(LinearForecaster.fit(p, lags = 2, freq = "1i"))
+    val recency = lastPred(LinearForecaster.fitWeighted(p, lags = 2, freq = "1i",
+      (rn, cnt) => when(cnt - rn < lit(20), lit(1.0)).otherwise(lit(1e-9))))
+    assert(math.abs(recency - 100.0) < 5.0,
+      s"recency-weighted forecast should sit at the new regime: $recency")
+    assert(math.abs(recency - 100.0) < math.abs(unweighted - 100.0),
+      s"weighted $recency should beat unweighted $unweighted at the new level")
+  }
 }
