@@ -168,13 +168,28 @@ object TreeBoost {
     * `labelClamp` opts into the reference's pre-fit label transform
     * ([[clampPanel]]); the default keeps this engine's null-gradient
     * gamma behavior (documented above) — the two modes differ on
-    * zero-heavy gamma targets, see TreeBoostSpec. */
+    * zero-heavy gamma targets, see TreeBoostSpec.
+    *
+    * `weight` — per-row sample weights, the reference GBT family's
+    * `weight_transform` hook (lightgbm.py:50, _regressors.py:19-42;
+    * the user callable becomes a `(rn, cnt) => Column` expression over
+    * the per-entity position, rn 1-based). Weighted statistics
+    * throughout: base score Σwy/Σw, node sizes Σw, split gain
+    * (Σwr)²/Σw, leaf Σwr/Σw·η — LightGBM's weighted histogram
+    * semantics on this deterministic machinery. Not combinable with
+    * "quantile" (leaf renewal would need a weighted percentile, which
+    * Spark's exact `percentile` only supports for integral
+    * frequencies — fail loud rather than approximate). */
   def fit(p: Panel, lags: Int, freq: String, rounds: Int = 5,
           bins: Int = 8, eta: Double = 0.3, objective: String = "l2",
-          objParam: Double = Double.NaN, labelClamp: Boolean = false): Model = {
+          objParam: Double = Double.NaN, labelClamp: Boolean = false,
+          weight: Option[(Column, Column) => Column] = None): Model = {
     require(Set("l2", "poisson", "gamma", "tweedie", "quantile")(objective),
       s"tree-boost objective must be l2, poisson, gamma, tweedie or quantile " +
         s"(got '$objective')")
+    require(weight.isEmpty || objective != "quantile",
+      "tree-boost sample weights are not supported with the quantile " +
+        "objective (leaf renewal needs a weighted percentile)")
     // objective parameter: quantile level α, or tweedie variance power
     val alpha =
       if (objective == "quantile") { if (objParam.isNaN) 0.5 else objParam }
@@ -189,10 +204,20 @@ object TreeBoost {
       require(tweedieP > 1.0 && tweedieP < 2.0,
         s"tweedie objective needs objParam = variance power in (1,2), got $tweedieP")
     val pc = if (labelClamp) clampPanel(p, objective) else p
-    val reduction = Forecasters.makeReduction(pc, lags)
+    val reduction0 = Forecasters.makeReduction(pc, lags)
+    // weighted mode: attach the per-entity position and the caller's
+    // weight expression before the projection (positions over the
+    // reduction equal positions over the raw panel)
+    val reduction = weight match {
+      case None => reduction0
+      case Some(f) =>
+        CrossValidation.withPosition(pc.copy(df = reduction0))
+          .withColumn("__wgt", f(col("__rn"), col("__cnt")))
+    }
     val featureCols = (1 to lags).map(l => s"${p.value}__lag_$l")
-    val train0 = reduction.na.drop(featureCols :+ p.value)
-      .select((featureCols :+ p.value).map(col): _*).cache()
+    val keep = (featureCols :+ p.value) ++ (if (weight.isDefined) Seq("__wgt") else Nil)
+    val train0 = reduction.na.drop(keep)
+      .select(keep.map(col): _*).cache()
     // the GBT-fit parallelism rule (see GbtForecaster.fit): the round
     // loop runs 2·rounds sequential aggregation jobs plus a residual
     // cache each — target ~100k rows/partition so a small reduction
@@ -245,6 +270,22 @@ object TreeBoost {
         val q = train.agg(percentile(col(p.value), lit(alpha))).collect()(0)
         if (train ne train0) train0.unpersist(blocking = false)
         q.getDouble(0)
+      } else if (weight.isDefined) {
+        // weighted base score Σwy/Σw (LightGBM's weighted
+        // boost_from_average)
+        val r0 = train.agg(sum(col("__wgt") * col(p.value)), sum(col("__wgt")))
+          .collect()(0)
+        if (train ne train0) train0.unpersist(blocking = false)
+        val (swy, sw) = (r0.getDouble(0), r0.getDouble(1))
+        require(sw > 0, s"tree-boost sample weights sum to $sw (need > 0)")
+        objective match {
+          case "l2" => swy / sw
+          case _ =>
+            require(swy > 0,
+              s"$objective objective needs a positive weighted target mean " +
+                s"(log link); sum(w*y) = $swy")
+            math.log(swy / sw)
+        }
       } else {
         val sumY = train.agg(sum(col(p.value))).collect()(0).getDouble(0)
         if (train ne train0) train0.unpersist(blocking = false)
@@ -262,13 +303,15 @@ object TreeBoost {
       val cands = for { i <- 1 to lags; k <- 1 until bins }
         yield (i, k, mins(i - 1) + k * (maxs(i - 1) - mins(i - 1)) / bins.toDouble)
 
-      /** Best candidate inside a node with residual-sum `sn` over `nn`
-        * rows, given each candidate's in-node left sum/count — the
+      /** Best candidate inside a node with residual-sum `sn` over size
+        * `nn` (row count, or Σw in weighted mode — the arithmetic is
+        * identical since Long counts convert exactly to Double below
+        * 2^53), given each candidate's in-node left sum/size — the
         * shared SSE-reduction argmax (ties to lowest (feature, k), the
         * oracle's ORDER BY gain DESC, i, k LIMIT 1) and the mean-leaf
         * values ×η. Returns (feat, thr, vLeft, vRight). */
-      def pickSplit(stats: IndexedSeq[(Int, Int, Double, Double, Long)],
-                    sn: Double, nn: Long): (Int, Double, Double, Double) = {
+      def pickSplit(stats: IndexedSeq[(Int, Int, Double, Double, Double)],
+                    sn: Double, nn: Double): (Int, Double, Double, Double) = {
         val scored = stats.map { case (i, k, t, sl, nl) =>
           val gain =
             if (nl > 0 && nl < nn) sl * sl / nl + (sn - sl) * (sn - sl) / (nn - nl)
@@ -332,17 +375,30 @@ object TreeBoost {
         // counts tally matching ROWS (THEN 1, the oracle's form), not
         // non-null residuals — identical whenever r is non-null (l2 /
         // poisson always; gamma except zero targets), and it keeps the
-        // two engines' node sizes aligned when gamma nulls a residual
+        // two engines' node sizes aligned when gamma nulls a residual.
+        // Weighted mode: residual sums become Σw·r and node sizes Σw
+        // (LightGBM's weighted histogram), same shapes otherwise.
+        val isW = weight.isDefined
+        val wc = col("__wgt")
+        def rTerm(cond: Column): Column =
+          if (isW) sum(when(cond, wc * r)) else sum(when(cond, r))
+        def szTerm(cond: Column): Column =
+          if (isW) sum(when(cond, wc)) else count(when(cond, lit(1)))
+        // a size cell: weighted sums can be NULL (no matching rows) —
+        // coerce like the residual sums; unweighted counts never are
+        def sz(row: org.apache.spark.sql.Row, idx: Int): Double =
+          if (isW) { if (row.isNullAt(idx)) 0.0 else row.getDouble(idx) }
+          else row.getLong(idx).toDouble
         val aggsA = cands.flatMap { case (i, _, t) =>
-          Seq(sum(when(col(featureCols(i - 1)) <= sd(t), r)),
-              count(when(col(featureCols(i - 1)) <= sd(t), lit(1))))
-        } ++ Seq(sum(r), count(lit(1)))
+          Seq(rTerm(col(featureCols(i - 1)) <= sd(t)),
+              szTerm(col(featureCols(i - 1)) <= sd(t)))
+        } ++ (if (isW) Seq(sum(wc * r), sum(wc)) else Seq(sum(r), count(lit(1))))
         val rowA = rf.agg(aggsA.head, aggsA.tail: _*).collect()(0)
         val st = rowA.getDouble(2 * cands.size)
-        val nt = rowA.getLong(2 * cands.size + 1)
+        val nt = sz(rowA, 2 * cands.size + 1)
         val statsA = cands.zipWithIndex.map { case ((i, k, t), ci) =>
           val sl = if (rowA.isNullAt(2 * ci)) 0.0 else rowA.getDouble(2 * ci)
-          (i, k, t, sl, rowA.getLong(2 * ci + 1))
+          (i, k, t, sl, sz(rowA, 2 * ci + 1))
         }
         // root pick: leaf values are discarded (children refine them),
         // but the picked candidate's sum/count become the node totals
@@ -374,13 +430,13 @@ object TreeBoost {
         val (gl, gr) = (col("__gl"), col("__gr"))
         val aggsB = cands.flatMap { case (i, _, t) =>
           val c = col(featureCols(i - 1)) <= sd(t)
-          Seq(sum(when(gl && c, r)), count(when(gl && c, lit(1))),
-              sum(when(gr && c, r)), count(when(gr && c, lit(1))))
+          Seq(rTerm(gl && c), szTerm(gl && c),
+              rTerm(gr && c), szTerm(gr && c))
         }
         val rowB = rfB.agg(aggsB.head, aggsB.tail: _*).collect()(0)
         def statsB(off: Int) = cands.zipWithIndex.map { case ((i, k, t), ci) =>
           val sl = if (rowB.isNullAt(4 * ci + off)) 0.0 else rowB.getDouble(4 * ci + off)
-          (i, k, t, sl, rowB.getLong(4 * ci + off + 1))
+          (i, k, t, sl, sz(rowB, 4 * ci + off + 1))
         }
         val (lfi, lthr, vllG, vlrG) = pickSplit(statsB(0), sL, nL)
         val (rfi2, rthr2, vrlG, vrrG) = pickSplit(statsB(2), sR, nR)

@@ -745,6 +745,25 @@ object ConformalQueries {
         eta = 0.3, objective = "gamma", labelClamp = true).predict(p, "ts", fh = 3))
     },
 
+    // sample-weighted boosting (the reference GBT family's
+    // weight_transform hook, lightgbm.py:50 / _regressors.py:19-42):
+    // weighted base score Σwy/Σw, residual sums Σw·r, node sizes Σw —
+    // every round's weighted conditional-aggregation passes and argmax
+    // picks replicated in SQL. Inverse-age recency weighting (division
+    // only — pow() is not bitwise-portable across engines).
+    "fc_gbt_weighted" -> Q(
+      s"""WITH ${OlsBacktestSql.lagdCte(7)},
+          ${OlsBacktestSql.fullTree2("gwt", 7, fh = 3, rounds = 3, bins = 4,
+             eta = 0.3, weight = "(1.0 / (1.0 + (cnt - rn) / 14.0))")}
+          SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                 round(CASE h WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END, 6) AS value
+          FROM fp_gwt CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)""") { (s, dir) =>
+      val p = ev(s, dir)
+      r6(TreeBoost.fit(p, lags = 7, freq = "1d", rounds = 3, bins = 4, eta = 0.3,
+        weight = Some((rn, cnt) => lit(1.0) / (lit(1.0) + (cnt - rn) / lit(14.0))))
+        .predict(p, "ts", fh = 3))
+    },
+
     // auto_lightgbm's lag sweep (automl.py:191-229) over the
     // deterministic depth-2 boost: each candidate's expanding-window
     // backtest (full tree fit per prefix + 10-step recursion) scores a

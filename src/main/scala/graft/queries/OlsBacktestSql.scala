@@ -1069,7 +1069,8 @@ object OlsBacktestSql {
   private def tree2Core(t: String, lags: Int, horizons: Int, rounds: Int,
                         bins: Int, eta: Double, trainWhere: String,
                         endRn: String, objective: String = "l2",
-                        objParam: Double = Double.NaN): String = {
+                        objParam: Double = Double.NaN,
+                        weight: String = ""): String = {
     // log-link objectives (TreeBoost poisson/gamma/tweedie): base
     // score ln(ȳ), pseudo-residual on exp(F), prediction exp(F) — the
     // same touch points the Scala fit switches on. "quantile" stays on
@@ -1091,10 +1092,28 @@ object OlsBacktestSql {
              THEN (CASE WHEN ${featCase(s"fl_$j", xs)} <= tl_$j THEN vll_$j ELSE vlr_$j END)
              ELSE (CASE WHEN ${featCase(s"fr_$j", xs)} <= tr_$j THEN vrl_$j ELSE vrr_$j END) END"""
     val eSql = s"CAST($eta AS DOUBLE)"
+    // weighted mode ([[graft.operators.TreeBoost.fit]]'s `weight`):
+    // base score Σwy/Σw, residual sums Σw·r, node sizes Σw — the
+    // `wq` column is the caller's weight expression over lagd rows
+    val isWt = weight.nonEmpty
     val b0Sql =
       if (isQ) s"quantile_cont(value, CAST($alpha AS DOUBLE))"
+      else if (isWt && logLink) "ln(sum(wq * value) / sum(wq))"
+      else if (isWt) "sum(wq * value) / sum(wq)"
       else if (logLink) "ln(sum(value) / count(*))"
       else "sum(value) / count(*)"
+    // conditional residual-sum / node-size aggregate cells
+    def rCell(cond: String, as: String) =
+      if (isWt) s"sum(CASE WHEN $cond THEN wq * r END) AS $as"
+      else s"sum(CASE WHEN $cond THEN r END) AS $as"
+    def szCell(cond: String, as: String) =
+      if (isWt) s"sum(CASE WHEN $cond THEN wq END) AS $as"
+      else s"count(CASE WHEN $cond THEN 1 END) AS $as"
+    // weighted sizes can be NULL (no matching rows) — coerce to 0.0
+    // exactly like the Scala driver's isNullAt; unweighted counts
+    // never are (keep their text byte-identical to round 9)
+    def szRef(c: String) =
+      if (isWt) s"coalesce($c, CAST(0.0 AS DOUBLE))" else c
     val mm = s"""${t}_mm AS MATERIALIZED (SELECT ${(1 to lags)
       .map(i => s"min(f$i) AS mn$i, max(f$i) AS mx$i").mkString(", ")},
           $b0Sql AS b0 FROM ${t}_red)"""
@@ -1139,19 +1158,21 @@ object OlsBacktestSql {
           FROM ${t}_red CROSS JOIN ${t}_mm$priorJoins)"""
       // pass A: root candidates
       val sumsA = cands.zipWithIndex.map { case ((i, k), ci) =>
-        s"""sum(CASE WHEN f$i <= ${thr(i, k)} THEN r END) AS sl_$ci,
-            count(CASE WHEN f$i <= ${thr(i, k)} THEN 1 END) AS nl_$ci"""
+        s"""${rCell(s"f$i <= ${thr(i, k)}", s"sl_$ci")},
+            ${szCell(s"f$i <= ${thr(i, k)}", s"nl_$ci")}"""
       }
       // every 1-or-few-row stage below is MATERIALIZED: plain CTEs are
       // inlined per consumer, and b/bl/br are each referenced by every
       // LATER round's residual — un-materialized, the whole per-round
       // aggregation chain re-expands per reference and the oracle's
       // work grows exponentially in `rounds`
+      val totA = if (isWt) "sum(wq * r) AS st, sum(wq) AS nt"
+                 else "sum(r) AS st, count(*) AS nt"
       val acte = s"""${t}_a$m AS MATERIALIZED (SELECT ${(sumsA ++ mmCarry).mkString(", ")},
-          sum(r) AS st, count(*) AS nt FROM ${t}_r$m)"""
+          $totA FROM ${t}_r$m)"""
       val brA = cands.zipWithIndex.map { case ((i, k), ci) =>
         s"""SELECT $i AS i, $k AS k, ${thr(i, k)} AS thr,
-              sl_$ci AS sl, nl_$ci AS nl, st, nt FROM ${t}_a$m"""
+              sl_$ci AS sl, ${szRef(s"nl_$ci")} AS nl, st, nt FROM ${t}_a$m"""
       }
       val gcte = s"""${t}_g$m AS MATERIALIZED (${brA.mkString(" UNION ALL ")})"""
       // root pick: no leaf values (the children refine them); the
@@ -1167,10 +1188,10 @@ object OlsBacktestSql {
       // pass B: every candidate inside each child region
       val rootF = featCase(s"fi_$m", i => s"f$i")
       val sumsB = cands.zipWithIndex.map { case ((i, k), ci) =>
-        s"""sum(CASE WHEN $rootF <= thr_$m AND f$i <= ${thr(i, k)} THEN r END) AS pl_$ci,
-            count(CASE WHEN $rootF <= thr_$m AND f$i <= ${thr(i, k)} THEN 1 END) AS ql_$ci,
-            sum(CASE WHEN $rootF > thr_$m AND f$i <= ${thr(i, k)} THEN r END) AS pr_$ci,
-            count(CASE WHEN $rootF > thr_$m AND f$i <= ${thr(i, k)} THEN 1 END) AS qr_$ci"""
+        s"""${rCell(s"$rootF <= thr_$m AND f$i <= ${thr(i, k)}", s"pl_$ci")},
+            ${szCell(s"$rootF <= thr_$m AND f$i <= ${thr(i, k)}", s"ql_$ci")},
+            ${rCell(s"$rootF > thr_$m AND f$i <= ${thr(i, k)}", s"pr_$ci")},
+            ${szCell(s"$rootF > thr_$m AND f$i <= ${thr(i, k)}", s"qr_$ci")}"""
       }
       val carryB = Seq(s"min(sa_$m) AS sa", s"min(na_$m) AS na",
         s"min(stt_$m) AS stt", s"min(ntt_$m) AS ntt")
@@ -1178,12 +1199,12 @@ object OlsBacktestSql {
           FROM ${t}_r$m CROSS JOIN ${t}_b$m)"""
       val brL = cands.zipWithIndex.map { case ((i, k), ci) =>
         s"""SELECT $i AS i, $k AS k, ${thr(i, k)} AS thr,
-              coalesce(pl_$ci, CAST(0.0 AS DOUBLE)) AS sl, ql_$ci AS nl,
+              coalesce(pl_$ci, CAST(0.0 AS DOUBLE)) AS sl, ${szRef(s"ql_$ci")} AS nl,
               sa AS sn, na AS nn FROM ${t}_a2$m"""
       }
       val brR = cands.zipWithIndex.map { case ((i, k), ci) =>
         s"""SELECT $i AS i, $k AS k, ${thr(i, k)} AS thr,
-              coalesce(pr_$ci, CAST(0.0 AS DOUBLE)) AS sl, qr_$ci AS nl,
+              coalesce(pr_$ci, CAST(0.0 AS DOUBLE)) AS sl, ${szRef(s"qr_$ci")} AS nl,
               stt - sa AS sn, ntt - na AS nn FROM ${t}_a2$m"""
       }
       val glcte = s"""${t}_gl$m AS MATERIALIZED (${brL.mkString(" UNION ALL ")})"""
@@ -1228,7 +1249,8 @@ object OlsBacktestSql {
       val emit = if (logLink) s"exp($pExpr)" else s"($pExpr)"
       s"""${t}_h$h AS MATERIALIZED (SELECT *, $emit AS p$h FROM $src)"""
     }
-    s"""${t}_red AS MATERIALIZED (SELECT * FROM lagd WHERE $trainWhere),
+    val redSel = if (isWt) s"*, ($weight) AS wq" else "*"
+    s"""${t}_red AS MATERIALIZED (SELECT $redSel FROM lagd WHERE $trainWhere),
         $mm,
         ${roundCtes.mkString(", ")},
         ${tailCte(t, lags, endRn)},
@@ -1243,9 +1265,9 @@ object OlsBacktestSql {
     * (user_id, cutoff, p1..p<fh>). */
   def fullTree2(tag: String, lags: Int, fh: Int, rounds: Int,
                 bins: Int, eta: Double, objective: String = "l2",
-                objParam: Double = Double.NaN): String =
+                objParam: Double = Double.NaN, weight: String = ""): String =
     s"""${tree2Core(tag, lags, fh, rounds, bins, eta, s"rn > $lags", "cnt",
-           objective, objParam)},
+           objective, objParam, weight)},
         fp_$tag AS (SELECT * FROM ${tag}_pred)"""
 
   /** CTEs for one expanding-window tree-boost backtest candidate:

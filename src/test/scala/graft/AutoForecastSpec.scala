@@ -254,6 +254,39 @@ class AutoForecastSpec extends SparkSpec {
     assert(outNeg.length == 1 && java.lang.Double.isFinite(outNeg(0).getDouble(2)))
   }
 
+  test("tree boosting sample weights (weight_transform, lightgbm.py:50)") {
+    import org.apache.spark.sql.functions.{lit, when}
+    // constant weights must reproduce the unweighted model EXACTLY:
+    // every weighted statistic is the unweighted one scaled by c, and
+    // c cancels in b0, gains, argmax ranks and leaf means (bitwise
+    // with c = 1.0)
+    val p = panel((0 until 60).map(t => Seq(5.0, 40.0, 5.0, 75.0)(t % 4)))
+    val u = TreeBoost.fit(p, lags = 2, freq = "1i", rounds = 3, bins = 4, eta = 0.5)
+    val w1 = TreeBoost.fit(p, lags = 2, freq = "1i", rounds = 3, bins = 4,
+      eta = 0.5, weight = Some((_, _) => lit(1.0)))
+    assert(u.b0 == w1.b0 && u.trees == w1.trees,
+      s"constant-weight fit diverged: ${u.trees} vs ${w1.trees}")
+    // regime change: hard recency weighting must forecast the NEW
+    // level where the unweighted fit is dragged toward the old one
+    val series = Seq.tabulate(80)(t =>
+      if (t < 60) 10.0 + math.sin(t * 2.1) else 100.0 + math.sin(t * 2.1))
+    val rp = panel(series)
+    def h1(m: TreeBoost.Model): Double =
+      m.predict(rp, "t", fh = 1).collect()(0).getDouble(2)
+    val unw = h1(TreeBoost.fit(rp, lags = 2, freq = "1i", rounds = 4, bins = 4,
+      eta = 0.5))
+    val rec = h1(TreeBoost.fit(rp, lags = 2, freq = "1i", rounds = 4, bins = 4,
+      eta = 0.5, weight = Some((rn, cnt) =>
+        when(cnt - rn < lit(20), lit(1.0)).otherwise(lit(1e-9)))))
+    assert(math.abs(rec - 100.0) < math.abs(unw - 100.0),
+      s"weighted $rec should beat unweighted $unw at the new level")
+    // weighted quantile renewal is unsupported — fail loud
+    intercept[IllegalArgumentException] {
+      TreeBoost.fit(p, lags = 2, freq = "1i", objective = "quantile",
+        weight = Some((_, _) => lit(1.0)))
+    }
+  }
+
   test("autoTreeBoost sweeps lags over the deterministic depth-2 boost") {
     val signal = (0 until 96).map(t => Seq(5.0, 40.0, 5.0, 75.0)(t % 4))
     val p = panel(signal)
