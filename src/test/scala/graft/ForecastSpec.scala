@@ -227,6 +227,39 @@ class ForecastSpec extends SparkSpec {
     intercept[IllegalArgumentException](Seasonality.freqToSp("2fortnights"))
   }
 
+  test("compact HOF predict path (>700 terms) matches the driver recursion") {
+    // fh·lags = 20·36 = 720 > 700 routes predictRecursiveLinear onto
+    // the aggregate/transform higher-order form (the M5/M4-hourly
+    // path, otherwise only exercised by the accuracy mains). Expected
+    // values come from iterating the AR recursion driver-side on the
+    // tail state. Includes ZERO weights — the compact form must skip
+    // them exactly like the unrolled form (ADVICE r9).
+    val lags = 36
+    val fh = 20
+    val n = 60
+    val series = Seq.tabulate(n)(t => 10.0 + math.sin(t * 0.7) * 3 + t * 0.1)
+    val p = panel(series)
+    val w = Array.tabulate(lags)(i =>
+      if (i % 3 == 0) 0.0 else math.pow(0.8, i + 1) * (if (i % 2 == 0) 1 else -1) * 0.1)
+    val b0 = 1.5
+    val got = graft.operators.Forecasters
+      .predictRecursiveLinear(p, "t", fh, "1i", b0, w)
+      .orderBy("t").collect().map(_.getDouble(2))
+    // driver replica: state newest-first, shift-in each prediction
+    var state = series.takeRight(lags).reverse.toArray
+    val want = (1 to fh).map { _ =>
+      var v = b0
+      var i = 0
+      while (i < lags) { v += w(i) * state(i); i += 1 }
+      state = (v +: state.init.toSeq).toArray
+      v
+    }
+    assert(got.length == fh)
+    got.zip(want).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-8 * math.max(1.0, math.abs(e)), s"$g vs $e")
+    }
+  }
+
   test("fitWeighted: constant weights reproduce the unweighted fit exactly") {
     // WLS with w ≡ c is OLS with every moment scaled by c — the
     // Cholesky solve of the scaled system returns identical
