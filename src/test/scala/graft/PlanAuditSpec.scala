@@ -49,7 +49,7 @@ class PlanAuditSpec extends SparkSpec {
     "d_dsir_sample",
     "s_cosine_topk", "s_ann_ivf", "s_ann_pq",
     "pipe_corpus_clean", "pipe_curate_full",
-    "fc_naive", "m_score_backtest")
+    "fc_naive", "fc_linear_weighted", "m_score_backtest")
 
   // broadcast nested-loop IS legitimate for broadcast-SCALAR
   // enrichment — a ONE-ROW build side (corpus N/avgdl stats, the
