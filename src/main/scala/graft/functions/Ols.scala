@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions.col
 
 /** One-pass closed-form ordinary least squares.
@@ -138,14 +138,19 @@ object Ols {
   private def gramMoments(df: DataFrame, featureCols: Seq[String],
                           labelCol: String, intercept: Boolean,
                           withCount: Boolean = false, withSyy: Boolean = false,
-                          what: String = "OLS fit")
+                          what: String = "OLS fit",
+                          weightCol: Option[String] = None)
       : (Array[Array[Double]], Array[Double], Double, Double) = {
     import org.apache.spark.sql.functions.{count, lit, sum}
-    val rows = df.na.drop(featureCols :+ labelCol)
+    val rows = df.na.drop(featureCols ++ (labelCol +: weightCol.toSeq))
     val base = featureCols.map(c => col(c).cast("double"))
     val xs = if (intercept) lit(1.0) +: base else base
     val d = xs.length
     val y = col(labelCol).cast("double")
+    // weighted moments enter every sum as w·(xᵢ·xⱼ) — the association
+    // Q.olsMomentsSql's weighted form mirrors; the wide path uses the
+    // identical order below
+    val wOpt = weightCol.map(c => col(c).cast("double"))
     val tri = d * (d + 1) / 2
     val nExtra = (if (withCount) 1 else 0) + (if (withSyy) 1 else 0)
     val width = tri + d + nExtra
@@ -160,10 +165,14 @@ object Ols {
     // bit-for-bit untouched.
     val vals: Array[Double] =
       if (width <= 600) {
-        val exprs = ((for (i <- 0 until d; j <- i until d) yield sum(xs(i) * xs(j))) ++
-          (0 until d).map(i => sum(xs(i) * y))) ++
+        def t(prod: Column): Column = wOpt match {
+          case Some(wg) => wg * prod
+          case None => prod
+        }
+        val exprs = ((for (i <- 0 until d; j <- i until d) yield sum(t(xs(i) * xs(j)))) ++
+          (0 until d).map(i => sum(t(xs(i) * y)))) ++
           (if (withCount) Seq(count(lit(1)).cast("double")) else Nil) ++
-          (if (withSyy) Seq(sum(y * y)) else Nil)
+          (if (withSyy) Seq(sum(t(y * y))) else Nil)
         val row = rows.agg(exprs.head, exprs.tail: _*).collect()(0)
         // sum() over zero rows is NULL — surface an actionable error,
         // not the opaque ROW_VALUE_IS_NULL getDouble failure
@@ -174,27 +183,37 @@ object Ols {
         Array.tabulate(width)(row.getDouble)
       } else {
         val dd = d
-        val parts = rows.select((xs :+ y): _*).rdd
+        val isW = wOpt.isDefined
+        val parts = rows.select((xs ++ (y +: wOpt.toSeq)): _*).rdd
           .mapPartitionsWithIndex { (pid, it) =>
-            // layout: tri Gram sums, d X^T y sums, count, Σy²
+            // layout: tri Gram sums, d X^T y sums, count, Σy² — each
+            // term w·(xᵢ·xⱼ) in weighted mode, the same association
+            // as the codegen'd path above
             val buf = new Array[Double](tri + dd + 2)
             val x = new Array[Double](dd + 1)
             var any = false
             it.foreach { r =>
               var i = 0
               while (i <= dd) { x(i) = r.getDouble(i); i += 1 }
+              val wg = if (isW) r.getDouble(dd + 1) else 1.0
               var idx = 0
               i = 0
               while (i < dd) {
                 val xi = x(i)
                 var j = i
-                while (j < dd) { buf(idx) += xi * x(j); idx += 1; j += 1 }
+                while (j < dd) {
+                  buf(idx) += (if (isW) wg * (xi * x(j)) else xi * x(j))
+                  idx += 1; j += 1
+                }
                 i += 1
               }
               i = 0
-              while (i < dd) { buf(tri + i) += x(i) * x(dd); i += 1 }
+              while (i < dd) {
+                buf(tri + i) += (if (isW) wg * (x(i) * x(dd)) else x(i) * x(dd))
+                i += 1
+              }
               buf(tri + dd) += 1.0
-              buf(tri + dd + 1) += x(dd) * x(dd)
+              buf(tri + dd + 1) += (if (isW) wg * (x(dd) * x(dd)) else x(dd) * x(dd))
               any = true
             }
             if (any) Iterator((pid, buf)) else Iterator.empty
@@ -247,24 +266,12 @@ object Ols {
     * as-is (no normalization — WLS is scale-invariant in w). */
   def fitWeighted(df: DataFrame, featureCols: Seq[String], labelCol: String,
                   weightCol: String): (Double, Array[Double]) = {
-    import org.apache.spark.sql.functions.{col, lit, sum}
-    val rows = df.na.drop(featureCols ++ Seq(labelCol, weightCol))
-    val base = featureCols.map(c => col(c).cast("double"))
-    val xs = lit(1.0) +: base
-    val wgt = col(weightCol).cast("double")
-    val y = col(labelCol).cast("double")
-    val d = xs.length
-    val exprs = (for (i <- 0 until d; j <- i until d)
-      yield sum(wgt * (xs(i) * xs(j)))) ++
-      (0 until d).map(i => sum(wgt * (xs(i) * y)))
-    val row = rows.agg(exprs.head, exprs.tail: _*).collect()(0)
-    if (row.isNullAt(0))
-      throw new IllegalArgumentException(
-        s"weighted OLS fit has no complete training rows (all rows empty " +
-          s"or null in ${featureCols.mkString(", ")} / $labelCol / $weightCol)")
-    val tri = d * (d + 1) / 2
-    val a = expand(Array.tabulate(tri)(row.getDouble), d)
-    val b = Array.tabulate(d)(i => row.getDouble(tri + i))
+    // shares gramMoments so the >600-expression wide path (the Janino
+    // hashAgg size guard, see gramMoments' comment) applies to
+    // weighted fits too — a hand-rolled agg here silently fell back
+    // to interpreted codegen at M5-scale lag budgets (round-10 review)
+    val (a, b, _, _) = gramMoments(df, featureCols, labelCol,
+      intercept = true, what = "weighted OLS fit", weightCol = Some(weightCol))
     val w = choleskySolve(a, b)
     (w(0), w.drop(1))
   }
@@ -439,6 +446,21 @@ object Ols {
     var lam = cv.map(math.abs).max
     val knots = scala.collection.mutable.ArrayBuffer((lam / nn, w.clone()))
     var guard = 0
+    // lasso modification bookkeeping: a feature dropped at a knot is
+    // barred from re-admission at that SAME knot — its correlation
+    // still sits exactly on the |c| = λ boundary there, so without the
+    // bar it would instantly rejoin with the old sign, reproduce the
+    // identical direction, and be pushed through zero again (a
+    // join/drop cycle that truncates at the guard and leaves knots
+    // that are NOT lasso solutions). It may rejoin at any LATER knot
+    // via the normal join event, exactly Efron et al.'s rule and
+    // sklearn lars_path's drop handling. (Round-10 review finding.)
+    var justDropped = -1
+    // features whose admission made the active Gram exactly singular
+    // (duplicate member forecasts in the stack) — permanently
+    // excluded, sklearn's "degenerate regressors in active set"
+    // behavior of dropping rather than aborting
+    var degenerate = Set.empty[Int]
     while (lam > eps && guard < 8 * p * p) {
       guard += 1
       // current correlations c_j − G_j· w
@@ -450,45 +472,61 @@ object Ols {
       }
       // admit every inactive feature whose correlation has caught up
       (0 until p).foreach { j =>
-        if (!active.contains(j) && math.abs(corr(j)) >= lam * (1.0 - 1e-9))
+        if (!active.contains(j) && j != justDropped && !degenerate(j) &&
+            math.abs(corr(j)) >= lam * (1.0 - 1e-9))
           active :+= j
       }
+      justDropped = -1
       if (active.isEmpty) { lam = 0.0 }
       else {
         val aIdx = active.toArray
         val s = aIdx.map(j => math.signum(corr(j)))
         val gAA = Array.tabulate(aIdx.length, aIdx.length)((i, j) => cm(aIdx(i))(aIdx(j)))
-        val dir = solve(gAA, s) // dw per unit DECREASE of λ
-        // inactive correlation drift per unit decrease of λ
-        val aDrift = Array.tabulate(p) { j =>
-          var v = 0.0
-          var k = 0
-          while (k < aIdx.length) { v += cm(j)(aIdx(k)) * dir(k); k += 1 }
-          v
-        }
-        var gamma = lam // default: ride to the end of the path
-        var joiner = -1
-        (0 until p).foreach { j =>
-          if (!active.contains(j)) {
-            // |corr_j − γ·a_j| = λ − γ
-            val g1 = (lam - corr(j)) / (1.0 - aDrift(j))
-            val g2 = (lam + corr(j)) / (1.0 + aDrift(j))
-            Seq(g1, g2).foreach { g =>
-              if (g > eps && g < gamma - eps) { gamma = g; joiner = j }
+        val dirOpt =
+          try Some(solve(gAA, s)) // dw per unit DECREASE of λ
+          catch { case _: IllegalArgumentException => None }
+        dirOpt match {
+          case None =>
+            // exactly singular active Gram: the most recent admission
+            // duplicates an earlier active column — exclude it for
+            // good and retry with the reduced set
+            degenerate += active.last
+            active = active.init
+          case Some(dir) =>
+            // inactive correlation drift per unit decrease of λ
+            val aDrift = Array.tabulate(p) { j =>
+              var v = 0.0
+              var k = 0
+              while (k < aIdx.length) { v += cm(j)(aIdx(k)) * dir(k); k += 1 }
+              v
             }
-          }
+            var gamma = lam // default: ride to the end of the path
+            (0 until p).foreach { j =>
+              if (!active.contains(j) && !degenerate(j)) {
+                // |corr_j − γ·a_j| = λ − γ
+                val g1 = (lam - corr(j)) / (1.0 - aDrift(j))
+                val g2 = (lam + corr(j)) / (1.0 + aDrift(j))
+                Seq(g1, g2).foreach { g =>
+                  if (g > eps && g < gamma - eps) gamma = g
+                }
+              }
+            }
+            var dropper = -1
+            aIdx.zipWithIndex.foreach { case (j, i) =>
+              if (dir(i) != 0.0) {
+                val g = -w(j) / dir(i)
+                if (g > eps && g < gamma - eps) { gamma = g; dropper = j }
+              }
+            }
+            aIdx.zipWithIndex.foreach { case (j, i) => w(j) += gamma * dir(i) }
+            lam -= gamma
+            if (dropper >= 0) {
+              w(dropper) = 0.0
+              active = active.filterNot(_ == dropper)
+              justDropped = dropper
+            }
+            knots += ((math.max(lam, 0.0) / nn, w.clone()))
         }
-        var dropper = -1
-        aIdx.zipWithIndex.foreach { case (j, i) =>
-          if (dir(i) != 0.0) {
-            val g = -w(j) / dir(i)
-            if (g > eps && g < gamma - eps) { gamma = g; dropper = j; joiner = -1 }
-          }
-        }
-        aIdx.zipWithIndex.foreach { case (j, i) => w(j) += gamma * dir(i) }
-        lam -= gamma
-        if (dropper >= 0) { w(dropper) = 0.0; active = active.filterNot(_ == dropper) }
-        knots += ((math.max(lam, 0.0) / nn, w.clone()))
       }
     }
     knots.toSeq
@@ -539,18 +577,23 @@ object Ols {
     // _estimate_noise_variance: lstsq residuals / (n − p − 1))
     val wOls = choleskySolve(cm, cv)
     val sigma2 = math.max(rss(wOls), 0.0) / (nn - p - 1)
-    require(sigma2 > 0.0,
-      "lassoLarsIC: zero noise variance (perfect OLS fit) — criterion undefined")
     val kFactor = if (criterion == "aic") 2.0 else math.log(nn)
     val path = lassoLarsPath(cm, cv, nn)
-    val scored = path.map { case (al, w) =>
-      val dfree = w.count(_ != 0.0)
-      (nn * math.log(2.0 * math.Pi * sigma2) + rss(w) / sigma2 + kFactor * dfree,
-        al, w)
-    }
-    // numpy argmin: first index of the minimum
-    val best = scored.minBy(_._1)
-    val (_, alpha, w) = scored.find(_._1 == best._1).get
+    // zero noise variance (a member reproduces the actuals exactly —
+    // reachable on clean periodic panels): the criterion's σ²→0 limit
+    // is dominated by RSS/σ², so take the min-RSS knot (first on
+    // ties — the sparsest perfect fit) instead of aborting the whole
+    // elite forecast. sklearn would emit inf/nan garbage here; the
+    // limit is the principled continuation. (Round-10 review finding.)
+    val scored = if (sigma2 > 0.0) {
+      path.map { case (al, w) =>
+        val dfree = w.count(_ != 0.0)
+        (nn * math.log(2.0 * math.Pi * sigma2) + rss(w) / sigma2 + kFactor * dfree,
+          al, w)
+      }
+    } else path.map { case (al, w) => (rss(w), al, w) }
+    // numpy argmin: first index of the minimum (minBy returns it)
+    val (_, alpha, w) = scored.minBy(_._1)
     var dot = 0.0
     var j = 0
     while (j < p) { dot += w(j) * a(0)(j + 1); j += 1 }

@@ -333,6 +333,15 @@ object EliteDeep {
     // anywhere), so it is an alias of "lasso" here too.
     require(strategy == "mean" || strategy == "lasso" || strategy == "log_lasso",
       s"eliteDeep strategy must be 'mean', 'lasso' or 'log_lasso' (got '$strategy')")
+    // validate the stacker knobs UP FRONT — a typo'd criterion must
+    // fail in milliseconds, not after every zoo member has backtested
+    // (round-10 review); and a grid combined with a lars criterion
+    // would be silently ignored, so reject the combination loud
+    require(Set("cd", "lars-aic", "lars-bic")(stackCriterion),
+      s"stackCriterion must be cd, lars-aic or lars-bic (got '$stackCriterion')")
+    require(stackCriterion == "cd" || stackAlphaGrid.isEmpty,
+      "stackAlphaGrid is the grid-AIC ('cd') mode's knob — it is not " +
+        s"read under stackCriterion='$stackCriterion'; drop one of the two")
     val cached = p.copy(df = p.df.cache())
     // the shared lag frame carries columns up to the deepest member's
     // budget; 14 is the default zoo's max (the trade documented at the
