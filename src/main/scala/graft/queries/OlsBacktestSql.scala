@@ -943,7 +943,12 @@ object OlsBacktestSql {
     val src =
       if (valueExpr == "value") srcTable
       else s"(SELECT * REPLACE ($valueExpr AS value) FROM $srcTable)"
-    s"""lagd AS (
+    // MATERIALIZED: the sweep oracles reference lagd from every
+    // candidate chain's reduction, tail and backtest join — inlined,
+    // DuckDB re-plans AND re-executes the whole lag-window pipeline
+    // ~40× per statement, and the bind/optimize of those copies was
+    // the dominant cost of fc_auto_search_gbt (round-10 profile)
+    s"""lagd AS MATERIALIZED (
           SELECT user_id, ts, event_id, value, $fs,
                  row_number() OVER w AS rn,
                  count(*) OVER (PARTITION BY user_id) AS cnt
@@ -1170,11 +1175,21 @@ object OlsBacktestSql {
                  else "sum(r) AS st, count(*) AS nt"
       val acte = s"""${t}_a$m AS MATERIALIZED (SELECT ${(sumsA ++ mmCarry).mkString(", ")},
           $totA FROM ${t}_r$m)"""
+      // candidate rows as ONE unnest(list-of-structs) node, not a
+      // |cands|-branch UNION ALL — identical values, ~10% less text
+      // and far fewer plan nodes per round. (Round-10 profiling note:
+      // this alone did NOT move fc_auto_search_gbt — its remaining
+      // cost is DuckDB's bind/optimize of the statement's total
+      // expression count, reported under the opaque "Query" node;
+      // the decisive win there was MATERIALIZING lagd, see lagdCte.)
+      def structRows(rows: Seq[String]) =
+        s"unnest([${rows.mkString(", ")}], recursive := true)"
       val brA = cands.zipWithIndex.map { case ((i, k), ci) =>
-        s"""SELECT $i AS i, $k AS k, ${thr(i, k)} AS thr,
-              sl_$ci AS sl, ${szRef(s"nl_$ci")} AS nl, st, nt FROM ${t}_a$m"""
+        s"""{'i': $i, 'k': $k, 'thr': ${thr(i, k)},
+             'sl': sl_$ci, 'nl': ${szRef(s"nl_$ci")}}"""
       }
-      val gcte = s"""${t}_g$m AS MATERIALIZED (${brA.mkString(" UNION ALL ")})"""
+      val gcte = s"""${t}_g$m AS MATERIALIZED (
+          SELECT ${structRows(brA)}, st, nt FROM ${t}_a$m)"""
       // root pick: no leaf values (the children refine them); the
       // picked candidate's coalesced sum/count are the node totals
       val bcte = s"""${t}_b$m AS MATERIALIZED (SELECT i AS fi_$m, thr AS thr_$m,
@@ -1198,17 +1213,17 @@ object OlsBacktestSql {
       val a2cte = s"""${t}_a2$m AS MATERIALIZED (SELECT ${(sumsB ++ mmCarry ++ carryB).mkString(", ")}
           FROM ${t}_r$m CROSS JOIN ${t}_b$m)"""
       val brL = cands.zipWithIndex.map { case ((i, k), ci) =>
-        s"""SELECT $i AS i, $k AS k, ${thr(i, k)} AS thr,
-              coalesce(pl_$ci, CAST(0.0 AS DOUBLE)) AS sl, ${szRef(s"ql_$ci")} AS nl,
-              sa AS sn, na AS nn FROM ${t}_a2$m"""
+        s"""{'i': $i, 'k': $k, 'thr': ${thr(i, k)},
+             'sl': coalesce(pl_$ci, CAST(0.0 AS DOUBLE)), 'nl': ${szRef(s"ql_$ci")}}"""
       }
       val brR = cands.zipWithIndex.map { case ((i, k), ci) =>
-        s"""SELECT $i AS i, $k AS k, ${thr(i, k)} AS thr,
-              coalesce(pr_$ci, CAST(0.0 AS DOUBLE)) AS sl, ${szRef(s"qr_$ci")} AS nl,
-              stt - sa AS sn, ntt - na AS nn FROM ${t}_a2$m"""
+        s"""{'i': $i, 'k': $k, 'thr': ${thr(i, k)},
+             'sl': coalesce(pr_$ci, CAST(0.0 AS DOUBLE)), 'nl': ${szRef(s"qr_$ci")}}"""
       }
-      val glcte = s"""${t}_gl$m AS MATERIALIZED (${brL.mkString(" UNION ALL ")})"""
-      val grcte = s"""${t}_gr$m AS MATERIALIZED (${brR.mkString(" UNION ALL ")})"""
+      val glcte = s"""${t}_gl$m AS MATERIALIZED (
+          SELECT ${structRows(brL)}, sa AS sn, na AS nn FROM ${t}_a2$m)"""
+      val grcte = s"""${t}_gr$m AS MATERIALIZED (
+          SELECT ${structRows(brR)}, stt - sa AS sn, ntt - na AS nn FROM ${t}_a2$m)"""
       // quantile: childPick still argmaxes the split on gradient sums,
       // but its mean leaves are placeholders (mll/…, unreferenced) —
       // the REAL leaf values come from the pass-C renewal CTE below
