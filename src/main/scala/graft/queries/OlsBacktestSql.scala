@@ -1087,7 +1087,15 @@ object OlsBacktestSql {
     val alpha = if (isQ && objParam.isNaN) 0.5 else objParam
     val tweedieP = if (objective == "tweedie" && objParam.isNaN) 1.5 else objParam
     val cands = (for { i <- 1 to lags; k <- 1 until bins } yield (i, k)).toIndexedSeq
-    def thr(i: Int, k: Int) =
+    // thresholds are HOISTED into named mm columns (tc_i_k) and
+    // referenced by name everywhere: each candidate's 5-op grid
+    // expression appeared ~6-9× per round across the aggregate cells
+    // and struct rows, and DuckDB's bind/optimize cost scales with the
+    // statement's total expression count (the dominant cost of the
+    // auto-GBT sweep oracles — round-10 profile). Values are bitwise
+    // identical (same IEEE ops over the same min/max).
+    def thr(i: Int, k: Int) = s"tc_${i}_$k"
+    def thrExpr(i: Int, k: Int) =
       s"(mn$i + $k * (mx$i - mn$i) / CAST($bins AS DOUBLE))"
     // runtime dispatch of a picked feature index over the lag set
     def featCase(fcol: String, xs: Int => String) =
@@ -1119,10 +1127,12 @@ object OlsBacktestSql {
     // never are (keep their text byte-identical to round 9)
     def szRef(c: String) =
       if (isWt) s"coalesce($c, CAST(0.0 AS DOUBLE))" else c
-    val mm = s"""${t}_mm AS MATERIALIZED (SELECT ${(1 to lags)
+    val mm = s"""${t}_mm0 AS MATERIALIZED (SELECT ${(1 to lags)
       .map(i => s"min(f$i) AS mn$i, max(f$i) AS mx$i").mkString(", ")},
-          $b0Sql AS b0 FROM ${t}_red)"""
-    val mmCarry = (1 to lags).map(i => s"min(mn$i) AS mn$i, min(mx$i) AS mx$i")
+          $b0Sql AS b0 FROM ${t}_red),
+        ${t}_mm AS MATERIALIZED (SELECT *, ${cands
+      .map { case (i, k) => s"${thrExpr(i, k)} AS ${thr(i, k)}" }
+      .mkString(", ")} FROM ${t}_mm0)"""
     // a child pick CTE: argmax gain over in-node candidate stats
     // (i, k, thr, sl, nl, sn, nn) from `src`, leaf values ×η
     def childPick(cte: String, src: String, fCol: String, tCol: String,
@@ -1173,7 +1183,7 @@ object OlsBacktestSql {
       // work grows exponentially in `rounds`
       val totA = if (isWt) "sum(wq * r) AS st, sum(wq) AS nt"
                  else "sum(r) AS st, count(*) AS nt"
-      val acte = s"""${t}_a$m AS MATERIALIZED (SELECT ${(sumsA ++ mmCarry).mkString(", ")},
+      val acte = s"""${t}_a$m AS MATERIALIZED (SELECT ${sumsA.mkString(", ")},
           $totA FROM ${t}_r$m)"""
       // candidate rows as ONE unnest(list-of-structs) node, not a
       // |cands|-branch UNION ALL — identical values, ~10% less text
@@ -1189,7 +1199,8 @@ object OlsBacktestSql {
              'sl': sl_$ci, 'nl': ${szRef(s"nl_$ci")}}"""
       }
       val gcte = s"""${t}_g$m AS MATERIALIZED (
-          SELECT ${structRows(brA)}, st, nt FROM ${t}_a$m)"""
+          SELECT ${structRows(brA)}, st, nt
+          FROM ${t}_a$m CROSS JOIN ${t}_mm)"""
       // root pick: no leaf values (the children refine them); the
       // picked candidate's coalesced sum/count are the node totals
       val bcte = s"""${t}_b$m AS MATERIALIZED (SELECT i AS fi_$m, thr AS thr_$m,
@@ -1210,7 +1221,7 @@ object OlsBacktestSql {
       }
       val carryB = Seq(s"min(sa_$m) AS sa", s"min(na_$m) AS na",
         s"min(stt_$m) AS stt", s"min(ntt_$m) AS ntt")
-      val a2cte = s"""${t}_a2$m AS MATERIALIZED (SELECT ${(sumsB ++ mmCarry ++ carryB).mkString(", ")}
+      val a2cte = s"""${t}_a2$m AS MATERIALIZED (SELECT ${(sumsB ++ carryB).mkString(", ")}
           FROM ${t}_r$m CROSS JOIN ${t}_b$m)"""
       val brL = cands.zipWithIndex.map { case ((i, k), ci) =>
         s"""{'i': $i, 'k': $k, 'thr': ${thr(i, k)},
@@ -1221,9 +1232,11 @@ object OlsBacktestSql {
              'sl': coalesce(pr_$ci, CAST(0.0 AS DOUBLE)), 'nl': ${szRef(s"qr_$ci")}}"""
       }
       val glcte = s"""${t}_gl$m AS MATERIALIZED (
-          SELECT ${structRows(brL)}, sa AS sn, na AS nn FROM ${t}_a2$m)"""
+          SELECT ${structRows(brL)}, sa AS sn, na AS nn
+          FROM ${t}_a2$m CROSS JOIN ${t}_mm)"""
       val grcte = s"""${t}_gr$m AS MATERIALIZED (
-          SELECT ${structRows(brR)}, stt - sa AS sn, ntt - na AS nn FROM ${t}_a2$m)"""
+          SELECT ${structRows(brR)}, stt - sa AS sn, ntt - na AS nn
+          FROM ${t}_a2$m CROSS JOIN ${t}_mm)"""
       // quantile: childPick still argmaxes the split on gradient sums,
       // but its mean leaves are placeholders (mll/…, unreferenced) —
       // the REAL leaf values come from the pass-C renewal CTE below
