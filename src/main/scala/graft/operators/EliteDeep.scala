@@ -48,7 +48,10 @@ object EliteDeep {
   private def zoo(cached: Panel, sharedLag: DataFrame, timeCol: String,
                   freq: String, sp: Int, fh: Int, testSize: Int, nSplits: Int,
                   stepSize: Int, cdSweeps: Int, deepLags: Int,
-                  fourierK: Int = 0): Seq[Member] = {
+                  fourierK: Int = 0,
+                  selected: Seq[String] = Nil,
+                  releases: scala.collection.mutable.Buffer[DataFrame] =
+                    scala.collection.mutable.ArrayBuffer.empty): Seq[Member] = {
     val p = cached
     // fourier depth: 0 = the oracle-bounded default (K=2 everywhere);
     // > 0 = reference tiering, capped below sp (see the fourier
@@ -151,11 +154,36 @@ object EliteDeep {
         () => Conformal.backtest(p, timeCol, testSize, nSplits, stepSize, fitP),
         () => fitP(p, fh))
     }
+    // the zoo's SELECTED knn members run as ONE batched exact-path
+    // roll when under the entity cap (EliteKnnBatch: every member ×
+    // CV-slice context advances per horizon step through a single
+    // multi-group corpus scan — max(testSize, fh) scan jobs instead of
+    // members × (nSplits·testSize + fh); the heaviest registry query's
+    // verified cost item, VERDICT r10 #1). Past the cap each member
+    // independently takes the distributed IVF roll as before. The
+    // lazy val is thread-safe: the first member future to touch it
+    // computes the whole batch, siblings block and then just read.
+    val knnSpecs: Seq[EliteKnnBatch.MemberSpec] = (Seq(
+      EliteKnnBatch.MemberSpec("knn_3", 3, 7, None),
+      EliteKnnBatch.MemberSpec("knn_scaled_3", 3, 7,
+        Some(ForecastPipeline.scaleStep())),
+      EliteKnnBatch.MemberSpec("knn_detrend_3", 3, 7,
+        Some(ForecastPipeline.detrendLinearStep))) ++
+      (if (deepLags <= 0) Nil else Seq(EliteKnnBatch.MemberSpec(
+        s"knn_deep_${deepLags / 2}", math.max(1, deepLags / 2), deepLags, None))))
+      .filter(s => selected.contains(s.name))
+    lazy val batchKnn: Map[String, (DataFrame, DataFrame)] =
+      if (knnSpecs.nonEmpty && entityCount <= KnnForecaster.maxExactEntities)
+        EliteKnnBatch.backtestAndFull(p, timeCol, freq, knnSpecs,
+          testSize, nSplits, stepSize, fh, releases)
+      else Map.empty
     def knnMember(name: String, k: Int, lags: Int,
                   xform: Option[ForecastPipeline.Step]) = Member(name,
-      () => Conformal.backtest(p, timeCol, testSize, nSplits, stepSize,
-        knnFit(lags, k, xform)),
-      () => knnFit(lags, k, xform)(p, fh))
+      () => batchKnn.get(name).map(_._1).getOrElse(
+        Conformal.backtest(p, timeCol, testSize, nSplits, stepSize,
+          knnFit(lags, k, xform))),
+      () => batchKnn.get(name).map(_._2).getOrElse(
+        knnFit(lags, k, xform)(p, fh)))
     Seq(
       Member("naive",
         () => AutoForecast.backtestNaivePrefix(p, timeCol, 1, testSize, nSplits,
@@ -350,14 +378,20 @@ object EliteDeep {
     val sharedLag = CrossValidation
       .withPosition(cached.copy(df = Preprocess.lagKeepAll(cached, 1 to maxLinLags)))
       .cache()
+    // checkpointed intermediates created by the batched knn runner —
+    // released after `res` materializes, with the member frames
+    val releases = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
-      val all = zoo(cached, sharedLag, timeCol, freq, sp, fh,
-        testSize, nSplits, stepSize, cdSweeps, deepLags, fourierK)
       // deepLags with the selection left at the default: the deep
       // members join the zoo rather than being silently filtered out
+      // (resolved BEFORE zoo construction — the batched knn runner
+      // needs to know which knn members are actually in play)
       val selected =
         if (deepLags > 0 && models == allModels) models ++ deepModels(deepLags, sp)
         else models
+      val all = zoo(cached, sharedLag, timeCol, freq, sp, fh,
+        testSize, nSplits, stepSize, cdSweeps, deepLags, fourierK,
+        selected, releases)
       val unknown = selected.filterNot(all.map(_.name).contains)
       require(unknown.isEmpty, s"unknown eliteDeep models: ${unknown.mkString(", ")}")
       val members = all.filter(m => selected.contains(m.name))
@@ -417,7 +451,7 @@ object EliteDeep {
       // each run() pinned ~2·members+2 checkpointed block sets until
       // the ContextCleaner happened to GC them (the r7 bench-pressure
       // source that Bench papers over with its global sweep)
-      (bts.map(_._2) :+ preds :+ ranked :+ out).foreach(releaseCheckpoint)
+      (bts.map(_._2) ++ Seq(preds, ranked, out) ++ releases).foreach(releaseCheckpoint)
       res
     } finally {
       sharedLag.unpersist(blocking = false)

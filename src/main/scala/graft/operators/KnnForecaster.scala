@@ -171,6 +171,95 @@ object KnnForecaster {
   private val heapOrd: Ordering[(Double, Double)] =
     Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Double.TotalOrdering)
 
+  /** Multi-group twin of [[heapPass]]: corpus rows carry a trailing
+    * `__grp` int and serve ONLY their group's queries (`qRows` =
+    * (qid, grp, state)), so one scan advances every active
+    * (member × CV-slice) roll of the elite zoo's knn family at once —
+    * the scan cost is corpus-bound, and the per-row inner loop only
+    * runs over the row's own group's queries, so batching G rolls
+    * whose corpora union here costs ~1 scan of the union instead of G
+    * scans of the slices (and, decisively at bench scale, 1 Spark
+    * job per step instead of G jobs × a window-rank shuffle each).
+    * Identical distance fold, heap maintenance and (distance, label)
+    * tie-break as [[heapPass]]; qids must be globally unique across
+    * groups.
+    *
+    * Returns the per-query top-k MEAN directly: the per-partition
+    * bounded heaps collect to the driver (≤ partitions × queries × k
+    * tuples — a few MB at the exact path's entity cap) and merge
+    * there, replacing heapPass's window-rank + groupBy-avg tail
+    * (two extra stages and a partials shuffle PER STEP). The merge
+    * sorts by the same (distance, label) order and means the first k
+    * — the multiset row_number().over(orderBy(dist, label)) ≤ k
+    * selects. */
+  private[operators] def heapPassMultiMerged(
+      reduction: DataFrame, qRows: Array[(Long, Int, Array[Double])],
+      lags: Int, k: Int): java.util.HashMap[Long, Double] = {
+    val spark = reduction.sparkSession
+    val bq = spark.sparkContext.broadcast(qRows)
+    val partials = reduction.rdd.mapPartitions { it =>
+      val qs = bq.value
+      val byGrp: scala.collection.Map[Int, Array[Int]] =
+        qs.indices.toArray.groupBy(i => qs(i)._2)
+      val empty = Array.empty[Int]
+      // allocated LAZILY: a partition holds one group's rows, so only
+      // that group's heaps materialize (eager Array.fill allocated
+      // total-queries heaps in EVERY task — measured as a dominant
+      // per-step cost at 9 groups × 1500 entities × 288 tasks)
+      val heaps = new Array[scala.collection.mutable.PriorityQueue[(Double, Double)]](qs.length)
+      val feats = new Array[Double](lags)
+      it.foreach { row =>
+        var i = 0
+        while (i < lags) { feats(i) = row.getDouble(i); i += 1 }
+        val label = row.getDouble(lags)
+        val grpQs = byGrp.getOrElse(row.getInt(lags + 1), empty)
+        var gi = 0
+        while (gi < grpQs.length) {
+          val qi = grpQs(gi)
+          val q = qs(qi)._3
+          var d = 0.0; var j = 0
+          while (j < lags) { val t = feats(j) - q(j); d += t * t; j += 1 }
+          var h = heaps(qi)
+          if (h == null) {
+            h = scala.collection.mutable.PriorityQueue.empty[(Double, Double)](heapOrd)
+            heaps(qi) = h
+          }
+          if (h.size < k) h.enqueue((d, label))
+          else {
+            val hd = h.head
+            if (d < hd._1 || (d == hd._1 && label < hd._2)) {
+              h.dequeue(); h.enqueue((d, label))
+            }
+          }
+          gi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        if (h == null) Iterator.empty
+        else h.iterator.map { case (d, label) => (qs(qi)._1, d, label) }
+      }
+    }.collect()
+    // driver merge: per qid, the k (distance, label)-smallest among the
+    // per-partition candidates, mean of their labels summed ascending
+    val byQid = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[(Double, Double)]]()
+    partials.foreach { case (qid, d, label) =>
+      var b = byQid.get(qid)
+      if (b == null) {
+        b = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+        byQid.put(qid, b)
+      }
+      b += ((d, label))
+    }
+    val out = new java.util.HashMap[Long, Double]()
+    byQid.forEach { (qid, buf) =>
+      val top = buf.sorted(heapOrd).take(k)
+      var s = 0.0
+      top.foreach(s += _._2)
+      out.put(qid, s / top.length)
+    }
+    out
+  }
+
   /** RECURSIVE multi-horizon KNN — the reference's knn predicts any
     * fh by rolling the state forward (forecasting/knn.py:22 via
     * base/forecaster recursion): horizon h's query vector is
@@ -652,7 +741,7 @@ object KnnForecaster {
     * corpus×entities. */
   @volatile private[graft] var maxExactEntities: Int = 100000
 
-  private def guardExactEntities(n: Long, what: String): Unit =
+  private[operators] def guardExactEntities(n: Long, what: String): Unit =
     require(n <= maxExactEntities,
       s"$what: $n entities exceed the exact broadcast-KNN cap " +
         s"($maxExactEntities). The exact path costs O(rows x entities x lags) " +
@@ -661,7 +750,7 @@ object KnnForecaster {
         "buckets) at this scale, or raise KnnForecaster.maxExactEntities if " +
         "the driver is sized for it.")
 
-  private def queryTails(p: Panel, timeCol: String, lags: Int): DataFrame = {
+  private[operators] def queryTails(p: Panel, timeCol: String, lags: Int): DataFrame = {
     val tail = p.df
       .withColumn("__rn_desc", row_number().over(
         Window.partitionBy(p.entityCols: _*).orderBy(p.orderCols.map(_.desc): _*)))

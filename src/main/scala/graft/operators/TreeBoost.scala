@@ -176,20 +176,38 @@ object TreeBoost {
     * the per-entity position, rn 1-based). Weighted statistics
     * throughout: base score Σwy/Σw, node sizes Σw, split gain
     * (Σwr)²/Σw, leaf Σwr/Σw·η — LightGBM's weighted histogram
-    * semantics on this deterministic machinery. Not combinable with
-    * "quantile" (leaf renewal would need a weighted percentile, which
-    * Spark's exact `percentile` only supports for integral
-    * frequencies — fail loud rather than approximate). */
+    * semantics on this deterministic machinery. Negative weights are
+    * rejected LOUDLY at fit time (LightGBM likewise): a negative Σw
+    * node size silently poisons pickSplit's nl > 0 && nl < nn guard.
+    * Combined with "quantile", the leaf renewal/base score use the
+    * cumulative-weight interpolated quantile
+    * ([[graft.functions.WeightedQuantile]] — quantile_cont's positions
+    * generalized to fractional weights, the w ≡ 1 case bit-reducing to
+    * the unweighted rule).
+    *
+    * `quantileExact` — the quantile renewal's production switch. The
+    * default (true) uses exact `percentile` (bit-identical to DuckDB
+    * quantile_cont — the oracle-gated mode) whose value→count buffer
+    * is O(distinct residuals) per merge task: unbounded on a 100 TB
+    * panel of continuous targets. `quantileExact = false` swaps base
+    * score and leaf renewal to `approx_percentile` (Greenwald-Khanna
+    * sketch, memory bounded by the accuracy parameter — 1e5 here,
+    * ≤ ~1e-5 rank error), dropping the bitwise-oracle claim for a
+    * bounded-memory fit; QuantileSpec pins the two modes' agreement
+    * tolerance. Exact-only knobs (weighted quantile) reject the
+    * approx mode loudly rather than silently ignoring weights. */
   def fit(p: Panel, lags: Int, freq: String, rounds: Int = 5,
           bins: Int = 8, eta: Double = 0.3, objective: String = "l2",
           objParam: Double = Double.NaN, labelClamp: Boolean = false,
-          weight: Option[(Column, Column) => Column] = None): Model = {
+          weight: Option[(Column, Column) => Column] = None,
+          quantileExact: Boolean = true): Model = {
     require(Set("l2", "poisson", "gamma", "tweedie", "quantile")(objective),
       s"tree-boost objective must be l2, poisson, gamma, tweedie or quantile " +
         s"(got '$objective')")
-    require(weight.isEmpty || objective != "quantile",
-      "tree-boost sample weights are not supported with the quantile " +
-        "objective (leaf renewal needs a weighted percentile)")
+    require(quantileExact || weight.isEmpty || objective != "quantile",
+      "tree-boost approximate quantile mode (quantileExact = false) does not " +
+        "support sample weights (approx_percentile has no weighted form) - " +
+        "use the exact weighted-quantile renewal")
     // objective parameter: quantile level α, or tweedie variance power
     val alpha =
       if (objective == "quantile") { if (objParam.isNaN) 0.5 else objParam }
