@@ -413,6 +413,15 @@ object Ols {
       val d = rhs.length
       val a = Array.tabulate(d, d)((i, j) => m(i)(j))
       val x = rhs.clone()
+      // pivot tolerance RELATIVE to the Gram scale (ADVICE r10): the
+      // old exactly-zero test let near-singular Grams (members equal
+      // up to rounding noise) through to huge path directions; after
+      // elimination a duplicated column's pivot sits at rounding-noise
+      // scale, not exactly 0
+      var pivTol = 0.0
+      var di = 0
+      while (di < d) { pivTol = math.max(pivTol, math.abs(m(di)(di))); di += 1 }
+      pivTol *= 1e-10
       var i = 0
       while (i < d) {
         var piv = i
@@ -420,7 +429,7 @@ object Ols {
         while (j < d) { if (math.abs(a(j)(i)) > math.abs(a(piv)(i))) piv = j; j += 1 }
         if (piv != i) { val t = a(i); a(i) = a(piv); a(piv) = t
           val tv = x(i); x(i) = x(piv); x(piv) = tv }
-        require(a(i)(i) != 0.0, "lassoLarsPath: singular active Gram")
+        require(math.abs(a(i)(i)) > pivTol, "lassoLarsPath: singular active Gram")
         j = i + 1
         while (j < d) {
           val f = a(j)(i) / a(i)(i)
@@ -461,6 +470,11 @@ object Ols {
     // excluded, sklearn's "degenerate regressors in active set"
     // behavior of dropping rather than aborting
     var degenerate = Set.empty[Int]
+    // admissions since the last SUCCESSFUL solve — the pool the
+    // singular-Gram culprit search draws from (ADVICE r10: the batch
+    // admission below can admit several features at one knot, and the
+    // degenerate one is not necessarily the last admitted)
+    var recentAdmits = Vector.empty[Int]
     while (lam > eps && guard < 8 * p * p) {
       guard += 1
       // current correlations c_j − G_j· w
@@ -473,8 +487,10 @@ object Ols {
       // admit every inactive feature whose correlation has caught up
       (0 until p).foreach { j =>
         if (!active.contains(j) && j != justDropped && !degenerate(j) &&
-            math.abs(corr(j)) >= lam * (1.0 - 1e-9))
+            math.abs(corr(j)) >= lam * (1.0 - 1e-9)) {
           active :+= j
+          recentAdmits :+= j
+        }
       }
       justDropped = -1
       if (active.isEmpty) { lam = 0.0 }
@@ -487,12 +503,35 @@ object Ols {
           catch { case _: IllegalArgumentException => None }
         dirOpt match {
           case None =>
-            // exactly singular active Gram: the most recent admission
-            // duplicates an earlier active column — exclude it for
-            // good and retry with the reduced set
-            degenerate += active.last
-            active = active.init
+            // singular active Gram: some recent admission duplicates
+            // an earlier active column. Probe each candidate from the
+            // admissions since the last clean solve (newest first —
+            // the likeliest culprit) and exclude the first whose
+            // removal makes the reduced Gram solvable; if no single
+            // removal fixes it (several duplicates entered together),
+            // drop the newest and let the loop re-probe. sklearn's
+            // "degenerate regressors in active set" handling: drop,
+            // never abort. (ADVICE r10: the old code always removed
+            // active.last, which can be an innocent feature admitted
+            // after the duplicated pair in the same batch.)
+            val pool = {
+              val r = recentAdmits.reverse.filter(active.contains)
+              if (r.nonEmpty) r else Vector(active.last)
+            }
+            val culprit = pool.find { j =>
+              val rem = active.filterNot(_ == j).toArray
+              rem.isEmpty || {
+                val g = Array.tabulate(rem.length, rem.length)(
+                  (ri, rj) => cm(rem(ri))(rem(rj)))
+                val sr = rem.map(jj => math.signum(corr(jj)))
+                try { solve(g, sr); true }
+                catch { case _: IllegalArgumentException => false }
+              }
+            }.getOrElse(pool.head)
+            degenerate += culprit
+            active = active.filterNot(_ == culprit)
           case Some(dir) =>
+            recentAdmits = Vector.empty
             // inactive correlation drift per unit decrease of λ
             val aDrift = Array.tabulate(p) { j =>
               var v = 0.0

@@ -24,7 +24,9 @@ import org.apache.spark.sql.functions.udaf
   *
   * Unit weights reduce this to p_j = (j−1)/(n−1) — exactly
   * `quantile_cont`'s positions, so the unweighted objective is the
-  * w ≡ 1 special case (QuantileSpec asserts agreement). Zero-weight
+  * w ≡ 1 special case (QuantileSpec asserts agreement; the
+  * interpolation's op ORDER differs from `percentile`'s
+  * pos − floor(pos) form by ≤2 ULP). Zero-weight
   * pairs are skipped on input (they contribute nothing to any Σw
   * statistic and would collapse p_j spacing); negative weights are the
   * CALLER's contract to reject (TreeBoost guards at fit time).

@@ -182,8 +182,9 @@ object TreeBoost {
     * Combined with "quantile", the leaf renewal/base score use the
     * cumulative-weight interpolated quantile
     * ([[graft.functions.WeightedQuantile]] — quantile_cont's positions
-    * generalized to fractional weights, the w ≡ 1 case bit-reducing to
-    * the unweighted rule).
+    * generalized to fractional weights; the w ≡ 1 case reduces to the
+    * unweighted rule on identical positions, with ≤2-ULP interpolation
+    * op-order drift vs `percentile`, see QuantileSpec).
     *
     * `quantileExact` — the quantile renewal's production switch. The
     * default (true) uses exact `percentile` (bit-identical to DuckDB
@@ -248,7 +249,8 @@ object TreeBoost {
     // as the cache materialization the coalesce below reads from. Only
     // sum(y) is order-sensitive and waits for the coalesced frame.
     val mmAggs = featureCols.flatMap(f => Seq(min(col(f)), max(col(f)))) ++
-      Seq(count(lit(1)), count(when(col(p.value) < 0, lit(1))))
+      Seq(count(lit(1)), count(when(col(p.value) < 0, lit(1)))) ++
+      (if (weight.isDefined) Seq(count(when(col("__wgt") < 0, lit(1)))) else Nil)
     val mmRow = train0.agg(mmAggs.head, mmAggs.tail: _*).collect()(0)
     val nRows = mmRow.getLong(2 * lags)
     // loud label guard (ADVICE r9): LightGBM rejects negative labels
@@ -262,6 +264,16 @@ object TreeBoost {
         s"$objective objective rejects negative targets ($nNeg rows < 0); " +
           s"pre-validate the panel or opt into labelClamp = true " +
           s"(the reference's _enforce_label_constraint, lightgbm.py:30-47)")
+    }
+    // loud weight guard (ADVICE r10): LightGBM rejects negative sample
+    // weights; a negative per-row weight can make a child's Σw size
+    // negative or zero, where pickSplit's nl > 0 && nl < nn guard
+    // silently discards valid splits — mirror the label guard above
+    if (weight.isDefined) {
+      val nNegW = mmRow.getLong(2 * lags + 2)
+      require(nNegW == 0L,
+        s"tree-boost sample weights must be non-negative ($nNegW rows < 0); " +
+          s"negative weights silently poison Σw node sizes and split gains")
     }
     if (nRows == 0L)
       throw new IllegalArgumentException(
@@ -284,9 +296,20 @@ object TreeBoost {
       // MULTISET (the buffer is a value→count map), so unlike the
       // sum it is partial-merge-order independent; the agg still
       // doubles as the coalesced-cache materialization
+      // quantile aggregation dispatch (base score AND pass-C renewal):
+      // weighted → cumulative-weight interpolated quantile (exact only,
+      // the approx combination is rejected up top); unweighted exact →
+      // Spark `percentile` (≡ DuckDB quantile_cont, the oracle mode);
+      // production → approx_percentile at accuracy 1e5 (bounded memory)
+      def qAgg(value: Column): Column =
+        if (weight.isDefined) graft.functions.WeightedQuantileAgg(alpha)(value, col("__wgt"))
+        else if (quantileExact) percentile(value, lit(alpha))
+        else approx_percentile(value, lit(alpha), lit(100000))
       val b0 = if (objective == "quantile") {
-        val q = train.agg(percentile(col(p.value), lit(alpha))).collect()(0)
+        val q = train.agg(qAgg(col(p.value))).collect()(0)
         if (train ne train0) train0.unpersist(blocking = false)
+        require(!q.isNullAt(0),
+          "quantile base score is null (no positive-weight training rows)")
         q.getDouble(0)
       } else if (weight.isDefined) {
         // weighted base score Σwy/Σw (LightGBM's weighted
@@ -471,10 +494,10 @@ object TreeBoost {
             val lF = element_at(featsArr, si(lfi))
             val rF2 = element_at(featsArr, si(rfi2))
             val aggsC = Seq(
-              percentile(when(gl && lF <= sd(lthr), d), lit(alpha)),
-              percentile(when(gl && lF > sd(lthr), d), lit(alpha)),
-              percentile(when(gr && rF2 <= sd(rthr2), d), lit(alpha)),
-              percentile(when(gr && rF2 > sd(rthr2), d), lit(alpha)))
+              qAgg(when(gl && lF <= sd(lthr), d)),
+              qAgg(when(gl && lF > sd(lthr), d)),
+              qAgg(when(gr && rF2 <= sd(rthr2), d)),
+              qAgg(when(gr && rF2 > sd(rthr2), d)))
             val rowC = rfB.agg(aggsC.head, aggsC.tail: _*).collect()(0)
             def lv(i: Int) =
               if (rowC.isNullAt(i)) 0.0 else rowC.getDouble(i) * eta

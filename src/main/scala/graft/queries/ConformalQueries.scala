@@ -764,6 +764,30 @@ object ConformalQueries {
         .predict(p, "ts", fh = 3))
     },
 
+    // weighted quantile boosting — the weight_transform hook crossed
+    // with the quantile objective (the one GBT-family asymmetry left
+    // after round 10): splits argmax the weighted pinball-gradient
+    // sums, base score and pass-C leaf renewal use the
+    // cumulative-weight interpolated quantile
+    // ([[graft.functions.WeightedQuantile]]'s rule — quantile_cont's
+    // positions generalized to fractional weights), replicated in the
+    // oracle with windowed prefix sums over the identical (value,
+    // weight) sort order
+    "fc_gbt_quantile_weighted" -> Q(
+      s"""WITH ${OlsBacktestSql.lagdCte(7)},
+          ${OlsBacktestSql.fullTree2("gqw", 7, fh = 3, rounds = 3, bins = 4,
+             eta = 0.3, objective = "quantile", objParam = 0.9,
+             weight = "(1.0 / (1.0 + (cnt - rn) / 14.0))")}
+          SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
+                 round(CASE h WHEN 1 THEN p1 WHEN 2 THEN p2 ELSE p3 END, 6) AS value
+          FROM fp_gqw CROSS JOIN (SELECT unnest([1, 2, 3]) AS h)""") { (s, dir) =>
+      val p = ev(s, dir)
+      r6(TreeBoost.fit(p, lags = 7, freq = "1d", rounds = 3, bins = 4, eta = 0.3,
+        objective = "quantile", objParam = 0.9,
+        weight = Some((rn, cnt) => lit(1.0) / (lit(1.0) + (cnt - rn) / lit(14.0))))
+        .predict(p, "ts", fh = 3))
+    },
+
     // auto_lightgbm's lag sweep (automl.py:191-229) over the
     // deterministic depth-2 boost: each candidate's expanding-window
     // backtest (full tree fit per prefix + 10-step recursion) scores a

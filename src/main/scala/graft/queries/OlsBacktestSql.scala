@@ -1109,8 +1109,50 @@ object OlsBacktestSql {
     // base score Σwy/Σw, residual sums Σw·r, node sizes Σw — the
     // `wq` column is the caller's weight expression over lagd rows
     val isWt = weight.nonEmpty
+    val aQSql = s"CAST($alpha AS DOUBLE)"
+    // weighted interpolated quantile ([[graft.functions.WeightedQuantile]]'s
+    // rule) as an aggregate over a windowed pair frame carrying
+    // (v, w, sp = ascending (v,w)-ordered exclusive prefix Σw,
+    //  tot = ΣW, wl = last weight in sort order, n = pairs): position
+    // p_j = sp/(tot − wl) is strictly increasing for positive weights,
+    // bracket α between max p ≤ α and min p ≥ α and interpolate.
+    // Engine prefix-sum drift is sub-ULP and absorbed by the r6 round
+    // like every moment oracle.
+    def wqSelect: String = {
+      val pE = "(sp / (tot - wl))"
+      val plo = s"max$pE FILTER (WHERE $pE <= $aQSql)"
+      val vlo = s"arg_max(v, $pE) FILTER (WHERE $pE <= $aQSql)"
+      val phi = s"coalesce(min$pE FILTER (WHERE $pE >= $aQSql), CAST(1.0 AS DOUBLE))"
+      val vhi = s"coalesce(arg_min(v, $pE) FILTER (WHERE $pE >= $aQSql), max(v))"
+      s"""CASE WHEN max(n) = 1 OR max(tot - wl) <= 0 THEN min(v)
+               WHEN $plo = $phi THEN $vlo
+               ELSE $vlo + ($vhi - $vlo) * (($aQSql - $plo) / ($phi - $plo))
+          END"""
+    }
+    // the shared window frame over a (grp, v, w) pair source; `grp`
+    // empty → one global group (the base score)
+    def wqFrame(src: String, part: String): String = {
+      val byP = if (part.isEmpty) "" else s"PARTITION BY $part "
+      val sel = if (part.isEmpty) "" else s"$part, "
+      s"""SELECT $sel v, w,
+            coalesce(sum(w) OVER ($byP ORDER BY v, w
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              CAST(0.0 AS DOUBLE)) AS sp,
+            sum(w) OVER (${if (part.isEmpty) "" else s"PARTITION BY $part"}) AS tot,
+            last_value(w) OVER ($byP ORDER BY v, w
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS wl,
+            count(*) OVER (${if (part.isEmpty) "" else s"PARTITION BY $part"}) AS n
+          FROM $src"""
+    }
+    val wqB0Ctes =
+      if (isQ && isWt)
+        s"""${t}_wq0w AS MATERIALIZED (${wqFrame(
+             s"(SELECT value AS v, wq AS w FROM ${t}_red WHERE wq > 0)", "")}),
+            ${t}_wq0 AS MATERIALIZED (SELECT $wqSelect AS q FROM ${t}_wq0w), """
+      else ""
     val b0Sql =
-      if (isQ) s"quantile_cont(value, CAST($alpha AS DOUBLE))"
+      if (isQ && isWt) s"(SELECT q FROM ${t}_wq0)"
+      else if (isQ) s"quantile_cont(value, CAST($alpha AS DOUBLE))"
       else if (isWt && logLink) "ln(sum(wq * value) / sum(wq))"
       else if (isWt) "sum(wq * value) / sum(wq)"
       else if (logLink) "ln(sum(value) / count(*))"
@@ -1252,7 +1294,12 @@ object OlsBacktestSql {
       val lFC = featCase(s"fl_$m", i => s"f$i")
       val rFC = featCase(s"fr_$m", i => s"f$i")
       val aSql = s"CAST($alpha AS DOUBLE)"
-      val ccte = s"""${t}_c$m AS MATERIALIZED (SELECT
+      // unweighted: exact quantile_cont per leaf (≡ Spark percentile).
+      // weighted: the interpolated weighted quantile per leaf — pair
+      // rows tagged with their leaf id, the shared window frame
+      // partitioned by leaf, one q per leaf, pivoted to vll..vrr
+      val qCtes =
+        if (!isWt) Seq(s"""${t}_c$m AS MATERIALIZED (SELECT
             coalesce(quantile_cont(CASE WHEN $rootFC <= thr_$m AND $lFC <= tl_$m
               THEN d END, $aSql) * $eSql, CAST(0.0 AS DOUBLE)) AS vll_$m,
             coalesce(quantile_cont(CASE WHEN $rootFC <= thr_$m AND $lFC > tl_$m
@@ -1261,9 +1308,28 @@ object OlsBacktestSql {
               THEN d END, $aSql) * $eSql, CAST(0.0 AS DOUBLE)) AS vrl_$m,
             coalesce(quantile_cont(CASE WHEN $rootFC > thr_$m AND $rFC > tr_$m
               THEN d END, $aSql) * $eSql, CAST(0.0 AS DOUBLE)) AS vrr_$m
-          FROM ${t}_r$m CROSS JOIN ${t}_b$m CROSS JOIN ${t}_bl$m CROSS JOIN ${t}_br$m)"""
+          FROM ${t}_r$m CROSS JOIN ${t}_b$m CROSS JOIN ${t}_bl$m CROSS JOIN ${t}_br$m)""")
+        else {
+          val cp = s"""${t}_cp$m AS MATERIALIZED (
+              SELECT CASE WHEN $rootFC <= thr_$m
+                          THEN CASE WHEN $lFC <= tl_$m THEN 1 ELSE 2 END
+                          ELSE CASE WHEN $rFC <= tr_$m THEN 3 ELSE 4 END END AS lf,
+                     d AS v, wq AS w
+              FROM ${t}_r$m CROSS JOIN ${t}_b$m CROSS JOIN ${t}_bl$m CROSS JOIN ${t}_br$m
+              WHERE d IS NOT NULL AND wq > 0)"""
+          val cw = s"""${t}_cw$m AS MATERIALIZED (${wqFrame(s"${t}_cp$m", "lf")})"""
+          val cl = s"""${t}_cl$m AS MATERIALIZED (
+              SELECT lf, $wqSelect AS q FROM ${t}_cw$m GROUP BY lf)"""
+          val pivot = Seq("vll" -> 1, "vlr" -> 2, "vrl" -> 3, "vrr" -> 4).map {
+            case (nm, lf) =>
+              s"coalesce(max(CASE WHEN lf = $lf THEN q END) * $eSql, CAST(0.0 AS DOUBLE)) AS ${nm}_$m"
+          }
+          val c = s"""${t}_c$m AS MATERIALIZED (SELECT ${pivot.mkString(", ")}
+              FROM ${t}_cl$m)"""
+          Seq(cp, cw, cl, c)
+        }
       (Seq(rcte, acte, gcte, bcte, a2cte, glcte, grcte, blcte, brcte) ++
-        (if (isQ) Seq(ccte) else Nil)).mkString(", ")
+        (if (isQ) qCtes else Nil)).mkString(", ")
     }
     val allBests = (1 to rounds)
       .map(j => s" CROSS JOIN ${t}_b$j CROSS JOIN ${t}_bl$j CROSS JOIN ${t}_br$j" +
@@ -1279,7 +1345,7 @@ object OlsBacktestSql {
     }
     val redSel = if (isWt) s"*, ($weight) AS wq" else "*"
     s"""${t}_red AS MATERIALIZED (SELECT $redSel FROM lagd WHERE $trainWhere),
-        $mm,
+        $wqB0Ctes$mm,
         ${roundCtes.mkString(", ")},
         ${tailCte(t, lags, endRn)},
         ${t}_p0 AS (SELECT * FROM ${t}_tail

@@ -20,7 +20,10 @@ object Q {
     // is harmless in DuckDB (checked: no oracle CTE shadows a base
     // table, which is the only semantic RECURSIVE could change) and
     // saves threading a flag through every composed builder
-    val o = oracle.replaceFirst("^(\\s*)WITH\\s+(?!RECURSIVE)", "$1WITH RECURSIVE ")
+    // guard BEFORE consuming whitespace: with \s+(?!RECURSIVE) a
+    // multi-space "WITH  RECURSIVE" would let \s+ backtrack one space
+    // and rewrite to "WITH RECURSIVE RECURSIVE" (ADVICE r10)
+    val o = oracle.replaceFirst("^(\\s*)WITH(?!\\s+RECURSIVE\\b)\\s+", "$1WITH RECURSIVE ")
     Q(fn, Some(o))
   }
   def rowsOnly(fn: (SparkSession, String) => DataFrame): Q = Q(fn, None)

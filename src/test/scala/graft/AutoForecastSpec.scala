@@ -280,11 +280,12 @@ class AutoForecastSpec extends SparkSpec {
         when(cnt - rn < lit(20), lit(1.0)).otherwise(lit(1e-9)))))
     assert(math.abs(rec - 100.0) < math.abs(unw - 100.0),
       s"weighted $rec should beat unweighted $unw at the new level")
-    // weighted quantile renewal is unsupported — fail loud
-    intercept[IllegalArgumentException] {
-      TreeBoost.fit(p, lags = 2, freq = "1i", objective = "quantile",
-        weight = Some((_, _) => lit(1.0)))
-    }
+    // weighted quantile renewal is supported as of round 11
+    // (WeightedQuantile — QuantileSpec owns its semantics); just pin
+    // that the combination fits
+    val qw = TreeBoost.fit(p, lags = 2, freq = "1i", objective = "quantile",
+      weight = Some((_, _) => lit(1.0)))
+    assert(qw.trees.nonEmpty)
   }
 
   test("autoTreeBoost sweeps lags over the deterministic depth-2 boost") {

@@ -224,6 +224,48 @@ class OlsSpec extends SparkSpec {
     assert(w(0) == 0.0 || w(1) == 0.0, s"${w.toSeq}")
   }
 
+  test("lassoLarsPath: innocent feature admitted in the same batch as a duplicate pair survives") {
+    // exact-tie moments: features 0 and 1 are DUPLICATES, feature 2 is
+    // orthogonal, and all three correlations equal the starting λ so
+    // the batch admission takes them together. The culprit search must
+    // exclude one of the duplicate pair — not feature 2, which the old
+    // always-remove-active.last rule banned for the whole path
+    // (ADVICE r10)
+    val cm = Array(
+      Array(1.0, 1.0, 0.0),
+      Array(1.0, 1.0, 0.0),
+      Array(0.0, 0.0, 1.0))
+    val cv = Array(2.0, 2.0, 2.0)
+    val path = Ols.lassoLarsPath(cm, cv, nn = 10.0)
+    val wEnd = path.last._2
+    assert(path.last._1 < 1e-12 * path.head._1, s"path truncated at ${path.last._1}")
+    assert(wEnd(2) != 0.0, s"innocent feature excluded: ${wEnd.toSeq}")
+    assert(wEnd(0) == 0.0 || wEnd(1) == 0.0, s"both duplicates active: ${wEnd.toSeq}")
+    // the surviving pair solves G w = c exactly: w = (2, 0, 2) up to order
+    assertClose(wEnd(0) + wEnd(1), 2.0, 1e-9)
+    assertClose(wEnd(2), 2.0, 1e-9)
+  }
+
+  test("lassoLarsPath: NEAR-singular Gram (rounding-noise duplicates) is degraded, not exploded") {
+    // f2 = f1 + O(1e-13): the Gram is not exactly singular, so the old
+    // != 0.0 pivot test let it through to a ~1e13-magnitude direction;
+    // the relative pivot tolerance must treat it as degenerate
+    val d = 1e-13
+    val cm = Array(
+      Array(1.0, 1.0 - d, 0.0),
+      Array(1.0 - d, 1.0, 0.0),
+      Array(0.0, 0.0, 1.0))
+    val cv = Array(2.0, 2.0 - d, 1.0)
+    val path = Ols.lassoLarsPath(cm, cv, nn = 10.0)
+    assert(path.last._1 < 1e-9, s"path truncated at ${path.last._1}")
+    path.foreach { case (_, w) =>
+      assert(w.forall(v => math.abs(v) < 1e3),
+        s"near-singular Gram produced an exploded knot: ${w.toSeq}")
+    }
+    val wEnd = path.last._2
+    assert(wEnd(0) == 0.0 || wEnd(1) == 0.0, s"both near-duplicates active: ${wEnd.toSeq}")
+  }
+
   test("lassoLarsIC zero-noise fallback picks the min-RSS knot instead of aborting") {
     import spark.implicits._
     // y is an EXACT linear function of f_1 — OLS residual 0, sigma2=0:

@@ -1,0 +1,159 @@
+package graft
+
+import graft.functions.{WeightedQuantile, WeightedQuantileAgg}
+import graft.operators.TreeBoost
+import org.apache.spark.sql.functions._
+
+/** The quantile-objective aggregation stack: the cumulative-weight
+  * interpolated quantile kernel/aggregator (the weighted renewal),
+  * its w ≡ 1 reduction to Spark `percentile` ≡ quantile_cont, and
+  * TreeBoost's exact-vs-approx production switch. */
+class QuantileSpec extends SparkSpec {
+
+  private def pairs(vw: (Double, Double)*): Array[Double] =
+    vw.flatMap { case (v, w) => Seq(v, w) }.toArray
+
+  test("unit weights reduce to quantile_cont positions (j-1)/(n-1)") {
+    val vs = Seq(3.0, 1.0, 4.0, 1.5, 9.0, 2.6, 5.0)
+    val buf = pairs(vs.map(v => (v, 1.0)): _*)
+    // reference: sorted values, position (j-1)/(n-1), linear interp —
+    // Spark percentile / DuckDB quantile_cont's exact rule
+    def qc(alpha: Double): Double = {
+      val s = vs.sorted
+      val pos = alpha * (s.length - 1)
+      val lo = pos.toInt
+      if (lo == s.length - 1) s.last
+      else s(lo) + (s(lo + 1) - s(lo)) * (pos - lo)
+    }
+    for (a <- Seq(0.1, 0.25, 0.5, 0.75, 0.9))
+      assertClose(WeightedQuantile.of(buf, a).doubleValue, qc(a), 1e-12)
+  }
+
+  test("unit-weight aggregator matches Spark percentile to sub-ULP") {
+    import spark.implicits._
+    val vs = Seq(3.0, 1.0, 4.0, 1.5, 9.0, 2.6, 5.0, -2.0, 0.0, 7.7)
+    val df = vs.map(v => (v, 1.0)).toDF("v", "w")
+    // positions coincide exactly ((j−1)/(n−1)), but the interpolation
+    // op ORDER differs: this kernel computes (α−pLo)/(pHi−pLo) where
+    // percentile computes pos − floor(pos) — a ≤2-ULP divergence the
+    // r6 round absorbs (the fit-level test below shows where even the
+    // bits line up)
+    for (a <- Seq(0.1, 0.5, 0.9)) {
+      val got = df.agg(WeightedQuantileAgg(a)(col("v"), col("w")))
+        .collect()(0).getDouble(0)
+      val want = df.agg(percentile(col("v"), lit(a))).collect()(0).getDouble(0)
+      assertClose(got, want, 1e-12)
+    }
+  }
+
+  test("fractional weights: hand-computed brackets") {
+    // sorted pairs (1,1),(2,1),(3,2): W=4, w_last=2, denom=2 →
+    // positions 0, 0.5, 1.0
+    val buf = pairs((3.0, 2.0), (1.0, 1.0), (2.0, 1.0))
+    assertClose(WeightedQuantile.of(buf, 0.5).doubleValue, 2.0, 1e-12)
+    assertClose(WeightedQuantile.of(buf, 0.75).doubleValue, 2.5, 1e-12)
+    assertClose(WeightedQuantile.of(buf, 0.25).doubleValue, 1.5, 1e-12)
+    // doubling every weight leaves the quantile invariant
+    val buf2 = pairs((3.0, 4.0), (1.0, 2.0), (2.0, 2.0))
+    for (a <- Seq(0.2, 0.5, 0.8))
+      assertClose(WeightedQuantile.of(buf2, a).doubleValue,
+        WeightedQuantile.of(buf, a).doubleValue, 1e-12)
+  }
+
+  test("edges: empty null, single pair, zero weights skipped on input") {
+    assert(WeightedQuantile.of(Array.emptyDoubleArray, 0.5) == null)
+    assertClose(WeightedQuantile.of(pairs((7.0, 0.3)), 0.9).doubleValue, 7.0, 0)
+    // the aggregator drops zero/negative weights and null values
+    import spark.implicits._
+    val df = Seq((1.0: java.lang.Double, 1.0: java.lang.Double),
+      (100.0: java.lang.Double, 0.0: java.lang.Double),
+      (null: java.lang.Double, 1.0: java.lang.Double),
+      (3.0: java.lang.Double, 1.0: java.lang.Double)).toDF("v", "w")
+    val got = df.agg(WeightedQuantileAgg(0.5)(col("v"), col("w")))
+      .collect()(0).getDouble(0)
+    assertClose(got, 2.0, 1e-12)
+  }
+
+  // synthetic panel: two entities, noisy trends with spread residuals
+  private def qPanel() = {
+    def mk(seed: Int, n: Int) = {
+      val rnd = new scala.util.Random(seed)
+      (0 until n).map(i => 10.0 + 0.3 * i + rnd.nextGaussian() * 3.0)
+    }
+    panel(mk(1, 60), mk(2, 60))
+  }
+
+  test("quantileExact=false tracks the exact fit within sketch tolerance") {
+    val p = qPanel()
+    def preds(exact: Boolean) =
+      TreeBoost.fit(p, lags = 4, freq = "1i", rounds = 3, bins = 4,
+        objective = "quantile", objParam = 0.9, quantileExact = exact)
+        .predict(p, "t", fh = 3)
+        .orderBy("entity", "t").collect().map(_.getDouble(2))
+    val (ex, ap) = (preds(true), preds(false))
+    assert(ex.length == ap.length && ex.length == 6)
+    // accuracy 1e5 on a few-hundred-row panel: GK rank error ≤ 1e-5 →
+    // the sketch is exact here up to interpolation-cell choice; allow
+    // a small relative tolerance for the compounded leaf values
+    ex.zip(ap).foreach { case (e, a) =>
+      assert(math.abs(e - a) <= 1e-6 * math.max(1.0, math.abs(e)) + 0.15,
+        s"exact $e vs approx $a diverged beyond sketch tolerance")
+    }
+  }
+
+  test("weighted quantile objective fits and shifts with the weights") {
+    val p = qPanel()
+    val unw = TreeBoost.fit(p, lags = 4, freq = "1i", rounds = 3, bins = 4,
+      objective = "quantile", objParam = 0.9)
+      .predict(p, "t", fh = 2).orderBy("entity", "t").collect()
+      .map(_.getDouble(2))
+    val w = TreeBoost.fit(p, lags = 4, freq = "1i", rounds = 3, bins = 4,
+      objective = "quantile", objParam = 0.9,
+      weight = Some((rn, cnt) => lit(1.0) / (lit(1.0) + (cnt - rn) / lit(10.0))))
+      .predict(p, "t", fh = 2).orderBy("entity", "t").collect()
+      .map(_.getDouble(2))
+    assert(unw.length == 4 && w.length == 4)
+    assert(unw.forall(v => !v.isNaN) && w.forall(v => !v.isNaN))
+    // the recency weighting must actually reach the renewal: on a
+    // trending panel the weighted 90th-percentile fit differs
+    assert(unw.zip(w).exists { case (a, b) => math.abs(a - b) > 1e-9 },
+      s"weighted quantile fit identical to unweighted: ${unw.toSeq}")
+  }
+
+  test("constant weights reproduce the unweighted quantile fit exactly") {
+    val p = qPanel()
+    def preds(weight: Option[(org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column) => org.apache.spark.sql.Column]) =
+      TreeBoost.fit(p, lags = 3, freq = "1i", rounds = 2, bins = 4,
+        objective = "quantile", objParam = 0.75, weight = weight)
+        .predict(p, "t", fh = 2).orderBy("entity", "t").collect()
+        .map(_.getDouble(2))
+    val u = preds(None)
+    val c = preds(Some((_, _) => lit(1.0)))
+    // w ≡ 1: positions (j−1)/(n−1) — bit-identical to percentile, so
+    // the whole fit (splits AND renewals) must reproduce exactly
+    u.zip(c).foreach { case (a, b) =>
+      assert(java.lang.Double.doubleToLongBits(a) ==
+        java.lang.Double.doubleToLongBits(b), s"$a != $b")
+    }
+  }
+
+  test("negative sample weights are rejected loudly") {
+    val p = qPanel()
+    val e = intercept[IllegalArgumentException] {
+      TreeBoost.fit(p, lags = 3, freq = "1i", rounds = 2, bins = 4,
+        weight = Some((rn, cnt) => rn - cnt)) // rn < cnt → negative
+    }
+    assert(e.getMessage.contains("non-negative"), e.getMessage)
+  }
+
+  test("weighted + approx quantile mode is rejected loudly") {
+    val p = qPanel()
+    val e = intercept[IllegalArgumentException] {
+      TreeBoost.fit(p, lags = 3, freq = "1i", rounds = 2, bins = 4,
+        objective = "quantile", objParam = 0.5, quantileExact = false,
+        weight = Some((_, _) => lit(1.0)))
+    }
+    assert(e.getMessage.contains("approximate quantile"), e.getMessage)
+  }
+}
