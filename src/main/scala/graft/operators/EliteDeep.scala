@@ -76,18 +76,38 @@ object EliteDeep {
       () => AutoForecast.backtestLinearPrefix(p, timeCol, lags, testSize, nSplits,
         stepSize, ridge, preAssembled = Some(sharedLag), drift = drift),
       () => fitLinearShared(lags, ridge, drift).predict(p, timeCol, fh))
-    // L1/elastic-net members refit the CD solver per train slice (the
-    // generic backtest), like the reference refits ElasticNet per split
+    // the shared fit dispatch: l1Ratio = 0 → closed-form OLS/ridge,
+    // else CD — LinearForecaster.fit's rule over any (df, cols, label)
+    def linFit(alpha: Double, l1Ratio: Double, sweeps: Int)
+              (df: DataFrame, fs: Seq[String], lb: String): (Double, Array[Double]) =
+      if (l1Ratio == 0.0) graft.functions.Ols.fit(df, fs, lb, ridge = alpha)
+      else graft.functions.Ols.elasticNetCD(df, fs, lb, alpha, l1Ratio, sweeps)
+    // L1/elastic-net members refit the CD solver per train slice, like
+    // the reference refits ElasticNet per split — but PREFIX-SHARED:
+    // each slice's moments read the one cached lag frame instead of
+    // re-shuffling the panel into lags per (member × split)
+    // (PrefixBacktest — the r9 1M-entity disk-death fix)
     def cdMember(name: String, lags: Int, alpha: Double, l1Ratio: Double,
                  sweeps: Int) = Member(name,
-      () => Conformal.backtest(p, timeCol, testSize, nSplits, stepSize,
-        (tr, h) => LinearForecaster.fit(tr, lags, freq, alpha, l1Ratio, sweeps)
-          .predict(tr, timeCol, h)),
+      () => PrefixBacktest.backtest(p, timeCol, lags, testSize, nSplits,
+        stepSize, sharedLag, PrefixBacktest.NoTransform,
+        linFit(alpha, l1Ratio, sweeps)),
       () => LinearForecaster.fit(p, lags, freq, alpha, l1Ratio, sweeps)
         .predict(p, timeCol, fh))
-    // target-transform members refit the WHOLE pipeline (transform
-    // params included) per train slice, like the reference refits
-    // target_transform-wrapped regressors per split
+    // target-transform members refit transform params + model per
+    // train slice, like the reference's target_transform-wrapped
+    // regressors — the AFFINE transforms (scale/detrend/demean) run
+    // prefix-shared with per-slice artifact aggs only; diff (whose
+    // invert is a cumulative sum, not per-entity affine) keeps the
+    // generic per-slice pipeline
+    def pipePrefixMember(name: String, t: PrefixBacktest.SliceTransform,
+                         steps: Seq[ForecastPipeline.Step], lags: Int,
+                         alpha: Double = 0.0, l1Ratio: Double = 0.0) = Member(name,
+      () => PrefixBacktest.backtest(p, timeCol, lags, testSize, nSplits,
+        stepSize, sharedLag, t, linFit(alpha, l1Ratio, cdSweeps)),
+      () => ForecastPipeline.fit(p, timeCol, steps,
+        ForecastPipeline.linear(lags, freq, alpha, l1Ratio, cdSweeps))
+        .predict(timeCol, fh))
     def pipeMember(name: String, steps: Seq[ForecastPipeline.Step], lags: Int,
                    alpha: Double = 0.0, l1Ratio: Double = 0.0) = Member(name,
       () => Conformal.backtest(p, timeCol, testSize, nSplits, stepSize,
@@ -140,19 +160,22 @@ object EliteDeep {
         () => fitP(p, fh))
     }
     // no-intercept lasso (elite.py:95 lasso_no_drift): CD on the raw
-    // Gram, refit per train slice
+    // Gram, refit per train slice — prefix-shared like cdMember
     def cdNoDriftMember(name: String, lags: Int, alpha: Double,
                         l1Ratio: Double) = {
       val featureCols = (1 to lags).map(l => s"${p.value}__lag_$l")
-      def fitP(tr: Panel, h: Int): DataFrame = {
+      def fitFull(tr: Panel, h: Int): DataFrame = {
         val red = Forecasters.makeReduction(tr, lags)
         val w = graft.functions.Ols.elasticNetCDNoDrift(
           red, featureCols, tr.value, alpha, l1Ratio, cdSweeps)
         LinearForecasterModel(0.0, w, lags, freq).predict(tr, timeCol, h)
       }
       Member(name,
-        () => Conformal.backtest(p, timeCol, testSize, nSplits, stepSize, fitP),
-        () => fitP(p, fh))
+        () => PrefixBacktest.backtest(p, timeCol, lags, testSize, nSplits,
+          stepSize, sharedLag, PrefixBacktest.NoTransform,
+          (df, fs, lb) => (0.0, graft.functions.Ols.elasticNetCDNoDrift(
+            df, fs, lb, alpha, l1Ratio, cdSweeps))),
+        () => fitFull(p, fh))
     }
     // the zoo's SELECTED knn members run as ONE batched exact-path
     // roll when under the entity cap (EliteKnnBatch: every member ×
@@ -205,25 +228,27 @@ object EliteDeep {
       cdMember("elastic_net_7", 7, alpha = 0.1, l1Ratio = 0.5, sweeps = cdSweeps),
       // elite.py:97-109 ("AR models with local scaling" / "first
       // differences") and :148-157 ("linear detrended")
-      pipeMember("linear_scaled_7", Seq(ForecastPipeline.scaleStep()), 7),
+      pipePrefixMember("linear_scaled_7", PrefixBacktest.ScaleT,
+        Seq(ForecastPipeline.scaleStep()), 7),
       pipeMember("linear_diff_7", Seq(ForecastPipeline.diffStep()), 7),
-      pipeMember("linear_detrend_7", Seq(ForecastPipeline.detrendLinearStep), 7),
+      pipePrefixMember("linear_detrend_7", PrefixBacktest.DetrendT,
+        Seq(ForecastPipeline.detrendLinearStep), 7),
       // ridge × transform grid slices (elite.py:110-147's
       // ridge_scaled / ridge_detrend analogs; closed-form, so the
       // oracle rides the same transformed-Cholesky chains)
-      pipeMember("ridge_scaled_7", Seq(ForecastPipeline.scaleStep()), 7,
-        alpha = 0.1),
-      pipeMember("ridge_detrend_7", Seq(ForecastPipeline.detrendLinearStep), 7,
-        alpha = 0.1),
+      pipePrefixMember("ridge_scaled_7", PrefixBacktest.ScaleT,
+        Seq(ForecastPipeline.scaleStep()), 7, alpha = 0.1),
+      pipePrefixMember("ridge_detrend_7", PrefixBacktest.DetrendT,
+        Seq(ForecastPipeline.detrendLinearStep), 7, alpha = 0.1),
       // lasso × transform slices (elite.py:98-147's lasso_scaled /
       // lasso_diff / lasso_detrend analogs; CD refit per train slice
       // behind the same target transforms)
-      pipeMember("lasso_scaled_7", Seq(ForecastPipeline.scaleStep()), 7,
-        alpha = 0.1, l1Ratio = 1.0),
-      pipeMember("lasso_detrend_7", Seq(ForecastPipeline.detrendLinearStep), 7,
-        alpha = 0.1, l1Ratio = 1.0),
-      pipeMember("lasso_demean_7", Seq(ForecastPipeline.detrendMeanStep), 7,
-        alpha = 0.1, l1Ratio = 1.0),
+      pipePrefixMember("lasso_scaled_7", PrefixBacktest.ScaleT,
+        Seq(ForecastPipeline.scaleStep()), 7, alpha = 0.1, l1Ratio = 1.0),
+      pipePrefixMember("lasso_detrend_7", PrefixBacktest.DetrendT,
+        Seq(ForecastPipeline.detrendLinearStep), 7, alpha = 0.1, l1Ratio = 1.0),
+      pipePrefixMember("lasso_demean_7", PrefixBacktest.DemeanT,
+        Seq(ForecastPipeline.detrendMeanStep), 7, alpha = 0.1, l1Ratio = 1.0),
       // elite.py:92-95 "AR linear models without drift"
       // (fit_intercept=False — the no-intercept normal equations)
       linearMember("linear_nodrift_7", 7, drift = false),
@@ -235,9 +260,10 @@ object EliteDeep {
       pipeMember("lasso_diff_7", Seq(ForecastPipeline.diffStep()), 7,
         alpha = 0.1, l1Ratio = 1.0),
       // elite.py:139-147 "Mean detrended models"
-      pipeMember("linear_demean_7", Seq(ForecastPipeline.detrendMeanStep), 7),
-      pipeMember("ridge_demean_7", Seq(ForecastPipeline.detrendMeanStep), 7,
-        alpha = 0.1),
+      pipePrefixMember("linear_demean_7", PrefixBacktest.DemeanT,
+        Seq(ForecastPipeline.detrendMeanStep), 7),
+      pipePrefixMember("ridge_demean_7", PrefixBacktest.DemeanT,
+        Seq(ForecastPipeline.detrendMeanStep), 7, alpha = 0.1),
       // elite.py:104-137 "AR models with Fourier terms"
       // (feature_transform=add_fourier_terms). The DEFAULT K=2 over
       // lags=3 is a deliberate scale-down of the reference defaults
@@ -290,8 +316,10 @@ object EliteDeep {
           linearMember(s"linear_$d", d),
           linearMember(s"ridge_$d", d, ridge = 0.1),
           cdMember(s"lasso_$d", d, alpha = 0.1, l1Ratio = 1.0, sweeps = cdSweeps),
-          pipeMember(s"linear_scaled_$d", Seq(ForecastPipeline.scaleStep()), d),
-          pipeMember(s"linear_detrend_$d", Seq(ForecastPipeline.detrendLinearStep), d)) ++
+          pipePrefixMember(s"linear_scaled_$d", PrefixBacktest.ScaleT,
+            Seq(ForecastPipeline.scaleStep()), d),
+          pipePrefixMember(s"linear_detrend_$d", PrefixBacktest.DetrendT,
+            Seq(ForecastPipeline.detrendLinearStep), d)) ++
           (if (sp > 2) Seq(fourierMember(s"linear_fourier_$d", lags = d,
             kTerms = math.min(6, sp - 1))) else Nil) ++
           Seq(knnMember(s"knn_deep_${d / 2}", k = math.max(1, d / 2), lags = d,
@@ -381,6 +409,17 @@ object EliteDeep {
     // checkpointed intermediates created by the batched knn runner —
     // released after `res` materializes, with the member frames
     val releases = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // Scoped periodic GC for big zoos (SCALE.md r9: the 1M-entity
+    // full-zoo soak died on disk without it): ContextCleaner only
+    // reclaims dead shuffle files / checkpoint blocks when a JVM GC
+    // drops their weak refs, and spark.cleaner.periodicGC.interval
+    // (default 30 min) is read ONCE at SparkContext start — nothing an
+    // operator can set post-hoc. A large zoo turns over tens of GB of
+    // member-fit shuffle state between natural old-gen collections, so
+    // run a 60 s System.gc() ticker for the run's duration. Gated on
+    // zoo size: the registry's small-zoo queries must not pay a full
+    // 128 GB-heap GC per bench rep.
+    var gcTicker: Option[java.util.concurrent.ScheduledExecutorService] = None
     try {
       // deepLags with the selection left at the default: the deep
       // members join the zoo rather than being silently filtered out
@@ -395,6 +434,14 @@ object EliteDeep {
       val unknown = selected.filterNot(all.map(_.name).contains)
       require(unknown.isEmpty, s"unknown eliteDeep models: ${unknown.mkString(", ")}")
       val members = all.filter(m => selected.contains(m.name))
+      if (members.size >= 16) {
+        val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+          (r: Runnable) => { val t = new Thread(r, "elite-gc-ticker")
+            t.setDaemon(true); t })
+        ex.scheduleWithFixedDelay(() => System.gc(), 60L, 60L,
+          java.util.concurrent.TimeUnit.SECONDS)
+        gcTicker = Some(ex)
+      }
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
@@ -454,6 +501,7 @@ object EliteDeep {
       (bts.map(_._2) ++ Seq(preds, ranked, out) ++ releases).foreach(releaseCheckpoint)
       res
     } finally {
+      gcTicker.foreach(_.shutdownNow())
       sharedLag.unpersist(blocking = false)
       cached.df.unpersist(blocking = false)
     }
