@@ -11,30 +11,48 @@ import org.apache.spark.sql.functions.udaf
   * quantile objective's leaf renewal (lightgbm.py:25-27 maps alpha →
   * objective="quantile").
   *
-  * Rule (documented because conventions differ): sort the (value,
-  * weight) pairs ascending by (value, weight); with S_j the ascending
-  * prefix weight sum (S_0 = 0) and W = S_n, assign pair j the position
+  * Rule (documented because conventions differ): each weight is
+  * quantized to integer MICROWEIGHTS m = ⌊w·10⁶ + 0.5⌋ (pairs whose
+  * weight rounds below one microweight are dropped — weights are
+  * positions, so resolution below 10⁻⁶ of a unit weight carries no
+  * rank information); sort the (value, m) pairs ascending by
+  * (value, m); with S_j the ascending prefix microweight sum
+  * (S_0 = 0, exact integer arithmetic) and W = S_n, assign pair j the
+  * position
   *
-  *   p_j = S_{j-1} / (W − w_n)
+  *   p_j = S_{j-1} / (W − m_n)
   *
-  * (so p_1 = 0, p_n = 1, strictly increasing for positive weights),
-  * then linearly interpolate between the pairs bracketing α:
+  * (so p_1 = 0, p_n = 1, strictly increasing), then linearly
+  * interpolate between the pairs bracketing α:
   *
   *   Q_α = v_lo + (v_hi − v_lo) · (α − p_lo) / (p_hi − p_lo).
   *
-  * Unit weights reduce this to p_j = (j−1)/(n−1) — exactly
-  * `quantile_cont`'s positions, so the unweighted objective is the
-  * w ≡ 1 special case (QuantileSpec asserts agreement; the
-  * interpolation's op ORDER differs from `percentile`'s
-  * pos − floor(pos) form by ≤2 ULP). Zero-weight
-  * pairs are skipped on input (they contribute nothing to any Σw
-  * statistic and would collapse p_j spacing); negative weights are the
-  * CALLER's contract to reject (TreeBoost guards at fit time).
+  * Unit weights reduce this BIT-EXACTLY to p_j = (j−1)/(n−1) —
+  * `quantile_cont`'s positions (the 10⁶ scale cancels: IEEE division
+  * is correctly rounded and the real quotients are equal) — so the
+  * unweighted objective is the w ≡ 1 special case (QuantileSpec
+  * asserts agreement; the interpolation's op ORDER differs from
+  * `percentile`'s pos − floor(pos) form by ≤2 ULP). Negative weights
+  * are the CALLER's contract to reject (TreeBoost guards at fit time).
+  *
+  * WHY integer positions (round 11): the quantile objective's pinball
+  * gradient α − 1{y ≤ F} is DISCONTINUOUS in the fit state F, and the
+  * base score Q_α(y) often lands exactly ON a data value (whenever α
+  * hits a knot) — so a sub-ULP cross-engine drift in the positions
+  * flips gradients, which flips argmax splits, which moves leaf
+  * values by whole gain-steps. Float prefix sums are parallelized in
+  * DuckDB (association order varies run to run — the r10 raw-weight
+  * oracle was measurably UNSTABLE across reps); integer microweight
+  * sums are exact and order-independent in both engines, making every
+  * position — and therefore b0, every gradient, every split and every
+  * renewal — bit-identical and stable. The continuous Σw·r split
+  * statistics stay on the raw double weights (their sub-ULP drift is
+  * rd6-absorbed like every moment oracle).
   *
   * The DuckDB oracle replicates the same arithmetic with window
-  * functions (prefix sums over the same (value, weight) order and the
-  * identical position/interpolation expressions) — rd6 absorbs the
-  * engines' sub-ULP prefix-sum drift like every moment oracle.
+  * functions (BIGINT prefix sums over the same (value, m) order and
+  * the identical position/interpolation expressions) — bit-identical
+  * by the integer argument above.
   *
   * Buffer: unsorted interleaved [v0,w0, v1,w1, …], sorted once in
   * `finish` — memory O(pairs in the group), the same class as exact
@@ -48,37 +66,52 @@ object WeightedQuantile {
     * buffer; null for an empty buffer. Exposed for specs and the
     * driver-side uses. */
   def of(buf: Array[Double], alpha: Double): java.lang.Double = {
-    val n = buf.length / 2
+    val n0 = buf.length / 2
+    if (n0 == 0) return null
+    // quantize to integer microweights; drop sub-resolution pairs.
+    // ⌊w·10⁶ + 0.5⌋ is exact IEEE on both engines (w·10⁶ and +0.5 are
+    // single correctly-rounded ops on identical inputs, floor exact)
+    val vs = new Array[Double](n0)
+    val ms = new Array[Long](n0)
+    var n = 0
+    var i = 0
+    while (i < n0) {
+      val m = math.floor(buf(2 * i + 1) * 1e6 + 0.5)
+      if (m >= 1.0) { vs(n) = buf(2 * i); ms(n) = m.toLong; n += 1 }
+      i += 1
+    }
     if (n == 0) return null
-    // sort pair indices by (value, weight); ties are identical pairs
-    // up to weight, and equal values interpolate to themselves, so the
-    // order among ties cannot change the result — the explicit weight
-    // tiebreak just keeps the walk deterministic
-    val idx = Array.range(0, n)
-    val sorted = idx.sortBy(i => (buf(2 * i), buf(2 * i + 1)))
-    if (n == 1) return buf(2 * sorted(0))
-    val wLast = buf(2 * sorted(n - 1) + 1)
-    var total = 0.0
-    sorted.foreach(i => total += buf(2 * i + 1))
-    val denom = total - wLast
-    if (denom <= 0.0) return buf(2 * sorted(0)) // single positive-weight pair
+    // sort pair indices by (value, microweight); ties are identical
+    // pairs up to weight, and equal values interpolate to themselves,
+    // so the order among ties cannot change the result — the explicit
+    // weight tiebreak just keeps the walk deterministic
+    val sorted = Array.range(0, n).sortBy(i => (vs(i), ms(i)))
+    if (n == 1) return vs(sorted(0))
+    // denom = S_{n-1} = W − m_n — exact integer arithmetic, so the
+    // value is association-order independent (the bitwise-oracle
+    // keystone; see the class doc)
+    var total = 0L
+    sorted.foreach(i => total += ms(i))
+    val denom = total - ms(sorted(n - 1))
+    if (denom <= 0L) return vs(sorted(0)) // single positive-weight pair
+    val denomD = denom.toDouble
     // walk ascending: p_j = S_{j-1} / denom, strictly increasing —
     // track the bracketing pair around alpha
-    var cum = 0.0
+    var cum = 0L
     var vLo = 0.0; var pLo = 0.0
     var vHi = 0.0; var pHi = 0.0
     var found = false
     var j = 0
     while (j < n && !found) {
-      val p = cum / denom
-      val v = buf(2 * sorted(j))
+      val p = cum.toDouble / denomD
+      val v = vs(sorted(j))
       if (p <= alpha) { vLo = v; pLo = p }
       if (p >= alpha) { vHi = v; pHi = p; found = true }
-      cum += buf(2 * sorted(j) + 1)
+      cum += ms(sorted(j))
       j += 1
     }
     if (!found) { // alpha ≥ 1 boundary (p_n = 1): the max value
-      vHi = buf(2 * sorted(n - 1)); pHi = 1.0
+      vHi = vs(sorted(n - 1)); pHi = 1.0
       if (pLo == pHi) return vLo
     }
     if (pLo == pHi) vLo

@@ -227,14 +227,32 @@ object TreeBoost {
     // weighted mode: attach the per-entity position and the caller's
     // weight expression before the projection (positions over the
     // reduction equal positions over the raw panel)
+    // weighted-quantile mode ALSO carries the integer microweight
+    // ⌊w·10⁶ + 0.5⌋ (an integral-valued double): with the pinball
+    // gradient a two-valued constant, different thresholds inducing
+    // the same row partition have EXACTLY tied gains, and float Σw
+    // drift breaks the tie differently per engine (and per DuckDB
+    // run) — so every weighted-quantile split statistic (node sizes
+    // and gradient sums, like the renewal positions) lives on the
+    // microweight lattice, where sums are exact in any association
+    // order (see [[graft.functions.WeightedQuantile]]'s class doc)
+    val isQW = weight.isDefined && objective == "quantile"
     val reduction = weight match {
       case None => reduction0
       case Some(f) =>
-        CrossValidation.withPosition(pc.copy(df = reduction0))
+        val base = CrossValidation.withPosition(pc.copy(df = reduction0))
           .withColumn("__wgt", f(col("__rn"), col("__cnt")))
+        // Spark floor() yields LongType; keep the microweight an
+        // integral DOUBLE like DuckDB's floor so both engines sum the
+        // same type (integral-double sums are exact below 2^53)
+        if (isQW) base.withColumn("__wgtq",
+          floor(col("__wgt") * lit(1e6) + lit(0.5)).cast("double"))
+        else base
     }
     val featureCols = (1 to lags).map(l => s"${p.value}__lag_$l")
-    val keep = (featureCols :+ p.value) ++ (if (weight.isDefined) Seq("__wgt") else Nil)
+    val keep = (featureCols :+ p.value) ++
+      (if (weight.isDefined) Seq("__wgt") else Nil) ++
+      (if (isQW) Seq("__wgtq") else Nil)
     val train0 = reduction.na.drop(keep)
       .select(keep.map(col): _*).cache()
     // the GBT-fit parallelism rule (see GbtForecaster.fit): the round
@@ -419,27 +437,49 @@ object TreeBoost {
         // two engines' node sizes aligned when gamma nulls a residual.
         // Weighted mode: residual sums become Σw·r and node sizes Σw
         // (LightGBM's weighted histogram), same shapes otherwise.
+        // Weighted QUANTILE mode: the cells carry the two EXACT
+        // microweight sums instead — Σm over the condition (size) and
+        // Σm over condition ∧ y ≤ F — and the gradient sum is the
+        // fixed combination α·Σm − Σm_le computed at read time (the
+        // real Σm·r, since r ∈ {α−1, α}); exact integral sums keep
+        // the exactly-tied gains tied (see the microweight comment at
+        // the reduction)
         val isW = weight.isDefined
         val wc = col("__wgt")
+        val wcq = col("__wgtq")
+        val le = col("__d") <= lit(0.0)
         def rTerm(cond: Column): Column =
-          if (isW) sum(when(cond, wc * r)) else sum(when(cond, r))
+          if (isQW) sum(when(cond && le, wcq))
+          else if (isW) sum(when(cond, wc * r))
+          else sum(when(cond, r))
         def szTerm(cond: Column): Column =
-          if (isW) sum(when(cond, wc)) else count(when(cond, lit(1)))
+          if (isQW) sum(when(cond, wcq))
+          else if (isW) sum(when(cond, wc)) else count(when(cond, lit(1)))
         // a size cell: weighted sums can be NULL (no matching rows) —
         // coerce like the residual sums; unweighted counts never are
         def sz(row: org.apache.spark.sql.Row, idx: Int): Double =
           if (isW) { if (row.isNullAt(idx)) 0.0 else row.getDouble(idx) }
           else row.getLong(idx).toDouble
+        // the read-time gradient-sum combine (weighted quantile):
+        // α·Σm − Σm_le in this exact op order — the SQL oracle's cell
+        // expression is byte-matched to it
+        def grad(mleOrSl: Double, sm: Double): Double =
+          if (isQW) alpha * sm - mleOrSl else mleOrSl
         val aggsA = cands.flatMap { case (i, _, t) =>
           Seq(rTerm(col(featureCols(i - 1)) <= sd(t)),
               szTerm(col(featureCols(i - 1)) <= sd(t)))
-        } ++ (if (isW) Seq(sum(wc * r), sum(wc)) else Seq(sum(r), count(lit(1))))
+        } ++ (if (isQW) Seq(sum(when(le, wcq)), sum(wcq))
+              else if (isW) Seq(sum(wc * r), sum(wc))
+              else Seq(sum(r), count(lit(1))))
         val rowA = rf.agg(aggsA.head, aggsA.tail: _*).collect()(0)
-        val st = rowA.getDouble(2 * cands.size)
+        val stRaw = if (rowA.isNullAt(2 * cands.size)) 0.0
+                    else rowA.getDouble(2 * cands.size)
         val nt = sz(rowA, 2 * cands.size + 1)
+        val st = grad(stRaw, nt)
         val statsA = cands.zipWithIndex.map { case ((i, k, t), ci) =>
-          val sl = if (rowA.isNullAt(2 * ci)) 0.0 else rowA.getDouble(2 * ci)
-          (i, k, t, sl, sz(rowA, 2 * ci + 1))
+          val c0 = if (rowA.isNullAt(2 * ci)) 0.0 else rowA.getDouble(2 * ci)
+          val n0 = sz(rowA, 2 * ci + 1)
+          (i, k, t, grad(c0, n0), n0)
         }
         // root pick: leaf values are discarded (children refine them),
         // but the picked candidate's sum/count become the node totals
@@ -476,8 +516,9 @@ object TreeBoost {
         }
         val rowB = rfB.agg(aggsB.head, aggsB.tail: _*).collect()(0)
         def statsB(off: Int) = cands.zipWithIndex.map { case ((i, k, t), ci) =>
-          val sl = if (rowB.isNullAt(4 * ci + off)) 0.0 else rowB.getDouble(4 * ci + off)
-          (i, k, t, sl, sz(rowB, 4 * ci + off + 1))
+          val c0 = if (rowB.isNullAt(4 * ci + off)) 0.0 else rowB.getDouble(4 * ci + off)
+          val n0 = sz(rowB, 4 * ci + off + 1)
+          (i, k, t, grad(c0, n0), n0)
         }
         val (lfi, lthr, vllG, vlrG) = pickSplit(statsB(0), sL, nL)
         val (rfi2, rthr2, vrlG, vrrG) = pickSplit(statsB(2), sR, nR)

@@ -770,9 +770,11 @@ object ConformalQueries {
     // sums, base score and pass-C leaf renewal use the
     // cumulative-weight interpolated quantile
     // ([[graft.functions.WeightedQuantile]]'s rule — quantile_cont's
-    // positions generalized to fractional weights), replicated in the
-    // oracle with windowed prefix sums over the identical (value,
-    // weight) sort order
+    // positions generalized to fractional weights via exact integer
+    // MICROWEIGHT prefix sums, which is what keeps the discontinuous
+    // pinball gradient bit-stable across engines), replicated in the
+    // oracle with windowed BIGINT prefix sums over the identical
+    // (value, microweight) sort order
     "fc_gbt_quantile_weighted" -> Q(
       s"""WITH ${OlsBacktestSql.lagdCte(7)},
           ${OlsBacktestSql.fullTree2("gqw", 7, fh = 3, rounds = 3, bins = 4,

@@ -1112,14 +1112,18 @@ object OlsBacktestSql {
     val aQSql = s"CAST($alpha AS DOUBLE)"
     // weighted interpolated quantile ([[graft.functions.WeightedQuantile]]'s
     // rule) as an aggregate over a windowed pair frame carrying
-    // (v, w, sp = ascending (v,w)-ordered exclusive prefix Σw,
-    //  tot = ΣW, wl = last weight in sort order, n = pairs): position
-    // p_j = sp/(tot − wl) is strictly increasing for positive weights,
-    // bracket α between max p ≤ α and min p ≥ α and interpolate.
-    // Engine prefix-sum drift is sub-ULP and absorbed by the r6 round
-    // like every moment oracle.
+    // (v, m = integer microweight ⌊w·10⁶ + 0.5⌋, sp = ascending
+    // (v,m)-ordered exclusive prefix Σm, tot = ΣM, wl = last
+    // microweight in sort order, n = pairs): position
+    // p_j = sp/(tot − wl) is strictly increasing, bracket α between
+    // max p ≤ α and min p ≥ α and interpolate. The prefix sums are
+    // BIGINT — exact and association-order independent, so every
+    // position is BIT-IDENTICAL to the Scala kernel's (a raw-weight
+    // float frame was measurably unstable across DuckDB reps and its
+    // sub-ULP drift flips the discontinuous pinball gradient — see
+    // WeightedQuantile's class doc).
     def wqSelect: String = {
-      val pE = "(sp / (tot - wl))"
+      val pE = "(CAST(sp AS DOUBLE) / CAST(tot - wl AS DOUBLE))"
       val plo = s"max$pE FILTER (WHERE $pE <= $aQSql)"
       val vlo = s"arg_max(v, $pE) FILTER (WHERE $pE <= $aQSql)"
       val phi = s"coalesce(min$pE FILTER (WHERE $pE >= $aQSql), CAST(1.0 AS DOUBLE))"
@@ -1129,20 +1133,22 @@ object OlsBacktestSql {
                ELSE $vlo + ($vhi - $vlo) * (($aQSql - $plo) / ($phi - $plo))
           END"""
     }
-    // the shared window frame over a (grp, v, w) pair source; `grp`
-    // empty → one global group (the base score)
+    // the shared window frame over a (grp, v, w) pair source (raw
+    // double weights; quantized and sub-resolution-filtered here);
+    // `grp` empty → one global group (the base score)
     def wqFrame(src: String, part: String): String = {
       val byP = if (part.isEmpty) "" else s"PARTITION BY $part "
       val sel = if (part.isEmpty) "" else s"$part, "
       s"""SELECT $sel v, w,
             coalesce(sum(w) OVER ($byP ORDER BY v, w
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-              CAST(0.0 AS DOUBLE)) AS sp,
+              CAST(0 AS BIGINT)) AS sp,
             sum(w) OVER (${if (part.isEmpty) "" else s"PARTITION BY $part"}) AS tot,
             last_value(w) OVER ($byP ORDER BY v, w
               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS wl,
             count(*) OVER (${if (part.isEmpty) "" else s"PARTITION BY $part"}) AS n
-          FROM $src"""
+          FROM (SELECT $sel v, CAST(floor(w * 1000000.0 + 0.5) AS BIGINT) AS w
+                FROM $src WHERE floor(w * 1000000.0 + 0.5) >= 1.0)"""
     }
     val wqB0Ctes =
       if (isQ && isWt)
@@ -1157,12 +1163,25 @@ object OlsBacktestSql {
       else if (isWt) "sum(wq * value) / sum(wq)"
       else if (logLink) "ln(sum(value) / count(*))"
       else "sum(value) / count(*)"
-    // conditional residual-sum / node-size aggregate cells
+    // conditional residual-sum / node-size aggregate cells. Weighted
+    // QUANTILE crosses to the exact microweight lattice: the gradient
+    // cell is the fixed combine α·Σm − Σm_le (= Σm·r for the two-valued
+    // pinball r), each Σ an exact integral-double sum — what keeps the
+    // exactly-tied gains of same-partition thresholds TIED instead of
+    // ULP-noise-ordered (the r10 raw-weight cells made this statement
+    // unstable across DuckDB reps; see WeightedQuantile's class doc).
+    // Byte-matched to TreeBoost.fit's `grad(c0, n0)` read-time combine.
+    val isQW = isQ && isWt
     def rCell(cond: String, as: String) =
-      if (isWt) s"sum(CASE WHEN $cond THEN wq * r END) AS $as"
+      if (isQW) s"""(CAST($alpha AS DOUBLE) *
+            coalesce(sum(CASE WHEN $cond THEN mq END), CAST(0.0 AS DOUBLE)) -
+            coalesce(sum(CASE WHEN ($cond) AND d <= 0.0 THEN mq END),
+                     CAST(0.0 AS DOUBLE))) AS $as"""
+      else if (isWt) s"sum(CASE WHEN $cond THEN wq * r END) AS $as"
       else s"sum(CASE WHEN $cond THEN r END) AS $as"
     def szCell(cond: String, as: String) =
-      if (isWt) s"sum(CASE WHEN $cond THEN wq END) AS $as"
+      if (isQW) s"sum(CASE WHEN $cond THEN mq END) AS $as"
+      else if (isWt) s"sum(CASE WHEN $cond THEN wq END) AS $as"
       else s"count(CASE WHEN $cond THEN 1 END) AS $as"
     // weighted sizes can be NULL (no matching rows) — coerce to 0.0
     // exactly like the Scala driver's isNullAt; unweighted counts
@@ -1223,8 +1242,13 @@ object OlsBacktestSql {
       // LATER round's residual — un-materialized, the whole per-round
       // aggregation chain re-expands per reference and the oracle's
       // work grows exponentially in `rounds`
-      val totA = if (isWt) "sum(wq * r) AS st, sum(wq) AS nt"
-                 else "sum(r) AS st, count(*) AS nt"
+      val totA =
+        if (isQW) s"""(CAST($alpha AS DOUBLE) *
+              coalesce(sum(mq), CAST(0.0 AS DOUBLE)) -
+              coalesce(sum(CASE WHEN d <= 0.0 THEN mq END),
+                       CAST(0.0 AS DOUBLE))) AS st, sum(mq) AS nt"""
+        else if (isWt) "sum(wq * r) AS st, sum(wq) AS nt"
+        else "sum(r) AS st, count(*) AS nt"
       val acte = s"""${t}_a$m AS MATERIALIZED (SELECT ${sumsA.mkString(", ")},
           $totA FROM ${t}_r$m)"""
       // candidate rows as ONE unnest(list-of-structs) node, not a
@@ -1343,7 +1367,11 @@ object OlsBacktestSql {
       val emit = if (logLink) s"exp($pExpr)" else s"($pExpr)"
       s"""${t}_h$h AS MATERIALIZED (SELECT *, $emit AS p$h FROM $src)"""
     }
-    val redSel = if (isWt) s"*, ($weight) AS wq" else "*"
+    // weighted quantile also carries the integral microweight mq
+    // (exact-lattice split statistics; see rCell above)
+    val redSel =
+      if (isQW) s"*, ($weight) AS wq, floor(($weight) * 1000000.0 + 0.5) AS mq"
+      else if (isWt) s"*, ($weight) AS wq" else "*"
     s"""${t}_red AS MATERIALIZED (SELECT $redSel FROM lagd WHERE $trainWhere),
         $wqB0Ctes$mm,
         ${roundCtes.mkString(", ")},
