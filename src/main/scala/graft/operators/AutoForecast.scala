@@ -369,19 +369,32 @@ object AutoForecast {
     * their candidates as concurrent jobs. The sort keys (score asc —
     * NaN last in Scala's Double ordering — then index) are replayed by
     * the oracles' `ORDER BY s ASC NULLS LAST, i` rank CTEs; a change
-    * here changes BOTH arms and both oracles. Returns
-    * (winner index, stage-2 score). */
-  private def successiveHalving[C](cands: Seq[C], nSplits: Int)
+    * here changes BOTH arms and both oracles.
+    *
+    * CFO-style scheduling: FLAML's CFO starts its walk from the
+    * low-cost config and spends early evaluations on cheap candidates
+    * (automl.py:191-229, `low_cost_partial_config`). The analog here —
+    * which must keep the seeded draw and the (score, index) selection
+    * BITWISE unchanged so the DuckDB oracle replays the search — is to
+    * LAUNCH each stage's candidate jobs low-cost-first (`cost(i)`,
+    * ties by index): under a saturated scheduler pool the cheap
+    * candidates clear first and the expensive tail overlaps them,
+    * like CFO's cheap-early trajectories, while the returned winner is
+    * a pure argmin over the same (score, index) pairs regardless of
+    * launch order. Returns (winner index, stage-2 score). */
+  private def successiveHalving[C](cands: Seq[C], nSplits: Int,
+                                   cost: C => Double = (_: C) => 0.0)
                                   (score: (C, Int, Int) => Double): (Int, Double) = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val s1 = Await.result(Future.sequence(cands.zipWithIndex.map { case (c, i) =>
-      Future(i -> score(c, i, 1))
+    def byCost(is: Seq[Int]): Seq[Int] = is.sortBy(i => (cost(cands(i)), i))
+    val s1 = Await.result(Future.sequence(byCost(cands.indices).map { i =>
+      Future(i -> score(cands(i), i, 1))
     }), Duration.Inf)
     val keep = math.max(1, cands.length / 2)
     val survivors = s1.sortBy { case (i, s) => (s, i) }.take(keep).map(_._1)
-    val s2 = Await.result(Future.sequence(survivors.map { i =>
+    val s2 = Await.result(Future.sequence(byCost(survivors).map { i =>
       Future(i -> score(cands(i), i, nSplits))
     }), Duration.Inf)
     s2.sortBy { case (i, s) => (s, i) }.head
@@ -408,7 +421,12 @@ object AutoForecast {
             .predict(tr, timeCol, h))
     }
     try {
-      val (winner, best) = successiveHalving(cands, nSplits) { (c, i, splits) =>
+      // CFO cost order: closed-form ridge/OLS candidates (one moment
+      // scan over the shared prefix frame) before the CD families
+      // (per-slice sweep refits), cheapest lag counts first
+      val (winner, best) = successiveHalving(cands, nSplits,
+        (c: (Int, Double, Double)) =>
+          c._1.toDouble + (if (c._3 != 0.0) 100.0 else 0.0)) { (c, i, splits) =>
         meanScore(backtestScore(bt(c, splits), p.entity),
           s"autoSearch(candidate=$i, $c, splits=$splits)")
       }
@@ -449,7 +467,11 @@ object AutoForecast {
     val cands = searchCandidatesGbt(seed, nCandidates)
     val cached = p.copy(df = p.df.cache())
     try {
-      val (winner, best) = successiveHalving(cands, nSplits) {
+      // CFO cost order: a boosting fit pays rounds scans whose
+      // split-search width is lags × bins — launch the small products
+      // first
+      val (winner, best) = successiveHalving(cands, nSplits,
+        (c: (Int, Int, Int, Double)) => (c._1 * c._2 * c._3).toDouble) {
         case ((lags, rounds, bins, eta), i, splits) =>
           val bt = Conformal.backtest(cached, timeCol, testSize, splits, stepSize,
             (tr, h) => TreeBoost.fit(tr, lags, freq, rounds, bins, eta)
