@@ -242,6 +242,12 @@ object Bench {
       val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"sf":"$sfDir"}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_full.json"),
         full.getBytes("UTF-8"))
+      // versioned twin at the repo root: regression triage needs the
+      // full per-query map, and target/ is gitignored/ephemeral — the
+      // round-close protocol commits this as BENCH_full_r{N}.json
+      // (VERDICT r10 "What's wrong" #2)
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full_latest.json"),
+        full.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     if (nFailed > 0)
       System.err.println(s"[bench] $nFailed of ${results.size} queries FAILED — total is meaningless")
