@@ -107,10 +107,20 @@ object PrefixBacktest {
       // per-slice pipeline trained on (warmup rows excluded, residual
       // nulls na.dropped inside the fit)
       val slice0 = sharedLag.filter(col("__rn") <= trainEnd && col("__rn") > lags)
+      // the artifact frame is O(entities) × a few doubles — BROADCAST
+      // it explicitly: at 1M entities (~40 MB) it exceeds the 10 MB
+      // auto-broadcast threshold and the planner falls back to a
+      // sort-merge join whose SORT of the full-width lag frame spills
+      // per (member × split) — measured 85+ GB of concurrent sort
+      // spill killing the r11 1M-entity full-zoo soak on disk. The
+      // broadcast probe streams the cached lag frame with no exchange
+      // and no sort. (Past the driver's broadcast cap — O(1e8)
+      // entities — the scale shape is per-entity raw moments combined
+      // driver-side, not a row join; documented in SCALE.md.)
       val (trainSlice, featsT, labelT) = transform match {
         case NoTransform => (slice0, featureCols, p.value)
         case _ =>
-          val j0 = slice0.join(art.get, p.entity)
+          val j0 = slice0.join(broadcast(art.get), p.entity)
             .withColumn("__ty", tx(p.x, (col("__rn") - lit(1)).cast("double")))
           val jd = (1 to lags).foldLeft(j0)((d, k) => d.withColumn(s"__tf_$k",
             tx(col(featureCols(k - 1)), (col("__rn") - lit(1) - lit(k)).cast("double"))))
@@ -128,7 +138,8 @@ object PrefixBacktest {
         max(col("__cnt")).as("__cnt"))
         .withColumn("__state", sort_array(col("__s")).getField(p.value))
         .filter(size(col("__state")) >= lags)
-      val state = art.map(a => state0.join(a, p.entity)).getOrElse(state0)
+      val state = art.map(a => state0.join(broadcast(a), p.entity))
+        .getOrElse(state0)
       def txElem(j: Int): Column =
         tx(element_at(col("__state"), j),
           (col("__cnt") - lit(cutoff) - lit(j)).cast("double"))
