@@ -37,6 +37,11 @@ object EliteSoak {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.buffer.pageSize", "4m")
       .config("spark.ui.enabled", "false")
+      // big-heap soak JVMs can pause for tens of seconds under full
+      // GCs; don't let a pause masquerade as a dead executor (the
+      // default 120 s heartbeat timeout killed the r11 1M run)
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def time[T](tag: String)(f: => T): T = {

@@ -438,8 +438,26 @@ object EliteDeep {
         val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
           (r: Runnable) => { val t = new Thread(r, "elite-gc-ticker")
             t.setDaemon(true); t })
-        ex.scheduleWithFixedDelay(() => System.gc(), 60L, 60L,
-          java.util.concurrent.TimeUnit.SECONDS)
+        // SELF-DISABLING: on a large heap without
+        // -XX:+ExplicitGCInvokesConcurrent, System.gc() is a FULL STW
+        // collection — measured 158 s on a loaded 72 GB heap, which
+        // blows Spark's 120 s executor heartbeat timeout and kills the
+        // app (r11 1M-entity soak post-mortem). A ticker pass that
+        // stalls the JVM longer than 10 s costs more than the shuffle
+        // files it frees; stop ticking and leave cleanup to natural
+        // collections (big-heap soak runs should pass
+        // -XX:+ExplicitGCInvokesConcurrent, making this a cheap
+        // concurrent cycle that never trips the guard).
+        ex.scheduleWithFixedDelay(() => {
+          val t0 = System.nanoTime()
+          System.gc()
+          if ((System.nanoTime() - t0) / 1e9 > 10.0) {
+            System.err.println("[elite-gc-ticker] System.gc() exceeded 10 s " +
+              "(full STW heap collection) - disabling the ticker; run large " +
+              "zoos with -XX:+ExplicitGCInvokesConcurrent")
+            ex.shutdown()
+          }
+        }, 60L, 60L, java.util.concurrent.TimeUnit.SECONDS)
         gcTicker = Some(ex)
       }
       import scala.concurrent.{Await, Future}
