@@ -120,8 +120,18 @@ object Conformal {
       actual.join(pred, p.entity :+ "__h", "inner")
         .withColumn("split", lit(i))
     } }), Duration.Inf)
-    tagged.reduce(_ unionByName _)
+    // materialize the (entities × splits × testSize) result and FREE
+    // the full-width positioned frame deterministically: a 35-member
+    // zoo runs many backtests concurrently, and each positioned
+    // checkpoint is panel-width — left to ContextCleaner they
+    // accumulate until a GC, which exhausted the r11 1M-entity soak's
+    // scratch disk. The result is tiny; consumers (scorers, enbpi,
+    // conformalize) all reference it repeatedly anyway.
+    val out = tagged.reduce(_ unionByName _)
       .select((p.entityCols ++ Seq(col(timeCol), col("split"),
         col("__actual").as("actual"), col("__pred").as("pred"))): _*)
+      .localCheckpoint(eager = true)
+    positioned.unpersist(blocking = false)
+    out
   }
 }

@@ -100,23 +100,34 @@ object EliteDeep {
     // prefix-shared with per-slice artifact aggs only; diff (whose
     // invert is a cumulative sum, not per-entity affine) keeps the
     // generic per-slice pipeline
+    // full-data pipeline fit with DETERMINISTIC cache release: the
+    // fit-time transformed-panel cache is full panel width, and 10+
+    // pipeline members fitting concurrently otherwise hold 10+ live
+    // full-width caches until a GC lets ContextCleaner find them —
+    // at 1M entities that transient alone exhausted the soak host's
+    // scratch disk (r11 post-mortem). Materialize the (entities × fh)
+    // prediction, then free the cache immediately.
+    def pipeFull(steps: Seq[ForecastPipeline.Step], lags: Int,
+                 alpha: Double, l1Ratio: Double)(): DataFrame = {
+      val fp = ForecastPipeline.fit(p, timeCol, steps,
+        ForecastPipeline.linear(lags, freq, alpha, l1Ratio, cdSweeps))
+      val out = fp.predict(timeCol, fh).localCheckpoint(eager = true)
+      fp.unpersist()
+      out
+    }
     def pipePrefixMember(name: String, t: PrefixBacktest.SliceTransform,
                          steps: Seq[ForecastPipeline.Step], lags: Int,
                          alpha: Double = 0.0, l1Ratio: Double = 0.0) = Member(name,
       () => PrefixBacktest.backtest(p, timeCol, lags, testSize, nSplits,
         stepSize, sharedLag, t, linFit(alpha, l1Ratio, cdSweeps)),
-      () => ForecastPipeline.fit(p, timeCol, steps,
-        ForecastPipeline.linear(lags, freq, alpha, l1Ratio, cdSweeps))
-        .predict(timeCol, fh))
+      pipeFull(steps, lags, alpha, l1Ratio))
     def pipeMember(name: String, steps: Seq[ForecastPipeline.Step], lags: Int,
                    alpha: Double = 0.0, l1Ratio: Double = 0.0) = Member(name,
       () => Conformal.backtest(p, timeCol, testSize, nSplits, stepSize,
         (tr, h) => ForecastPipeline.fit(tr, timeCol, steps,
           ForecastPipeline.linear(lags, freq, alpha, l1Ratio, cdSweeps))
           .predict(timeCol, h)),
-      () => ForecastPipeline.fit(p, timeCol, steps,
-        ForecastPipeline.linear(lags, freq, alpha, l1Ratio, cdSweeps))
-        .predict(timeCol, fh))
+      pipeFull(steps, lags, alpha, l1Ratio))
     // recursive multi-horizon KNN, optionally behind a target
     // transform (elite's knn / knn_scaled / knn_detrend_linear)
     def knnFit(lags: Int, k: Int, xform: Option[ForecastPipeline.Step])
@@ -399,6 +410,9 @@ object EliteDeep {
       "stackAlphaGrid is the grid-AIC ('cd') mode's knob — it is not " +
         s"read under stackCriterion='$stackCriterion'; drop one of the two")
     val cached = p.copy(df = p.df.cache())
+    // materializes the panel cache (the first action would anyway) and
+    // sizes the member-concurrency policy below
+    val nRows = cached.df.count()
     // the shared lag frame carries columns up to the deepest member's
     // budget; 14 is the default zoo's max (the trade documented at the
     // fourier members: oracle CTE depth vs lag depth)
@@ -420,6 +434,7 @@ object EliteDeep {
     // zoo size: the registry's small-zoo queries must not pay a full
     // 128 GB-heap GC per bench rep.
     var gcTicker: Option[java.util.concurrent.ScheduledExecutorService] = None
+    var memberPoolRef: Option[java.util.concurrent.ExecutorService] = None
     try {
       // deepLags with the selection left at the default: the deep
       // members join the zoo rather than being silently filtered out
@@ -460,9 +475,8 @@ object EliteDeep {
         }, 60L, 60L, java.util.concurrent.TimeUnit.SECONDS)
         gcTicker = Some(ex)
       }
-      import scala.concurrent.{Await, Future}
+      import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
       // member backtests and full-data predictions are independent
       // distributed jobs — overlap them all (the elite pattern), and
       // MATERIALIZE each member's result inside its future: the frames
@@ -471,7 +485,26 @@ object EliteDeep {
       // member unions several times (train pivot, actual re-attach,
       // moment collect, full pivot, fallback) — without the checkpoint
       // every reference re-ran all eight member plans (fc_elite_stack
-      // 34.8 s vs fc_elite_deep's 6.5 s on the same zoo, r8 bench)
+      // 34.8 s vs fc_elite_deep's 6.5 s on the same zoo, r8 bench).
+      //
+      // CONCURRENCY IS DISK at scale: every in-flight member holds
+      // transient panel-width state until its checkpoint lands (a
+      // positioned backtest frame or a transformed pipeline cache, a
+      // few GB each at 1M entities) — 35 members at once is 80+ GB of
+      // simultaneous scratch, the r11 soak's second disk death. Past
+      // 20M panel rows, run the member futures on a bounded pool: 6
+      // in-flight members keep the transient sum ~O(30 GB) while the
+      // inner split/fit futures still use the global pool, so each
+      // member remains internally parallel.
+      val bigPanel = nRows >= 20000000L
+      memberPoolRef =
+        if (bigPanel) Some(java.util.concurrent.Executors.newFixedThreadPool(6,
+          (r: Runnable) => { val t = new Thread(r, "elite-member-pool")
+            t.setDaemon(true); t }))
+        else None
+      implicit val memberEc: ExecutionContext = memberPoolRef
+        .map(ExecutionContext.fromExecutorService)
+        .getOrElse(ExecutionContext.global)
       val btF = Future.sequence(members.map { m => Future {
         m.name -> m.backtest().withColumn("model", lit(m.name))
           .localCheckpoint(true)
@@ -520,6 +553,7 @@ object EliteDeep {
       res
     } finally {
       gcTicker.foreach(_.shutdownNow())
+      memberPoolRef.foreach(_.shutdownNow())
       sharedLag.unpersist(blocking = false)
       cached.df.unpersist(blocking = false)
     }
