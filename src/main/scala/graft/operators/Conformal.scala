@@ -85,7 +85,8 @@ object Conformal {
     * (parallelizable across splits by the caller if desired). */
   def backtest(p: graft.core.Panel, timeCol: String,
                testSize: Int, nSplits: Int, stepSize: Int,
-               fitPredict: (graft.core.Panel, Int) => DataFrame): DataFrame = {
+               fitPredict: (graft.core.Panel, Int) => DataFrame,
+               prePositioned: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
@@ -97,7 +98,16 @@ object Conformal {
     // panel per split (the scaladoc's "one cached position frame"
     // promise, now actually kept). localCheckpoint also cuts the
     // lineage so the 2·nSplits downstream plans stay small.
-    val positioned = CrossValidation.withPosition(p).localCheckpoint(true)
+    // `prePositioned` lets a caller running MANY backtests over the
+    // SAME panel (the elite zoo) pass one shared positioned frame —
+    // panel cols + __rn/__cnt, e.g. a projection of its cached lag
+    // frame — instead of each member checkpointing its own panel-width
+    // copy (at 1M entities, 6 concurrent members' positioned frames
+    // were ~37 GB of scratch; the caller owns the shared frame's
+    // lifecycle).
+    val owned = prePositioned.isEmpty
+    val positioned = prePositioned.getOrElse(
+      CrossValidation.withPosition(p).localCheckpoint(true))
     val splits = CrossValidation.expandingWindowSplit(p, testSize, nSplits, stepSize,
       Some(positioned))
     // fitPredict may run Spark actions (model fits) — overlap the
@@ -131,7 +141,7 @@ object Conformal {
       .select((p.entityCols ++ Seq(col(timeCol), col("split"),
         col("__actual").as("actual"), col("__pred").as("pred"))): _*)
       .localCheckpoint(eager = true)
-    positioned.unpersist(blocking = false)
+    if (owned) positioned.unpersist(blocking = false)
     out
   }
 }

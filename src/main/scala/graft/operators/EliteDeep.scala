@@ -53,6 +53,14 @@ object EliteDeep {
                   releases: scala.collection.mutable.Buffer[DataFrame] =
                     scala.collection.mutable.ArrayBuffer.empty): Seq[Member] = {
     val p = cached
+    // ONE positioned frame for every generic-backtest member: a lazy
+    // narrow projection of the cached lag frame (lagKeepAll preserves
+    // rows, so positions over it equal positions over the raw panel).
+    // Without it each member's Conformal.backtest checkpoints its own
+    // panel-width positioned copy — 6 concurrent members held ~37 GB
+    // of those at 1M entities (r11 soak post-mortem #3).
+    val sharedPositioned = sharedLag.select(
+      (cached.df.columns :+ "__rn" :+ "__cnt").map(col): _*)
     // fourier depth: 0 = the oracle-bounded default (K=2 everywhere);
     // > 0 = reference tiering, capped below sp (see the fourier
     // member comment)
@@ -126,7 +134,7 @@ object EliteDeep {
       () => Conformal.backtest(p, timeCol, testSize, nSplits, stepSize,
         (tr, h) => ForecastPipeline.fit(tr, timeCol, steps,
           ForecastPipeline.linear(lags, freq, alpha, l1Ratio, cdSweeps))
-          .predict(timeCol, h)),
+          .predict(timeCol, h), prePositioned = Some(sharedPositioned)),
       pipeFull(steps, lags, alpha, l1Ratio))
     // recursive multi-horizon KNN, optionally behind a target
     // transform (elite's knn / knn_scaled / knn_detrend_linear)
@@ -152,7 +160,8 @@ object EliteDeep {
                       ridge: Double = 0.0, l1Ratio: Double = 0.0) = Member(name,
       () => Conformal.backtest(p, timeCol, testSize, nSplits, stepSize,
         (tr, h) => FourierLinear.fitPredict(tr, timeCol, freq, lags, sp,
-          kTerms, ridge, h, l1Ratio, cdSweeps)),
+          kTerms, ridge, h, l1Ratio, cdSweeps),
+        prePositioned = Some(sharedPositioned)),
       () => FourierLinear.fitPredict(p, timeCol, freq, lags, sp, kTerms,
         ridge, fh, l1Ratio, cdSweeps))
     // target-transform × fourier combos (elite.py:115-137
@@ -167,7 +176,8 @@ object EliteDeep {
           pT => (tc, hh) => FourierLinear.fitPredict(pT, tc, freq, lags, sp,
             kTerms, ridge, hh, l1Ratio, cdSweeps)).predict(timeCol, h)
       Member(name,
-        () => Conformal.backtest(p, timeCol, testSize, nSplits, stepSize, fitP),
+        () => Conformal.backtest(p, timeCol, testSize, nSplits, stepSize, fitP,
+          prePositioned = Some(sharedPositioned)),
         () => fitP(p, fh))
     }
     // no-intercept lasso (elite.py:95 lasso_no_drift): CD on the raw
@@ -215,7 +225,7 @@ object EliteDeep {
                   xform: Option[ForecastPipeline.Step]) = Member(name,
       () => batchKnn.get(name).map(_._1).getOrElse(
         Conformal.backtest(p, timeCol, testSize, nSplits, stepSize,
-          knnFit(lags, k, xform))),
+          knnFit(lags, k, xform), prePositioned = Some(sharedPositioned))),
       () => batchKnn.get(name).map(_._2).getOrElse(
         knnFit(lags, k, xform)(p, fh)))
     Seq(
