@@ -42,6 +42,11 @@ object EliteSoak {
       // default 120 s heartbeat timeout killed the r11 1M run)
       .config("spark.network.timeout", "600s")
       .config("spark.executor.heartbeatInterval", "60s")
+      // cached/checkpointed blocks written to disk are UNCOMPRESSED by
+      // default — on the zoo's numeric frames lz4 is worth 3-5× of
+      // scratch (the soak host's effective scratch is ~80 GB); pay the
+      // codec CPU, the soak is disk-bound not CPU-bound
+      .config("spark.rdd.compress", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def time[T](tag: String)(f: => T): T = {

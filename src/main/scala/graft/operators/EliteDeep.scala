@@ -445,6 +445,7 @@ object EliteDeep {
     // 128 GB-heap GC per bench rep.
     var gcTicker: Option[java.util.concurrent.ScheduledExecutorService] = None
     var memberPoolRef: Option[java.util.concurrent.ExecutorService] = None
+    var knnPoolRef: Option[java.util.concurrent.ExecutorService] = None
     try {
       // deepLags with the selection left at the default: the deep
       // members join the zoo rather than being silently filtered out
@@ -507,21 +508,43 @@ object EliteDeep {
       // inner split/fit futures still use the global pool, so each
       // member remains internally parallel.
       val bigPanel = nRows >= 20000000L
-      memberPoolRef =
-        if (bigPanel) Some(java.util.concurrent.Executors.newFixedThreadPool(6,
-          (r: Runnable) => { val t = new Thread(r, "elite-member-pool")
-            t.setDaemon(true); t }))
-        else None
+      def daemonPool(n: Int, tag: String) =
+        java.util.concurrent.Executors.newFixedThreadPool(n,
+          (r: Runnable) => { val t = new Thread(r, tag); t.setDaemon(true); t })
+      memberPoolRef = if (bigPanel) Some(daemonPool(6, "elite-member-pool")) else None
       implicit val memberEc: ExecutionContext = memberPoolRef
         .map(ExecutionContext.fromExecutorService)
         .getOrElse(ExecutionContext.global)
+      // knn members past the exact-entity cap each run a DISTRIBUTED
+      // recursive IVF roll — per-step corpus-scan shuffles plus state
+      // checkpoints. Each roll saturates the cluster on its own;
+      // overlapping six of them multiplies transient scratch ~6× for
+      // no wall win (the r11 soak died here after every other eater
+      // was fixed). Two in flight keeps one rolling while the next
+      // warms up.
+      knnPoolRef = if (bigPanel) Some(daemonPool(2, "elite-knn-pool")) else None
+      val knnEc: ExecutionContext = knnPoolRef
+        .map(ExecutionContext.fromExecutorService)
+        .getOrElse(memberEc)
+      def ecFor(m: Member): ExecutionContext =
+        if (m.name.startsWith("knn")) knnEc else memberEc
+      // operational telemetry for big-panel runs only: which member is
+      // in flight when scratch disk grows (the r11 soak triage tool)
+      def logDone(kind: String, name: String, t0: Long): Unit = if (bigPanel)
+        System.err.println(f"[elite] $kind $name done in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       val btF = Future.sequence(members.map { m => Future {
-        m.name -> m.backtest().withColumn("model", lit(m.name))
+        val t0 = System.nanoTime()
+        val r = m.name -> m.backtest().withColumn("model", lit(m.name))
           .localCheckpoint(true)
-      } })
+        logDone("backtest", m.name, t0)
+        r
+      }(ecFor(m)) })
       val predsF = Future.sequence(members.map { m => Future {
-        m.full().withColumn("model", lit(m.name)).localCheckpoint(true)
-      } })
+        val t0 = System.nanoTime()
+        val r = m.full().withColumn("model", lit(m.name)).localCheckpoint(true)
+        logDone("full-fit", m.name, t0)
+        r
+      }(ecFor(m)) })
       val bts = Await.result(btF, Duration.Inf)
       val scores = bts.map { case (name, bt) =>
         AutoForecast.backtestScore(bt, p.entity).withColumn("model", lit(name))
@@ -564,6 +587,7 @@ object EliteDeep {
     } finally {
       gcTicker.foreach(_.shutdownNow())
       memberPoolRef.foreach(_.shutdownNow())
+      knnPoolRef.foreach(_.shutdownNow())
       sharedLag.unpersist(blocking = false)
       cached.df.unpersist(blocking = false)
     }
