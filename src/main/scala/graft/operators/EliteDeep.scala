@@ -517,34 +517,53 @@ object EliteDeep {
         .getOrElse(ExecutionContext.global)
       // knn members past the exact-entity cap each run a DISTRIBUTED
       // recursive IVF roll — per-step corpus-scan shuffles plus state
-      // checkpoints. Each roll saturates the cluster on its own;
-      // overlapping six of them multiplies transient scratch ~6× for
-      // no wall win (the r11 soak died here after every other eater
-      // was fixed). Two in flight keeps one rolling while the next
-      // warms up.
+      // checkpoints. Each roll saturates the cluster on its own, so
+      // overlapping six multiplies transient scratch ~6× for no wall
+      // win (one r11 soak death) — while starting them EARLY starves
+      // every other member behind the rolls' continuous per-step job
+      // stream under FIFO scheduling (the next soak stall). Big
+      // panels therefore run the knn family as a strictly-later
+      // PHASE: the rolls wait for the other members' futures, then at
+      // most two roll at a time.
       knnPoolRef = if (bigPanel) Some(daemonPool(2, "elite-knn-pool")) else None
       val knnEc: ExecutionContext = knnPoolRef
         .map(ExecutionContext.fromExecutorService)
         .getOrElse(memberEc)
-      def ecFor(m: Member): ExecutionContext =
-        if (m.name.startsWith("knn")) knnEc else memberEc
       // operational telemetry for big-panel runs only: which member is
       // in flight when scratch disk grows (the r11 soak triage tool)
       def logDone(kind: String, name: String, t0: Long): Unit = if (bigPanel)
         System.err.println(f"[elite] $kind $name done in ${(System.nanoTime() - t0) / 1e9}%.1f s")
-      val btF = Future.sequence(members.map { m => Future {
+      def btBody(m: Member): (String, DataFrame) = {
         val t0 = System.nanoTime()
         val r = m.name -> m.backtest().withColumn("model", lit(m.name))
           .localCheckpoint(true)
         logDone("backtest", m.name, t0)
         r
-      }(ecFor(m)) })
-      val predsF = Future.sequence(members.map { m => Future {
+      }
+      def fullBody(m: Member): DataFrame = {
         val t0 = System.nanoTime()
         val r = m.full().withColumn("model", lit(m.name)).localCheckpoint(true)
         logDone("full-fit", m.name, t0)
         r
-      }(ecFor(m)) })
+      }
+      // registry-scale panels: everything overlaps on one pool (the
+      // proven elite shape, bitwise-pinned by the fc_elite* oracles —
+      // knnMembers is empty there so ordering is untouched). Big
+      // panels: knn rolls form the later phase described above.
+      val (knnMembers, otherMembers) =
+        if (bigPanel) members.partition(_.name.startsWith("knn"))
+        else (Seq.empty[Member], members)
+      val btOthersF = Future.sequence(otherMembers.map(m => Future(btBody(m))))
+      val predOthersF = Future.sequence(otherMembers.map(m => Future(fullBody(m))))
+      val othersDoneF = btOthersF.zip(predOthersF)
+      val btKnnF = Future.sequence(knnMembers.map(m => Future {
+        Await.ready(othersDoneF, Duration.Inf); btBody(m)
+      }(knnEc)))
+      val predKnnF = Future.sequence(knnMembers.map(m => Future {
+        Await.ready(othersDoneF, Duration.Inf); fullBody(m)
+      }(knnEc)))
+      val btF = btOthersF.zip(btKnnF).map { case (a, b) => a ++ b }(knnEc)
+      val predsF = predOthersF.zip(predKnnF).map { case (a, b) => a ++ b }(knnEc)
       val bts = Await.result(btF, Duration.Inf)
       val scores = bts.map { case (name, bt) =>
         AutoForecast.backtestScore(bt, p.entity).withColumn("model", lit(name))
