@@ -171,11 +171,27 @@ object Bench {
       graft.operators.MediaCodec.decodeStats(bmp)
       graft.operators.MediaCodec.encodeSolid("jpeg", 4, 4, 1, 2, 3)
     } catch { case _: Throwable => () }
+    // per-query telemetry (VERDICT r11 "What's wrong" #2): the graded
+    // bench has twice been inflated by HOST contention (r10 1.61×,
+    // r11 3.79× as-read vs 1.23× verified clean) with nothing in the
+    // artifact to prove it. JVM GC-time delta + the 1-min host load
+    // average per query make a contaminated read attributable from
+    // the bench JSON alone: a loaded host shows load ≫ cpus and/or
+    // GC-dominated spikes on trivial untouched queries.
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcMillis: Long = {
+      var s = 0L
+      gcBeans.forEach(b => s += math.max(0L, b.getCollectionTime))
+      s
+    }
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadStart = osBean.getSystemLoadAverage
     // name-sorted: Map iteration order shifts as the registry grows,
     // which reorders warmup/JIT effects between rounds — a fixed order
     // keeps per-query timings comparable round-to-round
     var nFailed = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val g0 = gcMillis
       val t0 = System.nanoTime()
       // a failed query must be LOUD: in round 4 a schema change made
       // 164 events-based queries throw at plan time — each "ran" in
@@ -185,6 +201,8 @@ object Bench {
         System.err.println(s"[bench] $name FAILED: ${e.getMessage.take(200)}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
+      val gcDt = (gcMillis - g0) / 1000.0
+      val load = osBean.getSystemLoadAverage
       // drop persists a query left behind (several pipelines persist a
       // shared intermediate and cannot unpersist before returning):
       // 178 queries of leaked cache blocks otherwise squeeze the
@@ -200,9 +218,11 @@ object Bench {
       // result has been counted; the data is never re-read.
       try spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       catch { case _: Throwable => () }
-      name -> dt
+      (name, dt, gcDt, load)
     }
-    val total = results.map(_._2).sum
+    val timings = results.map(r => (r._1, r._2))
+    val total = timings.map(_._2).sum
+    val gcTotal = results.map(_._3).sum
     // regression guard: compare against the frozen per-query budgets
     // (tools/bench_budget.json = round-3 driver profile). Any query
     // beyond 2x its budget gets a stderr warning — catches the next
@@ -216,7 +236,7 @@ object Bench {
         val qpart = txt.substring(txt.indexOf("\"queries\""))
         val budget = "\"([A-Za-z0-9_]+)\":\\s*([0-9.]+)".r.findAllMatchIn(qpart)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        val over = results.filter { case (name, dt) =>
+        val over = timings.filter { case (name, dt) =>
           budget.get(name).exists(b => b >= 0.5 && dt > 2.0 * b)
         }
         over.foreach { case (name, dt) =>
@@ -239,20 +259,36 @@ object Bench {
     def fmt(kvs: Iterable[(String, Double)]) = kvs
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     try {
-      val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"sf":"$sfDir"}"""
+      // full map carries the telemetry: per-query seconds, GC seconds
+      // inside the query, and the host 1-min load average at query end
+      val fullQ = results
+        .map { case (k, s, gc, ld) =>
+          "\"" + k + f"""\":{"s":$s%.3f,"gc":$gc%.3f,"load":$ld%.2f}""" }
+        .mkString("{", ",", "}")
+      val full = s"""{"metric":"total","value":$total,"unit":"sec","gc_sec_total":${f"$gcTotal%.3f"},"load_avg_start":${f"$loadStart%.2f"},"load_avg_end":${f"${osBean.getSystemLoadAverage}%.2f"},"cpus":"$cpus","queries":$fullQ,"sf":"$sfDir"}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_full.json"),
         full.getBytes("UTF-8"))
-      // versioned twin at the repo root: regression triage needs the
-      // full per-query map, and target/ is gitignored/ephemeral — the
-      // round-close protocol commits this as BENCH_full_r{N}.json
-      // (VERDICT r10 "What's wrong" #2)
+      // versioned at the repo root (the r10 protocol's literal ask):
+      // regression triage needs per-round history, and target/ is
+      // gitignored/ephemeral. N = max committed BENCH_r{N} + 1 — the
+      // round currently being graded. `_latest` kept as a stable name.
+      val roundN = (java.nio.file.Files.list(java.nio.file.Paths.get("."))
+        .toArray.map(_.toString)
+        .flatMap("BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(_))
+        .map(_.group(1).toInt) :+ 0).max + 1
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f"BENCH_full_r$roundN%02d.json"),
+        full.getBytes("UTF-8"))
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full_latest.json"),
         full.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     if (nFailed > 0)
       System.err.println(s"[bench] $nFailed of ${results.size} queries FAILED — total is meaningless")
-    val top = results.toSeq.sortBy(-_._2).take(20)
+    val top = timings.sortBy(-_._2).take(20)
     spark.stop()
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"queries":${fmt(top)},"sf":"$sfDir"}""")
+    // stdout stays one COMPACT parseable line; the three scalar
+    // telemetry fields make a contaminated total self-evident even
+    // when only the stdout tail survives
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"gc_sec_total":${f"$gcTotal%.3f"},"load_avg_start":${f"$loadStart%.2f"},"load_avg_end":${f"${osBean.getSystemLoadAverage}%.2f"},"queries":${fmt(top)},"sf":"$sfDir"}""")
   }
 }

@@ -123,12 +123,24 @@ object M4Accuracy {
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"[m4] freq=$freq%-4s lags=$lags%-3d fh=$fh%-3d entities=$n%-6d " +
         f"mean_smape=$mean%.4f pass=${mean < 0.30} fit_predict_score_s=$secs%.1f")
-      (freq, mean, n, secs)
+      (freq, mean, n, secs, testOnly)
       }
       }
     }
-    val overall = results.map(_._2).sum / results.size
-    println(f"""{"m4_mean_smape_across_freqs":$overall%.4f,"all_below_0.30":${results.forall(_._2 < 0.30)}}""")
+    // loud empty guard (ADVICE r11): a typo'd --freq filter otherwise
+    // yields 0/0 → NaN as the headline metric instead of an error
+    require(results.nonEmpty,
+      s"no M4 frequency matched (filter=$freqFilter, data=$dataDir) - " +
+        s"known frequencies: ${configs.map(_._1).mkString(", ")}")
+    // headline mean spans only the reference-protocol rows — the 3mo*
+    // scaled-protocol row (fh=2, lags=3 over 8-point test series) would
+    // silently change comparability with rounds that skipped it; print
+    // it separately (ADVICE r11)
+    val refRows = results.filterNot(_._5)
+    val overall =
+      if (refRows.nonEmpty) refRows.map(_._2).sum / refRows.size else Double.NaN
+    val withScaled = results.map(_._2).sum / results.size
+    println(f"""{"m4_mean_smape_across_freqs":$overall%.4f,"m4_mean_incl_scaled":$withScaled%.4f,"n_scaled_protocol_rows":${results.count(_._5)},"all_below_0.30":${results.forall(_._2 < 0.30)}}""")
     spark.stop()
   }
 }

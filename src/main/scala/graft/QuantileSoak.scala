@@ -40,19 +40,33 @@ object QuantileSoak {
       .repartition(cpus.toInt, col("entity"))
     val p = Panel(df.cache(), Seq("entity"), Seq("t"), "value")
     println(s"[q-soak] rows=${p.df.count()} (all-distinct continuous target)")
-    def run(tag: String, exact: Boolean): Array[Double] = {
+    def run(tag: String, exact: Boolean, weighted: Boolean): Array[Double] = {
       val t0 = System.nanoTime()
+      // recency weights — fractional, so the weighted renewal paths
+      // (exact microweight lattice vs bounded merging-histogram
+      // sketch) actually exercise their fractional-weight arithmetic
+      val w = if (weighted)
+        Some((rn: org.apache.spark.sql.Column, cnt: org.apache.spark.sql.Column) =>
+          lit(1.0) / (lit(1.0) + (cnt - rn) / lit(50.0)))
+      else None
       val m = TreeBoost.fit(p, lags = 5, freq = "1i", rounds = 3, bins = 4,
-        eta = 0.3, objective = "quantile", objParam = 0.9, quantileExact = exact)
+        eta = 0.3, objective = "quantile", objParam = 0.9, quantileExact = exact,
+        weight = w)
       val preds = m.predict(p, "t", fh = 3)
         .orderBy("entity", "t").limit(1000).collect().map(_.getDouble(2))
       println(f"[q-soak] $tag: ${(System.nanoTime() - t0) / 1e9}%.1f s")
       preds
     }
-    val ex = run("exact percentile (oracle mode)", exact = true)
-    val ap = run("approx_percentile 1e5 (production mode)", exact = false)
+    val ex = run("exact percentile (oracle mode)", exact = true, weighted = false)
+    val ap = run("approx_percentile 1e5 (production mode)", exact = false, weighted = false)
     val maxDiv = ex.zip(ap).map { case (a, b) => math.abs(a - b) }.max
     println(f"[q-soak] max |exact - approx| over 1000 preds: $maxDiv%.6f")
+    // weighted twin pair: exact pair-buffer renewal (O(rows in leaf)
+    // on the merge task) vs the bounded WeightedQuantileSketch
+    val exW = run("weighted exact (microweight lattice)", exact = true, weighted = true)
+    val apW = run("weighted sketch (2000-centroid bounded)", exact = false, weighted = true)
+    val maxDivW = exW.zip(apW).map { case (a, b) => math.abs(a - b) }.max
+    println(f"[q-soak] weighted max |exact - sketch| over 1000 preds: $maxDivW%.6f")
     spark.stop()
   }
 }

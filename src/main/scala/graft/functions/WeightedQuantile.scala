@@ -35,6 +35,23 @@ import org.apache.spark.sql.functions.udaf
   * `percentile`'s pos − floor(pos) form by ≤2 ULP). Negative weights
   * are the CALLER's contract to reject (TreeBoost guards at fit time).
   *
+  * MAGNITUDE BOUNDS (the exactness contract's fine print): the
+  * microweight lattice is exact only while every sum stays on it.
+  * Per-row, ⌊w·10⁶ + 0.5⌋ must itself be exactly representable and
+  * convert to Long without saturation — w ≤ ~9.2e12 avoids
+  * `m.toLong` silently clamping to Long.MaxValue, and w ≤ ~9e9
+  * keeps m below 2^53 so the quantized double IS the integer.
+  * Per-group, the TOTAL microweight Σm must stay below 2^53
+  * (~9.0e15 — e.g. 1e9 rows at mean weight ~9000), because the
+  * Spark/DuckDB split statistics carry Σm as integral DOUBLES whose
+  * sums are exact only below 2^53; past it neither engine errors,
+  * the keystone just quietly degrades to float drift. TreeBoost
+  * enforces the practical per-row cap (w ≤ 1e9) loudly at fit time
+  * alongside the negative-weight guard, which bounds a 2^53 total
+  * breach to groups of ≥ ~9e6 rows at the cap — far beyond the
+  * exact renewal's intended regime (the bounded-memory production
+  * twin takes over there, see TreeBoost `quantileExact`).
+  *
   * WHY integer positions (round 11): the quantile objective's pinball
   * gradient α − 1{y ≤ F} is DISCONTINUOUS in the fit state F, and the
   * base score Q_α(y) often lands exactly ON a data value (whenever α
@@ -54,13 +71,58 @@ import org.apache.spark.sql.functions.udaf
   * the identical position/interpolation expressions) — bit-identical
   * by the integer argument above.
   *
-  * Buffer: unsorted interleaved [v0,w0, v1,w1, …], sorted once in
-  * `finish` — memory O(pairs in the group), the same class as exact
+  * Buffer: a growable primitive pair buffer ([[WeightedQuantile.PairBuf]])
+  * with amortized-doubling appends and two-arraycopy merges — the
+  * round-11 per-row `Arrays.copyOf` grew the buffer one pair at a
+  * time, an O(g²) copy tax that made a 90k-row group cost ~40 s.
+  * `finish` sorts once, so buffer order never reaches the result —
+  * memory O(pairs in the group), the same class as exact
   * `percentile`'s value→count map; at 100 TB the bounded-memory path
-  * is TreeBoost's `quantileExact = false` (t-digest approx_percentile,
-  * unweighted) — see TreeBoost.fit.
+  * is TreeBoost's `quantileExact = false` — see TreeBoost.fit.
   */
 object WeightedQuantile {
+
+  /** Growable primitive interleaved [v0,w0,v1,w1,…] pair buffer:
+    * appends are amortized O(1) array stores, merges are a single
+    * grow + arraycopy, and the object lives un-serialized inside
+    * ObjectHashAggregate — Kryo only sees it on spill/shuffle, where
+    * the custom image writes exactly 2n doubles (no slack capacity).
+    * Same design as [[FeatureAggs.SeriesBuf]]. */
+  final class PairBuf(private var xs: Array[Double], private var n: Int)
+      extends Serializable with com.esotericsoftware.kryo.KryoSerializable {
+    def this() = this(new Array[Double](32), 0)
+
+    def append(v: Double, w: Double): PairBuf = {
+      if (n + 2 > xs.length)
+        xs = java.util.Arrays.copyOf(xs, math.max(32, xs.length * 2))
+      xs(n) = v; xs(n + 1) = w; n += 2
+      this
+    }
+
+    def mergeWith(o: PairBuf): PairBuf = {
+      val total = n + o.n
+      if (total > xs.length) xs = java.util.Arrays.copyOf(xs, total)
+      System.arraycopy(o.xs, 0, xs, n, o.n)
+      n = total
+      this
+    }
+
+    /** The logical pairs, trimmed to length (a copy unless full). */
+    def pairs: Array[Double] =
+      if (n == xs.length) xs else java.util.Arrays.copyOf(xs, n)
+
+    override def write(kryo: com.esotericsoftware.kryo.Kryo,
+                       output: com.esotericsoftware.kryo.io.Output): Unit = {
+      output.writeInt(n)
+      output.writeDoubles(pairs)
+    }
+
+    override def read(kryo: com.esotericsoftware.kryo.Kryo,
+                      input: com.esotericsoftware.kryo.io.Input): Unit = {
+      n = input.readInt()
+      xs = input.readDoubles(n)
+    }
+  }
 
   /** The interpolation kernel over an UNSORTED interleaved pair
     * buffer; null for an empty buffer. Exposed for specs and the
@@ -124,31 +186,26 @@ object WeightedQuantile {
   * an empty group yields null (callers coalesce — TreeBoost's empty
   * leaf → 0.0, like the unweighted renewal). */
 final class WeightedQuantileAgg(alpha: Double)
-    extends Aggregator[(java.lang.Double, java.lang.Double), Array[Double],
+    extends Aggregator[(java.lang.Double, java.lang.Double), WeightedQuantile.PairBuf,
       java.lang.Double] with Serializable {
   require(alpha > 0.0 && alpha < 1.0, s"weighted quantile needs alpha in (0,1), got $alpha")
 
-  override def zero: Array[Double] = Array.emptyDoubleArray
+  override def zero: WeightedQuantile.PairBuf = new WeightedQuantile.PairBuf()
 
-  override def reduce(b: Array[Double], in: (java.lang.Double, java.lang.Double)): Array[Double] = {
+  override def reduce(b: WeightedQuantile.PairBuf,
+                      in: (java.lang.Double, java.lang.Double)): WeightedQuantile.PairBuf =
     if (in._1 == null || in._2 == null || in._2.doubleValue <= 0.0) b
-    else {
-      val out = java.util.Arrays.copyOf(b, b.length + 2)
-      out(b.length) = in._1.doubleValue
-      out(b.length + 1) = in._2.doubleValue
-      out
-    }
-  }
+    else b.append(in._1.doubleValue, in._2.doubleValue)
 
-  override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
-    val out = java.util.Arrays.copyOf(a, a.length + b.length)
-    System.arraycopy(b, 0, out, a.length, b.length)
-    out
-  }
+  override def merge(a: WeightedQuantile.PairBuf,
+                     b: WeightedQuantile.PairBuf): WeightedQuantile.PairBuf =
+    a.mergeWith(b)
 
-  override def finish(b: Array[Double]): java.lang.Double = WeightedQuantile.of(b, alpha)
+  override def finish(b: WeightedQuantile.PairBuf): java.lang.Double =
+    WeightedQuantile.of(b.pairs, alpha)
 
-  override def bufferEncoder: Encoder[Array[Double]] = Encoders.kryo[Array[Double]]
+  override def bufferEncoder: Encoder[WeightedQuantile.PairBuf] =
+    Encoders.kryo[WeightedQuantile.PairBuf]
   override def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
 }
 

@@ -141,7 +141,12 @@ object Conformal {
       .select((p.entityCols ++ Seq(col(timeCol), col("split"),
         col("__actual").as("actual"), col("__pred").as("pred"))): _*)
       .localCheckpoint(eager = true)
-    if (owned) positioned.unpersist(blocking = false)
+    // releaseCheckpoint, NOT unpersist (ADVICE r11): Dataset.unpersist
+    // only clears CacheManager entries — a localCheckpoint's blocks
+    // live in the block manager under its RDD id and linger until a
+    // driver GC lets ContextCleaner find them. releaseCheckpoint drops
+    // the checkpoint RDD's blocks directly (EliteDeep.scala doc).
+    if (owned) EliteDeep.releaseCheckpoint(positioned)
     out
   }
 }

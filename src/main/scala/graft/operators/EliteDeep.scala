@@ -154,21 +154,26 @@ object EliteDeep {
         entityCountHint = entityCount)
     }
     // AR + fourier feature-transform members: the fourier columns are
-    // position functions, so both backtest refits and the full fit go
-    // through the same closed-form fitPredict
+    // position functions, so backtest refits run PREFIX-SHARED over
+    // the one cached lag frame (PrefixBacktest.backtestFourier — the
+    // r12 removal of the zoo's last per-split lag-rebuild family;
+    // slice positions equal shared __rn on a prefix, so the fourier
+    // features are expressions over the shared frame) while the full
+    // fit keeps the closed-form fitPredict
     def fourierMember(name: String, lags: Int, kTerms: Int,
                       ridge: Double = 0.0, l1Ratio: Double = 0.0) = Member(name,
-      () => Conformal.backtest(p, timeCol, testSize, nSplits, stepSize,
-        (tr, h) => FourierLinear.fitPredict(tr, timeCol, freq, lags, sp,
-          kTerms, ridge, h, l1Ratio, cdSweeps),
-        prePositioned = Some(sharedPositioned)),
+      () => PrefixBacktest.backtestFourier(p, timeCol, lags, sp, kTerms,
+        testSize, nSplits, stepSize, sharedLag, PrefixBacktest.NoTransform,
+        linFit(ridge, l1Ratio, cdSweeps)),
       () => FourierLinear.fitPredict(p, timeCol, freq, lags, sp, kTerms,
         ridge, fh, l1Ratio, cdSweeps))
     // target-transform × fourier combos (elite.py:115-137
     // *_scaled_fourier, :148-164 *_detrend_linear_fourier): the
-    // transform refits per slice, the AR+fourier fit runs in
+    // transform refits per slice via the same prefix-shared artifact
+    // aggs as the affine members, the AR+fourier fit runs in
     // transformed space (positions are transform-invariant)
-    def pipeFourierMember(name: String, steps: Seq[ForecastPipeline.Step],
+    def pipeFourierMember(name: String, t: PrefixBacktest.SliceTransform,
+                          steps: Seq[ForecastPipeline.Step],
                           lags: Int, kTerms: Int, ridge: Double = 0.0,
                           l1Ratio: Double = 0.0) = {
       def fitP(tr: Panel, h: Int): DataFrame =
@@ -176,8 +181,9 @@ object EliteDeep {
           pT => (tc, hh) => FourierLinear.fitPredict(pT, tc, freq, lags, sp,
             kTerms, ridge, hh, l1Ratio, cdSweeps)).predict(timeCol, h)
       Member(name,
-        () => Conformal.backtest(p, timeCol, testSize, nSplits, stepSize, fitP,
-          prePositioned = Some(sharedPositioned)),
+        () => PrefixBacktest.backtestFourier(p, timeCol, lags, sp, kTerms,
+          testSize, nSplits, stepSize, sharedLag, t,
+          linFit(ridge, l1Ratio, cdSweeps)),
         () => fitP(p, fh))
     }
     // no-intercept lasso (elite.py:95 lasso_no_drift): CD on the raw
@@ -303,18 +309,18 @@ object EliteDeep {
       fourierMember("ridge_fourier_3", lags = 3, kTerms = kF, ridge = 0.1),
       fourierMember("lasso_fourier_3", lags = 3, kTerms = kF, ridge = 0.1,
         l1Ratio = 1.0),
-      pipeFourierMember("linear_scaled_fourier_3",
+      pipeFourierMember("linear_scaled_fourier_3", PrefixBacktest.ScaleT,
         Seq(ForecastPipeline.scaleStep()), 3, kTerms = kF),
-      pipeFourierMember("ridge_scaled_fourier_3",
+      pipeFourierMember("ridge_scaled_fourier_3", PrefixBacktest.ScaleT,
         Seq(ForecastPipeline.scaleStep()), 3, kTerms = kF, ridge = 0.1),
-      pipeFourierMember("lasso_scaled_fourier_3",
+      pipeFourierMember("lasso_scaled_fourier_3", PrefixBacktest.ScaleT,
         Seq(ForecastPipeline.scaleStep()), 3, kTerms = kF, ridge = 0.1,
         l1Ratio = 1.0),
-      pipeFourierMember("linear_detrend_fourier_3",
+      pipeFourierMember("linear_detrend_fourier_3", PrefixBacktest.DetrendT,
         Seq(ForecastPipeline.detrendLinearStep), 3, kTerms = kFD),
-      pipeFourierMember("ridge_detrend_fourier_3",
+      pipeFourierMember("ridge_detrend_fourier_3", PrefixBacktest.DetrendT,
         Seq(ForecastPipeline.detrendLinearStep), 3, kTerms = kFD, ridge = 0.1),
-      pipeFourierMember("lasso_detrend_fourier_3",
+      pipeFourierMember("lasso_detrend_fourier_3", PrefixBacktest.DetrendT,
         Seq(ForecastPipeline.detrendLinearStep), 3, kTerms = kFD, ridge = 0.1,
         l1Ratio = 1.0),
       // elite.py:83-88 "Seasonality" knn members, n_neighbors = lags//2

@@ -195,8 +195,11 @@ object TreeBoost {
     * sketch, memory bounded by the accuracy parameter — 1e5 here,
     * ≤ ~1e-5 rank error), dropping the bitwise-oracle claim for a
     * bounded-memory fit; QuantileSpec pins the two modes' agreement
-    * tolerance. Exact-only knobs (weighted quantile) reject the
-    * approx mode loudly rather than silently ignoring weights. */
+    * tolerance. WEIGHTED + production (r12): the weighted renewal's
+    * bounded-memory twin is [[graft.functions.WeightedQuantileSketch]]
+    * (uniform-budget merging histogram, ~2δ centroids per group,
+    * ~1/δ = 5e-4 rank error — GK has no fractional-weight form);
+    * same spec-pinned-not-oracle-gated contract. */
   def fit(p: Panel, lags: Int, freq: String, rounds: Int = 5,
           bins: Int = 8, eta: Double = 0.3, objective: String = "l2",
           objParam: Double = Double.NaN, labelClamp: Boolean = false,
@@ -205,10 +208,6 @@ object TreeBoost {
     require(Set("l2", "poisson", "gamma", "tweedie", "quantile")(objective),
       s"tree-boost objective must be l2, poisson, gamma, tweedie or quantile " +
         s"(got '$objective')")
-    require(quantileExact || weight.isEmpty || objective != "quantile",
-      "tree-boost approximate quantile mode (quantileExact = false) does not " +
-        "support sample weights (approx_percentile has no weighted form) - " +
-        "use the exact weighted-quantile renewal")
     // objective parameter: quantile level α, or tweedie variance power
     val alpha =
       if (objective == "quantile") { if (objParam.isNaN) 0.5 else objParam }
@@ -268,7 +267,8 @@ object TreeBoost {
     // sum(y) is order-sensitive and waits for the coalesced frame.
     val mmAggs = featureCols.flatMap(f => Seq(min(col(f)), max(col(f)))) ++
       Seq(count(lit(1)), count(when(col(p.value) < 0, lit(1)))) ++
-      (if (weight.isDefined) Seq(count(when(col("__wgt") < 0, lit(1)))) else Nil)
+      (if (weight.isDefined) Seq(count(when(col("__wgt") < 0, lit(1)))) else Nil) ++
+      (if (isQW) Seq(count(when(col("__wgt") > 1e9, lit(1)))) else Nil)
     val mmRow = train0.agg(mmAggs.head, mmAggs.tail: _*).collect()(0)
     val nRows = mmRow.getLong(2 * lags)
     // loud label guard (ADVICE r9): LightGBM rejects negative labels
@@ -293,14 +293,43 @@ object TreeBoost {
         s"tree-boost sample weights must be non-negative ($nNegW rows < 0); " +
           s"negative weights silently poison Σw node sizes and split gains")
     }
+    // loud magnitude guard (ADVICE r11): the weighted-quantile
+    // microweight lattice is exact only while every Σm stays below
+    // 2^53 and every per-row ⌊w·10⁶⌋ is itself exactly representable;
+    // past the bounds NEITHER engine errors — the bitwise keystone
+    // quietly degrades to float drift. Cap per-row weights at 1e9
+    // (microweight 1e15, comfortably exact), which pushes a 2^53
+    // group-total breach past ~9e6 rows at the cap — outside the
+    // exact renewal's regime (see WeightedQuantile's class doc).
+    if (isQW) {
+      val nBigW = mmRow.getLong(2 * lags + 3)
+      require(nBigW == 0L,
+        s"weighted-quantile tree-boost caps per-row weights at 1e9 ($nBigW " +
+          s"rows above); larger weights leave the exact microweight lattice " +
+          s"(2^53 integral-double bound) and silently break the bitwise " +
+          s"renewal contract — rescale the weights (quantile positions are " +
+          s"scale-invariant)")
+    }
     if (nRows == 0L)
       throw new IllegalArgumentException(
         s"tree-boost fit has no complete training rows (every entity " +
           s"shorter than lags=$lags, or all rows null in ${p.value})")
     val parts = math.max(1L,
       math.min(train0.rdd.getNumPartitions.toLong, nRows / 100000L)).toInt
+    // The ~100k-rows/partition coalesce was tuned for the cheap
+    // codegen'd moment aggregates of the round loop (2·rounds small
+    // jobs shouldn't pay 32-task scheduling). The weighted-quantile
+    // mode must NOT inherit it: its 13 WeightedQuantileAgg passes are
+    // object-buffer UDAFs whose per-task work is O(rows in task), so
+    // coalescing to 1 partition serializes the most expensive passes
+    // in the registry (the r11 41 s defect). Skipping the coalesce is
+    // bitwise-safe there because EVERY isQW statistic is association-
+    // order independent: split cells are exact integral microweight
+    // sums, and base score / renewals are multiset quantiles (the
+    // UDAF sorts in finish) — unlike the float sum(y)/Σw·r paths that
+    // the sequential-fold oracle replicates on the coalesced frame.
     val train =
-      if (parts < train0.rdd.getNumPartitions) train0.coalesce(parts).cache()
+      if (!isQW && parts < train0.rdd.getNumPartitions) train0.coalesce(parts).cache()
       else train0
     try {
       val mins = Array.tabulate(lags)(i => mmRow.getDouble(2 * i))
@@ -315,12 +344,17 @@ object TreeBoost {
       // sum it is partial-merge-order independent; the agg still
       // doubles as the coalesced-cache materialization
       // quantile aggregation dispatch (base score AND pass-C renewal):
-      // weighted → cumulative-weight interpolated quantile (exact only,
-      // the approx combination is rejected up top); unweighted exact →
-      // Spark `percentile` (≡ DuckDB quantile_cont, the oracle mode);
-      // production → approx_percentile at accuracy 1e5 (bounded memory)
+      // weighted exact → cumulative-weight interpolated quantile;
+      // weighted production → the bounded-memory merging-histogram
+      // sketch (WeightedQuantileSketch, ~2δ centroids per group);
+      // unweighted exact → Spark `percentile` (≡ DuckDB quantile_cont,
+      // the oracle mode); unweighted production → approx_percentile at
+      // accuracy 1e5 (GK sketch, bounded memory)
       def qAgg(value: Column): Column =
-        if (weight.isDefined) graft.functions.WeightedQuantileAgg(alpha)(value, col("__wgt"))
+        if (weight.isDefined) {
+          if (quantileExact) graft.functions.WeightedQuantileAgg(alpha)(value, col("__wgt"))
+          else graft.functions.WeightedQuantileSketchAgg(alpha)(value, col("__wgt"))
+        }
         else if (quantileExact) percentile(value, lit(alpha))
         else approx_percentile(value, lit(alpha), lit(100000))
       val b0 = if (objective == "quantile") {

@@ -130,11 +130,16 @@ class QuantileSpec extends SparkSpec {
         .map(_.getDouble(2))
     val u = preds(None)
     val c = preds(Some((_, _) => lit(1.0)))
-    // w ≡ 1: positions (j−1)/(n−1) — bit-identical to percentile, so
-    // the whole fit (splits AND renewals) must reproduce exactly
+    // w ≡ 1: the POSITIONS are bit-identical to percentile's, but the
+    // interpolation op order ((α−pLo)/(pHi−pLo) vs pos−floor(pos))
+    // and the split gradient arithmetic (α·Σm − Σm_le vs float ±α
+    // accumulation) each admit a few-ULP drift whose cancellation is
+    // data-dependent — so assert a tight tolerance, not bit identity
+    // (ADVICE r11: the bit-exact form was brittle to panel/seed/alpha
+    // changes even while both fits are individually bit-stable)
     u.zip(c).foreach { case (a, b) =>
-      assert(java.lang.Double.doubleToLongBits(a) ==
-        java.lang.Double.doubleToLongBits(b), s"$a != $b")
+      assert(math.abs(a - b) <= 1e-12 * math.max(1.0, math.abs(a)),
+        s"$a != $b beyond 1e-12 relative")
     }
   }
 
@@ -147,13 +152,59 @@ class QuantileSpec extends SparkSpec {
     assert(e.getMessage.contains("non-negative"), e.getMessage)
   }
 
-  test("weighted + approx quantile mode is rejected loudly") {
-    val p = qPanel()
-    val e = intercept[IllegalArgumentException] {
-      TreeBoost.fit(p, lags = 3, freq = "1i", rounds = 2, bins = 4,
-        objective = "quantile", objParam = 0.5, quantileExact = false,
-        weight = Some((_, _) => lit(1.0)))
+  test("weighted sketch kernel: no-overflow groups reproduce the exact kernel") {
+    val rnd = new scala.util.Random(7)
+    val vw = (0 until 2000).map(_ => (rnd.nextGaussian() * 5 + 3,
+      0.1 + rnd.nextDouble() * 4))
+    val sk = new graft.functions.WeightedQuantileSketch()
+    vw.foreach { case (v, w) => sk.add(v, w) }
+    val exact = pairs(vw: _*)
+    // under bufCap, compression only runs at query time and every
+    // centroid ≤ W/δ merge preserves ranks to ~1/δ; the reused exact
+    // kernel then interpolates the same rule — tolerance is the
+    // value-domain image of the 1/δ = 5e-4 rank error on this spread
+    for (a <- Seq(0.05, 0.25, 0.5, 0.75, 0.95)) {
+      val e = WeightedQuantile.of(exact, a).doubleValue
+      val s = sk.quantile(a).doubleValue
+      assert(math.abs(e - s) <= 0.05, s"alpha=$a exact=$e sketch=$s")
     }
-    assert(e.getMessage.contains("approximate quantile"), e.getMessage)
+  }
+
+  test("weighted sketch: compression bounds centroids, big stream stays accurate") {
+    val rnd = new scala.util.Random(11)
+    val n = 60000
+    val sk = new graft.functions.WeightedQuantileSketch()
+    val vw = (0 until n).map(_ => (rnd.nextGaussian(), 0.5 + rnd.nextDouble()))
+    vw.foreach { case (v, w) => sk.add(v, w) }
+    sk.compress()
+    assert(sk.centroidCount <= 2 * sk.delta + 1,
+      s"centroids ${sk.centroidCount} exceed the 2δ bound")
+    val exact = pairs(vw: _*)
+    for (a <- Seq(0.1, 0.5, 0.9)) {
+      val e = WeightedQuantile.of(exact, a).doubleValue
+      val s = sk.quantile(a).doubleValue
+      // N(0,1): a 5e-4 rank error is ≤ ~2e-3 in value near these α
+      assert(math.abs(e - s) <= 0.02, s"alpha=$a exact=$e sketch=$s")
+    }
+  }
+
+  test("weighted + quantileExact=false fits via the bounded sketch, tracks exact") {
+    val p = qPanel()
+    def preds(exact: Boolean) =
+      TreeBoost.fit(p, lags = 4, freq = "1i", rounds = 3, bins = 4,
+        objective = "quantile", objParam = 0.8,
+        weight = Some((rn, cnt) => lit(1.0) / (lit(1.0) + (cnt - rn) / lit(10.0))),
+        quantileExact = exact)
+        .predict(p, "t", fh = 2).orderBy("entity", "t").collect()
+        .map(_.getDouble(2))
+    val (ex, ap) = (preds(true), preds(false))
+    assert(ex.length == 4 && ap.length == 4)
+    // a 120-point panel never overflows the sketch buffer: renewals
+    // agree to quantization + the pinball split path's sensitivity —
+    // allow the same compounded-leaf tolerance as the unweighted twin
+    ex.zip(ap).foreach { case (e, a) =>
+      assert(math.abs(e - a) <= 1e-6 * math.max(1.0, math.abs(e)) + 0.15,
+        s"exact $e vs sketch $a diverged beyond tolerance")
+    }
   }
 }
