@@ -13,7 +13,11 @@ import json, sys
 a = json.load(open(sys.argv[1]))
 b = json.load(open(sys.argv[2]))
 note = sys.argv[3] if len(sys.argv) > 3 else ""
-qa, qb = a["queries"], b["queries"]
+# r12+ full-bench maps carry telemetry per query ({"s":..,"gc":..,"load":..});
+# budgets are the wall seconds either way
+def secs(q):
+    return {k: (v["s"] if isinstance(v, dict) else v) for k, v in q.items()}
+qa, qb = secs(a["queries"]), secs(b["queries"])
 assert set(qa) == set(qb), f"query sets differ: {set(qa) ^ set(qb)}"
 queries = {k: round(max(qa[k], qb[k]), 3) for k in sorted(qa)}
 out = {
