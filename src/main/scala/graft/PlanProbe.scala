@@ -34,6 +34,33 @@ object PlanProbe {
     println(plan.linesIterator.filter(l =>
       l.contains("Exchange") || l.contains("Join") || l.contains("Aggregate"))
       .take(40).mkString("\n"))
+    // fourier prefix-share invariant (r12): a fourier member's split
+    // plan must read the CACHED shared lag frame — fourier features
+    // are position expressions over __rn, so the plan may contain no
+    // lag Window over the raw panel (the per-split rebuild shape the
+    // prefix rewrite removed)
+    val btF = PrefixBacktest.backtestFourier(p, "t", lags, 7, 2, 5, 2, 5,
+      sharedLag, PrefixBacktest.ScaleT,
+      (df, fs, lb) => graft.functions.Ols.fit(df, fs, lb, ridge = 0.1))
+    // tree-walk, not text: InMemoryRelation is a LEAF of the logical
+    // plan, so `collect` counts only Windows the query would EXECUTE —
+    // the cached shared-lag build plan (which legitimately holds the
+    // one-time lag/position Windows) prints inside the leaf's text but
+    // is never re-run
+    val opt = btF.queryExecution.optimizedPlan
+    val nWin = opt.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.size
+    val nScan = opt.collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryRelation => s
+    }.size
+    println(s"[plan-probe] fourier backtest optimized plan: Window nodes = " +
+      s"$nWin (expect 0 — no per-split lag rebuild), cached shared-lag " +
+      s"reads = $nScan")
+    require(nWin == 0, s"fourier prefix backtest re-built lags per split " +
+      s"($nWin executable Window nodes in the optimized plan)")
+    require(nScan > 0, "fourier prefix backtest did not read the cached " +
+      "shared lag frame")
     spark.stop()
   }
 }
