@@ -4,6 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // pre-flight: refuse to start timing on a loaded host (r10/r11/r12
+    // graded benches were all inflated by builder-side load — prevent
+    // in code, not discipline). The wait is stamped into the JSON.
+    val preflightWait = BenchWarmup.preflightLoadGate()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,159 +29,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: touch every table once so the first timed query
-    // doesn't absorb session/codegen/footer-read startup cost
-    Seq("lineitem", "orders", "customer", "nation", "events", "documents", "embeddings")
-      .foreach { t =>
-        try graft.core.Tables(spark, sfDir, t).count()
-        catch { case _: Throwable => () }
-      }
-    // ...and JIT the window + partial-agg machinery the panel queries
-    // share (the first windowed query otherwise pays it alone)
-    try {
-      import org.apache.spark.sql.expressions.Window
-      import org.apache.spark.sql.functions._
-      graft.core.Tables(spark, sfDir, "events")
-        .withColumn("__l", lag(col("value"), 1).over(
-          Window.partitionBy("user_id").orderBy("ts", "event_id")))
-        .groupBy("user_id").agg(avg(col("__l"))).count()
-    } catch { case _: Throwable => () }
-    // ...and the fit machinery the forecaster family shares, on a
-    // 64-row frame (untimed): closed-form OLS moment passes (RDD
-    // treeAggregate + codegen'd SQL aggs), the collect_list/sort_array
-    // per-entity state idiom, and the MLlib logistic/GBT solvers —
-    // first use otherwise charges several seconds of JIT/codegen to
-    // whichever fc_* query runs first, not to the engine under test
-    try {
-      import org.apache.spark.sql.functions._
-      val tiny = spark.range(64).select((col("id") % 8).as("e"),
-        col("id").cast("double").as("x"))
-        .withColumn("y", col("x") * 2 + 1)
-      graft.functions.Ols.fit(tiny, Seq("x"), "y")
-      graft.functions.Ols.fitAgg(tiny, Seq("x"), "y")
-      tiny.groupBy("e").agg(sort_array(collect_list(struct(col("x"), col("y")))).as("s"))
-        .select(col("e"), posexplode(col("s"))).count()
-      val labeled = new org.apache.spark.ml.feature.VectorAssembler()
-        .setInputCols(Array("x")).setOutputCol("__f")
-        .transform(tiny.withColumn("__l", (col("x") > 32).cast("double")))
-      new org.apache.spark.ml.classification.LogisticRegression()
-        .setFeaturesCol("__f").setLabelCol("__l").setMaxIter(3).fit(labeled)
-      new org.apache.spark.ml.regression.GBTRegressor()
-        .setFeaturesCol("__f").setLabelCol("y").setMaxIter(2).setMaxDepth(2)
-        .setSeed(42L).fit(labeled)
-    } catch { case _: Throwable => () }
-    // ...and the elite-ensemble machinery end-to-end on a 384-row
-    // synthetic panel (untimed): concurrent backtest futures, the
-    // shared 14-lag matrix, the wide OLS moment aggregates (the same
-    // generated aggregate classes the sf-scale fit compiles), window
-    // rank + blend + localCheckpoint — first use otherwise charges
-    // ~8 s of JIT/codegen to the timed fc_elite
-    try {
-      import org.apache.spark.sql.functions._
-      val pdf = spark.range(384).select(
-        (col("id") % 8).as("e"),
-        expr("timestampadd(DAY, CAST(id / 8 AS INT), timestamp'2020-01-01 00:00:00')").as("ts"),
-        (col("id") % 7).cast("double").as("value"))
-      val tinyPanel = graft.core.Panel(pdf, Seq("e"), Seq("ts"), "value")
-      graft.operators.AutoForecast.elite(tinyPanel, "ts", "1d",
-        fh = 2, topK = 2, nSplits = 2).count()
-      // ...and the DEEP elite paths fc_elite_deep/stack/pipe/knn run:
-      // the CD-member refits, the lasso stack pivot + solve, and the
-      // pipeline/KNN member machinery each compile their own wide
-      // shapes — r7's bench showed the four deep queries' cold
-      // compiles bleeding ~2-4x slowdowns into the alphabetically
-      // adjacent fc_ensemble/fc_gbt/fc_zero_inflated
-      graft.operators.EliteDeep.run(tinyPanel, "ts", "1d", fh = 2, topK = 2,
-        testSize = 2, nSplits = 2, stepSize = 2, cdSweeps = 2, strategy = "lasso",
-        models = graft.operators.EliteDeep.linearFamily).count()
-      graft.operators.EliteDeep.run(tinyPanel, "ts", "1d", fh = 2, topK = 2,
-        testSize = 2, nSplits = 2, stepSize = 2, cdSweeps = 2, strategy = "mean",
-        models = Seq("naive", "linear_scaled_7", "linear_diff_7",
-          "linear_detrend_7", "knn_3", "knn_scaled_3")).count()
-      // ...and the round-8 zoo families: no-drift/demean/fourier
-      // members, the knn-detrend pipeline, and the IC-grid stacker
-      // each compile their own fit/predict shapes
-      graft.operators.EliteDeep.run(tinyPanel, "ts", "1d", fh = 2, topK = 2,
-        testSize = 2, nSplits = 2, stepSize = 2, cdSweeps = 2, strategy = "mean",
-        models = Seq("naive", "linear_nodrift_7", "ridge_nodrift_3",
-          "linear_demean_7", "linear_fourier_3", "knn_detrend_3")).count()
-      graft.operators.EliteDeep.run(tinyPanel, "ts", "1d", fh = 2, topK = 2,
-        testSize = 2, nSplits = 2, stepSize = 2, cdSweeps = 2, strategy = "mean",
-        models = Seq("naive", "linear_scaled_fourier_3",
-          "linear_detrend_fourier_3", "lasso_scaled_7", "lasso_demean_7")).count()
-      graft.operators.EliteDeep.run(tinyPanel, "ts", "1d", fh = 2, topK = 2,
-        testSize = 2, nSplits = 2, stepSize = 2, cdSweeps = 2, strategy = "lasso",
-        stackAlphaGrid = Seq(0.01, 0.1),
-        models = Seq("naive", "linear_7", "ridge_3", "lasso_7")).count()
-      // ...and the stump-boosting conditional-agg pass (its 40+-column
-      // aggregate compiles a distinctive codegen shape)
-      graft.operators.StumpBoost.fit(tinyPanel, lags = 3, freq = "1d",
-        rounds = 2, bins = 4).predict(tinyPanel, "ts", fh = 1).count()
-    } catch { case _: Throwable => () }
-    // ...and the deterministic depth-2 TreeBoost at the EXACT configs
-    // fc_gbt / fc_auto_gbt / fc_gbt_stump run: its generated sources
-    // are shape-invariant (StableConst carries every fitted constant
-    // through the references array), so these 64-rows-per-entity fits
-    // compile the very classes the sf-scale fits then pull from the
-    // (enlarged, see above) codegen cache — moving ~9 s of Janino
-    // cold-compile out of the timed queries. The panel mirrors the
-    // events table's schema (same columns, same order cols) so the
-    // reduction/predict scaffolds warm too.
-    try {
-      import org.apache.spark.sql.functions._
-      val edf = spark.range(512).select(
-        col("id").as("event_id"),
-        expr("timestampadd(DAY, CAST(id / 8 AS INT), timestamp'2020-01-01 00:00:00')").as("ts"),
-        (col("id") % 8).as("user_id"),
-        lit("warm").as("event_type"),
-        (col("id") % 11).cast("double").as("value"),
-        lit("{}").as("props"))
-      val ep = graft.core.Panel(edf, Seq("user_id"), Seq("ts", "event_id"), "value")
-      graft.operators.TreeBoost.fit(ep, lags = 7, freq = "1d",
-        rounds = 5, bins = 8, eta = 0.3).predict(ep, "ts", fh = 3).count()
-      // fc_gbt_stump's exact config (lags=3, rounds=5, bins=8)
-      graft.operators.StumpBoost.fit(ep, lags = 3, freq = "1d",
-        rounds = 5, bins = 8, eta = 0.3).predict(ep, "ts", fh = 3).count()
-      graft.operators.AutoForecast.autoTreeBoost(ep, "ts", "1d",
-        lagGrid = Seq(3, 7), rounds = 3, bins = 4, eta = 0.3, nSplits = 2)
-        ._3.predict(ep, "ts", fh = 3).count()
-      // round-9 shapes: the adaptive search's candidate grid — the
-      // pass-A/B aggregate classes have 2·lags·(bins−1)+2 and
-      // 4·lags·(bins−1) expressions, so the generated source depends
-      // on (lags, rounds, BINS); StableConst only erases the fitted
-      // values (thresholds/leaves), not the candidate count. One tiny
-      // fit per distinct triple warms all 6 candidates — plus the
-      // log-link objectives' exp residual / exp-recursion classes
-      // (fc_gbt_poisson / fc_gbt_gamma configs)
-      graft.operators.AutoForecast.searchCandidatesGbt(42L, 6)
-        .map { case (l, r, b, _) => (l, r, b) }.distinct
-        .foreach { case (l, r, b) =>
-          graft.operators.TreeBoost.fit(ep, lags = l, freq = "1d",
-            rounds = r, bins = b, eta = 0.3).predict(ep, "ts", fh = 1).count()
-        }
-      Seq("poisson", "gamma").foreach { obj =>
-        graft.operators.TreeBoost.fit(ep, lags = 7, freq = "1d",
-          rounds = 3, bins = 4, eta = 0.3, objective = obj)
-          .predict(ep, "ts", fh = 3).count()
-      }
-    } catch { case _: Throwable => () }
-    // ...and the JDK image codec machinery (ImageIO plugin discovery +
-    // per-format reader/writer init costs ~4 s on first use — measured
-    // on mm_video_frames: 6.9 s cold vs 2.5 s warm)
-    try {
-      val png = graft.operators.MediaCodec.encodeSolid("png", 4, 4, 1, 2, 3)
-      graft.operators.MediaCodec.decodeStats(png)
-      val bmp = graft.operators.MediaCodec.encodeSolid("bmp", 4, 4, 1, 2, 3)
-      graft.operators.MediaCodec.decodeStats(bmp)
-      graft.operators.MediaCodec.encodeSolid("jpeg", 4, 4, 1, 2, 3)
-    } catch { case _: Throwable => () }
+    // untimed warmup: tables + every heavy family's codegen shapes
+    BenchWarmup.run(spark, sfDir)
     // per-query telemetry (VERDICT r11 "What's wrong" #2): the graded
-    // bench has twice been inflated by HOST contention (r10 1.61×,
-    // r11 3.79× as-read vs 1.23× verified clean) with nothing in the
-    // artifact to prove it. JVM GC-time delta + the 1-min host load
-    // average per query make a contaminated read attributable from
-    // the bench JSON alone: a loaded host shows load ≫ cpus and/or
-    // GC-dominated spikes on trivial untouched queries.
+    // bench has repeatedly been inflated by HOST contention with
+    // nothing in the artifact to prove it. JVM GC-time delta + the
+    // 1-min host load average per query make a contaminated read
+    // attributable from the bench JSON alone: a loaded host shows
+    // load ≫ cpus and/or GC-dominated spikes on trivial queries.
     val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
     def gcMillis: Long = {
       var s = 0L
@@ -224,11 +83,13 @@ object Bench {
     val total = timings.map(_._2).sum
     val gcTotal = results.map(_._3).sum
     // regression guard: compare against the frozen per-query budgets
-    // (tools/bench_budget.json = round-3 driver profile). Any query
-    // beyond 2x its budget gets a stderr warning — catches the next
-    // fc_elite-style silent drift locally before the driver grades it.
-    // Warnings only (host timing noise is +-30% on small queries);
-    // queries under 0.5 s are noise-dominated and skipped.
+    // (tools/bench_budget.json). Any query beyond 2x its EFFECTIVE
+    // budget gets a stderr warning — catches the next fc_elite-style
+    // silent drift locally before the driver grades it. Warnings only
+    // (host timing noise is +-30% on small queries); sub-second
+    // budgets are floored at 0.5 s so scheduler jitter on trivial
+    // queries stops flagging (r12: f_first_location_of_minimum tripped
+    // 2.16x on a 0.44 s read against a 0.20 s budget).
     try {
       val budgetPath = java.nio.file.Paths.get("tools/bench_budget.json")
       if (java.nio.file.Files.exists(budgetPath)) {
@@ -237,11 +98,11 @@ object Bench {
         val budget = "\"([A-Za-z0-9_]+)\":\\s*([0-9.]+)".r.findAllMatchIn(qpart)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
         val over = timings.filter { case (name, dt) =>
-          budget.get(name).exists(b => b >= 0.5 && dt > 2.0 * b)
+          budget.get(name).exists(b => dt > 2.0 * math.max(b, 0.5))
         }
         over.foreach { case (name, dt) =>
           System.err.println(
-            f"[bench-budget] $name: $dt%.2f s > 2x budget ${budget(name)}%.2f s")
+            f"[bench-budget] $name: $dt%.2f s > 2x budget ${math.max(budget(name), 0.5)}%.2f s")
         }
         if (over.nonEmpty)
           System.err.println(s"[bench-budget] ${over.size} queries over 2x budget")
@@ -258,6 +119,7 @@ object Bench {
     // "parsed": null
     def fmt(kvs: Iterable[(String, Double)]) = kvs
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val scalars = s""""gc_sec_total":${f"$gcTotal%.3f"},"load_avg_start":${f"$loadStart%.2f"},"load_avg_end":${f"${osBean.getSystemLoadAverage}%.2f"},"preflight_wait_sec":${f"$preflightWait%.0f"},"cpus":"$cpus""""
     try {
       // full map carries the telemetry: per-query seconds, GC seconds
       // inside the query, and the host 1-min load average at query end
@@ -265,7 +127,7 @@ object Bench {
         .map { case (k, s, gc, ld) =>
           "\"" + k + f"""\":{"s":$s%.3f,"gc":$gc%.3f,"load":$ld%.2f}""" }
         .mkString("{", ",", "}")
-      val full = s"""{"metric":"total","value":$total,"unit":"sec","gc_sec_total":${f"$gcTotal%.3f"},"load_avg_start":${f"$loadStart%.2f"},"load_avg_end":${f"${osBean.getSystemLoadAverage}%.2f"},"cpus":"$cpus","queries":$fullQ,"sf":"$sfDir"}"""
+      val full = s"""{"metric":"total","value":$total,"unit":"sec",$scalars,"queries":$fullQ,"sf":"$sfDir"}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_full.json"),
         full.getBytes("UTF-8"))
       // versioned at the repo root (the r10 protocol's literal ask):
@@ -286,9 +148,9 @@ object Bench {
       System.err.println(s"[bench] $nFailed of ${results.size} queries FAILED — total is meaningless")
     val top = timings.sortBy(-_._2).take(20)
     spark.stop()
-    // stdout stays one COMPACT parseable line; the three scalar
-    // telemetry fields make a contaminated total self-evident even
-    // when only the stdout tail survives
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"gc_sec_total":${f"$gcTotal%.3f"},"load_avg_start":${f"$loadStart%.2f"},"load_avg_end":${f"${osBean.getSystemLoadAverage}%.2f"},"queries":${fmt(top)},"sf":"$sfDir"}""")
+    // stdout stays one COMPACT parseable line; the scalar telemetry
+    // fields make a contaminated total self-evident even when only
+    // the stdout tail survives
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,$scalars,"queries":${fmt(top)},"sf":"$sfDir"}""")
   }
 }

@@ -20,6 +20,13 @@ object BenchOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // run the SAME untimed warmup as Bench (SPARK_GRAFT_WARMUP=0 to
+    // skip for cold profiling): BenchOne is the adjudication tool for
+    // in-suite budget flags, so its reps must measure the same warm
+    // codegen state the graded bench does — r12: fc_elite_stack rep1
+    // paid 22.4 s unwarmed vs 6.2 s warm, which reads as a flag
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0")
+      BenchWarmup.run(spark, sfDir)
     val fn = SparkEntry.queries(name)
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()

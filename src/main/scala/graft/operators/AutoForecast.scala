@@ -342,12 +342,122 @@ object AutoForecast {
     (bestLags, bestScore, TreeBoost.fit(p, bestLags, freq, rounds, bins, eta))
   }
 
+  // ── FLAML/CFO-faithful adaptive local search ──────────────────────
+  //
+  // FLAML's CFO (automl.py:191-229 wires the spaces; the searcher
+  // starts at `low_cost_partial_config`, proposes a random neighbor of
+  // the incumbent each iteration, and moves on improvement). The
+  // lattice/grids below are the same ones the legacy seeded draw
+  // sampled; index (0,0,..) — fewest lags, smallest α, l1=0 (closed
+  // form, no CD sweeps) — is the low-cost start. Each step's proposal
+  // is a deterministic md5 function of (namespace, seed, step,
+  // incumbent), so the DuckDB oracle replays the WHOLE walk: it scores
+  // every config the walk can reach (cfoReachable — a small set, the
+  // proposal at step t only branches on the incumbent's step-t
+  // coordinate) and selects the realized path with CASE chains over
+  // the same score comparisons.
+
+  private[operators] val linLagsGrid = Vector(3, 4, 5, 6)
+  private[operators] val linAlphaGrid = Vector(0.01, 0.05, 0.1, 0.5)
+  private[operators] val linL1Grid = Vector(0.0, 0.5, 1.0)
+  private[operators] val gbtLagsGrid = Vector(3, 5)
+  private[operators] val gbtRoundsGrid = Vector(2, 3)
+  private[operators] val gbtBinsGrid = Vector(3, 4)
+  private[operators] val gbtEtaGrid = Vector(0.3, 0.5, 1.0)
+
+  /** Lattice coords → linear-arm candidate (lags, α, l1_ratio). */
+  def decodeLinear(c: Vector[Int]): (Int, Double, Double) =
+    (linLagsGrid(c(0)), linAlphaGrid(c(1)), linL1Grid(c(2)))
+  val dimsLinear: Vector[Int] =
+    Vector(linLagsGrid.length, linAlphaGrid.length, linL1Grid.length)
+
+  /** Lattice coords → GBT-arm candidate (lags, rounds, bins, η). */
+  def decodeGbt(c: Vector[Int]): (Int, Int, Int, Double) =
+    (gbtLagsGrid(c(0)), gbtRoundsGrid(c(1)), gbtBinsGrid(c(2)), gbtEtaGrid(c(3)))
+  val dimsGbt: Vector[Int] = Vector(gbtLagsGrid.length, gbtRoundsGrid.length,
+    gbtBinsGrid.length, gbtEtaGrid.length)
+
+  /** The full GBT lattice (24 configs) — warmup uses the distinct
+    * (lags, rounds, bins) triples to pre-compile every candidate
+    * aggregate shape the walk could reach. */
+  def searchSpaceGbt: Seq[(Int, Int, Int, Double)] = for {
+    l <- gbtLagsGrid; r <- gbtRoundsGrid; b <- gbtBinsGrid; e <- gbtEtaGrid
+  } yield (l, r, b, e)
+
+  /** CFO's step-t neighbor of `inc`: md5(ns, seed, t) picks a
+    * dimension and a ±1 direction; out-of-range moves REFLECT (FLAML
+    * bounces off the box), a size-1 dimension stays put. Depends on
+    * the incumbent only through the picked coordinate — which is what
+    * keeps the oracle's reachable set small. */
+  def cfoProposal(ns: String, seed: Long, t: Int, inc: Vector[Int],
+                  dims: Vector[Int]): Vector[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"graft:cfo:$ns:$seed:$t".getBytes("UTF-8"))
+    def b(j: Int): Int = h(j) & 0xff
+    val d = b(0) % dims.length
+    val sign = if (b(1) % 2 == 0) 1 else -1
+    val raw = inc(d) + sign
+    val refl = if (raw < 0 || raw >= dims(d)) inc(d) - sign else raw
+    val v = if (refl < 0 || refl >= dims(d)) inc(d) else refl
+    inc.updated(d, v)
+  }
+
+  /** Every config a `steps`-evaluation walk can visit, in canonical
+    * first-reached order (index 0 = the low-cost start), plus per-step
+    * transition maps (possible-incumbent index → its proposal index).
+    * The oracle builder derives its score chains and CASE selection
+    * from exactly this enumeration. */
+  def cfoReachable(ns: String, seed: Long, steps: Int, dims: Vector[Int])
+      : (Seq[Vector[Int]], Seq[Map[Int, Int]]) = {
+    val configs = scala.collection.mutable.ArrayBuffer(Vector.fill(dims.length)(0))
+    def idOf(c: Vector[Int]): Int = {
+      val i = configs.indexOf(c)
+      if (i >= 0) i else { configs += c; configs.length - 1 }
+    }
+    var incs = Set(0)
+    val trans = (1 until steps).map { t =>
+      val m = incs.toSeq.sorted
+        .map(i => i -> idOf(cfoProposal(ns, seed, t, configs(i), dims))).toMap
+      incs = incs ++ m.values
+      m
+    }
+    (configs.toSeq, trans)
+  }
+
+  /** Run the walk: start at the low-cost config; at each step score
+    * the seeded neighbor of the incumbent and move iff STRICTLY
+    * better. The comparison is NaN-inert in BOTH directions (a NaN
+    * score neither moves in nor lets the incumbent be displaced) —
+    * the exact semantics of the oracle's bare SQL `<` under its
+    * NULL/NaN guards. Scores are memoized (reflections can revisit).
+    * Returns (final incumbent, its score, incumbent sequence incl.
+    * the start). */
+  def cfoWalk(ns: String, seed: Long, steps: Int, dims: Vector[Int])
+             (score: Vector[Int] => Double)
+      : (Vector[Int], Double, Seq[Vector[Int]]) = {
+    def lt(a: Double, b: Double) = !a.isNaN && !b.isNaN && a < b
+    val memo = scala.collection.mutable.Map.empty[Vector[Int], Double]
+    def sc(c: Vector[Int]) = memo.getOrElseUpdate(c, score(c))
+    var inc = Vector.fill(dims.length)(0)
+    sc(inc) // the low-cost start is the FIRST trial (FLAML evaluates
+            // its init config before any neighbor)
+    val path = scala.collection.mutable.ArrayBuffer(inc)
+    for (t <- 1 until steps) {
+      val prop = cfoProposal(ns, seed, t, inc, dims)
+      if (lt(sc(prop), sc(inc))) inc = prop
+      path += inc
+    }
+    (inc, sc(inc), path.toSeq)
+  }
+
   /** Deterministic seeded hyperparameter draws over (lags, α,
-    * l1_ratio) — the adaptive-search analog of FLAML's sampler
-    * (automl.py:191-229), scoped to a reproducible md5 stream so the
-    * DuckDB oracle (built from the SAME Scala draw) replicates the
-    * whole search. lags ∈ 3..6 and the small α/l1 grids keep each
-    * candidate's unrolled oracle chain bounded. */
+    * l1_ratio) — the LEGACY adaptive-search analog of FLAML's sampler
+    * (automl.py:191-229), kept as the `strategy = "halving"` fallback;
+    * the default arm is now the CFO walk above. Scoped to a
+    * reproducible md5 stream so the DuckDB oracle (built from the SAME
+    * Scala draw) replicates the whole search. lags ∈ 3..6 and the
+    * small α/l1 grids keep each candidate's unrolled oracle chain
+    * bounded. */
   def searchCandidates(seed: Long, n: Int): Seq[(Int, Double, Double)] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     (0 until n).map { i =>
@@ -407,9 +517,11 @@ object AutoForecast {
   def autoSearchRegularized(p: Panel, timeCol: String, freq: String,
                             seed: Long = 42L, nCandidates: Int = 4,
                             testSize: Int = 5, nSplits: Int = 2,
-                            stepSize: Int = 5, cdSweeps: Int = 6)
+                            stepSize: Int = 5, cdSweeps: Int = 6,
+                            strategy: String = "cfo")
       : (Int, (Int, Double, Double), Double, LinearForecasterModel) = {
-    val cands = searchCandidates(seed, nCandidates)
+    require(strategy == "cfo" || strategy == "halving",
+      s"autoSearchRegularized strategy must be 'cfo' or 'halving' (got '$strategy')")
     val cached = p.copy(df = p.df.cache())
     def bt(c: (Int, Double, Double), splits: Int): DataFrame = c match {
       case (lags, alpha, l1) =>
@@ -421,6 +533,23 @@ object AutoForecast {
             .predict(tr, timeCol, h))
     }
     try {
+      if (strategy == "cfo") {
+        // FLAML-faithful trajectory: nCandidates evaluations of a
+        // seeded local walk from the low-cost config, each scored on
+        // the FULL nSplits plan (CFO has no halving stage); the winner
+        // index is the config's position in the canonical cfoReachable
+        // enumeration (what the oracle's CASE chains use too)
+        val (cfg, best, _) = cfoWalk("lin", seed, nCandidates, dimsLinear) { c =>
+          val cand = decodeLinear(c)
+          meanScore(backtestScore(bt(cand, nSplits), p.entity),
+            s"autoSearch(cfo, $cand)")
+        }
+        val (configs, _) = cfoReachable("lin", seed, nCandidates, dimsLinear)
+        val (lags, alpha, l1) = decodeLinear(cfg)
+        (configs.indexOf(cfg), (lags, alpha, l1), best,
+          LinearForecaster.fit(cached, lags, freq, alpha, l1, cdSweeps))
+      } else {
+      val cands = searchCandidates(seed, nCandidates)
       // CFO cost order: closed-form ridge/OLS candidates (one moment
       // scan over the shared prefix frame) before the CD families
       // (per-slice sweep refits), cheapest lag counts first
@@ -433,6 +562,7 @@ object AutoForecast {
       val (lags, alpha, l1) = cands(winner)
       (winner, cands(winner), best,
         LinearForecaster.fit(cached, lags, freq, alpha, l1, cdSweeps))
+      }
     } finally cached.df.unpersist(blocking = false)
   }
 
@@ -462,26 +592,41 @@ object AutoForecast {
   def autoSearchTreeBoost(p: Panel, timeCol: String, freq: String,
                           seed: Long = 42L, nCandidates: Int = 6,
                           testSize: Int = 5, nSplits: Int = 2,
-                          stepSize: Int = 5)
+                          stepSize: Int = 5, strategy: String = "cfo")
       : (Int, (Int, Int, Int, Double), Double, TreeBoost.Model) = {
-    val cands = searchCandidatesGbt(seed, nCandidates)
+    require(strategy == "cfo" || strategy == "halving",
+      s"autoSearchTreeBoost strategy must be 'cfo' or 'halving' (got '$strategy')")
     val cached = p.copy(df = p.df.cache())
+    def score(c: (Int, Int, Int, Double), splits: Int, what: => String): Double = {
+      val (lags, rounds, bins, eta) = c
+      val bt = Conformal.backtest(cached, timeCol, testSize, splits, stepSize,
+        (tr, h) => TreeBoost.fit(tr, lags, freq, rounds, bins, eta)
+          .predict(tr, timeCol, h))
+      meanScore(backtestScore(bt, p.entity), what)
+    }
     try {
+      if (strategy == "cfo") {
+        val (cfg, best, _) = cfoWalk("gbt", seed, nCandidates, dimsGbt) { c =>
+          score(decodeGbt(c), nSplits, s"autoSearchGbt(cfo, ${decodeGbt(c)})")
+        }
+        val (configs, _) = cfoReachable("gbt", seed, nCandidates, dimsGbt)
+        val (lags, rounds, bins, eta) = decodeGbt(cfg)
+        (configs.indexOf(cfg), (lags, rounds, bins, eta), best,
+          TreeBoost.fit(cached, lags, freq, rounds, bins, eta))
+      } else {
+      val cands = searchCandidatesGbt(seed, nCandidates)
       // CFO cost order: a boosting fit pays rounds scans whose
       // split-search width is lags × bins — launch the small products
       // first
       val (winner, best) = successiveHalving(cands, nSplits,
         (c: (Int, Int, Int, Double)) => (c._1 * c._2 * c._3).toDouble) {
-        case ((lags, rounds, bins, eta), i, splits) =>
-          val bt = Conformal.backtest(cached, timeCol, testSize, splits, stepSize,
-            (tr, h) => TreeBoost.fit(tr, lags, freq, rounds, bins, eta)
-              .predict(tr, timeCol, h))
-          meanScore(backtestScore(bt, p.entity),
-            s"autoSearchGbt(candidate=$i, (${(lags, rounds, bins, eta)}), splits=$splits)")
+        case (c, i, splits) =>
+          score(c, splits, s"autoSearchGbt(candidate=$i, ($c), splits=$splits)")
       }
       val (lags, rounds, bins, eta) = cands(winner)
       (winner, cands(winner), best,
         TreeBoost.fit(cached, lags, freq, rounds, bins, eta))
+      }
     } finally cached.df.unpersist(blocking = false)
   }
 

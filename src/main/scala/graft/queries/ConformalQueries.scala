@@ -819,17 +819,22 @@ object ConformalQueries {
       r6(model.predict(p, "ts", fh = 3).withColumn("chosen_lags", lit(lags).cast("long")))
     },
 
-    // ADAPTIVE hyperparameter search (automl.py:191-229, FLAML's
-    // sampler scoped to a seeded md5 draw): 4 seeded candidates over
-    // (lags, alpha, l1_ratio), successive halving — stage 1 scores
-    // every candidate on the most recent split only, the top half
-    // survive, stage 2 scores survivors on the full 2-split plan,
-    // argmin (index tie-break) wins and refits on all data. The
-    // oracle is built from the SAME Scala draw: one shared 2-split
-    // backtest chain per candidate (ridge -> Cholesky, l1 -> unrolled
-    // CD), both pruning rounds replayed as rank CTEs.
+    // ADAPTIVE hyperparameter search — FLAML-faithful CFO local walk
+    // (automl.py:191-229 wires the spaces; CFO starts at the low-cost
+    // config and moves to a seeded neighbor on improvement): 5
+    // evaluations over the (lags, alpha, l1_ratio) lattice from
+    // (3, 0.01, 0.0), each scored on the full 2-split backtest plan.
+    // The oracle is built from the SAME Scala walk machinery
+    // (cfoReachable): one shared 2-split backtest chain per REACHABLE
+    // config (ridge -> Cholesky, l1 -> recursive CD), the walk's
+    // incumbent chain replayed as CASE CTEs over the same score
+    // comparisons, the realized final incumbent's full-data refit
+    // emitted.
     "fc_auto_search" -> Q({
-      val cands = AutoForecast.searchCandidates(42L, 4)
+      val steps = 5
+      val (configs, trans) = AutoForecast.cfoReachable("lin", 42L, steps,
+        AutoForecast.dimsLinear)
+      val cands = configs.map(AutoForecast.decodeLinear)
       val bts = cands.zipWithIndex.map { case ((l, a, l1), i) =>
         if (l1 == 0.0)
           OlsBacktestSql.backtestLinear(s"as$i", l, testSize = 5, nSplits = 2,
@@ -842,18 +847,8 @@ object ConformalQueries {
         else OlsBacktestSql.fullElasticNet(s"asf$i", l, fh = 3, alpha = a,
           l1Ratio = l1, sweeps = 6)
       }
-      val sAB = cands.indices.flatMap { i =>
-        Seq(
-          s"""sA_$i AS (SELECT avg(smape) AS s FROM (
-                SELECT user_id, sum(abs(pred - actual)) / sum(pred + actual) AS smape
-                FROM bt_as$i WHERE split = 1 GROUP BY user_id))""",
-          s"""sB_$i AS (SELECT avg(smape) AS s FROM (
-                SELECT user_id, sum(abs(pred - actual)) / sum(pred + actual) AS smape
-                FROM bt_as$i GROUP BY user_id))""")
-      }
-      val scoreRows = cands.indices.map(i =>
-        s"SELECT $i AS i, sA_$i.s AS s1, sB_$i.s AS s2 FROM sA_$i CROSS JOIN sB_$i")
-        .mkString(" UNION ALL ")
+      val scs = cands.indices.map(i => OlsBacktestSql.meanSmapeCteMat(s"as$i", s"as$i"))
+      val walk = OlsBacktestSql.cfoWalkCtes("wlk", trans, i => s"s_as$i")
       val predRows = cands.indices.map(i =>
         s"SELECT user_id, cutoff, $i AS i, p1, p2, p3 FROM fp_asf$i")
         .mkString(" UNION ALL ")
@@ -868,14 +863,9 @@ object ConformalQueries {
       }
       s"""WITH ${OlsBacktestSql.lagdCte(7)},
           ${bts.mkString(", ")},
-          ${sAB.mkString(", ")},
-          scores AS ($scoreRows),
-          surv AS (SELECT i, s2 FROM (
-              SELECT i, s2, row_number() OVER (ORDER BY s1 ASC NULLS LAST, i) AS r1
-              FROM scores) WHERE r1 <= 2),
-          pick AS (SELECT i AS chosen FROM (
-              SELECT i, row_number() OVER (ORDER BY s2 ASC NULLS LAST, i) AS r2
-              FROM surv) WHERE r2 = 1),
+          ${scs.mkString(", ")},
+          $walk,
+          pick AS (SELECT inc AS chosen FROM wlk${trans.length}),
           ${fulls.mkString(", ")},
           apreds AS ($predRows)
           SELECT p.user_id, CAST(p.cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
@@ -886,7 +876,7 @@ object ConformalQueries {
     }) { (s, dir) =>
       val p = ev(s, dir)
       val (_, (lags, alpha, l1), _, model) = AutoForecast.autoSearchRegularized(
-        p, "ts", "1d", seed = 42L, nCandidates = 4, testSize = 5, nSplits = 2,
+        p, "ts", "1d", seed = 42L, nCandidates = 5, testSize = 5, nSplits = 2,
         stepSize = 5, cdSweeps = 6)
       r6(model.predict(p, "ts", fh = 3)
         .withColumn("chosen_lags", lit(lags).cast("long"))
@@ -894,25 +884,21 @@ object ConformalQueries {
         .withColumn("chosen_l1", lit(l1)))
     },
 
-    // ADAPTIVE search, GBT arm (automl.py:191-229 — FLAML's per-model
-    // spaces sample num_leaves/learning_rate analogs, here TreeBoost's
-    // (lags, rounds, bins, eta)): 6 seeded candidates, successive
-    // halving exactly as fc_auto_search — stage 1 scores every
-    // candidate on the most recent split only, the top 3 survive the
-    // full 2-split plan, argmin with index tie-break wins and refits
-    // on all data. Every candidate's backtest and full fit are
-    // complete step-exact tree2 chains (two conditional-agg passes +
-    // three argmax picks per round, recursive multi-horizon predict).
+    // ADAPTIVE search, GBT arm — the CFO walk over TreeBoost's
+    // (lags, rounds, bins, eta) lattice from the low-cost corner
+    // (3, 2, 3, 0.3): 3 evaluations (each candidate is a complete
+    // step-exact tree2 chain x3 — 2 backtest splits + full fit — and
+    // DuckDB's planner cost is superlinear in the unrolled stanza
+    // count; the round-9 6-candidate replica was 1 MB of SQL / 154 s
+    // at sf0.01, which starved the driver's whole correctness gate).
+    // Same walk protocol as fc_auto_search: seeded neighbor proposals,
+    // move on strict improvement, the realized incumbent's full-data
+    // refit emitted.
     "fc_auto_search_gbt" -> Q({
-      // 4 candidates / testSize 3 (was 6 / 5): each candidate is a
-      // complete step-exact tree2 chain ×3 (2 backtest splits + full
-      // fit), and DuckDB's planner cost is superlinear in the unrolled
-      // stanza count — the 6-candidate replica alone was 1 MB of SQL /
-      // 154 s at sf0.01, which starved the driver's whole correctness
-      // gate (round-9 CORRECTNESS came back empty). The two-stage
-      // halving protocol is intact: stage 1 ranks all 4 on the most
-      // recent split, the top 2 survive the full plan.
-      val cands = AutoForecast.searchCandidatesGbt(42L, 4)
+      val steps = 3
+      val (configs, trans) = AutoForecast.cfoReachable("gbt", 42L, steps,
+        AutoForecast.dimsGbt)
+      val cands = configs.map(AutoForecast.decodeGbt)
       val bts = cands.zipWithIndex.map { case ((l, r, b, e), i) =>
         OlsBacktestSql.backtestTree2(s"asg$i", l, testSize = 3, nSplits = 2,
           stepSize = 5, rounds = r, bins = b, eta = e)
@@ -921,18 +907,8 @@ object ConformalQueries {
         OlsBacktestSql.fullTree2(s"asgf$i", l, fh = 3, rounds = r, bins = b,
           eta = e)
       }
-      val sAB = cands.indices.flatMap { i =>
-        Seq(
-          s"""sga_$i AS (SELECT avg(smape) AS s FROM (
-                SELECT user_id, sum(abs(pred - actual)) / sum(pred + actual) AS smape
-                FROM bt_asg$i WHERE split = 1 GROUP BY user_id))""",
-          s"""sgb_$i AS (SELECT avg(smape) AS s FROM (
-                SELECT user_id, sum(abs(pred - actual)) / sum(pred + actual) AS smape
-                FROM bt_asg$i GROUP BY user_id))""")
-      }
-      val scoreRows = cands.indices.map(i =>
-        s"SELECT $i AS i, sga_$i.s AS s1, sgb_$i.s AS s2 FROM sga_$i CROSS JOIN sgb_$i")
-        .mkString(" UNION ALL ")
+      val scs = cands.indices.map(i => OlsBacktestSql.meanSmapeCteMat(s"asg$i", s"asg$i"))
+      val walk = OlsBacktestSql.cfoWalkCtes("gwlk", trans, i => s"s_asg$i")
       val predRows = cands.indices.map(i =>
         s"SELECT user_id, cutoff, $i AS i, p1, p2, p3 FROM fp_asgf$i")
         .mkString(" UNION ALL ")
@@ -948,14 +924,9 @@ object ConformalQueries {
       }
       s"""WITH ${OlsBacktestSql.lagdCte(7)},
           ${bts.mkString(", ")},
-          ${sAB.mkString(", ")},
-          gscores AS ($scoreRows),
-          gsurv AS (SELECT i, s2 FROM (
-              SELECT i, s2, row_number() OVER (ORDER BY s1 ASC NULLS LAST, i) AS r1
-              FROM gscores) WHERE r1 <= 2),
-          gpick AS (SELECT i AS chosen FROM (
-              SELECT i, row_number() OVER (ORDER BY s2 ASC NULLS LAST, i) AS r2
-              FROM gsurv) WHERE r2 = 1),
+          ${scs.mkString(", ")},
+          $walk,
+          gpick AS (SELECT inc AS chosen FROM gwlk${trans.length}),
           ${fulls.mkString(", ")},
           gapreds AS ($predRows)
           SELECT p.user_id, CAST(p.cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
@@ -966,7 +937,7 @@ object ConformalQueries {
     }) { (s, dir) =>
       val p = ev(s, dir)
       val (_, (lags, rounds, bins, eta), _, model) = AutoForecast.autoSearchTreeBoost(
-        p, "ts", "1d", seed = 42L, nCandidates = 4, testSize = 3, nSplits = 2,
+        p, "ts", "1d", seed = 42L, nCandidates = 3, testSize = 3, nSplits = 2,
         stepSize = 5)
       r6(model.predict(p, "ts", fh = 3)
         .withColumn("chosen_lags", lit(lags).cast("long"))

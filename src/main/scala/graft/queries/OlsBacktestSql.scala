@@ -808,6 +808,41 @@ object OlsBacktestSql {
           SELECT user_id, sum(abs(pred - actual)) / sum(pred + actual) AS smape
           FROM bt_$btTag GROUP BY user_id))"""
 
+  /** MATERIALIZED variant of [[meanSmapeCte]] for score CTEs the CFO
+    * walk references from several CASE branches — DuckDB inlines plain
+    * CTEs per consumer, which would re-execute the whole backtest
+    * chain behind each scalar subquery. */
+  def meanSmapeCteMat(scoreTag: String, btTag: String): String =
+    s"""s_$scoreTag AS MATERIALIZED (SELECT avg(smape) AS s FROM (
+          SELECT user_id, sum(abs(pred - actual)) / sum(pred + actual) AS smape
+          FROM bt_$btTag GROUP BY user_id))"""
+
+  /** The CFO local-search walk as CTEs ([[graft.operators.AutoForecast
+    * .cfoWalk]]'s SQL replica): `${w}0` holds the low-cost start
+    * (config index 0); step t's CTE maps every possible incumbent
+    * index to its seeded proposal via a CASE, moving iff the
+    * proposal's score is strictly lower, with NULL/NaN inert in both
+    * directions (a NULL/NaN comparison falls through to the ELSE —
+    * exactly the Scala walk's `!a.isNaN && !b.isNaN && a < b`).
+    * `trans` comes from `AutoForecast.cfoReachable` (the SAME Scala
+    * machinery that runs the search); `cs(i)` names config i's
+    * MATERIALIZED one-row score CTE. The final incumbent is
+    * `${w}${trans.length}.inc`. */
+  def cfoWalkCtes(w: String, trans: Seq[Map[Int, Int]], cs: Int => String): String = {
+    val steps = trans.zipWithIndex.map { case (m, t0) =>
+      val t = t0 + 1
+      val branches = m.toSeq.sortBy(_._1).map { case (i, pi) =>
+        if (pi == i) s"WHEN $i THEN $i"
+        else
+          s"""WHEN $i THEN (CASE WHEN (SELECT s FROM ${cs(pi)}) < (SELECT s FROM ${cs(i)})
+                AND NOT isnan((SELECT s FROM ${cs(pi)}))
+                AND NOT isnan((SELECT s FROM ${cs(i)})) THEN $pi ELSE $i END)"""
+      }.mkString(" ")
+      s"${w}$t AS (SELECT CASE inc $branches END AS inc FROM ${w}${t - 1})"
+    }
+    s"${w}0 AS (SELECT 0 AS inc), ${steps.mkString(", ")}"
+  }
+
   /** The shared tail of every two-candidate auto-sweep oracle: argmin
     * pick over the two `s_*` score CTEs (first-wins ties, hence <=),
     * FULL OUTER JOIN of the two full-data fh=3 prediction frames, and

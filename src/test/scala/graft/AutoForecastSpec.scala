@@ -347,4 +347,66 @@ class AutoForecastSpec extends SparkSpec {
     assert(lsh.keySet == exact.keySet)
     exact.foreach { case (e, v) => assertClose(lsh(e), v, 1e-9) }
   }
+  // ── CFO local search (FLAML's actual trajectory, automl.py:191-229) ──
+
+  test("cfoReachable enumerates the seed-42 walks (hand-checked md5 stream)") {
+    // linear arm, 5 evaluations: the md5 stream for (ns=lin, seed=42)
+    // moves lags +1 at t=1, lags -1 at t=2, lags +1 at t=3, l1 +1 at
+    // t=4 — reachable = lags {3,4,5} x l1 {0.0, 0.5} at alpha 0.01
+    val (cl, tl) = AutoForecast.cfoReachable("lin", 42L, 5, AutoForecast.dimsLinear)
+    assert(cl.map(AutoForecast.decodeLinear) == Seq(
+      (3, 0.01, 0.0), (4, 0.01, 0.0), (5, 0.01, 0.0),
+      (3, 0.01, 0.5), (4, 0.01, 0.5), (5, 0.01, 0.5)))
+    assert(tl == Seq(Map(0 -> 1), Map(0 -> 1, 1 -> 0), Map(0 -> 1, 1 -> 2),
+      Map(0 -> 3, 1 -> 4, 2 -> 5)))
+    // GBT arm, 3 evaluations: bins +1 at t=1, lags +1 at t=2
+    val (cg, tg) = AutoForecast.cfoReachable("gbt", 42L, 3, AutoForecast.dimsGbt)
+    assert(cg.map(AutoForecast.decodeGbt) == Seq(
+      (3, 2, 3, 0.3), (3, 2, 4, 0.3), (5, 2, 3, 0.3), (5, 2, 4, 0.3)))
+    assert(tg == Seq(Map(0 -> 1), Map(0 -> 2, 1 -> 3)))
+  }
+
+  test("cfoWalk's incumbent sequence matches a hand-traced walk") {
+    val dims = AutoForecast.dimsLinear
+    val (configs, _) = AutoForecast.cfoReachable("lin", 42L, 5, dims)
+    def walkWith(scores: Map[Int, Double]) = {
+      val evals = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val (inc, best, path) = AutoForecast.cfoWalk("lin", 42L, 5, dims) { c =>
+        val i = configs.indexOf(c); evals += i; scores(i)
+      }
+      (configs.indexOf(inc), best, path.map(configs.indexOf(_)), evals.toSeq)
+    }
+    // trace: eval 0 (1.0); t1 prop 1 (0.5 < 1.0 -> MOVE); t2 prop of
+    // inc 1 is 0 (1.0 !< 0.5 -> stay, memoized: no re-eval); t3 prop
+    // of inc 1 is 2 (0.9 !< 0.5 -> stay); t4 prop of inc 1 is 4
+    // (0.2 < 0.5 -> MOVE). Final incumbent 4, score 0.2.
+    val (w1, b1, path1, evals1) = walkWith(Map(0 -> 1.0, 1 -> 0.5, 2 -> 0.9, 4 -> 0.2))
+    assert(w1 == 4 && b1 == 0.2)
+    assert(path1 == Seq(0, 1, 1, 1, 4))
+    assert(evals1 == Seq(0, 1, 2, 4), "config 0 must be memoized at t2, not re-scored")
+    // all proposals worse -> the low-cost start survives every step
+    val (w2, _, path2, _) = walkWith(Map(0 -> 0.1, 1 -> 0.5, 2 -> 9.0, 3 -> 9.0))
+    assert(w2 == 0 && path2 == Seq(0, 0, 0, 0, 0))
+    // NaN is inert BOTH ways (DuckDB NULL-comparison semantics): a NaN
+    // proposal never moves in; a NaN incumbent is never displaced
+    val (w3, _, path3, _) = walkWith(Map(0 -> Double.NaN, 1 -> 0.5, 2 -> 0.9, 3 -> 0.8))
+    assert(w3 == 0 && path3 == Seq(0, 0, 0, 0, 0))
+  }
+
+  test("autoSearchRegularized cfo arm returns the walk winner; halving fallback intact") {
+    val signal = (0 until 60).map(t => 50 + 20 * math.sin(0.3 * t))
+    val p = panel(signal, signal.map(_ + 3.0))
+    val (winner, cand, score, model) = AutoForecast.autoSearchRegularized(
+      p, "t", "1i", seed = 42L, nCandidates = 5, testSize = 5, nSplits = 2,
+      stepSize = 5, cdSweeps = 6)
+    val (configs, _) = AutoForecast.cfoReachable("lin", 42L, 5, AutoForecast.dimsLinear)
+    assert(AutoForecast.decodeLinear(configs(winner)) == cand)
+    assert(!score.isNaN)
+    assert(model.predict(p, "t", fh = 2).count() == 4)
+    // legacy halving arm still runs and picks from its own draw
+    val (hw, hc, _, _) = AutoForecast.autoSearchRegularized(
+      p, "t", "1i", seed = 42L, nCandidates = 4, testSize = 5, nSplits = 2,
+      stepSize = 5, cdSweeps = 6, strategy = "halving")
+    assert(AutoForecast.searchCandidates(42L, 4)(hw) == hc)
+  }
 }
