@@ -40,7 +40,8 @@ object QuantileSoak {
       .repartition(cpus.toInt, col("entity"))
     val p = Panel(df.cache(), Seq("entity"), Seq("t"), "value")
     println(s"[q-soak] rows=${p.df.count()} (all-distinct continuous target)")
-    def run(tag: String, exact: Boolean, weighted: Boolean): Array[Double] = {
+    def run(tag: String, exact: Boolean, weighted: Boolean,
+            delta: Int = 2000): Array[Double] = {
       val t0 = System.nanoTime()
       // recency weights — fractional, so the weighted renewal paths
       // (exact microweight lattice vs bounded merging-histogram
@@ -51,7 +52,7 @@ object QuantileSoak {
       else None
       val m = TreeBoost.fit(p, lags = 5, freq = "1i", rounds = 3, bins = 4,
         eta = 0.3, objective = "quantile", objParam = 0.9, quantileExact = exact,
-        weight = w)
+        weight = w, quantileDelta = delta)
       val preds = m.predict(p, "t", fh = 3)
         .orderBy("entity", "t").limit(1000).collect().map(_.getDouble(2))
       println(f"[q-soak] $tag: ${(System.nanoTime() - t0) / 1e9}%.1f s")
@@ -64,9 +65,15 @@ object QuantileSoak {
     // weighted twin pair: exact pair-buffer renewal (O(rows in leaf)
     // on the merge task) vs the bounded WeightedQuantileSketch
     val exW = run("weighted exact (microweight lattice)", exact = true, weighted = true)
-    val apW = run("weighted sketch (2000-centroid bounded)", exact = false, weighted = true)
-    val maxDivW = exW.zip(apW).map { case (a, b) => math.abs(a - b) }.max
-    println(f"[q-soak] weighted max |exact - sketch| over 1000 preds: $maxDivW%.6f")
+    // the δ knob's accuracy/cost trade, measured end-to-end: default
+    // δ=2000 (~5e-4 rank error) and δ=20000 (~5e-5, 10× the per-group
+    // state) — SCALE.md carries the divergence at both budgets
+    for (delta <- Seq(2000, 20000)) {
+      val apW = run(s"weighted sketch (δ=$delta bounded)", exact = false,
+        weighted = true, delta = delta)
+      val maxDivW = exW.zip(apW).map { case (a, b) => math.abs(a - b) }.max
+      println(f"[q-soak] weighted δ=$delta%d max |exact - sketch| over 1000 preds: $maxDivW%.6f")
+    }
     spark.stop()
   }
 }

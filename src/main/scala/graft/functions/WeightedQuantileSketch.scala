@@ -39,10 +39,16 @@ import org.apache.spark.sql.functions.udaf
   * spec-pinned against it (QuantileSpec) and soak-measured
   * (QuantileSoak weighted row, SCALE.md).
   */
-final class WeightedQuantileSketch(val delta: Int, val bufCap: Int)
+final class WeightedQuantileSketch(private var delta0: Int, private var bufCap0: Int)
     extends Serializable with com.esotericsoftware.kryo.KryoSerializable {
 
   def this() = this(2000, 8192)
+
+  /** Accuracy budget: ≤ ~2δ stored centroids, ~1/δ max rank error.
+    * Mutable only so Kryo [[read]] can restore a non-default budget
+    * (the no-arg deserialization ctor starts at the default). */
+  def delta: Int = delta0
+  def bufCap: Int = bufCap0
 
   // compressed centroids, value-sorted after compress()
   private var cMean: Array[Double] = Array.emptyDoubleArray
@@ -56,6 +62,10 @@ final class WeightedQuantileSketch(val delta: Int, val bufCap: Int)
 
   def totalWeight: Double = total
   def centroidCount: Int = nc
+  /** Compressed-centroid accessors (call [[compress]] first) — the
+    * streaming gate persists the bounded set as its group state. */
+  def centroidMean(i: Int): Double = cMean(i)
+  def centroidWeight(i: Int): Double = cW(i)
 
   def add(v: Double, w: Double): this.type = {
     if (w <= 0.0 || v.isNaN) return this
@@ -71,6 +81,11 @@ final class WeightedQuantileSketch(val delta: Int, val bufCap: Int)
   }
 
   def mergeWith(o: WeightedQuantileSketch): this.type = {
+    // partials of one aggregation always share a budget; a mismatch
+    // means two different-δ sketches were mixed — fail loud, a silent
+    // mix would quietly degrade the tighter side's error bound
+    require(o.delta == delta && o.bufCap == bufCap,
+      s"weighted-quantile sketch budget mismatch (${o.delta}/${o.bufCap} vs $delta/$bufCap)")
     var i = 0
     while (i < o.nc) { add(o.cMean(i), o.cW(i)); i += 1 }
     i = 0
@@ -161,11 +176,10 @@ final class WeightedQuantileSketch(val delta: Int, val bufCap: Int)
 
   override def read(kryo: com.esotericsoftware.kryo.Kryo,
                     input: com.esotericsoftware.kryo.io.Input): Unit = {
-    val d = input.readInt(); val bc = input.readInt()
-    // delta/bufCap are vals set by the (deserialization) no-arg ctor;
-    // enforce agreement rather than silently mixing budgets
-    require(d == delta && bc == bufCap,
-      s"weighted-quantile sketch budget mismatch ($d/$bc vs $delta/$bufCap)")
+    // the wire image carries the budget — restore it (the no-arg
+    // deserialization ctor starts at the default; mergeWith enforces
+    // agreement between partials, so budgets still never mix)
+    delta0 = input.readInt(); bufCap0 = input.readInt()
     nc = input.readInt()
     total = input.readDouble()
     cMean = input.readDoubles(nc)
@@ -176,14 +190,23 @@ final class WeightedQuantileSketch(val delta: Int, val bufCap: Int)
 
 /** Aggregator form mirroring [[WeightedQuantileAgg]]'s null/weight
   * contract: (value, weight) rows, null values and non-positive
-  * weights skipped, empty group → null. */
-final class WeightedQuantileSketchAgg(alpha: Double)
+  * weights skipped, empty group → null. `delta` is the accuracy
+  * budget (max rank error ≈ 1/δ at ≤ ~2δ centroids): the default
+  * 2000 (~5e-4) suits central quantiles; DEEP tail quantiles (α
+  * within ~10/δ of 0 or 1) or tight-tolerance renewals should raise
+  * it (δ = 20000 → ~5e-5 at 10× the state) — QuantileSpec pins the
+  * realized error at both budgets. */
+final class WeightedQuantileSketchAgg(alpha: Double, delta: Int = 2000,
+                                      bufCap: Int = 8192)
     extends Aggregator[(java.lang.Double, java.lang.Double), WeightedQuantileSketch,
       java.lang.Double] with Serializable {
   require(alpha > 0.0 && alpha < 1.0,
     s"weighted quantile sketch needs alpha in (0,1), got $alpha")
+  require(delta >= 10 && bufCap >= 64,
+    s"weighted quantile sketch needs delta >= 10 and bufCap >= 64 " +
+      s"(got delta=$delta, bufCap=$bufCap)")
 
-  override def zero: WeightedQuantileSketch = new WeightedQuantileSketch()
+  override def zero: WeightedQuantileSketch = new WeightedQuantileSketch(delta, bufCap)
 
   override def reduce(b: WeightedQuantileSketch,
                       in: (java.lang.Double, java.lang.Double)): WeightedQuantileSketch =
@@ -204,6 +227,7 @@ final class WeightedQuantileSketchAgg(alpha: Double)
 
 object WeightedQuantileSketchAgg {
   /** Two-column (value, weight) UDAF for DataFrame `agg`. */
-  def apply(alpha: Double) = udaf(new WeightedQuantileSketchAgg(alpha),
-    Encoders.product[(java.lang.Double, java.lang.Double)])
+  def apply(alpha: Double, delta: Int = 2000, bufCap: Int = 8192) =
+    udaf(new WeightedQuantileSketchAgg(alpha, delta, bufCap),
+      Encoders.product[(java.lang.Double, java.lang.Double)])
 }

@@ -51,7 +51,8 @@ object EliteDeep {
                   fourierK: Int = 0,
                   selected: Seq[String] = Nil,
                   releases: scala.collection.mutable.Buffer[DataFrame] =
-                    scala.collection.mutable.ArrayBuffer.empty): Seq[Member] = {
+                    scala.collection.mutable.ArrayBuffer.empty,
+                  knnCorpusFraction: Double = 1.0): Seq[Member] = {
     val p = cached
     // ONE positioned frame for every generic-backtest member: a lazy
     // narrow projection of the cached lag frame (lagKeepAll preserves
@@ -148,10 +149,10 @@ object EliteDeep {
       case Some(step) =>
         ForecastPipeline.fit(tr, timeCol, Seq(step),
           pT => (tc, hh) => KnnForecaster.predictRecursiveAuto(pT, tc, freq, lags, k, hh,
-            entityCountHint = entityCount))
+            entityCountHint = entityCount, corpusFraction = knnCorpusFraction))
           .predict(timeCol, h)
       case None => KnnForecaster.predictRecursiveAuto(tr, timeCol, freq, lags, k, h,
-        entityCountHint = entityCount)
+        entityCountHint = entityCount, corpusFraction = knnCorpusFraction)
     }
     // AR + fourier feature-transform members: the fourier columns are
     // position functions, so backtest refits run PREFIX-SHARED over
@@ -225,10 +226,15 @@ object EliteDeep {
     lazy val batchKnn: Map[String, (DataFrame, DataFrame)] =
       if (knnSpecs.nonEmpty && entityCount <= KnnForecaster.maxExactEntities)
         EliteKnnBatch.backtestAndFull(p, timeCol, freq, knnSpecs,
-          testSize, nSplits, stepSize, fh, releases)
+          testSize, nSplits, stepSize, fh, releases, knnCorpusFraction)
       else Map.empty
+    // a gated corpus is stamped into the member name (and so into the
+    // output's `model` column and the CV ranking): a recall-degraded
+    // knn member competes under an honest label — selection in `run`
+    // matches on the base name (stampBase)
     def knnMember(name: String, k: Int, lags: Int,
-                  xform: Option[ForecastPipeline.Step]) = Member(name,
+                  xform: Option[ForecastPipeline.Step]) = Member(
+      if (knnCorpusFraction < 1.0) s"$name@cf$knnCorpusFraction" else name,
       () => batchKnn.get(name).map(_._1).getOrElse(
         Conformal.backtest(p, timeCol, testSize, nSplits, stepSize,
           knnFit(lags, k, xform), prePositioned = Some(sharedPositioned))),
@@ -398,7 +404,18 @@ object EliteDeep {
     * UNSCALED n·ln(RSS/n)+2df criterion can pick a different alpha
     * than sklearn's: see Ols.lassoAicCD's caveat and the
     * EliteDeepSpec case where the two disagree).
-    * Returns (entity…, timeCol, value). */
+    * Returns (entity…, timeCol, value).
+    *
+    * `knnCorpusFraction` < 1 runs every knn member against a
+    * deterministic entity-hash SUBSET of the corpus (recall-bounded
+    * mode, [[KnnForecaster.corpusKeep]]): the zoo ranks members by CV
+    * score, so a recall-degraded knn member that loses its rank loses
+    * it honestly — what lets the FULL 35-member zoo complete at 1M
+    * entities on one box (the in-zoo knn pair-work, ∝ corpus ×
+    * queries per step, is the measured box limit: ~6 h/roll ungated,
+    * SCALE.md). The fraction is stamped into the member name (model
+    * column reads e.g. `knn_3@cf0.05`); fraction = 1 is bitwise the
+    * ungated path. */
   def run(p: Panel, timeCol: String, freq: String, fh: Int, topK: Int,
           strategy: String = "mean", testSize: Int = 5, nSplits: Int = 2,
           stepSize: Int = 5, sp: Int = 7, cdSweeps: Int = 8,
@@ -407,7 +424,8 @@ object EliteDeep {
           stackCriterion: String = "cd",
           models: Seq[String] = allModels,
           deepLags: Int = 0,
-          fourierK: Int = 0): DataFrame = {
+          fourierK: Int = 0,
+          knnCorpusFraction: Double = 1.0): DataFrame = {
     require(deepLags <= 0 || deepLags > 14,
       s"deepLags must exceed the default zoo's max depth 14 (got $deepLags)")
     // "log_lasso" is accepted for API parity: in the reference both
@@ -462,10 +480,14 @@ object EliteDeep {
         else models
       val all = zoo(cached, sharedLag, timeCol, freq, sp, fh,
         testSize, nSplits, stepSize, cdSweeps, deepLags, fourierK,
-        selected, releases)
-      val unknown = selected.filterNot(all.map(_.name).contains)
+        selected, releases, knnCorpusFraction)
+      // selection matches on the BASE name — a gated knn member's name
+      // carries the @cf<fraction> recall stamp, but callers select it
+      // by its plain zoo name
+      def baseName(n: String): String = n.split("@cf")(0)
+      val unknown = selected.filterNot(all.map(m => baseName(m.name)).contains)
       require(unknown.isEmpty, s"unknown eliteDeep models: ${unknown.mkString(", ")}")
-      val members = all.filter(m => selected.contains(m.name))
+      val members = all.filter(m => selected.contains(baseName(m.name)))
       if (members.size >= 16) {
         val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
           (r: Runnable) => { val t = new Thread(r, "elite-gc-ticker")

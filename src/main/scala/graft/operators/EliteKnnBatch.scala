@@ -57,7 +57,8 @@ object EliteKnnBatch {
   def backtestAndFull(p: Panel, timeCol: String, freq: String,
                       members: Seq[MemberSpec], testSize: Int, nSplits: Int,
                       stepSize: Int, fh: Int,
-                      releases: scala.collection.mutable.Buffer[DataFrame])
+                      releases: scala.collection.mutable.Buffer[DataFrame],
+                      corpusFraction: Double = 1.0)
       : Map[String, (DataFrame, DataFrame)] = {
     if (members.isEmpty) return Map.empty
     // one positioned frame for every member's splits (Conformal
@@ -71,7 +72,8 @@ object EliteKnnBatch {
     // one sub-batch per depth (each still collapses its own
     // nSplits·testSize + fh per-slice scans to max(testSize, fh))
     members.groupBy(m => (m.lags, m.k)).toSeq.flatMap { case ((lags, k), ms) =>
-      runBatch(p, timeCol, freq, ms, splits, testSize, fh, lags, k, releases)
+      runBatch(p, timeCol, freq, ms, splits, testSize, fh, lags, k, releases,
+        corpusFraction)
     }.toMap
   }
 
@@ -90,7 +92,8 @@ object EliteKnnBatch {
                        ms: Seq[MemberSpec],
                        splits: Seq[(DataFrame, DataFrame)],
                        testSize: Int, fh: Int, lags: Int, k: Int,
-                       releases: scala.collection.mutable.Buffer[DataFrame])
+                       releases: scala.collection.mutable.Buffer[DataFrame],
+                       corpusFraction: Double = 1.0)
       : Seq[(String, (DataFrame, DataFrame))] = {
     val spark = p.df.sparkSession
     val featureCols = (1 to lags).map(l => s"${p.value}__lag_$l")
@@ -125,7 +128,9 @@ object EliteKnnBatch {
     // partials at partitions × queries × k.
     val nPart = spark.sessionState.conf.numShufflePartitions
     val redUnion = withGrp.map { case (c, g) =>
-      Forecasters.makeReduction(c.pT, lags).na.drop(featureCols :+ p.value)
+      Forecasters.makeReduction(c.pT, lags)
+        .filter(KnnForecaster.corpusKeep(p.entityCols, corpusFraction))
+        .na.drop(featureCols :+ p.value)
         .select((featureCols.map(cn => col(cn).cast("double")) :+
           col(p.value).cast("double").as("__label") :+
           lit(g).as("__grp")): _*)
@@ -138,7 +143,11 @@ object EliteKnnBatch {
       withGrp.foreach { case (c, g) =>
         require(grpCounts.getOrElse(g, 0L) > 0L,
           s"knn batch: member ${c.m.name}, split ${c.split} has no " +
-            s"complete training rows (lags=$lags)")
+            s"complete training rows (lags=$lags" +
+            (if (corpusFraction < 1.0)
+              s"; corpusFraction=$corpusFraction may have gated out every " +
+                "corpus entity — raise the fraction"
+            else "") + ")")
       }
       // per-context query tails, collected (entity-sized — the exact
       // path's standing assumption, guarded per context); independent

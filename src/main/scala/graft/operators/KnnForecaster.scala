@@ -27,6 +27,25 @@ import org.apache.spark.sql.types._
   */
 object KnnForecaster {
 
+  /** Deterministic entity-hash corpus gate for RECALL-BOUNDED knn at
+    * scale: keeps corpus rows whose entity lands in the first
+    * `fraction` of the xxhash64 lattice (pmod(h, 1e6) < f·1e6).
+    * Queries are never gated — every entity still gets a forecast;
+    * only the searched neighbor corpus shrinks, cutting the
+    * pair-work (∝ corpus × queries, the measured in-zoo knn cost law,
+    * SCALE.md) by f. Whole ENTITIES are kept or dropped so surviving
+    * series contribute all their windows. fraction = 1 is a `lit
+    * (true)` no-op — bitwise the ungated path. Deterministic (same
+    * entities at every step/slice), so CV slices and the full fit
+    * search one consistent sub-corpus. */
+  private[graft] def corpusKeep(entityCols: Seq[Column], fraction: Double): Column = {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"knn corpusFraction must be in (0, 1] (got $fraction)")
+    if (fraction >= 1.0) lit(true)
+    else pmod(xxhash64(entityCols: _*), lit(1000000L)) <
+      lit(math.round(fraction * 1e6))
+  }
+
   /** Exact one-step-ahead KNN prediction per entity (broadcast path). */
   def predictOneStep(p: Panel, timeCol: String, freq: String, lags: Int, k: Int): DataFrame = {
     val (ranked, qMeta) = neighborRanking(p, timeCol, lags, kHeap = k)
@@ -270,10 +289,12 @@ object KnnForecaster {
     * reduction; the per-step collected state is O(entities).
     * [[predictOneStep]] stays the fh=1 fast path. */
   def predictRecursive(p: Panel, timeCol: String, freq: String, lags: Int,
-                       k: Int, fh: Int): DataFrame = {
+                       k: Int, fh: Int, corpusFraction: Double = 1.0): DataFrame = {
     val spark = p.df.sparkSession
     val featureCols = (1 to lags).map(l => s"${p.value}__lag_$l").toArray
-    val reduction = Forecasters.makeReduction(p, lags).na.drop(featureCols :+ p.value)
+    val reduction = Forecasters.makeReduction(p, lags)
+      .filter(corpusKeep(p.entityCols, corpusFraction))
+      .na.drop(featureCols :+ p.value)
       .select((featureCols.map(c => col(c).cast("double")).toIndexedSeq :+
         col(p.value).cast("double").as("__label")): _*)
       .cache()
@@ -485,13 +506,17 @@ object KnnForecaster {
     * Reference: forecasting/knn.py:22 + base recursion _ar.py:216-270,
     * IVF analog forecasting/lance.py:40-101. */
   def predictRecursiveIvf(p: Panel, timeCol: String, freq: String, lags: Int,
-                          k: Int, fh: Int, nCells: Int): DataFrame = {
+                          k: Int, fh: Int, nCells: Int,
+                          corpusFraction: Double = 1.0): DataFrame = {
     val spark = p.df.sparkSession
     val nPart = spark.sessionState.conf.numShufflePartitions
     val featureCols = (1 to lags).map(l => s"${p.value}__lag_$l")
+    // the fraction gate precedes the centroid sample, preserving the
+    // sampled-from-corpus invariant (queried cells stay non-empty)
     val red = CrossValidation
       .withPosition(p.copy(df = Preprocess.lagKeepAll(p, 1 to lags)))
       .filter(col("__rn") > lags)
+      .filter(corpusKeep(p.entityCols, corpusFraction))
       .na.drop(featureCols :+ p.value)
     val tag = md5(concat_ws("_",
       (p.entityCols :+ col("__rn")).map(_.cast("string")): _*).cast("binary"))
@@ -654,7 +679,8 @@ object KnnForecaster {
     * at millions of entities instead of failing the exact guard. */
   def predictRecursiveAuto(p: Panel, timeCol: String, freq: String, lags: Int,
                            k: Int, fh: Int, nCells: Int = 0,
-                           entityCountHint: Long = -1L): DataFrame = {
+                           entityCountHint: Long = -1L,
+                           corpusFraction: Double = 1.0): DataFrame = {
     // callers that fit many members/slices on the same panel (the
     // elite zoo: ~15 knn fits per run) pass the count once instead of
     // paying a distinct-count job per fit; a hint from the FULL panel
@@ -663,12 +689,12 @@ object KnnForecaster {
       if (entityCountHint >= 0) entityCountHint
       else p.df.select(p.entityCols: _*).distinct().count()
     if (nEntities <= maxExactEntities)
-      predictRecursive(p, timeCol, freq, lags, k, fh)
+      predictRecursive(p, timeCol, freq, lags, k, fh, corpusFraction)
     else {
       val cells =
         if (nCells > 0) nCells
-        else math.max(16, math.sqrt(nEntities.toDouble).toInt)
-      predictRecursiveIvf(p, timeCol, freq, lags, k, fh, cells)
+        else math.max(16, math.sqrt(nEntities.toDouble * corpusFraction).toInt)
+      predictRecursiveIvf(p, timeCol, freq, lags, k, fh, cells, corpusFraction)
     }
   }
 

@@ -198,13 +198,20 @@ object TreeBoost {
     * tolerance. WEIGHTED + production (r12): the weighted renewal's
     * bounded-memory twin is [[graft.functions.WeightedQuantileSketch]]
     * (uniform-budget merging histogram, ~2δ centroids per group,
-    * ~1/δ = 5e-4 rank error — GK has no fractional-weight form);
-    * same spec-pinned-not-oracle-gated contract. */
+    * ~1/δ rank error — GK has no fractional-weight form); same
+    * spec-pinned-not-oracle-gated contract. `quantileDelta` is that
+    * sketch's accuracy budget: the default 2000 (~5e-4 rank error) is
+    * 50× looser than the unweighted GK-at-1e-5 twin and suits CENTRAL
+    * quantiles only — for deep tails (α within ~10/δ of 0 or 1, e.g.
+    * α = 0.999 renewals) or tight agreement tolerances raise it
+    * (20000 → ~5e-5 at 10× the per-group state; QuantileSpec pins the
+    * realized error scaling at both budgets). Read only under
+    * `weight.isDefined && !quantileExact`. */
   def fit(p: Panel, lags: Int, freq: String, rounds: Int = 5,
           bins: Int = 8, eta: Double = 0.3, objective: String = "l2",
           objParam: Double = Double.NaN, labelClamp: Boolean = false,
           weight: Option[(Column, Column) => Column] = None,
-          quantileExact: Boolean = true): Model = {
+          quantileExact: Boolean = true, quantileDelta: Int = 2000): Model = {
     require(Set("l2", "poisson", "gamma", "tweedie", "quantile")(objective),
       s"tree-boost objective must be l2, poisson, gamma, tweedie or quantile " +
         s"(got '$objective')")
@@ -353,7 +360,7 @@ object TreeBoost {
       def qAgg(value: Column): Column =
         if (weight.isDefined) {
           if (quantileExact) graft.functions.WeightedQuantileAgg(alpha)(value, col("__wgt"))
-          else graft.functions.WeightedQuantileSketchAgg(alpha)(value, col("__wgt"))
+          else graft.functions.WeightedQuantileSketchAgg(alpha, quantileDelta)(value, col("__wgt"))
         }
         else if (quantileExact) percentile(value, lit(alpha))
         else approx_percentile(value, lit(alpha), lit(100000))

@@ -264,6 +264,67 @@ object StreamingPanel {
       }
   }
 
+  /** One weighted streaming observation. */
+  final case class WeightedIn(entity: Long, eventTime: java.sql.Timestamp,
+                              value: Double, weight: Double)
+
+  /** Bounded per-entity weighted-quantile state: the sketch's
+    * compressed (mean, weight) centroids — ≤ ~2δ pairs, independent
+    * of stream length. */
+  final case class WQState(means: Seq[Double], weights: Seq[Double])
+
+  final case class QuantileRow(entity: Long, eventTime: java.sql.Timestamp,
+                               centroids: Long, quantile: Double)
+
+  /** Streaming weighted-quantile renewal — the incremental twin of the
+    * batch GBT quantile objective's weighted renewal
+    * ([[graft.functions.WeightedQuantileSketch]], TreeBoost
+    * `quantileExact = false` + weights): per entity, fold each
+    * micro-batch's (value, weight) rows (eventTime order) into the
+    * bounded merging-histogram sketch held in state, and emit ONE row
+    * per entity per trigger with the post-batch α-quantile. Querying
+    * once per trigger (not per event) keeps the add-then-query-once
+    * sequence identical to a batch fold over the same rows — a
+    * single-trigger replay is therefore BITWISE the batch sketch
+    * (StreamingSpec pins it); across triggers the state roundtrip is
+    * itself a sketch-legal centroid merge, so the 1/δ rank bound
+    * holds unchanged. State is ≤ ~2δ (mean, weight) pairs per entity,
+    * independent of stream length — the bounded-memory property that
+    * makes the weighted renewal streamable at all (the exact renewal
+    * buffers every pair). Non-positive weights and NaN values are
+    * skipped, matching the batch aggregator's contract. */
+  def streamingWeightedQuantile(events: Dataset[WeightedIn], alpha: Double,
+                                delta: Int = 2000): Dataset[QuantileRow] = {
+    require(alpha > 0.0 && alpha < 1.0,
+      s"streaming weighted quantile needs alpha in (0,1), got $alpha")
+    implicit val stateEnc: Encoder[WQState] = Encoders.product[WQState]
+    implicit val outEnc: Encoder[QuantileRow] = Encoders.product[QuantileRow]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    events.groupByKey(_.entity)
+      .flatMapGroupsWithState[WQState, QuantileRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (entity: Long, rows: Iterator[WeightedIn], state: GroupState[WQState]) =>
+          val sk = new graft.functions.WeightedQuantileSketch(delta, 8192)
+          state.getOption.foreach { s =>
+            var i = 0
+            while (i < s.means.length) { sk.add(s.means(i), s.weights(i)); i += 1 }
+          }
+          val sorted = rows.toSeq.sortBy(_.eventTime.getTime)
+          sorted.foreach(r => sk.add(r.value, r.weight))
+          val q = sk.quantile(alpha)
+          // persist the compressed centroid set (quantile() compressed
+          // above when nc > 0; an under-buffer group compresses here —
+          // the stored state is always the bounded set)
+          sk.compress()
+          val pairs = (0 until sk.centroidCount)
+          state.update(WQState(
+            pairs.map(sk.centroidMean), pairs.map(sk.centroidWeight)))
+          if (sorted.isEmpty || q == null) Iterator.empty
+          else Iterator(QuantileRow(entity, sorted.last.eventTime,
+            sk.centroidCount.toLong, q.doubleValue))
+      }
+  }
+
   /** Bounded per-entity conformal state: last ≤ maxResiduals one-step
     * naive residuals, the previous observed value, and the cutoff. */
   final case class ConformalState(resids: Seq[Double], lastValue: Double,

@@ -442,4 +442,51 @@ class EliteDeepSpec extends SparkSpec {
     assert(out.count() == 6L)
     assert(out.collect().forall(r => java.lang.Double.isFinite(r.getDouble(2))))
   }
+  test("knnCorpusFraction=1 is bitwise the ungated zoo; <1 keeps every query entity") {
+    val p = panel(Seq.tabulate(30)(i => math.sin(i * 0.7) * 3 + i * 0.1),
+      Seq.tabulate(30)(i => 40.0 - i), Seq.tabulate(30)(i => (i % 5) * 2.0),
+      Seq.tabulate(30)(i => 10.0 + (i % 4)))
+    val models = Seq("naive", "linear_7", "knn_3", "knn_scaled_3")
+    def runAt(f: Double) = EliteDeep.run(p, "t", "1i", fh = 2, topK = 2,
+      testSize = 3, nSplits = 2, stepSize = 3, models = models,
+      knnCorpusFraction = f)
+      .orderBy("entity", "t").collect().map(_.toSeq)
+    // fraction = 1 must be the identical (default) path, bitwise
+    val ungated = EliteDeep.run(p, "t", "1i", fh = 2, topK = 2,
+      testSize = 3, nSplits = 2, stepSize = 3, models = models)
+      .orderBy("entity", "t").collect().map(_.toSeq)
+    assert(runAt(1.0).toSeq == ungated.toSeq)
+    // a gated corpus still forecasts EVERY entity (queries are never
+    // gated; only the searched neighbor corpus shrinks) — 0.5 keeps a
+    // nonempty strict subset of the 4 entities' windows as corpus
+    val gated = runAt(0.5)
+    assert(gated.length == ungated.length,
+      s"gated zoo dropped rows: ${gated.length} vs ${ungated.length}")
+    assert(gated.map(_.head).distinct.length == 4, "every entity forecast")
+  }
+
+  test("corpusKeep gates whole entities deterministically; guards bad fractions") {
+    val p = panel(Seq.tabulate(20)(_ * 1.0), Seq.tabulate(20)(i => 5.0 - i),
+      Seq.tabulate(20)(i => (i % 3) * 4.0), Seq.tabulate(20)(i => 9.0 + i % 2))
+    import org.apache.spark.sql.functions.col
+    def keptEntities(f: Double) = p.df
+      .filter(KnnForecaster.corpusKeep(p.entityCols, f))
+      .select("entity").distinct().collect().map(_.get(0).toString).toSet
+    val k1 = keptEntities(0.5)
+    assert(k1 == keptEntities(0.5), "hash gate must be deterministic")
+    assert(k1.nonEmpty && k1.size < 4, s"0.5 should keep a strict subset, kept $k1")
+    // whole-entity semantics: a kept entity keeps ALL its rows
+    val keptRows = p.df.filter(KnnForecaster.corpusKeep(p.entityCols, 0.5)).count()
+    assert(keptRows == k1.size * 20L)
+    // fraction = 1 keeps everything
+    assert(keptEntities(1.0).size == 4)
+    intercept[IllegalArgumentException] {
+      KnnForecaster.predictRecursive(p, "t", "1i", lags = 3, k = 2, fh = 1,
+        corpusFraction = 0.0)
+    }
+    // the recursive roll under a gate still predicts all entities
+    val preds = KnnForecaster.predictRecursive(p, "t", "1i", lags = 3, k = 2,
+      fh = 2, corpusFraction = 0.5)
+    assert(preds.select("entity").distinct().count() == 4)
+  }
 }

@@ -207,4 +207,76 @@ class QuantileSpec extends SparkSpec {
         s"exact $e vs sketch $a diverged beyond tolerance")
     }
   }
+  test("weighted sketch delta sweep: realized rank error scales with 1/δ") {
+    // the δ knob's contract (r12 verdict #5): max rank error ≈ 1/δ, so
+    // a 10× budget must buy ~10× accuracy at 10× the state. Measured
+    // as the exact weighted CDF rank of each sketch answer vs its α.
+    val rnd = new scala.util.Random(7)
+    val n = 120000
+    val vw = (0 until n).map(_ => (rnd.nextGaussian(), 0.5 + rnd.nextDouble()))
+    val sorted = vw.sortBy(_._1)
+    val cum = sorted.scanLeft(0.0)(_ + _._2).tail
+    val w = cum.last
+    def rankOf(x: Double): Double = {
+      val i = sorted.indexWhere(_._1 > x)
+      if (i < 0) 1.0 else if (i == 0) 0.0 else cum(i - 1) / w
+    }
+    def maxErr(delta: Int): Double = {
+      val sk = new graft.functions.WeightedQuantileSketch(delta, 8192)
+      vw.foreach { case (v, wt) => sk.add(v, wt) }
+      sk.compress()
+      assert(sk.centroidCount <= 2 * delta + 1,
+        s"centroids ${sk.centroidCount} exceed the 2δ bound at δ=$delta")
+      (1 to 19).map(_ * 0.05).map { a =>
+        math.abs(rankOf(sk.quantile(a).doubleValue) - a)
+      }.max
+    }
+    val e2k = maxErr(2000)
+    val e20k = maxErr(20000)
+    // realized error stays within a small multiple of the 1/δ bound
+    assert(e2k <= 5.0 / 2000, s"δ=2000 realized rank error $e2k > 5/δ")
+    assert(e20k <= 5.0 / 20000, s"δ=20000 realized rank error $e20k > 5/δ")
+    assert(e20k < e2k / 2, s"10× budget must shrink the realized error ($e2k -> $e20k)")
+  }
+
+  test("weighted sketch kryo roundtrip preserves a non-default budget") {
+    val sk = new graft.functions.WeightedQuantileSketch(500, 1024)
+    val rnd = new scala.util.Random(3)
+    (0 until 5000).foreach(_ => sk.add(rnd.nextGaussian(), 1.0 + rnd.nextDouble()))
+    val kryo = new com.esotericsoftware.kryo.Kryo()
+    kryo.setRegistrationRequired(false)
+    val bytes = new java.io.ByteArrayOutputStream()
+    val out = new com.esotericsoftware.kryo.io.Output(bytes)
+    kryo.writeObject(out, sk)
+    out.close()
+    val back = kryo.readObject(
+      new com.esotericsoftware.kryo.io.Input(bytes.toByteArray),
+      classOf[graft.functions.WeightedQuantileSketch])
+    assert(back.delta == 500 && back.bufCap == 1024,
+      s"budget not restored: ${back.delta}/${back.bufCap}")
+    for (a <- Seq(0.1, 0.5, 0.9))
+      assert(back.quantile(a).doubleValue == sk.quantile(a).doubleValue)
+    // mixing budgets in a merge fails loud instead of silently
+    // degrading the tighter bound
+    val other = new graft.functions.WeightedQuantileSketch(2000, 8192)
+    intercept[IllegalArgumentException] { sk.mergeWith(other) }
+  }
+
+  test("TreeBoost quantileDelta knob reaches the weighted sketch renewal") {
+    val p = qPanel()
+    def preds(delta: Int) =
+      TreeBoost.fit(p, lags = 4, freq = "1i", rounds = 3, bins = 4,
+        objective = "quantile", objParam = 0.8,
+        weight = Some((rn, cnt) => lit(1.0) / (lit(1.0) + (cnt - rn) / lit(10.0))),
+        quantileExact = false, quantileDelta = delta)
+        .predict(p, "t", fh = 2).orderBy("entity", "t").collect()
+        .map(_.getDouble(2))
+    // a 120-point panel never overflows either budget's buffer: both
+    // fits reduce to the raw-pair exact path, so the knob must be
+    // value-neutral here — this pins the plumbing, the accuracy
+    // scaling is pinned by the sweep test above
+    val (d2k, d20k) = (preds(2000), preds(20000))
+    assert(d2k.length == 4)
+    d2k.zip(d20k).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
+  }
 }

@@ -624,4 +624,59 @@ class StreamingSpec extends SparkSpec {
       (2L, None, None),
       (3L, Some("christmas_day"), Some("christmas_day"))))
   }
+  test("streaming weighted quantile: single-trigger replay is bitwise the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingPanel.WeightedIn
+    val rnd = new scala.util.Random(5)
+    val data = (0 until 400).flatMap(i => Seq(
+      WeightedIn(0L, ts(i), rnd.nextGaussian() * 10 + 50, 0.5 + rnd.nextDouble()),
+      WeightedIn(1L, ts(i), rnd.nextDouble() * 100, 1.0)))
+    // batch twin: same eventTime order, add-all-then-query-once
+    def batchQ(entity: Long): Double = {
+      val sk = new graft.functions.WeightedQuantileSketch(2000, 8192)
+      data.filter(_.entity == entity).sortBy(_.eventTime.getTime)
+        .foreach(r => sk.add(r.value, r.weight))
+      sk.quantile(0.9).doubleValue
+    }
+    val mem = MemoryStream[WeightedIn]
+    mem.addData(data: _*)
+    val out = StreamingPanel.streamingWeightedQuantile(mem.toDS(), alpha = 0.9)
+    val q = out.writeStream.format("memory").queryName("wq").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("wq").collect()
+      .map(r => r.getAs[Long]("entity") -> r.getAs[Double]("quantile")).toMap
+    assert(got.keySet == Set(0L, 1L))
+    for (e <- Seq(0L, 1L))
+      assert(got(e) == batchQ(e), s"entity $e: ${got(e)} vs batch ${batchQ(e)}")
+  }
+
+  test("streaming weighted quantile: multi-trigger state stays within the 1/δ rank bound") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamingPanel.WeightedIn
+    val rnd = new scala.util.Random(9)
+    val vw = (0 until 30000).map(i =>
+      (rnd.nextGaussian(), 0.5 + rnd.nextDouble(), ts(i)))
+    val data = vw.map { case (v, w, t) => WeightedIn(7L, t, v, w) }
+    val mem = MemoryStream[WeightedIn]
+    val out = StreamingPanel.streamingWeightedQuantile(mem.toDS(), alpha = 0.75)
+    val q = out.writeStream.format("memory").queryName("wq2").outputMode("append").start()
+    data.grouped(10000).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val rows = spark.table("wq2").orderBy("eventTime").collect()
+    assert(rows.length == 3, "one emission per entity per trigger")
+    // per-trigger state stays bounded at ~2δ centroids
+    rows.foreach(r => assert(r.getAs[Long]("centroids") <= 2 * 2000 + 1))
+    // final answer: exact weighted CDF rank of the sketch value within
+    // a small multiple of 1/δ of α (state roundtrips are sketch-legal
+    // centroid merges — same bound as one big fold)
+    val sAll = vw.map(t => (t._1, t._2)).sortBy(_._1)
+    val cum = sAll.scanLeft(0.0)(_ + _._2).tail
+    val sv = rows.last.getAs[Double]("quantile")
+    val i = sAll.indexWhere(_._1 > sv)
+    val rank = (if (i < 0) cum.last else if (i == 0) 0.0 else cum(i - 1)) / cum.last
+    assert(math.abs(rank - 0.75) <= 10.0 / 2000,
+      s"realized rank $rank drifted beyond 10/δ from 0.75")
+  }
 }
