@@ -13,9 +13,13 @@ import org.apache.spark.sql.functions._
   * (moment-collect) members and the knn (broadcast-scan) members.
   *
   * Usage: runMain graft.EliteSoak [nEntities] [nPoints] [strategy] [models]
+  *   [exactCap] [knnCorpusFraction]
   * `models` = "all" | "linear" (closed-form/CD members) | "knn"
   * (broadcast-scan members) | comma-separated member names — lets the
-  * soak attribute wall time to member families.
+  * soak attribute wall time to member families. `knnCorpusFraction`
+  * < 1 runs the knn members recall-bounded (deterministic entity-hash
+  * corpus gate — the mode that lets the full zoo complete at 1M
+  * entities on one box; pair work scales ∝ fraction).
   */
 object EliteSoak {
   def main(args: Array[String]): Unit = {
@@ -79,10 +83,13 @@ object EliteSoak {
       println(s"[elite-soak] exact-KNN cap overridden to ${args(4).toInt} " +
         s"(knn members route ${if (nEntities > args(4).toInt) "IVF" else "exact"})")
     }
+    val knnFraction = if (args.length > 5) args(5).toDouble else 1.0
+    if (knnFraction < 1.0)
+      println(s"[elite-soak] knn members recall-bounded at corpusFraction=$knnFraction")
     val out = time(s"EliteDeep.run(${models.length} members, strategy=$strategy)") {
       EliteDeep.run(p, "ts", "1d", fh = 3, topK = math.min(12, models.length),
         strategy = strategy, testSize = 5, nSplits = 2, cdSweeps = 8,
-        models = models)
+        models = models, knnCorpusFraction = knnFraction)
     }
     val n = time("materialize forecasts")(out.rdd.count())
     println(s"[elite-soak] forecast rows: $n (expect ${nEntities * 3L})")

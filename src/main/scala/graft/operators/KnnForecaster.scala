@@ -691,9 +691,15 @@ object KnnForecaster {
     if (nEntities <= maxExactEntities)
       predictRecursive(p, timeCol, freq, lags, k, fh, corpusFraction)
     else {
+      // cell count stays √E even under a corpus gate: holding nCells
+      // while the gate thins every cell makes the per-step pair work
+      // (queries × corpusRows·f / nCells) scale ∝ f — sizing cells by
+      // the GATED corpus (√(E·f)) would claw back a 1/√f factor. At
+      // f = 0.01 on 1M entities each cell still holds ~1000 candidate
+      // rows, ample for k ≤ 7.
       val cells =
         if (nCells > 0) nCells
-        else math.max(16, math.sqrt(nEntities.toDouble * corpusFraction).toInt)
+        else math.max(16, math.sqrt(nEntities.toDouble).toInt)
       predictRecursiveIvf(p, timeCol, freq, lags, k, fh, cells, corpusFraction)
     }
   }
