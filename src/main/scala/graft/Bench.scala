@@ -7,7 +7,7 @@ object Bench {
     // pre-flight: refuse to start timing on a loaded host (r10/r11/r12
     // graded benches were all inflated by builder-side load — prevent
     // in code, not discipline). The wait is stamped into the JSON.
-    val preflightWait = BenchWarmup.preflightLoadGate()
+    val (preflightWait, loadAtGate) = BenchWarmup.preflightLoadGate()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -119,7 +119,10 @@ object Bench {
     // "parsed": null
     def fmt(kvs: Iterable[(String, Double)]) = kvs
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val scalars = s""""gc_sec_total":${f"$gcTotal%.3f"},"load_avg_start":${f"$loadStart%.2f"},"load_avg_end":${f"${osBean.getSystemLoadAverage}%.2f"},"preflight_wait_sec":${f"$preflightWait%.0f"},"cpus":"$cpus""""
+    // load_avg_gate = 1-min load BEFORE the session/warmup (the host-
+    // cleanliness signal); load_avg_start is post-warmup and includes
+    // the bench's own warmup work
+    val scalars = s""""gc_sec_total":${f"$gcTotal%.3f"},"load_avg_gate":${f"$loadAtGate%.2f"},"load_avg_start":${f"$loadStart%.2f"},"load_avg_end":${f"${osBean.getSystemLoadAverage}%.2f"},"preflight_wait_sec":${f"$preflightWait%.0f"},"cpus":"$cpus""""
     try {
       // full map carries the telemetry: per-query seconds, GC seconds
       // inside the query, and the host 1-min load average at query end
