@@ -32,4 +32,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // extra forked-JVM flags for big-heap soak runs (e.g.
+  // -XX:+ExplicitGCInvokesConcurrent so EliteDeep's gc ticker stays a
+  // cheap concurrent cycle instead of a full STW collection)
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").map(_.trim.split("\\s+").toSeq).getOrElse(Nil)
