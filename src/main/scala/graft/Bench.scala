@@ -122,7 +122,10 @@ object Bench {
     // load_avg_gate = 1-min load BEFORE the session/warmup (the host-
     // cleanliness signal); load_avg_start is post-warmup and includes
     // the bench's own warmup work
-    val scalars = s""""gc_sec_total":${f"$gcTotal%.3f"},"load_avg_gate":${f"$loadAtGate%.2f"},"load_avg_start":${f"$loadStart%.2f"},"load_avg_end":${f"${osBean.getSystemLoadAverage}%.2f"},"preflight_wait_sec":${f"$preflightWait%.0f"},"cpus":"$cpus""""
+    // NaN gate = MXBean had no load reading (unsupported platform) —
+    // serialize as null so the artifact can't be misread as near-idle
+    val gateStr = if (loadAtGate.isNaN) "null" else f"$loadAtGate%.2f"
+    val scalars = s""""gc_sec_total":${f"$gcTotal%.3f"},"load_avg_gate":$gateStr,"load_avg_start":${f"$loadStart%.2f"},"load_avg_end":${f"${osBean.getSystemLoadAverage}%.2f"},"preflight_wait_sec":${f"$preflightWait%.0f"},"cpus":"$cpus""""
     try {
       // full map carries the telemetry: per-query seconds, GC seconds
       // inside the query, and the host 1-min load average at query end

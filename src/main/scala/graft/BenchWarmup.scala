@@ -12,6 +12,19 @@ import org.apache.spark.sql.SparkSession
   * paid 22.4 s vs 6.2 s warm in an unwarmed BenchOne — the adjudication
   * tool must warm the same shapes the graded bench does. */
 object BenchWarmup {
+  /** Run one warmup block, logging any failure to stderr instead of
+    * swallowing it: a refactor that breaks a block would otherwise
+    * silently revert rep-1 to cold timing and masquerade as a perf
+    * regression (r13 verdict "what's wrong" #3). Warmup stays
+    * best-effort — a failed block never aborts the bench. */
+  private def block(name: String)(body: => Unit): Unit =
+    try body
+    catch {
+      case t: Throwable =>
+        System.err.println(
+          s"[warmup] $name failed: ${t.getClass.getSimpleName}: ${t.getMessage}")
+    }
+
   def run(spark: SparkSession, sfDir: String): Unit = {
     // touch every table once so the first timed query doesn't absorb
     // session/codegen/footer-read startup cost. rdd.count(), NOT
@@ -21,26 +34,25 @@ object BenchWarmup {
     // rep-1 premium BenchOne showed even with all codegen warm)
     Seq("lineitem", "orders", "customer", "nation", "events", "documents", "embeddings")
       .foreach { t =>
-        try graft.core.Tables(spark, sfDir, t).rdd.count()
-        catch { case _: Throwable => () }
+        block(s"table-io $t") { graft.core.Tables(spark, sfDir, t).rdd.count() }
       }
     // ...and JIT the window + partial-agg machinery the panel queries
     // share (the first windowed query otherwise pays it alone)
-    try {
+    block("window-agg") {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions._
       graft.core.Tables(spark, sfDir, "events")
         .withColumn("__l", lag(col("value"), 1).over(
           Window.partitionBy("user_id").orderBy("ts", "event_id")))
         .groupBy("user_id").agg(avg(col("__l"))).count()
-    } catch { case _: Throwable => () }
+    }
     // ...and the fit machinery the forecaster family shares, on a
     // 64-row frame (untimed): closed-form OLS moment passes (RDD
     // treeAggregate + codegen'd SQL aggs), the collect_list/sort_array
     // per-entity state idiom, and the MLlib logistic/GBT solvers —
     // first use otherwise charges several seconds of JIT/codegen to
     // whichever fc_* query runs first, not to the engine under test
-    try {
+    block("fit-machinery") {
       import org.apache.spark.sql.functions._
       val tiny = spark.range(64).select((col("id") % 8).as("e"),
         col("id").cast("double").as("x"))
@@ -57,7 +69,7 @@ object BenchWarmup {
       new org.apache.spark.ml.regression.GBTRegressor()
         .setFeaturesCol("__f").setLabelCol("y").setMaxIter(2).setMaxDepth(2)
         .setSeed(42L).fit(labeled)
-    } catch { case _: Throwable => () }
+    }
     // ...and the elite-ensemble machinery end-to-end on a 384-row
     // synthetic panel (untimed): concurrent backtest futures, the
     // shared 14-lag matrix, the wide OLS moment aggregates (the same
@@ -69,7 +81,7 @@ object BenchWarmup {
     // compile): fc_elite_deep topK=4/mean/linearFamily/cdSweeps=8,
     // fc_elite_stack topK=4/lasso/stackSweeps=10, fc_elite_pipe
     // topK=3/transform members, fc_elite_knn topK=2/knn members.
-    try {
+    block("elite-family") {
       import org.apache.spark.sql.functions._
       val pdf = spark.range(384).select(
         (col("id") % 8).as("e"),
@@ -128,7 +140,7 @@ object BenchWarmup {
       // aggregate compiles a distinctive codegen shape)
       graft.operators.StumpBoost.fit(tinyPanel, lags = 3, freq = "1d",
         rounds = 2, bins = 4).predict(tinyPanel, "ts", fh = 1).count()
-    } catch { case _: Throwable => () }
+    }
     // ...and the deterministic depth-2 TreeBoost at the EXACT configs
     // fc_gbt / fc_auto_gbt / fc_gbt_stump run: its generated sources
     // are shape-invariant (StableConst carries every fitted constant
@@ -138,7 +150,7 @@ object BenchWarmup {
     // out of the timed queries. The panel mirrors the events table's
     // schema (same columns, same order cols) so the reduction/predict
     // scaffolds warm too.
-    try {
+    block("treeboost-family") {
       import org.apache.spark.sql.functions._
       val edf = spark.range(512).select(
         col("id").as("event_id"),
@@ -175,22 +187,23 @@ object BenchWarmup {
           rounds = 3, bins = 4, eta = 0.3, objective = obj)
           .predict(ep, "ts", fh = 3).count()
       }
-    } catch { case _: Throwable => () }
+    }
     // ...and the JDK image codec machinery (ImageIO plugin discovery +
     // per-format reader/writer init costs ~4 s on first use — measured
     // on mm_video_frames: 6.9 s cold vs 2.5 s warm)
-    try {
+    block("media-codec") {
       val png = graft.operators.MediaCodec.encodeSolid("png", 4, 4, 1, 2, 3)
       graft.operators.MediaCodec.decodeStats(png)
       val bmp = graft.operators.MediaCodec.encodeSolid("bmp", 4, 4, 1, 2, 3)
       graft.operators.MediaCodec.decodeStats(bmp)
       graft.operators.MediaCodec.encodeSolid("jpeg", 4, 4, 1, 2, 3)
-    } catch { case _: Throwable => () }
+    }
     // release everything warmup cached/persisted — the timed run must
     // start with an empty storage pool
-    try spark.catalog.clearCache() catch { case _: Throwable => () }
-    try spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-    catch { case _: Throwable => () }
+    block("cache-release") { spark.catalog.clearCache() }
+    block("rdd-unpersist") {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
   }
 
   /** Pre-flight host-load gate (r12 verdict #1: three consecutive
@@ -214,6 +227,15 @@ object BenchWarmup {
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val t0 = System.nanoTime()
     var load = os.getSystemLoadAverage
+    if (load < 0) {
+      // MXBean contract: negative means "not available" on this
+      // platform. Stamp NaN (serialized as null in the bench JSON)
+      // rather than -1.0, which would read as a near-idle box
+      // (ADVICE r13). No gate can be applied without a reading.
+      System.err.println(
+        "[bench-preflight] 1-min load average unavailable on this platform — gate skipped")
+      return (0.0, Double.NaN)
+    }
     if (load > gate)
       System.err.println(f"[bench-preflight] 1-min load $load%.2f > gate $gate%.1f — waiting for the host to go quiet (max $maxWait%.0f s)")
     while (load > gate && (System.nanoTime() - t0) / 1e9 < maxWait) {

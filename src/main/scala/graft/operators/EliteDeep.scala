@@ -36,6 +36,12 @@ import org.apache.spark.sql.functions._
   */
 object EliteDeep {
 
+  /** Strip the `@cf<fraction>` corpus-gate recall stamp from a member
+    * / model-column name (stamped as `f"%.4f"`, e.g.
+    * `knn_3@cf0.0100`). Public so downstream consumers of the output
+    * `model` column can match on the plain zoo name. */
+  def baseName(n: String): String = n.split("@cf")(0)
+
   /** A zoo member: backtest frame (entity…, timeCol, split, actual,
     * pred) and full-data prediction frame (entity…, timeCol, value). */
   final case class Member(name: String,
@@ -231,10 +237,11 @@ object EliteDeep {
     // a gated corpus is stamped into the member name (and so into the
     // output's `model` column and the CV ranking): a recall-degraded
     // knn member competes under an honest label — selection in `run`
-    // matches on the base name (stampBase)
+    // matches on the base name ([[EliteDeep.baseName]]); consumers of
+    // the model column strip the stamp the same way
     def knnMember(name: String, k: Int, lags: Int,
                   xform: Option[ForecastPipeline.Step]) = Member(
-      if (knnCorpusFraction < 1.0) s"$name@cf$knnCorpusFraction" else name,
+      if (knnCorpusFraction < 1.0) f"$name@cf$knnCorpusFraction%.4f" else name,
       () => batchKnn.get(name).map(_._1).getOrElse(
         Conformal.backtest(p, timeCol, testSize, nSplits, stepSize,
           knnFit(lags, k, xform), prePositioned = Some(sharedPositioned))),
@@ -481,10 +488,9 @@ object EliteDeep {
       val all = zoo(cached, sharedLag, timeCol, freq, sp, fh,
         testSize, nSplits, stepSize, cdSweeps, deepLags, fourierK,
         selected, releases, knnCorpusFraction)
-      // selection matches on the BASE name — a gated knn member's name
-      // carries the @cf<fraction> recall stamp, but callers select it
-      // by its plain zoo name
-      def baseName(n: String): String = n.split("@cf")(0)
+      // selection matches on the BASE name ([[EliteDeep.baseName]]) —
+      // a gated knn member's name carries the @cf<fraction> recall
+      // stamp, but callers select it by its plain zoo name
       val unknown = selected.filterNot(all.map(m => baseName(m.name)).contains)
       require(unknown.isEmpty, s"unknown eliteDeep models: ${unknown.mkString(", ")}")
       val members = all.filter(m => selected.contains(baseName(m.name)))

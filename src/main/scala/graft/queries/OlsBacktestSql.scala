@@ -840,7 +840,11 @@ object OlsBacktestSql {
       }.mkString(" ")
       s"${w}$t AS (SELECT CASE inc $branches END AS inc FROM ${w}${t - 1})"
     }
-    s"${w}0 AS (SELECT 0 AS inc), ${steps.mkString(", ")}"
+    // build the CTE list as (w0 +: steps) so the degenerate
+    // zero-transition walk (single evaluation) is still valid SQL —
+    // the old "w0, ${steps.mkString}" template left a dangling comma
+    // when trans was empty (ADVICE r13)
+    (s"${w}0 AS (SELECT 0 AS inc)" +: steps).mkString(", ")
   }
 
   /** The shared tail of every two-candidate auto-sweep oracle: argmin

@@ -286,9 +286,13 @@ object StreamingPanel {
     * once per trigger (not per event) keeps the add-then-query-once
     * sequence identical to a batch fold over the same rows — a
     * single-trigger replay is therefore BITWISE the batch sketch
-    * (StreamingSpec pins it); across triggers the state roundtrip is
-    * itself a sketch-legal centroid merge, so the 1/δ rank bound
-    * holds unchanged. State is ≤ ~2δ (mean, weight) pairs per entity,
+    * (StreamingSpec pins it); across triggers each state roundtrip
+    * re-folds already-compressed centroids and compresses again, so
+    * the rank-error bound is a small multiple of 1/δ that grows with
+    * the number of triggers (StreamingSpec budgets 10/δ for its
+    * multi-trigger replay) — do NOT rely on a strict 1/δ guarantee
+    * for long streams; raise δ instead. State is ≤ ~2δ (mean, weight)
+    * pairs per entity,
     * independent of stream length — the bounded-memory property that
     * makes the weighted renewal streamable at all (the exact renewal
     * buffers every pair). Non-positive weights and NaN values are

@@ -18,7 +18,23 @@ rather than freezing its max (r12 ADVICE: f_root_mean_square froze a
 7.75x GC-spiked value). Bench's flag logic floors every budget at 0.5 s
 (max(frozen, 0.5)), so sub-second entries here are informational.
 """
-import json, sys
+import json, os, subprocess, sys
+
+# Freeze-protocol enforcement (r13 verdict #8): both input dumps must be
+# committed so the freeze is reproducible from repo artifacts alone.
+for path in (sys.argv[1], sys.argv[2]):
+    rel = os.path.relpath(os.path.abspath(path), os.getcwd())
+    tracked = subprocess.run(
+        ["git", "ls-files", "--error-unmatch", rel],
+        capture_output=True).returncode == 0
+    dirty = tracked and subprocess.run(
+        ["git", "diff", "--quiet", "HEAD", "--", rel],
+        capture_output=True).returncode != 0
+    if not tracked or dirty:
+        sys.exit(f"freeze_budgets: refusing uncommitted input {path!r} — "
+                 "commit both full-bench dumps (BENCH_full_r{N}*.json) "
+                 "first; the freeze must be reproducible from committed "
+                 "artifacts (budget re-freeze protocol).")
 
 a = json.load(open(sys.argv[1]))
 b = json.load(open(sys.argv[2]))
