@@ -176,12 +176,20 @@ object BenchWarmup {
       // CFO walk can reach warms every candidate — plus the log-link
       // objectives' exp residual / exp-recursion classes
       // (fc_gbt_poisson / fc_gbt_gamma configs)
-      graft.operators.AutoForecast.searchSpaceGbt
-        .map { case (l, r, b, _) => (l, r, b) }.distinct
-        .foreach { case (l, r, b) =>
-          graft.operators.TreeBoost.fit(ep, lags = l, freq = "1d",
-            rounds = r, bins = b, eta = 0.3).predict(ep, "ts", fh = 1).count()
-        }
+      // the registry's CFO walk (ns=gbt, seed=42, 3 evaluations): warm
+      // exactly its REACHABLE configs' (lags, rounds, bins) shapes —
+      // the full widened lattice is 80 distinct triples, far too many
+      // to fit one-by-one, and the walk can only ever visit these
+      locally {
+        val (cfgs, _) = graft.operators.AutoForecast.cfoReachable(
+          "gbt", 42L, 3, graft.operators.AutoForecast.dimsGbt)
+        cfgs.map(graft.operators.AutoForecast.decodeGbt)
+          .map { case (l, r, b, _) => (l, r, b) }.distinct
+          .foreach { case (l, r, b) =>
+            graft.operators.TreeBoost.fit(ep, lags = l, freq = "1d",
+              rounds = r, bins = b, eta = 0.3).predict(ep, "ts", fh = 1).count()
+          }
+      }
       Seq("poisson", "gamma").foreach { obj =>
         graft.operators.TreeBoost.fit(ep, lags = 7, freq = "1d",
           rounds = 3, bins = 4, eta = 0.3, objective = obj)

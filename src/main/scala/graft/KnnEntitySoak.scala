@@ -79,6 +79,26 @@ object KnnEntitySoak {
       println(f"[knnsoak] peak JVM heap ${peak / 1e9}%.2f GB (driver+executors share it in local mode)")
       p.df.unpersist(blocking = true)
     }
+    // one-step IVF at 1M entities (r14: predictOneStepIvf now delegates
+    // to the distributed fh=1 roll — the former implementation collected
+    // every entity tail to the driver and could not run here at all)
+    if (args.contains("--onestep-1m")) {
+      val e = 1000000; val len = 12; val cells = 3162
+      val p = mkPanel(e, len)
+      p.df.cache().count()
+      val rt = Runtime.getRuntime
+      @volatile var peak = 0L
+      val sampler = new Thread(() => while (true) {
+        peak = math.max(peak, rt.totalMemory - rt.freeMemory); Thread.sleep(200)
+      })
+      sampler.setDaemon(true); sampler.start()
+      t(s"ivf ONE-STEP E=$e (rows=${e * len}, cells=$cells)") {
+        graft.operators.KnnForecaster.predictOneStepIvf(p, "t", "1i", lags = 7,
+          k = 5, nCells = cells).rdd.count()
+      }
+      println(f"[knnsoak] peak JVM heap ${peak / 1e9}%.2f GB (driver+executors share it in local mode)")
+      p.df.unpersist(blocking = true)
+    }
     spark.stop()
   }
 }

@@ -357,13 +357,23 @@ object AutoForecast {
   // coordinate) and selects the realized path with CASE chains over
   // the same score comparisons.
 
-  private[operators] val linLagsGrid = Vector(3, 4, 5, 6)
-  private[operators] val linAlphaGrid = Vector(0.01, 0.05, 0.1, 0.5)
-  private[operators] val linL1Grid = Vector(0.0, 0.5, 1.0)
-  private[operators] val gbtLagsGrid = Vector(3, 5)
-  private[operators] val gbtRoundsGrid = Vector(2, 3)
-  private[operators] val gbtBinsGrid = Vector(3, 4)
-  private[operators] val gbtEtaGrid = Vector(0.3, 0.5, 1.0)
+  // r14 widening toward FLAML's real ranges (automl.py:201-229): α
+  // log-spaced over reg_alpha's loguniform(0.001, 20) (12 points), a
+  // denser l1_ratio axis, lags to 14 (the verified oracle Cholesky
+  // depth), a rounds axis tracking n_estimators(60-400)'s role at
+  // this engine's round scale, wider bins/η. The walk's reachable set
+  // stays bounded by its evaluation count regardless of lattice size
+  // (proposals move ±1 from the low-cost corner), so the oracle cost
+  // is unchanged in structure; every grid value keeps a short decimal
+  // repr (exact DECIMAL parse in DuckDB).
+  private[operators] val linLagsGrid = Vector(3, 4, 5, 6, 7, 8, 10, 12, 14)
+  private[operators] val linAlphaGrid = Vector(0.001, 0.002, 0.005, 0.01,
+    0.02, 0.05, 0.1, 0.2, 0.5, 2.0, 8.0, 20.0)
+  private[operators] val linL1Grid = Vector(0.0, 0.25, 0.5, 0.75, 1.0)
+  private[operators] val gbtLagsGrid = Vector(3, 5, 7, 9)
+  private[operators] val gbtRoundsGrid = Vector(2, 3, 4, 6, 8)
+  private[operators] val gbtBinsGrid = Vector(3, 4, 5, 6)
+  private[operators] val gbtEtaGrid = Vector(0.1, 0.3, 0.5, 1.0)
 
   /** Lattice coords → linear-arm candidate (lags, α, l1_ratio). */
   def decodeLinear(c: Vector[Int]): (Int, Double, Double) =
@@ -377,9 +387,9 @@ object AutoForecast {
   val dimsGbt: Vector[Int] = Vector(gbtLagsGrid.length, gbtRoundsGrid.length,
     gbtBinsGrid.length, gbtEtaGrid.length)
 
-  /** The full GBT lattice (24 configs) — warmup uses the distinct
-    * (lags, rounds, bins) triples to pre-compile every candidate
-    * aggregate shape the walk could reach. */
+  /** The full GBT lattice (320 configs since the r14 widening — too
+    * many to warm exhaustively; [[BenchWarmup]] warms only the
+    * registry walk's REACHABLE configs via [[cfoReachable]]). */
   def searchSpaceGbt: Seq[(Int, Int, Int, Double)] = for {
     l <- gbtLagsGrid; r <- gbtRoundsGrid; b <- gbtBinsGrid; e <- gbtEtaGrid
   } yield (l, r, b, e)

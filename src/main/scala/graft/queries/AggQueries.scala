@@ -143,51 +143,10 @@ object AggQueries {
     // integers, and the std/mean/log-sum folds are written in the SAME
     // sequential order as the kernel (DuckDB list ops fold in list
     // order), so the doubles match bitwise (prototype-verified)
-    "f_approximate_entropy" -> Q(
-      """WITH xs AS (SELECT user_id, list(value ORDER BY ts, event_id) AS v
-                     FROM events GROUP BY user_id),
-              st AS (SELECT user_id, v, len(v) AS n,
-                       0.5 * sqrt(list_sum(list_transform(v,
-                         x -> (x - list_sum(v)/len(v)) * (x - list_sum(v)/len(v)))) / (len(v)-1)) AS r
-                     FROM xs)
-         SELECT user_id, round(abs(
-           list_sum(list_transform(range(1, n), i ->
-             ln(len(list_filter(range(1, n), j ->
-               greatest(abs(v[i]-v[j]), abs(v[i+1]-v[j+1])) <= r))::DOUBLE / (n-1))))
-             / (n-1)
-           -
-           list_sum(list_transform(range(1, n-1), i ->
-             ln(len(list_filter(range(1, n-1), j ->
-               greatest(abs(v[i]-v[j]), abs(v[i+1]-v[j+1]), abs(v[i+2]-v[j+2])) <= r))::DOUBLE / (n-2))))
-             / (n-2)
-         ), 6) AS approximate_entropy
-         FROM st""") { (s, dir) =>
-      r6(FeatureAggs.over(ev(s, dir),
-        FeatureAggs.approximateEntropy(m = 2, r = 0.5), "approximate_entropy"))
-    },
-    "f_sample_entropy" -> Q(
-      """WITH xs AS (SELECT user_id, list(value ORDER BY ts, event_id) AS v
-                     FROM events GROUP BY user_id),
-              st AS (SELECT user_id, v, len(v) AS n,
-                       0.2 * sqrt(list_sum(list_transform(v,
-                         x -> (x - list_sum(v)/len(v)) * (x - list_sum(v)/len(v)))) / len(v)) AS r
-                     FROM xs),
-              cnt AS (SELECT user_id,
-                (list_sum(list_transform(range(1, n), i ->
-                   len(list_filter(range(1, n), j ->
-                     greatest(abs(v[i]-v[j]), abs(v[i+1]-v[j+1])) <= r)))) - (n-1)) AS b,
-                (list_sum(list_transform(range(1, n-1), i ->
-                   len(list_filter(range(1, n-1), j ->
-                     greatest(abs(v[i]-v[j]), abs(v[i+1]-v[j+1]), abs(v[i+2]-v[j+2])) <= r)))) - (n-2)) AS a
-                FROM st)
-         SELECT user_id,
-           CASE WHEN a = 0 AND b > 0 THEN 'inf'::DOUBLE
-                WHEN a = 0 AND b = 0 THEN 'nan'::DOUBLE
-                ELSE round(ln(b::DOUBLE / a::DOUBLE), 6) END AS sample_entropy
-         FROM cnt""") { (s, dir) =>
-      r6(FeatureAggs.over(ev(s, dir),
-        FeatureAggs.sampleEntropy(ratio = 0.2, m = 2), "sample_entropy"))
-    },
+    "f_approximate_entropy" -> FuzzBuilders.approximateEntropy(m = 2, ratio = 0.5),
+
+    "f_sample_entropy" -> FuzzBuilders.sampleEntropy(m = 2, ratio = 0.2),
+
     // ADF(2) = OLS of Δy on [level, Δlag1, Δlag2, 1] + t-stat — the 4x4
     // normal system expands via Cramer (see det4/cramer4 above); sums
     // fold in the kernel's time order

@@ -861,7 +861,10 @@ object ConformalQueries {
             .map { case (v, i) => s"WHEN $i THEN $v" }.mkString(" ")
           s"CAST(CASE chosen $cases END AS $typ) AS $name"
       }
-      s"""WITH ${OlsBacktestSql.lagdCte(7)},
+      // the shared lag CTE must cover the WIDEST reachable candidate
+      // (the r14 lattice reaches past the old fixed 7 at other seeds)
+      val maxLag = math.max(7, cands.map(_._1).max)
+      s"""WITH ${OlsBacktestSql.lagdCte(maxLag)},
           ${bts.mkString(", ")},
           ${scs.mkString(", ")},
           $walk,
@@ -922,7 +925,8 @@ object ConformalQueries {
             .map { case (v, i) => s"WHEN $i THEN $v" }.mkString(" ")
           s"CAST(CASE chosen $cases END AS $typ) AS $name"
       }
-      s"""WITH ${OlsBacktestSql.lagdCte(7)},
+      val maxLag = math.max(7, cands.map(_._1).max)
+      s"""WITH ${OlsBacktestSql.lagdCte(maxLag)},
           ${bts.mkString(", ")},
           ${scs.mkString(", ")},
           $walk,

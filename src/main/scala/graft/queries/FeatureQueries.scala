@@ -39,30 +39,18 @@ object FeatureQueries {
       (s, dir) => r6(ev(s, dir).agg(Features.absoluteMaximum(col("value")).as("absolute_maximum")))
     },
 
-    "f_count_above" -> Q(
-      "SELECT user_id, round(CAST(100 AS DOUBLE)*sum(CASE WHEN value >= 100 THEN 1 ELSE 0 END)/count(value),6) AS count_above FROM events GROUP BY user_id") {
-      (s, dir) => r6(ev(s, dir).agg(Features.countAbove(col("value"), 100.0).as("count_above")))
-    },
+    "f_count_above" -> FuzzBuilders.countAbove(100.0),
 
-    "f_count_below" -> Q(
-      "SELECT user_id, round(CAST(100 AS DOUBLE)*sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END)/count(value),6) AS count_below FROM events GROUP BY user_id") {
-      (s, dir) => r6(ev(s, dir).agg(Features.countBelow(col("value"), 100.0).as("count_below")))
-    },
+    "f_count_below" -> FuzzBuilders.countBelow(100.0),
 
     "f_has_duplicate" -> Q(
       "SELECT user_id, count(value) > count(DISTINCT value) AS has_duplicate FROM events GROUP BY user_id") {
       (s, dir) => ev(s, dir).agg(Features.hasDuplicate(col("value")).as("has_duplicate"))
     },
 
-    "f_large_standard_deviation" -> Q(
-      "SELECT user_id, stddev_samp(value) > 0.25*(max(value)-min(value)) AS large_standard_deviation FROM events GROUP BY user_id") {
-      (s, dir) => ev(s, dir).agg(Features.largeStandardDeviation(col("value"), 0.25).as("large_standard_deviation"))
-    },
+    "f_large_standard_deviation" -> FuzzBuilders.largeStandardDeviation(0.25),
 
-    "f_range_count" -> Q(
-      "SELECT user_id, CAST(sum(CASE WHEN value >= 50 AND value < 150 THEN 1 ELSE 0 END) AS BIGINT) AS range_count FROM events GROUP BY user_id") {
-      (s, dir) => ev(s, dir).agg(Features.rangeCount(col("value"), 50.0, 150.0).as("range_count"))
-    },
+    "f_range_count" -> FuzzBuilders.rangeCount(50.0, 150.0),
 
     "f_ratio_n_unique_to_length" -> Q(
       "SELECT user_id, round(count(DISTINCT value)::DOUBLE/count(value),6) AS ratio_n_unique_to_length FROM events GROUP BY user_id") {
@@ -74,10 +62,7 @@ object FeatureQueries {
       (s, dir) => r6(ev(s, dir).agg(Features.rootMeanSquare(col("value")).as("root_mean_square")))
     },
 
-    "f_symmetry_looking" -> Q(
-      "SELECT user_id, abs(avg(value) - quantile_cont(value, 0.5)) < 0.05*(max(value)-min(value)) AS symmetry_looking FROM events GROUP BY user_id") {
-      (s, dir) => ev(s, dir).agg(Features.symmetryLooking(col("value"), 0.05).as("symmetry_looking"))
-    },
+    "f_symmetry_looking" -> FuzzBuilders.symmetryLooking(0.05),
 
     "f_variation_coefficient" -> Q(
       "SELECT user_id, round(stddev_pop(value)/avg(value),6) AS variation_coefficient FROM events GROUP BY user_id") {
@@ -109,13 +94,7 @@ object FeatureQueries {
       (s, dir) => r6(ev(s, dir).agg(Features.rangeChange(col("value"), percentage = true).as("range_change")))
     },
 
-    "f_mean_n_absolute_max" -> Q(
-      s"""SELECT user_id, round(avg(av),6) AS mean_n_absolute_max FROM (
-            SELECT user_id, abs(value) AS av,
-                   row_number() OVER (PARTITION BY user_id ORDER BY abs(value) DESC, ts, event_id) AS rn
-            FROM events) WHERE rn <= 3 GROUP BY user_id""") {
-      (s, dir) => r6(ev(s, dir).agg(Features.meanNAbsoluteMax(col("value"), 3).as("mean_n_absolute_max")))
-    },
+    "f_mean_n_absolute_max" -> FuzzBuilders.meanNAbsoluteMax(3),
 
     "f_absolute_sum_of_changes" -> Q(
       s"""SELECT user_id, round(sum(abs(d)),6) AS absolute_sum_of_changes FROM (
@@ -159,35 +138,11 @@ object FeatureQueries {
       (s, dir) => r6(Features.meanSecondDerivativeCentral(ev(s, dir)))
     },
 
-    "f_autocorrelation" -> Q(
-      s"""WITH b AS (SELECT user_id, value,
-                            lead(value) OVER ($W) AS xl,
-                            avg(value) OVER ($WE) AS mu,
-                            var_pop(value) OVER ($WE) AS v
-                     FROM events)
-          SELECT user_id, round(sum((value-mu)*(xl-mu)) / (max(v)*(count(value)-1)),6) AS autocorrelation
-          FROM b GROUP BY user_id""") {
-      (s, dir) => r6(Features.autocorrelation(ev(s, dir), 1))
-    },
+    "f_autocorrelation" -> FuzzBuilders.autocorrelation(1),
 
-    "f_c3" -> Q(
-      s"""WITH b AS (SELECT user_id, value,
-                            lead(value, 1) OVER ($W) AS x1,
-                            lead(value, 2) OVER ($W) AS x2
-                     FROM events)
-          SELECT user_id, round(sum(value*x1*x2)/(count(value)-2),6) AS c3
-          FROM b GROUP BY user_id""") {
-      (s, dir) => r6(Features.c3(ev(s, dir), 1))
-    },
+    "f_c3" -> FuzzBuilders.c3(1),
 
-    "f_cid_ce" -> Q(
-      s"""WITH z AS (SELECT user_id, ts, event_id,
-                            (value - avg(value) OVER ($WE)) / stddev_pop(value) OVER ($WE) AS zv
-                     FROM events),
-               d AS (SELECT user_id, zv - lag(zv) OVER ($W) AS dv FROM z)
-          SELECT user_id, round(sqrt(sum(dv*dv)),6) AS cid_ce FROM d GROUP BY user_id""") {
-      (s, dir) => r6(Features.cidCe(ev(s, dir), normalize = true))
-    },
+    "f_cid_ce" -> FuzzBuilders.cidCe(normalize = true),
 
     "f_count_above_mean" -> Q(
       s"""WITH b AS (SELECT user_id, value, avg(value) OVER ($WE) AS mu FROM events)
@@ -253,16 +208,7 @@ object FeatureQueries {
       (s, dir) => Features.hasDuplicateMin(ev(s, dir))
     },
 
-    "f_index_mass_quantile" -> Q(
-      s"""WITH b AS (SELECT user_id, row_number() OVER ($W) - 1 AS rn,
-                            sum(abs(value)) OVER ($W ROWS UNBOUNDED PRECEDING) AS cum,
-                            sum(abs(value)) OVER ($WE) AS tot
-                     FROM events)
-          SELECT user_id, round((min(CASE WHEN cum >= 0.5 * tot THEN rn END) + 1)::DOUBLE / count(*),6)
-            AS index_mass_quantile
-          FROM b GROUP BY user_id""") {
-      (s, dir) => r6(Features.indexMassQuantile(ev(s, dir), 0.5))
-    },
+    "f_index_mass_quantile" -> FuzzBuilders.indexMassQuantile(0.5),
 
     "f_linear_trend" -> Q(
       s"""WITH b AS (SELECT user_id, value, (row_number() OVER ($W) - 1)::DOUBLE AS i FROM events)
@@ -282,32 +228,13 @@ object FeatureQueries {
       (s, dir) => Features.longestStreakBelowMean(ev(s, dir))
     },
 
-    "f_longest_winning_streak" -> Q(longestDiffStreakOracle(">= 0", "longest_streak_above")) {
-      (s, dir) => Features.longestStreakAbove(ev(s, dir), 0.0)
-    },
+    "f_longest_winning_streak" -> FuzzBuilders.longestDiffStreak(above = true, 0.0),
 
-    "f_longest_losing_streak" -> Q(longestDiffStreakOracle("<= 0", "longest_streak_below")) {
-      (s, dir) => Features.longestStreakBelow(ev(s, dir), 0.0)
-    },
+    "f_longest_losing_streak" -> FuzzBuilders.longestDiffStreak(above = false, 0.0),
 
-    "f_number_crossings" -> Q(
-      s"""WITH b AS (SELECT user_id, value > 100 AS c, lag(value > 100) OVER ($W) AS pc FROM events)
-          SELECT user_id, CAST(sum(CASE WHEN pc IS NOT NULL AND NOT (c IS NOT DISTINCT FROM pc) THEN 1 ELSE 0 END) AS BIGINT)
-            AS number_crossings
-          FROM b GROUP BY user_id""") {
-      (s, dir) => Features.numberCrossings(ev(s, dir), 100.0)
-    },
+    "f_number_crossings" -> FuzzBuilders.numberCrossings(100.0),
 
-    "f_number_peaks" -> Q(
-      s"""WITH b AS (SELECT user_id, value,
-                            lag(value,1) OVER ($W) AS l1, lead(value,1) OVER ($W) AS f1,
-                            lag(value,2) OVER ($W) AS l2, lead(value,2) OVER ($W) AS f2
-                     FROM events)
-          SELECT user_id, CAST(sum(CASE WHEN coalesce(value > l1 AND value > f1 AND value > l2 AND value > f2, false)
-                               THEN 1 ELSE 0 END) AS BIGINT) AS number_peaks
-          FROM b GROUP BY user_id""") {
-      (s, dir) => Features.numberPeaks(ev(s, dir), 2)
-    },
+    "f_number_peaks" -> FuzzBuilders.numberPeaks(2),
 
     "f_percent_reoccurring_points" -> Q(
       s"""WITH vc AS (SELECT user_id, value, count(*) AS c FROM events GROUP BY user_id, value)
@@ -341,46 +268,13 @@ object FeatureQueries {
       (s, dir) => r6(Features.sumReoccurringValues(ev(s, dir)))
     },
 
-    "f_ratio_beyond_r_sigma" -> Q(
-      s"""WITH b AS (SELECT user_id, value, avg(value) OVER ($WE) AS mu,
-                            stddev_pop(value) OVER ($WE) AS sd FROM events)
-          SELECT user_id, round(sum(CASE WHEN abs(value - mu) > sd THEN 1 ELSE 0 END)::DOUBLE / count(value),6)
-            AS ratio_beyond_r_sigma
-          FROM b GROUP BY user_id""") {
-      (s, dir) => r6(Features.ratioBeyondRSigma(ev(s, dir), 1.0))
-    },
+    "f_ratio_beyond_r_sigma" -> FuzzBuilders.ratioBeyondRSigma(1.0),
 
-    "f_time_reversal_asymmetry_statistic" -> Q(
-      s"""WITH b AS (SELECT user_id, value,
-                            lead(value, 1) OVER ($W) AS x1,
-                            lead(value, 2) OVER ($W) AS x2 FROM events)
-          SELECT user_id, round(avg(x1 * (x2 + value) * (x2 - value)),6)
-            AS time_reversal_asymmetry_statistic
-          FROM b GROUP BY user_id""") {
-      (s, dir) => r6(Features.timeReversalAsymmetryStatistic(ev(s, dir), 1))
-    },
+    "f_time_reversal_asymmetry_statistic" -> FuzzBuilders.timeReversalAsymmetryStatistic(1),
 
-    "f_energy_ratios" -> Q(
-      s"""WITH b AS (SELECT user_id, value, row_number() OVER ($W) - 1 AS rn,
-                            count(*) OVER ($WE) AS n,
-                            sum(value*value) OVER ($WE) AS tot
-                     FROM events)
-          SELECT user_id, CAST(floor(rn * 3 / n) AS BIGINT) AS chunk,
-                 round(sum(value*value) / max(tot),6) AS energy_ratio
-          FROM b GROUP BY user_id, CAST(floor(rn * 3 / n) AS BIGINT)""") {
-      (s, dir) => r6(Features.energyRatios(ev(s, dir), 3))
-    },
+    "f_energy_ratios" -> FuzzBuilders.energyRatios(3),
 
-    "f_binned_entropy" -> Q(
-      s"""WITH b AS (SELECT user_id,
-                            floor((value - min(value) OVER ($WE)) /
-                                  (1e-12 + (max(value) OVER ($WE) - min(value) OVER ($WE)) / 10)) AS bin
-                     FROM events),
-               c AS (SELECT user_id, bin, count(*) AS c FROM b GROUP BY user_id, bin),
-               p AS (SELECT user_id, c::DOUBLE / sum(c) OVER (PARTITION BY user_id) AS p FROM c)
-          SELECT user_id, round(-sum(p * ln(p)),6) AS binned_entropy FROM p GROUP BY user_id""") {
-      (s, dir) => r6(Features.binnedEntropy(ev(s, dir), 10))
-    },
+    "f_binned_entropy" -> FuzzBuilders.binnedEntropy(10),
 
     "f_benford_correlation" -> Q(benfordOracle) {
       (s, dir) => r6(Features.benfordCorrelation(ev(s, dir)))
@@ -402,41 +296,9 @@ object FeatureQueries {
       (s, dir) => r6(Features.permutationEntropy3(ev(s, dir)))
     },
 
-    "f_change_quantiles" -> Q(
-      s"""WITH q AS (SELECT user_id, ts, event_id, value,
-                            quantile_cont(value, 0.1) OVER ($WE) AS ql,
-                            quantile_cont(value, 0.9) OVER ($WE) AS qh
-                     FROM events),
-               b AS (SELECT user_id,
-                            value >= ql AND value <= qh AS inc,
-                            lag(value >= ql AND value <= qh) OVER ($W) AS pinc,
-                            value - lag(value) OVER ($W) AS d
-                     FROM q)
-          SELECT user_id, round(avg(CASE WHEN inc AND pinc THEN abs(d) END),6) AS change_quantiles_mean
-          FROM b GROUP BY user_id""") {
-      (s, dir) => r6(Features.changeQuantilesMean(ev(s, dir), 0.1, 0.9))
-    },
+    "f_change_quantiles" -> FuzzBuilders.changeQuantilesMean(0.1, 0.9),
 
-    "f_streak_length_stats" -> Q(
-      s"""WITH d AS (SELECT user_id, ts, event_id,
-                            value - lag(value) OVER ($W) AS d FROM events),
-               c AS (SELECT user_id, ts, event_id, d IS NOT NULL AND d >= 0 AS c FROM d),
-               f AS (SELECT user_id, ts, event_id, c,
-                            CASE WHEN c IS NOT DISTINCT FROM lag(c) OVER ($W) THEN 0 ELSE 1 END AS flip
-                     FROM c),
-               r AS (SELECT user_id, c, sum(flip) OVER ($W ROWS UNBOUNDED PRECEDING) AS rid FROM f),
-               runs AS (SELECT user_id, rid, count(*) AS len FROM r WHERE c GROUP BY user_id, rid)
-          SELECT ents.u AS user_id,
-                 CAST(min(len) AS BIGINT) AS min_len, CAST(max(len) AS BIGINT) AS max_len,
-                 round(avg(len),6) AS mean_len, round(stddev_samp(len),6) AS std_len,
-                 round(quantile_cont(len, 0.1),6) AS p10_len,
-                 round(quantile_cont(len, 0.5),6) AS median_len,
-                 round(quantile_cont(len, 0.9),6) AS p90_len
-          FROM runs RIGHT JOIN (SELECT DISTINCT user_id AS u FROM events) ents
-            ON runs.user_id = ents.u
-          GROUP BY ents.u, runs.user_id""") {
-      (s, dir) => r6(Features.streakLengthStats(ev(s, dir), above = true, 0.0))
-    }
+    "f_streak_length_stats" -> FuzzBuilders.streakLengthStats(above = true, 0.0)
   )
 
   private def longestStreakMeanOracle(above: Boolean, name: String): String = {

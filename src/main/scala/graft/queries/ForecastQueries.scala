@@ -70,27 +70,9 @@ object ForecastQueries {
       (s, dir) => r6(Metrics.underforecast(naivePred(s, dir), Seq("user_id")))
     },
 
-    "m_mase" -> Q(
-      s"""WITH mae AS (SELECT user_id, avg(abs(p - a)) AS mae FROM ($alignedSql) GROUP BY user_id),
-              nv AS (SELECT user_id, value - lag(value, 7) OVER ($W) AS nd FROM events),
-              den AS (SELECT user_id, avg(abs(nd)) AS den FROM nv GROUP BY user_id)
-          SELECT mae.user_id, round(mae.mae / den.den,6) AS mase
-          FROM mae LEFT JOIN den ON mae.user_id = den.user_id""") {
-      (s, dir) =>
-        val p = ev(s, dir)
-        r6(Metrics.mase(naivePred(s, dir), p.df, Seq("user_id"), Seq("ts", "event_id"), "value", 7))
-    },
+    "m_mase" -> FuzzBuilders.mase(7),
 
-    "m_rmsse" -> Q(
-      s"""WITH mse AS (SELECT user_id, avg(pow(p - a, 2)) AS mse FROM ($alignedSql) GROUP BY user_id),
-              nv AS (SELECT user_id, value - lag(value, 7) OVER ($W) AS nd FROM events),
-              den AS (SELECT user_id, avg(pow(nd, 2)) AS den FROM nv GROUP BY user_id)
-          SELECT mse.user_id, round(sqrt(mse.mse / den.den),6) AS rmsse
-          FROM mse LEFT JOIN den ON mse.user_id = den.user_id""") {
-      (s, dir) =>
-        val p = ev(s, dir)
-        r6(Metrics.rmsse(naivePred(s, dir), p.df, Seq("user_id"), Seq("ts", "event_id"), "value", 7))
-    },
+    "m_rmsse" -> FuzzBuilders.rmsse(7),
 
     "m_summarize_scores" -> Q(
       s"""WITH mae AS (SELECT user_id, avg(abs(p - a)) AS mae FROM ($alignedSql) GROUP BY user_id)
@@ -100,83 +82,15 @@ object ForecastQueries {
       (s, dir) => r6(Metrics.summarizeScores(Metrics.mae(naivePred(s, dir), Seq("user_id")), "mae"))
     },
 
-    "cv_train_test_split" -> Q(
-      s"""SELECT event_id,
-            CASE WHEN row_number() OVER ($W) <= count(*) OVER ($WE) - 10 THEN 'train' ELSE 'test' END AS part
-          FROM events""") {
-      (s, dir) =>
-        // single-pass form of trainTestSplit: one window scan, no union
-        val d = CrossValidation.withPosition(ev(s, dir))
-        d.select(col("event_id"),
-          when(col("__rn") <= col("__cnt") - 10, "train").otherwise("test").as("part"))
-    },
+    "cv_train_test_split" -> FuzzBuilders.cvTrainTestSplit(10),
 
-    "cv_expanding_window" -> Q(
-      s"""WITH b AS (SELECT user_id, event_id, row_number() OVER ($W) AS rn,
-                            count(*) OVER ($WE) AS cnt FROM events),
-              s AS (SELECT i AS split FROM unnest([0, 1, 2]) AS t(i))
-          SELECT b.user_id, s.split,
-                 CAST(sum(CASE WHEN rn <= cnt - (10 + (2 - split) * 5) THEN 1 ELSE 0 END) AS BIGINT) AS train_n,
-                 CAST(sum(CASE WHEN rn > cnt - (10 + (2 - split) * 5)
-                           AND rn <= cnt - (10 + (2 - split) * 5) + 10 THEN 1 ELSE 0 END) AS BIGINT) AS test_n
-          FROM b CROSS JOIN s GROUP BY b.user_id, s.split""") {
-      (s, dir) =>
-        // one scan: conditional sums per split, stacked — the splits
-        // are filters over the same (rn, cnt) frame, so a 3× re-scan
-        // (and 3 sorts) collapses into a single window + aggregate
-        val d = CrossValidation.withPosition(ev(s, dir))
-        val aggs = (0 until 3).flatMap { i =>
-          val trainEnd = col("__cnt") - (10 + (2 - i) * 5)
-          Seq(
-            sum(when(col("__rn") <= trainEnd, 1).otherwise(0)).cast("long").as(s"tr$i"),
-            sum(when(col("__rn") > trainEnd && col("__rn") <= trainEnd + 10, 1).otherwise(0))
-              .cast("long").as(s"te$i"))
-        }
-        d.groupBy("user_id").agg(aggs.head, aggs.tail: _*)
-          .selectExpr("user_id",
-            "stack(3, 0, tr0, te0, 1, tr1, te1, 2, tr2, te2) AS (split, train_n, test_n)")
-    },
+    "cv_expanding_window" -> FuzzBuilders.cvExpandingWindow(nSplits = 3, testSize = 10, stepSize = 5),
 
-    "cv_sliding_window" -> Q(
-      s"""WITH b AS (SELECT user_id, event_id, row_number() OVER ($W) AS rn,
-                            count(*) OVER ($WE) AS cnt FROM events),
-              s AS (SELECT i AS split FROM unnest([0, 1, 2]) AS t(i))
-          SELECT b.user_id, s.split,
-                 CAST(sum(CASE WHEN rn > cnt - (10 + (2 - split) * 5) - 20
-                           AND rn <= cnt - (10 + (2 - split) * 5) THEN 1 ELSE 0 END) AS BIGINT) AS train_n
-          FROM b CROSS JOIN s GROUP BY b.user_id, s.split""") {
-      (s, dir) =>
-        val d = CrossValidation.withPosition(ev(s, dir))
-        val aggs = (0 until 3).map { i =>
-          val trainEnd = col("__cnt") - (10 + (2 - i) * 5)
-          sum(when(col("__rn") > trainEnd - 20 && col("__rn") <= trainEnd, 1).otherwise(0))
-            .cast("long").as(s"tr$i")
-        }
-        d.groupBy("user_id").agg(aggs.head, aggs.tail: _*)
-          .selectExpr("user_id", "stack(3, 0, tr0, 1, tr1, 2, tr2) AS (split, train_n)")
-    },
+    "cv_sliding_window" -> FuzzBuilders.cvSlidingWindow(windowSize = 20, nSplits = 3, testSize = 10, stepSize = 5),
 
-    "fc_naive" -> Q(
-      """WITH state AS (SELECT user_id, arg_max(value, ts) AS lastv, max(ts) AS cutoff
-                        FROM events GROUP BY user_id),
-              h AS (SELECT i AS h FROM unnest([1, 2, 3]) AS t(i))
-         SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts, lastv AS value
-         FROM state CROSS JOIN h""") {
-      (s, dir) => Forecasters.naive(ev(s, dir), "ts", fh = 3, freq = "1d")
-    },
+    "fc_naive" -> FuzzBuilders.fcNaive(3),
 
-    "fc_snaive" -> Q(
-      s"""WITH tail AS (SELECT user_id, ts, value,
-                               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rnd
-                        FROM events),
-              state AS (SELECT user_id, list(value ORDER BY ts) AS tail7, max(ts) AS cutoff
-                        FROM tail WHERE rnd <= 7 GROUP BY user_id),
-              h AS (SELECT i AS h FROM unnest([1, 2, 3, 4]) AS t(i))
-          SELECT user_id, CAST(cutoff + h * INTERVAL '1 day' AS TIMESTAMP) AS ts,
-                 tail7[((h - 1) % len(tail7)) + 1] AS value
-          FROM state CROSS JOIN h""") {
-      (s, dir) => Forecasters.snaive(ev(s, dir), "ts", fh = 4, sp = 7, freq = "1d")
-    },
+    "fc_snaive" -> FuzzBuilders.fcSnaive(sp = 7, fh = 4),
 
     // closed-form OLS replicated end-to-end: pooled normal-equation
     // moments over the AR(7) reduction, unrolled 8x8 Cholesky, then

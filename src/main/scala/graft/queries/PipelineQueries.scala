@@ -47,8 +47,9 @@ object PipelineQueries {
   }
 
   /** 64-dim dot product expanded term-by-term for the DuckDB oracle —
-    * identical summation order to Spark's aggregate() fold. */
-  private def dotSql(a: String, b: String, dim: Int = 64): String =
+    * identical summation order to Spark's aggregate() fold. Public:
+    * FuzzBuilders' cosine-topk family reuses it. */
+  def dotSql(a: String, b: String, dim: Int = 64): String =
     (1 to dim).map(i => s"$a[$i]::DOUBLE * $b[$i]::DOUBLE").mkString("(", " + ", ")")
 
   /** Subspace-mi slice dot (dims mi·sub+1 .. (mi+1)·sub), unrolled in
@@ -1425,21 +1426,7 @@ object PipelineQueries {
     },
 
     // ----- similarity search -----
-    "s_cosine_topk" -> Q(
-      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-              c AS (SELECT vec_id AS n_id, embedding AS cv FROM embeddings),
-              s AS (SELECT q_id, n_id,
-                      ${dotSql("qv", "cv")} /
-                      (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("cv", "cv")})) AS sim
-                    FROM q JOIN c ON q_id <> n_id)
-          SELECT q_id, rnk, n_id, round(sim, 6) AS sim FROM (
-            SELECT q_id, n_id, sim,
-                   row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rnk
-            FROM s) WHERE rnk <= 5""") {
-      (s, dir) =>
-        val emb = tbl(s, dir, "embeddings")
-        r6(Similarity.cosineTopK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 5))
-    },
+    "s_cosine_topk" -> FuzzBuilders.cosineTopK(nQueries = 10, k = 5),
 
     // IVF replicated end-to-end: portable md5-ordered centroid sample,
     // per-vector argmax cell assignment (ties -> lowest cell), within-

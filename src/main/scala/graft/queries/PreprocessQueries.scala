@@ -21,23 +21,9 @@ object PreprocessQueries {
     "SELECT user_id, ts, event_id, CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value FROM events"
 
   val all: Map[String, Q] = Map(
-    "p_lag" -> Q(
-      s"""SELECT event_id,
-            lag(value, 1) OVER ($W) AS value__lag_1,
-            lag(value, 2) OVER ($W) AS value__lag_2,
-            lag(value, 3) OVER ($W) AS value__lag_3
-          FROM events QUALIFY row_number() OVER ($W) > 3""") {
-      (s, dir) =>
-        Preprocess.lag(ev(s, dir), Seq(1, 2, 3))
-          .select("event_id", "value__lag_1", "value__lag_2", "value__lag_3")
-    },
+    "p_lag" -> FuzzBuilders.lagTransform(Seq(1, 2, 3)),
 
-    "p_diff" -> Q(
-      s"""SELECT event_id, value - lag(value) OVER ($W) AS value FROM events""") {
-      (s, dir) =>
-        val (out, _) = Preprocess.diff(ev(s, dir), order = 1, sp = 1)
-        out.select("event_id", "value")
-    },
+    "p_diff" -> FuzzBuilders.diffTransform(order = 1, sp = 1),
 
     "p_scale" -> Q(
       s"""SELECT event_id,
@@ -48,18 +34,7 @@ object PreprocessQueries {
         r6(out.select("event_id", "value"))
     },
 
-    "p_roll" -> Q(
-      s"""SELECT event_id,
-            round(avg(value) OVER ($W ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING), 6) AS value__rolling_mean_5,
-            round(sum(value) OVER ($W ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING), 6) AS value__rolling_sum_5,
-            min(value) OVER ($W ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS value__rolling_min_5,
-            max(value) OVER ($W ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS value__rolling_max_5
-          FROM events""") {
-      (s, dir) =>
-        r6(Preprocess.roll(ev(s, dir), Seq(5), Seq("mean", "sum", "min", "max"))
-          .select("event_id", "value__rolling_mean_5", "value__rolling_sum_5",
-            "value__rolling_min_5", "value__rolling_max_5"))
-    },
+    "p_roll" -> FuzzBuilders.rollTransform(5),
 
     "p_time_to_arange" -> Q(
       s"""SELECT event_id, CAST(row_number() OVER ($W) - 1 AS INT) AS time FROM events""") {
@@ -167,24 +142,9 @@ object PreprocessQueries {
       (s, dir) => r6(Preprocess.log1pTransform(ev(s, dir)).select("event_id", "value"))
     },
 
-    "p_boxcox" -> Q(
-      "SELECT event_id, round((pow(value, 0.5) - 1) / 0.5, 6) AS value FROM events") {
-      (s, dir) =>
-        val p = ev(s, dir)
-        r6(p.df.withColumn("value", Preprocess.boxcox(col("value"), lit(0.5)))
-          .select("event_id", "value"))
-    },
+    "p_boxcox" -> FuzzBuilders.boxcox(0.5),
 
-    "p_yeojohnson" -> Q(
-      """SELECT event_id, round(CASE
-           WHEN value >= 0 THEN (pow(value + 1, 1.5) - 1) / 1.5
-           ELSE -(pow(-value + 1, 0.5) - 1) / 0.5 END, 6) AS value
-         FROM events""") {
-      (s, dir) =>
-        val p = ev(s, dir)
-        r6(p.df.withColumn("value", Preprocess.yeojohnson(col("value"), lit(1.5)))
-          .select("event_id", "value"))
-    },
+    "p_yeojohnson" -> FuzzBuilders.yeojohnson(1.5),
 
     "p_detrend_linear" -> Q(
       // β/α from exact DECIMAL moment sums (β = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²)):
@@ -253,16 +213,7 @@ object PreprocessQueries {
         r6(out.select("event_id", "value"))
     },
 
-    "p_fracdiff" -> Q({
-      val ws = Preprocess.fracDiffWeights(0.5, 1e-5, 10)
-      val terms = ws.zipWithIndex.map { case (w, k) =>
-        if (k == 0) s"$w * value" else s"$w * lag(value, $k) OVER ($W)"
-      }.mkString(" + ")
-      s"SELECT event_id, round($terms, 6) AS frac_diff FROM events"
-    }) {
-      (s, dir) =>
-        r6(Preprocess.fracDiff(ev(s, dir), 0.5, 1e-5, 10).select("event_id", "frac_diff"))
-    },
+    "p_fracdiff" -> FuzzBuilders.fracDiff(0.5, 10),
 
     "p_onehot" -> Q(
       """SELECT event_id,
@@ -307,16 +258,7 @@ object PreprocessQueries {
             "event_type__zz_new")
     },
 
-    "p_fourier_terms" -> Q(
-      s"""WITH b AS (SELECT event_id, ((row_number() OVER ($W) - 1) % 24)::DOUBLE / 24 AS coef FROM events)
-          SELECT event_id,
-            round(cos(2 * pi() * 1 * coef),6) AS cos_24_1, round(sin(2 * pi() * 1 * coef),6) AS sin_24_1,
-            round(cos(2 * pi() * 2 * coef),6) AS cos_24_2, round(sin(2 * pi() * 2 * coef),6) AS sin_24_2
-          FROM b""") {
-      (s, dir) =>
-        r6(Seasonality.addFourierTerms(ev(s, dir), sp = 24, k = 2)
-          .select("event_id", "cos_24_1", "sin_24_1", "cos_24_2", "sin_24_2"))
-    },
+    "p_fourier_terms" -> FuzzBuilders.fourierTerms(sp = 24, k = 2),
 
     "p_calendar_effects" -> Q(
       """SELECT event_id,

@@ -352,18 +352,46 @@ class AutoForecastSpec extends SparkSpec {
   test("cfoReachable enumerates the seed-42 walks (hand-checked md5 stream)") {
     // linear arm, 5 evaluations: the md5 stream for (ns=lin, seed=42)
     // moves lags +1 at t=1, lags -1 at t=2, lags +1 at t=3, l1 +1 at
-    // t=4 — reachable = lags {3,4,5} x l1 {0.0, 0.5} at alpha 0.01
+    // t=4 — reachable = lags {3,4,5} x l1 {0.0, 0.25} at the widened
+    // lattice's low-cost alpha 0.001 (FLAML loguniform(0.001, 20)
+    // lower bound, automl.py:204)
     val (cl, tl) = AutoForecast.cfoReachable("lin", 42L, 5, AutoForecast.dimsLinear)
     assert(cl.map(AutoForecast.decodeLinear) == Seq(
-      (3, 0.01, 0.0), (4, 0.01, 0.0), (5, 0.01, 0.0),
-      (3, 0.01, 0.5), (4, 0.01, 0.5), (5, 0.01, 0.5)))
+      (3, 0.001, 0.0), (4, 0.001, 0.0), (5, 0.001, 0.0),
+      (3, 0.001, 0.25), (4, 0.001, 0.25), (5, 0.001, 0.25)))
     assert(tl == Seq(Map(0 -> 1), Map(0 -> 1, 1 -> 0), Map(0 -> 1, 1 -> 2),
       Map(0 -> 3, 1 -> 4, 2 -> 5)))
     // GBT arm, 3 evaluations: bins +1 at t=1, lags +1 at t=2
     val (cg, tg) = AutoForecast.cfoReachable("gbt", 42L, 3, AutoForecast.dimsGbt)
     assert(cg.map(AutoForecast.decodeGbt) == Seq(
-      (3, 2, 3, 0.3), (3, 2, 4, 0.3), (5, 2, 3, 0.3), (5, 2, 4, 0.3)))
+      (3, 2, 3, 0.1), (3, 2, 4, 0.1), (5, 2, 3, 0.1), (5, 2, 4, 0.1)))
     assert(tg == Seq(Map(0 -> 1), Map(0 -> 2, 1 -> 3)))
+  }
+
+  test("r14 widened lattice: FLAML-range axes, bounded reachable sets") {
+    // the lattice covers FLAML's loguniform reg_alpha span and a
+    // rounds (n_estimators analog) axis …
+    assert(AutoForecast.dimsLinear == Vector(9, 12, 5))
+    assert(AutoForecast.dimsGbt == Vector(4, 5, 4, 4))
+    assert(AutoForecast.decodeLinear(Vector(8, 11, 4)) == (14, 20.0, 1.0))
+    assert(AutoForecast.decodeLinear(Vector(0, 0, 0)) == (3, 0.001, 0.0))
+    assert(AutoForecast.decodeGbt(Vector(3, 4, 3, 3)) == (9, 8, 6, 1.0))
+    // … while the ORACLE's reachable set stays bounded by the
+    // evaluation count, not the lattice size: the possible-incumbent
+    // set at most doubles per step (each incumbent spawns one
+    // proposal), so |reachable| ≤ 2^(steps−1) regardless of grid
+    // width — and the REALIZED walk evaluates at most 2·steps − 1 of
+    // them. The registry points stay small and are pinned exactly.
+    for (steps <- Seq(3, 5, 8); seed <- Seq(7L, 42L, 99L)) {
+      val (cfgL, _) = AutoForecast.cfoReachable("lin", seed, steps, AutoForecast.dimsLinear)
+      val (cfgG, _) = AutoForecast.cfoReachable("gbt", seed, steps, AutoForecast.dimsGbt)
+      assert(cfgL.size <= (1 << (steps - 1)), s"lin seed=$seed steps=$steps: ${cfgL.size}")
+      assert(cfgG.size <= (1 << (steps - 1)), s"gbt seed=$seed steps=$steps: ${cfgG.size}")
+    }
+    // the registry oracles' exact reachable-set sizes (fc_auto_search
+    // = lin/42/5, fc_auto_search_gbt = gbt/42/3)
+    assert(AutoForecast.cfoReachable("lin", 42L, 5, AutoForecast.dimsLinear)._1.size == 6)
+    assert(AutoForecast.cfoReachable("gbt", 42L, 3, AutoForecast.dimsGbt)._1.size == 4)
   }
 
   test("cfoWalk's incumbent sequence matches a hand-traced walk") {
