@@ -19,6 +19,7 @@ import org.apache.spark.sql.functions._
 object AnnRecallSoak {
   def main(args: Array[String]): Unit = {
     val nVecs = args.headOption.map(_.toInt).getOrElse(1000000)
+    val mode = if (args.length > 1) args(1) else "all" // all | pq
     val nQ = 100
     val k = 10
     val nGroups = 1024
@@ -62,6 +63,7 @@ object AnnRecallSoak {
     }
 
     // IVF: nCells sweep at nProbe=1, probe sweep at nCells=1024
+    if (mode == "all") {
     val cellGrid = Seq(256, 1024, 4096)
     val centsByCells = cellGrid.map { c =>
       c -> Similarity.ivfCentroids(vecs, "vec_id", "embedding", c)
@@ -95,15 +97,44 @@ object AnnRecallSoak {
       }
       recall(r, s"ivf refined nCells=1024 nProbe=$p"); r.unpersist()
     }
+    }
     // PQ/ADC at the registry shape (m=4, 8 centroids — 64× narrower
     // codes) and a higher-fidelity codebook
-    for ((m, kc) <- Seq((4, 8), (4, 64), (8, 64))) {
-      val cb = Similarity.pqCodebooks(vecs, "vec_id", "embedding", m, kc)
-      val r = timed(s"pq m=$m kCent=$kc") {
+    val pqShapes =
+      if (mode == "pq") Seq(("refined", 4, 64, 2), ("refined", 8, 64, 2))
+      else Seq(("sampled", 4, 8, 0), ("sampled", 4, 64, 0), ("sampled", 8, 64, 0))
+    for ((tag, m, kc, iters) <- pqShapes) {
+      val cb = timed(s"pq codebooks $tag m=$m kCent=$kc iters=$iters") {
+        if (iters > 0) Similarity.pqCodebooksRefined(vecs, "vec_id", "embedding", m, kc, iters)
+        else Similarity.pqCodebooks(vecs, "vec_id", "embedding", m, kc)
+      }
+      val r = timed(s"pq $tag m=$m kCent=$kc") {
         val d = Similarity.pqTopKWith(queries, vecs, "vec_id", "embedding", k, cb).cache()
         d.count(); d
       }
-      recall(r, s"pq m=$m kCent=$kc"); r.unpersist()
+      recall(r, s"pq $tag m=$m kCent=$kc"); r.unpersist()
+    }
+    // PQ as a SHORTLIST + exact re-rank (the 100-TB serving shape):
+    // ADC top-S candidate ids, then exact cosine only on the S raw
+    // vectors per query — the corpus-wide scan stays 64× narrower,
+    // the fine ranking is exact
+    if (mode == "pq") for ((m, kc, short) <- Seq((4, 64, 200), (8, 64, 200))) {
+      val cb = Similarity.pqCodebooksRefined(vecs, "vec_id", "embedding", m, kc, 2)
+      val r = timed(s"pq m=$m kCent=$kc shortlist=$short + exact rerank") {
+        val shortlist = Similarity.pqTopKWith(queries, vecs, "vec_id", "embedding", short, cb)
+          .select(col("q_id"), col("n_id"))
+        val qv = queries.select(col("vec_id").as("q_id"), col("embedding").as("__qv"))
+        val nv = vecs.select(col("vec_id").as("n_id"), col("embedding").as("__cv"))
+        val d = shortlist.join(broadcast(qv), "q_id").join(nv, "n_id")
+          .withColumn("sim", Similarity.cosine(col("__qv"), col("__cv")))
+          .withColumn("rnk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+              .orderBy(col("sim").desc, col("n_id"))))
+          .filter(col("rnk") <= k)
+          .select("q_id", "n_id").cache()
+        d.count(); d
+      }
+      recall(r, s"pq m=$m kCent=$kc shortlist=$short rerank"); r.unpersist()
     }
     spark.stop()
   }
