@@ -29,7 +29,8 @@ object KnnEntitySoak {
       println(f"[knnsoak] $l: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
     graft.operators.KnnForecaster.maxExactEntities = Int.MaxValue
-    val skipExact = args.contains("--ivf-only") || args.contains("--recursive-only")
+    val skipExact = args.contains("--ivf-only") || args.contains("--recursive-only") ||
+      args.contains("--onestep-1m")
     val exactEs = if (skipExact) Nil else Seq(1000, 5000, 20000)
     exactEs.foreach { e =>
       val p = mkPanel(e, 40)
@@ -44,7 +45,7 @@ object KnnEntitySoak {
     // (within-cell distances) — minimized at nCells ≈ √E, which the
     // in-scan broadcast assignment makes reachable (the former
     // literal-inlined projection walled out past ~100 cells)
-    val ivfEs = if (args.contains("--recursive-only")) Nil
+    val ivfEs = if (args.contains("--recursive-only") || args.contains("--onestep-1m")) Nil
       else Seq((20000, 64), (200000, 64), (200000, 448))
     ivfEs.foreach { case (e, cells) =>
       val p = mkPanel(e, 40)
