@@ -29,6 +29,7 @@ object StreamingSoak {
     val wqSec = args.headOption.map(_.toInt).getOrElse(1500)
     val lshSec = if (args.length > 1) args(1).toInt else 600
     val semSec = if (args.length > 2) args(2).toInt else 120
+    val lshTtlMs = if (args.length > 3) args(3).toLong else 0L
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -116,7 +117,7 @@ object StreamingSoak {
     })
 
     // ── 2. streaming MinHash-LSH near-dup candidates ──
-    if (lshSec > 0) soak("lsh-neardup", lshSec, () => {
+    if (lshSec > 0) soak(s"lsh-neardup ttl=${lshTtlMs}ms", lshSec, () => {
       // 12-word docs over a 2000-word vocab; ~1/50 docs reuse one of
       // 40 boilerplate templates so buckets genuinely collide
       val vocabWord = (c: org.apache.spark.sql.Column) =>
@@ -132,7 +133,7 @@ object StreamingSoak {
             .otherwise(concat_ws(" ", words: _*)).as("text"))
         .as[StreamingPanel.DocIn]
       StreamingPanel.streamingNearDupCandidates(in, shingleSize = 3,
-        numHashes = 32, rowsPerBand = 4, maxBucket = 64)
+        numHashes = 32, rowsPerBand = 4, maxBucket = 64, stateTtlMs = lshTtlMs)
         .writeStream.format("noop").outputMode("append")
         .trigger(Trigger.ProcessingTime("5 seconds"))
         .option("checkpointLocation", s"/tmp/soak_lsh_${System.nanoTime()}")

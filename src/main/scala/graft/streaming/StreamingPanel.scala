@@ -662,9 +662,18 @@ object StreamingPanel {
     * pair against the retained sample but are not themselves retained
     * (overflow counted), so one degenerate bucket (e.g. boilerplate
     * shingles) cannot grow state without bound. */
+  /** `stateTtlMs > 0` bounds TOTAL state for unbounded streams: each
+    * bucket's state expires `stateTtlMs` after its last update
+    * (processing time), so state tracks the retention horizon's
+    * distinct content instead of all content ever seen. The r14
+    * StreamingSoak measured the default (no TTL) growing ∝ distinct
+    * buckets — 14M bucket keys / 5.1 GB after 1.8M unique docs —
+    * which is the correct exact semantics but needs a horizon to run
+    * forever; dedup-within-horizon is the standard ingest contract. */
   def streamingNearDupCandidates(docs: Dataset[DocIn], shingleSize: Int,
                                  numHashes: Int, rowsPerBand: Int,
-                                 maxBucket: Int = 64): Dataset[NearDupCandidate] = {
+                                 maxBucket: Int = 64,
+                                 stateTtlMs: Long = 0L): Dataset[NearDupCandidate] = {
     implicit val stateEnc: Encoder[BucketState] = Encoders.product[BucketState]
     implicit val outEnc: Encoder[NearDupCandidate] = Encoders.product[NearDupCandidate]
     implicit val keyEnc: Encoder[(Int, String)] =
@@ -696,23 +705,33 @@ object StreamingPanel {
       .as[(Int, String, Long)]
       .groupByKey { case (band, key, _) => (band, key) }
       .flatMapGroupsWithState[BucketState, NearDupCandidate](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(),
+        if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout()) {
         (bucket: (Int, String), rows: Iterator[(Int, String, Long)],
          state: GroupState[BucketState]) =>
-          var s = state.getOption.getOrElse(BucketState(Vector.empty, 0L))
-          var ids = s.ids.toVector
-          var overflow = s.overflow
-          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupCandidate]
-          rows.foreach { case (band, _, id) =>
-            if (!ids.contains(id)) {
-              ids.foreach { prev =>
-                out += NearDupCandidate(math.min(prev, id), math.max(prev, id), band)
+          if (state.hasTimedOut) {
+            // bucket idle past the TTL: drop it (ids outside the
+            // retention horizon stop pairing — the horizon contract)
+            state.remove()
+            Iterator.empty
+          } else {
+            var s = state.getOption.getOrElse(BucketState(Vector.empty, 0L))
+            var ids = s.ids.toVector
+            var overflow = s.overflow
+            val out = scala.collection.mutable.ArrayBuffer.empty[NearDupCandidate]
+            rows.foreach { case (band, _, id) =>
+              if (!ids.contains(id)) {
+                ids.foreach { prev =>
+                  out += NearDupCandidate(math.min(prev, id), math.max(prev, id), band)
+                }
+                if (ids.length < maxBucket) ids = ids :+ id else overflow += 1
               }
-              if (ids.length < maxBucket) ids = ids :+ id else overflow += 1
             }
+            state.update(BucketState(ids, overflow))
+            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            out.iterator
           }
-          state.update(BucketState(ids, overflow))
-          out.iterator
       }
   }
 }
