@@ -28,10 +28,19 @@ object BenchOne {
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0")
       BenchWarmup.run(spark, sfDir)
     val fn = SparkEntry.queries(name)
+    // process-CPU seconds per rep alongside wall: on a steal-noisy
+    // shared host (10%+ hypervisor steal observed) wall reps swing
+    // 2-5x, while the JVM's actual on-CPU work is stable — the
+    // adjudication metric for compute-kernel changes (guide §1)
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     (1 to reps).foreach { i =>
+      val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
-      println(f"[benchone] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.3f s rows=$n")
+      val wall = (System.nanoTime() - t0) / 1e9
+      val cpu = (osBean.getProcessCpuTime - c0) / 1e9
+      println(f"[benchone] $name rep$i: $wall%.3f s cpu=$cpu%.1f s rows=$n")
       // match Bench semantics: every timed run starts cache-cold (Bench
       // clears the cache after each query), otherwise reps 2+ reuse the
       // previous rep's persisted intermediates via plan-equality and

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Dump `explain("formatted")` for named registry queries to files —
+  * the optimization rounds' plan-evidence artifact
+  * (`plans/r{N}/<query>_{before,after}.txt`).
+  *
+  * Usage: `runMain graft.PlanDump <outDir> <suffix> <q1,q2,...> [sfDir]`
+  * writes `<outDir>/<query>_<suffix>.txt` per query. Session config
+  * matches Bench (AQE on, 32-way shuffle partitions via
+  * SPARK_GRAFT_CPUS) so the dumped initial plans are the bench's. */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val outDir = args(0)
+    val suffix = args(1)
+    val names = args(2).split(",").toSeq
+    val sfDir = if (args.length > 3) args(3) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.buffer.pageSize", "4m")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    new java.io.File(outDir).mkdirs()
+    names.foreach { name =>
+      try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        Files.writeString(Paths.get(s"$outDir/${name}_$suffix.txt"), plan)
+        println(s"[plandump] wrote $outDir/${name}_$suffix.txt")
+      } catch { case e: Throwable =>
+        System.err.println(s"[plandump] $name failed: ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}

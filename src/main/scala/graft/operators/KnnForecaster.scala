@@ -141,38 +141,50 @@ object KnnForecaster {
                        reduction: DataFrame, qRows: Array[(Long, Array[Double])],
                        lags: Int, k: Int): DataFrame = {
     val bq = spark.sparkContext.broadcast(qRows)
-    // per-partition bounded heaps: local top-k per query
+    // per-partition bounded top-k per query: rows are buffered into a
+    // row-major block and scanned QUERY-OUTER over primitive state
+    // (see [[scanRun]]) — the query vector and its k-th threshold stay
+    // register/L1-hot across the block instead of a boxed
+    // PriorityQueue head deref per (row × query) pair. The per-query
+    // (distance, label) multiset is identical to the former per-row
+    // heap kernel's (r14 measured: −25% process-CPU on fc_elite_knn).
     val partials = reduction.rdd.mapPartitions { it =>
       val qs = bq.value
-      // max-heaps of size k on (distance, label) — the label tiebreak
-      // makes tied-distance boundary picks deterministic across runs
-      // (partition scheduling order decided them before); it matches
-      // the ranking window's (__dist, __label) order below
-      val heaps = Array.fill(qs.length)(
-        scala.collection.mutable.PriorityQueue.empty[(Double, Double)](heapOrd))
-      val feats = new Array[Double](lags)
-      it.foreach { row =>
-        var i = 0
-        while (i < lags) { feats(i) = row.getDouble(i); i += 1 }
-        val label = row.getDouble(lags)
+      val nq = qs.length
+      val dA = new Array[Array[Double]](nq)
+      val lA = new Array[Array[Double]](nq)
+      val cnt = new Array[Int](nq)
+      val maxI = new Array[Int](nq)
+      var qa = 0
+      while (qa < nq) {
+        dA(qa) = new Array[Double](k); lA(qa) = new Array[Double](k); qa += 1
+      }
+      val B = 256
+      val featBuf = new Array[Double](B * lags)
+      val labBuf = new Array[Double](B)
+      var n = 0
+      def flush(): Unit = {
         var qi = 0
-        while (qi < qs.length) {
-          val q = qs(qi)._2
-          var d = 0.0; var j = 0
-          while (j < lags) { val t = feats(j) - q(j); d += t * t; j += 1 }
-          val h = heaps(qi)
-          if (h.size < k) h.enqueue((d, label))
-          else {
-            val hd = h.head
-            if (d < hd._1 || (d == hd._1 && label < hd._2)) {
-              h.dequeue(); h.enqueue((d, label))
-            }
-          }
+        while (qi < nq) {
+          val packed = scanRun(featBuf, labBuf, 0, n, lags, k, qs(qi)._2,
+            dA(qi), lA(qi), cnt(qi), maxI(qi))
+          cnt(qi) = (packed >>> 32).toInt; maxI(qi) = packed.toInt
           qi += 1
         }
+        n = 0
       }
-      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
-        h.iterator.map { case (d, label) => Row(qs(qi)._1, d, label) }
+      it.foreach { row =>
+        val base = n * lags
+        var i = 0
+        while (i < lags) { featBuf(base + i) = row.getDouble(i); i += 1 }
+        labBuf(n) = row.getDouble(lags)
+        n += 1
+        if (n == B) flush()
+      }
+      if (n > 0) flush()
+      (0 until nq).iterator.flatMap { qi =>
+        val c = cnt(qi); val d0 = dA(qi); val l0 = lA(qi); val qid = qs(qi)._1
+        (0 until c).iterator.map(j => Row(qid, d0(j), l0(j)))
       }
     }
     val partialDf = spark.createDataFrame(partials, StructType(Seq(
@@ -189,6 +201,60 @@ object KnnForecaster {
     * deterministically instead of by partition scheduling order. */
   private val heapOrd: Ordering[(Double, Double)] =
     Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Double.TotalOrdering)
+
+  /** Index of the lexicographic (distance, label) maximum of the k
+    * primitive state entries — `java.lang.Double.compare` is the same
+    * total order [[heapOrd]] ranked the boxed heap by (NaN greatest,
+    * −0.0 < 0.0). Ties keep the lowest index; tied entries are
+    * value-identical pairs, so which one a later admission overwrites
+    * cannot change the surviving multiset. */
+  @inline private def topKMaxIdx(d0: Array[Double], l0: Array[Double],
+                                 k: Int): Int = {
+    var mi = 0; var i = 1
+    while (i < k) {
+      val c = java.lang.Double.compare(d0(i), d0(mi))
+      if (c > 0 || (c == 0 && java.lang.Double.compare(l0(i), l0(mi)) > 0)) mi = i
+      i += 1
+    }
+    mi
+  }
+
+  /** Scan rows [s, e) of the row-major block buffer for ONE query's
+    * bounded top-k state (d0/l0 arrays of size k, `cnt0` entries so
+    * far, `maxI0` the max index once full). The admission test is the
+    * boxed kernel's exact IEEE comparison (`d < max || (d == max &&
+    * label < maxLabel)`) against the current k-th entry, and every
+    * admitted row's distance comes from the same complete
+    * ascending-lag fold — the surviving (distance, label) multiset is
+    * bit-identical to the former PriorityQueue kernel's. Returns the
+    * updated (cnt << 32) | maxI. */
+  @inline private def scanRun(featBuf: Array[Double], labBuf: Array[Double],
+                              s: Int, e: Int, lags: Int, k: Int,
+                              q: Array[Double],
+                              d0: Array[Double], l0: Array[Double],
+                              cnt0: Int, maxI0: Int): Long = {
+    var c = cnt0; var mi = maxI0
+    var thrD = 0.0; var thrL = 0.0
+    if (c == k) { thrD = d0(mi); thrL = l0(mi) }
+    var r = s
+    while (r < e) {
+      val base = r * lags
+      var d = 0.0; var j = 0
+      while (j < lags) { val t = featBuf(base + j) - q(j); d += t * t; j += 1 }
+      val label = labBuf(r)
+      if (c < k) {
+        d0(c) = d; l0(c) = label; c += 1
+        if (c == k) {
+          mi = topKMaxIdx(d0, l0, k); thrD = d0(mi); thrL = l0(mi)
+        }
+      } else if (d < thrD || (d == thrD && label < thrL)) {
+        d0(mi) = d; l0(mi) = label
+        mi = topKMaxIdx(d0, l0, k); thrD = d0(mi); thrL = l0(mi)
+      }
+      r += 1
+    }
+    (c.toLong << 32) | mi.toLong
+  }
 
   /** Multi-group twin of [[heapPass]]: corpus rows carry a trailing
     * `__grp` int and serve ONLY their group's queries (`qRows` =
@@ -221,41 +287,68 @@ object KnnForecaster {
       val byGrp: scala.collection.Map[Int, Array[Int]] =
         qs.indices.toArray.groupBy(i => qs(i)._2)
       val empty = Array.empty[Int]
-      // allocated LAZILY: a partition holds one group's rows, so only
-      // that group's heaps materialize (eager Array.fill allocated
-      // total-queries heaps in EVERY task — measured as a dominant
-      // per-step cost at 9 groups × 1500 entities × 288 tasks)
-      val heaps = new Array[scala.collection.mutable.PriorityQueue[(Double, Double)]](qs.length)
-      val feats = new Array[Double](lags)
-      it.foreach { row =>
-        var i = 0
-        while (i < lags) { feats(i) = row.getDouble(i); i += 1 }
-        val label = row.getDouble(lags)
-        val grpQs = byGrp.getOrElse(row.getInt(lags + 1), empty)
-        var gi = 0
-        while (gi < grpQs.length) {
-          val qi = grpQs(gi)
-          val q = qs(qi)._3
-          var d = 0.0; var j = 0
-          while (j < lags) { val t = feats(j) - q(j); d += t * t; j += 1 }
-          var h = heaps(qi)
-          if (h == null) {
-            h = scala.collection.mutable.PriorityQueue.empty[(Double, Double)](heapOrd)
-            heaps(qi) = h
-          }
-          if (h.size < k) h.enqueue((d, label))
-          else {
-            val hd = h.head
-            if (d < hd._1 || (d == hd._1 && label < hd._2)) {
-              h.dequeue(); h.enqueue((d, label))
+      // primitive top-k state, allocated LAZILY: a partition holds one
+      // group's rows, so only that group's state materializes (an
+      // eager fill allocated total-queries heaps in EVERY task —
+      // measured as a dominant per-step cost at 9 groups × 1500
+      // entities × 288 tasks). Rows buffer into a row-major block and
+      // each same-group RUN is scanned query-outer ([[scanRun]]): the
+      // query vector and its k-th threshold stay register/L1-hot
+      // across the run instead of a boxed heap-head deref per pair
+      // (r14: −25% process-CPU on fc_elite_knn). Row order per query
+      // is the iterator order either way, so the surviving multiset —
+      // and every tie-break — is bit-identical to the boxed kernel's.
+      val nq = qs.length
+      val dA = new Array[Array[Double]](nq)
+      val lA = new Array[Array[Double]](nq)
+      val cnt = new Array[Int](nq)
+      val maxI = new Array[Int](nq)
+      val B = 256
+      val featBuf = new Array[Double](B * lags)
+      val labBuf = new Array[Double](B)
+      val grpBuf = new Array[Int](B)
+      var n = 0
+      def flush(): Unit = {
+        var s = 0
+        while (s < n) {
+          val g = grpBuf(s)
+          var e = s + 1
+          while (e < n && grpBuf(e) == g) e += 1
+          val grpQs = byGrp.getOrElse(g, empty)
+          var gi = 0
+          while (gi < grpQs.length) {
+            val qi = grpQs(gi)
+            var d0 = dA(qi)
+            if (d0 == null) {
+              d0 = new Array[Double](k); dA(qi) = d0
+              lA(qi) = new Array[Double](k)
             }
+            val packed = scanRun(featBuf, labBuf, s, e, lags, k, qs(qi)._3,
+              d0, lA(qi), cnt(qi), maxI(qi))
+            cnt(qi) = (packed >>> 32).toInt; maxI(qi) = packed.toInt
+            gi += 1
           }
-          gi += 1
+          s = e
         }
+        n = 0
       }
-      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
-        if (h == null) Iterator.empty
-        else h.iterator.map { case (d, label) => (qs(qi)._1, d, label) }
+      it.foreach { row =>
+        val base = n * lags
+        var i = 0
+        while (i < lags) { featBuf(base + i) = row.getDouble(i); i += 1 }
+        labBuf(n) = row.getDouble(lags)
+        grpBuf(n) = row.getInt(lags + 1)
+        n += 1
+        if (n == B) flush()
+      }
+      if (n > 0) flush()
+      (0 until nq).iterator.flatMap { qi =>
+        val d0 = dA(qi)
+        if (d0 == null) Iterator.empty
+        else {
+          val c = cnt(qi); val l0 = lA(qi); val qid = qs(qi)._1
+          (0 until c).iterator.map(j => (qid, d0(j), l0(j)))
+        }
       }
     }.collect()
     // driver merge: per qid, the k (distance, label)-smallest among the
