@@ -26,6 +26,15 @@ object Bench {
       // one budget breach). 4000 entries (static conf, set before the
       // session exists) keeps warmup + cross-query shapes resident.
       .config("spark.sql.codegen.cache.maxEntries", "4000")
+      // r14: wide conditional aggregates (TreeBoost pass A/B at 102/196
+      // output fields, the lags=14 OLS moment aggregates at ~137) were
+      // silently ejected from whole-stage codegen by the default
+      // spark.sql.codegen.maxFields=100 and ran interpreted — measured
+      // 2.5x on fc_gbt's pass B (1.25 s -> 0.5 s). Width-, not
+      // scale-dependent: the same aggregates exceed 100 fields at any
+      // data size, so the raise is equally right at 100 TB. Results are
+      // bitwise unchanged (same per-partition fold order either way).
+      .config("spark.sql.codegen.maxFields", "1024")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

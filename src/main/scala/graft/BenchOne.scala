@@ -17,6 +17,7 @@ object BenchOne {
       .config("spark.buffer.pageSize", "4m")
       // match Bench's enlarged codegen class cache (static conf)
       .config("spark.sql.codegen.cache.maxEntries", "4000")
+      .config("spark.sql.codegen.maxFields", "1024")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

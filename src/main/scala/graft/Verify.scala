@@ -20,6 +20,7 @@ object Verify {
       // (observed 10-20x slowdowns at 64g heaps)
       .config("spark.buffer.pageSize", "4m")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.maxFields", "1024")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -379,7 +379,15 @@ object Multimodal {
     * frame, columns `frame_idx` + `frame_stats`. Partition-parallel —
     * each payload decodes independently where its bytes already live. */
   def withVideoFrames(df: DataFrame, binCol: String, n: Int): DataFrame = {
-    val f = udf((b: Array[Byte]) => videoFramesKernel(b, n))
+    // asNondeterministic: the guide-§4.4 duplication fix, not a
+    // semantic claim — the kernel is pure, but the filter below
+    // references its output column, and the optimizer pushes the
+    // filter down by COPYING the whole container-walk + n-frame
+    // ImageIO decode into the filter condition (observed in the
+    // mm_video_frames plan: the full chain evaluated 2-3x per row).
+    // Marking it nondeterministic pins one evaluation in the project;
+    // the values and surviving rows are identical.
+    val f = udf((b: Array[Byte]) => videoFramesKernel(b, n)).asNondeterministic()
     df.withColumn("__frames", f(col(binCol)))
       .filter(col("__frames").isNotNull)
       .withColumn("frame", explode(col("__frames")))

@@ -1806,8 +1806,20 @@ object PipelineQueries {
             ((h + 97L * f) % 256).toInt, ((h / 256 + 31L * f) % 256).toInt,
             ((h / 65536 + 7L * f) % 256).toInt)
         }))
-      val docs = tbl(s, dir, "documents")
-        .withColumn("payload", buildAvi(hv))
+      // scale-adaptive parallelism floor (guide §2.5/§6): the
+      // single-row-group test parquet scans as ONE task, and with no
+      // exchange below the per-row kernels the whole AVI build +
+      // 2-frame JDK decode ran serial on one core (measured: 2.6 s
+      // wall ≈ 3.6 s process-CPU). Repartition the 5k tiny text rows
+      // BEFORE payload construction — never the built payloads
+      // (guide §8: move heavy bytes zero times) — and only when the
+      // scan's parallelism is actually below the session's cores, so
+      // at 100 TB (thousands of splits) this is a provable no-op.
+      val docs0 = tbl(s, dir, "documents")
+      val nPar = s.sparkContext.defaultParallelism
+      val docsP = if (docs0.rdd.getNumPartitions < nPar)
+        docs0.repartition(nPar) else docs0
+      val docs = docsP.withColumn("payload", buildAvi(hv))
       Multimodal.withVideoFrames(docs, "payload", n = 2)
         .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
           col("frame_stats.media_type").as("media_type"),
