@@ -54,12 +54,28 @@ object Bench {
     }
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadStart = osBean.getSystemLoadAverage
+    // hypervisor STEAL time per query (r14): load average only sees
+    // guest-visible runnable threads, but this box's timings are also
+    // inflated by NEIGHBOR VMs (observed 10-16% steal while the guest
+    // sat near-idle — wall reps swinging 2-5x on identical code).
+    // /proc/stat's cpu steal ticks make that attributable per query:
+    // a spike with near-zero gc and high st is the hypervisor, not a
+    // plan regression. Seconds are host-wide (sum over all vCPUs).
+    def stealSec: Double = try {
+      val cpuLine = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).getOrElse("")
+      val f = cpuLine.trim.split("\\s+")
+      // fields: cpu user nice system idle iowait irq softirq steal ...
+      if (f.length > 8) f(8).toDouble / 100.0 else Double.NaN
+    } catch { case _: Throwable => Double.NaN }
+    val stealStart = stealSec
     // name-sorted: Map iteration order shifts as the registry grows,
     // which reorders warmup/JIT effects between rounds — a fixed order
     // keeps per-query timings comparable round-to-round
     var nFailed = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val g0 = gcMillis
+      val st0 = stealSec
       val t0 = System.nanoTime()
       // a failed query must be LOUD: in round 4 a schema change made
       // 164 events-based queries throw at plan time — each "ran" in
@@ -70,6 +86,7 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       val gcDt = (gcMillis - g0) / 1000.0
+      val stDt = stealSec - st0
       val load = osBean.getSystemLoadAverage
       // drop persists a query left behind (several pipelines persist a
       // shared intermediate and cannot unpersist before returning):
@@ -86,11 +103,12 @@ object Bench {
       // result has been counted; the data is never re-read.
       try spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       catch { case _: Throwable => () }
-      (name, dt, gcDt, load)
+      (name, dt, gcDt, load, stDt)
     }
     val timings = results.map(r => (r._1, r._2))
     val total = timings.map(_._2).sum
     val gcTotal = results.map(_._3).sum
+    val stealTotal = stealSec - stealStart
     // regression guard: compare against the frozen per-query budgets
     // (tools/bench_budget.json). Any query beyond 2x its EFFECTIVE
     // budget gets a stderr warning — catches the next fc_elite-style
@@ -134,13 +152,15 @@ object Bench {
     // NaN gate = MXBean had no load reading (unsupported platform) —
     // serialize as null so the artifact can't be misread as near-idle
     val gateStr = if (loadAtGate.isNaN) "null" else f"$loadAtGate%.2f"
-    val scalars = s""""gc_sec_total":${f"$gcTotal%.3f"},"load_avg_gate":$gateStr,"load_avg_start":${f"$loadStart%.2f"},"load_avg_end":${f"${osBean.getSystemLoadAverage}%.2f"},"preflight_wait_sec":${f"$preflightWait%.0f"},"cpus":"$cpus""""
+    val stealStr = if (stealTotal.isNaN) "null" else f"$stealTotal%.1f"
+    val scalars = s""""gc_sec_total":${f"$gcTotal%.3f"},"steal_sec_total":$stealStr,"load_avg_gate":$gateStr,"load_avg_start":${f"$loadStart%.2f"},"load_avg_end":${f"${osBean.getSystemLoadAverage}%.2f"},"preflight_wait_sec":${f"$preflightWait%.0f"},"cpus":"$cpus""""
     try {
       // full map carries the telemetry: per-query seconds, GC seconds
       // inside the query, and the host 1-min load average at query end
       val fullQ = results
-        .map { case (k, s, gc, ld) =>
-          "\"" + k + f"""\":{"s":$s%.3f,"gc":$gc%.3f,"load":$ld%.2f}""" }
+        .map { case (k, s, gc, ld, st) =>
+          val stS = if (st.isNaN) "null" else f"$st%.2f"
+          "\"" + k + f"""\":{"s":$s%.3f,"gc":$gc%.3f,"load":$ld%.2f,"st":$stS}""" }
         .mkString("{", ",", "}")
       val full = s"""{"metric":"total","value":$total,"unit":"sec",$scalars,"queries":$fullQ,"sf":"$sfDir"}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_full.json"),
