@@ -66,9 +66,28 @@ object Panel {
   * generation of the data works — hardcoding one silently crashed
   * every events-based query when the driver regenerated the corpus. */
 object Tables {
+  // Per-SESSION table-handle memo (r15): every registry query used to
+  // call spark.read.parquet(path) afresh, paying a directory listing,
+  // a footer/schema-inference Spark JOB and the ts-dtype branch at
+  // PLAN time — ~20-40 ms × (tables touched) × 255 queries of pure
+  // driver latency in the bench (JobProfile: one "parquet at
+  // Panel.scala" job in every query). Reusing the analyzed handle is
+  // exactly what registering the table in a catalog once would do; no
+  // DATA is cached — every action still scans the parquet files.
+  // WeakHashMap on the session so closed sessions (tests spin up many)
+  // unpin their frames; access synchronized on the outer map.
+  private val memo =
+    new java.util.WeakHashMap[SparkSession, java.util.HashMap[String, DataFrame]]()
+
   /** Sessions must set spark.sql.legacy.parquet.nanosAsLong=true at
     * BUILD time (runtime set does not reach the parquet reader). */
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    memo.synchronized {
+      memo.computeIfAbsent(spark, _ => new java.util.HashMap[String, DataFrame]())
+        .computeIfAbsent(s"$dir/$name", _ => load(spark, dir, name))
+    }
+
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
       df.schema("ts").dataType match {

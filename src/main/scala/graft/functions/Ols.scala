@@ -135,11 +135,70 @@ object Ols {
     * collection path so null-row handling and cast discipline can't
     * drift apart. Returns (full symmetric X^T X, X^T y, n, Σy²) with
     * NaN for extras not requested (n is a(0)(0) when intercept). */
+  /** Scoped MOMENT SHARING (r15): many elite-zoo members fit over the
+    * IDENTICAL train slice with the identical feature set — linear vs
+    * ridge differ only in the driver-side solve (λ on the diagonal),
+    * lasso/elastic-net CD consume the very same intercept-carrying
+    * Gram, and the transform trios (linear/ridge/lasso over one scaled
+    * or detrended slice) share both the artifact subplan and the
+    * moments. Each such fit used to run its own one-row aggregate JOB
+    * (JobProfile r15: 6 Ols collects per split in fc_elite_stack where
+    * 3 distinct moment sets exist). Inside a `withMomentSharing` scope
+    * gramMoments memoizes on (canonicalized plan, features, label,
+    * intercept, weight): plan-identical requests run ONE job and share
+    * the collected doubles (deep-copied out — callers mutate the
+    * matrix in place for ridge). The cache lives only while scopes are
+    * open (cleared when the outermost exits), so nothing persists
+    * across queries or bench reps — strictly a within-query
+    * intermediate, like the caches the members already share. */
+  private final class MomentHolder {
+    private var value: (Array[Array[Double]], Array[Double], Double, Double) = _
+    def get(body: () => (Array[Array[Double]], Array[Double], Double, Double))
+        : (Array[Array[Double]], Array[Double], Double, Double) = synchronized {
+      if (value == null) value = body()
+      value
+    }
+  }
+  private val momentScopeDepth = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val momentCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Seq[String], String, Boolean, Option[String]), MomentHolder]()
+
+  /** Open a moment-sharing scope around `body` (re-entrant; the cache
+    * clears when the outermost scope exits). */
+  def withMomentSharing[T](body: => T): T = {
+    momentScopeDepth.incrementAndGet()
+    try body
+    finally if (momentScopeDepth.decrementAndGet() == 0) momentCache.clear()
+  }
+
   private def gramMoments(df: DataFrame, featureCols: Seq[String],
                           labelCol: String, intercept: Boolean,
                           withCount: Boolean = false, withSyy: Boolean = false,
                           what: String = "OLS fit",
                           weightCol: Option[String] = None)
+      : (Array[Array[Double]], Array[Double], Double, Double) = {
+    if (momentScopeDepth.get() == 0)
+      return gramMomentsCompute(df, featureCols, labelCol, intercept, what, weightCol)
+    val key = (df.queryExecution.analyzed.canonicalized,
+      featureCols, labelCol, intercept, weightCol)
+    val holder = momentCache.computeIfAbsent(key, _ => new MomentHolder)
+    val (a, b, nn, syy) =
+      try holder.get(() =>
+        gramMomentsCompute(df, featureCols, labelCol, intercept, what, weightCol))
+      catch { case t: Throwable => momentCache.remove(key, holder); throw t }
+    // defensive deep copy: fitAgg/fitNoDrift add ridge to the diagonal
+    // of the returned matrix in place
+    (a.map(_.clone()), b.clone(), nn, syy)
+  }
+
+  /** The one-pass Gram/moment collection (always also collects the row
+    * count and Σy² — two extra independent sums in the same aggregate,
+    * which leave every other sum's value untouched and let plan-equal
+    * requests with different extras share one cache entry). */
+  private def gramMomentsCompute(df: DataFrame, featureCols: Seq[String],
+                                 labelCol: String, intercept: Boolean,
+                                 what: String, weightCol: Option[String])
       : (Array[Array[Double]], Array[Double], Double, Double) = {
     import org.apache.spark.sql.functions.{count, lit, sum}
     val rows = df.na.drop(featureCols ++ (labelCol +: weightCol.toSeq))
@@ -152,8 +211,7 @@ object Ols {
     // identical order below
     val wOpt = weightCol.map(c => col(c).cast("double"))
     val tri = d * (d + 1) / 2
-    val nExtra = (if (withCount) 1 else 0) + (if (withSyy) 1 else 0)
-    val width = tri + d + nExtra
+    val width = tri + d + 2
     // Past ~600 sum expressions the generated hashAgg method exceeds
     // Janino's size limits and the WHOLE aggregate stage silently
     // falls back to interpreted mode (observed at lags=64 on the M5
@@ -171,8 +229,7 @@ object Ols {
         }
         val exprs = ((for (i <- 0 until d; j <- i until d) yield sum(t(xs(i) * xs(j)))) ++
           (0 until d).map(i => sum(t(xs(i) * y)))) ++
-          (if (withCount) Seq(count(lit(1)).cast("double")) else Nil) ++
-          (if (withSyy) Seq(sum(t(y * y))) else Nil)
+          Seq(count(lit(1)).cast("double"), sum(t(y * y)))
         val row = rows.agg(exprs.head, exprs.tail: _*).collect()(0)
         // sum() over zero rows is NULL — surface an actionable error,
         // not the opaque ROW_VALUE_IS_NULL getDouble failure
@@ -227,23 +284,13 @@ object Ols {
           var i = 0
           while (i < acc.length) { acc(i) += pbuf(i); i += 1 }
         }
-        val out = new Array[Double](width)
-        System.arraycopy(acc, 0, out, 0, tri + dd)
-        var o = tri + dd
-        if (withCount) { out(o) = acc(tri + dd); o += 1 }
-        if (withSyy) out(o) = acc(tri + dd + 1)
-        out
+        acc
       }
     val a = expand(Array.tabulate(tri)(vals), d)
     val b = Array.tabulate(d)(i => vals(tri + i))
-    val nn =
-      if (withCount) vals(tri + d)
-      else if (intercept) a(0)(0)
-      else Double.NaN
-    val syy =
-      if (withSyy) vals(tri + d + (if (withCount) 1 else 0))
-      else Double.NaN
-    (a, b, nn, syy)
+    // nn is the exact row count (an integral double ≡ the former
+    // sum-of-1.0 intercept cell a(0)(0) below 2^53)
+    (a, b, vals(tri + d), vals(tri + d + 1))
   }
 
   /** The intercept-carrying moments shared by [[fitAgg]] and

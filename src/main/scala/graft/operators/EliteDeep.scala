@@ -450,6 +450,12 @@ object EliteDeep {
     require(stackCriterion == "cd" || stackAlphaGrid.isEmpty,
       "stackAlphaGrid is the grid-AIC ('cd') mode's knob — it is not " +
         s"read under stackCriterion='$stackCriterion'; drop one of the two")
+    // moment-sharing scope (r15): zoo members whose fits consume the
+    // IDENTICAL (slice, features, label) Gram — linear vs ridge vs
+    // lasso/elastic-net at one lag depth, the transform trios — run
+    // ONE moment job instead of one each (Ols.gramMoments memoizes on
+    // the canonicalized plan for the duration of this run)
+    graft.functions.Ols.withMomentSharing {
     val cached = p.copy(df = p.df.cache())
     // materializes the panel cache (the first action would anyway) and
     // sizes the member-concurrency policy below
@@ -645,6 +651,7 @@ object EliteDeep {
       sharedLag.unpersist(blocking = false)
       cached.df.unpersist(blocking = false)
     }
+    } // withMomentSharing
   }
 
   /** The lasso stacker: rank-pivot the CV predictions into
