@@ -62,7 +62,11 @@ object Bench {
     // a spike with near-zero gc and high st is the hypervisor, not a
     // plan regression. Seconds are host-wide (sum over all vCPUs).
     def stealSec: Double = try {
-      val cpuLine = scala.io.Source.fromFile("/proc/stat").getLines()
+      // Files.readAllLines closes the fd (ADVICE r14: the Source-based
+      // read leaked one fd per call — twice per query — until GC)
+      import scala.jdk.CollectionConverters._
+      val cpuLine = java.nio.file.Files
+        .readAllLines(java.nio.file.Paths.get("/proc/stat")).asScala
         .find(_.startsWith("cpu ")).getOrElse("")
       val f = cpuLine.trim.split("\\s+")
       // fields: cpu user nice system idle iowait irq softirq steal ...

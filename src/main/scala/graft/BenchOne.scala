@@ -33,14 +33,19 @@ object BenchOne {
     // shared host (10%+ hypervisor steal observed) wall reps swing
     // 2-5x, while the JVM's actual on-CPU work is stable — the
     // adjudication metric for compute-kernel changes (guide §1)
-    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    // pattern-match, don't cast (ADVICE r14): a JVM without the
+    // com.sun interface should omit the cpu metric, not fail the run
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => Some(b)
+      case _ => None
+    }
+    def cpuTime: Long = osBean.map(_.getProcessCpuTime).getOrElse(-1L)
     (1 to reps).foreach { i =>
-      val c0 = osBean.getProcessCpuTime
+      val c0 = cpuTime
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val wall = (System.nanoTime() - t0) / 1e9
-      val cpu = (osBean.getProcessCpuTime - c0) / 1e9
+      val cpu = if (c0 < 0) Double.NaN else (cpuTime - c0) / 1e9
       println(f"[benchone] $name rep$i: $wall%.3f s cpu=$cpu%.1f s rows=$n")
       // match Bench semantics: every timed run starts cache-cold (Bench
       // clears the cache after each query), otherwise reps 2+ reuse the

@@ -78,9 +78,23 @@ object Logistic {
         val mu = lit(1.0) / (lit(1.0) + exp(-eta))
         val wr = mu * (lit(1.0) - mu)
         val rr = y - mu
+        // μ/w/r are PROJECTED once per row, and the tri + d sums read
+        // the projected columns (r15): inlining wr into every one of
+        // the tri cells made each iteration's analyzed tree ~2.5k
+        // nodes — ~0.25 s of driver planning per iteration × 6
+        // iterations, over half of fc_censored's wall (JobProfile gap).
+        // The optimizer keeps the projection (wr is non-cheap and
+        // referenced tri times, so CollapseProject won't inline it);
+        // each sum's per-row arithmetic — w·(xᵢ·xⱼ) on the identical μ
+        // — is unchanged, so the Newton sequence stays step-exact.
+        val prep = withB.select(
+          (0 until d).map(i => xs(i).as(s"__x$i")) ++
+            Seq(wr.as("__w"), rr.as("__r")): _*)
+        def px(i: Int): Column = col(s"__x$i")
         val exprs = (for (i <- 0 until d; j <- i until d)
-          yield sum(wr * xs(i) * xs(j))) ++ (0 until d).map(i => sum(rr * xs(i)))
-        val row = withB.agg(exprs.head, exprs.tail: _*).collect()(0)
+          yield sum(col("__w") * px(i) * px(j))) ++
+          (0 until d).map(i => sum(col("__r") * px(i)))
+        val row = prep.agg(exprs.head, exprs.tail: _*).collect()(0)
         val tri = d * (d + 1) / 2
         val h = Array.ofDim[Double](d, d)
         var k = 0

@@ -141,11 +141,20 @@ object CensoredForecaster {
     // reduction: the classifier is IRLS Newton (one weighted-moment
     // pass per iteration, graft.functions.Logistic — deterministic
     // fixed iterations, so the DuckDB oracle replicates it), the
-    // above-threshold regression is one-pass closed-form OLS
-    val (pIntercept, pWeights) = graft.functions.Logistic.fitIrls(
-      train, featureCols, "__above")
-    val (rIntercept, rWeights) = graft.functions.Ols.fit(
-      train.filter(col(p.value) > threshold), featureCols, p.value)
+    // above-threshold regression is one-pass closed-form OLS. The two
+    // are INDEPENDENT models over the same cache — overlap them as
+    // concurrent jobs (r15) instead of serializing the OLS pass behind
+    // the 6-iteration Newton train; each fit's own sequence is
+    // untouched, so both stay oracle step-exact.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fits = Future.sequence(Seq(
+      Future(graft.functions.Logistic.fitIrls(train, featureCols, "__above")),
+      Future(graft.functions.Ols.fit(
+        train.filter(col(p.value) > threshold), featureCols, p.value))))
+    val Seq((pIntercept, pWeights), (rIntercept, rWeights)) =
+      Await.result(fits, Duration.Inf)
     train.unpersist(blocking = false)
     Model(pIntercept, pWeights, rIntercept, rWeights, lags, freq)
   }
