@@ -80,9 +80,13 @@ object JobProfile {
       if (args.nonEmpty) args.toSeq
       else SparkEntry.queries.keys.toSeq.sorted
     println("[jobprofile] name wall cpu nJobs nStages nTasks taskSec jobCovSec gapSec")
+    // janino compile telemetry (VERDICT r14 #6: adjudicate whether the
+    // maxFields=1024 raise spends compile time on the sweep families)
+    val compHist = org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       L.reset()
+      val comp0 = compHist.getCount
       val c0 = osBean match {
         case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
         case _ => -1L
@@ -100,8 +104,11 @@ object JobProfile {
       // listener delivery is async — give the bus a moment to drain
       Thread.sleep(300)
       val cov = L.coveredMs / 1000.0
+      val nComp = compHist.getCount - comp0
+      val compMeanMs = compHist.getSnapshot.getMean / 1e6
       println(f"[jobprofile] $name $wall%.3f $cpu%.1f ${L.nJobs} ${L.nStages} " +
-        f"${L.nTasks} ${L.taskMs / 1000.0}%.1f $cov%.3f ${math.max(0, wall - cov)}%.3f")
+        f"${L.nTasks} ${L.taskMs / 1000.0}%.1f $cov%.3f ${math.max(0, wall - cov)}%.3f " +
+        f"ncomp=$nComp compMeanMs=$compMeanMs%.1f")
       if (jobDump) L.synchronized {
         L.sites.groupBy(_._1).toSeq
           .map { case (s, xs) => (s, xs.size, xs.map(_._2).sum) }

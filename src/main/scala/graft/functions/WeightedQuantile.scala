@@ -146,8 +146,13 @@ object WeightedQuantile {
     // sort pair indices by (value, microweight); ties are identical
     // pairs up to weight, and equal values interpolate to themselves,
     // so the order among ties cannot change the result — the explicit
-    // weight tiebreak just keeps the walk deterministic
-    val sorted = Array.range(0, n).sortBy(i => (vs(i), ms(i)))
+    // weight tiebreak just keeps the walk deterministic. Primitive
+    // merge sort (r15): the former sortBy allocated an Integer box and
+    // a key tuple PER COMPARISON — ~n·log n boxed allocations per leaf
+    // renewal over ~10⁵-pair buffers, pure GC tax on the hottest UDAF
+    // in the registry. Same comparator (java.lang.Double.compare is
+    // scala's total Double order), same stable order, zero boxing.
+    val sorted = sortedIdx(vs, ms, n)
     if (n == 1) return vs(sorted(0))
     // denom = S_{n-1} = W − m_n — exact integer arithmetic, so the
     // value is association-order independent (the bitwise-oracle
@@ -178,6 +183,39 @@ object WeightedQuantile {
     }
     if (pLo == pHi) vLo
     else vLo + (vHi - vLo) * ((alpha - pLo) / (pHi - pLo))
+  }
+
+  /** Indices 0..n-1 stably sorted ascending by (vs(i), ms(i)) — a
+    * primitive bottom-up merge sort (no boxing; see the call site). */
+  private def sortedIdx(vs: Array[Double], ms: Array[Long], n: Int): Array[Int] = {
+    var src = new Array[Int](n)
+    var dst = new Array[Int](n)
+    var i = 0
+    while (i < n) { src(i) = i; i += 1 }
+    @inline def lte(a: Int, b: Int): Boolean = {
+      val c = java.lang.Double.compare(vs(a), vs(b))
+      c < 0 || (c == 0 && ms(a) <= ms(b))
+    }
+    var width = 1
+    while (width < n) {
+      var lo = 0
+      while (lo < n) {
+        val mid = math.min(lo + width, n)
+        val hi = math.min(lo + 2 * width, n)
+        var a = lo; var b = mid; var o = lo
+        while (a < mid && b < hi) {
+          if (lte(src(a), src(b))) { dst(o) = src(a); a += 1 }
+          else { dst(o) = src(b); b += 1 }
+          o += 1
+        }
+        while (a < mid) { dst(o) = src(a); a += 1; o += 1 }
+        while (b < hi) { dst(o) = src(b); b += 1; o += 1 }
+        lo = hi
+      }
+      val t = src; src = dst; dst = t
+      width *= 2
+    }
+    src
   }
 }
 

@@ -101,9 +101,13 @@ object AutoForecast {
         a = ah +: a.dropRight(1); cvec = bh +: cvec.dropRight(1)
         (ah, bh)
       }
+      // StableConst, not lit: inlined fitted weights compiled a fresh
+      // projection class per (split, candidate, run) — see
+      // Forecasters.predictRecursiveLinear's r15 note
       val predCols = horizons.map { case (ah, bh) =>
-        ah.zipWithIndex.collect { case (w, j) if w != 0.0 => lit(w) * element_at(col("__state"), j + 1) }
-          .foldLeft(lit(bh): Column)(_ + _)
+        import graft.functions.StableConst.{double => sd}
+        ah.zipWithIndex.collect { case (w, j) if w != 0.0 => sd(w) * element_at(col("__state"), j + 1) }
+          .foldLeft(sd(bh): Column)(_ + _)
       }
       val pred = state.withColumn("__h", explode(sequence(lit(1), lit(testSize))))
         .withColumn("__pred", element_at(array(predCols: _*), col("__h").cast("int")))

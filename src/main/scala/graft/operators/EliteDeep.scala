@@ -734,8 +734,11 @@ object EliteDeep {
       .localCheckpoint(true)
     // (b0 + w1·f1 + … + wk·fk + w_{k+1}·trend) — the oracle's
     // left-fold order
-    val yhat = ws.zipWithIndex.foldLeft(lit(b0)) { case (acc, (wi, i)) =>
-      acc + lit(wi) * col(featsT(i))
+    val yhat = {
+      import graft.functions.StableConst.{double => sd}
+      ws.zipWithIndex.foldLeft(sd(b0): org.apache.spark.sql.Column) {
+        case (acc, (wi, i)) => acc + sd(wi) * col(featsT(i))
+      }
     }
     val stacked = stackAll.na.drop(feats)
       .select((p.entityCols ++ Seq(col(timeCol), yhat.as(p.value))): _*)

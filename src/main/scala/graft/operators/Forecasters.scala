@@ -142,11 +142,17 @@ object Forecasters {
     //    initial-b ascending-j association, evaluated per entity row
     //    (this frame is ONE ROW PER ENTITY, so the HOF's interpreted
     //    evaluation is free and nothing row-scale ever sees it).
+    // fitted coefficients ride through StableConst (r15): as inlined
+    // literals every fit compiled a FRESH Janino projection class per
+    // (dataset, fit) — unwarmable, ~2-5 ms compile + C2 churn per fit
+    // across the whole fc_* family every bench run. Same IEEE values,
+    // same fold order; only the generated source becomes shape-stable.
     val predsCol: org.apache.spark.sql.Column =
       if (fh.toLong * lags <= 700) {
+        import graft.functions.StableConst.{double => sd}
         val preds = horizons.map { case (ah, bh) =>
-          ah.zipWithIndex.collect { case (w, i) if w != 0.0 => lit(w) * element_at(col("__state"), i + 1) }
-            .foldLeft(lit(bh): org.apache.spark.sql.Column)(_ + _)
+          ah.zipWithIndex.collect { case (w, i) if w != 0.0 => sd(w) * element_at(col("__state"), i + 1) }
+            .foldLeft(sd(bh): org.apache.spark.sql.Column)(_ + _)
         }
         array(preds: _*)
       } else {

@@ -144,9 +144,12 @@ final case class DirectLinearModel(
       .withColumn("__state", sort_array(col("__s")).getField(p.value))
       .filter(size(col("__state")) >= lags)
       .drop("__s")
+    // StableConst, not lit — fresh-class note at
+    // Forecasters.predictRecursiveLinear (r15)
     val preds = models.take(fh).map { case (b0, w) =>
-      w.zipWithIndex.map { case (wc, i) => lit(wc) * element_at(col("__state"), i + 1) }
-        .reduce(_ + _) + lit(b0)
+      import graft.functions.StableConst.{double => sd}
+      w.zipWithIndex.map { case (wc, i) => sd(wc) * element_at(col("__state"), i + 1) }
+        .reduce(_ + _) + sd(b0)
     }
     state0.withColumn("__preds", array(preds: _*))
       .withColumn("__h", explode(sequence(lit(1), lit(fh))))
@@ -222,16 +225,19 @@ object FourierLinear {
       .withColumn("__state", sort_array(col("__s")).getField(p.value))
       .filter(size(col("__state")) >= lags)
       .drop("__s")
+    // fitted coefficients through StableConst (r15, fresh-class note
+    // at Forecasters.predictRecursiveLinear); 2πk stays a literal
     val unrolled = (1 to fh).foldLeft(state) { (d, h) =>
+      import graft.functions.StableConst.{double => sd}
       val stateRef = (j: Int) =>
         if (j < h) col(s"__p${h - j}") else element_at(col("__state"), j - h + 1)
       val posH = ((col("__n") - 1 + h) % sp).cast("double") / lit(sp.toDouble)
       val terms: Seq[Column] =
-        (1 to lags).map(j => lit(lagW(j - 1)) * stateRef(j)) ++
+        (1 to lags).map(j => sd(lagW(j - 1)) * stateRef(j)) ++
           (1 to K).flatMap(k => Seq(
-            lit(fW(2 * (k - 1))) * cos(lit(2 * math.Pi * k) * posH),
-            lit(fW(2 * k - 1)) * sin(lit(2 * math.Pi * k) * posH)))
-      d.withColumn(s"__p$h", terms.foldLeft(lit(b0): Column)(_ + _))
+            sd(fW(2 * (k - 1))) * cos(lit(2 * math.Pi * k) * posH),
+            sd(fW(2 * k - 1)) * sin(lit(2 * math.Pi * k) * posH)))
+      d.withColumn(s"__p$h", terms.foldLeft(sd(b0): Column)(_ + _))
     }
     unrolled
       .withColumn("__h", explode(sequence(lit(1), lit(fh))))
@@ -268,7 +274,7 @@ object ExogLinear {
       // one groupBy over the first fh future rows per entity
       val hw = Window.partitionBy(p.entityCols: _*).orderBy(col(timeCol))
       val contribExpr = exogCols.zip(exogW)
-        .map { case (c, w) => col(c).cast("double") * w }
+        .map { case (c, w) => col(c).cast("double") * graft.functions.StableConst.double(w) }
         .reduceOption(_ + _).getOrElse(lit(0.0))
       val contribs = xFuture
         .withColumn("__h", row_number().over(hw))
@@ -284,10 +290,11 @@ object ExogLinear {
       val joined = state0.join(contribs, p.entity)
         .filter(size(col("__cs")) >= fh)
       val unrolled = (1 to fh).foldLeft(joined) { (d, h) =>
+        import graft.functions.StableConst.{double => sd}
         val stateRef = (j: Int) =>
           if (j < h) col(s"__p${h - j}") else element_at(col("__state"), j - h + 1)
-        val ph = (1 to lags).foldLeft(lit(intercept): Column)((acc, j) =>
-          acc + lit(lagW(j - 1)) * stateRef(j)) + element_at(col("__cs"), h)
+        val ph = (1 to lags).foldLeft(sd(intercept): Column)((acc, j) =>
+          acc + sd(lagW(j - 1)) * stateRef(j)) + element_at(col("__cs"), h)
         d.withColumn(s"__p$h", ph)
       }
       unrolled
@@ -352,14 +359,15 @@ object ExogDowLinear {
       // one lateral column per horizon: earlier horizons' predictions
       // roll into the state, the horizon's day-of-week picks its dummy
       val unrolled = (1 to fh).foldLeft(state0) { (d, h) =>
+        import graft.functions.StableConst.{double => sd}
         val stateRef = (j: Int) =>
           if (j < h) col(s"__p${h - j}") else element_at(col("__state"), j - h + 1)
         val dw = pmod(col("__cd") + h + 3, lit(7))
         val contrib = (1 to 6).foldLeft(when(lit(false), 0.0)) { (c, k) =>
-          c.when(dw === k, dowW(k - 1))
+          c.when(dw === k, sd(dowW(k - 1)))
         }.otherwise(0.0)
-        val ph = (1 to lags).foldLeft(lit(intercept): Column)((acc, j) =>
-          acc + lit(lagW(j - 1)) * stateRef(j)) + contrib
+        val ph = (1 to lags).foldLeft(sd(intercept): Column)((acc, j) =>
+          acc + sd(lagW(j - 1)) * stateRef(j)) + contrib
         d.withColumn(s"__p$h", ph)
       }
       unrolled

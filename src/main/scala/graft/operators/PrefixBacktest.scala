@@ -177,9 +177,12 @@ object PrefixBacktest {
         a = ah +: a.dropRight(1); cvec = bh +: cvec.dropRight(1)
         (ah, bh)
       }
+      // StableConst, not lit — see Forecasters.predictRecursiveLinear's
+      // r15 note (inlined fitted weights = fresh Janino class per fit)
       val predCols = horizons.zipWithIndex.map { case ((ah, bh), h0) =>
-        inv(ah.zipWithIndex.collect { case (w, j) if w != 0.0 => lit(w) * txElem(j + 1) }
-          .foldLeft(lit(bh): Column)(_ + _), h0 + 1)
+        import graft.functions.StableConst.{double => sd}
+        inv(ah.zipWithIndex.collect { case (w, j) if w != 0.0 => sd(w) * txElem(j + 1) }
+          .foldLeft(sd(bh): Column)(_ + _), h0 + 1)
       }
       val pred = state.withColumn("__h", explode(sequence(lit(1), lit(testSize))))
         .withColumn("__pred", element_at(array(predCols: _*), col("__h").cast("int")))
@@ -279,16 +282,20 @@ object PrefixBacktest {
           (col("__cnt") - lit(cutoff) - lit(j)).cast("double"))
       // FourierLinear.fitPredict's recursion unroll verbatim, with
       // state elements transform-applied inline
+      // fitted coefficients through StableConst (r15, fresh-class note
+      // at Forecasters.predictRecursiveLinear); the 2πj factors are
+      // structural and stay literals
       val unrolled = (1 to testSize).foldLeft(state) { (d, h) =>
+        import graft.functions.StableConst.{double => sd}
         val stateRef = (j: Int) =>
           if (j < h) col(s"__p${h - j}") else txElem(j - h + 1)
         val posH = ((col("__nF") - 1 + h) % sp).cast("double") / lit(sp.toDouble)
         val terms: Seq[Column] =
-          (1 to lags).map(j => lit(lagW(j - 1)) * stateRef(j)) ++
+          (1 to lags).map(j => sd(lagW(j - 1)) * stateRef(j)) ++
             (1 to k).flatMap(j => Seq(
-              lit(fW(2 * (j - 1))) * cos(lit(2 * math.Pi * j) * posH),
-              lit(fW(2 * j - 1)) * sin(lit(2 * math.Pi * j) * posH)))
-        d.withColumn(s"__p$h", terms.foldLeft(lit(b0): Column)(_ + _))
+              sd(fW(2 * (j - 1))) * cos(lit(2 * math.Pi * j) * posH),
+              sd(fW(2 * j - 1)) * sin(lit(2 * math.Pi * j) * posH)))
+        d.withColumn(s"__p$h", terms.foldLeft(sd(b0): Column)(_ + _))
       }
       val predCols = (1 to testSize).map(h => invExpr(transform)(col(s"__p$h"), h))
       val pred = unrolled
